@@ -1,0 +1,51 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md [EXT]): image/audio/video
+  * payloads modeled as opaque `binary` columns with typed metadata.
+  *
+  * The decode step is a clearly-marked deterministic STUB (the
+  * image/audio libraries are not in this environment); everything
+  * around it — schema, batch shape, partition-parallel execution via
+  * `mapPartitions` (the Scala analog of `mapInPandas`) — is real.
+  */
+object Multimodal {
+
+  /** Pretend payload: utf-8 bytes of the text column. In production
+    * this column is the raw media bytes read from the lake. */
+  def attachPayload(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("payload", encode(col(textCol), "UTF-8"))
+
+  /** Payload metadata, computed without ever decoding: byte length +
+    * content hash. Pure codegen'd built-ins. */
+  def payloadMeta(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame =
+    withPayload.select(
+      col(idCol),
+      octet_length(col("payload")).as("n_bytes"),
+      sha2(col("payload"), 256).as("payload_sha256"))
+      .orderBy(col(idCol))
+
+  final case class DecodedMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int, n_frames: Int)
+
+  /** STUB decoder: stands in for image/audio decode (no media libs in
+    * this container). Deterministic fake features derived from the
+    * payload so tests are stable. Runs partition-parallel over an
+    * iterator batch — the exact execution shape a real decoder
+    * (or `mapInPandas` in PySpark) would use. */
+  def decodeStub(withPayload: DataFrame, idCol: String = "doc_id"): Dataset[DecodedMeta] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // STUB: a real implementation hands `bytes` to a decoder
+          // library here and returns true dimensions / frame counts.
+          val n = bytes.length
+          DecodedMeta(id, n, 64 + (n % 512), 64 + ((n * 7) % 512), 1 + (n % 16))
+        }
+      }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII anonymization (reference: src/runnerfile.py:248-313 §2.8).
+  *
+  * The reference collects up to 100k distinct PII values into the
+  * driver to build the hash mapping — a scale bug. Here the mapping
+  * ("vault") is itself a distributed table, and de-anonymization is a
+  * broadcast join on the hash, so nothing PII-sized ever lands on the
+  * driver.
+  */
+object Anonymize {
+
+  /** sha256 hex of a column (reference: src/runnerfile.py:271 P9). */
+  def sha256(c: Column): Column = sha2(c.cast("string"), 256)
+
+  /** Replace the named columns with their sha256 hash. */
+  def anonymize(df: DataFrame, piiCols: Seq[String]): DataFrame =
+    piiCols.foldLeft(df)((d, c) => d.withColumn(c, sha256(col(c))))
+
+  /** Vault table: distinct original -> hash mapping, written as a
+    * restricted-access table instead of a driver-built dict
+    * (reference: src/runnerfile.py:261-268 A8). */
+  def vault(df: DataFrame, c: String): DataFrame =
+    df.select(col(c).as("original"))
+      .where(col("original").isNotNull)
+      .distinct()
+      .withColumn("hashed", sha256(col("original")))
+
+  /** Reverse an anonymized column via a broadcast join against the
+    * vault (replaces the reference's driver-side dict substitution,
+    * src/runnerfile.py:526-549). */
+  def deanonymize(df: DataFrame, vaultDf: DataFrame, hashedCol: String): DataFrame =
+    df.join(broadcast(vaultDf), df(hashedCol) === vaultDf("hashed"), "left")
+      .drop(hashedCol, "hashed")
+      .withColumnRenamed("original", hashedCol)
+
+  /** AES-GCM file encryption for the vault at rest — driver-side
+    * utility mirroring the reference's mapping-file encryption
+    * (src/runnerfile.py:279-309), minus its XOR fallback. */
+  def encryptBytes(plain: Array[Byte], key: Array[Byte]): Array[Byte] = {
+    require(key.length == 16 || key.length == 24 || key.length == 32, "AES key must be 16/24/32 bytes")
+    val iv = new Array[Byte](12)
+    new java.security.SecureRandom().nextBytes(iv)
+    val cipher = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
+    cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.GCMParameterSpec(128, iv))
+    iv ++ cipher.doFinal(plain)
+  }
+
+  def decryptBytes(enc: Array[Byte], key: Array[Byte]): Array[Byte] = {
+    val (iv, body) = enc.splitAt(12)
+    val cipher = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
+    cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.GCMParameterSpec(128, iv))
+    cipher.doFinal(body)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Profiling / validation / EDA aggregates (reference:
+  * src/runnerfile.py:125-245 V1/V2/V4).
+  *
+  * The reference runs ~3 Spark jobs *per column* (null count,
+  * distinct count, sample). Everything here is a single-pass
+  * multi-aggregate — O(1) jobs per table regardless of width, which
+  * is the difference between minutes and hours on a 100 TB table.
+  */
+object Profile {
+
+  private def nullCount(c: String): Column =
+    sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"${c}_nulls")
+
+  /** One row, `<col>_nulls` per column — single pass (V2/P2). */
+  def nullProfile(df: DataFrame): DataFrame =
+    df.agg(nullCount(df.columns.head), df.columns.tail.map(nullCount): _*)
+
+  /** Data dictionary: per column -> null count + exact distinct count
+    * (reference: src/runnerfile.py:125-153 V1). One wide aggregate
+    * (Catalyst plans multi-distinct via Expand: still one shuffle
+    * round), then a driver-free unpivot of the single result row. */
+  def dataDictionary(df: DataFrame): DataFrame = {
+    val aggs = df.columns.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"__n_$c"),
+        countDistinct(col(c)).as(s"__d_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = df.columns.map { c =>
+      struct(lit(c).as("column_name"),
+        col(s"__n_$c").as("null_count"),
+        col(s"__d_$c").as("distinct_count"))
+    }
+    wide.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.column_name"), col("e.null_count"), col("e.distinct_count"))
+      .orderBy(col("column_name"))
+  }
+
+  /** value_counts (reference: eda.py:110, src/runnerfile.py:209 A9). */
+  def valueCounts(df: DataFrame, c: String): DataFrame =
+    df.groupBy(col(c))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(c))
+
+  /** Equi-width histogram (reference: src/runnerfile.py:177-245 V4,
+    * eda.py numeric histograms). min/max come from a 1-row aggregate
+    * cross-joined back (broadcast — no second shuffle of the data). */
+  def histogram(df: DataFrame, c: String, buckets: Int = 10): DataFrame = {
+    val mm = df.agg(min(col(c)).cast("double").as("__mn"), max(col(c)).cast("double").as("__mx"))
+    df.select(col(c).cast("double").as("__v"))
+      .crossJoin(broadcast(mm))
+      .select(
+        least(
+          floor((col("__v") - col("__mn")) / ((col("__mx") - col("__mn")) / buckets)),
+          lit(buckets - 1L)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Share-of-total per category (reference: dashboard top-6 share pie,
+    * run_dashboard.py:399-468). Exact decimal sums; one aggregate for
+    * the groups, a broadcast 1-row total joined back. */
+  def shareOfTotal(df: DataFrame, key: String, measure: String): DataFrame = {
+    val grouped = df.groupBy(col(key))
+      .agg(sum(col(measure).cast(DecimalType(18, 2))).as("__grp"))
+    val total = df.agg(sum(col(measure).cast(DecimalType(18, 2))).as("__tot"))
+    grouped.crossJoin(broadcast(total))
+      .select(
+        col(key),
+        col("__grp").cast("double").as("total_measure"),
+        (col("__grp").cast("double") / col("__tot").cast("double")).as("share"))
+      .orderBy(col(key))
+  }
+}

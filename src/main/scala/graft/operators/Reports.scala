@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The reference's two curated report queries, re-expressed over the
+  * TPC-H-ish star schema (fact `lineitem` ~ prescriber_drug, dim
+  * `part` ~ drug, `supplier`+`nation` ~ prescriber+state).
+  *
+  * Shape (reference: src/helpers/transform_data.py:77-141): big fact
+  * aggregate, then left equi-join against small dimensions — the
+  * canonical broadcast-hash-join pattern. We broadcast the dims
+  * explicitly: at 100 TB the fact side shuffles only for its own
+  * groupBy keys; the dim join adds no shuffle.
+  *
+  * Money/quantity sums go through DECIMAL(18,s) so results are exact
+  * and order-independent (a parallel double sum is neither) — this is
+  * also what makes the DuckDB oracle hash-match.
+  */
+object Reports {
+
+  /** Exact, order-independent sum of a double measure. */
+  def dsum(c: org.apache.spark.sql.Column, scale: Int = 2): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** drug_report analog (reference: src/helpers/transform_data.py:89-104
+    * A1+J1, src/runnerfile.py:383 A3): per-product claim/cost totals
+    * joined to the product dimension. */
+  def drugReport(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_partkey"))
+      .agg(
+        dsum(col("l_quantity")).as("total_claims"),
+        dsum(col("l_extendedprice")).as("total_cost"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_name"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"), "left")
+      .select(col("l_partkey"), col("total_claims"), col("total_cost"),
+        col("p_name"), col("p_brand"))
+      .orderBy(col("l_partkey"))
+
+  /** prescriber_report analog (reference:
+    * src/helpers/transform_data.py:120-136 A2+J2+J3,
+    * src/runnerfile.py:418-427 A4): per-supplier totals + count,
+    * joined to supplier then to nation via the cross-name key
+    * (s_nationkey = n_nationkey, like presc_state_code = state_code). */
+  def prescriberReport(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val totals = lineitem
+      .groupBy(col("l_suppkey"))
+      .agg(
+        count(lit(1)).as("num_prescriptions"),
+        dsum(col("l_quantity")).as("total_claims"),
+        dsum(col("l_extendedprice")).as("total_cost"))
+    totals
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"), "left")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"), "left")
+      .select(col("l_suppkey"), col("num_prescriptions"), col("total_claims"),
+        col("total_cost"), col("s_name"), col("n_name").as("state_name"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** TPC-H Q1-shaped pricing summary — the densest version of the
+    * reference's groupBy+sum surface (A1/A2). Revenue term is cast to
+    * decimal per-row *before* the sum so the aggregate is exact. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("avg_qty", col("sum_qty") / col("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Per-key row-count report (reference: src/runnerfile.py:418 A4). */
+  def countPerKey(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("num_prescriptions"))
+      .orderBy(col("num_prescriptions").desc, col(key))
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY.md §2.3 [EXT]).
+  *
+  * All math in double precision via codegen'd higher-order functions
+  * (`zip_with` + `aggregate`) — no UDFs, so the dot product stays
+  * inside whole-stage codegen.
+  *
+  * Scale path: `topK` against one query is an embarrassingly parallel
+  * scan + TakeOrderedAndProject. `knnJoin` is quadratic and is meant
+  * for small/medium corpora or per-bucket use; `lshKnnJoin` prunes
+  * candidates by random-hyperplane bucket first, which is the shape
+  * you'd run at 100 TB (bucket join instead of cross join).
+  */
+object Similarity {
+
+  def asDouble(vec: Column): Column = transform(vec, _.cast("double"))
+
+  /** Sequential-order dot product (left-to-right, matching a scalar
+    * loop — reproducible across engines). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Cosine similarity of every vector against one query vector. */
+  def scoresAgainst(embeddings: DataFrame, queryVec: Seq[Double],
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = typedLit(queryVec)
+    embeddings.select(col(idCol),
+      cosine(asDouble(col(vecCol)), q).as("cosine_sim"))
+  }
+
+  /** Fetch a stored vector to use as the query (driver-side scalar —
+    * a query *parameter*, not data). */
+  def vectorOf(embeddings: DataFrame, id: Long,
+               idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Double] =
+    embeddings.where(col(idCol) === id).select(col(vecCol))
+      .head().getSeq[Float](0).map(_.toDouble)
+
+  /** Brute-force top-k: full scan + TakeOrderedAndProject (true top-k,
+    * no global sort materialization). */
+  def topK(embeddings: DataFrame, queryVec: Seq[Double], k: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    scoresAgainst(embeddings, queryVec, idCol, vecCol)
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+
+  /** All-pairs k-NN join (brute force). Broadcast one side; only for
+    * corpora whose one side fits the broadcast threshold. */
+  def knnJoin(embeddings: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = embeddings.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("v_a"))
+    val b = embeddings.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("v_b"))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cosine_sim").desc, col("id_b"))
+    a.crossJoin(broadcast(b))
+      .where(col("id_a") =!= col("id_b"))
+      .withColumn("cosine_sim", cosine(col("v_a"), col("v_b")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), col("cosine_sim"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes (seeded) for sign-LSH. */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: one bit per hyperplane. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN k-NN join pruned by shared LSH bucket: the quadratic work
+    * happens only inside buckets (equi-join on bucket id — a plain
+    * shuffle join that scales out). Recall < 1 by construction. */
+  def lshKnnJoin(embeddings: DataFrame, k: Int, nBits: Int = 8, seed: Long = 42L,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = embeddings.select(col(vecCol)).head().getSeq[Float](0).length
+    val planes = hyperplanes(dim, nBits, seed)
+    val tagged = embeddings.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val a = tagged.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = tagged.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cosine_sim").desc, col("id_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") =!= col("id_b"))
+      .withColumn("cosine_sim", cosine(col("v_a"), col("v_b")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), col("cosine_sim"), col("rank"))
+  }
+}

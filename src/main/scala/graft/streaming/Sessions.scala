@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StructType}
+
+/** Event-time windowing + sessionization (SURVEY.md §2.10 [EXT] —
+  * absent from the reference, which names streaming as future work at
+  * reference README.md:507).
+  *
+  * The transforms are written once over DataFrame and reused for both
+  * batch (DuckDB-oracle-verifiable) and Structured Streaming (same
+  * plan under `readStream` + watermark).
+  */
+object Sessions {
+
+  /** Tumbling-window counts/sums per event type. Window start is
+    * emitted as epoch seconds so batch results compare across engines
+    * without timezone/precision ambiguity. */
+  def windowedCounts(events: DataFrame, width: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(
+        col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Sliding-window event counts. */
+  def slidingCounts(events: DataFrame, width: String = "10 minutes",
+                    slide: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("n_events"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Gap-based sessionization per user: number of sessions and events.
+    * Session semantics = `session_window` (a new session starts when
+    * the gap since the previous event is >= the gap parameter). */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** Streaming flavor of `windowedCounts`: file stream + watermark,
+    * append mode. Driven synchronously in tests via a memory sink. */
+  def streamingWindowedCounts(spark: SparkSession, path: String, schema: StructType,
+                              width: String = "10 minutes",
+                              watermark: String = "10 minutes"): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("n_events"))
+}
