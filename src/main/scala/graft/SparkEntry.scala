@@ -1,13 +1,367 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.multimodal.Multimodal
+import graft.operators.{Anonymize, Dedup, Profile, Reports, Similarity, TopK}
+import graft.sources.{Lake, Tables}
+import graft.streaming.Sessions
+
+/** Driver contract (SURVEY.md §7): every operator from SURVEY.md §2
+  * exposed as a named query over the driver's test tables, each with a
+  * DuckDB-equivalent oracle SQL for the correctness gate.
+  *
+  * Determinism rules shared by every (query, oracle) pair:
+  *  - money/measure sums go through DECIMAL(18,2|4) on BOTH sides so
+  *    the aggregate is exact and summation-order independent;
+  *  - every query ends in a total ORDER BY (unique tiebreak keys);
+  *  - column names and types are aligned pairwise (counts are BIGINT
+  *    on both sides, ratios are IEEE-double of identical operands).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact decimal sum rendered as double — DuckDB spelling of
+    * [[Reports.dsum]]. */
+  private def sqlDsum(c: String, scale: Int = 2): String =
+    s"CAST(sum(CAST($c AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Reports.drugReport(t(spark, dir, "lineitem"), t(spark, dir, "part"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (SURVEY §2.1-2.4, §2.6) ----
+    "q_pricing_summary" -> ((s, d) => Reports.pricingSummary(t(s, d, "lineitem"))),
+    "q_drug_report" -> ((s, d) =>
+      Reports.drugReport(t(s, d, "lineitem"), t(s, d, "part"))),
+    "q_prescriber_report" -> ((s, d) =>
+      Reports.prescriberReport(t(s, d, "lineitem"), t(s, d, "supplier"), t(s, d, "nation"))),
+    "q_brand_report" -> ((s, d) =>
+      Reports.brandReport(t(s, d, "lineitem"), t(s, d, "part"))),
+    "q_kpis" -> ((s, d) => Reports.kpis(t(s, d, "lineitem"))),
+    "q_count_per_key" -> ((s, d) => Reports.countPerKey(t(s, d, "orders"), "o_custkey")),
+    "q_top_parts" -> ((s, d) => TopK.topN(t(s, d, "part"), "p_retailprice", "p_partkey", 100)),
+    "q_top_parts_per_brand" -> ((s, d) =>
+      TopK.perGroup(t(s, d, "part"), "p_brand", "p_retailprice", "p_partkey", 3)
+        .orderBy(col("p_brand"), col("rank"))),
+    // ---- dedup (SURVEY §2.7) ----
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "q_dedup_keyed" -> ((s, d) =>
+      Dedup.keyedDeterministic(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        Seq("l_orderkey"), "l_linenumber", "l_quantity").orderBy(col("l_orderkey"))),
+    // ---- profiling / validation (SURVEY §2.9) ----
+    "q_null_profile" -> ((s, d) => Profile.nullProfile(t(s, d, "customer"))),
+    "q_data_dictionary" -> ((s, d) => Profile.dataDictionary(t(s, d, "supplier"))),
+    "q_value_counts" -> ((s, d) => Profile.valueCounts(t(s, d, "orders"), "o_orderpriority")),
+    "q_histogram" -> ((s, d) => Profile.histogram(t(s, d, "lineitem"), "l_quantity", 10)),
+    "q_share_of_total" -> ((s, d) =>
+      Profile.shareOfTotal(t(s, d, "lineitem"), "l_returnflag", "l_extendedprice")),
+    // ---- anonymization (SURVEY §2.8) ----
+    "q_anonymize" -> ((s, d) =>
+      Anonymize.anonymize(t(s, d, "customer").select("c_custkey", "c_name"), Seq("c_name"))
+        .orderBy(col("c_custkey"))),
+    "q_vault" -> ((s, d) => Anonymize.vault(t(s, d, "customer"), "c_name").orderBy(col("original"))),
+    "q_deanonymize" -> ((s, d) => {
+      val cust = t(s, d, "customer").select("c_custkey", "c_name")
+      val anon = Anonymize.anonymize(cust, Seq("c_name"))
+      val vaultDf = Anonymize.vault(t(s, d, "customer"), "c_name")
+      Anonymize.deanonymize(anon, vaultDf, "c_name")
+        .select("c_custkey", "c_name").orderBy(col("c_custkey"))
+    }),
+    // ---- incremental ingest watermark (SURVEY §2.1 S4/A5) ----
+    "q_incremental" -> ((s, d) => {
+      // "existing" = a prior landed snapshot (here: the orders of the
+      // first 100 customers); the slice is everything above its max id.
+      val orders = t(s, d, "orders")
+      val existing = orders.where(col("o_custkey") < 100)
+      val w = Lake.maxWatermark(existing, "o_orderkey")
+      Lake.incrementalSlice(orders, "o_orderkey", w)
+        .select("o_orderkey", "o_custkey", "o_totalprice").orderBy(col("o_orderkey"))
+    }),
+    // ---- event-time windows / sessionization (SURVEY §2.10 [EXT]) ----
+    "q_windowed_counts" -> ((s, d) => Sessions.windowedCounts(t(s, d, "events"))),
+    "q_sliding_counts" -> ((s, d) => Sessions.slidingCounts(t(s, d, "events"))),
+    "q_sessionize" -> ((s, d) => Sessions.sessionize(t(s, d, "events"))),
+    // ---- text analysis (SURVEY §2.2 [EXT]) ----
+    "q_doc_stats" -> ((s, d) => {
+      val c = col("text")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        Text.tokenCount(c).cast("long").as("n_tokens"),
+        Text.nonSpaceChars(c).cast("long").as("n_nonspace"),
+        Text.digitCount(c).cast("long").as("n_digits"),
+        Text.punctCount(c).cast("long").as("n_punct"),
+        Text.avgTokenLen(c).as("avg_token_len"),
+        Text.digitRatio(c).as("digit_ratio"),
+        Text.fingerprint(c).as("fingerprint")).orderBy(col("doc_id"))
+    }),
+    "q_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), Text.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+    // ---- document dedup family (SURVEY §2.7 [EXT]) ----
+    "q_exact_docs" -> ((s, d) => Dedup.exactDocs(t(s, d, "documents"))),
+    "q_minhash_candidates" -> ((s, d) => Dedup.minhashCandidates(t(s, d, "documents"))),
+    "q_near_dup_pairs" -> ((s, d) => Dedup.nearDupPairs(t(s, d, "documents"), threshold = 0.5)),
+    "q_simhash" -> ((s, d) => Dedup.simhash32(t(s, d, "documents"))),
+    // ---- similarity search (SURVEY §2.3 [EXT]) ----
+    "q_topk_cosine" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.topK(emb, Similarity.vectorOf(emb, 1L), 10)
+        .select(col("vec_id"), round(col("cosine_sim"), 6).as("cosine_sim"))
+    }),
+    "q_knn_small" -> ((s, d) =>
+      Similarity.knnJoin(t(s, d, "embeddings").where(col("vec_id") < 100), 5)
+        .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"), col("rank"))
+        .orderBy(col("id_a"), col("rank"))),
+    "q_lsh_knn" -> ((s, d) =>
+      Similarity.lshKnnJoin(t(s, d, "embeddings"), 5, nBits = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"), col("rank"))
+        .orderBy(col("id_a"), col("rank"))),
+    // ---- multimodal plumbing (SURVEY [EXT]) ----
+    "q_payload_meta" -> ((s, d) =>
+      Multimodal.payloadMeta(Multimodal.attachPayload(t(s, d, "documents")))),
+    "q_decode_stub" -> ((s, d) =>
+      Multimodal.decodeStub(Multimodal.attachPayload(t(s, d, "documents")))
+        .toDF().orderBy(col("doc_id"))))
+
+  /** DuckDB-runnable oracle per query (same tables, same column names,
+    * same ORDER BY). `q_lsh_knn` is omitted: its hyperplanes come from
+    * a seeded JVM RNG and are not SQL-expressible (rows-only check). */
+  def oracleSql: Map[String, String] = {
+    // DuckDB spellings shared across oracles.
+    val fingerprint = "sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    val shingles = "[substr(text, i, 5) for i in range(1, greatest(len(text)-4, 1)+1)]"
+    def fold(products: String) = s"list_reduce($products, (x, y) -> x + y)"
+    def dotSelf(v: String) =
+      fold(s"[$v[i]::DOUBLE * $v[i]::DOUBLE for i in range(1, len($v)+1)]")
+    Map(
+      "q_pricing_summary" ->
+        s"""SELECT l_returnflag, l_linestatus,
+            ${sqlDsum("l_quantity")} AS sum_qty,
+            ${sqlDsum("l_extendedprice")} AS sum_base_price,
+            ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+            count(*) AS n_rows,
+            ${sqlDsum("l_quantity")} / count(*) AS avg_qty
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+      "q_drug_report" ->
+        s"""SELECT a.l_partkey, a.total_claims, a.total_cost, p.p_name, p.p_brand
+            FROM (SELECT l_partkey, ${sqlDsum("l_quantity")} AS total_claims,
+                  ${sqlDsum("l_extendedprice")} AS total_cost
+                  FROM lineitem GROUP BY l_partkey) a
+            LEFT JOIN part p ON a.l_partkey = p.p_partkey
+            ORDER BY a.l_partkey""",
+      "q_prescriber_report" ->
+        s"""SELECT a.l_suppkey, a.num_prescriptions, a.total_claims, a.total_cost,
+                   s.s_name, n.n_name AS state_name
+            FROM (SELECT l_suppkey, count(*) AS num_prescriptions,
+                  ${sqlDsum("l_quantity")} AS total_claims,
+                  ${sqlDsum("l_extendedprice")} AS total_cost
+                  FROM lineitem GROUP BY l_suppkey) a
+            LEFT JOIN supplier s ON a.l_suppkey = s.s_suppkey
+            LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+            ORDER BY a.l_suppkey""",
+      "q_brand_report" ->
+        s"""SELECT p.p_brand, ${sqlDsum("l.l_extendedprice")} AS prescriptions
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand ORDER BY prescriptions DESC, p.p_brand""",
+      "q_kpis" ->
+        s"""SELECT count(DISTINCT l_partkey) AS n_drugs,
+            count(DISTINCT l_suppkey) AS n_prescribers,
+            count(*) AS n_rows,
+            ${sqlDsum("l_quantity")} AS total_claims,
+            ${sqlDsum("l_extendedprice")} AS total_cost
+            FROM lineitem""",
+      "q_count_per_key" ->
+        """SELECT o_custkey, count(*) AS num_prescriptions FROM orders
+           GROUP BY o_custkey ORDER BY num_prescriptions DESC, o_custkey""",
+      "q_top_parts" ->
+        "SELECT * FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 100",
+      "q_top_parts_per_brand" ->
+        """SELECT * FROM (
+             SELECT p.*, CAST(row_number() OVER (
+               PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS "rank"
+             FROM part p) WHERE "rank" <= 3 ORDER BY p_brand, "rank"""",
+      "q_dedup_exact" ->
+        """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+           ORDER BY l_returnflag, l_linestatus""",
+      "q_dedup_keyed" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+             SELECT l_orderkey, l_linenumber, l_quantity,
+               row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS rn
+             FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""",
+      "q_null_profile" -> {
+        val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        cols.map(c => s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_nulls")
+          .mkString("SELECT ", ", ", " FROM customer")
+      },
+      "q_data_dictionary" -> {
+        val cols = Seq("s_acctbal", "s_name", "s_nationkey", "s_suppkey")
+        cols.map(c =>
+          s"""SELECT '$c' AS column_name,
+              CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+              CAST(count(DISTINCT $c) AS BIGINT) AS distinct_count FROM supplier""")
+          .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY column_name")
+      },
+      "q_value_counts" ->
+        """SELECT o_orderpriority, count(*) AS n FROM orders
+           GROUP BY o_orderpriority ORDER BY n DESC, o_orderpriority""",
+      "q_histogram" ->
+        """WITH mm AS (SELECT CAST(min(l_quantity) AS DOUBLE) AS mn,
+                              CAST(max(l_quantity) AS DOUBLE) AS mx FROM lineitem)
+           SELECT CAST(CASE WHEN mn = mx THEN 0 ELSE
+                    least(floor((CAST(l_quantity AS DOUBLE) - mn) / ((mx - mn) / 10)), 9)
+                  END AS BIGINT) AS bucket, count(*) AS n
+           FROM lineitem, mm WHERE l_quantity IS NOT NULL
+           GROUP BY 1 ORDER BY bucket""",
+      "q_share_of_total" ->
+        """WITH g AS (SELECT l_returnflag, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS grp
+                      FROM lineitem GROUP BY l_returnflag),
+                t AS (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS tot FROM lineitem)
+           SELECT l_returnflag, CAST(grp AS DOUBLE) AS total_measure,
+                  CAST(grp AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+           FROM g, t ORDER BY l_returnflag""",
+      "q_anonymize" ->
+        "SELECT c_custkey, sha256(c_name) AS c_name FROM customer ORDER BY c_custkey",
+      "q_vault" ->
+        """SELECT DISTINCT c_name AS original, sha256(c_name) AS hashed FROM customer
+           WHERE c_name IS NOT NULL ORDER BY original""",
+      "q_deanonymize" ->
+        "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
+      "q_incremental" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           WHERE o_orderkey > (SELECT max(o_orderkey) FROM orders WHERE o_custkey < 100)
+           ORDER BY o_orderkey""",
+      "q_windowed_counts" ->
+        s"""SELECT (epoch_ns(ts) // 600000000000) * 600 AS window_start, event_type,
+            count(*) AS n_events, ${sqlDsum("value")} AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+      "q_sliding_counts" ->
+        """SELECT window_start, event_type, count(*) AS n_events FROM (
+             SELECT unnest([(epoch_ns(ts) // 300000000000) * 300 - 300,
+                            (epoch_ns(ts) // 300000000000) * 300]) AS window_start,
+                    event_type
+             FROM events) GROUP BY 1, 2 ORDER BY 1, 2""",
+      "q_sessionize" ->
+        """WITH m AS (SELECT user_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+             FROM events)
+           SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+           FROM m GROUP BY user_id ORDER BY user_id""",
+      "q_doc_stats" ->
+        """SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonspace,
+             CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+             CAST(len(text) - len(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS BIGINT) AS n_punct,
+             CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len,
+             CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+               / len(text) AS digit_ratio,
+             sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+           FROM documents ORDER BY doc_id""",
+      "q_lang_id" -> {
+        val pats = Seq(
+          "de" -> "\\b(der|die|das|und|ist|ein|nicht)\\b",
+          "en" -> "\\b(the|and|of|to|in|is|a)\\b",
+          "es" -> "\\b(el|los|de|que|y|es|una)\\b",
+          "fr" -> "\\b(le|les|et|des|un|dans|est)\\b",
+          "zh" -> "[\\x{4e00}-\\x{9fff}]")
+        val hitCols = pats.map { case (l, p) =>
+          s"len(regexp_extract_all(lower(text), '$p')) AS h_$l" }.mkString(", ")
+        val best = "greatest(h_de, h_en, h_es, h_fr, h_zh)"
+        val branches = pats.init.map { case (l, _) =>
+          s"WHEN h_$l = $best THEN '$l'" }.mkString(" ")
+        s"""WITH h AS (SELECT doc_id, lang, $hitCols FROM documents)
+            SELECT doc_id, lang,
+              CASE WHEN $best = 0 THEN 'unknown' $branches ELSE 'zh' END AS lang_pred
+            FROM h ORDER BY doc_id"""
+      },
+      "q_exact_docs" ->
+        s"""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, fingerprint
+            FROM (SELECT doc_id, $fingerprint AS fingerprint FROM documents)
+            GROUP BY fingerprint ORDER BY keeper_id""",
+      "q_minhash_candidates" ->
+        s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents),
+            sig AS (SELECT doc_id,
+              [list_min(list_transform(s, x -> md5(CAST(j AS VARCHAR) || ':' || x)))
+               for j in range(0, 16)] AS sig FROM sh),
+            b AS (SELECT doc_id, r.j AS band,
+              md5(array_to_string(sig[r.j*4+1 : r.j*4+4], ',')) AS band_hash
+              FROM sig, range(0, 4) r(j))
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM b x JOIN b y USING (band, band_hash)
+            WHERE x.doc_id < y.doc_id ORDER BY doc_a, doc_b""",
+      "q_near_dup_pairs" ->
+        s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents),
+            sets AS (SELECT doc_id, list_distinct(s) AS sd FROM sh),
+            sig AS (SELECT doc_id,
+              [list_min(list_transform(s, x -> md5(CAST(j AS VARCHAR) || ':' || x)))
+               for j in range(0, 16)] AS sig FROM sh),
+            b AS (SELECT doc_id, r.j AS band,
+              md5(array_to_string(sig[r.j*4+1 : r.j*4+4], ',')) AS band_hash
+              FROM sig, range(0, 4) r(j)),
+            cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM b x JOIN b y USING (band, band_hash) WHERE x.doc_id < y.doc_id),
+            j AS (SELECT cand.doc_a, cand.doc_b,
+              len(list_intersect(a.sd, bb.sd)) AS inter,
+              len(a.sd) + len(bb.sd) - len(list_intersect(a.sd, bb.sd)) AS un
+              FROM cand JOIN sets a ON cand.doc_a = a.doc_id
+                        JOIN sets bb ON cand.doc_b = bb.doc_id)
+            SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / un, 6) AS jaccard
+            FROM j WHERE CAST(inter AS DOUBLE) / un >= 0.5 ORDER BY doc_a, doc_b""",
+      "q_simhash" ->
+        """WITH tok AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t FROM documents),
+           h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok),
+           bits AS (SELECT doc_id, r.j AS j,
+             sum(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM h, range(0, 32) r(j) GROUP BY doc_id, r.j)
+           SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id ORDER BY doc_id""",
+      "q_topk_cosine" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+            sc AS (SELECT vec_id,
+              ${fold("[embedding[i]::DOUBLE * qv[i]::DOUBLE for i in range(1, len(embedding)+1)]")}
+                / (sqrt(${dotSelf("embedding")}) * sqrt(${dotSelf("qv")})) AS c
+              FROM embeddings, q)
+            SELECT vec_id, round(c, 6) AS cosine_sim FROM sc
+            ORDER BY c DESC, vec_id LIMIT 10""",
+      "q_knn_small" ->
+        s"""WITH n AS (SELECT vec_id, embedding, sqrt(${dotSelf("embedding")}) AS nrm
+              FROM embeddings WHERE vec_id < 100),
+            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              ${fold("[a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE for i in range(1, len(a.embedding)+1)]")}
+                / (a.nrm * b.nrm) AS c
+              FROM n a, n b WHERE a.vec_id <> b.vec_id)
+            SELECT id_a, id_b, round(c, 6) AS cosine_sim,
+              CAST(row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS INTEGER) AS "rank"
+            FROM p QUALIFY "rank" <= 5 ORDER BY id_a, "rank"""",
+      "q_payload_meta" ->
+        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             sha256(text) AS payload_sha256
+           FROM documents ORDER BY doc_id""",
+      "q_decode_stub" ->
+        """SELECT doc_id,
+             CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+             CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height,
+             CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
+           FROM documents ORDER BY doc_id""")
+  }
 }

@@ -51,9 +51,11 @@ object Text {
     val hits = stopwordPatterns.map { case (l, p) => l -> stopwordHits(c, p) }
     val best = greatest(hits.map(_._2): _*)
     // first (alphabetical) language reaching the max — same CASE chain
-    // as the oracle SQL, so ties break identically.
-    hits.init.foldRight(lit(hits.last._1): Column) { case ((l, h), rest) =>
+    // as the oracle SQL, so ties break identically. Zero hits in every
+    // language means we know nothing: "unknown", not the first branch.
+    val chain = hits.init.foldRight(lit(hits.last._1): Column) { case ((l, h), rest) =>
       when(h === best, lit(l)).otherwise(rest)
     }
+    when(best === 0, lit("unknown")).otherwise(chain)
   }
 }

@@ -23,7 +23,7 @@ object Multimodal {
   def payloadMeta(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame =
     withPayload.select(
       col(idCol),
-      octet_length(col("payload")).as("n_bytes"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
       sha2(col("payload"), 256).as("payload_sha256"))
       .orderBy(col(idCol))
 

@@ -29,11 +29,15 @@ object Anonymize {
       .distinct()
       .withColumn("hashed", sha256(col("original")))
 
-  /** Reverse an anonymized column via a broadcast join against the
-    * vault (replaces the reference's driver-side dict substitution,
-    * src/runnerfile.py:526-549). */
+  /** Reverse an anonymized column via a join against the vault
+    * (replaces the reference's driver-side dict substitution,
+    * src/runnerfile.py:526-549). Deliberately NOT an explicit
+    * broadcast: the vault is one row per distinct PII value and can be
+    * arbitrarily large, so we leave the strategy to Catalyst/AQE —
+    * it broadcasts when the vault is actually small and falls back to
+    * a shuffle join when it isn't, instead of OOMing the driver. */
   def deanonymize(df: DataFrame, vaultDf: DataFrame, hashedCol: String): DataFrame =
-    df.join(broadcast(vaultDf), df(hashedCol) === vaultDf("hashed"), "left")
+    df.join(vaultDf, df(hashedCol) === vaultDf("hashed"), "left")
       .drop(hashedCol, "hashed")
       .withColumnRenamed("original", hashedCol)
 

@@ -26,9 +26,10 @@ object Dedup {
 
   /** Keyed dedup keeping a *deterministic* representative (the
     * reference's dropDuplicates keeps an arbitrary row — not
-    * reproducible across runs; we keep the min-by-tiebreak row). */
-  def keyedDeterministic(df: DataFrame, keys: Seq[String], tiebreak: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tiebreak))
+    * reproducible across runs; we keep the min-by-tiebreak row). The
+    * tiebreak columns must uniquely order rows within a key group. */
+  def keyedDeterministic(df: DataFrame, keys: Seq[String], tiebreaks: String*): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tiebreaks.map(col): _*)
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .drop("__rn")

@@ -50,15 +50,20 @@ object Profile {
 
   /** Equi-width histogram (reference: src/runnerfile.py:177-245 V4,
     * eda.py numeric histograms). min/max come from a 1-row aggregate
-    * cross-joined back (broadcast — no second shuffle of the data). */
+    * cross-joined back (broadcast — no second shuffle of the data).
+    * Degenerate input (min == max, where the bucket expression would
+    * be 0/0 = NaN) collapses to a single bucket 0; null values are
+    * excluded from the histogram (count them via nullProfile). */
   def histogram(df: DataFrame, c: String, buckets: Int = 10): DataFrame = {
     val mm = df.agg(min(col(c)).cast("double").as("__mn"), max(col(c)).cast("double").as("__mx"))
     df.select(col(c).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
       .crossJoin(broadcast(mm))
       .select(
-        least(
-          floor((col("__v") - col("__mn")) / ((col("__mx") - col("__mn")) / buckets)),
-          lit(buckets - 1L)).as("bucket"))
+        when(col("__mn") === col("__mx"), lit(0L)).otherwise(
+          least(
+            floor((col("__v") - col("__mn")) / ((col("__mx") - col("__mn")) / buckets)),
+            lit(buckets - 1L))).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))

@@ -74,6 +74,29 @@ object Reports {
       .withColumn("avg_qty", col("sum_qty") / col("n_rows"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** A3 parity query (reference: src/runnerfile.py:371-389): the
+    * reference's measure-column heuristic is last-match-wins over
+    * `count|qty|...|cost`, so its "prescriptions" column is actually a
+    * *cost* sum — reproduced here deliberately (SURVEY.md §2.4 A3).
+    * Fact joins broadcast dim first, then aggregates by brand. */
+  def brandReport(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem.select(col("l_partkey"), col("l_extendedprice"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(dsum(col("l_extendedprice")).as("prescriptions"))
+      .orderBy(col("prescriptions").desc, col("p_brand"))
+
+  /** Dashboard KPI row (reference: run_dashboard.py:353-364): distinct
+    * drugs/prescribers + total claims/cost, one pass over the fact. */
+  def kpis(lineitem: DataFrame): DataFrame =
+    lineitem.agg(
+      countDistinct(col("l_partkey")).as("n_drugs"),
+      countDistinct(col("l_suppkey")).as("n_prescribers"),
+      count(lit(1)).as("n_rows"),
+      dsum(col("l_quantity")).as("total_claims"),
+      dsum(col("l_extendedprice")).as("total_cost"))
+
   /** Per-key row-count report (reference: src/runnerfile.py:418 A4). */
   def countPerKey(df: DataFrame, key: String): DataFrame =
     df.groupBy(col(key))

@@ -76,16 +76,24 @@ object Lake {
     * src/common/database.py:85-110). Pure option-building — no live
     * database in this environment; exercised by unit tests. Also fixes
     * the reference's broken `read_table_to_df`
-    * (src/common/database.py:90-99 references undefined attrs). */
+    * (src/common/database.py:90-99 references undefined attrs).
+    *
+    * The table name is validated as a (possibly schema-qualified)
+    * identifier and passed directly as `dbtable` — no string-built
+    * subquery, so no SQL-injection surface. The session-timezone
+    * statement is dialect-specific, so it is opt-in via
+    * `sessionInit` rather than hardwired PostgreSQL syntax. */
   def jdbcOptions(url: String, table: String, user: String, password: String,
-                  driver: String, sessionTz: String = "UTC"): Map[String, String] =
+                  driver: String, sessionInit: Option[String] = None): Map[String, String] = {
+    require(table.matches("""[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)?"""),
+      s"illegal table identifier: $table")
     Map(
       "url" -> url,
-      "dbtable" -> s"(SELECT * FROM $table) AS src",
+      "dbtable" -> table,
       "user" -> user,
       "password" -> password,
-      "driver" -> driver,
-      "sessionInitStatement" -> s"SET TIME ZONE '$sessionTz'")
+      "driver" -> driver) ++ sessionInit.map("sessionInitStatement" -> _)
+  }
 
   def jdbcRead(spark: SparkSession, opts: Map[String, String]): DataFrame =
     spark.read.format("jdbc").options(opts).load()
