@@ -146,6 +146,20 @@ object SparkEntry {
     def fold(products: String) = s"list_reduce($products, (x, y) -> x + y)"
     def dotSelf(v: String) =
       fold(s"[$v[i]::DOUBLE * $v[i]::DOUBLE for i in range(1, len($v)+1)]")
+    // MinHash CTEs mirroring Dedup.minhashSignatures/lshBands (k=16, 4 bands).
+    val minCols = (0 until 16).map(i =>
+      s"min((h * ${Dedup.aCoef(i)} + ${Dedup.bCoef(i)}) % ${Dedup.MinhashP}) AS m$i").mkString(", ")
+    val bandRows = (0 until 4).map { b =>
+      val cat = (b * 4 until (b + 1) * 4).map(i => s"m$i::VARCHAR").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS band_hash FROM sig"
+    }.mkString(" UNION ALL ")
+    val minhashCtes =
+      s"""sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM documents),
+          hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+          sig AS (SELECT doc_id, $minCols FROM hh GROUP BY doc_id),
+          b AS ($bandRows),
+          cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                   FROM b x JOIN b y USING (band, band_hash) WHERE x.doc_id < y.doc_id)"""
     Map(
       "q_pricing_summary" ->
         s"""SELECT l_returnflag, l_linestatus,
@@ -296,27 +310,11 @@ object SparkEntry {
             FROM (SELECT doc_id, $fingerprint AS fingerprint FROM documents)
             GROUP BY fingerprint ORDER BY keeper_id""",
       "q_minhash_candidates" ->
-        s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents),
-            sig AS (SELECT doc_id,
-              [list_min(list_transform(s, x -> md5(CAST(j AS VARCHAR) || ':' || x)))
-               for j in range(0, 16)] AS sig FROM sh),
-            b AS (SELECT doc_id, r.j AS band,
-              md5(array_to_string(sig[r.j*4+1 : r.j*4+4], ',')) AS band_hash
-              FROM sig, range(0, 4) r(j))
-            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-            FROM b x JOIN b y USING (band, band_hash)
-            WHERE x.doc_id < y.doc_id ORDER BY doc_a, doc_b""",
+        s"""WITH $minhashCtes
+            SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""",
       "q_near_dup_pairs" ->
-        s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents),
-            sets AS (SELECT doc_id, list_distinct(s) AS sd FROM sh),
-            sig AS (SELECT doc_id,
-              [list_min(list_transform(s, x -> md5(CAST(j AS VARCHAR) || ':' || x)))
-               for j in range(0, 16)] AS sig FROM sh),
-            b AS (SELECT doc_id, r.j AS band,
-              md5(array_to_string(sig[r.j*4+1 : r.j*4+4], ',')) AS band_hash
-              FROM sig, range(0, 4) r(j)),
-            cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-              FROM b x JOIN b y USING (band, band_hash) WHERE x.doc_id < y.doc_id),
+        s"""WITH $minhashCtes,
+            sets AS (SELECT doc_id, list_distinct($shingles) AS sd FROM documents),
             j AS (SELECT cand.doc_a, cand.doc_b,
               len(list_intersect(a.sd, bb.sd)) AS inter,
               len(a.sd) + len(bb.sd) - len(list_intersect(a.sd, bb.sd)) AS un

@@ -50,26 +50,57 @@ object Dedup {
     transform(starts, i => c.substr(i, lit(n)))
   }
 
-  /** MinHash signature: k independent hash functions, each = min over
-    * shingles of md5(seed:shingle). Hex-string min is a valid
-    * order-preserving min-hash and is reproducible in any engine with
-    * md5 (which is what makes the DuckDB oracle possible). */
-  def minhashSignature(c: Column, k: Int = 16, shingleLen: Int = 5): Column = {
-    val sh = shingles(c, shingleLen)
-    array((0 until k).map { i =>
-      array_min(transform(sh, s => md5(concat(lit(s"$i:"), s))))
-    }: _*)
+  /** 32-bit shingle hash: first 8 md5 hex digits — reproducible in any
+    * engine with md5, which is what makes the DuckDB oracle possible. */
+  def shingleHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Universal-hash permutation h_i(x) = (a_i*x + b_i) mod P for the
+    * k min-hash functions. Two properties are load-bearing:
+    * the modulo (without it the map is monotone in x and every
+    * "permutation" shares the same argmin, collapsing the signature
+    * to one hash), and coefficient independence (linearly related
+    * a_i make the permutations correlated, so LSH bands collide far
+    * above the j^r rate — observed 1.1M candidate pairs instead of
+    * ~80k on the sf0.1 corpus). Coefficients are drawn once from a
+    * fixed-seed RNG, a_i < 2^30 so a*h (h < 2^32) stays below 2^62 —
+    * no overflow under ANSI arithmetic. */
+  val MinhashP: Long = 2147483647L // 2^31 - 1, prime
+  private val perms: IndexedSeq[(Long, Long)] = {
+    val rng = new scala.util.Random(0x5EED)
+    IndexedSeq.fill(64)((rng.nextInt(1 << 30).toLong | 1L, rng.nextInt(Int.MaxValue).toLong))
+  }
+  def aCoef(i: Int): Long = perms(i)._1
+  def bCoef(i: Int): Long = perms(i)._2
+
+  /** One row per doc with k min-hash columns m0..m{k-1}.
+    *
+    * Shape matters for scale: explode distinct shingles, compute md5
+    * ONCE per shingle, then fold the k permutations (cheap
+    * multiply-adds) into k min() aggregates. Partial aggregation
+    * combines map-side, so the shuffle carries one k-long row per doc
+    * — not the shingle sets. The naive formulation (k md5 passes over
+    * an array column duplicated per hash function) is 16x the hashing
+    * and defeats codegen CSE. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 16, shingleLen: Int = 5): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(col(textCol), shingleLen))).as("sh"))
+      .select(col("doc_id"), shingleHash(col("sh")).as("h"))
+    val aggs = (0 until k).map(i =>
+      min((col("h") * lit(aCoef(i)) + lit(bCoef(i))) % lit(MinhashP)).as(s"m$i"))
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** (doc_id, band, band_hash) — LSH banding of the signature. */
   def lshBands(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 16, bands: Int = 4, shingleLen: Int = 5): DataFrame = {
     val r = k / bands
-    val sig = docs.select(col(idCol).as("doc_id"),
-      minhashSignature(col(textCol), k, shingleLen).as("sig"))
+    val sig = minhashSignatures(docs, idCol, textCol, k, shingleLen)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws(",", slice(col("sig"), b * r + 1, r))).as("band_hash"))
+        md5(concat_ws(",", (b * r until (b + 1) * r).map(i => col(s"m$i")): _*)).as("band_hash"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
       .select(col("doc_id"), col("e.band"), col("e.band_hash"))
