@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class TextSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+    Seq(text).toDF("t").select(c(col("t")).as("r")).head().get(0)
+
+  test("tokens and tokenCount") {
+    assert(one("  a  b\tc ", Text.tokenCount(_)) === 3)
+    assert(one("single", Text.tokenCount(_)) === 1)
+  }
+
+  test("normalized collapses case and whitespace") {
+    assert(one("  Hello   WORLD ", Text.normalized(_)) === "hello world")
+  }
+
+  test("fingerprint equal iff normalized text equal") {
+    val fp = Seq("Hello  World", "hello world", "other").toDF("t")
+      .select(Text.fingerprint(col("t")).as("f")).as[String].collect()
+    assert(fp(0) === fp(1))
+    assert(fp(0) !== fp(2))
+  }
+
+  test("character class counts") {
+    assert(one("ab 12!", Text.nonSpaceChars(_)) === 5)
+    assert(one("ab 12!", Text.digitCount(_)) === 2)
+    assert(one("ab 12!?.", Text.punctCount(_)) === 3)
+  }
+
+  test("ratios") {
+    assert(one("abcd 1234", Text.digitRatio(_)) === 4.0 / 9)
+    assert(one("ab cd", Text.avgTokenLen(_)) === 2.0)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val cases = Seq(
+      "the cat and the dog is in the house" -> "en",
+      "der hund und die katze ist nicht hier" -> "de",
+      "el perro y los gatos es una familia que come" -> "es",
+      "le chien et les chats dans un jardin est grand" -> "fr",
+      "中文文本内容" -> "zh")
+    val out = cases.map(_._1).toDF("t").select(Text.langId(col("t")).as("l"))
+      .as[String].collect()
+    assert(out.toSeq === cases.map(_._2))
+  }
+
+  test("langId returns unknown when no stopword matches (was: confidently 'de')") {
+    assert(one("12345 67890 !!!", Text.langId(_)) === "unknown")
+    assert(one("zzz qqq xxx", Text.langId(_)) === "unknown")
+  }
+}

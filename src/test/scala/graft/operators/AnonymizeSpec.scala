@@ -1,0 +1,45 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import graft.SparkSuite
+
+class AnonymizeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val df = Seq((1, "alice"), (2, "bob"), (3, "alice")).toDF("id", "name")
+
+  test("anonymize replaces PII columns with sha256 hex") {
+    val expected = MessageDigest.getInstance("SHA-256")
+      .digest("alice".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = Anonymize.anonymize(df, Seq("name")).orderBy("id")
+      .select("name").as[String].collect()
+    assert(out(0) === expected)
+    assert(out(0) === out(2))
+    assert(out(0) !== out(1))
+  }
+
+  test("vault maps each distinct original to its hash") {
+    val v = Anonymize.vault(df, "name").collect()
+    assert(v.length === 2)
+    assert(v.forall(r => r.getString(1).length === 64))
+  }
+
+  test("deanonymize round-trips through the vault without a forced broadcast") {
+    val anon = Anonymize.anonymize(df, Seq("name"))
+    val back = Anonymize.deanonymize(anon, Anonymize.vault(df, "name"), "name")
+      .orderBy("id").select("name").as[String].collect()
+    assert(back.toSeq === Seq("alice", "bob", "alice"))
+  }
+
+  test("AES-GCM encrypt/decrypt round-trip; wrong key fails") {
+    val key = Array.tabulate[Byte](32)(_.toByte)
+    val plain = "vault-contents-123".getBytes("UTF-8")
+    val enc = Anonymize.encryptBytes(plain, key)
+    assert(!enc.drop(12).sameElements(plain), "ciphertext must differ from plaintext")
+    assert(Anonymize.decryptBytes(enc, key).sameElements(plain))
+    val wrong = Array.tabulate[Byte](32)(i => (i + 1).toByte)
+    intercept[Exception](Anonymize.decryptBytes(enc, wrong))
+    intercept[IllegalArgumentException](Anonymize.encryptBytes(plain, new Array[Byte](5)))
+  }
+}

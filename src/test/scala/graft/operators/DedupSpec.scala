@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup removes full-row duplicates") {
+    val df = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("k", "v")
+    assert(Dedup.exact(df).count() === 2)
+    assert(Dedup.exact(df, Seq("k")).count() === 2)
+  }
+
+  test("keyedDeterministic keeps the min-by-tiebreak row") {
+    val df = Seq((1, 2, "keep?"), (1, 1, "keep"), (2, 5, "only")).toDF("k", "ord", "v")
+    val out = Dedup.keyedDeterministic(df, Seq("k"), "ord").orderBy("k")
+      .select("v").as[String].collect()
+    assert(out.toSeq === Seq("keep", "only"))
+  }
+
+  test("shingles produce n-length substrings, short text degrades to one") {
+    val sh = docs(1L -> "abcdefg").select(Dedup.shingles($"text", 5).as("s"))
+      .as[Seq[String]].head()
+    assert(sh === Seq("abcde", "bcdef", "cdefg"))
+    val short = docs(1L -> "ab").select(Dedup.shingles($"text", 5).as("s"))
+      .as[Seq[String]].head()
+    assert(short === Seq("ab"))
+  }
+
+  test("minhash signature: identical text -> identical signature; agreement tracks jaccard") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val near = base.replace("dog", "cat") // high overlap
+    val far = "completely different words entirely unrelated content zone xylophone quartz"
+    val sig = Dedup.minhashSignatures(
+      docs(1L -> base, 2L -> base, 3L -> near, 4L -> far), "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (0 until 16).map(i => r.getLong(i + 1)))
+    assert(sig(0) === sig(1), "identical docs must have identical signatures")
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(agree(sig(0), sig(2)) > agree(sig(0), sig(3)),
+      "near-duplicate must agree on more minhashes than unrelated text")
+  }
+
+  test("minhashCandidates surfaces duplicate pairs, skips unrelated") {
+    val d = docs(
+      1L -> "spark catalyst optimizer rewrites logical plans into physical plans",
+      2L -> "spark catalyst optimizer rewrites logical plans into physical plan!",
+      3L -> "zebra yak xylophone walrus vulture tapir snake rabbit quokka pig")
+    val pairs = Dedup.minhashCandidates(d).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("nearDupPairs verifies candidates with exact jaccard") {
+    val d = docs(
+      1L -> "spark catalyst optimizer rewrites logical plans into physical plans",
+      2L -> "spark catalyst optimizer rewrites logical plans into physical plan!",
+      3L -> "zebra yak xylophone walrus vulture tapir snake rabbit quokka pig")
+    val out = Dedup.nearDupPairs(d, threshold = 0.5).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 1L && out.head.getLong(1) === 2L)
+    assert(out.head.getDouble(2) > 0.8)
+  }
+
+  test("simhash32: deterministic, near-dups have small hamming distance") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta iota",
+      3L -> "one two three four five six seven eight")
+    val fp = Dedup.simhash32(d).orderBy("doc_id").as[(Long, Long)].collect().map(_._2)
+    val fp2 = Dedup.simhash32(d).orderBy("doc_id").as[(Long, Long)].collect().map(_._2)
+    assert(fp.toSeq === fp2.toSeq, "simhash must be deterministic")
+    val dNear = java.lang.Long.bitCount(fp(0) ^ fp(1))
+    val dFar = java.lang.Long.bitCount(fp(0) ^ fp(2))
+    assert(dNear < dFar, s"near hamming $dNear should be < far hamming $dFar")
+  }
+
+  test("hamming32 column matches JVM bitCount") {
+    val df = Seq((0xFFL, 0x0FL)).toDF("a", "b")
+      .select(Dedup.hamming32($"a", $"b").as("h"))
+    assert(df.head().getAs[Number](0).longValue === 4L)
+  }
+
+  test("exactDocs groups identical normalized text") {
+    val d = docs(1L -> "Hello  World", 2L -> "hello world", 3L -> "different")
+    val out = Dedup.exactDocs(d).collect()
+    assert(out.length === 2)
+    assert(out.head.getLong(0) === 1L && out.head.getLong(1) === 2L)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSuite
+
+class ProfileSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val df = Seq(
+    (Some(1), Some("a"), Some(10.0)),
+    (Some(2), None, Some(20.0)),
+    (None, Some("a"), Some(30.0)),
+    (Some(4), Some("b"), None)).toDF("id", "cat", "x")
+
+  test("nullProfile counts nulls per column in one row") {
+    val r = Profile.nullProfile(df).head()
+    assert(r.getAs[Long]("id_nulls") === 1L)
+    assert(r.getAs[Long]("cat_nulls") === 1L)
+    assert(r.getAs[Long]("x_nulls") === 1L)
+  }
+
+  test("dataDictionary reports null and distinct counts per column") {
+    val rows = Profile.dataDictionary(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows("id") === ((1L, 3L)))
+    assert(rows("cat") === ((1L, 2L)))
+    assert(rows("x") === ((1L, 3L)))
+  }
+
+  test("valueCounts orders by frequency desc then value") {
+    val out = Profile.valueCounts(df, "cat").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("a", 2L), (null, 1L), ("b", 1L)) ||
+      out.toSeq === Seq(("a", 2L), ("b", 1L), (null, 1L)))
+  }
+
+  test("histogram buckets uniformly, clamps max into last bucket") {
+    val data = (0 to 100).map(_.toDouble).toDF("v")
+    val h = Profile.histogram(data, "v", 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(h.keySet === (0L to 9L).toSet)
+    assert(h.values.sum === 101L)
+    assert(h(9L) === 11L) // 90..100 inclusive: max clamped into bucket 9
+  }
+
+  test("histogram degenerate min==max collapses to bucket 0 (was: NaN)") {
+    val h = Seq(5.0, 5.0, 5.0).toDF("v")
+    val out = Profile.histogram(h, "v", 10).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 0L && out.head.getLong(1) === 3L)
+  }
+
+  test("histogram excludes nulls") {
+    val h = Seq(Some(1.0), None, Some(2.0)).toDF("v")
+    assert(Profile.histogram(h, "v", 2).collect().map(_.getLong(1)).sum === 2L)
+  }
+
+  test("shareOfTotal shares sum to 1.0") {
+    val out = Profile.shareOfTotal(df.na.drop(Seq("x")), "cat", "x").collect()
+    val shares = out.map(_.getDouble(2))
+    assert(math.abs(shares.sum - 1.0) < 1e-12)
+    val m = out.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("a") === 40.0)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSuite
+
+class ReportsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // fact: (partkey, suppkey, qty, price, discount, flag, status)
+  private val li = Seq(
+    (1L, 10L, 2.0, 100.10, 0.10, "A", "F"),
+    (1L, 10L, 3.0, 50.20, 0.00, "A", "F"),
+    (2L, 11L, 1.0, 10.01, 0.05, "R", "O"))
+    .toDF("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_returnflag", "l_linestatus")
+  private val part = Seq((1L, "widget", "B1"), (2L, "gadget", "B2"), (3L, "unused", "B1"))
+    .toDF("p_partkey", "p_name", "p_brand")
+  private val supplier = Seq((10L, "s10", 100), (11L, "s11", 101))
+    .toDF("s_suppkey", "s_name", "s_nationkey")
+  private val nation = Seq((100, "GERMANY", 1), (101, "FRANCE", 1))
+    .toDF("n_nationkey", "n_name", "n_regionkey")
+
+  test("dsum is an exact decimal sum rendered as double") {
+    val out = Seq(0.1, 0.2, 0.3).toDF("x")
+      .agg(Reports.dsum(org.apache.spark.sql.functions.col("x")).as("s"))
+      .head().getDouble(0)
+    assert(out === 0.6) // naive double sum gives 0.6000000000000001
+  }
+
+  test("drugReport aggregates per part and joins dims") {
+    val out = Reports.drugReport(li, part).collect()
+    assert(out.length === 2)
+    val r1 = out.head
+    assert(r1.getLong(0) === 1L)
+    assert(r1.getDouble(1) === 5.0)      // total_claims
+    assert(r1.getDouble(2) === 150.30)   // total_cost, exact
+    assert(r1.getString(3) === "widget")
+  }
+
+  test("prescriberReport chains supplier and nation joins") {
+    val out = Reports.prescriberReport(li, supplier, nation).collect()
+    assert(out.length === 2)
+    assert(out.head.getAs[Long]("num_prescriptions") === 2L)
+    assert(out.head.getAs[String]("state_name") === "GERMANY")
+  }
+
+  test("pricingSummary computes exact discounted revenue") {
+    val out = Reports.pricingSummary(li).collect()
+    val af = out.find(r => r.getString(0) == "A").get
+    assert(af.getAs[Double]("sum_qty") === 5.0)
+    assert(af.getAs[Double]("sum_base_price") === 150.30)
+    // 100.10*0.9 + 50.20*1.0 = 90.09 + 50.20 = 140.29 exactly
+    assert(af.getAs[Double]("sum_disc_price") === 140.29)
+    assert(af.getAs[Double]("avg_qty") === 2.5)
+  }
+
+  test("brandReport reproduces the reference's cost-as-prescriptions quirk") {
+    val out = Reports.brandReport(li, part).collect()
+    assert(out.head.getString(0) === "B1")
+    assert(out.head.getDouble(1) === 150.30)
+  }
+
+  test("kpis single row") {
+    val r = Reports.kpis(li).head()
+    assert(r.getAs[Long]("n_drugs") === 2L)
+    assert(r.getAs[Long]("n_prescribers") === 2L)
+    assert(r.getAs[Long]("n_rows") === 3L)
+    assert(r.getAs[Double]("total_claims") === 6.0)
+  }
+
+  test("countPerKey orders by count desc with key tiebreak") {
+    val out = Reports.countPerKey(li, "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((10L, 2L), (11L, 1L)))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  // Orthogonal + parallel unit-ish vectors with known cosines.
+  private val emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(2.0f, 0.0f, 0.0f)),   // cosine(0,1) = 1
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // cosine(0,2) = 0
+    (3L, Array(1.0f, 1.0f, 0.0f)))   // cosine(0,3) = 1/sqrt(2)
+    .toDF("vec_id", "embedding")
+
+  test("dot/cosine on known vectors") {
+    val r = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+      .select(
+        Similarity.dot(col("a"), col("b")).as("d"),
+        Similarity.cosine(col("a"), col("a")).as("self"))
+      .head()
+    assert(r.getDouble(0) === 32.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("topK ranks by cosine against the query vector") {
+    val q = Similarity.vectorOf(emb, 0L)
+    assert(q === Seq(1.0, 0.0, 0.0))
+    val out = Similarity.topK(emb, q, 3).collect().map(_.getLong(0))
+    assert(out.take(2).toSet === Set(0L, 1L)) // both cosine 1.0
+    assert(out(2) === 3L)
+  }
+
+  test("knnJoin: each id gets k neighbors ranked by cosine") {
+    val out = Similarity.knnJoin(emb, 2).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq).toMap
+    assert(out(2L).head === 3L) // 3 is nearest to 2 (cosine 1/sqrt(2) vs 0)
+    assert(out(0L).toSet.subsetOf(Set(1L, 3L)))
+    assert(out.values.forall(_.length === 2))
+  }
+
+  test("lshKnnJoin returns a subset of brute-force pairs with identical cosines") {
+    val brute = Similarity.knnJoin(emb, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshKnnJoin(emb, 3, nBits = 4).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key))
+      assert(math.abs(brute(key) - r.getDouble(2)) < 1e-12)
+    }
+  }
+
+  test("hyperplanes are deterministic under a fixed seed") {
+    assert(Similarity.hyperplanes(8, 4, 42L) === Similarity.hyperplanes(8, 4, 42L))
+    assert(Similarity.hyperplanes(8, 4, 42L) !== Similarity.hyperplanes(8, 4, 43L))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+class LakeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-lake").toString
+
+  test("zone write/read round-trip with real partitionBy (reference dropped it)") {
+    val root = tmp()
+    val lake = Lake(s"$root/raw", s"$root/cleansed", s"$root/curated")
+    val df = Lake.stampIngestDate(Seq((1, "a"), (2, "b")).toDF("id", "v"), 2026, 8, 12)
+    lake.writeRaw(df, "t", Seq("year", "month", "day"))
+    // hive-style partition directories must actually exist
+    assert(new java.io.File(s"$root/raw/t/year=2026/month=8/day=12").exists())
+    val back = lake.readRaw(spark, "t")
+    assert(back.count() === 2)
+    assert(back.columns.toSet === Set("id", "v", "year", "month", "day"))
+  }
+
+  test("ingestCsv infers schema, or applies an explicit one") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/t.csv"), "id,name\n1,a\n2,b\n")
+    val inferred = Lake.ingestCsv(spark, s"$dir/t.csv")
+    assert(inferred.schema("id").dataType === IntegerType)
+    val explicit = Lake.ingestCsv(spark, s"$dir/t.csv",
+      Some(StructType(Seq(StructField("id", LongType), StructField("name", StringType)))))
+    assert(explicit.schema("id").dataType === LongType)
+    assert(explicit.count() === 2)
+  }
+
+  test("maxWatermark and incrementalSlice") {
+    val existing = Seq(1L, 5L, 3L).toDF("id")
+    assert(Lake.maxWatermark(existing, "id") === Some(5L))
+    assert(Lake.maxWatermark(existing.where(lit(false)), "id") === None)
+    val source = Seq(4L, 5L, 6L, 9L).toDF("id")
+    val sliced = Lake.incrementalSlice(source, "id", Some(5L)).as[Long].collect()
+    assert(sliced.sorted.toSeq === Seq(6L, 9L))
+    // no watermark -> full source
+    assert(Lake.incrementalSlice(source, "id", None).count() === 4)
+  }
+
+  test("jdbcOptions builds options and rejects injection") {
+    val opts = Lake.jdbcOptions("jdbc:postgresql://h/db", "public.users", "u", "p",
+      "org.postgresql.Driver", sessionInit = Some("SET TIME ZONE 'UTC'"))
+    assert(opts("dbtable") === "public.users")
+    assert(opts("sessionInitStatement") === "SET TIME ZONE 'UTC'")
+    val noInit = Lake.jdbcOptions("jdbc:postgresql://h/db", "users", "u", "p", "d")
+    assert(!noInit.contains("sessionInitStatement"))
+    intercept[IllegalArgumentException] {
+      Lake.jdbcOptions("url", "users; DROP TABLE users", "u", "p", "d")
+    }
+    intercept[IllegalArgumentException] {
+      Lake.jdbcOptions("url", "(SELECT * FROM x)", "u", "p", "d")
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSuite
+
+class SessionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0) =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  // two users; u1 has a 35-min gap (2 sessions), u2 one session
+  private val events = Seq(
+    (1L, ts(0), "click", 1.50),
+    (1L, ts(5), "click", 2.25),
+    (1L, ts(41), "view", 1.00),
+    (2L, ts(12), "click", 4.00),
+    (2L, ts(14), "view", 0.50))
+    .toDF("user_id", "ts", "event_type", "value")
+
+  test("windowedCounts: 10-minute tumbling windows, epoch-second starts") {
+    val out = Sessions.windowedCounts(events).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val base = ts(0).getTime / 1000
+    assert(out.contains((base, "click", 2L, 3.75)))
+    assert(out.contains((base + 600, "click", 1L, 4.00)))
+    assert(out.contains((base + 2400, "view", 1L, 1.00)))
+  }
+
+  test("slidingCounts: each event lands in exactly two 10/5-minute windows") {
+    val n = Sessions.slidingCounts(events).collect().map(_.getLong(2)).sum
+    assert(n === events.count() * 2)
+  }
+
+  test("sessionize: 30-minute gap splits sessions") {
+    val out = Sessions.sessionize(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 3L), (2L, 1L, 2L)))
+  }
+
+  test("streamingWindowedCounts over a file stream matches the batch result") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    events.write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = Sessions.streamingWindowedCounts(spark, s"$dir/in", schema)
+    val q = stream.writeStream.format("memory").queryName("wc")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT window_start, event_type, n_events FROM wc")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Sessions.windowedCounts(events).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+}
