@@ -40,6 +40,24 @@ object Lake {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Overwrite a table path with a plan that READS from that same
+    * path. A plain overwrite deletes the input files before the lazy
+    * plan scans them (FAILED_READ_FILE); staging to a sibling dir and
+    * swapping avoids that without materializing on the driver. On an
+    * object store this is the two-phase-commit pattern the output
+    * committer provides; the rename suffices for a filesystem. */
+  def overwriteSelf(df: DataFrame, path: String): Unit = {
+    val staging = path + ".__staging"
+    df.write.mode(SaveMode.Overwrite).parquet(staging)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(path))
+    require(new java.io.File(staging).renameTo(new java.io.File(path)),
+      s"failed to swap staging dir into $path")
+  }
+
   /** CSV ingest with header + schema inference (reference:
     * src/runnerfile.py:456-471 S1). At 100 TB, inference costs one
     * extra pass — production callers should pass an explicit schema. */
