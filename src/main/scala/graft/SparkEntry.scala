@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Text
 import graft.multimodal.Multimodal
-import graft.operators.{Anonymize, Dedup, Profile, Reports, Similarity, TopK}
+import graft.operators.{Anonymize, Dedup, Profile, Reports, Similarity, TopK, Windows}
 import graft.sources.{Lake, Tables}
 import graft.streaming.Sessions
 
@@ -52,6 +52,9 @@ object SparkEntry {
     "q_top_parts_per_brand" -> ((s, d) =>
       TopK.perGroup(t(s, d, "part"), "p_brand", "p_retailprice", "p_partkey", 3)
         .orderBy(col("p_brand"), col("rank"))),
+    // ---- window functions (SURVEY §2.5 [EXT]) ----
+    "q_monthly_trend" -> ((s, d) => Windows.monthlyTrend(t(s, d, "lineitem"))),
+    "q_rank_in_group" -> ((s, d) => Windows.rankInGroup(t(s, d, "supplier"))),
     // ---- dedup (SURVEY §2.7) ----
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"))
@@ -64,6 +67,7 @@ object SparkEntry {
     "q_null_profile" -> ((s, d) => Profile.nullProfile(t(s, d, "customer"))),
     "q_data_dictionary" -> ((s, d) => Profile.dataDictionary(t(s, d, "supplier"))),
     "q_value_counts" -> ((s, d) => Profile.valueCounts(t(s, d, "orders"), "o_orderpriority")),
+    "q_approx_dictionary" -> ((s, d) => Profile.approxDataDictionary(t(s, d, "orders"))),
     "q_histogram" -> ((s, d) => Profile.histogram(t(s, d, "lineitem"), "l_quantity", 10)),
     "q_share_of_total" -> ((s, d) =>
       Profile.shareOfTotal(t(s, d, "lineitem"), "l_returnflag", "l_extendedprice")),
@@ -208,6 +212,25 @@ object SparkEntry {
              SELECT p.*, CAST(row_number() OVER (
                PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS "rank"
              FROM part p) WHERE "rank" <= 3 ORDER BY p_brand, "rank"""",
+      "q_monthly_trend" ->
+        s"""WITH m AS (SELECT l_suppkey, date_trunc('month', l_shipdate)::DATE AS month,
+              ${sqlDsum("l_quantity")} AS claims
+              FROM lineitem GROUP BY 1, 2)
+            SELECT l_suppkey, month, claims,
+              lag(claims) OVER w AS prev_claims,
+              claims - lag(claims) OVER w AS delta,
+              CAST(row_number() OVER w AS INTEGER) AS month_seq,
+              CAST(sum(CAST(claims AS DECIMAL(18,2))) OVER
+                (PARTITION BY l_suppkey ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_claims
+            FROM m WINDOW w AS (PARTITION BY l_suppkey ORDER BY month)
+            ORDER BY l_suppkey, month""",
+      "q_rank_in_group" ->
+        """SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+             CAST(rank() OVER w AS INTEGER) AS balance_rank,
+             CAST(dense_rank() OVER w AS INTEGER) AS balance_dense_rank
+           FROM supplier WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+           ORDER BY s_nationkey, balance_rank, s_suppkey""",
       "q_dedup_exact" ->
         """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
            ORDER BY l_returnflag, l_linestatus""",

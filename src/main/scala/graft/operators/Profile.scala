@@ -42,6 +42,29 @@ object Profile {
       .orderBy(col("column_name"))
   }
 
+  /** Approximate flavor of the data dictionary (reference: SURVEY.md
+    * A6): HLL++ `approx_count_distinct` instead of exact distinct.
+    * At 100 TB this is the default profiling path — no Expand-based
+    * multi-distinct, a single streaming aggregate pass; the exact
+    * [[dataDictionary]] stays available on demand. Not DuckDB-oracle
+    * comparable (different sketch), so its harness check is rows-only. */
+  def approxDataDictionary(df: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val aggs = df.columns.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"__n_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__d_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = df.columns.map { c =>
+      struct(lit(c).as("column_name"),
+        col(s"__n_$c").as("null_count"),
+        col(s"__d_$c").as("approx_distinct_count"))
+    }
+    wide.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.column_name"), col("e.null_count"), col("e.approx_distinct_count"))
+      .orderBy(col("column_name"))
+  }
+
   /** value_counts (reference: eda.py:110, src/runnerfile.py:209 A9). */
   def valueCounts(df: DataFrame, c: String): DataFrame =
     df.groupBy(col(c))

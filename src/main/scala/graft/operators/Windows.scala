@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Window-function surface (SURVEY.md §2.5 [EXT]): the reference's
+  * README aspires to "trend analysis" with no code behind it; this is
+  * the natural Spark shape — per-key monthly series with lag deltas,
+  * ranks, and running totals. One shuffle keyed by the partition
+  * column serves every window function here.
+  */
+object Windows {
+
+  /** Monthly claims per supplier with previous-month delta, a
+    * month sequence number, and a running cumulative total. */
+  def monthlyTrend(lineitem: DataFrame): DataFrame = {
+    val monthly = lineitem
+      .groupBy(col("l_suppkey"), date_trunc("month", col("l_shipdate")).cast("date").as("month"))
+      .agg(Reports.dsum(col("l_quantity")).as("claims"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("month"))
+    monthly
+      .withColumn("prev_claims", lag(col("claims"), 1).over(w))
+      .withColumn("delta", col("claims") - col("prev_claims"))
+      .withColumn("month_seq", row_number().over(w))
+      // decimal inside the running frame: window aggregation order is
+      // engine-internal (segment trees), so a double sum would not be
+      // reproducible — a decimal sum is.
+      .withColumn("running_claims",
+        sum(col("claims").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+      .orderBy(col("l_suppkey"), col("month"))
+  }
+
+  /** Rank suppliers inside each nation by account balance —
+    * rank/dense_rank over one nation-keyed shuffle. */
+  def rankInGroup(supplier: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    supplier
+      .withColumn("balance_rank", rank().over(w))
+      .withColumn("balance_dense_rank", dense_rank().over(w))
+      .orderBy(col("s_nationkey"), col("balance_rank"), col("s_suppkey"))
+  }
+}

@@ -1,8 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.{DecimalType, StructType}
+
+/** Mutable per-user accumulator carried across micro-batches. */
+final case class UserState(nEvents: Long, sumValue: Double)
+
+/** One update row emitted per user per micro-batch. */
+final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
 /** Event-time windowing + sessionization (SURVEY.md §2.10 [EXT] —
   * absent from the reference, which names streaming as future work at
@@ -48,6 +55,30 @@ object Sessions {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
       .orderBy(col("user_id"))
+
+  /** Custom stateful operator (SURVEY.md §2.10 [EXT]):
+    * running per-user event count + value sum via
+    * `flatMapGroupsWithState` — arbitrary keyed state, the Spark
+    * primitive for semantics `groupBy.agg` can't express. Works on
+    * both a batch DataFrame (state starts empty, one pass) and a
+    * streaming one (state persists across micro-batches; use
+    * OutputMode.Update downstream). */
+  def statefulUserTotals(events: DataFrame): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.nEvents
+          var s = prev.sumValue
+          rows.foreach { case (_, v) => n += 1; s += v }
+          state.update(UserState(n, s))
+          Iterator(UserTotals(user, n, s))
+      }
+  }
 
   /** Streaming flavor of `windowedCounts`: file stream + watermark,
     * append mode. Driven synchronously in tests via a memory sink. */

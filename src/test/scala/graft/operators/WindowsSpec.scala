@@ -1,0 +1,45 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSuite
+
+class WindowsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("monthlyTrend: lag delta, sequence, running total per supplier") {
+    val li = Seq(
+      (10L, Timestamp.valueOf("2024-01-05 00:00:00"), 3.0),
+      (10L, Timestamp.valueOf("2024-01-20 00:00:00"), 2.0),
+      (10L, Timestamp.valueOf("2024-02-10 00:00:00"), 7.0),
+      (11L, Timestamp.valueOf("2024-03-01 00:00:00"), 1.0))
+      .toDF("l_suppkey", "l_shipdate", "l_quantity")
+    val out = Windows.monthlyTrend(li).collect()
+    assert(out.length === 3)
+    val jan = out(0)
+    assert(jan.getAs[Double]("claims") === 5.0)
+    assert(jan.isNullAt(jan.fieldIndex("prev_claims")))
+    assert(jan.getAs[Int]("month_seq") === 1)
+    val feb = out(1)
+    assert(feb.getAs[Double]("prev_claims") === 5.0)
+    assert(feb.getAs[Double]("delta") === 2.0)
+    assert(feb.getAs[Double]("running_claims") === 12.0)
+  }
+
+  test("rankInGroup: rank vs dense_rank inside each nation") {
+    val s = Seq((1L, "a", 7, 100.0), (2L, "b", 7, 100.0), (3L, "c", 7, 50.0), (4L, "d", 8, 10.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val out = Windows.rankInGroup(s).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("balance_rank"), r.getAs[Int]("balance_dense_rank")))
+    // ties broken by suppkey in ordering, but rank() sees distinct sort keys
+    assert(out.toSeq === Seq((1L, 1, 1), (2L, 2, 2), (3L, 3, 3), (4L, 1, 1)))
+  }
+
+  test("approxDataDictionary: nulls exact, distinct within rsd") {
+    val df = Seq(Some(1), Some(2), Some(2), None).toDF("x")
+    val r = Profile.approxDataDictionary(df).head()
+    assert(r.getString(0) === "x")
+    assert(r.getLong(1) === 1L)
+    assert(math.abs(r.getLong(2) - 2L) <= 1)
+  }
+}

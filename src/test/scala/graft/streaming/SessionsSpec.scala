@@ -42,6 +42,26 @@ class SessionsSpec extends SparkSuite {
     assert(out.toSeq === Seq((1L, 2L, 3L), (2L, 1L, 2L)))
   }
 
+  test("statefulUserTotals in batch mode: one pass, totals per user") {
+    val out = Sessions.statefulUserTotals(events).collect().sortBy(_.user_id)
+    assert(out.map(u => (u.user_id, u.n_events)).toSeq === Seq((1L, 3L), (2L, 2L)))
+    assert(math.abs(out(0).sum_value - 4.75) < 1e-9)
+  }
+
+  test("statefulUserTotals carries state across streaming micro-batches") {
+    val dir = Files.createTempDirectory("graft-state").toString
+    events.where($"user_id" === 1L).limit(2).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = Sessions.statefulUserTotals(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(s"$dir/in"))
+    val q = stream.toDF().writeStream.format("memory").queryName("st")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // state accumulates: the LAST update for user 1 must equal the total
+    val updates = spark.sql("SELECT n_events FROM st").collect().map(_.getLong(0))
+    assert(updates.max === 2L)
+  }
+
   test("streamingWindowedCounts over a file stream matches the batch result") {
     val dir = Files.createTempDirectory("graft-stream").toString
     events.write.parquet(s"$dir/in")
