@@ -1,0 +1,103 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native dot product over two numeric arrays (float or double
+  * elements), accumulated in double, strictly left-to-right — the
+  * same summation order as `aggregate(zip_with(a,b,_*_), 0.0, _+_)`,
+  * so results are bit-identical to the higher-order-function
+  * formulation (and to a sequential scalar loop in any engine, which
+  * is what the DuckDB oracle runs).
+  *
+  * Why a custom Expression instead of the built-ins (SURVEY.md §2.3):
+  * `zip_with` materializes an intermediate product array per row and
+  * `aggregate` interprets a lambda per element; on a billion-vector
+  * embedding corpus that is the hot loop. This generates a tight
+  * no-allocation while-loop inside whole-stage codegen, and reads
+  * float arrays directly (no up-front cast to array<double>, halving
+  * shuffle width for float embeddings).
+  *
+  * Arrays must be dense (no null elements) — embedding vectors by
+  * construction. Mismatched lengths use the shorter prefix.
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def prettyName: String = "graft_dot"
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def get(e: Expression, arr: String, i: String): String =
+      if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${get(left, a, i)} * ${get(right, b, i)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration + Column-level API for the custom expressions (the
+  * public `Column` constructor took an `Expression` in Spark 3 but is
+  * `ColumnNode`-backed in Spark 4, so the supported route is the
+  * function registry + `call_function`). */
+object GraftFunctions {
+  val DotName = "graft_dot"
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DotName, exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+
+  def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
+}

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.GraftFunctions
+
 /** Embedding similarity search (SURVEY.md §2.3 [EXT]).
   *
   * All math in double precision via codegen'd higher-order functions
@@ -20,8 +22,12 @@ object Similarity {
 
   def asDouble(vec: Column): Column = transform(vec, _.cast("double"))
 
-  /** Sequential-order dot product (left-to-right, matching a scalar
-    * loop — reproducible across engines). */
+  /** Sequential-order dot product via built-in higher-order functions
+    * (left-to-right, matching a scalar loop — reproducible across
+    * engines). Works without session registration; the DataFrame-level
+    * operators below use the native [[graft.expressions.DotProduct]]
+    * instead, which produces bit-identical results without the
+    * intermediate product array. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
@@ -29,12 +35,19 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Cosine via the codegen'd native dot product (requires
+    * [[GraftFunctions.register]]); accepts float or double arrays. */
+  def nativeCosine(a: Column, b: Column): Column =
+    GraftFunctions.dot(a, b) /
+      (sqrt(GraftFunctions.dot(a, a)) * sqrt(GraftFunctions.dot(b, b)))
+
   /** Cosine similarity of every vector against one query vector. */
   def scoresAgainst(embeddings: DataFrame, queryVec: Seq[Double],
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     val q = typedLit(queryVec)
     embeddings.select(col(idCol),
-      cosine(asDouble(col(vecCol)), q).as("cosine_sim"))
+      nativeCosine(col(vecCol), q).as("cosine_sim"))
   }
 
   /** Fetch a stored vector to use as the query (driver-side scalar —
@@ -53,16 +66,19 @@ object Similarity {
       .limit(k)
 
   /** All-pairs k-NN join (brute force). Broadcast one side; only for
-    * corpora whose one side fits the broadcast threshold. */
+    * corpora whose one side fits the broadcast threshold. Vectors stay
+    * in their storage type (float) end-to-end — half the broadcast
+    * and shuffle width of an array<double> cast. */
   def knnJoin(embeddings: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = embeddings.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("v_a"))
-    val b = embeddings.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("v_b"))
+    GraftFunctions.register(embeddings.sparkSession)
+    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cosine_sim").desc, col("id_b"))
     a.crossJoin(broadcast(b))
       .where(col("id_a") =!= col("id_b"))
-      .withColumn("cosine_sim", cosine(col("v_a"), col("v_b")))
+      .withColumn("cosine_sim", nativeCosine(col("v_a"), col("v_b")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("id_a"), col("id_b"), col("cosine_sim"), col("rank"))
@@ -74,10 +90,11 @@ object Similarity {
     Seq.fill(nBits)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Sign-LSH bucket id: one bit per hyperplane. */
+  /** Sign-LSH bucket id: one bit per hyperplane (uses the native dot
+    * product; callers must have registered [[GraftFunctions]]). */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(vec, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(GraftFunctions.dot(vec, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** ANN k-NN join pruned by shared LSH bucket: the quadratic work
@@ -85,9 +102,10 @@ object Similarity {
     * shuffle join that scales out). Recall < 1 by construction. */
   def lshKnnJoin(embeddings: DataFrame, k: Int, nBits: Int = 8, seed: Long = 42L,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     val dim = embeddings.select(col(vecCol)).head().getSeq[Float](0).length
     val planes = hyperplanes(dim, nBits, seed)
-    val tagged = embeddings.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val tagged = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
     val a = tagged.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = tagged.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
@@ -95,7 +113,7 @@ object Similarity {
       .orderBy(col("cosine_sim").desc, col("id_b"))
     a.join(b, Seq("bucket"))
       .where(col("id_a") =!= col("id_b"))
-      .withColumn("cosine_sim", cosine(col("v_a"), col("v_b")))
+      .withColumn("cosine_sim", nativeCosine(col("v_a"), col("v_b")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("id_a"), col("id_b"), col("cosine_sim"), col("rank"))
