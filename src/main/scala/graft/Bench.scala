@@ -19,10 +19,17 @@ object Bench {
       spark.read.parquet(s"$sfDir/nation.parquet")
         .groupBy("n_regionkey").count().collect()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Optional comma-separated subset for micro-benchmarking.
+    val wanted = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => wanted.forall(_.contains(n)) }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
