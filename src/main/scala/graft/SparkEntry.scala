@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Text
 import graft.multimodal.Multimodal
-import graft.operators.{Anonymize, Dedup, Profile, Reports, Similarity, TopK, Windows}
+import graft.operators.{Anonymize, Dedup, Profile, Reports, Similarity, Skew, TopK, Windows}
 import graft.sources.{Lake, Tables}
 import graft.streaming.Sessions
 
@@ -48,6 +48,9 @@ object SparkEntry {
       Reports.brandReport(t(s, d, "lineitem"), t(s, d, "part"))),
     "q_kpis" -> ((s, d) => Reports.kpis(t(s, d, "lineitem"))),
     "q_count_per_key" -> ((s, d) => Reports.countPerKey(t(s, d, "orders"), "o_custkey")),
+    "q_salted_sum" -> ((s, d) =>
+      Skew.saltedSum(t(s, d, "lineitem").select("l_returnflag", "l_quantity"),
+        "l_returnflag", "l_quantity").orderBy(col("l_returnflag"))),
     "q_top_parts" -> ((s, d) => TopK.topN(t(s, d, "part"), "p_retailprice", "p_partkey", 100)),
     "q_top_parts_per_brand" -> ((s, d) =>
       TopK.perGroup(t(s, d, "part"), "p_brand", "p_retailprice", "p_partkey", 3)
@@ -205,6 +208,9 @@ object SparkEntry {
       "q_count_per_key" ->
         """SELECT o_custkey, count(*) AS num_prescriptions FROM orders
            GROUP BY o_custkey ORDER BY num_prescriptions DESC, o_custkey""",
+      "q_salted_sum" ->
+        s"""SELECT l_returnflag, ${sqlDsum("l_quantity")} AS sum_l_quantity
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
       "q_top_parts" ->
         "SELECT * FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 100",
       "q_top_parts_per_brand" ->
