@@ -106,6 +106,8 @@ object SparkEntry {
       t(s, d, "documents").select(
         col("doc_id"),
         Text.tokenCount(c).cast("long").as("n_tokens"),
+        Text.bpeTokenCount(c).cast("long").as("n_bpe_tokens"),
+        Text.rollingHash(c).as("rolling_hash"),
         Text.nonSpaceChars(c).cast("long").as("n_nonspace"),
         Text.digitCount(c).cast("long").as("n_digits"),
         Text.punctCount(c).cast("long").as("n_punct"),
@@ -308,6 +310,9 @@ object SparkEntry {
       "q_doc_stats" ->
         """SELECT doc_id,
              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_bpe_tokens,
+             list_reduce(list_prepend(0, [ascii(x)::BIGINT for x in string_split(text, '')]),
+               (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_hash,
              CAST(len(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonspace,
              CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
              CAST(len(text) - len(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS BIGINT) AS n_punct,

@@ -15,6 +15,25 @@ object Text {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** BPE-ish subword proxy: word pieces + standalone non-space
+    * symbols, the usual pre-tokenizer shape (letters-or-digits runs,
+    * else single symbols). A much closer LLM-token estimate than
+    * whitespace counting on punctuation-heavy text. */
+  val bpeTokenPattern = "[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]"
+
+  def bpeTokenCount(c: Column): Column = regexp_count(c, lit(bpeTokenPattern))
+
+  /** Polynomial rolling hash over the character codepoints
+    * (base 31 mod 2^31-1) — an order-sensitive fingerprint that is
+    * cheap to compute incrementally and reproducible in any engine
+    * with a left fold, unlike a cryptographic hash it can also be
+    * windowed. Accumulator stays < 2^36, safe under ANSI. */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      transform(split(c, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 2147483647L)
+
   /** Case/whitespace-normalized text (shared by fingerprint + dedup). */
   def normalized(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
 

@@ -15,6 +15,20 @@ class TextSpec extends SparkSuite {
     assert(one("single", Text.tokenCount(_)) === 1)
   }
 
+  test("bpeTokenCount: word pieces plus standalone symbols") {
+    assert(one("don't stop!", Text.bpeTokenCount(_)) === 5) // don ' t stop !
+    assert(one("hello world", Text.bpeTokenCount(_)) === 2)
+    assert(one("a,b,c", Text.bpeTokenCount(_)) === 5)
+  }
+
+  test("rollingHash: order-sensitive, deterministic polynomial hash") {
+    val ab = one("ab", Text.rollingHash(_))
+    val ba = one("ba", Text.rollingHash(_))
+    assert(ab === ('a'.toLong * 31 + 'b'.toLong) % 2147483647L)
+    assert(ab !== ba)
+    assert(one("", Text.rollingHash(_)) === 0L)
+  }
+
   test("normalized collapses case and whitespace") {
     assert(one("  Hello   WORLD ", Text.normalized(_)) === "hello world")
   }
