@@ -384,6 +384,30 @@ object SparkEntry {
             SELECT id_a, id_b, round(c, 6) AS cosine_sim,
               CAST(row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS INTEGER) AS "rank"
             FROM p QUALIFY "rank" <= 5 ORDER BY id_a, "rank"""",
+      "q_lsh_knn" -> {
+        // The sign-LSH hyperplanes are deterministic (seeded JVM RNG);
+        // embedding them as double literals makes the whole ANN join
+        // SQL-expressible. Shortest-repr double text round-trips to
+        // identical bits in any correct parser. dim=64 matches the
+        // driver-generated embeddings tables.
+        val planes = Similarity.hyperplanes(64, 8, 42L)
+        def dotLit(p: Seq[Double]) = {
+          val arr = p.map(_.toString).mkString("[", ", ", "]")
+          fold(s"[embedding[i]::DOUBLE * ($arr)[i] for i in range(1, len(embedding)+1)]")
+        }
+        val bucket = planes.zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN ${dotLit(p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH t AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+            n AS (SELECT vec_id, embedding, bucket, sqrt(${dotSelf("embedding")}) AS nrm FROM t),
+            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              ${fold("[a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE for i in range(1, len(a.embedding)+1)]")}
+                / (a.nrm * b.nrm) AS c
+              FROM n a JOIN n b USING (bucket) WHERE a.vec_id <> b.vec_id)
+            SELECT id_a, id_b, round(c, 6) AS cosine_sim,
+              CAST(row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS INTEGER) AS "rank"
+            FROM p QUALIFY "rank" <= 5 ORDER BY id_a, "rank""""
+      },
       "q_payload_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              sha256(text) AS payload_sha256
