@@ -24,6 +24,26 @@ class LakeSpec extends SparkSuite {
     assert(back.columns.toSet === Set("id", "v", "year", "month", "day"))
   }
 
+  test("date filters prune partitions at the scan (the point of S6)") {
+    val root = tmp()
+    val lake = Lake(s"$root/raw", s"$root/c", s"$root/cu")
+    import org.apache.spark.sql.functions.col
+    Seq(11, 12).foreach { day =>
+      val df = Lake.stampIngestDate(Seq((day, "x")).toDF("id", "v"), 2026, 8, day)
+      Lake.write(df, s"$root/raw/t/pending_$day", Nil) // build partitioned below
+    }
+    val both = Lake.stampIngestDate(Seq((1, "a")).toDF("id", "v"), 2026, 8, 11)
+      .union(Lake.stampIngestDate(Seq((2, "b")).toDF("id", "v"), 2026, 8, 12))
+    lake.writeRaw(both, "t", Seq("year", "month", "day"))
+    val pruned = lake.readRaw(spark, "t").where(col("day") === 12)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("day#"),
+      s"expected partition filters in scan:\n$scan")
+    assert(pruned.count() === 1)
+    // the pruned plan must read only the day=12 directory
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(day"))
+  }
+
   test("ingestCsv infers schema, or applies an explicit one") {
     val dir = tmp()
     Files.writeString(java.nio.file.Paths.get(s"$dir/t.csv"), "id,name\n1,a\n2,b\n")
