@@ -97,6 +97,44 @@ object Similarity {
       when(GraftFunctions.dot(vec, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions
+    * the corpus into cells; a query scans only the `nprobe` cells
+    * whose centroids are nearest. The index (cell assignments) is a
+    * one-time cost amortized over queries; at 100 TB the assigned
+    * table would be written bucketed by cell so a probe reads only
+    * its cells' files. Recall < 1 by construction (like every ANN).
+    *
+    * Returns (cell-assigned corpus, centroids) — build once, probe
+    * many times with [[ivfTopK]]. */
+  def ivfIndex(embeddings: DataFrame, nCells: Int = 16, seed: Long = 42L,
+               idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, Array[Array[Double]]) = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val assembled = embeddings.select(col(idCol), col(vecCol),
+      org.apache.spark.ml.functions.array_to_vector(col(vecCol)).as("__features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(seed).setFeaturesCol("__features").setPredictionCol("__cell")
+      .fit(assembled)
+    val assigned = model.transform(assembled).drop("__features")
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Top-k against one query via the IVF index: probe the nprobe
+    * nearest cells only — the scan shrinks by ~nCells/nprobe. */
+  def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
+              queryVec: Seq[Double], k: Int, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def dist2(c: Array[Double]) =
+      c.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum
+    val probeCells = centroids.zipWithIndex.sortBy { case (c, _) => dist2(c) }
+      .take(nprobe).map(_._2)
+    val q = typedLit(queryVec)
+    assigned.where(col("__cell").isin(probeCells.toSeq: _*))
+      .select(col(idCol), nativeCosine(col(vecCol), q).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ANN k-NN join pruned by shared LSH bucket: the quadratic work
     * happens only inside buckets (equi-join on bucket id — a plain
     * shuffle join that scales out). Recall < 1 by construction. */

@@ -53,6 +53,21 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("IVF index + probe: high recall against brute force on real embeddings") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = Similarity.vectorOf(emb, 7L)
+    val exact = Similarity.topK(emb, q, 10).collect().map(_.getLong(0)).toSet
+    val (assigned, centroids) = Similarity.ivfIndex(emb, nCells = 8)
+    val approx = Similarity.ivfTopK(assigned, centroids, q, 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    // probing every cell must reproduce brute force exactly
+    val full = Similarity.ivfTopK(assigned, centroids, q, 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(full === exact)
+  }
+
   test("hyperplanes are deterministic under a fixed seed") {
     assert(Similarity.hyperplanes(8, 4, 42L) === Similarity.hyperplanes(8, 4, 42L))
     assert(Similarity.hyperplanes(8, 4, 42L) !== Similarity.hyperplanes(8, 4, 43L))
