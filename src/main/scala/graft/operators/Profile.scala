@@ -42,6 +42,17 @@ object Profile {
       .orderBy(col("column_name"))
   }
 
+  /** Per-column sample values (reference: src/runnerfile.py:135 V1 —
+    * the data dictionary's "5 sample values"). One `limit(n)` job,
+    * transposed driver-side; deliberately NOT collect_list/collect_set
+    * aggregates, whose per-group state is unbounded at scale. */
+  def columnSamples(df: DataFrame, n: Int = 5): Map[String, Seq[String]] = {
+    val rows = df.limit(n).collect()
+    df.columns.zipWithIndex.map { case (c, i) =>
+      c -> rows.toSeq.map(r => if (r.isNullAt(i)) "null" else r.get(i).toString)
+    }.toMap
+  }
+
   /** Approximate flavor of the data dictionary (reference: SURVEY.md
     * A6): HLL++ `approx_count_distinct` instead of exact distinct.
     * At 100 TB this is the default profiling path — no Expand-based

@@ -90,6 +90,29 @@ object Lake {
   def incrementalSlice(source: DataFrame, idCol: String, watermark: Option[Long]): DataFrame =
     watermark.fold(source)(w => source.where(col(idCol) > lit(w)))
 
+  /** Readable-report CSV sink (reference: src/runnerfile.py:550-551
+    * S8): single header CSV per report — reports are small by
+    * construction (post-aggregation), so coalesce(1) is safe here and
+    * gives the one-file layout the reference's consumers expect. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(path)
+
+  /** JDBC URL + driver-class selection per dialect (reference:
+    * src/common/database.py:30-39,90-99 — whose read path referenced
+    * undefined attributes and could never run; this is the working
+    * equivalent). */
+  def jdbcUrl(dialect: String, host: String, port: Int, database: String): (String, String) =
+    dialect.toLowerCase match {
+      case "postgresql" | "postgres" =>
+        (s"jdbc:postgresql://$host:$port/$database", "org.postgresql.Driver")
+      case "mysql" =>
+        (s"jdbc:mysql://$host:$port/$database", "com.mysql.cj.jdbc.Driver")
+      case "sqlite" =>
+        (s"jdbc:sqlite:$database", "org.sqlite.JDBC")
+      case other => throw new IllegalArgumentException(s"unsupported JDBC dialect: $other")
+    }
+
   /** JDBC read options (reference: src/helpers/ingest_data.py:13-21,
     * src/common/database.py:85-110). Pure option-building — no live
     * database in this environment; exercised by unit tests. Also fixes

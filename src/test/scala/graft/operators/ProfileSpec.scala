@@ -54,6 +54,13 @@ class ProfileSpec extends SparkSuite {
     assert(Profile.histogram(h, "v", 2).collect().map(_.getLong(1)).sum === 2L)
   }
 
+  test("columnSamples: n values per column, nulls rendered") {
+    val s = Profile.columnSamples(df.orderBy("id"), 3)
+    assert(s.keySet === Set("id", "cat", "x"))
+    assert(s("id").length === 3)
+    assert(s.values.exists(_.contains("null")))
+  }
+
   test("shareOfTotal shares sum to 1.0") {
     val out = Profile.shareOfTotal(df.na.drop(Seq("x")), "cat", "x").collect()
     val shares = out.map(_.getDouble(2))

@@ -66,6 +66,23 @@ class LakeSpec extends SparkSuite {
     assert(Lake.incrementalSlice(source, "id", None).count() === 4)
   }
 
+  test("writeCsv emits one header CSV readable back") {
+    val dir = tmp()
+    Lake.writeCsv(Seq((1, "a"), (2, "b")).toDF("id", "v"), s"$dir/report")
+    val files = new java.io.File(s"$dir/report").listFiles.filter(_.getName.endsWith(".csv"))
+    assert(files.length === 1)
+    val back = Lake.ingestCsv(spark, s"$dir/report")
+    assert(back.count() === 2 && back.columns.toSeq === Seq("id", "v"))
+  }
+
+  test("jdbcUrl per dialect; unsupported dialect rejected") {
+    assert(Lake.jdbcUrl("postgresql", "h", 5432, "db") ===
+      (("jdbc:postgresql://h:5432/db", "org.postgresql.Driver")))
+    assert(Lake.jdbcUrl("mysql", "h", 3306, "db")._2 === "com.mysql.cj.jdbc.Driver")
+    assert(Lake.jdbcUrl("sqlite", "", 0, "/tmp/x.db")._1 === "jdbc:sqlite:/tmp/x.db")
+    intercept[IllegalArgumentException](Lake.jdbcUrl("oracle", "h", 1521, "db"))
+  }
+
   test("jdbcOptions builds options and rejects injection") {
     val opts = Lake.jdbcOptions("jdbc:postgresql://h/db", "public.users", "u", "p",
       "org.postgresql.Driver", sessionInit = Some("SET TIME ZONE 'UTC'"))
