@@ -276,7 +276,7 @@ object SparkEntry {
                       FROM lineitem GROUP BY l_returnflag),
                 t AS (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS tot FROM lineitem)
            SELECT l_returnflag, CAST(grp AS DOUBLE) AS total_measure,
-                  CAST(grp AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+                  CAST(grp AS DOUBLE) / NULLIF(CAST(tot AS DOUBLE), 0) AS share
            FROM g, t ORDER BY l_returnflag""",
       "q_anonymize" ->
         "SELECT c_custkey, sha256(c_name) AS c_name FROM customer ORDER BY c_custkey",
@@ -336,7 +336,8 @@ object SparkEntry {
           s"WHEN h_$l = $best THEN '$l'" }.mkString(" ")
         s"""WITH h AS (SELECT doc_id, lang, $hitCols FROM documents)
             SELECT doc_id, lang,
-              CASE WHEN $best = 0 THEN 'unknown' $branches ELSE 'zh' END AS lang_pred
+              CASE WHEN $best IS NULL THEN NULL
+                   WHEN $best = 0 THEN 'unknown' $branches ELSE 'zh' END AS lang_pred
             FROM h ORDER BY doc_id"""
       },
       "q_exact_docs" ->
@@ -418,6 +419,6 @@ object SparkEntry {
              CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
              CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height,
              CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
-           FROM documents ORDER BY doc_id""")
+           FROM documents WHERE text IS NOT NULL ORDER BY doc_id""")
   }
 }

@@ -75,6 +75,8 @@ object Text {
     val chain = hits.init.foldRight(lit(hits.last._1): Column) { case ((l, h), rest) =>
       when(h === best, lit(l)).otherwise(rest)
     }
-    when(best === 0, lit("unknown")).otherwise(chain)
+    // null text -> null (the bare fold would fall through every null
+    // comparison into the last branch and answer 'zh')
+    when(c.isNull, lit(null)).when(best === 0, lit("unknown")).otherwise(chain)
   }
 }

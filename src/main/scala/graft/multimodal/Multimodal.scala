@@ -38,6 +38,7 @@ object Multimodal {
     val spark = withPayload.sparkSession
     import spark.implicits._
     withPayload.select(col(idCol).cast("long"), col("payload"))
+      .where(col("payload").isNotNull) // null media: nothing to decode
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>

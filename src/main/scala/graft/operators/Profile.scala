@@ -114,7 +114,10 @@ object Profile {
       .select(
         col(key),
         col("__grp").cast("double").as("total_measure"),
-        (col("__grp").cast("double") / col("__tot").cast("double")).as("share"))
+        // zero/null total -> null share, not NaN/Infinity
+        when(col("__tot").isNull || col("__tot") === 0, lit(null))
+          .otherwise(col("__grp").cast("double") / col("__tot").cast("double"))
+          .as("share"))
       .orderBy(col(key))
   }
 }

@@ -41,8 +41,9 @@ final class Pipeline(spark: SparkSession, lake: Lake,
     * the ingest date and partitioned by it (reference:
     * src/runnerfile.py:452-481 S1 + ingest_data.py:92-96 P4). */
   def ingestCsvDir(csvDir: String, year: Int, month: Int, day: Int): Seq[String] = {
-    val csvs = new java.io.File(csvDir).listFiles((_, n) => n.endsWith(".csv"))
-      .toSeq.sortBy(_.getName)
+    val listed = Option(new java.io.File(csvDir).listFiles((_, n) => n.endsWith(".csv")))
+    require(listed.isDefined, s"not a readable directory: $csvDir")
+    val csvs = listed.get.toSeq.sortBy(_.getName)
     csvs.map { f =>
       val table = f.getName.stripSuffix(".csv")
       val df = Lake.stampIngestDate(Lake.ingestCsv(spark, f.getPath), year, month, day)

@@ -67,4 +67,10 @@ class TextSpec extends SparkSuite {
     assert(one("12345 67890 !!!", Text.langId(_)) === "unknown")
     assert(one("zzz qqq xxx", Text.langId(_)) === "unknown")
   }
+
+  test("langId on null text is null (was: the fold's last branch, 'zh')") {
+    val r = Seq(Option.empty[String]).toDF("t")
+      .select(Text.langId(col("t")).as("l")).head()
+    assert(r.isNullAt(0))
+  }
 }

@@ -15,6 +15,12 @@ class MultimodalSpec extends SparkSuite {
     assert(out(0).getString(2) !== out(1).getString(2))
   }
 
+  test("decodeStub skips null payloads instead of crashing") {
+    val withNull = Seq((1L, Some("ok")), (2L, Option.empty[String])).toDF("doc_id", "text")
+    val out = Multimodal.decodeStub(Multimodal.attachPayload(withNull)).collect()
+    assert(out.map(_.doc_id).toSeq === Seq(1L))
+  }
+
   test("decodeStub is deterministic and partition-parallel") {
     val a = Multimodal.decodeStub(Multimodal.attachPayload(docs)).collect().sortBy(_.doc_id)
     val b = Multimodal.decodeStub(Multimodal.attachPayload(docs.repartition(4)))

@@ -61,6 +61,12 @@ class ProfileSpec extends SparkSuite {
     assert(s.values.exists(_.contains("null")))
   }
 
+  test("shareOfTotal with zero total yields null shares, not NaN") {
+    val z = Seq(("a", 0.0), ("b", 0.0)).toDF("k", "m")
+    val out = Profile.shareOfTotal(z, "k", "m").collect()
+    assert(out.forall(_.isNullAt(2)))
+  }
+
   test("shareOfTotal shares sum to 1.0") {
     val out = Profile.shareOfTotal(df.na.drop(Seq("x")), "cat", "x").collect()
     val shares = out.map(_.getDouble(2))
