@@ -93,11 +93,24 @@ case class DotProduct(left: Expression, right: Expression)
   * function registry + `call_function`). */
 object GraftFunctions {
   val DotName = "graft_dot"
+  val ShinglesName = "graft_shingles"
+  val JaccardName = "graft_jaccard"
 
   /** Idempotent per-session registration. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName, exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ShinglesName, exprs => DistinctShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      JaccardName, exprs => JaccardSim(exprs(0), exprs(1)), "scala_udf")
+  }
 
   def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
+
+  def distinctShingles(c: Column, n: Int): Column =
+    call_function(ShinglesName, c, org.apache.spark.sql.functions.lit(n))
+
+  def jaccard(a: Column, b: Column): Column = call_function(JaccardName, a, b)
 }

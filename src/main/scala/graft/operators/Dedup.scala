@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.GraftFunctions
 import graft.functions.Text
 
 /** Deduplication family (reference: src/helpers/preprocessing_data.py:84-123
@@ -84,9 +85,17 @@ object Dedup {
     * and defeats codegen CSE. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, shingleLen: Int = 5): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     val hashed = docs
+      // fan-out stage: a document table often arrives in few (or one)
+      // input splits; repartitioning the tiny pre-explode rows spreads
+      // the ~300x shingle expansion and hashing across the cluster.
+      // The partition count must be EXPLICIT: AQE sizes partitions by
+      // shuffle bytes and would coalesce the small pre-explode rows
+      // back onto one task (REPARTITION_BY_NUM is exempt).
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(shingles(col(textCol), shingleLen))).as("sh"))
+        explode(GraftFunctions.distinctShingles(col(textCol), shingleLen)).as("sh"))
       .select(col("doc_id"), shingleHash(col("sh")).as("h"))
     val aggs = (0 until k).map(i =>
       min((col("h") * lit(aCoef(i)) + lit(bCoef(i))) % lit(MinhashP)).as(s"m$i"))
@@ -106,17 +115,31 @@ object Dedup {
       .select(col("doc_id"), col("e.band"), col("e.band_hash"))
   }
 
-  /** Candidate near-dup pairs: equi-join on (band, band_hash) —
-    * documents agreeing on any full band. Distributed as a plain
-    * shuffle join; no cross join anywhere. */
+  /** All unordered pairs of an array's elements, as structs. */
+  private def pairsOf(arr: Column): Column =
+    flatten(transform(arr, (x, i) =>
+      transform(slice(arr, i + 2, size(arr)), y => struct(x.as("_1"), y.as("_2")))))
+
+  /** Candidate near-dup pairs: documents agreeing on any full band.
+    *
+    * Shape: group the band table by (band, band_hash) and expand each
+    * bucket's doc list into pairs locally. A band-table SELF-JOIN
+    * would compute the whole signature pipeline twice (the broadcast
+    * side can't reuse the probe side's exchange) — this computes it
+    * once and emits the same pair set. Bucket membership lists are
+    * bounded by LSH bucket sizes (small for a sound hash family); a
+    * pathological all-identical corpus concentrates its inherent
+    * O(n^2) output in one task either way. */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                         k: Int = 16, bands: Int = 4, shingleLen: Int = 5): DataFrame = {
-    val b = lshBands(docs, idCol, textCol, k, bands, shingleLen)
-    val a = b.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
-    val c = b.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
-    a.join(c, Seq("band", "band_hash"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    lshBands(docs, idCol, textCol, k, bands, shingleLen)
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(
+        least(col("p._1"), col("p._2")).as("doc_a"),
+        greatest(col("p._1"), col("p._2")).as("doc_b"))
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -126,15 +149,14 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
                    shingleLen: Int = 5): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     val cand = minhashCandidates(docs, idCol, textCol, k, bands, shingleLen)
     val sets = docs.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleLen)).as("sh"))
+      GraftFunctions.distinctShingles(col(textCol), shingleLen).as("sh"))
     val withA = cand.join(sets.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
     val withB = withA.join(sets.select(col("id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    val union = size(col("sh_a")) + size(col("sh_b")) - inter
     withB
-      .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+      .withColumn("jaccard", GraftFunctions.jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -143,7 +165,9 @@ object Dedup {
   /** 32-bit SimHash over whitespace tokens (weighted by occurrence).
     * Distributed as explode + one groupBy(doc) shuffle. */
   def simhash32(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
+    // spread the token fan-out; explicit count, see minhashSignatures
+    val tok = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc_id"),
       explode(Text.tokens(lower(col(textCol)))).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
     val bitSums = (0 until 32).map { j =>

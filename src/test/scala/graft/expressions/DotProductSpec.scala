@@ -37,6 +37,40 @@ class DotProductSpec extends SparkSuite {
     assert(df.select(GraftFunctions.dot(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("distinctShingles matches the HOF array_distinct(transform(...)) exactly") {
+    GraftFunctions.register(spark)
+    val texts = Seq("hello world hello", "ab", "", "aaaaaaa", "中文文本中文")
+    val df = texts.toDF("t")
+    val pairs = df.select(
+      GraftFunctions.distinctShingles(col("t"), 5).as("native"),
+      array_distinct(graft.operators.Dedup.shingles(col("t"), 5)).as("hof"))
+      .collect()
+    pairs.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+  }
+
+  test("jaccard matches the array_intersect formula exactly") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("b"))).toDF("x", "y")
+    val out = df.select(
+      GraftFunctions.jaccard(col("x"), col("y")).as("native"),
+      (size(array_intersect(col("x"), col("y"))).cast("double") /
+        (size(col("x")) + size(col("y")) - size(array_intersect(col("x"), col("y"))))
+          .cast("double")).as("hof")).collect()
+    assert(out(0).getDouble(0) === 0.5)
+    assert(out(0).getDouble(0) === out(0).getDouble(1))
+    assert(out(1).getDouble(0) === 0.0)
+    assert(out(1).getDouble(0) === out(1).getDouble(1))
+    // the HOF spelling throws DIVIDE_BY_ZERO (ANSI) on empty/empty;
+    // the native expression defines it as 0
+    val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("x", "y")
+      .select(GraftFunctions.jaccard(col("x"), col("y"))).head()
+    assert(empty.getDouble(0) === 0.0)
+  }
+
   test("the expression participates in whole-stage codegen (no fallback)") {
     GraftFunctions.register(spark)
     // non-literal input so the optimizer can't constant-fold the call
