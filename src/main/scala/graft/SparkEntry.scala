@@ -119,6 +119,10 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"), Text.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
+    "q_quality_filter" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Text.isQuality(col("text")).as("keep"))
+        .orderBy(col("doc_id"))),
     // ---- document dedup family (SURVEY §2.7 [EXT]) ----
     "q_exact_docs" -> ((s, d) => Dedup.exactDocs(t(s, d, "documents"))),
     "q_minhash_candidates" -> ((s, d) => Dedup.minhashCandidates(t(s, d, "documents"))),
@@ -340,6 +344,16 @@ object SparkEntry {
                    WHEN $best = 0 THEN 'unknown' $branches ELSE 'zh' END AS lang_pred
             FROM h ORDER BY doc_id"""
       },
+      "q_quality_filter" ->
+        """SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) >= 5
+             AND CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(text), '\s+')) <= 15.0
+             AND CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                 / len(text) <= 0.3
+             AND CAST(len(text) - len(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS DOUBLE)
+                 / len(text) <= 0.3 AS keep
+           FROM documents ORDER BY doc_id""",
       "q_exact_docs" ->
         s"""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, fingerprint
             FROM (SELECT doc_id, $fingerprint AS fingerprint FROM documents)

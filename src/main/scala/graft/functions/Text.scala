@@ -66,6 +66,17 @@ object Text {
   def stopwordHits(c: Column, pattern: String): Column =
     regexp_count(lower(c), lit(pattern))
 
+  /** Composite quality heuristic for corpus filtering (the standard
+    * pre-training gates): enough tokens, plausible mean token length,
+    * text not dominated by digits or punctuation. Boolean column;
+    * thresholds follow common public-corpus filter settings. */
+  def isQuality(c: Column, minTokens: Int = 5, maxAvgTokenLen: Double = 15.0,
+                maxDigitRatio: Double = 0.3, maxPunctRatio: Double = 0.3): Column =
+    (tokenCount(c) >= minTokens) &&
+      (avgTokenLen(c) <= maxAvgTokenLen) &&
+      (digitRatio(c) <= maxDigitRatio) &&
+      (punctCount(c).cast("double") / length(c) <= maxPunctRatio)
+
   def langId(c: Column): Column = {
     val hits = stopwordPatterns.map { case (l, p) => l -> stopwordHits(c, p) }
     val best = greatest(hits.map(_._2): _*)

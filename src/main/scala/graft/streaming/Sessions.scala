@@ -56,6 +56,16 @@ object Sessions {
       .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
       .orderBy(col("user_id"))
 
+  /** Streaming exact dedup by id (SURVEY.md §2.10 [EXT]): drops
+    * replayed/duplicate events, keeping dedup state only within the
+    * watermark horizon — the state-bounded form (a plain
+    * dropDuplicates on a stream retains ALL ids forever and OOMs a
+    * long-running job). */
+  def streamingDedup(events: DataFrame, idCol: String = "event_id",
+                     watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Custom stateful operator (SURVEY.md §2.10 [EXT]):
     * running per-user event count + value sum via
     * `flatMapGroupsWithState` — arbitrary keyed state, the Spark

@@ -68,6 +68,15 @@ class TextSpec extends SparkSuite {
     assert(one("zzz qqq xxx", Text.langId(_)) === "unknown")
   }
 
+  test("isQuality gates on token count, token length, digit and punct ratios") {
+    assert(one("a good clean sentence with enough words here", Text.isQuality(_)) === true)
+    assert(one("too short", Text.isQuality(_)) === false)
+    assert(one("1234 5678 9012 3456 7890 1111", Text.isQuality(_)) === false) // digits
+    assert(one("!!! ??? ... ;;; ::: @@@", Text.isQuality(_)) === false) // punct
+    assert(one("aaaaaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbbbbbb cccccccccccccccccccc dddddddddddddddddddd eeeeeeeeeeeeeeeeeeee",
+      Text.isQuality(_)) === false) // avg token length
+  }
+
   test("langId on null text is null (was: the fold's last branch, 'zh')") {
     val r = Seq(Option.empty[String]).toDF("t")
       .select(Text.langId(col("t")).as("l")).head()

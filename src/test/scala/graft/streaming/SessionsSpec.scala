@@ -42,6 +42,24 @@ class SessionsSpec extends SparkSuite {
     assert(out.toSeq === Seq((1L, 2L, 3L), (2L, 1L, 2L)))
   }
 
+  test("streamingDedup drops replayed event ids across micro-batches") {
+    val dir = Files.createTempDirectory("graft-sdedup").toString
+    val withDups = Seq(
+      (100L, ts(0), "click", 1.0),
+      (101L, ts(1), "view", 2.0),
+      (100L, ts(2), "click", 1.0)) // replay of event 100
+      .toDF("event_id", "ts", "event_type", "value")
+    withDups.write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = Sessions.streamingDedup(
+      spark.readStream.schema(schema).parquet(s"$dir/in"))
+    val q = stream.writeStream.format("memory").queryName("dd")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.sql("SELECT event_id FROM dd").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(100L, 101L))
+  }
+
   test("statefulUserTotals in batch mode: one pass, totals per user") {
     val out = Sessions.statefulUserTotals(events).collect().sortBy(_.user_id)
     assert(out.map(u => (u.user_id, u.n_events)).toSeq === Seq((1L, 3L), (2L, 2L)))
