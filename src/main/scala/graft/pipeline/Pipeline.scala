@@ -121,6 +121,14 @@ final class Pipeline(spark: SparkSession, lake: Lake,
     Anonymize.deanonymize(df, vault, hashedCol)
   }
 
+  /** Write the readable report as a single header CSV under the
+    * curated zone (reference: src/runnerfile.py:550-551 S8). */
+  def writeReadableCsv(report: String, hashedCol: String, vaultTable: String): String = {
+    val path = s"${lake.curated}/readable_$report"
+    Lake.writeCsv(readableReport(report, hashedCol, vaultTable), path)
+    path
+  }
+
   /** Per-table profiling artifacts (reference: §2.9 V1/V2), one
     * aggregate pass each. */
   def profile(table: String): DataFrame =

@@ -79,6 +79,13 @@ class PipelineSpec extends SparkSuite {
     val names = readable.collect().map(_.getAs[String]("presc_fullname")).toSet
     assert(names === Set("Alice Adams", "Bob Brown"))
 
+    // readable CSV artifact round-trips with the original names
+    val csvPath = pipe.writeReadableCsv("prescriber_report", "presc_fullname",
+      "__vault_prescriber_presc_fullname")
+    val csvBack = graft.sources.Lake.ingestCsv(spark, csvPath)
+    assert(csvBack.collect().map(_.getAs[String]("presc_fullname")).toSet ===
+      Set("Alice Adams", "Bob Brown"))
+
     // profiling + audit artifacts
     assert(pipe.profile("prescriber_drug").count() === 7) // 4 cols + y/m/d
     pipe.writeAuditLog(s"$root/artifacts/audit.json")
