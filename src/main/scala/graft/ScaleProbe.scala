@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Empirical scale check: replicate the sf0.1 documents/embeddings
+  * tables Nx (ids offset per copy so replicas are near-duplicates of
+  * each other) into /tmp and time the dedup + ANN paths. Verifies the
+  * scaling story the operators claim — wall-clock should grow roughly
+  * linearly for minhash/LSH and the candidate count must not explode.
+  *
+  * Usage: sbt "runMain graft.ScaleProbe [factor]"  (default 5)
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val docs0 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val emb0 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val nDocs0 = docs0.count()
+    val nEmb0 = emb0.count()
+
+    def replicate(df: DataFrame, idCol: String, n: Long): DataFrame =
+      df.crossJoin(spark.range(factor).withColumnRenamed("id", "__copy"))
+        .withColumn(idCol, col(idCol) + col("__copy") * n * 10)
+        .drop("__copy")
+
+    val docs = replicate(docs0, "doc_id", nDocs0).cache()
+    val emb = replicate(emb0, "vec_id", nEmb0).cache()
+    println(s"[scale] corpus: ${docs.count()} docs, ${emb.count()} vectors (factor $factor)")
+
+    val cand = time(s"minhashCandidates x$factor")(Dedup.minhashCandidates(docs).count())
+    println(s"[scale]   candidate pairs: $cand")
+    val nd = time(s"nearDupPairs x$factor")(Dedup.nearDupPairs(docs, threshold = 0.5).count())
+    println(s"[scale]   near-dup pairs:  $nd")
+    time(s"simhash x$factor")(Dedup.simhash32(docs).count())
+    val lsh = time(s"lshKnnJoin x$factor")(Similarity.lshKnnJoin(emb, 5).count())
+    println(s"[scale]   lsh-knn rows:    $lsh")
+    time(s"topK x$factor")(
+      Similarity.topK(emb, Similarity.vectorOf(emb, 1L), 10).collect())
+    spark.stop()
+  }
+}
