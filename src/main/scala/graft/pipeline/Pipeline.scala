@@ -39,14 +39,20 @@ final class Pipeline(spark: SparkSession, lake: Lake,
 
   /** Ingest every CSV under `csvDir` into the raw zone, stamped with
     * the ingest date and partitioned by it (reference:
-    * src/runnerfile.py:452-481 S1 + ingest_data.py:92-96 P4). */
-  def ingestCsvDir(csvDir: String, year: Int, month: Int, day: Int): Seq[String] = {
+    * src/runnerfile.py:452-481 S1 + ingest_data.py:92-96 P4).
+    * Tables present in `schemas` use their declared StructType (no
+    * inference pass, stable types — see [[Schemas]]); others fall
+    * back to inference for reference parity. */
+  def ingestCsvDir(csvDir: String, year: Int, month: Int, day: Int,
+                   schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty)
+      : Seq[String] = {
     val listed = Option(new java.io.File(csvDir).listFiles((_, n) => n.endsWith(".csv")))
     require(listed.isDefined, s"not a readable directory: $csvDir")
     val csvs = listed.get.toSeq.sortBy(_.getName)
     csvs.map { f =>
       val table = f.getName.stripSuffix(".csv")
-      val df = Lake.stampIngestDate(Lake.ingestCsv(spark, f.getPath), year, month, day)
+      val df = Lake.stampIngestDate(
+        Lake.ingestCsv(spark, f.getPath, schemas.get(table)), year, month, day)
       lake.writeRaw(df, table, Seq("year", "month", "day"))
       auditLog += StageAudit("ingest", table, df.count(), df.count(), 0)
       table

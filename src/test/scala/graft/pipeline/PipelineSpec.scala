@@ -42,9 +42,12 @@ class PipelineSpec extends SparkSuite {
     val lake = Lake(s"$root/raw", s"$root/cleansed", s"$root/curated")
     val pipe = new Pipeline(spark, lake, piiPatterns = Seq("fullname"))
 
-    // ingest: all three tables land date-partitioned in raw
-    val tables = pipe.ingestCsvDir(csvDir, 2026, 8, 12)
+    // ingest: all three tables land date-partitioned in raw, with
+    // declared schemas where available (no inference drift)
+    val tables = pipe.ingestCsvDir(csvDir, 2026, 8, 12, schemas = Schemas.all)
     assert(tables === Seq("drug", "prescriber", "prescriber_drug"))
+    assert(lake.readRaw(spark, "prescriber_drug").schema("total_claims").dataType ===
+      org.apache.spark.sql.types.IntegerType)
     assert(new java.io.File(s"$root/raw/prescriber/year=2026/month=8/day=12").exists())
 
     // cleanse: full-row dedup (prescriber 3->2, fact 5->4) + cast
