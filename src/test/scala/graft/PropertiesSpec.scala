@@ -1,0 +1,66 @@
+package graft
+
+import org.scalacheck.Gen
+
+import graft.expressions.{DistinctShingles, JaccardSim}
+import graft.operators.{Dedup, Skew}
+
+/** Property-based checks (SURVEY.md §5.1): algebraic laws that must
+  * hold for any input, not just the fixtures. Uses ScalaCheck
+  * generators sampled in-loop (the scalatest bridge artifact is not in
+  * the offline cache). Expression properties run through the
+  * interpreted eval path directly; DataFrame laws use bounded
+  * generated tables. */
+class PropertiesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  private val text =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '))).map(_.mkString)
+
+  test("property: shingle sets are deduplicated and cover the text") {
+    samples(text, 100).foreach { s =>
+      val arr = DistinctShingles.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 5)
+      val shingles = (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+      assert(shingles.distinct === shingles, s"dups for input '$s'")
+      if (s.length > 5) assert(shingles.forall(s.contains(_)), s"foreign shingle for '$s'")
+    }
+  }
+
+  test("property: jaccard is symmetric, bounded, and 1 on self") {
+    val arrGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e")).map(_.distinct)
+    def ad(xs: Seq[String]) = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      xs.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+    samples(Gen.zip(arrGen, arrGen), 200).foreach { case (a, b) =>
+      val ab = JaccardSim.compute(ad(a), ad(b))
+      val ba = JaccardSim.compute(ad(b), ad(a))
+      assert(ab === ba, s"asymmetric for $a / $b")
+      assert(ab >= 0.0 && ab <= 1.0)
+      if (a.nonEmpty) assert(JaccardSim.compute(ad(a), ad(a)) === 1.0)
+    }
+  }
+
+  test("property: exact dedup is idempotent") {
+    samples(Gen.listOfN(30, Gen.choose(0, 5)), 5).foreach { xs =>
+      val df = xs.toDF("v")
+      val once = Dedup.exact(df)
+      assert(once.count() === Dedup.exact(once).count())
+      assert(once.count() === xs.distinct.size.toLong)
+    }
+  }
+
+  test("property: salted sum equals the plain sum for any grouping") {
+    val rowsGen = Gen.listOfN(40, Gen.zip(Gen.oneOf("x", "y"), Gen.choose(0, 10000)))
+    samples(rowsGen, 5).foreach { rows =>
+      val df = rows.map { case (k, v) => (k, v / 100.0) }.toDF("k", "v")
+      val salted = Skew.saltedSum(df, "k", "v").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val plain = rows.groupBy(_._1).view
+        .mapValues(g => g.map(x => BigDecimal(x._2) / 100).sum.toDouble).toMap
+      assert(salted === plain)
+    }
+  }
+}
