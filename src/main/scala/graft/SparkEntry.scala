@@ -102,12 +102,13 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) => Sessions.sessionize(t(s, d, "events"))),
     // ---- text analysis (SURVEY §2.2 [EXT]) ----
     "q_doc_stats" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
       val c = col("text")
       t(s, d, "documents").select(
         col("doc_id"),
         Text.tokenCount(c).cast("long").as("n_tokens"),
         Text.bpeTokenCount(c).cast("long").as("n_bpe_tokens"),
-        Text.rollingHash(c).as("rolling_hash"),
+        graft.expressions.GraftFunctions.rollingHash(c).as("rolling_hash"),
         Text.nonSpaceChars(c).cast("long").as("n_nonspace"),
         Text.digitCount(c).cast("long").as("n_digits"),
         Text.punctCount(c).cast("long").as("n_punct"),

@@ -95,6 +95,7 @@ object GraftFunctions {
   val DotName = "graft_dot"
   val ShinglesName = "graft_shingles"
   val JaccardName = "graft_jaccard"
+  val RollingHashName = "graft_rolling_hash"
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -105,6 +106,8 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       JaccardName, exprs => JaccardSim(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      RollingHashName, exprs => RollingHash(exprs(0)), "scala_udf")
   }
 
   def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
@@ -113,4 +116,6 @@ object GraftFunctions {
     call_function(ShinglesName, c, org.apache.spark.sql.functions.lit(n))
 
   def jaccard(a: Column, b: Column): Column = call_function(JaccardName, a, b)
+
+  def rollingHash(c: Column): Column = call_function(RollingHashName, c)
 }

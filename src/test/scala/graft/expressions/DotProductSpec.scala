@@ -71,6 +71,15 @@ class DotProductSpec extends SparkSuite {
     assert(empty.getDouble(0) === 0.0)
   }
 
+  test("rollingHash matches the HOF fold exactly, incl. CJK codepoints") {
+    GraftFunctions.register(spark)
+    val df = Seq("hello world", "", "a", "中文 mixed 123", "  spaces  ").toDF("t")
+    val out = df.select(
+      GraftFunctions.rollingHash(col("t")).as("native"),
+      graft.functions.Text.rollingHash(col("t")).as("hof")).collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("the expression participates in whole-stage codegen (no fallback)") {
     GraftFunctions.register(spark)
     // non-literal input so the optimizer can't constant-fold the call
