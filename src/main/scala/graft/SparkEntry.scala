@@ -55,6 +55,9 @@ object SparkEntry {
     "q_top_parts_per_brand" -> ((s, d) =>
       TopK.perGroup(t(s, d, "part"), "p_brand", "p_retailprice", "p_partkey", 3)
         .orderBy(col("p_brand"), col("rank"))),
+    "q_topk_agg" -> ((s, d) =>
+      TopK.perGroupViaAggregator(t(s, d, "part"), "p_brand", "p_retailprice", "p_partkey", 3)
+        .orderBy(col("p_brand"), col("rank"))),
     // ---- window functions (SURVEY §2.5 [EXT]) ----
     "q_monthly_trend" -> ((s, d) => Windows.monthlyTrend(t(s, d, "lineitem"))),
     "q_rank_in_group" -> ((s, d) => Windows.rankInGroup(t(s, d, "supplier"))),
@@ -221,6 +224,11 @@ object SparkEntry {
       "q_top_parts" ->
         "SELECT * FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 100",
       "q_top_parts_per_brand" ->
+        """SELECT * FROM (
+             SELECT p.*, CAST(row_number() OVER (
+               PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS "rank"
+             FROM part p) WHERE "rank" <= 3 ORDER BY p_brand, "rank"""",
+      "q_topk_agg" -> // aggregator path, identical result contract
         """SELECT * FROM (
              SELECT p.*, CAST(row_number() OVER (
                PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS "rank"

@@ -25,4 +25,32 @@ object TopK {
     df.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** Shuffle-light per-group top-k via [[graft.expressions.TopKAggregator]]:
+    * the window formulation shuffles EVERY row to its group; this one
+    * partial-aggregates bounded k-buffers map-side, shuffles only
+    * them, then joins the k winners' tiebreak keys back for the full
+    * rows. Same result set as [[perGroup]]; the choice is a plan
+    * trade (tiny group count or huge groups → aggregator wins). The
+    * tiebreak column must be unique long-castable keys. */
+  def perGroupViaAggregator(df: DataFrame, group: String, measure: String,
+                            tiebreak: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new graft.expressions.TopKAggregator(k).toColumn
+    val winners = df
+      .select(col(group).cast("string").as("__g"),
+        col(measure).cast("double").as("measure"),
+        col(tiebreak).cast("long").as("tiebreak"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, m, t) => graft.expressions.Scored(m, t) }
+      .agg(agg.name("topk"))
+      .flatMap { case (_, buf) =>
+        buf.items.zipWithIndex.map { case (s, i) => (s.tiebreak, i + 1) }
+      }
+      .toDF("__tb", "rank")
+    df.join(winners, col(tiebreak).cast("long") === col("__tb"))
+      .drop("__tb")
+  }
 }

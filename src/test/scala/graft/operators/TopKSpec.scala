@@ -20,4 +20,25 @@ class TopKSpec extends SparkSuite {
       .orderBy("g", "rank").collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
     assert(out.toSeq === Seq(("g1", 2L, 1), ("g1", 3L, 2), ("g2", 4L, 1), ("g2", 5L, 2)))
   }
+
+  test("perGroupViaAggregator returns the same winners and ranks as the window form") {
+    val window = TopK.perGroup(df, "g", "m", "id", 2)
+      .select("g", "id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val agg = TopK.perGroupViaAggregator(df, "g", "m", "id", 2)
+      .select("g", "id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(agg === window)
+  }
+
+  test("perGroupViaAggregator on a larger skewed input matches the window form") {
+    import spark.implicits._
+    val big = (1 to 5000).map(i => (s"g${i % 7}", i.toLong, (i % 97).toDouble))
+      .toDF("g", "id", "m")
+    val w = TopK.perGroup(big, "g", "m", "id", 5).select("g", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val a = TopK.perGroupViaAggregator(big, "g", "m", "id", 5).select("g", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a === w)
+  }
 }
