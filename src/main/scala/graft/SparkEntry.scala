@@ -151,7 +151,10 @@ object SparkEntry {
       Multimodal.payloadMeta(Multimodal.attachPayload(t(s, d, "documents")))),
     "q_decode_stub" -> ((s, d) =>
       Multimodal.decodeStub(Multimodal.attachPayload(t(s, d, "documents")))
-        .toDF().orderBy(col("doc_id"))))
+        .toDF().orderBy(col("doc_id"))),
+    "q_frame_sample" -> ((s, d) =>
+      Multimodal.frameSampleStub(Multimodal.attachPayload(t(s, d, "documents")))
+        .toDF().orderBy(col("doc_id"), col("frame_idx"))))
 
   /** DuckDB-runnable oracle per query (same tables, same column names,
     * same ORDER BY). `q_lsh_knn` is omitted: its hyperplanes come from
@@ -442,6 +445,13 @@ object SparkEntry {
              CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
              CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height,
              CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
-           FROM documents WHERE text IS NOT NULL ORDER BY doc_id""")
+           FROM documents WHERE text IS NOT NULL ORDER BY doc_id""",
+      "q_frame_sample" ->
+        """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+             sha256(text || '#' || i::VARCHAR) AS frame_sha256
+           FROM (SELECT doc_id, text,
+                   unnest(range(0, 1 + octet_length(encode(text)) % 16)) AS i
+                 FROM documents WHERE text IS NOT NULL)
+           ORDER BY doc_id, frame_idx""")
   }
 }

@@ -28,12 +28,59 @@ object Multimodal {
       .orderBy(col(idCol))
 
   final case class DecodedMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int, n_frames: Int)
+  final case class ResizedMeta(doc_id: Long, width: Int, height: Int, n_bytes: Int, sha256: String)
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_sha256: String)
 
   /** STUB decoder: stands in for image/audio decode (no media libs in
     * this container). Deterministic fake features derived from the
     * payload so tests are stable. Runs partition-parallel over an
     * iterator batch — the exact execution shape a real decoder
     * (or `mapInPandas` in PySpark) would use. */
+  /** STUB resize: a real implementation decodes, scales to (w, h),
+    * and re-encodes; the stub derives deterministic output metadata
+    * (target dims, a plausible byte count, a content hash bound to
+    * the target size). Same partition-parallel batch shape. */
+  def resizeStub(withPayload: DataFrame, w: Int, h: Int,
+                 idCol: String = "doc_id"): Dataset[ResizedMeta] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, bytes) =>
+          md.reset()
+          md.update(bytes)
+          md.update(s":$w:$h".getBytes("UTF-8"))
+          val hex = md.digest().map("%02x".format(_)).mkString
+          ResizedMeta(id, w, h, w * h * 3, hex)
+        }
+      }
+  }
+
+  /** STUB frame sampling: one-to-many decode shape (a video payload
+    * yields multiple frame rows). Frame count reuses decodeStub's
+    * deterministic fake; each frame gets a content hash derived from
+    * (payload, frame index). */
+  def frameSampleStub(withPayload: DataFrame, idCol: String = "doc_id"): Dataset[Frame] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val nFrames = 1 + (bytes.length % 16)
+        (0 until nFrames).map { i =>
+          md.reset()
+          md.update(bytes)
+          md.update(s"#$i".getBytes("UTF-8"))
+          Frame(id, i, md.digest().map("%02x".format(_)).mkString)
+        }
+      }
+  }
+
   def decodeStub(withPayload: DataFrame, idCol: String = "doc_id"): Dataset[DecodedMeta] = {
     val spark = withPayload.sparkSession
     import spark.implicits._

@@ -15,6 +15,25 @@ class MultimodalSpec extends SparkSuite {
     assert(out(0).getString(2) !== out(1).getString(2))
   }
 
+  test("resizeStub: deterministic target dims and size-bound hash") {
+    val a = Multimodal.resizeStub(Multimodal.attachPayload(docs), 224, 224)
+      .collect().sortBy(_.doc_id)
+    assert(a.forall(r => r.width == 224 && r.height == 224 && r.n_bytes == 224 * 224 * 3))
+    val b = Multimodal.resizeStub(Multimodal.attachPayload(docs), 64, 64)
+      .collect().sortBy(_.doc_id)
+    assert(a(0).sha256 !== b(0).sha256, "hash must bind to the target size")
+  }
+
+  test("frameSampleStub: one-to-many frames with per-frame hashes") {
+    val frames = Multimodal.frameSampleStub(Multimodal.attachPayload(docs)).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc(1L).length === 1 + 5 % 16)
+    byDoc.values.foreach { fs =>
+      assert(fs.map(_.frame_idx).sorted.toSeq === (0 until fs.length))
+      assert(fs.map(_.frame_sha256).distinct.length === fs.length)
+    }
+  }
+
   test("decodeStub skips null payloads instead of crashing") {
     val withNull = Seq((1L, Some("ok")), (2L, Option.empty[String])).toDF("doc_id", "text")
     val out = Multimodal.decodeStub(Multimodal.attachPayload(withNull)).collect()
