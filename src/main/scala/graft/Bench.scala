@@ -31,7 +31,9 @@ object Bench {
     // Optional comma-separated subset for micro-benchmarking.
     val wanted = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => wanted.forall(_.contains(n)) }
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    // best-of-2 by default: one transient hiccup (GC, page-cache miss)
+    // otherwise lands in the recorded number for that query.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
