@@ -19,7 +19,7 @@ object Profile {
 
   /** One row, `<col>_nulls` per column — single pass (V2/P2). */
   def nullProfile(df: DataFrame): DataFrame =
-    df.agg(nullCount(df.columns.head), df.columns.tail.map(nullCount): _*)
+    df.agg(nullCount(df.columns.head), df.columns.tail.toSeq.map(nullCount): _*)
 
   /** Data dictionary: per column -> null count + exact distinct count
     * (reference: src/runnerfile.py:125-153 V1). One wide aggregate
@@ -31,13 +31,13 @@ object Profile {
         sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"__n_$c"),
         countDistinct(col(c)).as(s"__d_$c"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wide = df.agg(aggs.head, aggs.tail.toSeq: _*)
     val entries = df.columns.map { c =>
       struct(lit(c).as("column_name"),
         col(s"__n_$c").as("null_count"),
         col(s"__d_$c").as("distinct_count"))
     }
-    wide.select(explode(array(entries: _*)).as("e"))
+    wide.select(explode(array(entries.toSeq: _*)).as("e"))
       .select(col("e.column_name"), col("e.null_count"), col("e.distinct_count"))
       .orderBy(col("column_name"))
   }
@@ -65,13 +65,13 @@ object Profile {
         sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"__n_$c"),
         approx_count_distinct(col(c), rsd).as(s"__d_$c"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wide = df.agg(aggs.head, aggs.tail.toSeq: _*)
     val entries = df.columns.map { c =>
       struct(lit(c).as("column_name"),
         col(s"__n_$c").as("null_count"),
         col(s"__d_$c").as("approx_distinct_count"))
     }
-    wide.select(explode(array(entries: _*)).as("e"))
+    wide.select(explode(array(entries.toSeq: _*)).as("e"))
       .select(col("e.column_name"), col("e.null_count"), col("e.approx_distinct_count"))
       .orderBy(col("column_name"))
   }
