@@ -131,6 +131,7 @@ object SparkEntry {
     "q_exact_docs" -> ((s, d) => Dedup.exactDocs(t(s, d, "documents"))),
     "q_minhash_candidates" -> ((s, d) => Dedup.minhashCandidates(t(s, d, "documents"))),
     "q_near_dup_pairs" -> ((s, d) => Dedup.nearDupPairs(t(s, d, "documents"), threshold = 0.5)),
+    "q_dedup_docs" -> ((s, d) => Dedup.dedupDocuments(t(s, d, "documents"), threshold = 0.5)),
     "q_simhash" -> ((s, d) => Dedup.simhash32(t(s, d, "documents"))),
     // ---- similarity search (SURVEY §2.3 [EXT]) ----
     "q_topk_cosine" -> ((s, d) => {
@@ -166,20 +167,33 @@ object SparkEntry {
     def fold(products: String) = s"list_reduce($products, (x, y) -> x + y)"
     def dotSelf(v: String) =
       fold(s"[$v[i]::DOUBLE * $v[i]::DOUBLE for i in range(1, len($v)+1)]")
-    // MinHash CTEs mirroring Dedup.minhashSignatures/lshBands (k=16, 4 bands).
+    // MinHash CTEs mirroring Dedup.minhashSignatures/lshBands (k=16, 4
+    // bands), parameterized over the source relation.
     val minCols = (0 until 16).map(i =>
       s"min((h * ${Dedup.aCoef(i)} + ${Dedup.bCoef(i)}) % ${Dedup.MinhashP}) AS m$i").mkString(", ")
     val bandRows = (0 until 4).map { b =>
       val cat = (b * 4 until (b + 1) * 4).map(i => s"m$i::VARCHAR").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($cat) AS band_hash FROM sig"
     }.mkString(" UNION ALL ")
-    val minhashCtes =
-      s"""sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM documents),
+    def minhashCtesFrom(src: String) =
+      s"""sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM $src),
           hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
           sig AS (SELECT doc_id, $minCols FROM hh GROUP BY doc_id),
           b AS ($bandRows),
           cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                    FROM b x JOIN b y USING (band, band_hash) WHERE x.doc_id < y.doc_id)"""
+    val minhashCtes = minhashCtesFrom("documents")
+    // Verified-pair CTEs (cand -> exact jaccard >= threshold), shared
+    // by q_near_dup_pairs and q_dedup_docs.
+    def verifiedPairCtes(src: String) =
+      s"""sets AS (SELECT doc_id, list_distinct($shingles) AS sd FROM $src),
+          j AS (SELECT cand.doc_a, cand.doc_b,
+            len(list_intersect(a.sd, bb.sd)) AS inter,
+            len(a.sd) + len(bb.sd) - len(list_intersect(a.sd, bb.sd)) AS un
+            FROM cand JOIN sets a ON cand.doc_a = a.doc_id
+                      JOIN sets bb ON cand.doc_b = bb.doc_id),
+          verified AS (SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / un AS jac
+                       FROM j WHERE CAST(inter AS DOUBLE) / un >= 0.5)"""
     Map(
       "q_pricing_summary" ->
         s"""SELECT l_returnflag, l_linestatus,
@@ -375,14 +389,24 @@ object SparkEntry {
             SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""",
       "q_near_dup_pairs" ->
         s"""WITH $minhashCtes,
-            sets AS (SELECT doc_id, list_distinct($shingles) AS sd FROM documents),
-            j AS (SELECT cand.doc_a, cand.doc_b,
-              len(list_intersect(a.sd, bb.sd)) AS inter,
-              len(a.sd) + len(bb.sd) - len(list_intersect(a.sd, bb.sd)) AS un
-              FROM cand JOIN sets a ON cand.doc_a = a.doc_id
-                        JOIN sets bb ON cand.doc_b = bb.doc_id)
-            SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / un, 6) AS jaccard
-            FROM j WHERE CAST(inter AS DOUBLE) / un >= 0.5 ORDER BY doc_a, doc_b""",
+            ${verifiedPairCtes("documents")}
+            SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+            FROM verified ORDER BY doc_a, doc_b""",
+      "q_dedup_docs" ->
+        s"""WITH fp AS (SELECT doc_id, text, $fingerprint AS f FROM documents),
+            g AS (SELECT f, min(doc_id) AS ek FROM fp GROUP BY f),
+            wk AS (SELECT fp.doc_id, fp.text, g.ek FROM fp JOIN g ON fp.f = g.f),
+            kd AS (SELECT doc_id, text FROM wk WHERE doc_id = ek),
+            ${minhashCtesFrom("kd")},
+            ${verifiedPairCtes("kd")},
+            n AS (SELECT doc_b, min(doc_a) AS nk FROM verified GROUP BY doc_b)
+            SELECT wk.doc_id,
+              CASE WHEN wk.ek <> wk.doc_id THEN wk.ek
+                   ELSE COALESCE(n.nk, wk.doc_id) END AS keeper_id,
+              CASE WHEN wk.ek <> wk.doc_id THEN 'exact'
+                   WHEN n.nk IS NOT NULL THEN 'near'
+                   ELSE 'unique' END AS reason
+            FROM wk LEFT JOIN n ON wk.doc_id = n.doc_b ORDER BY wk.doc_id""",
       "q_simhash" ->
         """WITH tok AS (SELECT doc_id,
              unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t FROM documents),

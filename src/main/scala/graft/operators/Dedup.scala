@@ -162,6 +162,43 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** End-to-end corpus dedup — the composite a training-data pipeline
+    * actually runs (exact-collapse FIRST, so replica cliques never
+    * reach the quadratic near-dup stage):
+    *  1. exact: identical normalized text collapses to the min-id
+    *     keeper (`reason = 'exact'`);
+    *  2. near: MinHash-LSH + jaccard-verified pairs among the exact
+    *     keepers; a doc whose id exceeds a similar keeper's is
+    *     assigned the min such keeper (`reason = 'near'`, one hop —
+    *     transitive chains are not followed, by design: full
+    *     connected components need an iterative algorithm and change
+    *     results subtly with threshold);
+    *  3. everything else keeps itself (`reason = 'unique'`).
+    * Returns (doc_id, keeper_id, reason). */
+  def dedupDocuments(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                     threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
+                     shingleLen: Int = 5): DataFrame = {
+    val fp = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+      Text.fingerprint(col(textCol)).as("f"))
+    val groups = fp.groupBy(col("f")).agg(min(col("doc_id")).as("ek"))
+    val withKeeper = fp.join(groups, Seq("f"))
+    val keeperDocs = withKeeper.where(col("doc_id") === col("ek"))
+      .select(col("doc_id"), col("text"))
+    val nearAssign = nearDupPairs(keeperDocs, idCol = "doc_id", textCol = "text",
+      threshold = threshold, k = k, bands = bands, shingleLen = shingleLen)
+      .groupBy(col("doc_b")).agg(min(col("doc_a")).as("nk"))
+    withKeeper.select(col("doc_id"), col("ek"))
+      .join(nearAssign, col("doc_id") === col("doc_b"), "left")
+      .select(
+        col("doc_id"),
+        when(col("ek") =!= col("doc_id"), col("ek"))
+          .otherwise(coalesce(col("nk"), col("doc_id"))).as("keeper_id"),
+        when(col("ek") =!= col("doc_id"), lit("exact"))
+          .when(col("nk").isNotNull, lit("near"))
+          .otherwise(lit("unique")).as("reason"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 32-bit SimHash over whitespace tokens (weighted by occurrence).
     * Distributed as explode + one groupBy(doc) shuffle. */
   def simhash32(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

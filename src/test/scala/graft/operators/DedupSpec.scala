@@ -66,6 +66,21 @@ class DedupSpec extends SparkSuite {
     assert(out.head.getDouble(2) > 0.8)
   }
 
+  test("dedupDocuments: exact collapse first, near keepers one-hop, unique keeps itself") {
+    val d = docs(
+      1L -> "spark catalyst optimizer rewrites logical plans into physical plans",
+      2L -> "spark catalyst optimizer rewrites logical plans into physical plans", // exact dup of 1
+      3L -> "spark catalyst optimizer rewrites logical plans into physical plan!", // near dup of 1
+      4L -> "zebra yak xylophone walrus vulture tapir snake rabbit quokka pig")
+    val out = Dedup.dedupDocuments(d, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, "unique"),
+      (2L, 1L, "exact"),
+      (3L, 1L, "near"),
+      (4L, 4L, "unique")))
+  }
+
   test("simhash32: deterministic, near-dups have small hamming distance") {
     val d = docs(
       1L -> "alpha beta gamma delta epsilon zeta eta theta",
