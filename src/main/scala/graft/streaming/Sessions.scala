@@ -90,6 +90,21 @@ object Sessions {
       }
   }
 
+  /** Streaming sink into a lake zone: each micro-batch appends to the
+    * table's parquet directory via foreachBatch — the standard
+    * pattern when the target layout (zone roots, partitioning) is
+    * owned by batch-side code. Returns the started query; the caller
+    * picks the trigger and awaits. */
+  def streamToParquet(stream: DataFrame, path: String,
+                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(path)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming flavor of `windowedCounts`: file stream + watermark,
     * append mode. Driven synchronously in tests via a memory sink. */
   def streamingWindowedCounts(spark: SparkSession, path: String, schema: StructType,

@@ -80,6 +80,22 @@ class SessionsSpec extends SparkSuite {
     assert(updates.max === 2L)
   }
 
+  test("streamToParquet lands micro-batches in the lake and is restart-safe") {
+    val dir = Files.createTempDirectory("graft-sink").toString
+    events.write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    def run(): Unit = {
+      val q = Sessions.streamToParquet(
+        spark.readStream.schema(schema).parquet(s"$dir/in"),
+        s"$dir/out", s"$dir/ckpt")
+      q.awaitTermination(60000)
+    }
+    run()
+    assert(spark.read.parquet(s"$dir/out").count() === events.count())
+    run() // restart with same checkpoint: no new data -> no duplicates
+    assert(spark.read.parquet(s"$dir/out").count() === events.count())
+  }
+
   test("streamingWindowedCounts over a file stream matches the batch result") {
     val dir = Files.createTempDirectory("graft-stream").toString
     events.write.parquet(s"$dir/in")
