@@ -19,18 +19,18 @@ object Bench {
       spark.read.parquet(s"$sfDir/nation.parquet")
         .groupBy("n_regionkey").count().collect()
     } catch { case _: Throwable => () }
-    // Per-query plan warmup on the smoke scale: Janino caches generated
-    // code by plan shape, so one tiny-run per query moves plan
-    // compilation out of the timed section — the timings then measure
-    // steady-state execution, which is what matters at scale.
-    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
-    if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmupDir).count() catch { case _: Throwable => () }
-      }
     // Optional comma-separated subset for micro-benchmarking.
     val wanted = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => wanted.forall(_.contains(n)) }
+    // Per-query plan warmup on the smoke scale (selected queries only):
+    // Janino caches generated code by plan shape, so one tiny-run per
+    // query moves plan compilation out of the timed section — the
+    // timings then measure steady-state execution.
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
+      selected.foreach { case (_, fn) =>
+        try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+      }
     // best-of-2 by default: one transient hiccup (GC, page-cache miss)
     // otherwise lands in the recorded number for that query.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt

@@ -158,8 +158,9 @@ object SparkEntry {
         .toDF().orderBy(col("doc_id"), col("frame_idx"))))
 
   /** DuckDB-runnable oracle per query (same tables, same column names,
-    * same ORDER BY). `q_lsh_knn` is omitted: its hyperplanes come from
-    * a seeded JVM RNG and are not SQL-expressible (rows-only check). */
+    * same ORDER BY). Only `q_approx_dictionary` is omitted: HLL
+    * sketches are engine-specific, so its check is rows-only (pinned
+    * by SparkEntrySpec). */
   def oracleSql: Map[String, String] = {
     // DuckDB spellings shared across oracles.
     val fingerprint = "sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"

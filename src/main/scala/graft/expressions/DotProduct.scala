@@ -24,8 +24,10 @@ import org.apache.spark.sql.types._
   * float arrays directly (no up-front cast to array<double>, halving
   * shuffle width for float embeddings).
   *
-  * Arrays must be dense (no null elements) — embedding vectors by
-  * construction. Mismatched lengths use the shorter prefix.
+  * A null element in either compared position makes the result null,
+  * matching the HOF spelling's null propagation. Mismatched lengths
+  * use the shorter prefix (zip_with instead pads-with-null and
+  * returns null — the prefix is the useful semantics for vectors).
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -56,6 +58,7 @@ case class DotProduct(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -74,8 +77,12 @@ case class DotProduct(left: Expression, right: Expression)
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${get(left, a, i)} * ${get(right, b, i)};
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    $s += ${get(left, a, i)} * ${get(right, b, i)};
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -27,11 +27,33 @@ class TopKAggregator(k: Int) extends Aggregator[Scored, TopKBuf, TopKBuf] {
 
   override def zero: TopKBuf = TopKBuf(Nil)
 
-  override def reduce(buf: TopKBuf, row: Scored): TopKBuf =
-    TopKBuf((row :: buf.items).sorted(ord).take(k))
+  /** Sorted-insert only when the row beats the current k-th entry —
+    * the common miss path on a full buffer is a single comparison,
+    * no allocation (a per-row full re-sort would be O(k log k) per
+    * input on the map side). */
+  override def reduce(buf: TopKBuf, row: Scored): TopKBuf = {
+    val items = buf.items
+    if (items.lengthCompare(k) >= 0 && ord.lteq(items.last, row)) buf
+    else {
+      val (before, after) = items.span(s => ord.lt(s, row))
+      TopKBuf((before ::: row :: after).take(k))
+    }
+  }
 
-  override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
-    TopKBuf((a.items ++ b.items).sorted(ord).take(k))
+  override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+    // merge of two sorted lists, truncated at k
+    @annotation.tailrec
+    def go(x: List[Scored], y: List[Scored], n: Int, acc: List[Scored]): List[Scored] =
+      if (n == 0) acc.reverse
+      else (x, y) match {
+        case (Nil, Nil) => acc.reverse
+        case (xs, Nil) => acc.reverse ::: xs.take(n)
+        case (Nil, ys) => acc.reverse ::: ys.take(n)
+        case (xh :: xt, yh :: _) if ord.lteq(xh, yh) => go(xt, y, n - 1, xh :: acc)
+        case (_, yh :: yt) => go(x, yt, n - 1, yh :: acc)
+      }
+    TopKBuf(go(a.items, b.items, k, Nil))
+  }
 
   override def finish(buf: TopKBuf): TopKBuf = buf
 

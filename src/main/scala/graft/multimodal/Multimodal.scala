@@ -69,14 +69,16 @@ object Multimodal {
     withPayload.select(col(idCol).cast("long"), col("payload"))
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
-      .flatMap { case (id, bytes) =>
+      .mapPartitions { it => // one digest per partition, not per row
         val md = java.security.MessageDigest.getInstance("SHA-256")
-        val nFrames = 1 + (bytes.length % 16)
-        (0 until nFrames).map { i =>
-          md.reset()
-          md.update(bytes)
-          md.update(s"#$i".getBytes("UTF-8"))
-          Frame(id, i, md.digest().map("%02x".format(_)).mkString)
+        it.flatMap { case (id, bytes) =>
+          val nFrames = 1 + (bytes.length % 16)
+          (0 until nFrames).iterator.map { i =>
+            md.reset()
+            md.update(bytes)
+            md.update(s"#$i".getBytes("UTF-8"))
+            Frame(id, i, md.digest().map("%02x".format(_)).mkString)
+          }
         }
       }
   }

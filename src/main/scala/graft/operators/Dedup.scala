@@ -30,6 +30,7 @@ object Dedup {
     * reproducible across runs; we keep the min-by-tiebreak row). The
     * tiebreak columns must uniquely order rows within a key group. */
   def keyedDeterministic(df: DataFrame, keys: Seq[String], tiebreaks: String*): DataFrame = {
+    require(tiebreaks.nonEmpty, "keyedDeterministic needs at least one tiebreak column")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(tiebreaks.map(col): _*)
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)

@@ -54,7 +54,8 @@ final class Pipeline(spark: SparkSession, lake: Lake,
       val df = Lake.stampIngestDate(
         Lake.ingestCsv(spark, f.getPath, schemas.get(table)), year, month, day)
       lake.writeRaw(df, table, Seq("year", "month", "day"))
-      auditLog += StageAudit("ingest", table, df.count(), df.count(), 0)
+      val n = df.count()
+      auditLog += StageAudit("ingest", table, n, n, 0)
       table
     }
   }

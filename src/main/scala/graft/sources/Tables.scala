@@ -21,6 +21,11 @@ object Tables {
     // `events.ts` is physically TIMESTAMP(NANOS), which Spark's parquet
     // reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as LONG and
     // convert to a microsecond timestamp — Spark's native precision.
+    // NOTE: the legacy conf is session-wide and deliberately NOT
+    // restored (the scan consults it again at execution time); any
+    // later read of a DIFFERENT nanos-timestamp parquet in the same
+    // session will therefore surface LONG columns instead of failing.
+    // No other nanos files exist in this environment.
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")

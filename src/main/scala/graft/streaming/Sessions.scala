@@ -90,19 +90,20 @@ object Sessions {
       }
   }
 
-  /** Streaming sink into a lake zone: each micro-batch appends to the
-    * table's parquet directory via foreachBatch — the standard
-    * pattern when the target layout (zone roots, partitioning) is
-    * owned by batch-side code. Returns the started query; the caller
-    * picks the trigger and awaits. */
-  def streamToParquet(stream: DataFrame, path: String,
-                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+  /** Streaming sink into a lake zone via the built-in parquet file
+    * sink — exactly-once through its commit log (a foreachBatch
+    * append would be at-least-once: a batch replayed after a crash
+    * between the write and the offset commit lands twice). The caller
+    * picks the trigger; default drains available data and stops. */
+  def streamToParquet(stream: DataFrame, path: String, checkpoint: String,
+                      trigger: org.apache.spark.sql.streaming.Trigger =
+                        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
+      .format("parquet")
+      .option("path", path)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").parquet(path)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** Streaming flavor of `windowedCounts`: file stream + watermark,

@@ -37,6 +37,19 @@ class DotProductSpec extends SparkSuite {
     assert(df.select(GraftFunctions.dot(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("a null ELEMENT propagates null (matches the HOF spelling)") {
+    GraftFunctions.register(spark)
+    // non-literal path so both codegen and eval see the null slot
+    val df = spark.range(2)
+      .select(array(col("id").cast("double"),
+        when(col("id") === 1, lit(null)).otherwise(lit(2.0))).as("a"))
+      .select(col("a"), GraftFunctions.dot(col("a"), col("a")).as("d"))
+      .orderBy(col("a"))
+    val rows = df.collect()
+    assert(rows.exists(!_.isNullAt(1)), "dense row must produce a value")
+    assert(rows.exists(_.isNullAt(1)), "row with a null element must produce null")
+  }
+
   test("distinctShingles matches the HOF array_distinct(transform(...)) exactly") {
     GraftFunctions.register(spark)
     val texts = Seq("hello world hello", "ab", "", "aaaaaaa", "中文文本中文")
