@@ -46,6 +46,16 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot"
   override def dataType: DataType = DoubleType
 
+  /** Must account for element nullability: a null ELEMENT nulls the
+    * result even when both array columns are non-null. Without this,
+    * codegen materializes ev.isNull as the literal `false` and the
+    * null path silently cannot fire. */
+  override def nullable: Boolean = !childrenResolved ||
+    left.nullable || right.nullable || (Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }))
+
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
