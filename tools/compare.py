@@ -35,8 +35,10 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            s_types = dict(zip(spark_rel.columns, map(str, spark_rel.types)))
             s_cols, s_rows = canon(spark_rel.fetchall(), spark_rel.columns)
             duck_rel = con.sql(sql)
+            d_types = dict(zip(duck_rel.columns, map(str, duck_rel.types)))
             d_cols, d_rows = canon(duck_rel.fetchall(), duck_rel.columns)
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
@@ -44,6 +46,12 @@ def main(sf_dir, out_dir):
             continue
         if s_cols != d_cols:
             print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
+            n_fail += 1
+            continue
+        mismatched = {c: (s_types[c], d_types[c]) for c in s_cols
+                      if s_types[c] != d_types[c]}
+        if mismatched:
+            print(f"FAIL {name}: dtype mismatch {mismatched}")
             n_fail += 1
             continue
         if len(s_rows) != len(d_rows):
