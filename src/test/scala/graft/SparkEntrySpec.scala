@@ -16,4 +16,21 @@ class SparkEntrySpec extends SparkSuite {
   test("flagship entry returns rows on the smoke scale") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("oracle_sql.json content round-trips through a strict JSON parser") {
+    import org.json4s.jackson.JsonMethods
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${JsonEscape(k)}: ${JsonEscape(v)}" }.mkString("{", ",", "}")
+    val parsed = JsonMethods.parse(json)
+    val keys = parsed.values.asInstanceOf[Map[String, String]]
+    assert(keys.keySet === SparkEntry.oracleSql.keySet)
+    assert(keys("q_pricing_summary").contains("DECIMAL(18,2)"))
+  }
+
+  test("JsonEscape handles quotes, backslashes, and control characters") {
+    import org.json4s.jackson.JsonMethods
+    val nasty = "a\"b\\c\nd\te\rfg"
+    val parsed = JsonMethods.parse(s"{${JsonEscape("k")}: ${JsonEscape(nasty)}}")
+    assert(parsed.values.asInstanceOf[Map[String, String]]("k") === nasty)
+  }
 }

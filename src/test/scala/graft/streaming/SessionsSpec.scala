@@ -80,6 +80,44 @@ class SessionsSpec extends SparkSuite {
     assert(updates.max === 2L)
   }
 
+  test("watermark drops late events from already-closed windows (append mode)") {
+    val dir = Files.createTempDirectory("graft-late").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def write(name: String, rows: Seq[(Long, Timestamp, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "event_type", "value")
+        .coalesce(1).write.parquet(s"$dir/in/$name")
+    def run(): Unit = {
+      val schema = spark.read.parquet(s"$dir/in/*").schema
+      val stream = Sessions.streamingWindowedCounts(spark,
+        s"$dir/in/*", schema, width = "10 minutes", watermark = "10 minutes")
+      // parquet sink: supports checkpoint recovery (memory sink doesn't),
+      // so the watermark survives the restart between the two runs
+      val q = stream.writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    // run 1: events at 10:00:30 and 10:30 -> watermark lands at 10:20,
+    // closing and emitting window [10:00, 10:10) with ONE event
+    write("b1", Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:30"), "click", 1.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:30:00"), "click", 1.0)))
+    run()
+    // run 2 (restart, same checkpoint): a LATE event for the already
+    // closed 10:00 window arrives -> the watermark must drop it
+    write("b2", Seq((3L, Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0)))
+    run()
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    val emitted = spark.read.parquet(s"$dir/out")
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    assert(emitted.count(_._1 == base) === 1,
+      s"closed window must be emitted exactly once; got ${emitted.toSeq}")
+    assert(emitted.toMap.get(base).contains(1L),
+      s"closed window must hold exactly the on-time event; got ${emitted.toSeq}")
+  }
+
   test("streamToParquet lands micro-batches in the lake and is restart-safe") {
     val dir = Files.createTempDirectory("graft-sink").toString
     events.write.parquet(s"$dir/in")
