@@ -40,12 +40,18 @@ object Multimodal {
     * and re-encodes; the stub derives deterministic output metadata
     * (target dims, a plausible byte count, a content hash bound to
     * the target size). Same partition-parallel batch shape. */
+  /** Media tables often arrive as few large files (one row group =
+    * one Spark partition); repartitioning the slim (id, payload) rows
+    * spreads the per-document decode work across the cluster. */
+  private def spread(df: DataFrame, idCol: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+
   def resizeStub(withPayload: DataFrame, w: Int, h: Int,
                  idCol: String = "doc_id"): Dataset[ResizedMeta] = {
     val spark = withPayload.sparkSession
     import spark.implicits._
-    withPayload.select(col(idCol).cast("long"), col("payload"))
-      .where(col("payload").isNotNull)
+    spread(withPayload.select(col(idCol).cast("long"), col("payload"))
+      .where(col("payload").isNotNull), idCol)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -66,8 +72,8 @@ object Multimodal {
   def frameSampleStub(withPayload: DataFrame, idCol: String = "doc_id"): Dataset[Frame] = {
     val spark = withPayload.sparkSession
     import spark.implicits._
-    withPayload.select(col(idCol).cast("long"), col("payload"))
-      .where(col("payload").isNotNull)
+    spread(withPayload.select(col(idCol).cast("long"), col("payload"))
+      .where(col("payload").isNotNull), idCol)
       .as[(Long, Array[Byte])]
       .mapPartitions { it => // one digest per partition, not per row
         val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -86,8 +92,8 @@ object Multimodal {
   def decodeStub(withPayload: DataFrame, idCol: String = "doc_id"): Dataset[DecodedMeta] = {
     val spark = withPayload.sparkSession
     import spark.implicits._
-    withPayload.select(col(idCol).cast("long"), col("payload"))
-      .where(col("payload").isNotNull) // null media: nothing to decode
+    spread(withPayload.select(col(idCol).cast("long"), col("payload"))
+      .where(col("payload").isNotNull), idCol) // null media: nothing to decode
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
