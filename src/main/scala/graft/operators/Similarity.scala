@@ -72,7 +72,13 @@ object Similarity {
   def knnJoin(embeddings: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    // the probe side keeps its input partitioning through a broadcast
+    // join — an embeddings table read from one file would compute the
+    // whole cross product on a single task; spread it explicitly
+    // (REPARTITION_BY_NUM: exempt from AQE's bytes-based coalescing)
+    val spread = embeddings.repartition(
+      embeddings.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val a = spread.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cosine_sim").desc, col("id_b"))
