@@ -47,6 +47,11 @@ object SparkEntry {
     "q_brand_report" -> ((s, d) =>
       Reports.brandReport(t(s, d, "lineitem"), t(s, d, "part"))),
     "q_kpis" -> ((s, d) => Reports.kpis(t(s, d, "lineitem"))),
+    "q_regional_revenue" -> ((s, d) =>
+      Reports.regionalRevenue(t(s, d, "lineitem"), t(s, d, "supplier"),
+        t(s, d, "nation"), t(s, d, "region"), regionName = "ASIA")),
+    "q_shipped_between" -> ((s, d) =>
+      Reports.shippedBetween(t(s, d, "lineitem"), "1997-01-01", "1998-01-01")),
     "q_count_per_key" -> ((s, d) => Reports.countPerKey(t(s, d, "orders"), "o_custkey")),
     "q_salted_sum" -> ((s, d) =>
       Skew.saltedSum(t(s, d, "lineitem").select("l_returnflag", "l_quantity"),
@@ -233,6 +238,20 @@ object SparkEntry {
             ${sqlDsum("l_quantity")} AS total_claims,
             ${sqlDsum("l_extendedprice")} AS total_cost
             FROM lineitem""",
+      "q_regional_revenue" ->
+        s"""SELECT n.n_name, ${sqlDsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""",
+      "q_shipped_between" ->
+        s"""SELECT l_returnflag, count(*) AS n_rows, ${sqlDsum("l_quantity")} AS sum_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_returnflag ORDER BY l_returnflag""",
       "q_count_per_key" ->
         """SELECT o_custkey, count(*) AS num_prescriptions FROM orders
            GROUP BY o_custkey ORDER BY num_prescriptions DESC, o_custkey""",

@@ -97,6 +97,38 @@ object Reports {
       dsum(col("l_quantity")).as("total_claims"),
       dsum(col("l_extendedprice")).as("total_cost"))
 
+  /** TPC-H Q5-shaped multi-hop dimension chain: revenue per nation for
+    * one region — fact ⋈ supplier ⋈ nation ⋈ region with the region
+    * filter applied BEFORE the broadcasts, so the pruned dims shrink
+    * every join build side. The fact never shuffles for the joins;
+    * only the final groupBy exchanges one row per nation. */
+  def regionalRevenue(lineitem: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, region: DataFrame, regionName: String): DataFrame = {
+    val dims = supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.where(col("r_name") === regionName).select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    lineitem.select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Date-range slice of the fact — at scale this is the partition-
+    * pruning / row-group-statistics query shape (the predicate lands
+    * in PushedFilters). */
+  def shippedBetween(lineitem: DataFrame, fromDate: String, untilDate: String): DataFrame =
+    lineitem
+      .where(col("l_shipdate") >= lit(fromDate).cast("timestamp") &&
+        col("l_shipdate") < lit(untilDate).cast("timestamp"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
   /** Per-key row-count report (reference: src/runnerfile.py:418 A4). */
   def countPerKey(df: DataFrame, key: String): DataFrame =
     df.groupBy(col(key))
