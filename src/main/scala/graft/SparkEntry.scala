@@ -52,6 +52,12 @@ object SparkEntry {
         t(s, d, "nation"), t(s, d, "region"), regionName = "ASIA")),
     "q_shipped_between" -> ((s, d) =>
       Reports.shippedBetween(t(s, d, "lineitem"), "1997-01-01", "1998-01-01")),
+    "q_segment_revenue" -> ((s, d) =>
+      Reports.segmentRevenue(t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"))),
+    "q_customers_with_orders" -> ((s, d) =>
+      Reports.customersWithOrders(t(s, d, "customer"), t(s, d, "orders"))),
+    "q_customers_without_orders" -> ((s, d) =>
+      Reports.customersWithoutOrders(t(s, d, "customer"), t(s, d, "orders"))),
     "q_count_per_key" -> ((s, d) => Reports.countPerKey(t(s, d, "orders"), "o_custkey")),
     "q_salted_sum" -> ((s, d) =>
       Skew.saltedSum(t(s, d, "lineitem").select("l_returnflag", "l_quantity"),
@@ -252,6 +258,20 @@ object SparkEntry {
             WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
             GROUP BY l_returnflag ORDER BY l_returnflag""",
+      "q_segment_revenue" ->
+        s"""SELECT c.c_mktsegment, ${sqlDsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+      "q_customers_with_orders" ->
+        """SELECT c_custkey, c_name FROM customer
+           WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           ORDER BY c_custkey""",
+      "q_customers_without_orders" ->
+        """SELECT c_custkey, c_name FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           ORDER BY c_custkey""",
       "q_count_per_key" ->
         """SELECT o_custkey, count(*) AS num_prescriptions FROM orders
            GROUP BY o_custkey ORDER BY num_prescriptions DESC, o_custkey""",

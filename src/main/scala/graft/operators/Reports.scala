@@ -129,6 +129,34 @@ object Reports {
       .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Revenue per market segment: lineitem ⋈ orders is LARGE-to-LARGE
+    * — a genuine shuffle (sort-merge) join on the order key, the one
+    * join shape broadcasting can't remove. At scale both sides
+    * benefit from being bucketed by the key ([[graft.sources.Bucketing]]);
+    * AQE handles skewed order keys. The customer dim stays broadcast. */
+  def segmentRevenue(lineitem: DataFrame, orders: DataFrame, customer: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Customers with at least one order — left-semi join (EXISTS). */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Customers with no orders — left-anti join (NOT EXISTS). */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
   /** Per-key row-count report (reference: src/runnerfile.py:418 A4). */
   def countPerKey(df: DataFrame, key: String): DataFrame =
     df.groupBy(col(key))
