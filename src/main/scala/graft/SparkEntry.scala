@@ -62,6 +62,7 @@ object SparkEntry {
     "q_salted_sum" -> ((s, d) =>
       Skew.saltedSum(t(s, d, "lineitem").select("l_returnflag", "l_quantity"),
         "l_returnflag", "l_quantity").orderBy(col("l_returnflag"))),
+    "q_rollup" -> ((s, d) => Reports.rollupSummary(t(s, d, "lineitem"))),
     "q_top_parts" -> ((s, d) => TopK.topN(t(s, d, "part"), "p_retailprice", "p_partkey", 100)),
     "q_top_parts_per_brand" -> ((s, d) =>
       TopK.perGroup(t(s, d, "part"), "p_brand", "p_retailprice", "p_partkey", 3)
@@ -275,6 +276,11 @@ object SparkEntry {
       "q_count_per_key" ->
         """SELECT o_custkey, count(*) AS num_prescriptions FROM orders
            GROUP BY o_custkey ORDER BY num_prescriptions DESC, o_custkey""",
+      "q_rollup" -> // NULLS FIRST: Spark's ASC default; DuckDB defaults NULLS LAST
+        s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+            ${sqlDsum("l_quantity")} AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
       "q_salted_sum" ->
         s"""SELECT l_returnflag, ${sqlDsum("l_quantity")} AS sum_l_quantity
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

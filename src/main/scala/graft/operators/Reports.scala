@@ -157,6 +157,14 @@ object Reports {
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
 
+  /** Hierarchical subtotals via ROLLUP: per (flag, status), per flag,
+    * and grand total in one pass (Catalyst plans it as one Expand +
+    * aggregate — not three queries over the fact). */
+  def rollupSummary(lineitem: DataFrame): DataFrame =
+    lineitem.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Per-key row-count report (reference: src/runnerfile.py:418 A4). */
   def countPerKey(df: DataFrame, key: String): DataFrame =
     df.groupBy(col(key))
