@@ -70,6 +70,24 @@ object Lake {
     }
   }
 
+  /** JSON-lines ingest (newline-delimited records). Like CSV, pass an
+    * explicit schema in production — inference is an extra full pass. */
+  def ingestJson(spark: SparkSession, path: String,
+                 schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    schema match {
+      case Some(s) => spark.read.schema(s).json(path)
+      case None    => spark.read.json(path)
+    }
+
+  /** ORC read/write — the other columnar format Spark ships natively;
+    * same pushdown/pruning properties as parquet. */
+  def readOrc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
   /** Stamp ingestion-date partition columns as literals (reference:
     * src/helpers/ingest_data.py:92-96 P4). */
   def stampIngestDate(df: DataFrame, year: Int, month: Int, day: Int): DataFrame =

@@ -66,6 +66,30 @@ class LakeSpec extends SparkSuite {
     assert(Lake.incrementalSlice(source, "id", None).count() === 4)
   }
 
+  test("ingestJson reads newline-delimited records, with or without a schema") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/t.json"),
+      """{"id": 1, "name": "a"}
+        |{"id": 2, "name": "b"}
+        |""".stripMargin)
+    val inferred = Lake.ingestJson(spark, s"$dir/t.json")
+    assert(inferred.count() === 2)
+    val explicit = Lake.ingestJson(spark, s"$dir/t.json",
+      Some(StructType(Seq(StructField("id", LongType), StructField("name", StringType)))))
+    assert(explicit.schema("id").dataType === LongType)
+  }
+
+  test("ORC round-trip with partitioning and predicate pushdown") {
+    val dir = tmp()
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1, "a", 10), (2, "b", 20)).toDF("id", "v", "part")
+    Lake.writeOrc(df, s"$dir/t", Seq("part"))
+    assert(new java.io.File(s"$dir/t/part=10").exists())
+    val back = Lake.readOrc(spark, s"$dir/t").where(col("id") > 1)
+    assert(back.count() === 1)
+    assert(back.queryExecution.executedPlan.toString.contains("PushedFilters"))
+  }
+
   test("writeCsv emits one header CSV readable back") {
     val dir = tmp()
     Lake.writeCsv(Seq((1, "a"), (2, "b")).toDF("id", "v"), s"$dir/report")
