@@ -77,25 +77,46 @@ case class DotProduct(left: Expression, right: Expression)
     java.lang.Double.valueOf(s)
   }
 
+  /** When NO element can be null (both arrays containsNull=false) the
+    * generated code must not reference `ev.isNull` at all: if the
+    * expression as a whole is also non-nullable, nullSafeCodeGen
+    * substitutes the literal `false` for it and an assignment
+    * `false = true;` fails Janino compilation — which silently drops
+    * the WHOLE stage back to interpreted execution, defeating the
+    * expression's purpose on exactly the densest inputs. */
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     def get(e: Expression, arr: String, i: String): String =
       if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+    val elemsNullable = Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    })
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
-         |    ${ev.isNull} = true;
-         |  } else {
-         |    $s += ${get(left, a, i)} * ${get(right, b, i)};
-         |  }
-         |}
-         |${ev.value} = $s;
-       """.stripMargin
+      if (!elemsNullable)
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += ${get(left, a, i)} * ${get(right, b, i)};
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      else
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+           |    ${ev.isNull} = true;
+           |  } else {
+           |    $s += ${get(left, a, i)} * ${get(right, b, i)};
+           |  }
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
     })
   }
 

@@ -6,6 +6,20 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for all suites (one JVM per `sbt test`). */
 trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSuite.session
+
+  /** Run `body` with the given SQL confs set, restoring prior values
+    * after (the session is shared across suites, so leaks would bleed
+    * into other tests). */
+  def withSQLConf[T](pairs: (String, String)*)(body: => T): T = {
+    val conf = spark.conf
+    val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
 
 object SparkSuite {

@@ -95,13 +95,34 @@ class DotProductSpec extends SparkSuite {
 
   test("the expression participates in whole-stage codegen (no fallback)") {
     GraftFunctions.register(spark)
-    // non-literal input so the optimizer can't constant-fold the call
-    val df = spark.range(10)
-      .select(array(col("id").cast("double"), lit(2.0)).as("a"))
-      .select(GraftFunctions.dot(col("a"), col("a")).as("d"))
-    val plan = df.queryExecution.executedPlan.toString
-    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
-    assert(plan.contains("*(1) Project [graft_dot"), s"expected graft_dot inside WSCG in:\n$plan")
-    assert(df.collect().map(_.getDouble(0)).take(3).toSeq === Seq(4.0, 5.0, 8.0))
+    // non-literal input so the optimizer can't constant-fold the call.
+    // This shape (non-null array of non-null elements) makes the whole
+    // expression non-nullable — the case where nullSafeCodeGen renders
+    // ev.isNull as the literal `false`, so any generated assignment to
+    // it fails Janino compilation. With codegen.fallback disabled that
+    // failure surfaces as an error instead of a silent interpreted run
+    // (the plan string alone can't catch it: it renders pre-compile).
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      val df = spark.range(10)
+        .select(array(col("id").cast("double"), lit(2.0)).as("a"))
+        .select(GraftFunctions.dot(col("a"), col("a")).as("d"))
+      val plan = df.queryExecution.executedPlan.toString
+      // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+      assert(plan.contains("*(1) Project [graft_dot"), s"expected graft_dot inside WSCG in:\n$plan")
+      assert(df.collect().map(_.getDouble(0)).take(3).toSeq === Seq(4.0, 5.0, 8.0))
+    }
+  }
+
+  test("nullable-element inputs still compile and propagate null (fallback disabled)") {
+    GraftFunctions.register(spark)
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      val df = spark.range(3)
+        .select(array(col("id").cast("double"),
+          when(col("id") === 1, lit(null)).otherwise(lit(2.0))).as("a"))
+        .select(col("a"), GraftFunctions.dot(col("a"), col("a")).as("d"))
+      val rows = df.orderBy(col("a")).collect()
+      assert(rows.count(_.isNullAt(1)) === 1)
+      assert(rows.count(!_.isNullAt(1)) === 2)
+    }
   }
 }
