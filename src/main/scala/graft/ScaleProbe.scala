@@ -46,11 +46,21 @@ object ScaleProbe {
 
     val cand = time(s"minhashCandidates x$factor")(Dedup.minhashCandidates(docs).count())
     println(s"[scale]   candidate pairs: $cand")
+    // hot-bucket guard: replication inflates every bucket ~factor-x, so
+    // uncapped candidates grow ~factor^2; with the cap the growth must
+    // stay flat (bounded per bucket) — the 100 TB safety property.
+    val candCap = time(s"minhashCandidates cap=8 x$factor")(
+      Dedup.minhashCandidates(docs, maxBucket = 8).count())
+    val droppedCap = Dedup.droppedBuckets(docs, maxBucket = 8).count()
+    println(s"[scale]   capped candidate pairs: $candCap (dropped buckets: $droppedCap)")
     val nd = time(s"nearDupPairs x$factor")(Dedup.nearDupPairs(docs, threshold = 0.5).count())
     println(s"[scale]   near-dup pairs:  $nd")
     time(s"simhash x$factor")(Dedup.simhash32(docs).count())
-    val lsh = time(s"lshKnnJoin x$factor")(Similarity.lshKnnJoin(emb, 5).count())
+    val lsh = time(s"lshKnnJoin x$factor")(Similarity.lshKnnJoin(emb, 5, dim = 64).count())
     println(s"[scale]   lsh-knn rows:    $lsh")
+    val lshCap = time(s"lshKnnJoin cap=64 x$factor")(
+      Similarity.lshKnnJoin(emb, 5, dim = 64, maxBucket = 64).count())
+    println(s"[scale]   capped lsh-knn rows: $lshCap")
     time(s"topK x$factor")(
       Similarity.topK(emb, Similarity.vectorOf(emb, 1L), 10).collect())
     spark.stop()

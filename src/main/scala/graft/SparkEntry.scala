@@ -81,6 +81,12 @@ object SparkEntry {
       Dedup.keyedDeterministic(
         t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
         Seq("l_orderkey"), "l_linenumber", "l_quantity").orderBy(col("l_orderkey"))),
+    // aggregate-shaped twin of q_dedup_keyed: min_by partial-aggregates
+    // map-side with no per-group sort — same oracle, cheaper plan
+    "q_dedup_keyed_agg" -> ((s, d) =>
+      Dedup.keyedDeterministicAgg(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        Seq("l_orderkey"), "l_linenumber", "l_quantity").orderBy(col("l_orderkey"))),
     // ---- profiling / validation (SURVEY §2.9) ----
     "q_null_profile" -> ((s, d) => Profile.nullProfile(t(s, d, "customer"))),
     "q_data_dictionary" -> ((s, d) => Profile.dataDictionary(t(s, d, "supplier"))),
@@ -142,6 +148,11 @@ object SparkEntry {
     // ---- document dedup family (SURVEY §2.7 [EXT]) ----
     "q_exact_docs" -> ((s, d) => Dedup.exactDocs(t(s, d, "documents"))),
     "q_minhash_candidates" -> ((s, d) => Dedup.minhashCandidates(t(s, d, "documents"))),
+    // hot-bucket guard on: buckets above the cap are dropped before
+    // pair expansion (the 100 TB safety valve; cap chosen to actually
+    // drop a bucket at the gate's scale)
+    "q_minhash_capped" -> ((s, d) =>
+      Dedup.minhashCandidates(t(s, d, "documents"), maxBucket = 3)),
     "q_near_dup_pairs" -> ((s, d) => Dedup.nearDupPairs(t(s, d, "documents"), threshold = 0.5)),
     "q_dedup_docs" -> ((s, d) => Dedup.dedupDocuments(t(s, d, "documents"), threshold = 0.5)),
     "q_simhash" -> ((s, d) => Dedup.simhash32(t(s, d, "documents"))),
@@ -156,7 +167,11 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"), col("rank"))
         .orderBy(col("id_a"), col("rank"))),
     "q_lsh_knn" -> ((s, d) =>
-      Similarity.lshKnnJoin(t(s, d, "embeddings"), 5, nBits = 8)
+      Similarity.lshKnnJoin(t(s, d, "embeddings"), 5, dim = 64, nBits = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"), col("rank"))
+        .orderBy(col("id_a"), col("rank"))),
+    "q_lsh_knn_capped" -> ((s, d) =>
+      Similarity.lshKnnJoin(t(s, d, "embeddings"), 5, dim = 64, nBits = 8, maxBucket = 6)
         .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"), col("rank"))
         .orderBy(col("id_a"), col("rank"))),
     // ---- multimodal plumbing (SURVEY [EXT]) ----
@@ -188,13 +203,23 @@ object SparkEntry {
       val cat = (b * 4 until (b + 1) * 4).map(i => s"m$i::VARCHAR").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($cat) AS band_hash FROM sig"
     }.mkString(" UNION ALL ")
-    def minhashCtesFrom(src: String) =
+    def minhashCtesFrom(src: String, cap: Int = 0) = {
+      // cap > 0 = the hot-bucket guard: buckets holding more than
+      // `cap` docs contribute no candidate pairs
+      val bs =
+        if (cap > 0)
+          "bs AS (SELECT band, band_hash, count(*) AS n FROM b GROUP BY band, band_hash),\n          "
+        else ""
+      val capJoin = if (cap > 0) " JOIN bs USING (band, band_hash)" else ""
+      val capCond = if (cap > 0) s" AND bs.n <= $cap" else ""
       s"""sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM $src),
           hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
           sig AS (SELECT doc_id, $minCols FROM hh GROUP BY doc_id),
           b AS ($bandRows),
-          cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-                   FROM b x JOIN b y USING (band, band_hash) WHERE x.doc_id < y.doc_id)"""
+          ${bs}cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                   FROM b x JOIN b y USING (band, band_hash)$capJoin
+                   WHERE x.doc_id < y.doc_id$capCond)"""
+    }
     val minhashCtes = minhashCtesFrom("documents")
     // Verified-pair CTEs (cand -> exact jaccard >= threshold), shared
     // by q_near_dup_pairs and q_dedup_docs.
@@ -207,6 +232,36 @@ object SparkEntry {
                       JOIN sets bb ON cand.doc_b = bb.doc_id),
           verified AS (SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / un AS jac
                        FROM j WHERE CAST(inter AS DOUBLE) / un >= 0.5)"""
+    // The sign-LSH hyperplanes are deterministic (seeded JVM RNG);
+    // embedding them as double literals makes the whole ANN join
+    // SQL-expressible. Shortest-repr double text round-trips to
+    // identical bits in any correct parser. dim=64 matches the
+    // driver-generated embeddings tables. cap > 0 = the hot-bucket
+    // guard: buckets above the cap are removed from both join sides.
+    def lshKnnOracle(cap: Int): String = {
+      val planes = Similarity.hyperplanes(64, 8, 42L)
+      def dotLit(p: Seq[Double]) = {
+        val arr = p.map(_.toString).mkString("[", ", ", "]")
+        fold(s"[embedding[i]::DOUBLE * ($arr)[i] for i in range(1, len(embedding)+1)]")
+      }
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN ${dotLit(p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      val bc =
+        if (cap > 0) s"bc AS (SELECT bucket, count(*) AS n FROM t GROUP BY bucket),\n            "
+        else ""
+      val capJoin = if (cap > 0) s" JOIN bc USING (bucket) WHERE bc.n <= $cap" else ""
+      s"""WITH t AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+          ${bc}n AS (SELECT vec_id, embedding, bucket, sqrt(${dotSelf("embedding")}) AS nrm
+             FROM t$capJoin),
+          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            ${fold("[a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE for i in range(1, len(a.embedding)+1)]")}
+              / (a.nrm * b.nrm) AS c
+            FROM n a JOIN n b USING (bucket) WHERE a.vec_id <> b.vec_id)
+          SELECT id_a, id_b, round(c, 6) AS cosine_sim,
+            CAST(row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS INTEGER) AS "rank"
+          FROM p QUALIFY "rank" <= 5 ORDER BY id_a, "rank""""
+    }
     Map(
       "q_pricing_summary" ->
         s"""SELECT l_returnflag, l_linestatus,
@@ -323,6 +378,11 @@ object SparkEntry {
              SELECT l_orderkey, l_linenumber, l_quantity,
                row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS rn
              FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""",
+      "q_dedup_keyed_agg" -> // same contract as q_dedup_keyed, by design
+        """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+             SELECT l_orderkey, l_linenumber, l_quantity,
+               row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS rn
+             FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""",
       "q_null_profile" -> {
         val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         cols.map(c => s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_nulls")
@@ -433,6 +493,9 @@ object SparkEntry {
       "q_minhash_candidates" ->
         s"""WITH $minhashCtes
             SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""",
+      "q_minhash_capped" ->
+        s"""WITH ${minhashCtesFrom("documents", cap = 3)}
+            SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""",
       "q_near_dup_pairs" ->
         s"""WITH $minhashCtes,
             ${verifiedPairCtes("documents")}
@@ -481,30 +544,8 @@ object SparkEntry {
             SELECT id_a, id_b, round(c, 6) AS cosine_sim,
               CAST(row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS INTEGER) AS "rank"
             FROM p QUALIFY "rank" <= 5 ORDER BY id_a, "rank"""",
-      "q_lsh_knn" -> {
-        // The sign-LSH hyperplanes are deterministic (seeded JVM RNG);
-        // embedding them as double literals makes the whole ANN join
-        // SQL-expressible. Shortest-repr double text round-trips to
-        // identical bits in any correct parser. dim=64 matches the
-        // driver-generated embeddings tables.
-        val planes = Similarity.hyperplanes(64, 8, 42L)
-        def dotLit(p: Seq[Double]) = {
-          val arr = p.map(_.toString).mkString("[", ", ", "]")
-          fold(s"[embedding[i]::DOUBLE * ($arr)[i] for i in range(1, len(embedding)+1)]")
-        }
-        val bucket = planes.zipWithIndex.map { case (p, i) =>
-          s"(CASE WHEN ${dotLit(p)} >= 0 THEN ${1L << i} ELSE 0 END)"
-        }.mkString(" + ")
-        s"""WITH t AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
-            n AS (SELECT vec_id, embedding, bucket, sqrt(${dotSelf("embedding")}) AS nrm FROM t),
-            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              ${fold("[a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE for i in range(1, len(a.embedding)+1)]")}
-                / (a.nrm * b.nrm) AS c
-              FROM n a JOIN n b USING (bucket) WHERE a.vec_id <> b.vec_id)
-            SELECT id_a, id_b, round(c, 6) AS cosine_sim,
-              CAST(row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS INTEGER) AS "rank"
-            FROM p QUALIFY "rank" <= 5 ORDER BY id_a, "rank""""
-      },
+      "q_lsh_knn" -> lshKnnOracle(cap = 0),
+      "q_lsh_knn_capped" -> lshKnnOracle(cap = 6),
       "q_payload_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              sha256(text) AS payload_sha256

@@ -37,6 +37,27 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Same result contract as [[keyedDeterministic]], aggregate-shaped:
+    * `min_by` over a struct of the tiebreaks (struct comparison is
+    * lexicographic in field order = the tiebreaks' ORDER BY). The
+    * window version shuffles and SORTS every fact row inside its key
+    * partition; this one partial-aggregates map-side, so the shuffle
+    * carries at most one candidate row per (input partition, key) and
+    * no sort happens — the shape to prefer on a 100 TB fact. Caveats:
+    * tiebreak columns must be NON-NULL (row_number sorts nulls first,
+    * min_by ignores rows whose ordering key is null — semantics would
+    * diverge) and, as with the window version, must uniquely order
+    * rows within a key for the representative to be deterministic. */
+  def keyedDeterministicAgg(df: DataFrame, keys: Seq[String], tiebreaks: String*): DataFrame = {
+    require(tiebreaks.nonEmpty, "keyedDeterministicAgg needs at least one tiebreak column")
+    val others = df.columns.toSeq.filterNot(keys.contains)
+    val rep = min_by(struct(others.map(col): _*), struct(tiebreaks.map(col): _*)).as("__rep")
+    df.groupBy(keys.map(col): _*)
+      .agg(rep)
+      .select(df.columns.toSeq.map(c =>
+        if (keys.contains(c)) col(c) else col(s"__rep.`$c`").as(c)): _*)
+  }
+
   /** Exact document dedup on normalized-text fingerprint: one group
     * per distinct content, keeping min doc id. */
   def exactDocs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -121,22 +142,40 @@ object Dedup {
     flatten(transform(arr, (x, i) =>
       transform(slice(arr, i + 2, size(arr)), y => struct(x.as("_1"), y.as("_2")))))
 
+  /** Bucket membership lists (band, band_hash, ids), size >= 2 —
+    * shared by the candidate generator and the dropped-bucket
+    * monitor. */
+  def lshBucketLists(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                     k: Int = 16, bands: Int = 4, shingleLen: Int = 5): DataFrame =
+    lshBands(docs, idCol, textCol, k, bands, shingleLen)
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+
   /** Candidate near-dup pairs: documents agreeing on any full band.
     *
     * Shape: group the band table by (band, band_hash) and expand each
     * bucket's doc list into pairs locally. A band-table SELF-JOIN
     * would compute the whole signature pipeline twice (the broadcast
     * side can't reuse the probe side's exchange) — this computes it
-    * once and emits the same pair set. Bucket membership lists are
-    * bounded by LSH bucket sizes (small for a sound hash family); a
-    * pathological all-identical corpus concentrates its inherent
-    * O(n^2) output in one task either way. */
+    * once and emits the same pair set.
+    *
+    * Hot-bucket guard: on a boilerplate-heavy real corpus (repeated
+    * headers, templated pages) one (band, band_hash) bucket can hold
+    * millions of documents — a single task would then hold the whole
+    * membership list and emit O(n^2) pairs. `maxBucket > 0` drops
+    * buckets larger than the cap BEFORE pair expansion, bounding
+    * per-task output at C(maxBucket, 2) pairs per bucket. Oversized
+    * buckets are near-worthless for dedup anyway (everything matches
+    * everything — exact-dedup or a boilerplate filter should have
+    * collapsed them); use [[droppedBuckets]] to monitor what a cap
+    * discards. 0 (default) = uncapped. */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                        k: Int = 16, bands: Int = 4, shingleLen: Int = 5): DataFrame = {
-    lshBands(docs, idCol, textCol, k, bands, shingleLen)
-      .groupBy(col("band"), col("band_hash"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .where(size(col("ids")) > 1)
+                        k: Int = 16, bands: Int = 4, shingleLen: Int = 5,
+                        maxBucket: Int = 0): DataFrame = {
+    val buckets = lshBucketLists(docs, idCol, textCol, k, bands, shingleLen)
+    val kept = if (maxBucket > 0) buckets.where(size(col("ids")) <= maxBucket) else buckets
+    kept
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(
         least(col("p._1"), col("p._2")).as("doc_a"),
@@ -145,13 +184,25 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The buckets a cap of `maxBucket` discards, with their sizes —
+    * the monitoring surface for [[minhashCandidates]]' hot-bucket
+    * guard (log the count / route to a quarantine table). */
+  def droppedBuckets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                     k: Int = 16, bands: Int = 4, shingleLen: Int = 5,
+                     maxBucket: Int = 0): DataFrame = {
+    require(maxBucket > 0, "droppedBuckets needs a positive cap")
+    lshBucketLists(docs, idCol, textCol, k, bands, shingleLen)
+      .where(size(col("ids")) > maxBucket)
+      .select(col("band"), col("band_hash"), size(col("ids")).as("n_docs"))
+  }
+
   /** LSH candidates verified by exact n-gram Jaccard >= threshold —
     * the end-to-end near-duplicate detector. */
   def nearDupPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
-                   shingleLen: Int = 5): DataFrame = {
+                   shingleLen: Int = 5, maxBucket: Int = 0): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val cand = minhashCandidates(docs, idCol, textCol, k, bands, shingleLen)
+    val cand = minhashCandidates(docs, idCol, textCol, k, bands, shingleLen, maxBucket)
     val sets = docs.select(col(idCol).as("id"),
       GraftFunctions.distinctShingles(col(textCol), shingleLen).as("sh"))
     val withA = cand.join(sets.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -178,7 +229,7 @@ object Dedup {
     * Returns (doc_id, keeper_id, reason). */
   def dedupDocuments(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                      threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
-                     shingleLen: Int = 5): DataFrame = {
+                     shingleLen: Int = 5, maxBucket: Int = 0): DataFrame = {
     val fp = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       Text.fingerprint(col(textCol)).as("f"))
     val groups = fp.groupBy(col("f")).agg(min(col("doc_id")).as("ek"))
@@ -186,7 +237,8 @@ object Dedup {
     val keeperDocs = withKeeper.where(col("doc_id") === col("ek"))
       .select(col("doc_id"), col("text"))
     val nearAssign = nearDupPairs(keeperDocs, idCol = "doc_id", textCol = "text",
-      threshold = threshold, k = k, bands = bands, shingleLen = shingleLen)
+      threshold = threshold, k = k, bands = bands, shingleLen = shingleLen,
+      maxBucket = maxBucket)
       .groupBy(col("doc_b")).agg(min(col("doc_a")).as("nk"))
     withKeeper.select(col("doc_id"), col("ek"))
       .join(nearAssign, col("doc_id") === col("doc_b"), "left")

@@ -143,16 +143,38 @@ object Similarity {
 
   /** ANN k-NN join pruned by shared LSH bucket: the quadratic work
     * happens only inside buckets (equi-join on bucket id — a plain
-    * shuffle join that scales out). Recall < 1 by construction. */
-  def lshKnnJoin(embeddings: DataFrame, k: Int, nBits: Int = 8, seed: Long = 42L,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    * shuffle join that scales out). Recall < 1 by construction.
+    *
+    * `dim` is the embedding dimensionality, a query parameter — taken
+    * explicitly so NO driver-side action runs before the plan executes
+    * (a `head()` probe would scan a partition at plan-build time).
+    *
+    * Hot-bucket guard: sign-LSH buckets of a skewed corpus (many
+    * near-identical vectors, e.g. zero/padding embeddings) can hold an
+    * unbounded share of the rows, making one bucket's self-join
+    * quadratic in corpus size. `maxBucket > 0` excludes buckets above
+    * the cap from BOTH join sides before the pair expansion — their
+    * members get no neighbors from this index (rerun them through
+    * [[topK]]/[[ivfTopK]] or a finer hash if they matter). The bucket
+    * histogram is one extra aggregation over the tagged table, tiny
+    * next to the join it bounds. 0 (default) = uncapped. */
+  def lshKnnJoin(embeddings: DataFrame, k: Int, dim: Int, nBits: Int = 8, seed: Long = 42L,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 maxBucket: Int = 0): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val dim = embeddings.select(col(vecCol)).head().getSeq[Float](0).length
     val planes = hyperplanes(dim, nBits, seed)
     val tagged = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
-    val a = tagged.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = tagged.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val pruned =
+      if (maxBucket <= 0) tagged
+      else {
+        // <= 2^nBits rows after aggregation — always broadcastable
+        val small = tagged.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
+        tagged.join(broadcast(small), Seq("bucket")).drop("__n")
+      }
+    val a = pruned.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = pruned.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cosine_sim").desc, col("id_b"))
     a.join(b, Seq("bucket"))

@@ -23,6 +23,23 @@ class DedupSpec extends SparkSuite {
     assert(out.toSeq === Seq("keep", "only"))
   }
 
+  test("keyedDeterministicAgg matches the window version and plans sort-free") {
+    // duplicate keys, distinct tiebreaks, extra payload column
+    val rows = for (k <- 1 to 50; i <- 1 to 5)
+      yield (k, (k * 31 + i * 7) % 100, i.toDouble, s"payload-$k-$i")
+    val df = rows.toDF("k", "ord", "v", "p")
+    val win = Dedup.keyedDeterministic(df, Seq("k"), "ord", "v")
+      .orderBy("k").collect().toSeq
+    val agg = Dedup.keyedDeterministicAgg(df, Seq("k"), "ord", "v")
+      .orderBy("k").collect().toSeq
+    assert(agg === win)
+    val plan = Dedup.keyedDeterministicAgg(df, Seq("k"), "ord", "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"agg version must not plan a window:\n$plan")
+    assert(plan.contains("min_by"), s"expected a min_by aggregate in:\n$plan")
+    assert(plan.contains("partial_min_by"), s"expected map-side partial aggregation in:\n$plan")
+  }
+
   test("shingles produce n-length substrings, short text degrades to one") {
     val sh = docs(1L -> "abcdefg").select(Dedup.shingles($"text", 5).as("s"))
       .as[Seq[String]].head()
@@ -53,6 +70,31 @@ class DedupSpec extends SparkSuite {
     val pairs = Dedup.minhashCandidates(d).as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("hot-bucket cap: adversarial all-identical corpus completes with zero pairs") {
+    // 2000 byte-identical docs put ALL ids in one bucket per band —
+    // the uncapped pair expansion would emit ~2M pairs from one task.
+    // With the cap every bucket is dropped, the job stays bounded, and
+    // droppedBuckets reports exactly what was discarded.
+    val identical = (1L to 2000L).map(i =>
+      i -> "the same boilerplate header appears on every single page of this corpus")
+    val d = docs(identical: _*)
+    assert(Dedup.minhashCandidates(d, maxBucket = 10).count() === 0)
+    val dropped = Dedup.droppedBuckets(d, maxBucket = 10).collect()
+    assert(dropped.length === 4, "one oversized bucket per band")
+    assert(dropped.forall(_.getAs[Int]("n_docs") === 2000))
+  }
+
+  test("hot-bucket cap keeps small-bucket pairs and is a subset of uncapped") {
+    val d = docs(
+      1L -> "spark catalyst optimizer rewrites logical plans into physical plans",
+      2L -> "spark catalyst optimizer rewrites logical plans into physical plan!",
+      3L -> "zebra yak xylophone walrus vulture tapir snake rabbit quokka pig")
+    val uncapped = Dedup.minhashCandidates(d).as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashCandidates(d, maxBucket = 2).as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped))
+    assert(capped.contains((1L, 2L)), "2-doc buckets survive a cap of 2")
   }
 
   test("nearDupPairs verifies candidates with exact jaccard") {

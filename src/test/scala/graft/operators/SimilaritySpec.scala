@@ -44,13 +44,24 @@ class SimilaritySpec extends SparkSuite {
   test("lshKnnJoin returns a subset of brute-force pairs with identical cosines") {
     val brute = Similarity.knnJoin(emb, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val lsh = Similarity.lshKnnJoin(emb, 3, nBits = 4).collect()
+    val lsh = Similarity.lshKnnJoin(emb, 3, dim = 3, nBits = 4).collect()
     assert(lsh.nonEmpty)
     lsh.foreach { r =>
       val key = (r.getLong(0), r.getLong(1))
       assert(brute.contains(key))
       assert(math.abs(brute(key) - r.getDouble(2)) < 1e-12)
     }
+  }
+
+  test("lshKnnJoin hot-bucket cap: capped output is a subset; cap=1 empties it") {
+    val all = Similarity.lshKnnJoin(emb, 3, dim = 3, nBits = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Similarity.lshKnnJoin(emb, 3, dim = 3, nBits = 4, maxBucket = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(all))
+    // every pair needs a shared bucket of >= 2 members, so capping at 1
+    // removes all pair-producing buckets
+    assert(Similarity.lshKnnJoin(emb, 3, dim = 3, nBits = 4, maxBucket = 1).count() === 0)
   }
 
   test("IVF index + probe: high recall against brute force on real embeddings") {
