@@ -125,6 +125,24 @@ object Similarity {
     (assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** Persist IVF cell assignments bucketed by `__cell`: a probe's
+    * `isin(probed cells)` filter then prunes whole bucket FILES at the
+    * scan (`SelectedBucketsCount: nprobe out of nCells` in the plan) —
+    * at 100 TB a probe touches only its cells' bytes, not the corpus.
+    * Probe the stored index with `ivfTopK(spark.table(table), ...)`.
+    *
+    * Two pruning layers: (1) bucket-file pruning needs the bucketed
+    * scan, and Spark's DisableUnnecessaryBucketedScan rule turns that
+    * off for plans with no join/agg on the bucket column — probe-only
+    * sessions should set
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` to
+    * keep it; (2) even without it, `sortBy(__cell)` means each file's
+    * parquet min/max stats cover one cell, so the pushed `In` filter
+    * skips foreign row groups — the IO win survives, just not as
+    * visible file-level pruning. */
+  def ivfWriteIndex(assigned: DataFrame, table: String, path: String, nCells: Int): Unit =
+    graft.sources.Bucketing.writeBucketed(assigned, table, "__cell", nCells, path)
+
   /** Top-k against one query via the IVF index: probe the nprobe
     * nearest cells only — the scan shrinks by ~nCells/nprobe. */
   def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],

@@ -43,19 +43,30 @@ object Lake {
   /** Overwrite a table path with a plan that READS from that same
     * path. A plain overwrite deletes the input files before the lazy
     * plan scans them (FAILED_READ_FILE); staging to a sibling dir and
-    * swapping avoids that without materializing on the driver. On an
-    * object store this is the two-phase-commit pattern the output
-    * committer provides; the rename suffices for a filesystem. */
+    * swapping avoids that without materializing on the driver.
+    *
+    * The swap goes through the Hadoop `FileSystem` resolved from the
+    * path — java.io.File would silently no-op on the HDFS/S3 URIs a
+    * real deployment uses — and is ordered so the live table is never
+    * the only copy while an operation can still fail: stage the new
+    * data, move the live dir ASIDE, promote staging, only then delete
+    * the old copy (restoring it if the promote rename fails). */
   def overwriteSelf(df: DataFrame, path: String): Unit = {
-    val staging = path + ".__staging"
-    df.write.mode(SaveMode.Overwrite).parquet(staging)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete(): Unit
+    val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(hadoopConf)
+    val staging = new org.apache.hadoop.fs.Path(path + ".__staging")
+    val old = new org.apache.hadoop.fs.Path(path + ".__old")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a crashed prior run
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"failed to move $target aside to $old")
+    if (!fs.rename(staging, target)) {
+      val restored = fs.exists(old) && fs.rename(old, target)
+      throw new java.io.IOException(s"failed to promote $staging into $target" +
+        (if (restored) " (original restored)" else s" (original left at $old)"))
     }
-    rm(new java.io.File(path))
-    require(new java.io.File(staging).renameTo(new java.io.File(path)),
-      s"failed to swap staging dir into $path")
+    fs.delete(old, true): Unit
   }
 
   /** CSV ingest with header + schema inference (reference:
@@ -128,6 +139,8 @@ object Lake {
         (s"jdbc:mysql://$host:$port/$database", "com.mysql.cj.jdbc.Driver")
       case "sqlite" =>
         (s"jdbc:sqlite:$database", "org.sqlite.JDBC")
+      case "derby" => // embedded: `database` is a directory path; host/port unused
+        (s"jdbc:derby:$database;create=true", "org.apache.derby.jdbc.EmbeddedDriver")
       case other => throw new IllegalArgumentException(s"unsupported JDBC dialect: $other")
     }
 

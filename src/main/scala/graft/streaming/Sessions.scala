@@ -90,6 +90,40 @@ object Sessions {
       }
   }
 
+  /** Bounded-state flavor of [[statefulUserTotals]] for genuinely
+    * unbounded streams: the NoTimeout variant's per-user state grows
+    * forever on a long-running job. Here each user's state expires
+    * after `timeout` of processing-time inactivity — on expiry the
+    * final totals are emitted once more (an observable flush) and the
+    * state is REMOVED, so a later event for that user restarts its
+    * totals from zero. State size is thereby bounded by the number of
+    * users active within one timeout horizon, not all users ever
+    * seen. */
+  def statefulUserTotalsWithTimeout(events: DataFrame,
+                                    timeout: String = "30 minutes"): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+            state.remove()
+            Iterator(UserTotals(user, prev.nEvents, prev.sumValue))
+          } else {
+            val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+            var n = prev.nEvents
+            var s = prev.sumValue
+            rows.foreach { case (_, v) => n += 1; s += v }
+            state.update(UserState(n, s))
+            state.setTimeoutDuration(timeout)
+            Iterator(UserTotals(user, n, s))
+          }
+      }
+  }
+
   /** Streaming sink into a lake zone via the built-in parquet file
     * sink — exactly-once through its commit log (a foreachBatch
     * append would be at-least-once: a batch replayed after a crash

@@ -79,6 +79,30 @@ class SimilaritySpec extends SparkSuite {
     assert(full === exact)
   }
 
+  test("stored IVF index prunes unprobed cells at the scan (bucket pruning)") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (assigned, centroids) = Similarity.ivfIndex(emb, nCells = 8)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    try {
+      Similarity.ivfWriteIndex(assigned, "ivf_idx", s"$root/ivf", nCells = 8)
+      val q = Similarity.vectorOf(emb, 7L)
+      // probe-only plans have no join/agg on the bucket column, so the
+      // DisableUnnecessaryBucketedScan rule would drop the bucketed
+      // scan (and with it file-level pruning) — pin it on, as a
+      // probe-serving session would
+      withSQLConf("spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+        val probed = Similarity.ivfTopK(spark.table("ivf_idx"), centroids, q, 10, nprobe = 2)
+        val plan = probed.queryExecution.executedPlan.toString
+        assert(plan.contains("SelectedBucketsCount: 2 out of 8"),
+          s"expected the probe scan to read only 2 of 8 cell buckets:\n$plan")
+        // pruned probe result identical to probing the in-memory assignment
+        val mem = Similarity.ivfTopK(assigned, centroids, q, 10, nprobe = 2)
+          .collect().map(_.getLong(0)).toSeq
+        assert(probed.collect().map(_.getLong(0)).toSeq === mem)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_idx")
+  }
+
   test("hyperplanes are deterministic under a fixed seed") {
     assert(Similarity.hyperplanes(8, 4, 42L) === Similarity.hyperplanes(8, 4, 42L))
     assert(Similarity.hyperplanes(8, 4, 42L) !== Similarity.hyperplanes(8, 4, 43L))

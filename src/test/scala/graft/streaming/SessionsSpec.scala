@@ -80,6 +80,37 @@ class SessionsSpec extends SparkSuite {
     assert(updates.max === 2L)
   }
 
+  test("statefulUserTotalsWithTimeout expires idle state; later events restart at zero") {
+    val dir = Files.createTempDirectory("graft-timeout").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def write(name: String, rows: Seq[(Long, Timestamp, String, Double)]): Unit =
+      rows.toDF("user_id", "ts", "event_type", "value")
+        .coalesce(1).write.parquet(s"$dir/in/$name")
+    // batch 1: user 1 accumulates 2 events (timeout armed, 1 ms);
+    // batch 2: only user 2 arrives -> well over 1 ms of processing
+    //   time has passed for idle user 1 -> its state times out: one
+    //   flush row is emitted and the state removed;
+    // batch 3: user 1 reappears -> totals restart from zero.
+    write("f1", Seq((1L, ts(0), "click", 1.0), (1L, ts(1), "click", 2.0)))
+    write("f2", Seq((2L, ts(2), "view", 5.0)))
+    write("f3", Seq((1L, ts(3), "click", 4.0)))
+    val schema = spark.read.parquet(s"$dir/in/f1").schema
+    val stream = Sessions.statefulUserTotalsWithTimeout(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/in/*"),
+      timeout = "1 millisecond")
+    val q = stream.toDF().writeStream.format("memory").queryName("stt")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val u1 = spark.sql("SELECT n_events, sum_value FROM stt WHERE user_id = 1")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // batch-1 update (2, 3.0), expiry flush (2, 3.0), restarted (1, 4.0)
+    assert(u1.count(_ == (2L, 3.0)) === 2,
+      s"expected the accumulated update AND the expiry flush; got ${u1.toSeq}")
+    assert(u1.contains((1L, 4.0)),
+      s"state must restart from zero after expiry; got ${u1.toSeq}")
+  }
+
   test("watermark drops late events from already-closed windows (append mode)") {
     val dir = Files.createTempDirectory("graft-late").toString
     Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
