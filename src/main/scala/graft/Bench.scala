@@ -34,13 +34,23 @@ object Bench {
     // best-of-2 by default: one transient hiccup (GC, page-cache miss)
     // otherwise lands in the recorded number for that query.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // A throwing query records -1.0 (with a stderr note), never a
+    // normal-looking timing — a broken query must not masquerade as a
+    // fast pass in the round's bench JSON.
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+            -1.0
+        }
       }
-      name -> times.min
+      val ok = times.filter(_ >= 0)
+      name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -32,7 +32,10 @@ object TopK {
     * them, then joins the k winners' tiebreak keys back for the full
     * rows. Same result set as [[perGroup]]; the choice is a plan
     * trade (tiny group count or huge groups → aggregator wins). The
-    * tiebreak column must be unique long-castable keys. */
+    * tiebreak column must be unique long-castable keys, and the
+    * measure is compared as a DOUBLE: long/decimal measures beyond
+    * 2^53 can order differently than [[perGroup]]'s native comparison
+    * — keep such measures on the window version. */
   def perGroupViaAggregator(df: DataFrame, group: String, measure: String,
                             tiebreak: String, k: Int): DataFrame = {
     val spark = df.sparkSession

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
-import graft.operators.{Anonymize, Profile}
+import graft.operators.{Anonymize, Profile, Reports}
 import graft.sources.Lake
 
 /** Stage audit entry (reference: src/transform_log.py:36-114 V6 — the
@@ -98,7 +98,9 @@ final class Pipeline(spark: SparkSession, lake: Lake,
     val measure = SchemaResolver.measureCol(fact)
       .getOrElse(sys.error(s"no measure column in $factTable"))
     val report = fact.groupBy(col(drug))
-      .agg(sum(col(measure).cast("double")).as("prescriptions"))
+      // decimal sum: exact and summation-order independent, like every
+      // other money measure in the repo (a double sum is neither)
+      .agg(Reports.dsum(col(measure)).as("prescriptions"))
       .orderBy(col("prescriptions").desc, col(drug))
     lake.writeCurated(report, "drug_report")
     auditLog += StageAudit("transform", "drug_report", fact.count(), report.count(), 0)

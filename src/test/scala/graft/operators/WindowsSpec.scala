@@ -42,4 +42,24 @@ class WindowsSpec extends SparkSuite {
     assert(r.getLong(1) === 1L)
     assert(math.abs(r.getLong(2) - 2L) <= 1)
   }
+
+  test("approxDataDictionary tracks the exact dictionary within 3*rsd on real tables") {
+    // quantitative bound for the one query the oracle can't hash-check
+    // (HLL sketches differ across engines): every approximate distinct
+    // count must sit within 3 relative standard deviations of exact.
+    for (table <- Seq("orders", "lineitem", "customer")) {
+      val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", table)
+      val exact = Profile.dataDictionary(df).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      val approx = Profile.approxDataDictionary(df, rsd = 0.05).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(approx.keySet === exact.keySet)
+      approx.foreach { case (c, a) =>
+        val e = exact(c)
+        val tol = math.max(1L, math.ceil(3 * 0.05 * e).toLong)
+        assert(math.abs(a - e) <= tol,
+          s"$table.$c: approx $a vs exact $e exceeds 3*rsd tolerance $tol")
+      }
+    }
+  }
 }
