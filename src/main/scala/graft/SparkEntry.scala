@@ -155,6 +155,9 @@ object SparkEntry {
       Dedup.minhashCandidates(t(s, d, "documents"), maxBucket = 3)),
     "q_near_dup_pairs" -> ((s, d) => Dedup.nearDupPairs(t(s, d, "documents"), threshold = 0.5)),
     "q_dedup_docs" -> ((s, d) => Dedup.dedupDocuments(t(s, d, "documents"), threshold = 0.5)),
+    // transitive-closure keeper policy (connected components of the
+    // verified near-dup graph) vs q_dedup_docs' one-hop policy
+    "q_dedup_docs_cc" -> ((s, d) => Dedup.dedupDocumentsCC(t(s, d, "documents"), threshold = 0.5)),
     "q_simhash" -> ((s, d) => Dedup.simhash32(t(s, d, "documents"))),
     // ---- similarity search (SURVEY §2.3 [EXT]) ----
     "q_topk_cosine" -> ((s, d) => {
@@ -516,6 +519,25 @@ object SparkEntry {
                    WHEN n.nk IS NOT NULL THEN 'near'
                    ELSE 'unique' END AS reason
             FROM wk LEFT JOIN n ON wk.doc_id = n.doc_b ORDER BY wk.doc_id""",
+      "q_dedup_docs_cc" ->
+        s"""WITH RECURSIVE fp AS (SELECT doc_id, text, $fingerprint AS f FROM documents),
+            g AS (SELECT f, min(doc_id) AS ek FROM fp GROUP BY f),
+            wk AS (SELECT fp.doc_id, fp.text, g.ek FROM fp JOIN g ON fp.f = g.f),
+            kd AS (SELECT doc_id, text FROM wk WHERE doc_id = ek),
+            ${minhashCtesFrom("kd")},
+            ${verifiedPairCtes("kd")},
+            e AS (SELECT doc_a AS s, doc_b AS d FROM verified
+                  UNION ALL SELECT doc_b AS s, doc_a AS d FROM verified),
+            reach(doc, lab) AS (SELECT DISTINCT s, s FROM e
+              UNION SELECT e.d, reach.lab FROM reach JOIN e ON reach.doc = e.s),
+            roots AS (SELECT doc, min(lab) AS root FROM reach GROUP BY doc)
+            SELECT wk.doc_id,
+              COALESCE(r.root, wk.ek) AS keeper_id,
+              CASE WHEN wk.doc_id <> wk.ek THEN 'exact'
+                   WHEN r.root IS NOT NULL AND r.root <> wk.doc_id THEN 'near'
+                   ELSE 'unique' END AS reason
+            FROM wk LEFT JOIN roots r ON wk.ek = r.doc
+            ORDER BY wk.doc_id""",
       "q_simhash" ->
         """WITH tok AS (SELECT doc_id,
              unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t FROM documents),

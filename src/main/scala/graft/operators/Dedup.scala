@@ -252,6 +252,114 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Connected components of an undirected pair graph; returns
+    * (doc_id, root) with root = min id in the component, for every
+    * node appearing in `pairs`.
+    *
+    * Adaptive execution, GraphFrames-style: verified near-dup pairs
+    * are RARE by construction (LSH candidates already jaccard-filtered),
+    * so when the pair count is within `driverMaxPairs` the components
+    * come from a driver-side union-find — microseconds, zero extra
+    * jobs (`driverMaxPairs`'s 4M default is ~64 MB driver-side, far
+    * under any sane driver heap). Above the threshold it falls back to
+    * distributed min-label propagation: two hops per materialized
+    * round (per-round cost is job overhead, not the shuffles),
+    * `localCheckpoint` to truncate lineage, and a monotone label-total
+    * as the fixpoint detector. Throws if not converged within
+    * `maxIter` double-rounds — truncated labels would silently be
+    * wrong. */
+  def connectedKeepers(pairs: DataFrame, maxIter: Int = 20,
+                       driverMaxPairs: Long = 1L << 22): DataFrame = {
+    val spark = pairs.sparkSession
+    val p = pairs.select(col("doc_a").cast("long").as("doc_a"),
+      col("doc_b").cast("long").as("doc_b")).persist()
+    try {
+      if (p.count() <= driverMaxPairs) {
+        val es = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        // union keeps the SMALLER root as parent, so every tree root
+        // is its component's min id — find() yields it directly
+        es.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a)
+          val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        import spark.implicits._
+        parent.keys.toSeq.sorted.map(k => (k, find(k))).toDF("doc_id", "root")
+      } else {
+        val edges = p.select(col("doc_a").as("s"), col("doc_b").as("d"))
+          .union(p.select(col("doc_b").as("s"), col("doc_a").as("d")))
+        var labels = edges.select(col("s").as("doc_id")).distinct()
+          .withColumn("root", col("doc_id"))
+          .localCheckpoint()
+        def total(df: DataFrame): java.math.BigDecimal =
+          df.agg(sum(col("root").cast("decimal(38,0)"))).head().getDecimal(0)
+        def hop(l: DataFrame): DataFrame = {
+          val prop = edges.join(l.withColumnRenamed("doc_id", "s"), Seq("s"))
+            .select(col("d").as("doc_id"), col("root"))
+          l.union(prop).groupBy(col("doc_id")).agg(min(col("root")).as("root"))
+        }
+        var prev = total(labels)
+        var converged = false
+        var i = 0
+        while (!converged && i < maxIter) {
+          val next = hop(hop(labels)).localCheckpoint()
+          val cur = total(next)
+          converged = cur.compareTo(prev) == 0
+          prev = cur
+          labels = next
+          i += 1
+        }
+        if (!converged)
+          throw new IllegalStateException(s"connectedKeepers: not converged after $maxIter rounds")
+        labels
+      }
+    } finally { p.unpersist(); () }
+  }
+
+  /** Transitive-closure flavor of [[dedupDocuments]]: where the
+    * one-hop policy assigns each near-dup to the min direct neighbor
+    * (so a chain A~B~C maps C to B while B maps to A), this follows
+    * the verified near-dup graph to its connected components — every
+    * member of a component keeps the component's min id. Exact dups
+    * also inherit their exact-keeper's component root, so chains
+    * through exact replicas resolve too. Same (doc_id, keeper_id,
+    * reason) contract. */
+  def dedupDocumentsCC(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                       threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
+                       shingleLen: Int = 5, maxBucket: Int = 0,
+                       maxIter: Int = 20): DataFrame = {
+    val fp = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+      Text.fingerprint(col(textCol)).as("f"))
+    val groups = fp.groupBy(col("f")).agg(min(col("doc_id")).as("ek"))
+    val withKeeper = fp.join(groups, Seq("f"))
+    val keeperDocs = withKeeper.where(col("doc_id") === col("ek"))
+      .select(col("doc_id"), col("text"))
+    val pairs = nearDupPairs(keeperDocs, idCol = "doc_id", textCol = "text",
+      threshold = threshold, k = k, bands = bands, shingleLen = shingleLen,
+      maxBucket = maxBucket).select(col("doc_a"), col("doc_b"))
+    val roots = connectedKeepers(pairs, maxIter)
+      .withColumnRenamed("doc_id", "ek")
+    withKeeper.select(col("doc_id"), col("ek"))
+      .join(roots, Seq("ek"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("root"), col("ek")).as("keeper_id"),
+        when(col("doc_id") =!= col("ek"), lit("exact"))
+          .when(col("root").isNotNull && col("root") =!= col("doc_id"), lit("near"))
+          .otherwise(lit("unique")).as("reason"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 32-bit SimHash over whitespace tokens (weighted by occurrence).
     * Distributed as explode + one groupBy(doc) shuffle. */
   def simhash32(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

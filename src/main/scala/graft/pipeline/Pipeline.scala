@@ -138,6 +138,24 @@ final class Pipeline(spark: SparkSession, lake: Lake,
     path
   }
 
+  /** Export curated reports into a relational database — the
+    * reference's "readable SQLite export" workflow step (reference:
+    * src/export_sqlite.py:13-42 S9). Engine-side the export is
+    * dialect-agnostic JDBC; PipelineSpec drives it end-to-end against
+    * the embedded Derby that ships with Spark (pointing `dialect` at
+    * sqlite/postgres is only a driver-jar swap in production).
+    * Reports are post-aggregation small, so one partition per table
+    * keeps the DB write a single transaction stream. */
+  def exportReports(dialect: String, database: String, reports: Seq[String],
+                    user: String = "app", password: String = "app"): Unit = {
+    val (url, driver) = Lake.jdbcUrl(dialect, "", 0, database)
+    reports.foreach { r =>
+      val df = lake.readCurated(spark, r)
+      Lake.jdbcWrite(df, Lake.jdbcOptions(url, r, user, password, driver), numPartitions = 1)
+      auditLog += StageAudit("export", r, df.count(), df.count(), 0)
+    }
+  }
+
   /** Per-table profiling artifacts (reference: §2.9 V1/V2), one
     * aggregate pass each. */
   def profile(table: String): DataFrame =

@@ -123,6 +123,43 @@ class DedupSpec extends SparkSuite {
       (4L, 4L, "unique")))
   }
 
+  test("connectedKeepers resolves chains and separate components to min ids (both paths)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L)
+    // driver union-find path (default threshold)
+    val uf = Dedup.connectedKeepers(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uf === expected)
+    // distributed label-propagation path (threshold forced to 0)
+    val dist = Dedup.connectedKeepers(pairs, driverMaxPairs = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === expected)
+  }
+
+  test("dedupDocumentsCC follows chains that the one-hop policy leaves dangling") {
+    // A~B and B~C are near-dups (one distant edit each); A~C falls
+    // below the threshold (two edits). One-hop maps C to B while B
+    // maps to A; connected components map the whole chain to A.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val a = 1L -> base
+    val b = 2L -> base.replace("beta", "bXta")
+    val c = 3L -> base.replace("beta", "bXta").replace("lambda mu nu xi", "lQmbda mZ nW xY")
+    val d = docs(a, b, c, 9L -> "totally unrelated content zone xylophone quartz marble")
+    // shingle jaccards: j(A,B)=0.863, j(B,C)=0.700, j(A,C)=0.600 —
+    // the threshold keeps the chain edges and cuts the A~C shortcut
+    val thr = 0.65
+    val pairs = Dedup.nearDupPairs(d, threshold = thr).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (2L, 3L)), s"chain premise broken: $pairs")
+    val cc = Dedup.dedupDocumentsCC(d, threshold = thr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(cc === Seq((1L, 1L, "unique"), (2L, 1L, "near"), (3L, 1L, "near"),
+      (9L, 9L, "unique")))
+    val oneHop = Dedup.dedupDocuments(d, threshold = thr).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(oneHop(3L) === 2L, "one-hop maps C to its min direct neighbor B")
+  }
+
   test("simhash32: deterministic, near-dups have small hamming distance") {
     val d = docs(
       1L -> "alpha beta gamma delta epsilon zeta eta theta",

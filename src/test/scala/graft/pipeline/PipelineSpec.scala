@@ -89,6 +89,17 @@ class PipelineSpec extends SparkSuite {
     assert(csvBack.collect().map(_.getAs[String]("presc_fullname")).toSet ===
       Set("Alice Adams", "Bob Brown"))
 
+    // S9-shaped export: curated reports land in a real RDBMS (embedded
+    // Derby here; sqlite/postgres in production is a driver-jar swap)
+    System.setProperty("derby.system.home", root)
+    pipe.exportReports("derby", s"$root/reportdb",
+      Seq("drug_report", "prescriber_report"))
+    val (xurl, xdriver) = Lake.jdbcUrl("derby", "", 0, s"$root/reportdb")
+    val exported = Lake.jdbcRead(spark,
+      Lake.jdbcOptions(xurl, "drug_report", "app", "app", xdriver))
+    assert(exported.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .apply("DrugA") === 120.5)
+
     // profiling + audit artifacts
     assert(pipe.profile("prescriber_drug").count() === 7) // 4 cols + y/m/d
     pipe.writeAuditLog(s"$root/artifacts/audit.json")
