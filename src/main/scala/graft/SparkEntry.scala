@@ -177,6 +177,10 @@ object SparkEntry {
       Similarity.lshKnnJoin(t(s, d, "embeddings"), 5, dim = 64, nBits = 8, maxBucket = 6)
         .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"), col("rank"))
         .orderBy(col("id_a"), col("rank"))),
+    // embedding-cosine near-dup keeper map (LSH pairs -> connected
+    // components); threshold sized to the synthetic corpus' cosine range
+    "q_dedup_embeddings" -> ((s, d) =>
+      Similarity.dedupByEmbedding(t(s, d, "embeddings"), threshold = 0.3, dim = 64)),
     // ---- multimodal plumbing (SURVEY [EXT]) ----
     "q_payload_meta" -> ((s, d) =>
       Multimodal.payloadMeta(Multimodal.attachPayload(t(s, d, "documents")))),
@@ -241,7 +245,9 @@ object SparkEntry {
     // identical bits in any correct parser. dim=64 matches the
     // driver-generated embeddings tables. cap > 0 = the hot-bucket
     // guard: buckets above the cap are removed from both join sides.
-    def lshKnnOracle(cap: Int): String = {
+    // Shared CTEs for the sign-LSH embedding oracles: bucket-tagged
+    // vectors (t), optional hot-bucket cap (bc), norms (n).
+    def lshNormCtes(cap: Int): String = {
       val planes = Similarity.hyperplanes(64, 8, 42L)
       def dotLit(p: Seq[Double]) = {
         val arr = p.map(_.toString).mkString("[", ", ", "]")
@@ -254,17 +260,20 @@ object SparkEntry {
         if (cap > 0) s"bc AS (SELECT bucket, count(*) AS n FROM t GROUP BY bucket),\n            "
         else ""
       val capJoin = if (cap > 0) s" JOIN bc USING (bucket) WHERE bc.n <= $cap" else ""
-      s"""WITH t AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+      s"""t AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
           ${bc}n AS (SELECT vec_id, embedding, bucket, sqrt(${dotSelf("embedding")}) AS nrm
-             FROM t$capJoin),
-          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-            ${fold("[a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE for i in range(1, len(a.embedding)+1)]")}
-              / (a.nrm * b.nrm) AS c
+             FROM t$capJoin)"""
+    }
+    val pairCos =
+      fold("[a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE for i in range(1, len(a.embedding)+1)]") +
+        " / (a.nrm * b.nrm)"
+    def lshKnnOracle(cap: Int): String =
+      s"""WITH ${lshNormCtes(cap)},
+          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, $pairCos AS c
             FROM n a JOIN n b USING (bucket) WHERE a.vec_id <> b.vec_id)
           SELECT id_a, id_b, round(c, 6) AS cosine_sim,
             CAST(row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS INTEGER) AS "rank"
           FROM p QUALIFY "rank" <= 5 ORDER BY id_a, "rank""""
-    }
     Map(
       "q_pricing_summary" ->
         s"""SELECT l_returnflag, l_linestatus,
@@ -568,6 +577,18 @@ object SparkEntry {
             FROM p QUALIFY "rank" <= 5 ORDER BY id_a, "rank"""",
       "q_lsh_knn" -> lshKnnOracle(cap = 0),
       "q_lsh_knn_capped" -> lshKnnOracle(cap = 6),
+      "q_dedup_embeddings" ->
+        s"""WITH RECURSIVE ${lshNormCtes(0)},
+            p AS (SELECT a.vec_id AS s, b.vec_id AS d, $pairCos AS c
+              FROM n a JOIN n b USING (bucket) WHERE a.vec_id < b.vec_id),
+            v AS (SELECT s, d FROM p WHERE c >= 0.3),
+            e AS (SELECT s, d FROM v UNION ALL SELECT d AS s, s AS d FROM v),
+            reach(doc, lab) AS (SELECT DISTINCT s, s FROM e
+              UNION SELECT e.d, reach.lab FROM reach JOIN e ON reach.doc = e.s),
+            roots AS (SELECT doc, min(lab) AS root FROM reach GROUP BY doc)
+            SELECT em.vec_id, COALESCE(r.root, em.vec_id) AS keeper_id
+            FROM embeddings em LEFT JOIN roots r ON em.vec_id = r.doc
+            ORDER BY em.vec_id""",
       "q_payload_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              sha256(text) AS payload_sha256

@@ -176,21 +176,28 @@ object Similarity {
     * [[topK]]/[[ivfTopK]] or a finer hash if they matter). The bucket
     * histogram is one extra aggregation over the tagged table, tiny
     * next to the join it bounds. 0 (default) = uncapped. */
-  def lshKnnJoin(embeddings: DataFrame, k: Int, dim: Int, nBits: Int = 8, seed: Long = 42L,
-                 idCol: String = "vec_id", vecCol: String = "embedding",
-                 maxBucket: Int = 0): DataFrame = {
+  /** (bucket, id, v) with sign-LSH bucket tags, hot buckets pruned
+    * when `maxBucket > 0` — the shared front of the bucketed ANN
+    * joins. */
+  private def lshTagged(embeddings: DataFrame, dim: Int, nBits: Int, seed: Long,
+                        idCol: String, vecCol: String, maxBucket: Int): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     val planes = hyperplanes(dim, nBits, seed)
     val tagged = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
-    val pruned =
-      if (maxBucket <= 0) tagged
-      else {
-        // <= 2^nBits rows after aggregation — always broadcastable
-        val small = tagged.groupBy(col("bucket"))
-          .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
-        tagged.join(broadcast(small), Seq("bucket")).drop("__n")
-      }
+    if (maxBucket <= 0) tagged
+    else {
+      // <= 2^nBits rows after aggregation — always broadcastable
+      val small = tagged.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
+      tagged.join(broadcast(small), Seq("bucket")).drop("__n")
+    }
+  }
+
+  def lshKnnJoin(embeddings: DataFrame, k: Int, dim: Int, nBits: Int = 8, seed: Long = 42L,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 maxBucket: Int = 0): DataFrame = {
+    val pruned = lshTagged(embeddings, dim, nBits, seed, idCol, vecCol, maxBucket)
     val a = pruned.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = pruned.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     val w = Window.partitionBy(col("id_a"))
@@ -201,5 +208,45 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("id_a"), col("id_b"), col("cosine_sim"), col("rank"))
+  }
+
+  /** Unordered candidate pairs (doc_a < doc_b) sharing an LSH bucket
+    * with cosine >= threshold — the pair stage of embedding near-dup
+    * dedup. Each vector lives in exactly one bucket (single nBits-bit
+    * hash), so no pair appears twice. */
+  def lshSimilarPairs(embeddings: DataFrame, threshold: Double, dim: Int,
+                      nBits: Int = 8, seed: Long = 42L,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      maxBucket: Int = 0): DataFrame = {
+    val pruned = lshTagged(embeddings, dim, nBits, seed, idCol, vecCol, maxBucket)
+    val a = pruned.select(col("bucket"), col("id").as("doc_a"), col("v").as("v_a"))
+    val b = pruned.select(col("bucket"), col("id").as("doc_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("cosine_sim", nativeCosine(col("v_a"), col("v_b")))
+      .where(col("cosine_sim") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cosine_sim"))
+  }
+
+  /** End-to-end embedding near-dup dedup: LSH-bucketed cosine pairs
+    * above `threshold` form a graph; every vector keeps the min id of
+    * its connected component (via [[Dedup.connectedKeepers]] — the
+    * same adaptive components engine as document dedup). Returns
+    * (idCol, keeper_id) for EVERY vector; unmatched vectors keep
+    * themselves. Recall < 1 inherits from the LSH bucketing: a
+    * cross-bucket near-dup pair is not seen (raise nBits' inverse or
+    * run multiple seeds for higher recall). */
+  def dedupByEmbedding(embeddings: DataFrame, threshold: Double, dim: Int,
+                       nBits: Int = 8, seed: Long = 42L,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       maxBucket: Int = 0): DataFrame = {
+    val pairs = lshSimilarPairs(embeddings, threshold, dim, nBits, seed,
+      idCol, vecCol, maxBucket).select(col("doc_a"), col("doc_b"))
+    val roots = graft.operators.Dedup.connectedKeepers(pairs)
+      .withColumnRenamed("doc_id", idCol)
+    embeddings.select(col(idCol))
+      .join(roots, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("root"), col(idCol)).as("keeper_id"))
+      .orderBy(col(idCol))
   }
 }

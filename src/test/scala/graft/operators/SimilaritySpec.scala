@@ -79,6 +79,14 @@ class SimilaritySpec extends SparkSuite {
     assert(full === exact)
   }
 
+  test("dedupByEmbedding merges parallel vectors, leaves dissimilar ones") {
+    // 0 and 1 are parallel (cosine 1.0, same sign pattern -> same
+    // bucket); 3 is at 1/sqrt(2) to both — below the 0.9 threshold
+    val out = Similarity.dedupByEmbedding(emb, threshold = 0.9, dim = 3, nBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 3L)))
+  }
+
   test("stored IVF index prunes unprobed cells at the scan (bucket pruning)") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val (assigned, centroids) = Similarity.ivfIndex(emb, nCells = 8)
