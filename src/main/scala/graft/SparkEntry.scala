@@ -135,6 +135,7 @@ object SparkEntry {
         Text.punctCount(c).cast("long").as("n_punct"),
         Text.avgTokenLen(c).as("avg_token_len"),
         Text.digitRatio(c).as("digit_ratio"),
+        Text.stopwordRatio(c).as("stopword_ratio"),
         Text.fingerprint(c).as("fingerprint")).orderBy(col("doc_id"))
     }),
     "q_lang_id" -> ((s, d) =>
@@ -468,6 +469,8 @@ object SparkEntry {
                / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len,
              CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
                / len(text) AS digit_ratio,
+             CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio,
              sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
            FROM documents ORDER BY doc_id""",
       "q_lang_id" -> {

@@ -66,6 +66,12 @@ object Text {
   def stopwordHits(c: Column, pattern: String): Column =
     regexp_count(lower(c), lit(pattern))
 
+  /** Stopword hits per whitespace token — the classic fluency signal
+    * (natural prose ~0.2-0.5; keyword-stuffed/generated text near 0).
+    * Complements [[isQuality]]'s structural gates. */
+  def stopwordRatio(c: Column, lang: String = "en"): Column =
+    stopwordHits(c, stopwordPatterns.toMap.apply(lang)).cast("double") / tokenCount(c)
+
   /** Composite quality heuristic for corpus filtering (the standard
     * pre-training gates): enough tokens, plausible mean token length,
     * text not dominated by digits or punctuation. Boolean column;

@@ -77,6 +77,14 @@ class TextSpec extends SparkSuite {
       Text.isQuality(_)) === false) // avg token length
   }
 
+  test("stopwordRatio: fluent prose scores high, keyword soup scores zero") {
+    val fluent = one("the cat sat on the mat and the dog is in a box",
+      Text.stopwordRatio(_)).asInstanceOf[Double]
+    assert(fluent > 0.3, s"fluent prose should be stopword-dense, got $fluent")
+    assert(one("buy cheap widgets best widgets cheap buy",
+      Text.stopwordRatio(_)).asInstanceOf[Double] === 0.0)
+  }
+
   test("langId on null text is null (was: the fold's last branch, 'zh')") {
     val r = Seq(Option.empty[String]).toDF("t")
       .select(Text.langId(col("t")).as("l")).head()
