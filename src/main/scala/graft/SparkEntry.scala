@@ -63,6 +63,11 @@ object SparkEntry {
       Skew.saltedSum(t(s, d, "lineitem").select("l_returnflag", "l_quantity"),
         "l_returnflag", "l_quantity").orderBy(col("l_returnflag"))),
     "q_rollup" -> ((s, d) => Reports.rollupSummary(t(s, d, "lineitem"))),
+    "q_pivot" -> ((s, d) =>
+      Reports.pivotSum(t(s, d, "lineitem"), "l_returnflag", "l_linestatus",
+        Seq("F", "O"), "l_quantity", prefix = "qty_")),
+    "q_quantiles" -> ((s, d) =>
+      Profile.quantiles(t(s, d, "lineitem"), "l_returnflag", "l_quantity")),
     "q_top_parts" -> ((s, d) => TopK.topN(t(s, d, "part"), "p_retailprice", "p_partkey", 100)),
     "q_top_parts_per_brand" -> ((s, d) =>
       TopK.perGroup(t(s, d, "part"), "p_brand", "p_retailprice", "p_partkey", 3)
@@ -349,6 +354,15 @@ object SparkEntry {
             ${sqlDsum("l_quantity")} AS sum_qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+      "q_pivot" -> // sum(CASE ...) is SQL's pivot spelling; empty cell -> NULL both sides
+        s"""SELECT l_returnflag,
+            CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F,
+            CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      "q_quantiles" -> // quantile_cont = the same (1-g)*a + g*b interpolation as Spark's percentile
+        """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
+             quantile_cont(l_quantity, 0.9) AS p90
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
       "q_salted_sum" ->
         s"""SELECT l_returnflag, ${sqlDsum("l_quantity")} AS sum_l_quantity
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

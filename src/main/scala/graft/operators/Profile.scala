@@ -103,6 +103,20 @@ object Profile {
       .orderBy(col("bucket"))
   }
 
+  /** Exact interpolated quantiles per group (V4-family profiling —
+    * median/p90 spread summaries). `percentile` is the EXACT
+    * sort-based aggregate (same (1-g)·a + g·b interpolation as
+    * standard quantile_cont) — right for profiling runs; switch to
+    * `approx_percentile` when a sketch is acceptable at 100 TB. */
+  def quantiles(df: DataFrame, key: String, measure: String,
+                ps: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    val aggs = ps.map(p =>
+      percentile(col(measure), lit(p)).as(s"p${math.round(p * 100)}"))
+    df.groupBy(col(key))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col(key))
+  }
+
   /** Share-of-total per category (reference: dashboard top-6 share pie,
     * run_dashboard.py:399-468). Exact decimal sums; one aggregate for
     * the groups, a broadcast 1-row total joined back. */

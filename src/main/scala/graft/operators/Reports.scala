@@ -87,6 +87,24 @@ object Reports {
       .agg(dsum(col("l_extendedprice")).as("prescriptions"))
       .orderBy(col("prescriptions").desc, col("p_brand"))
 
+  /** Wide pivot: one row per `rowKey`, one decimal-summed measure
+    * column per pivot value. `pivotValues` is EXPLICIT — passing it
+    * skips the extra distinct-values job Spark otherwise runs on the
+    * driver before planning, and makes the output schema stable (both
+    * required at 100 TB: the value set must be known, not discovered).
+    * A (rowKey, pivotValue) pair with no rows yields null, matching
+    * SQL's `sum(CASE WHEN ...)` spelling. */
+  def pivotSum(df: DataFrame, rowKey: String, pivotCol: String,
+               pivotValues: Seq[String], measure: String,
+               prefix: String = ""): DataFrame = {
+    val wide = df.groupBy(col(rowKey))
+      .pivot(pivotCol, pivotValues)
+      .agg(dsum(col(measure)))
+    val renamed = pivotValues.foldLeft(wide)((d, v) =>
+      d.withColumnRenamed(v, s"$prefix$v"))
+    renamed.orderBy(col(rowKey))
+  }
+
   /** Dashboard KPI row (reference: run_dashboard.py:353-364): distinct
     * drugs/prescribers + total claims/cost, one pass over the fact. */
   def kpis(lineitem: DataFrame): DataFrame =

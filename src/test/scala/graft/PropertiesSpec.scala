@@ -52,6 +52,41 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("property: connectedKeepers equals brute-force transitive closure") {
+    // reference: repeated relaxation over an adjacency map until fixpoint
+    def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      var lab = nodes.map(n => n -> n).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(lab(a), lab(b))
+          if (lab(a) != m) { lab += a -> m; changed = true }
+          if (lab(b) != m) { lab += b -> m; changed = true }
+        }
+      }
+      lab
+    }
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)).suchThat(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))))
+    samples(edgeGen, 8).foreach { edges =>
+      val df = edges.toDF("doc_a", "doc_b")
+      val got = Dedup.connectedKeepers(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === brute(edges), s"union-find mismatch for $edges")
+    }
+    // the distributed path obeys the same law (one sampled case — each
+    // run costs whole Spark jobs)
+    samples(edgeGen, 1).foreach { edges =>
+      val df = edges.toDF("doc_a", "doc_b")
+      val got = Dedup.connectedKeepers(df, driverMaxPairs = 0).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === brute(edges), s"label-propagation mismatch for $edges")
+    }
+  }
+
   test("property: salted sum equals the plain sum for any grouping") {
     val rowsGen = Gen.listOfN(40, Gen.zip(Gen.oneOf("x", "y"), Gen.choose(0, 10000)))
     samples(rowsGen, 5).foreach { rows =>
