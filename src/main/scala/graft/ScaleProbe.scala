@@ -61,6 +61,12 @@ object ScaleProbe {
     val lshCap = time(s"lshKnnJoin cap=64 x$factor")(
       Similarity.lshKnnJoin(emb, 5, dim = 64, maxBucket = 64).count())
     println(s"[scale]   capped lsh-knn rows: $lshCap")
+    val cc = time(s"dedupDocumentsCC x$factor")(
+      Dedup.dedupDocumentsCC(docs, maxBucket = 8).count())
+    println(s"[scale]   cc keeper rows:  $cc")
+    val embDedup = time(s"dedupByEmbedding x$factor")(
+      Similarity.dedupByEmbedding(emb, threshold = 0.3, dim = 64, maxBucket = 64).count())
+    println(s"[scale]   embedding-dedup rows: $embDedup")
     time(s"topK x$factor")(
       Similarity.topK(emb, Similarity.vectorOf(emb, 1L), 10).collect())
     spark.stop()

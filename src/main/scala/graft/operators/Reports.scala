@@ -88,21 +88,25 @@ object Reports {
       .orderBy(col("prescriptions").desc, col("p_brand"))
 
   /** Wide pivot: one row per `rowKey`, one decimal-summed measure
-    * column per pivot value. `pivotValues` is EXPLICIT — passing it
-    * skips the extra distinct-values job Spark otherwise runs on the
-    * driver before planning, and makes the output schema stable (both
-    * required at 100 TB: the value set must be known, not discovered).
-    * A (rowKey, pivotValue) pair with no rows yields null, matching
-    * SQL's `sum(CASE WHEN ...)` spelling. */
+    * column per pivot value. `pivotValues` is EXPLICIT: the value set
+    * must be known, not discovered, at 100 TB (Spark's `.pivot()`
+    * without values runs a driver-side distinct job first), and an
+    * explicit list makes the output schema stable. Spelled as
+    * conditional sums rather than the `.pivot()` API: `.pivot()`
+    * plans an extra aggregate layer (agg by (rowKey, pivotCol), then
+    * pivot-agg by rowKey — two shuffles); the `sum(when(...))`
+    * spelling is ONE hash aggregate with map-side partials. A
+    * (rowKey, pivotValue) pair with no rows yields null, matching
+    * SQL's `sum(CASE WHEN ...)`. */
   def pivotSum(df: DataFrame, rowKey: String, pivotCol: String,
                pivotValues: Seq[String], measure: String,
                prefix: String = ""): DataFrame = {
-    val wide = df.groupBy(col(rowKey))
-      .pivot(pivotCol, pivotValues)
-      .agg(dsum(col(measure)))
-    val renamed = pivotValues.foldLeft(wide)((d, v) =>
-      d.withColumnRenamed(v, s"$prefix$v"))
-    renamed.orderBy(col(rowKey))
+    require(pivotValues.nonEmpty, "pivotSum needs an explicit pivot-value list")
+    val aggs = pivotValues.map(v =>
+      dsum(when(col(pivotCol) === v, col(measure))).as(s"$prefix$v"))
+    df.groupBy(col(rowKey))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col(rowKey))
   }
 
   /** Dashboard KPI row (reference: run_dashboard.py:353-364): distinct

@@ -72,4 +72,20 @@ class ReportsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq === Seq((10L, 2L), (11L, 1L)))
   }
+
+  test("pivotSum: per-value decimal sums, empty cells null, one aggregate in the plan") {
+    import spark.implicits._
+    val df = Seq(("a", "x", 1.5), ("a", "x", 2.5), ("b", "y", 3.0)).toDF("k", "p", "m")
+    val out = Reports.pivotSum(df, "k", "p", Seq("x", "y"), "m", prefix = "m_")
+    val rows = out.collect()
+    assert(out.columns.toSeq === Seq("k", "m_x", "m_y"))
+    assert(rows(0).getString(0) === "a" && rows(0).getDouble(1) === 4.0 && rows(0).isNullAt(2))
+    assert(rows(1).getString(0) === "b" && rows(1).isNullAt(1) && rows(1).getDouble(2) === 3.0)
+    // one hash aggregate (partial + final = ONE exchange), not the
+    // .pivot() API's two-layer plan
+    val nAggExchanges = "Exchange hashpartitioning".r
+      .findAllIn(out.queryExecution.executedPlan.toString).length
+    assert(nAggExchanges <= 2, // agg exchange + oracle-only sort exchange
+      s"expected the single-aggregate pivot plan:\n${out.queryExecution.executedPlan}")
+  }
 }
