@@ -122,6 +122,28 @@ object SparkEntry {
       Lake.incrementalSlice(orders, "o_orderkey", w)
         .select("o_orderkey", "o_custkey", "o_totalprice").orderBy(col("o_orderkey"))
     }),
+    // CDC snapshot diff ([EXT] — S4's watermark only covers appends):
+    // synthetic old/new snapshots derived deterministically from orders
+    "q_snapshot_diff" -> ((s, d) => {
+      val orders = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val prev = orders.where(col("o_orderkey") % 3 =!= 0)
+      val next = orders.where(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+      Lake.snapshotDiff(prev, next, Seq("o_orderkey")).orderBy(col("o_orderkey"))
+    }),
+    // set difference ([EXT] §2.7): old-version rows gone from the new
+    // snapshot (removed or replaced by an update)
+    "q_except" -> ((s, d) => {
+      val orders = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val prev = orders.where(col("o_orderkey") % 3 =!= 0)
+      val next = orders.where(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+      prev.except(next).orderBy(col("o_orderkey"))
+    }),
     // ---- event-time windows / sessionization (SURVEY §2.10 [EXT]) ----
     "q_windowed_counts" -> ((s, d) => Sessions.windowedCounts(t(s, d, "events"))),
     "q_sliding_counts" -> ((s, d) => Sessions.slidingCounts(t(s, d, "events"))),
@@ -452,6 +474,30 @@ object SparkEntry {
         """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
            WHERE o_orderkey > (SELECT max(o_orderkey) FROM orders WHERE o_custkey < 100)
            ORDER BY o_orderkey""",
+      "q_snapshot_diff" ->
+        """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                      WHERE o_orderkey % 3 <> 0),
+                n AS (SELECT o_orderkey, o_custkey,
+                        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+                             ELSE o_totalprice END AS o_totalprice
+                      FROM orders WHERE o_orderkey % 7 <> 0)
+           SELECT * FROM (
+             SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                      OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+               END AS change
+             FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
+           WHERE change IS NOT NULL ORDER BY o_orderkey""",
+      "q_except" ->
+        """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                      WHERE o_orderkey % 3 <> 0),
+                n AS (SELECT o_orderkey, o_custkey,
+                        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+                             ELSE o_totalprice END AS o_totalprice
+                      FROM orders WHERE o_orderkey % 7 <> 0)
+           SELECT * FROM o EXCEPT SELECT * FROM n ORDER BY o_orderkey""",
       "q_windowed_counts" ->
         s"""SELECT (epoch_ns(ts) // 600000000000) * 600 AS window_start, event_type,
             count(*) AS n_events, ${sqlDsum("value")} AS sum_value

@@ -119,6 +119,35 @@ object Lake {
   def incrementalSlice(source: DataFrame, idCol: String, watermark: Option[Long]): DataFrame =
     watermark.fold(source)(w => source.where(col(idCol) > lit(w)))
 
+  /** Change-data-capture diff between two keyed snapshots:
+    * (keys..., change) with change ∈ added | removed | changed;
+    * unchanged rows are dropped. The max-id watermark (S4) only
+    * handles APPENDS — this closes updates and deletes, the other
+    * half of incremental ingest. One full-outer shuffle join on the
+    * keys; non-key equality is the null-safe column compare (exact,
+    * engine-portable). On very wide rows, pre-hashing the payload
+    * (xxhash64 over native types) halves the shuffle width at the
+    * cost of hash-collision soundness — worth it at 100 TB, not
+    * needed for the exact contract here. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    require(oldDf.columns.toSeq == newDf.columns.toSeq,
+      s"snapshot schemas differ: ${oldDf.columns.toSeq} vs ${newDf.columns.toSeq}")
+    val nonKey = oldDf.columns.toSeq.filterNot(keys.contains)
+    val o = oldDf.select(keys.map(col) ++ nonKey.map(c => col(c).as(s"__o_$c")): _*)
+      .withColumn("__in_old", lit(true))
+    val n = newDf.select(keys.map(col) ++ nonKey.map(c => col(c).as(s"__n_$c")): _*)
+      .withColumn("__in_new", lit(true))
+    val changed = nonKey.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, keys, "full_outer")
+      .withColumn("change",
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(changed, lit("changed")))
+      .where(col("change").isNotNull)
+      .select(keys.map(col) :+ col("change"): _*)
+  }
+
   /** Readable-report CSV sink (reference: src/runnerfile.py:550-551
     * S8): single header CSV per report — reports are small by
     * construction (post-aggregation), so coalesce(1) is safe here and

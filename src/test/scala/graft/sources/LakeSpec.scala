@@ -89,6 +89,20 @@ class LakeSpec extends SparkSuite {
     assert(Lake.incrementalSlice(source, "id", None).count() === 4)
   }
 
+  test("snapshotDiff classifies added/removed/changed; unchanged rows dropped") {
+    val prev = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "v", "m")
+    val next = Seq((1L, "a", 10.0), (2L, "b", 99.0), (4L, "d", 40.0)).toDF("id", "v", "m")
+    val out = Lake.snapshotDiff(prev, next, Seq("id")).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+    // null-safe compare: null -> null is NOT a change, null -> value is
+    val p2 = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("id", "v")
+    val n2 = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("id", "v")
+    val out2 = Lake.snapshotDiff(p2, n2, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out2.toSeq === Seq((2L, "changed")))
+  }
+
   test("ingestJson reads newline-delimited records, with or without a schema") {
     val dir = tmp()
     Files.writeString(java.nio.file.Paths.get(s"$dir/t.json"),
