@@ -205,6 +205,12 @@ object SparkEntry {
       Similarity.lshKnnJoin(t(s, d, "embeddings"), 5, dim = 64, nBits = 8, maxBucket = 6)
         .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"), col("rank"))
         .orderBy(col("id_a"), col("rank"))),
+    // multi-seed LSH: recall dial — pairs bucketed under ANY seed
+    "q_lsh_knn_multi" -> ((s, d) =>
+      Similarity.lshKnnJoinMultiSeed(t(s, d, "embeddings"), 5, dim = 64, nBits = 8,
+        seeds = Seq(42L, 43L))
+        .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"), col("rank"))
+        .orderBy(col("id_a"), col("rank"))),
     // embedding-cosine near-dup keeper map (LSH pairs -> connected
     // components); threshold sized to the synthetic corpus' cosine range
     "q_dedup_embeddings" -> ((s, d) =>
@@ -275,15 +281,19 @@ object SparkEntry {
     // guard: buckets above the cap are removed from both join sides.
     // Shared CTEs for the sign-LSH embedding oracles: bucket-tagged
     // vectors (t), optional hot-bucket cap (bc), norms (n).
-    def lshNormCtes(cap: Int): String = {
-      val planes = Similarity.hyperplanes(64, 8, 42L)
+    // Literal sign-LSH bucket expression for one seeded hyperplane set.
+    def lshBucketExpr(seed: Long): String = {
+      val planes = Similarity.hyperplanes(64, 8, seed)
       def dotLit(p: Seq[Double]) = {
         val arr = p.map(_.toString).mkString("[", ", ", "]")
         fold(s"[embedding[i]::DOUBLE * ($arr)[i] for i in range(1, len(embedding)+1)]")
       }
-      val bucket = planes.zipWithIndex.map { case (p, i) =>
+      planes.zipWithIndex.map { case (p, i) =>
         s"(CASE WHEN ${dotLit(p)} >= 0 THEN ${1L << i} ELSE 0 END)"
       }.mkString(" + ")
+    }
+    def lshNormCtes(cap: Int): String = {
+      val bucket = lshBucketExpr(42L)
       val bc =
         if (cap > 0) s"bc AS (SELECT bucket, count(*) AS n FROM t GROUP BY bucket),\n            "
         else ""
@@ -640,6 +650,18 @@ object SparkEntry {
             FROM p QUALIFY "rank" <= 5 ORDER BY id_a, "rank"""",
       "q_lsh_knn" -> lshKnnOracle(cap = 0),
       "q_lsh_knn_capped" -> lshKnnOracle(cap = 6),
+      "q_lsh_knn_multi" -> // pairs bucketed under EITHER seed; UNION dedups
+        s"""WITH t AS (SELECT vec_id, embedding, ${lshBucketExpr(42L)} AS b0,
+                ${lshBucketExpr(43L)} AS b1 FROM embeddings),
+            n AS (SELECT vec_id, embedding, b0, b1, sqrt(${dotSelf("embedding")}) AS nrm FROM t),
+            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, $pairCos AS c
+                  FROM n a JOIN n b ON a.b0 = b.b0 AND a.vec_id <> b.vec_id
+                  UNION
+                  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $pairCos AS c
+                  FROM n a JOIN n b ON a.b1 = b.b1 AND a.vec_id <> b.vec_id)
+            SELECT id_a, id_b, round(c, 6) AS cosine_sim,
+              CAST(row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS INTEGER) AS "rank"
+            FROM p QUALIFY "rank" <= 5 ORDER BY id_a, "rank"""",
       "q_dedup_embeddings" ->
         s"""WITH RECURSIVE ${lshNormCtes(0)},
             p AS (SELECT a.vec_id AS s, b.vec_id AS d, $pairCos AS c

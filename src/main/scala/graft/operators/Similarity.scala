@@ -210,6 +210,47 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine_sim"), col("rank"))
   }
 
+  /** Multi-probe flavor of [[lshKnnJoin]]: one INDEPENDENT hyperplane
+    * set per seed; a candidate pair shares a bucket under ANY seed
+    * (same band structure as MinHash-LSH). Recall rises toward 1 with
+    * the seed count — each seed is an independent partition of the
+    * sphere, so a near pair split by one partition is usually joined
+    * by another — at linearly more candidate work: the standard
+    * recall/cost dial. Pairs found under several seeds are
+    * deduplicated BEFORE ranking (cosine is deterministic, so the
+    * distinct collapses them exactly). */
+  def lshKnnJoinMultiSeed(embeddings: DataFrame, k: Int, dim: Int, nBits: Int = 8,
+                          seeds: Seq[Long] = Seq(42L, 43L),
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          maxBucket: Int = 0): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    require(seeds.nonEmpty, "lshKnnJoinMultiSeed needs at least one seed")
+    val bandCols = seeds.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("band"), lshBucket(col("v"), hyperplanes(dim, nBits, s)).as("bucket"))
+    }
+    val tagged0 = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), col("v"), explode(array(bandCols: _*)).as("e"))
+      .select(col("id"), col("v"), col("e.band").as("band"), col("e.bucket").as("bucket"))
+    val tagged =
+      if (maxBucket <= 0) tagged0
+      else {
+        val small = tagged0.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
+        tagged0.join(broadcast(small), Seq("band", "bucket")).drop("__n")
+      }
+    val a = tagged.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = tagged.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cosine_sim").desc, col("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") =!= col("id_b"))
+      .withColumn("cosine_sim", nativeCosine(col("v_a"), col("v_b")))
+      .select(col("id_a"), col("id_b"), col("cosine_sim"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Unordered candidate pairs (doc_a < doc_b) sharing an LSH bucket
     * with cosine >= threshold — the pair stage of embedding near-dup
     * dedup. Each vector lives in exactly one bucket (single nBits-bit

@@ -79,6 +79,26 @@ class SimilaritySpec extends SparkSuite {
     assert(full === exact)
   }
 
+  test("multi-seed LSH recall >= single-seed recall against brute force") {
+    val embR = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .where(col("vec_id") < 200)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nBits=4: this corpus' neighbor cosines are ~0.3-0.4 (angle ~70°),
+    // so per-plane agreement is ~0.6 and per-seed bucket collision
+    // 0.6^nBits — at 8 bits recall is single-digit % BY MATH, not by
+    // bug; 4 bits gives each seed a fighting chance and the multi-seed
+    // union must then dominate the single seed.
+    val brute = pairSet(Similarity.knnJoin(embR, 3))
+    val single = pairSet(Similarity.lshKnnJoin(embR, 3, dim = 64, nBits = 4))
+    val multi = pairSet(Similarity.lshKnnJoinMultiSeed(embR, 3, dim = 64, nBits = 4,
+      seeds = Seq(42L, 43L, 44L)))
+    def recall(s: Set[(Long, Long)]) = s.intersect(brute).size.toDouble / brute.size
+    assert(recall(multi) >= recall(single),
+      s"multi ${recall(multi)} < single ${recall(single)}")
+    assert(recall(multi) > 0.2, s"3-seed recall unreasonably low: ${recall(multi)}")
+  }
+
   test("dedupByEmbedding merges parallel vectors, leaves dissimilar ones") {
     // 0 and 1 are parallel (cosine 1.0, same sign pattern -> same
     // bucket); 3 is at 1/sqrt(2) to both — below the 0.9 threshold
