@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Text
 import graft.multimodal.Multimodal
-import graft.operators.{Anonymize, Dedup, Profile, Reports, Similarity, Skew, TopK, Windows}
+import graft.operators.{Anonymize, Dedup, Profile, Reports, Sampling, Similarity, Skew, TopK, Windows}
 import graft.sources.{Lake, Tables}
 import graft.streaming.Sessions
 
@@ -122,6 +122,16 @@ object SparkEntry {
       Lake.incrementalSlice(orders, "o_orderkey", w)
         .select("o_orderkey", "o_custkey", "o_totalprice").orderBy(col("o_orderkey"))
     }),
+    // deterministic hash-mod sampling ([EXT]): reproducible across
+    // engines/runs/partitionings; nested subsets across rates
+    "q_sample" -> ((s, d) =>
+      Sampling.byHash(t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_orderkey", 0.2).orderBy(col("o_orderkey"))),
+    "q_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedByHash(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+        "l_orderkey", "l_returnflag", Map("A" -> 0.5, "N" -> 0.1), default = 0.02)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
     // CDC snapshot diff ([EXT] — S4's watermark only covers appends):
     // synthetic old/new snapshots derived deterministically from orders
     "q_snapshot_diff" -> ((s, d) => {
@@ -484,6 +494,16 @@ object SparkEntry {
         """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
            WHERE o_orderkey > (SELECT max(o_orderkey) FROM orders WHERE o_custkey < 100)
            ORDER BY o_orderkey""",
+      "q_sample" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 10000 < 2000
+           ORDER BY o_orderkey""",
+      "q_stratified_sample" ->
+        """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
+           WHERE ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 8))::BIGINT % 10000 <
+             CASE WHEN l_returnflag = 'N' THEN 1000
+                  WHEN l_returnflag = 'A' THEN 5000 ELSE 200 END
+           ORDER BY l_orderkey, l_linenumber, l_quantity""",
       "q_snapshot_diff" ->
         """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
                       WHERE o_orderkey % 3 <> 0),
