@@ -68,6 +68,15 @@ object SparkEntry {
         Seq("F", "O"), "l_quantity", prefix = "qty_")),
     "q_quantiles" -> ((s, d) =>
       Profile.quantiles(t(s, d, "lineitem"), "l_returnflag", "l_quantity")),
+    "q_corr" -> ((s, d) =>
+      Profile.pearsonExact(t(s, d, "lineitem"), "l_returnflag",
+        "l_quantity", "l_extendedprice")),
+    // deterministic split assignment ([EXT]): per-split row counts
+    "q_split" -> ((s, d) =>
+      Sampling.assignSplit(t(s, d, "orders"), "o_orderkey",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .orderBy(col("split"))),
     "q_top_parts" -> ((s, d) => TopK.topN(t(s, d, "part"), "p_retailprice", "p_partkey", 100)),
     "q_top_parts_per_brand" -> ((s, d) =>
       TopK.perGroup(t(s, d, "part"), "p_brand", "p_retailprice", "p_partkey", 3)
@@ -494,6 +503,26 @@ object SparkEntry {
         """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
            WHERE o_orderkey > (SELECT max(o_orderkey) FROM orders WHERE o_custkey < 100)
            ORDER BY o_orderkey""",
+      "q_corr" -> // same decimal sums, same double expression — bit-identical
+        """WITH a AS (SELECT l_returnflag, count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS sxx,
+             sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS syy,
+             sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS sxy
+             FROM lineitem GROUP BY l_returnflag)
+           SELECT l_returnflag,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+              sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS corr
+           FROM a ORDER BY l_returnflag""",
+      "q_split" ->
+        """SELECT CASE
+             WHEN ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 10000 < 8000 THEN 'train'
+             WHEN ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 10000 < 9000 THEN 'val'
+             ELSE 'test' END AS split, count(*) AS n
+           FROM orders GROUP BY 1 ORDER BY split""",
       "q_sample" ->
         """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
            WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 10000 < 2000

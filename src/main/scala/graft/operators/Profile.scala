@@ -117,6 +117,29 @@ object Profile {
       .orderBy(col(key))
   }
 
+  /** Pearson correlation per group via EXPLICIT decimal sums, then
+    * one identical double expression over them — unlike the built-in
+    * `corr` (Welford-style accumulation, result depends on merge
+    * order), this is exact, summation-order independent, and
+    * reproducible bit-for-bit across engines. The V4/EDA correlation
+    * surface. Inputs are assumed money/quantity-scaled (≤2 decimal
+    * places; products cast to DECIMAL(28,4) — see oracle). */
+  def pearsonExact(df: DataFrame, key: String, x: String, y: String): DataFrame = {
+    val agg = df.groupBy(col(key)).agg(
+      count(lit(1)).as("__n"),
+      sum(col(x).cast(DecimalType(18, 2))).as("__sx"),
+      sum(col(y).cast(DecimalType(18, 2))).as("__sy"),
+      sum((col(x) * col(x)).cast(DecimalType(28, 4))).as("__sxx"),
+      sum((col(y) * col(y)).cast(DecimalType(28, 4))).as("__syy"),
+      sum((col(x) * col(y)).cast(DecimalType(28, 4))).as("__sxy"))
+    def d(c: String) = col(c).cast("double")
+    agg.select(col(key),
+      ((d("__n") * d("__sxy") - d("__sx") * d("__sy")) /
+        (sqrt(d("__n") * d("__sxx") - d("__sx") * d("__sx")) *
+          sqrt(d("__n") * d("__syy") - d("__sy") * d("__sy")))).as("corr"))
+      .orderBy(col(key))
+  }
+
   /** Share-of-total per category (reference: dashboard top-6 share pie,
     * run_dashboard.py:399-468). Exact decimal sums; one aggregate for
     * the groups, a broadcast 1-row total joined back. */

@@ -28,6 +28,28 @@ object Sampling {
     df.where(hashBp(col(idCol)) < math.round(rate * 10000))
   }
 
+  /** Deterministic train/val/test assignment: the hash space is cut
+    * into contiguous ranges proportional to `weights` (insertion
+    * order). Pure function of the id — a row NEVER migrates between
+    * splits across runs, partitionings, or corpus growth, the
+    * property that keeps eval sets uncontaminated as a training
+    * corpus evolves. Weights must sum to 1 (basis-point rounding on
+    * the boundaries). */
+  def assignSplit(df: DataFrame, idCol: String,
+                  weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"weights must sum to 1: $weights")
+    val bounds = weights.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * 10000)
+    }.tail
+    val h = hashBp(col(idCol))
+    val expr = weights.map(_._1).zip(bounds).reverse.tail
+      .foldLeft(lit(weights.last._1): Column) { case (acc, (name, hi)) =>
+        when(h < hi, name).otherwise(acc)
+      }
+    df.withColumn("split", expr)
+  }
+
   /** Stratified flavor: per-stratum rates, `default` for strata not
     * in the map. One pass, no shuffle — the rate is a when-chain on
     * the stratum column, the membership test stays the hash-mod. */

@@ -24,6 +24,32 @@ class SamplingSpec extends SparkSuite {
     assert(small.size < large.size)
   }
 
+  test("assignSplit: stable under corpus growth, proportions near weights") {
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val small = Sampling.assignSplit(df.where($"id" <= 1000), "id", weights)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val full = Sampling.assignSplit(df, "id", weights)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    // no row migrates between splits when the corpus doubles — the
+    // eval-contamination guarantee
+    small.foreach { case (id, s) => assert(full(id) === s, s"row $id migrated") }
+    val counts = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") / 2000.0 - 0.8) < 0.05)
+    assert(math.abs(counts("val") / 2000.0 - 0.1) < 0.05)
+    assert(math.abs(counts("test") / 2000.0 - 0.1) < 0.05)
+  }
+
+  test("pearsonExact: 1 on a perfect line, sign flips with the slope") {
+    val line = (1 to 100).map(i => ("g", i.toDouble, 2.0 * i + 3))
+      .toDF("k", "x", "y")
+    val r = Profile.pearsonExact(line, "k", "x", "y").head().getDouble(1)
+    assert(math.abs(r - 1.0) < 1e-9, s"perfect line must give corr 1, got $r")
+    val anti = (1 to 100).map(i => ("g", i.toDouble, -1.5 * i + 7))
+      .toDF("k", "x", "y")
+    val r2 = Profile.pearsonExact(anti, "k", "x", "y").head().getDouble(1)
+    assert(math.abs(r2 + 1.0) < 1e-9, s"anti-line must give corr -1, got $r2")
+  }
+
   test("stratifiedByHash applies per-stratum rates with a default") {
     val strat = (1L to 3000L).map(i => (i, if (i % 3 == 0) "hot" else "cold"))
       .toDF("id", "s")
