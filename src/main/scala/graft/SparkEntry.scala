@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Text
 import graft.multimodal.Multimodal
-import graft.operators.{Anonymize, Dedup, Profile, Reports, Sampling, Similarity, Skew, TopK, Windows}
+import graft.operators.{Anonymize, Dedup, Pack, Profile, Reports, Sampling, Similarity, Skew, TopK, Windows}
 import graft.sources.{Lake, Tables}
 import graft.streaming.Sessions
 
@@ -206,6 +206,15 @@ object SparkEntry {
     // verified near-dup graph) vs q_dedup_docs' one-hop policy
     "q_dedup_docs_cc" -> ((s, d) => Dedup.dedupDocumentsCC(t(s, d, "documents"), threshold = 0.5)),
     "q_simhash" -> ((s, d) => Dedup.simhash32(t(s, d, "documents"))),
+    // sequence packing ([EXT]): concat-then-chunk bin assignment via
+    // a distributed prefix sum (never a single-task global window)
+    "q_pack" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val sized = t(s, d, "documents")
+        .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Pack.contiguousBins(sized, "doc_id", "n_tokens", budget = 512)
+        .orderBy(col("doc_id"))
+    }),
     // ---- similarity search (SURVEY §2.3 [EXT]) ----
     "q_topk_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -679,6 +688,17 @@ object SparkEntry {
            SELECT doc_id,
              CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
            FROM bits GROUP BY doc_id ORDER BY doc_id""",
+      "q_pack" -> // the sequential spelling of the distributed prefix sum
+        """WITH s AS (SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             FROM documents),
+           c AS (SELECT doc_id,
+             COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+             FROM s)
+           SELECT doc_id, CAST(before // 512 AS BIGINT) AS bin,
+             CAST(before % 512 AS BIGINT) AS bin_offset
+           FROM c ORDER BY doc_id""",
       "q_topk_cosine" ->
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
             sc AS (SELECT vec_id,

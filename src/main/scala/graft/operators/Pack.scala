@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pre-training ([EXT]): documents in
+  * deterministic id order are laid head-to-tail and cut into fixed
+  * token-budget bins (the standard concat-then-chunk layout). The
+  * assignment for each document is where its FIRST token lands:
+  * bin = floor(tokens_before / budget), offset = tokens_before % budget.
+  *
+  * Scale shape: the naive spelling is `sum() OVER (ORDER BY id)` — a
+  * GLOBAL window that Spark executes on a single task, a non-starter
+  * at 100 TB. This is instead the textbook distributed prefix sum:
+  *  1. range-partition by id (partition i holds a contiguous id range,
+  *     sorted within);
+  *  2. one tiny aggregate collects the per-partition token totals
+  *     (numPartitions rows — a query parameter, not data, on the
+  *     driver) and prefix-sums them into partition offsets;
+  *  3. a partition-local cumulative sum adds the broadcast offset.
+  * The input is localCheckpoint-pinned so steps 2 and 3 see the SAME
+  * physical partitioning (range partitioning samples its bounds; two
+  * independent recomputations could disagree).
+  */
+object Pack {
+
+  def contiguousBins(docs: DataFrame, idCol: String, tokensCol: String,
+                     budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism
+    val sorted = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(tokensCol).cast("long").as("n_tokens"))
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .localCheckpoint()
+    val partTotals = sorted.groupBy(spark_partition_id().as("__pid"))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, pid) =>
+      acc + partTotals.getOrElse(pid, 0L)).toArray
+    sorted.as[(Long, Long)].mapPartitions { it =>
+      var acc = offsets(TaskContext.getPartitionId())
+      it.map { case (id, n) =>
+        val before = acc
+        acc += n
+        (id, before / budget, before % budget)
+      }
+    }.toDF("doc_id", "bin", "bin_offset")
+  }
+}
