@@ -152,6 +152,14 @@ object SparkEntry {
             .otherwise(col("o_totalprice")))
       Lake.snapshotDiff(prev, next, Seq("o_orderkey")).orderBy(col("o_orderkey"))
     }),
+    // MERGE/upsert ([EXT]): updates win on key collision, everything
+    // else survives — the apply half of the CDC loop
+    "q_upsert" -> ((s, d) => {
+      val orders = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val updates = orders.where(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+      Lake.upsertByKey(orders, updates, Seq("o_orderkey")).orderBy(col("o_orderkey"))
+    }),
     // set difference ([EXT] §2.7): old-version rows gone from the new
     // snapshot (removed or replaced by an update)
     "q_except" -> ((s, d) => {
@@ -558,6 +566,14 @@ object SparkEntry {
                END AS change
              FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
            WHERE change IS NOT NULL ORDER BY o_orderkey""",
+      "q_upsert" ->
+        """WITH u AS (SELECT o_orderkey, o_custkey, o_totalprice + 1 AS o_totalprice
+                      FROM orders WHERE o_orderkey % 5 = 0)
+           SELECT * FROM u
+           UNION ALL
+           SELECT o.o_orderkey, o.o_custkey, o.o_totalprice FROM orders o
+           WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.o_orderkey = o.o_orderkey)
+           ORDER BY o_orderkey""",
       "q_except" ->
         """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
                       WHERE o_orderkey % 3 <> 0),

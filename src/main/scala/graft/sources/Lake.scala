@@ -148,6 +148,22 @@ object Lake {
       .select(keys.map(col) :+ col("change"): _*)
   }
 
+  /** MERGE/upsert emulation over plain parquet (no transactional
+    * table format in this environment): the merged table is the
+    * updates plus every existing row whose key is NOT updated (one
+    * left-anti shuffle join on the keys). Pair with [[snapshotDiff]]
+    * (detect) and [[overwriteSelf]] (apply in place, crash-safe) for
+    * the full incremental-sync loop. At 100 TB, bucket both sides on
+    * the key ([[Bucketing]]) and the anti join plans exchange-free;
+    * a real deployment would eventually hand this to a table format's
+    * MERGE, which this signature mirrors. */
+  def upsertByKey(existing: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    require(existing.columns.toSeq == updates.columns.toSeq,
+      s"schemas differ: ${existing.columns.toSeq} vs ${updates.columns.toSeq}")
+    updates.unionByName(
+      existing.join(updates.select(keys.map(col): _*), keys, "left_anti"))
+  }
+
   /** Readable-report CSV sink (reference: src/runnerfile.py:550-551
     * S8): single header CSV per report — reports are small by
     * construction (post-aggregation), so coalesce(1) is safe here and

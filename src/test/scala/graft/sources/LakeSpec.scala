@@ -103,6 +103,19 @@ class LakeSpec extends SparkSuite {
     assert(out2.toSeq === Seq((2L, "changed")))
   }
 
+  test("upsertByKey: updates win on collision, untouched rows survive, CDC loop closes") {
+    val existing = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "v", "m")
+    val updates = Seq((2L, "b", 99.0), (4L, "d", 40.0)).toDF("id", "v", "m")
+    val merged = Lake.upsertByKey(existing, updates, Seq("id"))
+    val rows = merged.orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.toSeq === Seq((1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 40.0)))
+    // detect -> apply round-trip: the diff of existing vs merged is
+    // exactly the update/add set
+    val diff = Lake.snapshotDiff(existing, merged, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(diff === Set((2L, "changed"), (4L, "added")))
+  }
+
   test("ingestJson reads newline-delimited records, with or without a schema") {
     val dir = tmp()
     Files.writeString(java.nio.file.Paths.get(s"$dir/t.json"),
