@@ -63,6 +63,7 @@ object SparkEntry {
       Skew.saltedSum(t(s, d, "lineitem").select("l_returnflag", "l_quantity"),
         "l_returnflag", "l_quantity").orderBy(col("l_returnflag"))),
     "q_rollup" -> ((s, d) => Reports.rollupSummary(t(s, d, "lineitem"))),
+    "q_cube" -> ((s, d) => Reports.cubeSummary(t(s, d, "lineitem"))),
     "q_pivot" -> ((s, d) =>
       Reports.pivotSum(t(s, d, "lineitem"), "l_returnflag", "l_linestatus",
         Seq("F", "O"), "l_quantity", prefix = "qty_")),
@@ -87,6 +88,7 @@ object SparkEntry {
     // ---- window functions (SURVEY §2.5 [EXT]) ----
     "q_monthly_trend" -> ((s, d) => Windows.monthlyTrend(t(s, d, "lineitem"))),
     "q_rank_in_group" -> ((s, d) => Windows.rankInGroup(t(s, d, "supplier"))),
+    "q_window_stats" -> ((s, d) => Windows.distributionStats(t(s, d, "supplier"))),
     // ---- dedup (SURVEY §2.7) ----
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"))
@@ -422,6 +424,11 @@ object SparkEntry {
             ${sqlDsum("l_quantity")} AS sum_qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+      "q_cube" -> // NULLS FIRST: Spark's ASC default; DuckDB defaults NULLS LAST
+        s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+            ${sqlDsum("l_quantity")} AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
       "q_pivot" -> // sum(CASE ...) is SQL's pivot spelling; empty cell -> NULL both sides
         s"""SELECT l_returnflag,
             CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F,
@@ -465,6 +472,13 @@ object SparkEntry {
              CAST(dense_rank() OVER w AS INTEGER) AS balance_dense_rank
            FROM supplier WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
            ORDER BY s_nationkey, balance_rank, s_suppkey""",
+      "q_window_stats" ->
+        """SELECT s_suppkey, s_nationkey, s_acctbal,
+             CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume
+           FROM supplier WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+           ORDER BY s_nationkey, pct_rank, s_suppkey""",
       "q_dedup_exact" ->
         """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
            ORDER BY l_returnflag, l_linestatus""",

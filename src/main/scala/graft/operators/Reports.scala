@@ -187,6 +187,14 @@ object Reports {
       .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** CUBE over both keys: every subtotal combination (ROLLUP's
+    * hierarchical subset plus the column-wise marginals) in one
+    * Expand pass — same engine mechanics as [[rollupSummary]]. */
+  def cubeSummary(lineitem: DataFrame): DataFrame =
+    lineitem.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Per-key row-count report (reference: src/runnerfile.py:418 A4). */
   def countPerKey(df: DataFrame, key: String): DataFrame =
     df.groupBy(col(key))

@@ -43,4 +43,19 @@ object Windows {
       .withColumn("balance_dense_rank", dense_rank().over(w))
       .orderBy(col("s_nationkey"), col("balance_rank"), col("s_suppkey"))
   }
+
+  /** The distribution window set — ntile buckets, percent_rank and
+    * cume_dist — over the same per-nation balance ordering. The
+    * doubles derive from identical integer rank arithmetic
+    * ((rank-1)/(n-1), rank/n), so results are engine-exact. */
+  def distributionStats(supplier: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    supplier
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy(col("s_nationkey"), col("pct_rank"), col("s_suppkey"))
+  }
 }
