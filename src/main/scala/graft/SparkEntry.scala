@@ -69,9 +69,13 @@ object SparkEntry {
         Seq("F", "O"), "l_quantity", prefix = "qty_")),
     "q_quantiles" -> ((s, d) =>
       Profile.quantiles(t(s, d, "lineitem"), "l_returnflag", "l_quantity")),
+    // corr rounded to 6dp: the decimal sums are exact on both sides,
+    // but DuckDB's hugeint-decimal -> double conversion can double-
+    // round one ULP away from Spark's BigDecimal cast
     "q_corr" -> ((s, d) =>
       Profile.pearsonExact(t(s, d, "lineitem"), "l_returnflag",
-        "l_quantity", "l_extendedprice")),
+        "l_quantity", "l_extendedprice")
+        .select(col("l_returnflag"), round(col("corr"), 6).as("corr"))),
     // deterministic split assignment ([EXT]): per-split row counts
     "q_split" -> ((s, d) =>
       Sampling.assignSplit(t(s, d, "orders"), "o_orderkey",
@@ -542,11 +546,11 @@ object SparkEntry {
              sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS syy,
              sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS sxy
              FROM lineitem GROUP BY l_returnflag)
-           SELECT l_returnflag,
+           SELECT l_returnflag, round(
              (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
              (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-              sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-             AS corr
+              sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS corr
            FROM a ORDER BY l_returnflag""",
       "q_split" ->
         """SELECT CASE

@@ -120,10 +120,12 @@ object Profile {
   /** Pearson correlation per group via EXPLICIT decimal sums, then
     * one identical double expression over them — unlike the built-in
     * `corr` (Welford-style accumulation, result depends on merge
-    * order), this is exact, summation-order independent, and
-    * reproducible bit-for-bit across engines. The V4/EDA correlation
-    * surface. Inputs are assumed money/quantity-scaled (≤2 decimal
-    * places; products cast to DECIMAL(28,4) — see oracle). */
+    * order), this is summation-order independent and run-to-run
+    * exact. Cross-engine, the SUMS are bit-exact; the final double
+    * can still differ by one ULP through an engine's decimal→double
+    * conversion (DuckDB double-rounds hugeint-backed decimals), so
+    * comparisons round the ratio. Inputs are assumed money/quantity-
+    * scaled (≤2 decimal places; products cast to DECIMAL(28,4)). */
   def pearsonExact(df: DataFrame, key: String, x: String, y: String): DataFrame = {
     val agg = df.groupBy(col(key)).agg(
       count(lit(1)).as("__n"),
