@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Text
 import graft.multimodal.Multimodal
-import graft.operators.{Anonymize, Dedup, Pack, Profile, Reports, Sampling, Similarity, Skew, TopK, Windows}
+import graft.operators.{Anonymize, AsOf, Dedup, Pack, Profile, Reports, Sampling, Similarity, Skew, TopK, Windows}
 import graft.sources.{Lake, Tables}
 import graft.streaming.Sessions
 
@@ -176,6 +176,36 @@ object SparkEntry {
           when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1)
             .otherwise(col("o_totalprice")))
       prev.except(next).orderBy(col("o_orderkey"))
+    }),
+    // temporal joins ([EXT]): as-of (union + one window, no range
+    // cross-join) and bucketized interval join. Checkpoint rows
+    // (event_id % 10 == 0) act as the slowly-changing right side.
+    "q_asof" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      val ckpt0 = ev.where(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("ckpt_id"), col("value").as("ckpt_value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("ts_us")).orderBy(col("ckpt_id").desc)
+      val ckpt = ckpt0.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).select("user_id", "ts_us", "ckpt_value")
+      AsOf.asofJoin(
+        ev.where(col("event_id") % 10 =!= 0).select("user_id", "ts_us", "event_id"),
+        ckpt, "user_id", "ts_us", Seq("ckpt_value"))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("ckpt_value"))
+        .orderBy(col("event_id"))
+    }),
+    "q_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val win = ev.where(col("event_id") % 10 === 0)
+        .select(col("event_id").as("win_id"), col("user_id"),
+          col("ts_us").as("start_us"), (col("ts_us") + lit(1800000000L)).as("end_us"))
+      AsOf.rangeJoin(ev.where(col("event_id") % 10 =!= 0), win,
+        "user_id", "ts_us", "start_us", "end_us", bucketWidth = 1800000000L)
+        .groupBy(col("win_id")).agg(count(lit(1)).as("n_events"))
+        .orderBy(col("win_id"))
     }),
     // ---- event-time windows / sessionization (SURVEY §2.10 [EXT]) ----
     "q_windowed_counts" -> ((s, d) => Sessions.windowedCounts(t(s, d, "events"))),
@@ -600,6 +630,26 @@ object SparkEntry {
                              ELSE o_totalprice END AS o_totalprice
                       FROM orders WHERE o_orderkey % 7 <> 0)
            SELECT * FROM o EXCEPT SELECT * FROM n ORDER BY o_orderkey""",
+      "q_asof" -> // DuckDB's native ASOF is the oracle for the composed window form
+        """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events),
+            ck0 AS (SELECT user_id, ts_us, event_id AS ckpt_id, value AS ckpt_value
+                    FROM e WHERE event_id % 10 = 0),
+            ck AS (SELECT user_id, ts_us, ckpt_value FROM (
+                     SELECT *, row_number() OVER (PARTITION BY user_id, ts_us
+                       ORDER BY ckpt_id DESC) AS rn FROM ck0) WHERE rn = 1),
+            l AS (SELECT user_id, ts_us, event_id FROM e WHERE event_id % 10 <> 0)
+           SELECT l.event_id, l.user_id, l.ts_us, ck.ckpt_value
+           FROM l ASOF LEFT JOIN ck ON l.user_id = ck.user_id AND l.ts_us >= ck.ts_us
+           ORDER BY l.event_id""",
+      "q_range_join" ->
+        """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+            w AS (SELECT event_id AS win_id, user_id, ts_us AS start_us,
+                    ts_us + 1800000000 AS end_us FROM e WHERE event_id % 10 = 0),
+            l AS (SELECT event_id, user_id, ts_us FROM e WHERE event_id % 10 <> 0)
+           SELECT w.win_id, count(*) AS n_events
+           FROM l JOIN w ON l.user_id = w.user_id
+             AND l.ts_us >= w.start_us AND l.ts_us < w.end_us
+           GROUP BY w.win_id ORDER BY w.win_id""",
       "q_windowed_counts" ->
         s"""SELECT (epoch_ns(ts) // 600000000000) * 600 AS window_start, event_type,
             count(*) AS n_events, ${sqlDsum("value")} AS sum_value

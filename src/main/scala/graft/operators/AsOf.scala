@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks as built-ins ([EXT] — build brief's
+  * canonical custom-operator examples). Both are COMPOSED from
+  * existing operators (the preference ladder's first rung): no custom
+  * physical operator is needed because the composition already has
+  * the right distributed shape.
+  */
+object AsOf {
+
+  /** As-of join: every left row picks the payload of the LATEST right
+    * row with `r.ts <= l.ts` for the same key (left rows before any
+    * right row get null payloads — a LEFT as-of join).
+    *
+    * Shape: tag and union both sides, then ONE window pass per key
+    * ordered by (ts, side) with `last(payload, ignoreNulls)` — a
+    * single shuffle+sort, the same cost as any keyed window. The
+    * naive spelling (theta-join on `r.ts <= l.ts` + max) is a range
+    * cross-join that explodes quadratically per key. Right rows must
+    * be unique per (key, ts) — dedupe first ([[Dedup]]), otherwise
+    * "the" latest row at a timestamp is ambiguous in ANY engine.
+    * Ties `r.ts == l.ts` are INCLUSIVE (right sorts before left). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               payloads: Seq[String]): DataFrame = {
+    val carried = left.columns.toSeq.filterNot(c => c == key || c == ts)
+    val l = left.select(
+      Seq(col(key), col(ts), lit(1).as("__side")) ++
+        carried.map(col) ++
+        payloads.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
+    val r = right.select(
+      Seq(col(key), col(ts), lit(0).as("__side")) ++
+        carried.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloads.map(c => col(c).as(s"__p_$c")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .select(
+        Seq(col(key), col(ts), col("__side")) ++
+          carried.map(col) ++
+          payloads.map(c => last(col(s"__p_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .where(col("__side") === 1)
+      .drop("__side")
+  }
+
+  /** Interval (range) join: left rows matched to right intervals
+    * containing them (`r.start <= l.ts < r.end`), same key.
+    *
+    * Shape: both sides are tagged with coarse time buckets of
+    * `bucketWidth` (right intervals explode to every bucket they
+    * overlap — intervals are assumed ≲ a few buckets wide), the join
+    * is a plain EQUI-join on (key, bucket) + exact range filter. An
+    * interval spanning several buckets meets a given left row in
+    * exactly ONE of them (the row's own bucket), so no dedup is
+    * needed. A theta-join on the raw inequality is a per-key cross
+    * product; this is the standard bucketization that keeps it a
+    * shuffle join. `bucketWidth` is in the same units as the
+    * timestamps (pick ~ the typical interval length). */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+                ts: String, start: String, end: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    // integral `div`, not `/`: true division goes through DOUBLE and
+    // can floor the wrong way for timestamps that are exact bucket
+    // multiples beyond 2^53-ish magnitudes
+    val l = left.withColumn("__bucket", expr(s"`$ts` div $bucketWidth"))
+    val r = right.withColumn("__bucket",
+      explode(expr(s"sequence(`$start` div $bucketWidth, (`$end` - 1) div $bucketWidth)")))
+    l.join(r, Seq(key, "__bucket"))
+      .where(col(ts) >= col(start) && col(ts) < col(end))
+      .drop("__bucket")
+  }
+}
