@@ -12,39 +12,53 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
-  /** As-of join: every left row picks the payload of the LATEST right
-    * row with `r.ts <= l.ts` for the same key (left rows before any
-    * right row get null payloads — a LEFT as-of join).
+  /** As-of join: every left row picks the payload columns of the
+    * LATEST right row with `r.ts <= l.ts` for the same key (left rows
+    * before any right row get null payloads — a LEFT as-of join).
     *
     * Shape: tag and union both sides, then ONE window pass per key
-    * ordered by (ts, side) with `last(payload, ignoreNulls)` — a
-    * single shuffle+sort, the same cost as any keyed window. The
-    * naive spelling (theta-join on `r.ts <= l.ts` + max) is a range
-    * cross-join that explodes quadratically per key. Right rows must
-    * be unique per (key, ts) — dedupe first ([[Dedup]]), otherwise
-    * "the" latest row at a timestamp is ambiguous in ANY engine.
+    * ordered by (ts, side) with `last(ignoreNulls)` over a SINGLE
+    * struct of all payloads — a single shuffle+sort, the same cost as
+    * any keyed window. The struct matters twice: a right row whose
+    * payload VALUE is null still wins (the struct wrapper is
+    * non-null, so real as-of semantics hold — per-column last() would
+    * carry an older non-null value forward), and all payload columns
+    * come from the SAME matched row (per-column last() could stitch
+    * values from different rows). The naive spelling (theta-join on
+    * `r.ts <= l.ts` + max) is a range cross-join that explodes
+    * quadratically per key.
+    *
+    * Preconditions: right rows unique per (key, ts) — dedupe first
+    * ([[Dedup]]), otherwise "the" latest row at a timestamp is
+    * ambiguous in ANY engine — and payload names must not collide
+    * with left's columns (rename, as any equi-join would need).
     * Ties `r.ts == l.ts` are INCLUSIVE (right sorts before left). */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                payloads: Seq[String]): DataFrame = {
+    require(payloads.nonEmpty, "asofJoin needs at least one payload column")
+    val clash = payloads.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"payload columns collide with left columns: $clash — rename one side")
     val carried = left.columns.toSeq.filterNot(c => c == key || c == ts)
+    val payloadStruct = struct(payloads.map(col): _*)
     val l = left.select(
       Seq(col(key), col(ts), lit(1).as("__side")) ++
-        carried.map(col) ++
-        payloads.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
+        carried.map(col) :+
+        lit(null).cast(right.select(payloadStruct).schema.head.dataType).as("__p"): _*)
     val r = right.select(
       Seq(col(key), col(ts), lit(0).as("__side")) ++
-        carried.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloads.map(c => col(c).as(s"__p_$c")): _*)
+        carried.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payloadStruct.as("__p"): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .select(
-        Seq(col(key), col(ts), col("__side")) ++
-          carried.map(col) ++
-          payloads.map(c => last(col(s"__p_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .drop("__side")
+      .select(
+        Seq(col(key), col(ts)) ++
+          carried.map(col) ++
+          payloads.map(c => col(s"__m.`$c`").as(c)): _*)
   }
 
   /** Interval (range) join: left rows matched to right intervals
@@ -59,7 +73,13 @@ object AsOf {
     * needed. A theta-join on the raw inequality is a per-key cross
     * product; this is the standard bucketization that keeps it a
     * shuffle join. `bucketWidth` is in the same units as the
-    * timestamps (pick ~ the typical interval length). */
+    * timestamps (pick ~ the typical interval length).
+    *
+    * Degenerate intervals (`end <= start`) match nothing and are
+    * dropped BEFORE the bucket explode — without that filter Spark's
+    * `sequence(hi, lo)` would generate a DESCENDING bucket array and
+    * inflate the join with spurious rows (or overflow the sequence
+    * limit on an extreme corrupt row). */
   def rangeJoin(left: DataFrame, right: DataFrame, key: String,
                 ts: String, start: String, end: String,
                 bucketWidth: Long): DataFrame = {
@@ -68,8 +88,10 @@ object AsOf {
     // can floor the wrong way for timestamps that are exact bucket
     // multiples beyond 2^53-ish magnitudes
     val l = left.withColumn("__bucket", expr(s"`$ts` div $bucketWidth"))
-    val r = right.withColumn("__bucket",
-      explode(expr(s"sequence(`$start` div $bucketWidth, (`$end` - 1) div $bucketWidth)")))
+    val r = right
+      .where(col(end) > col(start))
+      .withColumn("__bucket",
+        explode(expr(s"sequence(`$start` div $bucketWidth, (`$end` - 1) div $bucketWidth)")))
     l.join(r, Seq(key, "__bucket"))
       .where(col(ts) >= col(start) && col(ts) < col(end))
       .drop("__bucket")

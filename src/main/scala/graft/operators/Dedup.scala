@@ -260,8 +260,10 @@ object Dedup {
     * are RARE by construction (LSH candidates already jaccard-filtered),
     * so when the pair count is within `driverMaxPairs` the components
     * come from a driver-side union-find — microseconds, zero extra
-    * jobs (`driverMaxPairs`'s 4M default is ~64 MB driver-side, far
-    * under any sane driver heap). Above the threshold it falls back to
+    * jobs. The 1M default costs a few hundred MB transiently on the
+    * driver (boxed Rows + a boxed-Long parent map — ~100-150 bytes per
+    * edge all-in); raise it only with a matching driver heap. Above
+    * the threshold it falls back to
     * distributed min-label propagation: two hops per materialized
     * round (per-round cost is job overhead, not the shuffles),
     * `localCheckpoint` to truncate lineage, and a monotone label-total
@@ -269,7 +271,7 @@ object Dedup {
     * `maxIter` double-rounds — truncated labels would silently be
     * wrong. */
   def connectedKeepers(pairs: DataFrame, maxIter: Int = 20,
-                       driverMaxPairs: Long = 1L << 22): DataFrame = {
+                       driverMaxPairs: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     val p = pairs.select(col("doc_a").cast("long").as("doc_a"),
       col("doc_b").cast("long").as("doc_b")).persist()

@@ -159,6 +159,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Drop rows of buckets holding more than `maxBucket` rows (no-op
+    * when the cap is off). The bucket histogram is a tiny aggregate —
+    * bounded by the bucket-id space — and always broadcastable. */
+  private def capBuckets(tagged: DataFrame, bucketCols: Seq[String],
+                         maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) tagged
+    else {
+      val small = tagged.groupBy(bucketCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
+      tagged.join(broadcast(small), bucketCols).drop("__n")
+    }
+
+  /** (bucket, id, v) with sign-LSH bucket tags, hot buckets pruned
+    * when `maxBucket > 0` — the shared front of the bucketed ANN
+    * joins. */
+  private def lshTagged(embeddings: DataFrame, dim: Int, nBits: Int, seed: Long,
+                        idCol: String, vecCol: String, maxBucket: Int): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val planes = hyperplanes(dim, nBits, seed)
+    val tagged = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    capBuckets(tagged, Seq("bucket"), maxBucket)
+  }
+
   /** ANN k-NN join pruned by shared LSH bucket: the quadratic work
     * happens only inside buckets (equi-join on bucket id — a plain
     * shuffle join that scales out). Recall < 1 by construction.
@@ -173,27 +197,8 @@ object Similarity {
     * quadratic in corpus size. `maxBucket > 0` excludes buckets above
     * the cap from BOTH join sides before the pair expansion — their
     * members get no neighbors from this index (rerun them through
-    * [[topK]]/[[ivfTopK]] or a finer hash if they matter). The bucket
-    * histogram is one extra aggregation over the tagged table, tiny
-    * next to the join it bounds. 0 (default) = uncapped. */
-  /** (bucket, id, v) with sign-LSH bucket tags, hot buckets pruned
-    * when `maxBucket > 0` — the shared front of the bucketed ANN
-    * joins. */
-  private def lshTagged(embeddings: DataFrame, dim: Int, nBits: Int, seed: Long,
-                        idCol: String, vecCol: String, maxBucket: Int): DataFrame = {
-    GraftFunctions.register(embeddings.sparkSession)
-    val planes = hyperplanes(dim, nBits, seed)
-    val tagged = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), planes))
-    if (maxBucket <= 0) tagged
-    else {
-      // <= 2^nBits rows after aggregation — always broadcastable
-      val small = tagged.groupBy(col("bucket"))
-        .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
-      tagged.join(broadcast(small), Seq("bucket")).drop("__n")
-    }
-  }
-
+    * [[topK]]/[[ivfTopK]] or a finer hash if they matter). 0 (default)
+    * = uncapped. */
   def lshKnnJoin(embeddings: DataFrame, k: Int, dim: Int, nBits: Int = 8, seed: Long = 42L,
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  maxBucket: Int = 0): DataFrame = {
@@ -231,13 +236,7 @@ object Similarity {
     val tagged0 = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .select(col("id"), col("v"), explode(array(bandCols: _*)).as("e"))
       .select(col("id"), col("v"), col("e.band").as("band"), col("e.bucket").as("bucket"))
-    val tagged =
-      if (maxBucket <= 0) tagged0
-      else {
-        val small = tagged0.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
-        tagged0.join(broadcast(small), Seq("band", "bucket")).drop("__n")
-      }
+    val tagged = capBuckets(tagged0, Seq("band", "bucket"), maxBucket)
     val a = tagged.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = tagged.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     val w = Window.partitionBy(col("id_a"))

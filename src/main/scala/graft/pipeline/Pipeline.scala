@@ -142,17 +142,20 @@ final class Pipeline(spark: SparkSession, lake: Lake,
     * reference's "readable SQLite export" workflow step (reference:
     * src/export_sqlite.py:13-42 S9). Engine-side the export is
     * dialect-agnostic JDBC; PipelineSpec drives it end-to-end against
-    * the embedded Derby that ships with Spark (pointing `dialect` at
-    * sqlite/postgres is only a driver-jar swap in production).
-    * Reports are post-aggregation small, so one partition per table
-    * keeps the DB write a single transaction stream. */
+    * the embedded Derby that ships with Spark. Embedded dialects
+    * (derby/sqlite) ignore host/port; server dialects
+    * (postgresql/mysql) need them. Reports are post-aggregation
+    * small, so one partition per table keeps the DB write a single
+    * transaction stream. */
   def exportReports(dialect: String, database: String, reports: Seq[String],
-                    user: String = "app", password: String = "app"): Unit = {
-    val (url, driver) = Lake.jdbcUrl(dialect, "", 0, database)
+                    user: String = "app", password: String = "app",
+                    host: String = "", port: Int = 0): Unit = {
+    val (url, driver) = Lake.jdbcUrl(dialect, host, port, database)
     reports.foreach { r =>
       val df = lake.readCurated(spark, r)
       Lake.jdbcWrite(df, Lake.jdbcOptions(url, r, user, password, driver), numPartitions = 1)
-      auditLog += StageAudit("export", r, df.count(), df.count(), 0)
+      val n = df.count()
+      auditLog += StageAudit("export", r, n, n, 0)
     }
   }
 

@@ -156,7 +156,12 @@ object Lake {
     * the full incremental-sync loop. At 100 TB, bucket both sides on
     * the key ([[Bucketing]]) and the anti join plans exchange-free;
     * a real deployment would eventually hand this to a table format's
-    * MERGE, which this signature mirrors. */
+    * MERGE, which this signature mirrors — including its source-
+    * uniqueness precondition: `updates` must hold AT MOST ONE row per
+    * key (SQL MERGE errors on multiple matching source rows; here
+    * duplicates would both survive into the merged table). Collapse
+    * them first with [[graft.operators.Dedup.keyedDeterministicAgg]]
+    * if the feed can replay. */
   def upsertByKey(existing: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     require(existing.columns.toSeq == updates.columns.toSeq,
       s"schemas differ: ${existing.columns.toSeq} vs ${updates.columns.toSeq}")

@@ -20,6 +20,41 @@ class AsOfSpec extends SparkSuite {
       (2L, 10L, "e4", Some("s10")))) // tie is inclusive
   }
 
+  test("asofJoin: a matched row with NULL payload wins (no stale carry-forward)") {
+    val left = Seq((1L, 15L, "e")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 5L, Some("old")), (1L, 10L, Option.empty[String]))
+      .toDF("k", "ts", "p")
+    val out = AsOf.asofJoin(left, right, "k", "ts", Seq("p")).collect()
+    assert(out.length === 1 && out.head.isNullAt(3),
+      "the ts=10 row IS the as-of match; its null payload must not be " +
+        "replaced by the older non-null one")
+  }
+
+  test("asofJoin: multiple payloads always come from the SAME matched row") {
+    val left = Seq((1L, 20L, "e")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 5L, Some("a1"), Option.empty[String]),
+      (1L, 10L, Option.empty[String], Some("b2")))
+      .toDF("k", "ts", "pa", "pb")
+    val r = AsOf.asofJoin(left, right, "k", "ts", Seq("pa", "pb")).head()
+    // match is the ts=10 row: pa null, pb "b2" — never (a1, b2) stitched
+    assert(r.isNullAt(3) && r.getString(4) === "b2")
+  }
+
+  test("asofJoin rejects payload names that collide with left columns") {
+    val left = Seq((1L, 1L, "x")).toDF("k", "ts", "p")
+    val right = Seq((1L, 1L, "y")).toDF("k", "ts", "p")
+    intercept[IllegalArgumentException](AsOf.asofJoin(left, right, "k", "ts", Seq("p")))
+  }
+
+  test("rangeJoin drops degenerate intervals instead of exploding descending buckets") {
+    val left = Seq((1L, 100L, 1L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, 1L, 500L, 200L), (2L, 1L, 50L, 150L)) // first: end < start
+      .toDF("win_id", "k", "start", "end")
+    val out = AsOf.rangeJoin(left, right, "k", "ts", "start", "end", 64L)
+      .select("win_id").collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(2L))
+  }
+
   test("asofJoin equals the brute-force theta-join + max on random data") {
     val rng = new scala.util.Random(7)
     val left = Seq.tabulate(300)(i => (rng.nextInt(5).toLong, rng.nextInt(1000).toLong, i.toLong))
