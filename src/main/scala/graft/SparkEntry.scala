@@ -209,6 +209,15 @@ object SparkEntry {
     }),
     // ---- event-time windows / sessionization (SURVEY §2.10 [EXT]) ----
     "q_windowed_counts" -> ((s, d) => Sessions.windowedCounts(t(s, d, "events"))),
+    // stream-stream correlation shape on its batch twin: clicks
+    // followed by a same-user event of another type within 10 min
+    "q_stream_correlate" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      Sessions.streamCorrelate(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") =!= "click"))
+        .orderBy(col("left_id"), col("right_id"))
+    }),
     "q_sliding_counts" -> ((s, d) => Sessions.slidingCounts(t(s, d, "events"))),
     "q_sessionize" -> ((s, d) => Sessions.sessionize(t(s, d, "events"))),
     // ---- text analysis (SURVEY §2.2 [EXT]) ----
@@ -650,6 +659,15 @@ object SparkEntry {
            FROM l JOIN w ON l.user_id = w.user_id
              AND l.ts_us >= w.start_us AND l.ts_us < w.end_us
            GROUP BY w.win_id ORDER BY w.win_id""",
+      "q_stream_correlate" -> // micros truncation matches Tables.load's NANOS->micros read
+        """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+                      FROM events),
+            l AS (SELECT * FROM e WHERE event_type = 'click'),
+            r AS (SELECT * FROM e WHERE event_type <> 'click')
+           SELECT l.user_id, l.event_id AS left_id, r.event_id AS right_id
+           FROM l JOIN r ON l.user_id = r.user_id
+             AND r.ts_us >= l.ts_us AND r.ts_us <= l.ts_us + 600000000
+           ORDER BY left_id, right_id""",
       "q_windowed_counts" ->
         s"""SELECT (epoch_ns(ts) // 600000000000) * 600 AS window_start, event_type,
             count(*) AS n_events, ${sqlDsum("value")} AS sum_value

@@ -124,6 +124,33 @@ object Sessions {
       }
   }
 
+  /** Stream-static enrichment: join a stream against a static
+    * dimension, broadcast per micro-batch — stateless (the stream
+    * side never buffers), the standard lookup-join shape. Works
+    * identically on a batch DataFrame. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream correlation join: pairs of (left, right) events of
+    * the same key where the right event follows the left within
+    * `gap`. On streams BOTH sides carry watermarks and the join
+    * condition bounds event time, so the state store holds only the
+    * watermark+gap horizon — the conditions Structured Streaming
+    * requires for an append-mode stream-stream inner join. The same
+    * plan runs on batch DataFrames (where it is a plain interval
+    * join), which is what the DuckDB oracle checks; streaming ≡ batch
+    * is covered by SessionsSpec. */
+  def streamCorrelate(left: DataFrame, right: DataFrame, key: String = "user_id",
+                      gap: String = "10 minutes",
+                      watermark: String = "10 minutes"): DataFrame = {
+    def wm(df: DataFrame) = if (df.isStreaming) df.withWatermark("ts", watermark) else df
+    val l = wm(left).alias("l")
+    val r = wm(right).alias("r")
+    l.join(r, expr(s"l.$key = r.$key AND r.ts >= l.ts AND r.ts <= l.ts + interval $gap"))
+      .select(col(s"l.$key").as(key),
+        col("l.event_id").as("left_id"), col("r.event_id").as("right_id"))
+  }
+
   /** Streaming sink into a lake zone via the built-in parquet file
     * sink — exactly-once through its commit log (a foreachBatch
     * append would be at-least-once: a batch replayed after a crash

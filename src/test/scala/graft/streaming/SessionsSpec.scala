@@ -165,6 +165,48 @@ class SessionsSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/out").count() === events.count())
   }
 
+  test("enrichWithDim joins a stream against a static dim per micro-batch") {
+    val dir = Files.createTempDirectory("graft-enrich").toString
+    events.write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val stream = Sessions.enrichWithDim(
+      spark.readStream.schema(schema).parquet(s"$dir/in"), dim, "user_id")
+    val q = stream.writeStream.format("memory").queryName("enr")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val tiers = spark.sql("SELECT DISTINCT user_id, tier FROM enr").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tiers === Map(1L -> "gold", 2L -> "silver"))
+    assert(spark.sql("SELECT count(*) FROM enr").head().getLong(0) === events.count())
+  }
+
+  test("streamCorrelate: watermarked stream-stream join equals its batch twin") {
+    val dir = Files.createTempDirectory("graft-sscorr").toString
+    val evs = Seq(
+      (10L, ts(0), "click", 1.0), (11L, ts(4), "view", 1.0),   // pair (10,11)
+      (12L, ts(20), "click", 1.0), (13L, ts(45), "view", 1.0), // 25 min apart: no pair
+      (14L, ts(46), "click", 1.0), (15L, ts(50), "view", 1.0)) // pair (14,15)
+      .map { case (id, t, ty, v) => (id, t, ty, v, 1L) }
+      .toDF("event_id", "ts", "event_type", "value", "user_id")
+    evs.write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    def split(df: org.apache.spark.sql.DataFrame) =
+      (df.where($"event_type" === "click"), df.where($"event_type" =!= "click"))
+    val (bl, br) = split(evs)
+    val batch = Sessions.streamCorrelate(bl, br).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(batch === Set((10L, 11L), (14L, 15L)))
+    val (sl, sr) = split(spark.readStream.schema(schema).parquet(s"$dir/in"))
+    val q = Sessions.streamCorrelate(sl, sr)
+      .writeStream.format("memory").queryName("sscorr")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT left_id, right_id FROM sscorr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+  }
+
   test("streamingWindowedCounts over a file stream matches the batch result") {
     val dir = Files.createTempDirectory("graft-stream").toString
     events.write.parquet(s"$dir/in")
