@@ -581,9 +581,9 @@ object SparkEntry {
         """WITH a AS (SELECT l_returnflag, count(*) AS n,
              sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
              sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
-             sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS sxx,
-             sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS syy,
-             sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS sxy
+             sum(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS sxx,
+             sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS syy,
+             sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS sxy
              FROM lineitem GROUP BY l_returnflag)
            SELECT l_returnflag, round(
              (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /

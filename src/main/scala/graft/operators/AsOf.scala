@@ -39,6 +39,13 @@ object AsOf {
     val clash = payloads.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty,
       s"payload columns collide with left columns: $clash — rename one side")
+    // the union/window internals claim these names; a left table (or
+    // payload) already using one would fail with an ambiguous-column
+    // AnalysisException far from the real cause — reject it here
+    val reserved = Set("__side", "__p", "__m")
+    val reservedClash = (left.columns.toSet ++ payloads).intersect(reserved)
+    require(reservedClash.isEmpty,
+      s"columns collide with asofJoin's reserved internal names: $reservedClash — rename them")
     val carried = left.columns.toSeq.filterNot(c => c == key || c == ts)
     val payloadStruct = struct(payloads.map(col): _*)
     val l = left.select(

@@ -273,6 +273,16 @@ object Dedup {
   def connectedKeepers(pairs: DataFrame, maxIter: Int = 20,
                        driverMaxPairs: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
+    // fail loudly on non-integral ids: the long cast below is non-ANSI
+    // (string/UUID ids would silently become null and corrupt the
+    // components); callers with string ids should hash them to long
+    // (e.g. xxhash64) and keep a mapping table
+    Seq("doc_a", "doc_b").foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = pairs.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"connectedKeepers needs integral ids; $c is $dt — hash non-numeric ids to long first")
+    }
     val p = pairs.select(col("doc_a").cast("long").as("doc_a"),
       col("doc_b").cast("long").as("doc_b")).persist()
     try {

@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
   */
 object Pack {
 
+  /** Preconditions (as with [[AsOf.asofJoin]]/[[graft.sources.Lake.upsertByKey]]):
+    * `idCol` must be UNIQUE — duplicate ids sort arbitrarily within a
+    * partition, making their relative offsets nondeterministic — and
+    * NON-NULL. Null token counts are treated as 0 (the document
+    * occupies no budget). */
   def contiguousBins(docs: DataFrame, idCol: String, tokensCol: String,
                      budget: Long): DataFrame = {
     require(budget > 0, s"token budget must be positive: $budget")
@@ -32,7 +37,8 @@ object Pack {
     import spark.implicits._
     val parts = spark.sparkContext.defaultParallelism
     val sorted = docs
-      .select(col(idCol).cast("long").as("doc_id"), col(tokensCol).cast("long").as("n_tokens"))
+      .select(col(idCol).cast("long").as("doc_id"),
+        coalesce(col(tokensCol).cast("long"), lit(0L)).as("n_tokens"))
       .repartitionByRange(parts, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .localCheckpoint()

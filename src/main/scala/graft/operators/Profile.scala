@@ -125,15 +125,17 @@ object Profile {
     * can still differ by one ULP through an engine's decimal→double
     * conversion (DuckDB double-rounds hugeint-backed decimals), so
     * comparisons round the ratio. Inputs are assumed money/quantity-
-    * scaled (≤2 decimal places; products cast to DECIMAL(28,4)). */
+    * scaled (≤2 decimal places); products go through DECIMAL(38,4) —
+    * wide enough that values up to ~10^17 square without the non-ANSI
+    * overflow-to-null a narrower precision would silently produce. */
   def pearsonExact(df: DataFrame, key: String, x: String, y: String): DataFrame = {
     val agg = df.groupBy(col(key)).agg(
       count(lit(1)).as("__n"),
       sum(col(x).cast(DecimalType(18, 2))).as("__sx"),
       sum(col(y).cast(DecimalType(18, 2))).as("__sy"),
-      sum((col(x) * col(x)).cast(DecimalType(28, 4))).as("__sxx"),
-      sum((col(y) * col(y)).cast(DecimalType(28, 4))).as("__syy"),
-      sum((col(x) * col(y)).cast(DecimalType(28, 4))).as("__sxy"))
+      sum((col(x) * col(x)).cast(DecimalType(38, 4))).as("__sxx"),
+      sum((col(y) * col(y)).cast(DecimalType(38, 4))).as("__syy"),
+      sum((col(x) * col(y)).cast(DecimalType(38, 4))).as("__sxy"))
     def d(c: String) = col(c).cast("double")
     agg.select(col(key),
       ((d("__n") * d("__sxy") - d("__sx") * d("__sy")) /

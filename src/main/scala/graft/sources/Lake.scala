@@ -50,15 +50,26 @@ object Lake {
     * real deployment uses — and is ordered so the live table is never
     * the only copy while an operation can still fail: stage the new
     * data, move the live dir ASIDE, promote staging, only then delete
-    * the old copy (restoring it if the promote rename fails). */
+    * the old copy (restoring it if the promote rename fails).
+    *
+    * Self-healing restart: a crash between "move aside" and "promote"
+    * leaves the live path missing with the previous data parked at
+    * `.__old`. On entry, that state is detected and the parked copy is
+    * renamed back BEFORE any new work (so the plan about to read
+    * `path` sees the pre-crash table), and `.__old` is only ever
+    * deleted after confirming the live path exists — no manual restore
+    * is ever required. */
   def overwriteSelf(df: DataFrame, path: String): Unit = {
+    healCrashedOverwrite(df.sparkSession, path)
     val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(hadoopConf)
     val staging = new org.apache.hadoop.fs.Path(path + ".__staging")
     val old = new org.apache.hadoop.fs.Path(path + ".__old")
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    if (fs.exists(old)) fs.delete(old, true) // leftover from a crashed prior run
+    // leftover .__old from a prior run that crashed AFTER promoting is
+    // safe to clear — the live table exists (verified above)
+    if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(target) && !fs.rename(target, old))
       throw new java.io.IOException(s"failed to move $target aside to $old")
     if (!fs.rename(staging, target)) {
@@ -66,7 +77,24 @@ object Lake {
       throw new java.io.IOException(s"failed to promote $staging into $target" +
         (if (restored) " (original restored)" else s" (original left at $old)"))
     }
-    fs.delete(old, true): Unit
+    if (fs.exists(target)) fs.delete(old, true): Unit
+  }
+
+  /** Restore a table parked at `.__old` by an [[overwriteSelf]] run
+    * that crashed between "move aside" and "promote" (live path
+    * missing, `.__old` present). Returns true when a restore happened.
+    * [[overwriteSelf]] calls this on entry; callers that READ the
+    * target to build their overwrite plan should call it BEFORE the
+    * read — the read itself fails on the crashed state. */
+  def healCrashedOverwrite(spark: SparkSession, path: String): Boolean = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + ".__old")
+    val crashed = !fs.exists(target) && fs.exists(old)
+    if (crashed && !fs.rename(old, target))
+      throw new java.io.IOException(
+        s"failed to restore crashed overwrite: $old exists but could not move back to $target")
+    crashed
   }
 
   /** CSV ingest with header + schema inference (reference:

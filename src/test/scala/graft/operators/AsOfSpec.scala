@@ -46,6 +46,17 @@ class AsOfSpec extends SparkSuite {
     intercept[IllegalArgumentException](AsOf.asofJoin(left, right, "k", "ts", Seq("p")))
   }
 
+  test("asofJoin rejects columns using its reserved internal names") {
+    val right = Seq((1L, 1L, "y")).toDF("k", "ts", "pay")
+    // a left column named __side would silently collide inside the union
+    val badLeft = Seq((1L, 1L, "x")).toDF("k", "ts", "__side")
+    intercept[IllegalArgumentException](AsOf.asofJoin(badLeft, right, "k", "ts", Seq("pay")))
+    // ... as would a payload named __m inside the window projection
+    val left = Seq((1L, 1L, "x")).toDF("k", "ts", "tag")
+    val badRight = Seq((1L, 1L, "y")).toDF("k", "ts", "__m")
+    intercept[IllegalArgumentException](AsOf.asofJoin(left, badRight, "k", "ts", Seq("__m")))
+  }
+
   test("rangeJoin drops degenerate intervals instead of exploding descending buckets") {
     val left = Seq((1L, 100L, 1L)).toDF("k", "ts", "lid")
     val right = Seq((1L, 1L, 500L, 200L), (2L, 1L, 50L, 150L)) // first: end < start

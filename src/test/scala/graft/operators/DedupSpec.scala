@@ -136,6 +136,12 @@ class DedupSpec extends SparkSuite {
     assert(dist === expected)
   }
 
+  test("connectedKeepers rejects non-integral ids loudly (no silent null cast)") {
+    val uuidPairs = Seq(("a-1", "b-2")).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException](Dedup.connectedKeepers(uuidPairs))
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("dedupDocumentsCC follows chains that the one-hop policy leaves dangling") {
     // A~B and B~C are near-dups (one distant edit each); A~C falls
     // below the threshold (two edits). One-hop maps C to B while B

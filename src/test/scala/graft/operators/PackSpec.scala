@@ -22,6 +22,15 @@ class PackSpec extends SparkSuite {
     assert(bins === (0L to bins.max).toSet)
   }
 
+  test("contiguousBins treats null token counts as zero-width documents") {
+    val df = Seq((1L, Some(100L)), (2L, Option.empty[Long]), (3L, Some(100L)))
+      .toDF("doc_id", "n_tokens")
+    val out = Pack.contiguousBins(df, "doc_id", "n_tokens", 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // doc 2 occupies no budget: doc 3 starts right where doc 2 did
+    assert(out.toSeq === Seq((1L, 0L, 0L), (2L, 0L, 100L), (3L, 0L, 100L)))
+  }
+
   test("contiguousBins is stable under input partitioning") {
     val rows = (1L to 200L).map(i => (i, 50L))
     val a = Pack.contiguousBins(rows.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens", 512)

@@ -61,6 +61,17 @@ class ProfileSpec extends SparkSuite {
     assert(s.values.exists(_.contains("null")))
   }
 
+  test("pearsonExact survives large magnitudes (no decimal overflow-to-null)") {
+    // values ~1e13: squares ~1e26 overflowed the old DECIMAL(28,4)
+    // accumulator to null under non-ANSI arithmetic; DECIMAL(38,4)
+    // holds them with room to spare
+    val big = Seq(("g", 1.0e13, 2.0e13), ("g", 2.0e13, 4.0e13), ("g", 3.0e13, 6.0e13))
+      .toDF("k", "x", "y")
+    val out = Profile.pearsonExact(big, "k", "x", "y").collect()
+    assert(out.length === 1 && !out.head.isNullAt(1), "corr must not be null")
+    assert(math.abs(out.head.getDouble(1) - 1.0) < 1e-9) // y = 2x exactly
+  }
+
   test("shareOfTotal with zero total yields null shares, not NaN") {
     val z = Seq(("a", 0.0), ("b", 0.0)).toDF("k", "m")
     val out = Profile.shareOfTotal(z, "k", "m").collect()

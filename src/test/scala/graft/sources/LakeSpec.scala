@@ -67,6 +67,26 @@ class LakeSpec extends SparkSuite {
     assert(!new java.io.File(s"$path.__old").exists())
   }
 
+  test("overwriteSelf self-heals a crash between move-aside and promote") {
+    // simulate the mid-swap crash state: live path gone, data parked at .__old
+    val dir = tmp()
+    val path = s"$dir/t"
+    Lake.write(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(s"$path.__old")))
+    // a restarted caller heals FIRST (its own read of `path` would fail),
+    // then reads and overwrites as normal
+    assert(Lake.healCrashedOverwrite(spark, path))
+    val filtered = spark.read.parquet(path).where(col("id") > 1)
+    Lake.overwriteSelf(filtered, path)
+    assert(spark.read.parquet(path).as[(Int, String)].collect().toSeq === Seq((2, "b")))
+    assert(!new java.io.File(s"$path.__old").exists())
+    // healthy state: heal is a no-op
+    assert(!Lake.healCrashedOverwrite(spark, path))
+  }
+
   test("ingestCsv infers schema, or applies an explicit one") {
     val dir = tmp()
     Files.writeString(java.nio.file.Paths.get(s"$dir/t.csv"), "id,name\n1,a\n2,b\n")
