@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Text
+import graft.functions.{Scrub, Text}
 import graft.multimodal.Multimodal
-import graft.operators.{Anonymize, AsOf, Dedup, Pack, Profile, Reports, Sampling, Similarity, Skew, TopK, Windows}
+import graft.operators.{Anonymize, AsOf, CorpusStats, Dedup, Ngrams, Pack, Profile, Reports, Sampling, Similarity, Skew, TopK, Windows}
 import graft.sources.{Lake, Tables}
 import graft.streaming.Sessions
 
@@ -245,6 +245,40 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), Text.isQuality(col("text")).as("keep"))
         .orderBy(col("doc_id"))),
+    // ---- corpus hygiene ([EXT]): PII scrub, web-text normalization,
+    // repetition signals, benchmark decontamination, chunking, tf-idf.
+    // The PII/markup fixtures are appended deterministically to the
+    // documents text (the synthetic corpus has none), IDENTICALLY in
+    // the oracle SQL — so the redaction/normalization genuinely fires.
+    "q_pii_scrub" -> ((s, d) => {
+      val aug = concat(col("text"), lit(" reach user"), col("doc_id"),
+        lit("@mail.example.com or 555-867-5309 ssn 123-45-6789 host 10.0.0."),
+        col("doc_id") % 250)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        Scrub.emailCount(aug).cast("long").as("n_emails"),
+        Scrub.ssnCount(aug).cast("long").as("n_ssns"),
+        Scrub.phoneCount(aug).cast("long").as("n_phones"),
+        Scrub.ipCount(aug).cast("long").as("n_ips"),
+        Scrub.piiScrub(aug).as("scrubbed")).orderBy(col("doc_id"))
+    }),
+    "q_normalize" -> ((s, d) => {
+      val aug = concat(lit("<div class=\"doc\"> "), col("text"),
+        lit(" &amp; more&nbsp;text <br/> </div>"))
+      t(s, d, "documents")
+        .select(col("doc_id"), Scrub.normalizeText(aug).as("normalized"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_repetition" -> ((s, d) => CorpusStats.repetitionSignals(t(s, d, "documents"))),
+    // benchmark set = every 41st doc; the rest is the training corpus
+    "q_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Ngrams.decontaminate(
+        docs.where(col("doc_id") % 41 =!= 0),
+        docs.where(col("doc_id") % 41 === 0))
+    }),
+    "q_chunk" -> ((s, d) => Ngrams.chunk(t(s, d, "documents"))),
+    "q_tfidf" -> ((s, d) => CorpusStats.tfIdf(t(s, d, "documents"))),
     // ---- document dedup family (SURVEY §2.7 [EXT]) ----
     "q_exact_docs" -> ((s, d) => Dedup.exactDocs(t(s, d, "documents"))),
     "q_minhash_candidates" -> ((s, d) => Dedup.minhashCandidates(t(s, d, "documents"))),
@@ -731,6 +765,86 @@ object SparkEntry {
              AND CAST(len(text) - len(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS DOUBLE)
                  / len(text) <= 0.3 AS keep
            FROM documents ORDER BY doc_id""",
+      "q_pii_scrub" -> {
+        // same pattern set and replacement ORDER as Scrub.piiScrub
+        val email = Scrub.EmailPattern
+        val ssn = Scrub.SsnPattern
+        val phone = Scrub.PhonePattern
+        val ip = Scrub.Ipv4Pattern
+        s"""WITH a AS (SELECT doc_id,
+              text || ' reach user' || doc_id || '@mail.example.com or 555-867-5309 ssn 123-45-6789 host 10.0.0.' || (doc_id % 250) AS aug
+              FROM documents)
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(aug, '$email')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(aug, '$ssn')) AS BIGINT) AS n_ssns,
+              CAST(len(regexp_extract_all(aug, '$phone')) AS BIGINT) AS n_phones,
+              CAST(len(regexp_extract_all(aug, '$ip')) AS BIGINT) AS n_ips,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(aug,
+                '$email', '<EMAIL>', 'g'), '$ssn', '<SSN>', 'g'),
+                '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS scrubbed
+            FROM a ORDER BY doc_id"""
+      },
+      "q_normalize" -> // same strip -> decode -> collapse -> lower order as Scrub.normalizeText
+        """WITH a AS (SELECT doc_id,
+             '<div class="doc"> ' || text || ' &amp; more&nbsp;text <br/> </div>' AS aug
+             FROM documents)
+           SELECT doc_id, lower(trim(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(aug, '<[^>]*>', ' ', 'g'),
+               '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'), '&lt;', '<', 'g'),
+               '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+             '\s+', ' ', 'g'))) AS normalized
+           FROM a ORDER BY doc_id""",
+      "q_repetition" ->
+        """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                       FROM documents),
+               b AS (SELECT doc_id, toks, list_distinct(toks) AS dt,
+                       [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bg
+                     FROM tk)
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(dt) AS BIGINT) AS n_distinct_tokens,
+             CAST(list_max(list_transform(dt, t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+               / len(toks) AS top_token_frac,
+             CASE WHEN len(bg) > 0
+               THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) END AS dup_bigram_frac
+           FROM b ORDER BY doc_id""",
+      "q_decontaminate" ->
+        """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                       FROM documents),
+               ng AS (SELECT doc_id,
+                        [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks)-6)] AS grams
+                      FROM tk),
+               tr AS (SELECT DISTINCT doc_id, ng FROM
+                        (SELECT doc_id, unnest(grams) AS ng FROM ng WHERE doc_id % 41 <> 0)),
+               be AS (SELECT DISTINCT ng FROM
+                        (SELECT unnest(grams) AS ng FROM ng WHERE doc_id % 41 = 0)),
+               h AS (SELECT doc_id, count(*) AS n_shared FROM tr JOIN be USING (ng)
+                     GROUP BY doc_id)
+           SELECT d.doc_id, CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared_ngrams,
+             COALESCE(h.n_shared, 0) > 0 AS contaminated
+           FROM (SELECT doc_id FROM documents WHERE doc_id % 41 <> 0) d
+           LEFT JOIN h USING (doc_id) ORDER BY doc_id""",
+      "q_chunk" ->
+        """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                       FROM documents WHERE text IS NOT NULL),
+               c AS (SELECT doc_id, toks,
+                       unnest(range(0, ((len(toks)-1)//16) + 1)) AS chunk_idx
+                     FROM tk)
+           SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             CAST(len(toks[chunk_idx*16+1 : chunk_idx*16+16]) AS BIGINT) AS n_chunk_tokens,
+             array_to_string(toks[chunk_idx*16+1 : chunk_idx*16+16], ' ') AS chunk_text
+           FROM c ORDER BY doc_id, chunk_idx""",
+      "q_tfidf" -> // ln arg derived identically; final weight rounded (ULP guard)
+        """WITH term AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term FROM documents),
+               tf AS (SELECT doc_id, term, count(*) AS tf FROM term GROUP BY doc_id, term),
+               dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+               n AS (SELECT count(*) AS n_docs FROM documents)
+           SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             round(CAST(tf.tf AS DOUBLE) * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS tfidf
+           FROM tf JOIN dfq USING (term), n
+           WHERE tf.tf >= 2 ORDER BY doc_id, term""",
       "q_exact_docs" ->
         s"""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, fingerprint
             FROM (SELECT doc_id, $fingerprint AS fingerprint FROM documents)

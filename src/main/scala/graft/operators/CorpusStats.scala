@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Corpus-level text statistics ([EXT]): TF-IDF term weighting and
+  * repetition (degenerate-text) signals — the scoring layer of a
+  * training-data quality pipeline, next to [[graft.functions.Text]]'s
+  * per-document structural gates.
+  */
+object CorpusStats {
+
+  /** Per-(document, term) TF-IDF over whitespace-lowered tokens:
+    * `tf * ln((N+1)/(df+1))` with add-one smoothing, `minTf` pruning
+    * low-signal rows.
+    *
+    * Shape: one explode + one hash aggregate to (doc, term) counts
+    * (map-side partials absorb the token fan-out), then doc frequency
+    * as `count over (partition by term)` ON the tf rows — a
+    * `tf.groupBy(term)` + join spelling would recompute the whole
+    * explode+aggregate subtree a second time (self-joins don't reuse
+    * the build side's exchange), the dominant cost at corpus scale.
+    * The 1-row corpus count broadcasts back. The rounded weight keeps
+    * the value comparable across engines (ln is the one non-rational
+    * step). */
+  def tfIdf(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+            minTf: Int = 2): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(Text.tokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    tf.withColumn("df", count(lit(1)).over(byTerm))
+      .crossJoin(broadcast(total))
+      .where(col("tf") >= minTf)
+      .select(
+        col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf").cast("double") *
+          log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1))), 6)
+          .as("tfidf"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  private def bigramsOf(toks: Column): Column =
+    // `when` guard: sequence(1, 0) would DESCEND for 1-token docs
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - lit(1)),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + lit(1)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-document repetition signals (the Gopher-style degenerate-text
+    * filters): token/distinct-token counts, the most-frequent token's
+    * share, and the duplicate-bigram fraction. High values flag
+    * boilerplate, keyword stuffing, and decoding loops.
+    *
+    * Shape: pure per-row array expressions — no explode, no shuffle;
+    * the whole computation rides the scan. The inner
+    * distinct×filter scan is O(v·n) per doc (v = distinct tokens),
+    * fine for natural documents; a corpus of pathological million-
+    * token rows would switch to the explode+groupBy spelling. */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val toks = Text.tokens(lower(col(textCol)))
+    val distinctToks = array_distinct(toks)
+    val topCnt = array_max(transform(distinctToks,
+      t => size(filter(toks, x => x === t))))
+    val bigrams = bigramsOf(toks)
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(distinctToks).cast("long").as("n_distinct_tokens"),
+      (topCnt.cast("double") / size(toks)).as("top_token_frac"),
+      when(size(bigrams) > 0,
+        lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams))
+        .as("dup_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+}

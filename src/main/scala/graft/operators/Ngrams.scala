@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Word-n-gram operators for training-data hygiene ([EXT]):
+  * benchmark decontamination and fixed-budget chunking.
+  *
+  * Scale notes:
+  *  - n-grams are built per-row with array higher-order functions (no
+  *    explode until the op genuinely needs one row per gram), so the
+  *    fan-out stays inside the scan task;
+  *  - decontamination joins the corpus against the benchmark set on
+  *    the gram — the benchmark side (thousands of docs) is tiny next
+  *    to a 100 TB corpus, so it broadcasts and the corpus never
+  *    shuffles;
+  *  - chunking is embarrassingly parallel (each doc chunks alone).
+  */
+object Ngrams {
+
+  /** Word n-grams of whitespace-lowered tokens, as strings. Shorter
+    * docs yield an empty array (the `when` guard matters: Spark's
+    * `sequence(1, size-n+1)` DESCENDS when size < n and would emit
+    * phantom grams). */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val toks = Text.tokens(lower(c))
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination: for every training document, the
+    * number of distinct word n-grams it shares with ANY benchmark
+    * document, and a contamination flag. The standard pre-training
+    * hygiene gate (a doc sharing a long n-gram with an eval benchmark
+    * leaks the benchmark into training).
+    *
+    * Shape: the "distinct grams per doc" the count needs is computed
+    * PER ROW (`array_distinct` before the explode) — a global
+    * `.distinct()` would shuffle every corpus gram for a result the
+    * row already determines locally. The benchmark gram set broadcasts
+    * (eval suites are small by construction), so the corpus side is
+    * never shuffled at all until the tiny post-join hit counts. */
+  def decontaminate(train: DataFrame, benchmark: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 8): DataFrame = {
+    val trainGrams = train
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(wordNgrams(col(textCol), n))).as("ng"))
+    val benchGrams = benchmark
+      .select(explode(wordNgrams(col(textCol), n)).as("ng"))
+      .distinct()
+    val hits = trainGrams.join(broadcast(benchGrams), Seq("ng"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    train.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_ngrams"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed-token-budget chunking: each document split into consecutive
+    * `chunkSize`-token windows (last chunk ragged) — the layout step
+    * before embedding or packing a long-document corpus. Tokens keep
+    * their original case/order; one output row per (doc, chunk). */
+  def chunk(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+            chunkSize: Int = 16): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
+    val toks = Text.tokens(col(textCol))
+    val lastIdx = floor((size(toks) - lit(1)) / lit(chunkSize)).cast("int")
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), toks.as("__t"),
+        explode(sequence(lit(0), lastIdx)).as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        size(slice(col("__t"), col("chunk_idx") * chunkSize + lit(1), lit(chunkSize)))
+          .cast("long").as("n_chunk_tokens"),
+        concat_ws(" ",
+          slice(col("__t"), col("chunk_idx") * chunkSize + lit(1), lit(chunkSize)))
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+}

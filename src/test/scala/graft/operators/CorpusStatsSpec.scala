@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSuite
+
+class CorpusStatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tfIdf: tf/df exact; rare terms outweigh common ones") {
+    val docs = Seq(
+      (1L, "cat cat cat dog"),
+      (2L, "dog dog bird bird"),
+      (3L, "dog fish fish fish")).toDF("doc_id", "text")
+    val rows = CorpusStats.tfIdf(docs, minTf = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // cat: tf 3 in doc 1, df 1; dog appears in all 3 docs -> df 3
+    val (catTf, catDf, catW) = rows((1L, "cat"))
+    assert(catTf === 3L && catDf === 1L)
+    assert(math.abs(catW - 3 * math.log(4.0 / 2)) < 1e-6)
+    val (_, birdDf, birdW) = rows((2L, "bird"))
+    assert(birdDf === 1L)
+    // dog never reaches minTf=2 in a single doc except doc 2
+    val (dogTf, dogDf, dogW) = rows((2L, "dog"))
+    assert(dogTf === 2L && dogDf === 3L)
+    assert(math.abs(dogW - 2 * math.log(4.0 / 4)) < 1e-6) // ln(1) = 0
+    assert(birdW > dogW, "rare term must outweigh ubiquitous term")
+  }
+
+  test("repetitionSignals: degenerate text scores high, varied text low") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps high"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val rows = CorpusStats.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    val (n1, d1, top1, dup1) = rows(1L)
+    assert(n1 === 6L && d1 === 1L && top1 === 1.0)
+    assert(dup1 === Some(0.8)) // 5 bigrams, 1 distinct -> 1 - 1/5
+    val (n2, d2, top2, dup2) = rows(2L)
+    assert(n2 === 6L && d2 === 6L)
+    assert(math.abs(top2 - 1.0 / 6) < 1e-12)
+    assert(dup2 === Some(0.0))
+    // single-token doc: no bigrams -> null fraction, not a crash
+    val (n3, _, top3, dup3) = rows(3L)
+    assert(n3 === 1L && top3 === 1.0 && dup3 === None)
+  }
+}

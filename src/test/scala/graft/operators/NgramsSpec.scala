@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class NgramsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("wordNgrams emits size-n windows; short docs yield empty (no phantom grams)") {
+    val out = Seq("a b c d", "a b", "").toDF("t")
+      .select(Ngrams.wordNgrams(col("t"), 3).as("g")).as[Seq[String]].collect()
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq.empty) // size 2 < n: the sequence() guard case
+    assert(out(2) === Seq.empty)
+  }
+
+  test("decontaminate flags docs sharing an n-gram with the benchmark, counts distinct grams") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // contains benchmark gram
+      (2L, "one two three four five six"),         // clean
+      (3L, "alpha beta gamma delta epsilon zeta")) // duplicate of 1
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val out = Ngrams.decontaminate(train, bench, n = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // bench 5-grams: {alpha..epsilon, beta..zeta, gamma..eta}; docs 1/3
+    // share the first two
+    assert(out.toSeq === Seq((1L, 2L, true), (2L, 0L, false), (3L, 2L, true)))
+  }
+
+  test("chunk cuts fixed token windows with a ragged tail") {
+    val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Ngrams.chunk(docs, chunkSize = 4).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (0L, 4L, "w1 w2 w3 w4"),
+      (1L, 4L, "w5 w6 w7 w8"),
+      (2L, 2L, "w9 w10")))
+    // chunks reassemble to the original text
+    assert(out.map(_._3).mkString(" ") === (1 to 10).map(i => s"w$i").mkString(" "))
+  }
+
+  test("chunk: a doc at an exact multiple has no empty tail chunk") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val out = Ngrams.chunk(docs, chunkSize = 2).collect()
+    assert(out.length === 2)
+    assert(out.forall(_.getLong(2) === 2L))
+  }
+}
