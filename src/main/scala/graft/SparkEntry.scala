@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Scrub, Text}
+import graft.functions.{Json, Scrub, Text}
 import graft.multimodal.Multimodal
-import graft.operators.{Anonymize, AsOf, CorpusStats, Dedup, Ngrams, Pack, Profile, Reports, Sampling, Similarity, Skew, TopK, Windows}
+import graft.operators.{Anonymize, AsOf, CorpusStats, Dedup, Layout, Ngrams, Pack, Profile, Reports, Reshape, Sampling, Similarity, Skew, TopK, Windows}
 import graft.sources.{Lake, Tables}
 import graft.streaming.Sessions
 
@@ -93,6 +93,17 @@ object SparkEntry {
     "q_monthly_trend" -> ((s, d) => Windows.monthlyTrend(t(s, d, "lineitem"))),
     "q_rank_in_group" -> ((s, d) => Windows.rankInGroup(t(s, d, "supplier"))),
     "q_window_stats" -> ((s, d) => Windows.distributionStats(t(s, d, "supplier"))),
+    // sliding ROWS + time-RANGE frames over the event stream
+    "q_moving_avg" -> ((s, d) => Windows.movingStats(t(s, d, "events"))),
+    // Morton/Z-order code for multi-dim layout ([EXT]); the pruning
+    // effect itself is demonstrated in LayoutSpec (per-file bounding
+    // boxes), the oracle pins the interleave arithmetic
+    "q_zorder" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_orderkey"),
+        Layout.mortonInterleave(
+          pmod(col("o_custkey"), lit(256)), pmod(col("o_orderkey"), lit(256)), 8)
+          .as("zval"))
+        .orderBy(col("o_orderkey"))),
     // ---- dedup (SURVEY §2.7) ----
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"))
@@ -207,6 +218,20 @@ object SparkEntry {
         .groupBy(col("win_id")).agg(count(lit(1)).as("n_events"))
         .orderBy(col("win_id"))
     }),
+    // semi-structured payload parse ([EXT]): explicit schema, one
+    // from_json per row, typed field projection
+    "q_json_props" -> ((s, d) =>
+      t(s, d, "events").select(
+        col("event_id"), col("event_type"),
+        Json.extract(col("props"), "k", "k BIGINT").as("k"))
+        .orderBy(col("event_id"))),
+    // unpivot/melt ([EXT]): wide metrics to (metric, value) rows
+    "q_unpivot" -> ((s, d) =>
+      Reshape.melt(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          col("o_custkey").cast("double").as("o_custkey_d")),
+        Seq("o_orderkey"), Seq("o_totalprice", "o_custkey_d"))
+        .orderBy(col("o_orderkey"), col("metric"))),
     // ---- event-time windows / sessionization (SURVEY §2.10 [EXT]) ----
     "q_windowed_counts" -> ((s, d) => Sessions.windowedCounts(t(s, d, "events"))),
     // stream-stream correlation shape on its batch twin: clicks
@@ -556,6 +581,25 @@ object SparkEntry {
              cume_dist() OVER w AS cume
            FROM supplier WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
            ORDER BY s_nationkey, pct_rank, s_suppkey""",
+      "q_moving_avg" -> // decimal frame sums: windowed agg order is engine-internal
+        """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+             CAST(value AS DECIMAL(18,2)) AS v FROM events)
+           SELECT event_id, user_id, ts_us,
+             CAST(sum(v) OVER w3 AS DOUBLE) / count(*) OVER w3 AS mov_avg3,
+             CAST(sum(v) OVER wr AS DOUBLE) AS sum_10m,
+             count(*) OVER wr AS n_10m
+           FROM e
+           WINDOW w3 AS (PARTITION BY user_id ORDER BY ts_us
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                  wr AS (PARTITION BY user_id ORDER BY ts_us
+                         RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+           ORDER BY event_id""",
+      "q_zorder" -> { // the same unrolled shift/mask/or as Layout.mortonInterleave
+        val terms = (0 until 8).map(i =>
+          s"(((o_custkey % 256) >> $i) & 1) * ${1L << (2 * i)} + " +
+            s"(((o_orderkey % 256) >> $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")
+        s"SELECT o_orderkey, $terms AS zval FROM orders ORDER BY o_orderkey"
+      },
       "q_dedup_exact" ->
         """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
            ORDER BY l_returnflag, l_linestatus""",
@@ -702,6 +746,16 @@ object SparkEntry {
            FROM l JOIN r ON l.user_id = r.user_id
              AND r.ts_us >= l.ts_us AND r.ts_us <= l.ts_us + 600000000
            ORDER BY left_id, right_id""",
+      "q_json_props" ->
+        """SELECT event_id, event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events ORDER BY event_id""",
+      "q_unpivot" -> // UNION ALL is the portable unpivot spelling
+        """SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value FROM orders
+           UNION ALL
+           SELECT o_orderkey, 'o_custkey_d' AS metric,
+             CAST(o_custkey AS DOUBLE) AS value FROM orders
+           ORDER BY o_orderkey, metric""",
       "q_windowed_counts" ->
         s"""SELECT (epoch_ns(ts) // 600000000000) * 600 AS window_start, event_type,
             count(*) AS n_events, ${sqlDsum("value")} AS sum_value

@@ -44,6 +44,37 @@ object Windows {
       .orderBy(col("s_nationkey"), col("balance_rank"), col("s_suppkey"))
   }
 
+  /** Sliding-frame features per user over the event stream: 3-event
+    * moving average (ROWS frame) and 10-minute trailing sum/count
+    * (RANGE frame over the numeric event time) — the standard
+    * time-series feature shapes. One user-keyed shuffle serves all
+    * four windows.
+    *
+    * Determinism: frame sums go through DECIMAL(18,2) — sliding-window
+    * aggregation order is engine-internal (Spark re-scans the frame,
+    * DuckDB uses segment trees), so a double sum would differ in final
+    * ULPs between engines; the decimal sum is order-independent, and
+    * the double→decimal cast itself is exact cross-engine (a binary
+    * double is never exactly halfway between two 2dp decimals).
+    * (user_id, ts) is unique in the events table, so the window order
+    * is total. */
+  def movingStats(events: DataFrame): DataFrame = {
+    val ev = events.select(
+      col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("value").cast(DecimalType(18, 2)).as("__v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val rows3 = w.rowsBetween(-2, 0)
+    val range10m = w.rangeBetween(-600000000L, 0)
+    ev.select(
+      col("event_id"), col("user_id"), col("ts_us"),
+      (sum(col("__v")).over(rows3).cast("double") /
+        count(lit(1)).over(rows3)).as("mov_avg3"),
+      sum(col("__v")).over(range10m).cast("double").as("sum_10m"),
+      count(lit(1)).over(range10m).as("n_10m"))
+      .orderBy(col("event_id"))
+  }
+
   /** The distribution window set — ntile buckets, percent_rank and
     * cume_dist — over the same per-nation balance ordering. The
     * doubles derive from identical integer rank arithmetic

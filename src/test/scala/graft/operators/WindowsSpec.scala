@@ -43,6 +43,25 @@ class WindowsSpec extends SparkSuite {
     assert(math.abs(r.getLong(2) - 2L) <= 1)
   }
 
+  test("movingStats: ROWS frame averages and time-RANGE frame sums per user") {
+    import org.apache.spark.sql.functions._
+    // user 1: events at t=0s, 60s, 400s, 700s with values 10, 20, 40, 2
+    val minute = 60L * 1000000
+    val ev = Seq(
+      (1L, 1L, 0L, 10.0), (2L, 1L, minute, 20.0),
+      (3L, 1L, 400L * 1000000, 40.0), (4L, 1L, 700L * 1000000, 2.0),
+      (5L, 2L, 0L, 5.0))
+      .toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Windows.movingStats(ev).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4), r.getLong(5))).toMap
+    assert(out(1L) === ((10.0, 10.0, 1L)))
+    assert(out(2L) === ((15.0, 30.0, 2L)))           // both frames: events 1+2
+    assert(out(3L) === ((70.0 / 3, 70.0, 3L)))       // rows: 1,2,3; range [−200s,400s]: all 3
+    assert(out(4L) === ((62.0 / 3, 42.0, 2L)))       // rows: 2,3,4; range: 3,4
+    assert(out(5L) === ((5.0, 5.0, 1L)))             // user 2 isolated
+  }
+
   test("approxDataDictionary tracks the exact dictionary within 3*rsd on real tables") {
     // quantitative bound for the one query the oracle can't hash-check
     // (HLL sketches differ across engines): every approximate distinct
