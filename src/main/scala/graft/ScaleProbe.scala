@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{CorpusStats, Dedup, Ngrams, Similarity}
 import graft.sources.Tables
 
 /** Empirical scale check: replicate the sf0.1 documents/embeddings
@@ -69,6 +69,15 @@ object ScaleProbe {
     println(s"[scale]   embedding-dedup rows: $embDedup")
     time(s"topK x$factor")(
       Similarity.topK(emb, Similarity.vectorOf(emb, 1L), 10).collect())
+    // corpus-hygiene ops: wall-clock should stay ~linear in corpus
+    // size (decontaminate's benchmark side is fixed and broadcast;
+    // tfIdf is one explode+agg+window)
+    val decon = time(s"decontaminate x$factor")(
+      Ngrams.decontaminate(
+        docs.where(col("doc_id") % 41 =!= 0),
+        docs0.where(col("doc_id") % 41 === 0)).count())
+    println(s"[scale]   train docs checked: $decon")
+    time(s"tfIdf x$factor")(CorpusStats.tfIdf(docs).count())
     spark.stop()
   }
 }

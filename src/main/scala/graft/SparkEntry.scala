@@ -62,6 +62,16 @@ object SparkEntry {
     "q_salted_sum" -> ((s, d) =>
       Skew.saltedSum(t(s, d, "lineitem").select("l_returnflag", "l_quantity"),
         "l_returnflag", "l_quantity").orderBy(col("l_returnflag"))),
+    // salted fact⋈dim join (the skew fallback when AQE can't split):
+    // same rows as the plain join, verified by the plain-join oracle
+    "q_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_partkey"), col("l_quantity"))
+      val pt = t(s, d, "part").select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      Skew.saltedJoin(li, pt, "l_partkey", salts = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_rows"), Reports.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("p_brand"))
+    }),
     "q_rollup" -> ((s, d) => Reports.rollupSummary(t(s, d, "lineitem"))),
     "q_cube" -> ((s, d) => Reports.cubeSummary(t(s, d, "lineitem"))),
     "q_pivot" -> ((s, d) =>
@@ -521,6 +531,10 @@ object SparkEntry {
       "q_count_per_key" ->
         """SELECT o_custkey, count(*) AS num_prescriptions FROM orders
            GROUP BY o_custkey ORDER BY num_prescriptions DESC, o_custkey""",
+      "q_salted_join" -> // plain join: salting must not change the result
+        s"""SELECT p.p_brand, count(*) AS n_rows, ${sqlDsum("l.l_quantity")} AS sum_qty
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand ORDER BY p.p_brand""",
       "q_rollup" -> // NULLS FIRST: Spark's ASC default; DuckDB defaults NULLS LAST
         s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
             ${sqlDsum("l_quantity")} AS sum_qty

@@ -17,11 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic salt in [0, salts): hash of the whole row spread
-    * uniformly (not of the group key — that would put the whole hot
-    * group in one salt bucket again). */
+  /** Salt in [0, salts): hash of the whole row PLUS the row's physical
+    * position. Hashing only the group key would put the whole hot
+    * group back in one bucket — and hashing only the row VALUES has
+    * the same failure for a hot key made of identical duplicate rows
+    * (the common shape: replayed events, denormalized fact rows). The
+    * position component routes even bit-identical rows uniformly. The
+    * salt is not stable across runs, which is fine — it routes rows,
+    * it never reaches a result. */
   def saltCol(salts: Int, cols: Seq[Column]): Column =
-    pmod(hash(cols: _*), lit(salts))
+    pmod(hash(cols :+ monotonically_increasing_id(): _*), lit(salts))
 
   /** Skew-safe `groupBy(key).agg(sum(measure))`: phase 1 aggregates
     * (key, salt) — at most `salts` rows per key reach phase 2, no
@@ -36,6 +41,27 @@ object Skew {
         .as("__psum"))
     partial.groupBy(col(key))
       .agg(sum(col("__psum")).cast("double").as(s"sum_$measure"))
+  }
+
+  /** Skew-safe fact⋈dim equi-join for when the dim is too large to
+    * broadcast and a fact key is hot: fact rows get a deterministic
+    * row-hash salt in [0, salts); every dim row is replicated once per
+    * salt value; the join key becomes (key, salt), so a hot key's fact
+    * rows spread across `salts` reducers instead of one. Emits exactly
+    * the plain join's rows. Cost: dim shuffle volume × salts — the
+    * explicit fallback for when AQE's runtime skew-join can't help
+    * (e.g. a monster key inside one partition of a bucketed table, or
+    * a sort-merge join AQE already committed to). Only fact-preserving
+    * join types are allowed: dim-preserving ones (right/full) would
+    * null-extend unmatched dim rows once per salt. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int = 16,
+                 joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left", "left_outer", "left_semi", "left_anti").contains(joinType),
+      s"saltedJoin supports fact-preserving join types only, not $joinType")
+    require(salts > 0, s"salts must be positive: $salts")
+    val saltedFact = fact.withColumn("__salt", saltCol(salts, fact.columns.map(col).toSeq))
+    val repDim = dim.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(repDim, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
   /** Skew-safe exact distinct count per key: the distinct set is

@@ -29,6 +29,29 @@ class SkewSpec extends SparkSuite {
     assert(partialRows.max <= 8)
   }
 
+  test("saltedJoin emits exactly the plain join's rows (inner and left)") {
+    val dim = (1 to 50).map(i => (s"k$i", i)).toDF("k", "d") // no "hot" row
+    val plainInner = skewed.join(dim, Seq("k")).collect().map(_.toSeq).toSeq
+    val saltedInner = Skew.saltedJoin(skewed, dim, "k", salts = 8).collect().map(_.toSeq).toSeq
+    assert(saltedInner.sortBy(_.toString) === plainInner.sortBy(_.toString))
+    // left: the hot key (absent from dim) must null-extend ONCE per
+    // fact row, not once per salt
+    val plainLeft = skewed.join(dim, Seq("k"), "left").collect().map(_.toSeq).toSeq
+    val saltedLeft = Skew.saltedJoin(skewed, dim, "k", salts = 8, "left")
+      .collect().map(_.toSeq).toSeq
+    assert(saltedLeft.sortBy(_.toString) === plainLeft.sortBy(_.toString))
+  }
+
+  test("saltedJoin spreads a hot key over the salt space and rejects dim-preserving types") {
+    val salts = skewed
+      .withColumn("__salt", Skew.saltCol(8, skewed.columns.map(org.apache.spark.sql.functions.col).toSeq))
+      .where($"k" === "hot").select("__salt").distinct().count()
+    assert(salts >= 6, s"900 hot rows should cover most of 8 salt buckets, got $salts")
+    val dim = Seq(("hot", 1)).toDF("k", "d")
+    intercept[IllegalArgumentException](Skew.saltedJoin(skewed, dim, "k", 8, "right"))
+    intercept[IllegalArgumentException](Skew.saltedJoin(skewed, dim, "k", 8, "full"))
+  }
+
   test("saltedCountDistinct matches exact distinct counts") {
     val df = (Seq.fill(500)(("hot", "a")) ++ Seq(("hot", "b"), ("hot", "c"), ("cold", "z")))
       .toDF("k", "u")
