@@ -852,15 +852,15 @@ object SparkEntry {
                 '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS scrubbed
             FROM a ORDER BY doc_id"""
       },
-      "q_normalize" -> // same strip -> decode -> collapse -> lower order as Scrub.normalizeText
+      "q_normalize" -> // same strip -> decode (&amp; LAST) -> collapse -> lower order as Scrub.normalizeText
         """WITH a AS (SELECT doc_id,
              '<div class="doc"> ' || text || ' &amp; more&nbsp;text <br/> </div>' AS aug
              FROM documents)
            SELECT doc_id, lower(trim(regexp_replace(
              regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                regexp_replace(aug, '<[^>]*>', ' ', 'g'),
-               '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'), '&lt;', '<', 'g'),
-               '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+               '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+               '&quot;', '"', 'g'), '&amp;', '&', 'g'),
              '\s+', ' ', 'g'))) AS normalized
            FROM a ORDER BY doc_id""",
       "q_repetition" ->

@@ -39,14 +39,16 @@ object Scrub {
   }
 
   /** Web-text normalization: strip markup tags, decode the common
-    * HTML entities, collapse whitespace, lowercase. Tag-strip runs
-    * BEFORE entity decode (standard order — a decoded `&lt;` must not
-    * create a new "tag"). The op order is mirrored exactly in the
-    * oracle SQL. */
+    * HTML entities, collapse whitespace, lowercase. Two orderings are
+    * load-bearing (and mirrored exactly in the oracle SQL): tag-strip
+    * runs BEFORE entity decode (a decoded `&lt;` must not create a new
+    * "tag"), and `&amp;` decodes LAST — decoding it first would
+    * double-decode escaped entities (`&amp;lt;`, an author writing the
+    * literal text "&lt;", must become `&lt;`, not `<`). */
   def normalizeText(c: Column): Column = {
     val untagged = regexp_replace(c, "<[^>]*>", " ")
-    val decoded = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
-      "&gt;" -> ">", "&quot;" -> "\"")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&amp;" -> "&")
       .foldLeft(untagged) { case (acc, (from, to)) => regexp_replace(acc, from, to) }
     lower(trim(regexp_replace(decoded, "\\s+", " ")))
   }

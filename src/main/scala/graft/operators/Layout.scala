@@ -33,6 +33,8 @@ object Layout {
     * layout, not data. */
   def zorderWrite(df: DataFrame, path: String, colA: String, colB: String,
                   bits: Int, numFiles: Int): Unit = {
+    require(!df.columns.contains("__z"),
+      "zorderWrite reserves the __z column name — rename it on the input")
     val coded = df.withColumn("__z",
       mortonInterleave(col(colA), col(colB), bits))
     coded

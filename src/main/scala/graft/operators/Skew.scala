@@ -17,16 +17,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Salt in [0, salts): hash of the whole row PLUS the row's physical
-    * position. Hashing only the group key would put the whole hot
-    * group back in one bucket — and hashing only the row VALUES has
-    * the same failure for a hot key made of identical duplicate rows
-    * (the common shape: replayed events, denormalized fact rows). The
-    * position component routes even bit-identical rows uniformly. The
-    * salt is not stable across runs, which is fine — it routes rows,
-    * it never reaches a result. */
+  /** Deterministic salt in [0, salts): hash of the whole row spread
+    * uniformly (not of the group key — that would put the whole hot
+    * group in one salt bucket again).
+    *
+    * MUST stay a pure function of row values: a position- or
+    * random-based salt is nondeterministic under shuffle-map task
+    * retry (recomputed rows re-salt differently than the copies
+    * reducers already fetched → silently duplicated/lost rows, the
+    * SPARK-23207 failure class) — on the multi-thousand-task jobs this
+    * operator exists for, retries are routine. Known limitation, by
+    * choice: a hot key whose rows are BIT-IDENTICAL collapses into one
+    * salt bucket. For sums that is only the perf corner map-side
+    * partial aggregation already absorbs (identical rows combine
+    * before the shuffle); if it matters, include a unique id column
+    * (every real fact table has one) in the hashed `cols`. */
   def saltCol(salts: Int, cols: Seq[Column]): Column =
-    pmod(hash(cols :+ monotonically_increasing_id(): _*), lit(salts))
+    pmod(hash(cols: _*), lit(salts))
 
   /** Skew-safe `groupBy(key).agg(sum(measure))`: phase 1 aggregates
     * (key, salt) — at most `salts` rows per key reach phase 2, no
@@ -59,6 +66,8 @@ object Skew {
     require(Seq("inner", "left", "left_outer", "left_semi", "left_anti").contains(joinType),
       s"saltedJoin supports fact-preserving join types only, not $joinType")
     require(salts > 0, s"salts must be positive: $salts")
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name — rename it on the input")
     val saltedFact = fact.withColumn("__salt", saltCol(salts, fact.columns.map(col).toSeq))
     val repDim = dim.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(repDim, Seq(key, "__salt"), joinType).drop("__salt")

@@ -53,11 +53,14 @@ object Windows {
     * Determinism: frame sums go through DECIMAL(18,2) — sliding-window
     * aggregation order is engine-internal (Spark re-scans the frame,
     * DuckDB uses segment trees), so a double sum would differ in final
-    * ULPs between engines; the decimal sum is order-independent, and
-    * the double→decimal cast itself is exact cross-engine (a binary
-    * double is never exactly halfway between two 2dp decimals).
-    * (user_id, ts) is unique in the events table, so the window order
-    * is total. */
+    * ULPs between engines; the decimal sum is order-independent. The
+    * double→decimal cast agrees cross-engine for any double that is
+    * not an exact midpoint between two 2dp values; midpoints DO exist
+    * (0.125, 0.375, …) and engines may round them differently
+    * (HALF_UP vs half-even) — the events generator emits 2dp-derived
+    * values, so none arise here, but a caller feeding arbitrary
+    * doubles should pre-round explicitly. (user_id, ts) is unique in
+    * the events table, so the window order is total. */
   def movingStats(events: DataFrame): DataFrame = {
     val ev = events.select(
       col("event_id"), col("user_id"),

@@ -77,6 +77,10 @@ final class Pipeline(spark: SparkSession, lake: Lake,
   /** Anonymize PII columns of a cleansed table, writing the
     * original→hash vault next to it (reference: §2.8). */
   def anonymize(table: String): Seq[String] = {
+    // restart safety: if a prior run crashed mid-overwriteSelf the
+    // live path is missing (data parked at .__old) — heal BEFORE the
+    // read below, which would otherwise throw Path-does-not-exist
+    Lake.healCrashedOverwrite(spark, s"${lake.cleansed}/$table")
     val df = lake.readCleansed(spark, table)
     val pii = SchemaResolver.piiCols(df, piiPatterns)
     pii.foreach { c =>

@@ -42,4 +42,11 @@ class ScrubSpec extends SparkSuite {
     // stripped as a tag
     assert(one("x &lt;b&gt; y", Scrub.normalizeText(col("t"))) === "x <b> y")
   }
+
+  test("normalizeText decodes &amp; last — escaped entities do not double-decode") {
+    // an author writing the literal text "&lt;" escapes it as &amp;lt;
+    // — normalization must yield the text "&lt;", never decode it a
+    // second time into "<"
+    assert(one("show &amp;lt; here", Scrub.normalizeText(col("t"))) === "show &lt; here")
+  }
 }

@@ -57,4 +57,10 @@ class LayoutSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       df.select(Layout.mortonInterleave(col("a"), col("b"), 32)))
   }
+
+  test("zorderWrite rejects a pre-existing __z column instead of clobbering it") {
+    val df = Seq((1L, 2L, 3L)).toDF("x", "y", "__z")
+    intercept[IllegalArgumentException](
+      Layout.zorderWrite(df, "/tmp/never-written", "x", "y", 4, 2))
+  }
 }

@@ -43,13 +43,22 @@ class SkewSpec extends SparkSuite {
   }
 
   test("saltedJoin spreads a hot key over the salt space and rejects dim-preserving types") {
-    val salts = skewed
-      .withColumn("__salt", Skew.saltCol(8, skewed.columns.map(org.apache.spark.sql.functions.col).toSeq))
-      .where($"k" === "hot").select("__salt").distinct().count()
-    assert(salts >= 6, s"900 hot rows should cover most of 8 salt buckets, got $salts")
+    // hot rows with DISTINCT payloads (a unique id, as real fact rows
+    // have): the deterministic row hash must cover most salt buckets.
+    // Bit-identical rows collapsing to one bucket is the documented
+    // trade-off for salt determinism under task retry (SPARK-23207).
+    val hotDistinct = (1 to 900).map(i => ("hot", i.toDouble)).toDF("k", "v")
+    val salts = hotDistinct
+      .withColumn("__s", Skew.saltCol(8, hotDistinct.columns.map(org.apache.spark.sql.functions.col).toSeq))
+      .select("__s").distinct().count()
+    assert(salts >= 6, s"900 distinct hot rows should cover most of 8 salt buckets, got $salts")
     val dim = Seq(("hot", 1)).toDF("k", "d")
     intercept[IllegalArgumentException](Skew.saltedJoin(skewed, dim, "k", 8, "right"))
     intercept[IllegalArgumentException](Skew.saltedJoin(skewed, dim, "k", 8, "full"))
+    // reserved-name guard: a pre-existing __salt must fail loudly, not
+    // be silently clobbered and dropped
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(skewed.withColumnRenamed("v", "__salt"), dim, "k", 8))
   }
 
   test("saltedCountDistinct matches exact distinct counts") {
