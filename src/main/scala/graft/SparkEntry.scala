@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Json, Scrub, Text}
 import graft.multimodal.Multimodal
-import graft.operators.{Anonymize, AsOf, CorpusStats, Dedup, Layout, Ngrams, Pack, Profile, Reports, Reshape, Sampling, Similarity, Skew, TopK, Windows}
+import graft.operators.{Anonymize, AsOf, CorpusStats, Dedup, Fuzzy, Layout, Ngrams, Pack, Profile, Reports, Reshape, Sampling, Similarity, Skew, TopK, Windows}
 import graft.sources.{Lake, Tables}
 import graft.streaming.Sessions
 
@@ -314,6 +314,15 @@ object SparkEntry {
     }),
     "q_chunk" -> ((s, d) => Ngrams.chunk(t(s, d, "documents"))),
     "q_tfidf" -> ((s, d) => CorpusStats.tfIdf(t(s, d, "documents"))),
+    // blocked fuzzy match ([EXT]): the part-name dictionary vs its
+    // last-char-dropped corruption (deterministic, mirrored in SQL) —
+    // suffix typos survive the first-token blocking by construction
+    "q_fuzzy_match" -> ((s, d) => {
+      val names = t(s, d, "part").select(col("p_name"))
+      val corrupted = names
+        .select(expr("substring(p_name, 1, length(p_name) - 1)").as("q_name"))
+      Fuzzy.blockedMatch(corrupted, names, "q_name", "p_name", maxDist = 2)
+    }),
     // ---- document dedup family (SURVEY §2.7 [EXT]) ----
     "q_exact_docs" -> ((s, d) => Dedup.exactDocs(t(s, d, "documents"))),
     "q_minhash_candidates" -> ((s, d) => Dedup.minhashCandidates(t(s, d, "documents"))),
@@ -913,6 +922,17 @@ object SparkEntry {
              round(CAST(tf.tf AS DOUBLE) * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS tfidf
            FROM tf JOIN dfq USING (term), n
            WHERE tf.tf >= 2 ORDER BY doc_id, term""",
+      "q_fuzzy_match" -> // same blocking (first token) + exact edit-distance verify
+        """WITH q AS (SELECT DISTINCT substr(p_name, 1, length(p_name) - 1) AS q_text
+                      FROM part WHERE p_name IS NOT NULL),
+               d AS (SELECT DISTINCT p_name AS match_text FROM part
+                     WHERE p_name IS NOT NULL)
+           SELECT q.q_text, d.match_text,
+             CAST(levenshtein(q.q_text, d.match_text) AS BIGINT) AS dist
+           FROM q JOIN d
+             ON split_part(q.q_text, ' ', 1) = split_part(d.match_text, ' ', 1)
+           WHERE levenshtein(q.q_text, d.match_text) <= 2
+           ORDER BY q_text, match_text""",
       "q_exact_docs" ->
         s"""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, fingerprint
             FROM (SELECT doc_id, $fingerprint AS fingerprint FROM documents)

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class FuzzySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("blockedMatch finds within-distance pairs inside a block") {
+    val dict = Seq("small ring", "small gizmo", "red widget").toDF("name")
+    val qs = Seq("small rin", "red wdget", "blue bolt").toDF("q")
+    val out = Fuzzy.blockedMatch(qs, dict, "q", "name", maxDist = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("red wdget", "red widget", 1L),
+      ("small rin", "small ring", 1L))) // "blue bolt" has no block partner
+  }
+
+  test("blockedMatch never compares across blocks (the recall trade-off)") {
+    // "ball" vs "call": distance 1, but different first tokens — the
+    // blocking key excludes the pair by design
+    val out = Fuzzy.blockedMatch(
+      Seq("ball").toDF("q"), Seq("call").toDF("name"), "q", "name", maxDist = 2)
+    assert(out.count() === 0)
+  }
+
+  test("blockedMatch equals brute force within blocks, dedups inputs, drops nulls") {
+    val dict = Seq("hot gear", "hot gears", "hot bear", null).toDF("name")
+    val qs = Seq("hot gea", "hot gea", null).toDF("q") // duplicate + null query
+    val out = Fuzzy.blockedMatch(qs, dict, "q", "name", maxDist = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // brute force: levenshtein("hot gea", x) = 1, 2, 2 — all within 2
+    assert(out.toSeq === Seq(
+      ("hot gea", "hot bear", 2L),
+      ("hot gea", "hot gear", 1L),
+      ("hot gea", "hot gears", 2L)))
+  }
+
+  test("custom blocking key overrides the first-token default") {
+    // block on string length: pairs with equal length only
+    val out = Fuzzy.blockedMatch(
+      Seq("abcd").toDF("q"), Seq("abcx", "abc").toDF("name"), "q", "name",
+      maxDist = 2, block = length)
+    assert(out.collect().map(_.getString(1)).toSeq === Seq("abcx"))
+  }
+}
