@@ -59,6 +59,11 @@ object SparkEntry {
     "q_customers_without_orders" -> ((s, d) =>
       Reports.customersWithoutOrders(t(s, d, "customer"), t(s, d, "orders"))),
     "q_count_per_key" -> ((s, d) => Reports.countPerKey(t(s, d, "orders"), "o_custkey")),
+    // ordered array_agg rendered as CSV (collect_list alone is
+    // partition-arrival-ordered — nondeterministic)
+    "q_collect" -> ((s, d) =>
+      Reports.collectPerKey(t(s, d, "orders").where(col("o_custkey") < 100),
+        "o_custkey", "o_orderkey")),
     "q_salted_sum" -> ((s, d) =>
       Skew.saltedSum(t(s, d, "lineitem").select("l_returnflag", "l_quantity"),
         "l_returnflag", "l_quantity").orderBy(col("l_returnflag"))),
@@ -540,6 +545,12 @@ object SparkEntry {
       "q_count_per_key" ->
         """SELECT o_custkey, count(*) AS num_prescriptions FROM orders
            GROUP BY o_custkey ORDER BY num_prescriptions DESC, o_custkey""",
+      "q_collect" -> // string_agg ORDER BY = the sorted array_agg rendering
+        """SELECT o_custkey,
+             string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS values_csv,
+             count(*) AS n
+           FROM orders WHERE o_custkey < 100
+           GROUP BY o_custkey ORDER BY o_custkey""",
       "q_salted_join" -> // plain join: salting must not change the result
         s"""SELECT p.p_brand, count(*) AS n_rows, ${sqlDsum("l.l_quantity")} AS sum_qty
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey

@@ -200,4 +200,19 @@ object Reports {
     df.groupBy(col(key))
       .agg(count(lit(1)).as("num_prescriptions"))
       .orderBy(col("num_prescriptions").desc, col(key))
+
+  /** Ordered group collect (array_agg): per key, the SORTED list of
+    * values rendered as a joined string. collect_list's order is
+    * partition-arrival order — nondeterministic — so the sort inside
+    * the aggregate output is what makes the result reproducible (and
+    * cross-engine comparable; the string rendering mirrors SQL
+    * string_agg ... ORDER BY). Unbounded group state: cap group sizes
+    * upstream ([[TopK.perGroup]]) if keys can be hot. */
+  def collectPerKey(df: DataFrame, key: String, valueCol: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(array_join(
+        transform(array_sort(collect_list(col(valueCol))), _.cast("string")),
+        ",").as("values_csv"),
+        count(lit(1)).as("n"))
+      .orderBy(col(key))
 }

@@ -88,4 +88,17 @@ class ReportsSpec extends SparkSuite {
     assert(nAggExchanges <= 2, // agg exchange + oracle-only sort exchange
       s"expected the single-aggregate pivot plan:\n${out.queryExecution.executedPlan}")
   }
+
+  test("collectPerKey is deterministic under input partitioning (sorted inside the agg)") {
+    import spark.implicits._
+    val rows = (1 to 200).map(i => ((i % 7).toLong, (i * 131 % 997).toLong))
+    val a = Reports.collectPerKey(rows.toDF("k", "v"), "k", "v").collect().toSeq
+    val b = Reports.collectPerKey(rows.reverse.toDF("k", "v").repartition(13), "k", "v")
+      .collect().toSeq
+    assert(a === b)
+    val first = a.head
+    // values_csv is ascending within the group
+    val vals = first.getString(1).split(",").map(_.toLong)
+    assert(vals.sorted.toSeq === vals.toSeq && vals.length === first.getLong(2))
+  }
 }
