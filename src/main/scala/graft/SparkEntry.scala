@@ -545,10 +545,11 @@ object SparkEntry {
       "q_count_per_key" ->
         """SELECT o_custkey, count(*) AS num_prescriptions FROM orders
            GROUP BY o_custkey ORDER BY num_prescriptions DESC, o_custkey""",
-      "q_collect" -> // string_agg ORDER BY = the sorted array_agg rendering
+      "q_collect" -> // string_agg ORDER BY = the sorted array_agg rendering;
+        // count(col) not count(*): n = collected (non-null) values
         """SELECT o_custkey,
              string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS values_csv,
-             count(*) AS n
+             count(o_orderkey) AS n
            FROM orders WHERE o_custkey < 100
            GROUP BY o_custkey ORDER BY o_custkey""",
       "q_salted_join" -> // plain join: salting must not change the result

@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   * with exact `levenshtein` (codegen'd built-in). Blocking trades
   * recall for cost — a pair whose blocking keys differ is never
   * compared; pick a key the expected error class cannot touch (the
-  * default, first whitespace token, survives suffix typos).
+  * default, first whitespace token, survives suffix typos). A NULL
+  * blocking key excludes its row entirely (made explicit by a filter,
+  * not left to equi-join null semantics — even an exact duplicate is
+  * unmatchable without a key).
   */
 object Fuzzy {
 
@@ -28,18 +31,25 @@ object Fuzzy {
     * strings within `maxDist` edits, comparing only within equal
     * blocking keys. Returns (q_text, match_text, dist) — one row per
     * surviving pair; a query with no match emits nothing (left-join
-    * the result back to keep misses). */
+    * the result back to keep misses). The edit distance uses the
+    * threshold form — O(L·maxDist) with early exit instead of the
+    * full O(L²) table per pair; survivors and their distances are
+    * identical. */
   def blockedMatch(queries: DataFrame, dictionary: DataFrame,
                    queryCol: String, dictCol: String, maxDist: Int = 2,
                    block: Column => Column = firstToken): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative: $maxDist")
-    val q = queries.select(col(queryCol).as("q_text")).where(col("q_text").isNotNull)
-      .distinct().withColumn("__b", block(col("q_text")))
-    val d = dictionary.select(col(dictCol).as("match_text")).where(col("match_text").isNotNull)
-      .distinct().withColumn("__b", block(col("match_text")))
+    def side(src: DataFrame, from: String, as: String) =
+      src.select(col(from).as(as)).where(col(as).isNotNull)
+        .distinct().withColumn("__b", block(col(as)))
+        .where(col("__b").isNotNull)
+    val q = side(queries, queryCol, "q_text")
+    val d = side(dictionary, dictCol, "match_text")
     q.join(d, Seq("__b"))
-      .withColumn("dist", levenshtein(col("q_text"), col("match_text")).cast("long"))
-      .where(col("dist") <= maxDist)
+      // the threshold form returns -1 beyond maxDist, never a partial value
+      .withColumn("dist",
+        levenshtein(col("q_text"), col("match_text"), maxDist).cast("long"))
+      .where(col("dist") >= 0)
       .select(col("q_text"), col("match_text"), col("dist"))
       .orderBy(col("q_text"), col("match_text"))
   }

@@ -206,13 +206,17 @@ object Reports {
     * partition-arrival order — nondeterministic — so the sort inside
     * the aggregate output is what makes the result reproducible (and
     * cross-engine comparable; the string rendering mirrors SQL
-    * string_agg ... ORDER BY). Unbounded group state: cap group sizes
-    * upstream ([[TopK.perGroup]]) if keys can be hot. */
+    * string_agg ... ORDER BY). `n` counts the COLLECTED values —
+    * `count(valueCol)`, skipping nulls exactly as collect_list does,
+    * so it always equals the rendered list's length (a raw row count
+    * would diverge on nullable value columns). Unbounded group state:
+    * cap group sizes upstream ([[TopK.perGroup]]) if keys can be
+    * hot. */
   def collectPerKey(df: DataFrame, key: String, valueCol: String): DataFrame =
     df.groupBy(col(key))
       .agg(array_join(
         transform(array_sort(collect_list(col(valueCol))), _.cast("string")),
         ",").as("values_csv"),
-        count(lit(1)).as("n"))
+        count(col(valueCol)).as("n"))
       .orderBy(col(key))
 }

@@ -37,6 +37,17 @@ class FuzzySpec extends SparkSuite {
       ("hot gea", "hot gears", 2L)))
   }
 
+  test("a null blocking key drops the row explicitly (documented recall edge)") {
+    // block on the second '-'-separated field: "solo" has none -> null
+    // key -> excluded even though an exact dictionary duplicate exists
+    val block: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => try_element_at(split(c, "-"), lit(2))
+    val out = Fuzzy.blockedMatch(
+      Seq("solo", "a-x").toDF("q"), Seq("solo", "a-x").toDF("name"),
+      "q", "name", maxDist = 2, block = block)
+    assert(out.collect().map(r => (r.getString(0), r.getLong(2))).toSeq === Seq(("a-x", 0L)))
+  }
+
   test("custom blocking key overrides the first-token default") {
     // block on string length: pairs with equal length only
     val out = Fuzzy.blockedMatch(

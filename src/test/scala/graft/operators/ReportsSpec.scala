@@ -101,4 +101,13 @@ class ReportsSpec extends SparkSuite {
     val vals = first.getString(1).split(",").map(_.toLong)
     assert(vals.sorted.toSeq === vals.toSeq && vals.length === first.getLong(2))
   }
+
+  test("collectPerKey: n counts collected values, staying equal to the list length under nulls") {
+    import spark.implicits._
+    val df = Seq((1L, Some(2L)), (1L, Option.empty[Long]), (1L, Some(1L)))
+      .toDF("k", "v")
+    val r = Reports.collectPerKey(df, "k", "v").head()
+    assert(r.getString(1) === "1,2")
+    assert(r.getLong(2) === 2L, "null values are not collected, so n must not count them")
+  }
 }
