@@ -328,6 +328,26 @@ object SparkEntry {
         .select(expr("substring(p_name, 1, length(p_name) - 1)").as("q_name"))
       Fuzzy.blockedMatch(corrupted, names, "q_name", "p_name", maxDist = 2)
     }),
+    // end-to-end corpus pipeline ([EXT] capstone): the hygiene
+    // operators COMPOSED the way a training-data run uses them —
+    // quality gate -> exact dedup (min-id keeper) -> drop benchmark
+    // members and benchmark-contaminated docs -> fixed-budget chunks.
+    // Every stage is an existing operator; the oracle chains the same
+    // stages as CTEs.
+    "q_corpus_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val kept = docs.where(Text.isQuality(col("text")))
+      val fp = kept.select(col("doc_id"), col("text"),
+        Text.fingerprint(col("text")).as("f"))
+      val keepers = fp
+        .join(fp.groupBy(col("f")).agg(min(col("doc_id")).as("k")), Seq("f"))
+        .where(col("doc_id") === col("k")).select("doc_id", "text")
+      val train = keepers.where(col("doc_id") % 41 =!= 0)
+      val bench = docs.where(col("doc_id") % 41 === 0)
+      val cleanIds = Ngrams.decontaminate(train, bench)
+        .where(!col("contaminated")).select("doc_id")
+      Ngrams.chunk(train.join(cleanIds, Seq("doc_id")))
+    }),
     // ---- document dedup family (SURVEY §2.7 [EXT]) ----
     "q_exact_docs" -> ((s, d) => Dedup.exactDocs(t(s, d, "documents"))),
     "q_minhash_candidates" -> ((s, d) => Dedup.minhashCandidates(t(s, d, "documents"))),
@@ -945,6 +965,42 @@ object SparkEntry {
              ON split_part(q.q_text, ' ', 1) = split_part(d.match_text, ' ', 1)
            WHERE levenshtein(q.q_text, d.match_text) <= 2
            ORDER BY q_text, match_text""",
+      "q_corpus_pipeline" -> // the same stages chained as CTEs
+        s"""WITH q AS (SELECT doc_id, text FROM documents WHERE
+              len(regexp_split_to_array(trim(text), '\\s+')) >= 5
+              AND CAST(len(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                  / len(regexp_split_to_array(trim(text), '\\s+')) <= 15.0
+              AND CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                  / len(text) <= 0.3
+              AND CAST(len(text) - len(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+                  / len(text) <= 0.3),
+            fp AS (SELECT doc_id, text, $fingerprint AS f FROM q),
+            g AS (SELECT f, min(doc_id) AS k FROM fp GROUP BY f),
+            kd AS (SELECT fp.doc_id, fp.text FROM fp JOIN g ON fp.f = g.f
+                   WHERE fp.doc_id = g.k),
+            tr AS (SELECT doc_id, text FROM kd WHERE doc_id % 41 <> 0),
+            ttk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS lt
+                    FROM tr),
+            tg AS (SELECT doc_id, unnest(list_distinct(
+                     [array_to_string(lt[i:i+7], ' ') for i in range(1, len(lt)-6)])) AS ng
+                   FROM ttk),
+            btk AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS lt
+                    FROM documents WHERE doc_id % 41 = 0),
+            bg AS (SELECT DISTINCT ng FROM
+                     (SELECT unnest([array_to_string(lt[i:i+7], ' ')
+                        for i in range(1, len(lt)-6)]) AS ng FROM btk)),
+            dirty AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (ng)),
+            clean AS (SELECT tr.doc_id, tr.text FROM tr
+                      LEFT JOIN dirty ON tr.doc_id = dirty.doc_id
+                      WHERE dirty.doc_id IS NULL),
+            ctk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                    FROM clean WHERE text IS NOT NULL),
+            c AS (SELECT doc_id, toks,
+                    unnest(range(0, ((len(toks)-1)//16) + 1)) AS chunk_idx FROM ctk)
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+              CAST(len(toks[chunk_idx*16+1 : chunk_idx*16+16]) AS BIGINT) AS n_chunk_tokens,
+              array_to_string(toks[chunk_idx*16+1 : chunk_idx*16+16], ' ') AS chunk_text
+            FROM c ORDER BY doc_id, chunk_idx""",
       "q_exact_docs" ->
         s"""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, fingerprint
             FROM (SELECT doc_id, $fingerprint AS fingerprint FROM documents)
