@@ -339,9 +339,12 @@ object SparkEntry {
       val kept = docs.where(Text.isQuality(col("text")))
       val fp = kept.select(col("doc_id"), col("text"),
         Text.fingerprint(col("text")).as("f"))
-      val keepers = fp
-        .join(fp.groupBy(col("f")).agg(min(col("doc_id")).as("k")), Seq("f"))
-        .where(col("doc_id") === col("k")).select("doc_id", "text")
+      // min_by keeps the min-id row (with ITS raw text) in ONE
+      // aggregate — the fp⋈fp.groupBy self-join spelling computes the
+      // quality+sha256 subtree twice
+      val keepers = fp.groupBy(col("f"))
+        .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
       val train = keepers.where(col("doc_id") % 41 =!= 0)
       val bench = docs.where(col("doc_id") % 41 === 0)
       val cleanIds = Ngrams.decontaminate(train, bench)
