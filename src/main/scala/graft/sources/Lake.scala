@@ -197,6 +197,32 @@ object Lake {
       existing.join(updates.select(keys.map(col): _*), keys, "left_anti"))
   }
 
+  /** Small-file compaction ([EXT]): rewrite `path` so each output
+    * file is near `targetFileBytes`. Small files are the classic lake
+    * pathology — every incremental append/streaming micro-batch adds
+    * a few, and at 100 TB a million 1 MB files turn scan planning,
+    * NameNode/S3 listing, and task scheduling into the bottleneck
+    * (one task per file). The output count comes from ACTUAL on-disk
+    * bytes (compressed), not row counts, so compacted files land near
+    * the target regardless of schema width; the rewrite is a
+    * round-robin `repartition` (a `coalesce` would skip the shuffle
+    * but inherits input skew and caps at the current file count), and
+    * the swap rides [[overwriteSelf]]'s stage-and-rename, so readers
+    * never see a half-compacted table. Returns (filesBefore,
+    * filesAfter). */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    healCrashedOverwrite(spark, path)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(target)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    overwriteSelf(spark.read.parquet(path).repartition(nOut), path)
+    (files.length, nOut)
+  }
+
   /** Readable-report CSV sink (reference: src/runnerfile.py:550-551
     * S8): single header CSV per report — reports are small by
     * construction (post-aggregation), so coalesce(1) is safe here and

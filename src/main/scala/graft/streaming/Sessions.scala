@@ -167,6 +167,47 @@ object Sessions {
       .trigger(trigger)
       .start()
 
+  /** Streaming CDC apply: each micro-batch MERGEs into a keyed lake
+    * table via foreachBatch — the continuous flavor of
+    * [[graft.sources.Lake.upsertByKey]], closing the loop from a
+    * change stream to a queryable current-state table. The merge
+    * keeps, per key, whichever of (existing row, incoming changes)
+    * has the HIGHEST `seqCol` — one `min_by` aggregate on the negated
+    * sequence over `existing ∪ batch`. That single rule buys all
+    * three delivery-fault tolerances at once: foreachBatch replay
+    * after a crash re-applies the same rows (idempotent), an old
+    * change arriving in a later batch can never regress a newer row
+    * (a plain key-upsert would), and within-batch duplicates collapse
+    * deterministically. The swap goes through [[Lake.overwriteSelf]]
+    * (Hadoop FS stage-and-rename), so a crash mid-swap heals on the
+    * next batch. */
+  def streamUpsert(changes: DataFrame, tablePath: String, checkpoint: String,
+                   keys: Seq[String], seqCol: String,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        graft.sources.Lake.healCrashedOverwrite(spark, tablePath)
+        val target = new org.apache.hadoop.fs.Path(tablePath)
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val all =
+          if (fs.exists(target)) {
+            val existing = spark.read.parquet(tablePath)
+            existing.unionByName(batch.select(existing.columns.map(col): _*))
+          } else batch
+        // highest sequence per key wins: min_by on the NEGATED sequence
+        val merged = graft.operators.Dedup.keyedDeterministicAgg(
+          all.withColumn("__neg_seq", -col(seqCol)), keys, "__neg_seq")
+          .drop("__neg_seq")
+        graft.sources.Lake.overwriteSelf(merged, tablePath)
+        ()
+      }
+      .start()
+
   /** Streaming flavor of `windowedCounts`: file stream + watermark,
     * append mode. Driven synchronously in tests via a memory sink. */
   def streamingWindowedCounts(spark: SparkSession, path: String, schema: StructType,

@@ -197,6 +197,28 @@ class LakeSpec extends SparkSuite {
     assert(Lake.jdbcRead(spark, opts).count() === 1)
   }
 
+  test("compact collapses a many-small-file table; data survives byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val path = s"$dir/t"
+    val df = spark.range(0, 10000).selectExpr("id", "id % 97 AS v")
+    df.repartition(16).write.parquet(path)
+    def parquetFiles() = new java.io.File(path).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(parquetFiles() === 16)
+    val (before, after) = Lake.compact(spark, path, targetFileBytes = 1L << 30)
+    assert(before === 16 && after === 1)
+    assert(parquetFiles() === 1)
+    val back = spark.read.parquet(path)
+    assert(back.count() === 10000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0) ===
+      df.agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0))
+    // a small target splits output into multiple near-target files
+    val (_, after2) = Lake.compact(spark, path,
+      targetFileBytes = math.max(1L, new java.io.File(path).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.length).sum / 3))
+    assert(after2 >= 3, s"expected >=3 output files, got $after2")
+  }
+
   test("jdbcOptions builds options and rejects injection") {
     val opts = Lake.jdbcOptions("jdbc:postgresql://h/db", "public.users", "u", "p",
       "org.postgresql.Driver", sessionInit = Some("SET TIME ZONE 'UTC'"))

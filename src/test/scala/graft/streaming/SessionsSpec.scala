@@ -165,6 +165,42 @@ class SessionsSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/out").count() === events.count())
   }
 
+  test("streamUpsert merges each micro-batch into the keyed table, latest seq wins") {
+    val dir = Files.createTempDirectory("graft-cdc").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def write(name: String, rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("k", "seq", "v").coalesce(1).write.parquet(s"$dir/in/$name")
+    // batch 1: k=1,2 created; k=1 updated within the same batch (seq 2)
+    write("f1", Seq((1L, 1L, "a0"), (2L, 1L, "b0"), (1L, 2L, "a1")))
+    // batch 2: k=2 updated, k=3 created; k=1 untouched -> must survive
+    write("f2", Seq((2L, 2L, "b1"), (3L, 1L, "c0")))
+    val schema = spark.read.parquet(s"$dir/in/f1").schema
+    def run(): Unit = {
+      val q = Sessions.streamUpsert(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$dir/in/*"),
+        s"$dir/table", s"$dir/ckpt", keys = Seq("k"), seqCol = "seq")
+      q.awaitTermination(60000)
+    }
+    run()
+    val state = spark.read.parquet(s"$dir/table")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(state === Map(1L -> (2L, "a1"), 2L -> (2L, "b1"), 3L -> (1L, "c0")),
+      s"got $state")
+    // restart on the same checkpoint: no new files -> table unchanged
+    run()
+    val again = spark.read.parquet(s"$dir/table")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(again === state)
+    // late replay of an OLD change (seq 1 for k=1) must not regress the row
+    write("f3", Seq((1L, 1L, "a0-replay")))
+    run()
+    val healed = spark.read.parquet(s"$dir/table")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(healed(1L) === ((2L, "a1")),
+      s"an old change replayed late must not regress the newer row: $healed")
+  }
+
   test("enrichWithDim joins a stream against a static dim per micro-batch") {
     val dir = Files.createTempDirectory("graft-enrich").toString
     events.write.parquet(s"$dir/in")
