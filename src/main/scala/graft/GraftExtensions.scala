@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions._
+
+/** Session-extension plugin: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * injects every graft Expression into the function registry at session
+  * build time, so pure-SQL clients (spark-sql, JDBC/Thrift, notebooks
+  * with no Scala cell) can call `graft_dot` / `graft_shingles` /
+  * `graft_jaccard` / `graft_rolling_hash` like built-ins.
+  *
+  * This is the deployment-grade route (SURVEY.md §2.11): unlike
+  * [[graft.expressions.GraftFunctions.register]] — a per-session temp
+  * registration that a `newSession()` or a restarted Thrift session
+  * silently loses — extension-injected functions are part of the
+  * session blueprint and survive `newSession()`. Both routes build the
+  * exact same Expression trees, so plans and results are identical.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private def info(clazz: Class[_], name: String): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, name)
+
+  /** One (identifier, doc, builder) triple per custom Expression; the
+    * builders mirror [[GraftFunctions.register]] exactly. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier(GraftFunctions.DotName),
+        info(classOf[DotProduct], GraftFunctions.DotName),
+        (e: Seq[Expression]) => DotProduct(e(0), e(1))),
+      (FunctionIdentifier(GraftFunctions.ShinglesName),
+        info(classOf[DistinctShingles], GraftFunctions.ShinglesName),
+        (e: Seq[Expression]) => DistinctShingles(e(0), e(1).eval().asInstanceOf[Int])),
+      (FunctionIdentifier(GraftFunctions.JaccardName),
+        info(classOf[JaccardSim], GraftFunctions.JaccardName),
+        (e: Seq[Expression]) => JaccardSim(e(0), e(1))),
+      (FunctionIdentifier(GraftFunctions.RollingHashName),
+        info(classOf[RollingHash], GraftFunctions.RollingHashName),
+        (e: Seq[Expression]) => RollingHash(e(0))))
+}

@@ -138,7 +138,19 @@ object SparkEntry {
     "q_data_dictionary" -> ((s, d) => Profile.dataDictionary(t(s, d, "supplier"))),
     "q_value_counts" -> ((s, d) => Profile.valueCounts(t(s, d, "orders"), "o_orderpriority")),
     "q_approx_dictionary" -> ((s, d) => Profile.approxDataDictionary(t(s, d, "orders"))),
+    // mergeable per-shard HLL sketches ([EXT]): incremental profiling —
+    // rows-only oracle (sketch estimates aren't cross-engine comparable)
+    "q_sketch_dictionary" -> ((s, d) =>
+      Profile.sketchDictionary(t(s, d, "orders"), "o_orderpriority",
+        Seq("o_custkey", "o_orderdate", "o_orderstatus"))),
     "q_histogram" -> ((s, d) => Profile.histogram(t(s, d, "lineitem"), "l_quantity", 10)),
+    // percentile clipping ([EXT]): outlier guard before feature scaling
+    "q_winsorize" -> ((s, d) =>
+      Profile.winsorize(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        "l_extendedprice", lo = 0.05, hi = 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice_w"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
     "q_share_of_total" -> ((s, d) =>
       Profile.shareOfTotal(t(s, d, "lineitem"), "l_returnflag", "l_extendedprice")),
     // ---- anonymization (SURVEY §2.8) ----
@@ -173,6 +185,13 @@ object SparkEntry {
         t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
         "l_orderkey", "l_returnflag", Map("A" -> 0.5, "N" -> 0.1), default = 0.02)
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+    // target-mixture sampling ([EXT]): per-domain rates derived from
+    // target mix weights and actual counts, fr deliberately absent
+    "q_mixture_sample" -> ((s, d) =>
+      Sampling.mixtureSample(t(s, d, "documents").select("doc_id", "lang"),
+        "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 0.2, "es" -> 0.2, "de" -> 0.1), fraction = 0.4)
+        .orderBy(col("doc_id"))),
     // CDC snapshot diff ([EXT] — S4's watermark only covers appends):
     // synthetic old/new snapshots derived deterministically from orders
     "q_snapshot_diff" -> ((s, d) => {
@@ -319,6 +338,8 @@ object SparkEntry {
     }),
     "q_chunk" -> ((s, d) => Ngrams.chunk(t(s, d, "documents"))),
     "q_tfidf" -> ((s, d) => CorpusStats.tfIdf(t(s, d, "documents"))),
+    // unigram-LM document scoring ([EXT]): perplexity-proxy quality signal
+    "q_unigram_logprob" -> ((s, d) => CorpusStats.unigramLogprob(t(s, d, "documents"))),
     // blocked fuzzy match ([EXT]): the part-name dictionary vs its
     // last-char-dropped corruption (deterministic, mirrored in SQL) —
     // suffix typos survive the first-token blocking by construction
@@ -379,6 +400,21 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.topK(emb, Similarity.vectorOf(emb, 1L), 10)
         .select(col("vec_id"), round(col("cosine_sim"), 6).as("cosine_sim"))
+    }),
+    // Same top-k, but expressed entirely as SQL text over the
+    // extension-injected functions (GraftExtensions) — proves a
+    // pure-SQL client reproduces the Column-API results bit-for-bit.
+    "q_sql_topk" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      t(s, d, "embeddings").createOrReplaceTempView("graft_sql_embeddings")
+      s.sql(
+        """WITH q AS (SELECT embedding AS qv FROM graft_sql_embeddings WHERE vec_id = 1),
+          |sc AS (SELECT vec_id,
+          |  graft_dot(embedding, qv) /
+          |    (sqrt(graft_dot(embedding, embedding)) * sqrt(graft_dot(qv, qv))) AS c
+          |  FROM graft_sql_embeddings CROSS JOIN q)
+          |SELECT vec_id, round(c, 6) AS cosine_sim FROM sc
+          |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin)
     }),
     "q_knn_small" -> ((s, d) =>
       Similarity.knnJoin(t(s, d, "embeddings").where(col("vec_id") < 100), 5)
@@ -598,6 +634,13 @@ object SparkEntry {
         """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
              quantile_cont(l_quantity, 0.9) AS p90
            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      "q_winsorize" -> // clip is pure comparison; bounds via the shared interpolation
+        """WITH b AS (SELECT quantile_cont(l_extendedprice::DOUBLE, 0.05) AS lo,
+                             quantile_cont(l_extendedprice::DOUBLE, 0.95) AS hi
+                      FROM lineitem)
+           SELECT l_orderkey, l_linenumber,
+             least(greatest(l_extendedprice::DOUBLE, lo), hi) AS l_extendedprice_w
+           FROM lineitem, b ORDER BY l_orderkey, l_linenumber""",
       "q_salted_sum" ->
         s"""SELECT l_returnflag, ${sqlDsum("l_quantity")} AS sum_l_quantity
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
@@ -743,6 +786,18 @@ object SparkEntry {
              CASE WHEN l_returnflag = 'N' THEN 1000
                   WHEN l_returnflag = 'A' THEN 5000 ELSE 200 END
            ORDER BY l_orderkey, l_linenumber, l_quantity""",
+      "q_mixture_sample" ->
+        """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+                t AS (SELECT sum(cnt) AS n FROM c),
+                r AS (SELECT lang, least(10000, floor(
+                        CASE lang WHEN 'en' THEN 0.5::DOUBLE WHEN 'zh' THEN 0.2::DOUBLE
+                                  WHEN 'es' THEN 0.2::DOUBLE WHEN 'de' THEN 0.1::DOUBLE
+                                  ELSE 0.0::DOUBLE END
+                        * 0.4::DOUBLE * n::DOUBLE * 10000 / cnt::DOUBLE))::BIGINT AS rate_bp
+                      FROM c, t)
+           SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+           WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < rate_bp
+           ORDER BY d.doc_id""",
       "q_snapshot_diff" ->
         """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
                       WHERE o_orderkey % 3 <> 0),
@@ -957,6 +1012,17 @@ object SparkEntry {
              round(CAST(tf.tf AS DOUBLE) * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS tfidf
            FROM tf JOIN dfq USING (term), n
            WHERE tf.tf >= 2 ORDER BY doc_id, term""",
+      "q_unigram_logprob" -> // contributions rounded then DECIMAL-summed (order-independent)
+        """WITH term AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term FROM documents),
+               tf AS (SELECT doc_id, term, count(*) AS tf FROM term GROUP BY doc_id, term),
+               ct AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+               n AS (SELECT count(*) AS n_tok FROM term)
+           SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST(round(tf.tf * ln(cnt::DOUBLE / n_tok::DOUBLE), 6)
+               AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS logprob
+           FROM tf JOIN ct USING (term), n
+           GROUP BY tf.doc_id ORDER BY tf.doc_id""",
       "q_fuzzy_match" -> // same blocking (first token) + exact edit-distance verify
         """WITH q AS (SELECT DISTINCT substr(p_name, 1, length(p_name) - 1) AS q_text
                       FROM part WHERE p_name IS NOT NULL),
@@ -1075,6 +1141,14 @@ object SparkEntry {
              CAST(before % 512 AS BIGINT) AS bin_offset
            FROM c ORDER BY doc_id""",
       "q_topk_cosine" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+            sc AS (SELECT vec_id,
+              ${fold("[embedding[i]::DOUBLE * qv[i]::DOUBLE for i in range(1, len(embedding)+1)]")}
+                / (sqrt(${dotSelf("embedding")}) * sqrt(${dotSelf("qv")})) AS c
+              FROM embeddings, q)
+            SELECT vec_id, round(c, 6) AS cosine_sim FROM sc
+            ORDER BY c DESC, vec_id LIMIT 10""",
+      "q_sql_topk" -> // same contract as q_topk_cosine, by design
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
             sc AS (SELECT vec_id,
               ${fold("[embedding[i]::DOUBLE * qv[i]::DOUBLE for i in range(1, len(embedding)+1)]")}

@@ -43,6 +43,41 @@ object CorpusStats {
       .orderBy(col("doc_id"), col("term"))
   }
 
+  /** Unigram language-model document score (perplexity proxy, [EXT]):
+    * each doc's total log-probability under the corpus's OWN unigram
+    * distribution, `sum over tokens of ln(count(term)/N)`. Low
+    * per-token logprob = rare-token soup (OCR noise, gibberish,
+    * wrong-language shards); implausibly high = boilerplate. The
+    * cheap member of the model-based quality-filter family — same
+    * output contract a real LM scorer would have, no model needed.
+    *
+    * Shape mirrors [[tfIdf]]: one explode + one (doc,term) aggregate,
+    * corpus term counts as a window ON those rows (a groupBy+join
+    * would recompute the explode subtree), and the corpus token total
+    * N from a separate no-explode scan (`sum(size(tokens))`) that
+    * broadcast-joins back. Per-term contributions are rounded then
+    * decimal-cast BEFORE the final sum so the result is order-
+    * independent (double sums aren't associative; decimal sums are). */
+  def unigramLogprob(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(Text.tokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val total = docs.agg(
+      sum(size(Text.tokens(lower(col(textCol))))).cast("long").as("n_tok"))
+    tf.withColumn("cnt", sum(col("tf")).over(byTerm))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("tf"),
+        round(col("tf") * log(col("cnt").cast("double") / col("n_tok").cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        sum(col("contrib")).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+          .as("logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   private def bigramsOf(toks: Column): Column =
     // `when` guard: sequence(1, 0) would DESCEND for 1-token docs
     when(size(toks) >= 2,

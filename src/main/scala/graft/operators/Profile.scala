@@ -76,6 +76,80 @@ object Profile {
       .orderBy(col("column_name"))
   }
 
+  /** Per-shard mergeable distinct-count sketches (Datasketches HLL,
+    * [EXT] beyond A6): one binary sketch per (shard, column). This is
+    * the 100 TB profiling shape `approx_count_distinct` can't give
+    * you: `approx_count_distinct` returns only the NUMBER, so every
+    * new day of data forces a rescan of the whole corpus, while a
+    * persisted sketch TABLE is incremental — profile each new shard
+    * as it lands, union sketches at read time, never touch old data
+    * again. Sketches also union across tables/clusters (the
+    * cross-datacenter dedup-accounting trick). lgK=12 → ~1.6% rsd at
+    * 4 KiB per sketch. */
+  def sketchShards(df: DataFrame, shardCol: String, cols: Seq[String],
+                   lgK: Int = 12): DataFrame = {
+    // hll_sketch_agg accepts int/bigint/string/binary only; other
+    // types go through an injective string render (distinct count is
+    // unchanged — e.g. timestamps sketch their distinct instants)
+    val schema = df.schema
+    def sketchable(c: String): Column = schema(c).dataType match {
+      case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BinaryType =>
+        col(c)
+      case _ => col(c).cast("string")
+    }
+    df.groupBy(col(shardCol)).agg(
+      hll_sketch_agg(sketchable(cols.head), lit(lgK)).as(s"${cols.head}_sketch"),
+      cols.tail.map(c => hll_sketch_agg(sketchable(c), lit(lgK)).as(s"${c}_sketch")): _*)
+  }
+
+  /** Merge a shard-sketch table into corpus-wide distinct estimates —
+    * reads ONLY the sketch table (bytes per shard, not the fact). */
+  def mergeShardSketches(sketches: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.map(c =>
+      hll_sketch_estimate(hll_union_agg(col(s"${c}_sketch"), lit(true)))
+        .as(s"__d_$c"))
+    sketches.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** End-to-end incremental dictionary: sketch per shard → union →
+    * one (column_name, distinct_est) row per column. Deterministic
+    * for a given input set (HLL is order-insensitive), but not
+    * cross-engine comparable — rows-only oracle, like
+    * [[approxDataDictionary]]. */
+  def sketchDictionary(df: DataFrame, shardCol: String, cols: Seq[String],
+                       lgK: Int = 12): DataFrame = {
+    val merged = mergeShardSketches(sketchShards(df, shardCol, cols, lgK), cols)
+    val entries = cols.map { c =>
+      struct(lit(c).as("column_name"), col(s"__d_$c").as("distinct_est"))
+    }
+    merged.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.column_name"), col("e.distinct_est"))
+      .orderBy(col("column_name"))
+  }
+
+  /** Winsorize ([EXT]): clip `c` into its [lo, hi] percentile range —
+    * the standard outlier guard before scaling/aggregating features
+    * (a fat-fingered 1e12 value otherwise owns the mean). Exact
+    * `percentile` keeps the DuckDB oracle byte-exact; at 100 TB swap
+    * in `approx_percentile` (sketch-based, one pass, mergeable) via
+    * `exact = false`. The 1-row bounds broadcast back onto the fact —
+    * two scans, zero shuffles of the data itself, and clipping is
+    * pure comparison (no arithmetic), so no cross-engine ULP risk
+    * beyond the bounds themselves. */
+  def winsorize(df: DataFrame, c: String, lo: Double = 0.01, hi: Double = 0.99,
+                exact: Boolean = true): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1: ($lo, $hi)")
+    val v = col(c).cast("double")
+    val bounds =
+      if (exact) df.agg(percentile(v, lit(lo)).as("__lo"), percentile(v, lit(hi)).as("__hi"))
+      else df.agg(approx_percentile(v, lit(lo), lit(10000)).as("__lo"),
+        approx_percentile(v, lit(hi), lit(10000)).as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(s"${c}_w", least(greatest(v, col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** value_counts (reference: eda.py:110, src/runnerfile.py:209 A9). */
   def valueCounts(df: DataFrame, c: String): DataFrame =
     df.groupBy(col(c))

@@ -50,6 +50,49 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Training-data mixture sampling: given TARGET mixture weights
+    * (the share each domain should have in the sampled corpus) and an
+    * overall sample fraction, derive each domain's keep-rate from its
+    * ACTUAL row count and apply the deterministic hash-mod filter.
+    * domain d's quota is `weight(d) * fraction * N_total`; its rate is
+    * `min(1, quota / count(d))` — an under-represented domain is taken
+    * whole (rate caps at 1; the mix then under-shoots its target
+    * rather than inventing rows), an over-represented one is thinned.
+    * Domains absent from `targetWeights` get rate 0.
+    *
+    * Fully declarative — the counts pass is a map-side-combined
+    * aggregate whose result (one row per domain) broadcast-joins back
+    * onto the fact, so no driver collect and no second shuffle; at
+    * 100 TB the extra cost over [[stratifiedByHash]] is one
+    * counts-only scan. Rate boundaries use floor() on basis points:
+    * floor is the one rounding mode every engine agrees on, which is
+    * what keeps the DuckDB oracle exact. Same nesting property as
+    * [[byHash]]: raising `fraction` only ever ADDS rows per domain. */
+  def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
+                    targetWeights: Map[String, Double],
+                    fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction")
+    require(targetWeights.nonEmpty &&
+      math.abs(targetWeights.values.sum - 1.0) < 1e-9,
+      s"target weights must sum to 1: $targetWeights")
+    require(targetWeights.values.forall(w => w >= 0),
+      "target weights must be non-negative")
+    val weightExpr = targetWeights.foldLeft(lit(0.0)) {
+      case (acc, (d, w)) => when(col("__domain") === d, lit(w)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(domainCol).as("__domain"))
+      .agg(count(lit(1)).as("__cnt"))
+    val total = counts.agg(sum(col("__cnt")).as("__n"))
+    val rates = counts.crossJoin(broadcast(total)).select(
+      col("__domain"),
+      least(lit(10000L),
+        floor(weightExpr * lit(fraction) * col("__n") * lit(10000) / col("__cnt"))
+          .cast("long")).as("__rate_bp"))
+    df.join(broadcast(rates), col(domainCol) === col("__domain"))
+      .where(hashBp(col(idCol)) < col("__rate_bp"))
+      .drop("__domain", "__rate_bp")
+  }
+
   /** Stratified flavor: per-stratum rates, `default` for strata not
     * in the map. One pass, no shuffle — the rate is a when-chain on
     * the stratum column, the membership test stays the hash-mod. */

@@ -9,12 +9,19 @@ class SparkEntrySpec extends SparkSuite {
 
   test("rows-only queries are the deliberate exceptions") {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    assert(rowsOnly === Set("q_approx_dictionary"),
-      "every query except the HLL sketch must carry a DuckDB oracle")
+    assert(rowsOnly === Set("q_approx_dictionary", "q_sketch_dictionary"),
+      "every query except the HLL sketches must carry a DuckDB oracle")
   }
 
   test("flagship entry returns rows on the smoke scale") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q_sql_topk (SQL text surface) matches q_topk_cosine (Column API)") {
+    val d = "/root/testdata/sf0.001"
+    val viaCol = SparkEntry.queries("q_topk_cosine")(spark, d).collect().toSeq
+    val viaSql = SparkEntry.queries("q_sql_topk")(spark, d).collect().toSeq
+    assert(viaSql === viaCol)
   }
 
   test("oracle_sql.json content round-trips through a strict JSON parser") {

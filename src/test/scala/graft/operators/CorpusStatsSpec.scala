@@ -26,6 +26,22 @@ class CorpusStatsSpec extends SparkSuite {
     assert(birdW > dogW, "rare term must outweigh ubiquitous term")
   }
 
+  test("unigramLogprob: hand-computed on a 3-token vocabulary") {
+    val docs = Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text")
+    val rows = CorpusStats.unigramLogprob(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    // N = 5; counts: x=3, y=1, z=1; per-term contribs rounded to 6dp
+    def c(tf: Long, cnt: Long) =
+      BigDecimal(tf * math.log(cnt / 5.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(rows(1L)._1 === 3L)
+    assert(math.abs(rows(1L)._2 - (c(2, 3) + c(1, 1)).toDouble) < 1e-9)
+    assert(rows(2L)._1 === 2L)
+    assert(math.abs(rows(2L)._2 - (c(1, 3) + c(1, 1)).toDouble) < 1e-9)
+    // gibberish (all-rare tokens) scores below common text per token
+    assert(rows(1L)._2 / 3 > rows(2L)._2 / 2 - 1e-12,
+      "doc of commoner tokens must have the higher per-token logprob")
+  }
+
   test("repetitionSignals: degenerate text scores high, varied text low") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),

@@ -85,4 +85,51 @@ class ProfileSpec extends SparkSuite {
     val m = out.map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(m("a") === 40.0)
   }
+
+  test("winsorize clips both tails to the percentile bounds, interior untouched") {
+    val vals = (1 to 100).map(_.toDouble) :+ 1.0e12 // one absurd outlier
+    val data = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = Profile.winsorize(data, "v", lo = 0.10, hi = 0.90)
+      .select("id", "v", "v_w").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val clipped = out.values.map(_._2)
+    val lo = clipped.min
+    val hi = clipped.max
+    assert(lo >= 10.0 && lo <= 12.0, s"low bound ~p10, got $lo")
+    assert(hi <= 92.0, s"outlier must be clipped to ~p90, got $hi")
+    assert(out(100L)._2 === hi, "the 1e12 outlier lands exactly on the hi bound")
+    // interior values pass through unchanged
+    assert(out(49L)._1 === out(49L)._2)
+    // approximate flavor stays within one rank of exact on this data
+    val approx = Profile.winsorize(data, "v", lo = 0.10, hi = 0.90, exact = false)
+      .select("v_w").collect().map(_.getDouble(0))
+    assert(math.abs(approx.max - hi) <= 1.0 && math.abs(approx.min - lo) <= 1.0)
+  }
+
+  test("sketchDictionary: shard-merged estimate == single global sketch (mergeability)") {
+    import org.apache.spark.sql.functions._
+    val data = (1L to 5000L).map(i => (i % 7, i % 1000, s"u${i % 321}"))
+      .toDF("shard", "num", "str")
+    val viaShards = Profile.sketchDictionary(data, "shard", Seq("num", "str"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the law that makes the per-shard table trustworthy: unioning
+    // shard sketches must give the same estimate as sketching the
+    // whole corpus in one pass
+    val global = data.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("num"), lit(12))).as("num"),
+      hll_sketch_estimate(hll_sketch_agg(col("str"), lit(12))).as("str")).head()
+    assert(viaShards("num") === global.getLong(0))
+    assert(viaShards("str") === global.getLong(1))
+  }
+
+  test("sketchDictionary estimates land within 3x the lgK=12 rsd of exact") {
+    val data = (1L to 20000L).map(i => (i % 4, i % 2913, s"v${i % 8117}"))
+      .toDF("shard", "num", "str")
+    val est = Profile.sketchDictionary(data, "shard", Seq("num", "str"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // lgK=12 -> rsd ~= 1.04/sqrt(4096) ~= 1.6%; allow 3x
+    val tol = 3 * 1.04 / math.sqrt(1 << 12)
+    assert(math.abs(est("num") - 2913.0) / 2913.0 < tol, s"num est ${est("num")}")
+    assert(math.abs(est("str") - 8117.0) / 8117.0 < tol, s"str est ${est("str")}")
+  }
 }

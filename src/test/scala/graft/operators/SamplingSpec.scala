@@ -39,6 +39,38 @@ class SamplingSpec extends SparkSuite {
     assert(math.abs(counts("test") / 2000.0 - 0.1) < 0.05)
   }
 
+  test("mixtureSample: rates derive from target weights; absent domain dropped") {
+    // 1000 'a' rows, 100 'b' rows, 100 'c' rows; targets a=50% b=50%,
+    // fraction 0.2 of 1200 = 240 budget -> quota 120 each:
+    // a thinned to ~12%, b capped at rate 1 (120 > 100), c dropped.
+    val mixed = (1L to 1200L).map(i =>
+      (i, if (i <= 1000) "a" else if (i <= 1100) "b" else "c")).toDF("id", "dom")
+    val out = Sampling.mixtureSample(mixed, "id", "dom",
+      Map("a" -> 0.5, "b" -> 0.5), fraction = 0.2)
+      .select("id", "dom").as[(Long, String)].collect()
+    val byDom = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!byDom.contains("c"), "domain absent from the target mix must be dropped")
+    assert(byDom("b") === 100, "under-represented domain is taken whole (rate caps at 1)")
+    assert(math.abs(byDom("a") - 120) < 40, s"'a' should thin to ~120 rows: $byDom")
+    // deterministic + partitioning-independent, like every hash sampler
+    val again = Sampling.mixtureSample(mixed.repartition(7), "id", "dom",
+      Map("a" -> 0.5, "b" -> 0.5), fraction = 0.2)
+      .select("id", "dom").as[(Long, String)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("mixtureSample: fraction growth only adds rows per domain (nesting)") {
+    val mixed = (1L to 1200L).map(i =>
+      (i, if (i <= 1000) "a" else "b")).toDF("id", "dom")
+    val w = Map("a" -> 0.6, "b" -> 0.4)
+    val small = Sampling.mixtureSample(mixed, "id", "dom", w, fraction = 0.1)
+      .select("id").as[Long].collect().toSet
+    val large = Sampling.mixtureSample(mixed, "id", "dom", w, fraction = 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(large))
+    assert(small.size < large.size)
+  }
+
   test("pearsonExact: 1 on a perfect line, sign flips with the slope") {
     val line = (1 to 100).map(i => ("g", i.toDouble, 2.0 * i + 3))
       .toDF("k", "x", "y")
