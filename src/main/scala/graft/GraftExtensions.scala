@@ -43,5 +43,16 @@ object GraftExtensions {
         (e: Seq[Expression]) => JaccardSim(e(0), e(1))),
       (FunctionIdentifier(GraftFunctions.RollingHashName),
         info(classOf[RollingHash], GraftFunctions.RollingHashName),
-        (e: Seq[Expression]) => RollingHash(e(0))))
+        (e: Seq[Expression]) => RollingHash(e(0))),
+      (FunctionIdentifier(GraftFunctions.BloomAggName),
+        info(classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+          GraftFunctions.BloomAggName),
+        (e: Seq[Expression]) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            e(0), e(1), e(2))),
+      (FunctionIdentifier(GraftFunctions.BloomContainsName),
+        info(classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+          GraftFunctions.BloomContainsName),
+        (e: Seq[Expression]) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(e(0), e(1))))
 }

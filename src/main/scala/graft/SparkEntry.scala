@@ -192,6 +192,16 @@ object SparkEntry {
         "doc_id", "lang",
         Map("en" -> 0.5, "zh" -> 0.2, "es" -> 0.2, "de" -> 0.1), fraction = 0.4)
         .orderBy(col("doc_id"))),
+    // domain cap ([EXT]): at most 10 docs per source, hash-chosen —
+    // bounds any one source's contribution to a training mix
+    "q_group_cap" -> ((s, d) =>
+      Sampling.capPerGroup(t(s, d, "documents").select("doc_id", "source"),
+        "doc_id", "source", 10).orderBy(col("doc_id"))),
+    // deterministic epoch shuffle ([EXT]): shuffle_key is a pure
+    // function of (seed, id) — reproducible training order
+    "q_shuffle" -> ((s, d) =>
+      Sampling.seededShuffle(t(s, d, "documents").select("doc_id", "lang"),
+        "doc_id", "epoch1")),
     // CDC snapshot diff ([EXT] — S4's watermark only covers appends):
     // synthetic old/new snapshots derived deterministically from orders
     "q_snapshot_diff" -> ((s, d) => {
@@ -221,6 +231,17 @@ object SparkEntry {
           when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1)
             .otherwise(col("o_totalprice")))
       prev.except(next).orderBy(col("o_orderkey"))
+    }),
+    // set intersection ([EXT] §2.7): rows identical in both snapshots
+    // (the unchanged complement of q_except's removed/replaced set)
+    "q_intersect" -> ((s, d) => {
+      val orders = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val prev = orders.where(col("o_orderkey") % 3 =!= 0)
+      val next = orders.where(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+      prev.intersect(next).orderBy(col("o_orderkey"))
     }),
     // temporal joins ([EXT]): as-of (union + one window, no range
     // cross-join) and bucketized interval join. Checkpoint rows
@@ -374,6 +395,19 @@ object SparkEntry {
     }),
     // ---- document dedup family (SURVEY §2.7 [EXT]) ----
     "q_exact_docs" -> ((s, d) => Dedup.exactDocs(t(s, d, "documents"))),
+    // bloom-guarded incremental dedup ([EXT]): batch = genuinely-new
+    // odd docs + re-crawled copies of history docs under fresh ids
+    // (the crawler pattern); bloom-negatives skip the verify join,
+    // result exact regardless of sketch sizing
+    "q_bloom_new_docs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val history = docs.where(col("doc_id") % 2 === 0)
+      val batch = docs.where(col("doc_id") % 2 === 1)
+        .unionByName(docs.where(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      val index = Dedup.fingerprintIndex(history)
+      Dedup.newDocs(batch, index, Dedup.fingerprintBloom(index))
+    }),
     "q_minhash_candidates" -> ((s, d) => Dedup.minhashCandidates(t(s, d, "documents"))),
     // hot-bucket guard on: buckets above the cap are dropped before
     // pair expansion (the 100 TB safety valve; cap chosen to actually
@@ -798,6 +832,14 @@ object SparkEntry {
            SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
            WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < rate_bp
            ORDER BY d.doc_id""",
+      "q_group_cap" ->
+        """SELECT doc_id, source FROM documents
+           QUALIFY row_number() OVER (PARTITION BY source
+             ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000, doc_id) <= 10
+           ORDER BY doc_id""",
+      "q_shuffle" ->
+        """SELECT doc_id, lang, md5('epoch1:' || doc_id::VARCHAR) AS shuffle_key
+           FROM documents ORDER BY shuffle_key""",
       "q_snapshot_diff" ->
         """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
                       WHERE o_orderkey % 3 <> 0),
@@ -830,6 +872,14 @@ object SparkEntry {
                              ELSE o_totalprice END AS o_totalprice
                       FROM orders WHERE o_orderkey % 7 <> 0)
            SELECT * FROM o EXCEPT SELECT * FROM n ORDER BY o_orderkey""",
+      "q_intersect" ->
+        """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                      WHERE o_orderkey % 3 <> 0),
+                n AS (SELECT o_orderkey, o_custkey,
+                        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+                             ELSE o_totalprice END AS o_totalprice
+                      FROM orders WHERE o_orderkey % 7 <> 0)
+           SELECT * FROM o INTERSECT SELECT * FROM n ORDER BY o_orderkey""",
       "q_asof" -> // DuckDB's native ASOF is the oracle for the composed window form
         """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events),
             ck0 AS (SELECT user_id, ts_us, event_id AS ckpt_id, value AS ckpt_value
@@ -1074,6 +1124,16 @@ object SparkEntry {
         s"""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, fingerprint
             FROM (SELECT doc_id, $fingerprint AS fingerprint FROM documents)
             GROUP BY fingerprint ORDER BY keeper_id""",
+      "q_bloom_new_docs" ->
+        s"""WITH fp AS (SELECT doc_id, $fingerprint AS fingerprint FROM documents),
+                 hist AS (SELECT fingerprint FROM fp WHERE doc_id % 2 = 0),
+                 batch AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 2 = 1
+                           UNION ALL
+                           SELECT doc_id + 1000000 AS doc_id, fingerprint FROM fp
+                           WHERE doc_id % 10 = 0)
+            SELECT doc_id, fingerprint FROM batch b
+            WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fingerprint = b.fingerprint)
+            ORDER BY doc_id""",
       "q_minhash_candidates" ->
         s"""WITH $minhashCtes
             SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""",

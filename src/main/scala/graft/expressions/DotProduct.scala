@@ -134,6 +134,8 @@ object GraftFunctions {
   val ShinglesName = "graft_shingles"
   val JaccardName = "graft_jaccard"
   val RollingHashName = "graft_rolling_hash"
+  val BloomAggName = "graft_bloom_agg"
+  val BloomContainsName = "graft_bloom_contains"
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -146,6 +148,19 @@ object GraftFunctions {
       JaccardName, exprs => JaccardSim(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       RollingHashName, exprs => RollingHash(exprs(0)), "scala_udf")
+    // Spark's own runtime-filter bloom expressions (catalyst
+    // BloomFilterAggregate / BloomFilterMightContain) are not in the
+    // public function registry; expose them under graft names so the
+    // incremental-dedup fast path (Dedup.newDocs) stays UDF-free and
+    // sketch-mergeable (map-side partial blooms OR together).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BloomAggName, exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BloomContainsName, exprs =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1)), "scala_udf")
   }
 
   def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
@@ -156,4 +171,19 @@ object GraftFunctions {
   def jaccard(a: Column, b: Column): Column = call_function(JaccardName, a, b)
 
   def rollingHash(c: Column): Column = call_function(RollingHashName, c)
+
+  /** Distributed bloom-filter build over `xxhash64(value)` longs.
+    * Returns one BINARY row (the serialized sketch). `estItems` /
+    * `numBits` are clamped by Spark to
+    * `spark.sql.optimizer.runtime.bloomFilter.max{NumItems,NumBits}`. */
+  def bloomAgg(value: Column, estItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(BloomAggName, value, lit(estItems), lit(numBits))
+  }
+
+  /** Membership probe against a serialized bloom (no false negatives;
+    * false-positive rate set by the build parameters). `bloom` must be
+    * foldable (a literal), `value` a LONG (xxhash64 output). */
+  def bloomContains(bloom: Column, value: Column): Column =
+    call_function(BloomContainsName, bloom, value)
 }

@@ -403,4 +403,66 @@ object Dedup {
 
   /** Hamming distance between two simhash fingerprints. */
   def hamming32(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ------------------------------------------------------------------
+  // Bloom-guarded incremental dedup ([EXT]): "is this document already
+  // in the corpus?" without touching the corpus per batch.
+  //
+  // The 100 TB shape: a crawler delivers batches continuously; joining
+  // every batch against the full historical fingerprint set is a scan
+  // of the whole index per batch. Instead the pipeline maintains two
+  // artifacts: (1) a FINGERPRINT INDEX table (32 bytes/doc — the vault
+  // pattern, ~1000x smaller than the text zone) and (2) a serialized
+  // BLOOM SKETCH over it (megabytes, built once, updated per batch by
+  // re-aggregating or OR-ing partial blooms — BloomFilterAggregate's
+  // merge IS a bitwise OR, so per-shard blooms compose exactly like
+  // the HLL sketch shards in Profile.sketchShards). A new batch is
+  // probed against the broadcast sketch: bloom-NEGATIVE rows are
+  // definitely new (no false negatives) and skip the join entirely;
+  // only the bloom-positive sliver (true dups + fpp of the batch)
+  // reaches the exact anti-join verify, so the result is EXACT no
+  // matter how the sketch is sized — an oversmall bloom degrades to
+  // the baseline anti-join plan, never to wrong answers.
+  // ------------------------------------------------------------------
+
+  /** The per-doc fingerprint index (persist this next to the corpus). */
+  def fingerprintIndex(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), Text.fingerprint(col(textCol)).as("fingerprint"))
+
+  /** Serialized bloom over a fingerprint column: one distributed pass,
+    * map-side partial sketches OR-merged. Returns null iff the index
+    * is empty (Spark's convention for an empty sketch). */
+  def fingerprintBloom(index: DataFrame, fpCol: String = "fingerprint",
+                       expectedItems: Long = 1000000L,
+                       numBits: Long = 1L << 23): Array[Byte] =
+    index.agg(GraftFunctions.bloomAgg(xxhash64(col(fpCol)), expectedItems, numBits)
+        .as("bloom"))
+      .head().getAs[Array[Byte]]("bloom")
+
+  /** Rows of `batch` whose text is NOT already in the corpus. `bloom`
+    * is the sketch from [[fingerprintBloom]] (pass null to skip the
+    * fast path — e.g. first batch ever); `index` is the fingerprint
+    * index the bloom was built over. Output carries the fingerprint so
+    * the caller can append it to the index for the next batch. */
+  def newDocs(batch: DataFrame, index: DataFrame, bloom: Array[Byte],
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fpBatch = batch.select(col(idCol).as("doc_id"),
+      Text.fingerprint(col(textCol)).as("fingerprint"))
+    val survivors =
+      if (bloom == null) fpBatch
+      else {
+        val hit = GraftFunctions.bloomContains(lit(bloom), xxhash64(col("fingerprint")))
+        // definitely-new rows bypass the join; only bloom-positives
+        // (true dups + false positives) pay the exact verify. The
+        // batch is scanned twice, but the batch is the small side —
+        // the index (the big side) is only read by the verify join,
+        // whose probe set is the positive sliver.
+        fpBatch.where(!hit).unionByName(
+          fpBatch.where(hit)
+            .join(index.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+            .select("doc_id", "fingerprint"))
+      }
+    survivors.select(col("doc_id"), col("fingerprint")).orderBy(col("doc_id"))
+  }
 }

@@ -93,6 +93,41 @@ object Sampling {
       .drop("__domain", "__rate_bp")
   }
 
+  /** Cap every group at `n` rows, chosen DETERMINISTICALLY by hash
+    * order (domain caps for training mixes: "no single source may
+    * contribute more than n documents"). Unlike a rate, a cap bounds
+    * the absolute contribution of a group however large it grows —
+    * the guard against one crawl domain flooding the mix. Hash order
+    * (not "first n") makes the kept set a uniform, reproducible,
+    * partitioning-independent choice, and growing a group only evicts
+    * rows at the hash boundary.
+    *
+    * Shape: one shuffle on the group key + per-group sort truncated by
+    * the filter. For few pathologically hot groups, the bounded-heap
+    * route ([[graft.operators.TopK.perGroupViaAggregator]]) carries at
+    * most n rows per (task, group) through the shuffle instead. */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String, n: Int): DataFrame = {
+    require(n > 0, s"cap must be positive: $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(hashBp(col(idCol)), col(idCol))
+    df.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Deterministic corpus shuffle for training order: a `shuffle_key`
+    * that is a pure function of (seed, id). Writing ordered by the key
+    * IS the shuffled epoch order — same data, different seed, a fresh
+    * reproducible permutation; no RNG state, no partitioning
+    * dependence, resumable mid-epoch from any key offset. The global
+    * orderBy plans as a range exchange (sampled range partitioner),
+    * the scalable way to produce a totally ordered write — each output
+    * file holds one contiguous key range. */
+  def seededShuffle(df: DataFrame, idCol: String, seed: String): DataFrame =
+    df.withColumn("shuffle_key",
+        md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
+      .orderBy(col("shuffle_key"))
+
   /** Stratified flavor: per-stratum rates, `default` for strata not
     * in the map. One pass, no shuffle — the rate is a when-chain on
     * the stratum column, the membership test stays the hash-mod. */

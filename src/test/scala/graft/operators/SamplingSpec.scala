@@ -95,4 +95,36 @@ class SamplingSpec extends SparkSuite {
     val all = Sampling.byHash(strat, "id", 1.0).count()
     assert(all === 3000L, "rate 1.0 must keep everything")
   }
+
+  test("capPerGroup: bounds every group, deterministic, nested across caps") {
+    val groups = (1L to 900L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val capped = Sampling.capPerGroup(groups, "id", "g", 50)
+    val sizes = capped.groupBy("g").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ === 50L), "every group lands exactly at the cap")
+    // partitioning-independent choice of WHICH rows survive
+    val a = capped.select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.capPerGroup(groups.repartition(17), "id", "g", 50)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    // nested: raising the cap only ADDS rows (hash-order prefix)
+    val wider = Sampling.capPerGroup(groups, "id", "g", 80)
+      .select("id").as[Long].collect().toSet
+    assert(a.toSet.subsetOf(wider))
+    // a group below the cap is untouched
+    val tiny = Sampling.capPerGroup(groups.where($"id" <= 10), "id", "g", 50)
+    assert(tiny.count() === 10L)
+  }
+
+  test("seededShuffle: reproducible permutation, fresh order per seed") {
+    val rows = (1L to 500L).map(i => (i, s"v$i")).toDF("id", "v")
+    def order(seed: String, df: org.apache.spark.sql.DataFrame) =
+      Sampling.seededShuffle(df, "id", seed).select("id").as[Long].collect().toSeq
+    val e1 = order("epoch1", rows)
+    assert(e1 === order("epoch1", rows.repartition(13)),
+      "same seed must give the same order regardless of partitioning")
+    val e2 = order("epoch2", rows)
+    assert(e1 !== e2, "a new seed must give a fresh permutation")
+    assert(e1.sorted === e2.sorted, "a permutation, not a resample")
+    assert(e1 !== e1.sorted, "and it actually shuffles")
+  }
 }
