@@ -78,6 +78,28 @@ object ScaleProbe {
         docs0.where(col("doc_id") % 41 === 0)).count())
     println(s"[scale]   train docs checked: $decon")
     time(s"tfIdf x$factor")(CorpusStats.tfIdf(docs).count())
+
+    // incremental dedup: with the index/sketch/signatures built (the
+    // one-off, amortized across every future batch), the PER-BATCH
+    // probe cost must track the BATCH size — the history only enters
+    // through the sketch probe (O(1)/row) and the candidate-sliver
+    // joins. Batch is held fixed while history grows factor-x.
+    val batch = docs0.where(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000000L)
+    val index = time(s"fingerprintIndex build x$factor")(
+      Dedup.fingerprintIndex(docs).cache())
+    index.count()
+    val bloom = time(s"fingerprintBloom build x$factor")(
+      Dedup.fingerprintBloom(index, expectedItems = nDocs0 * factor))
+    val newCnt = time(s"newDocs probe (fixed batch) x$factor")(
+      Dedup.newDocs(batch, index, bloom).count())
+    println(s"[scale]   new docs: $newCnt of ${batch.count()}")
+    val hSigs = time(s"history signatures build x$factor")(
+      Dedup.minhashSignatures(docs, "doc_id", "text").cache())
+    hSigs.count()
+    val nearNew = time(s"newNearDocs probe (fixed batch) x$factor")(
+      Dedup.newNearDocs(batch, hSigs, maxBucket = 64).count())
+    println(s"[scale]   near-new docs: $nearNew")
     spark.stop()
   }
 }

@@ -408,6 +408,20 @@ object SparkEntry {
       val index = Dedup.fingerprintIndex(history)
       Dedup.newDocs(batch, index, Dedup.fingerprintBloom(index))
     }),
+    // incremental NEAR-dup ([EXT]): batch signatures banded against a
+    // persisted history signature table; verification = MinHash
+    // Jaccard estimator (signature agreement), so history text is
+    // never re-read. Batch = genuinely-new odd docs + lightly-edited
+    // re-crawls of history docs (near- but not exact-dups).
+    "q_new_near_docs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val history = docs.where(col("doc_id") % 2 === 0)
+      val batch = docs.where(col("doc_id") % 2 === 1)
+        .unionByName(docs.where(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000)
+          .withColumn("text", concat(col("text"), lit(" updated rev"))))
+      Dedup.newNearDocs(batch, Dedup.minhashSignatures(history, "doc_id", "text"))
+    }),
     "q_minhash_candidates" -> ((s, d) => Dedup.minhashCandidates(t(s, d, "documents"))),
     // hot-bucket guard on: buckets above the cap are dropped before
     // pair expansion (the 100 TB safety valve; cap chosen to actually
@@ -1134,6 +1148,37 @@ object SparkEntry {
             SELECT doc_id, fingerprint FROM batch b
             WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fingerprint = b.fingerprint)
             ORDER BY doc_id""",
+      "q_new_near_docs" -> {
+        // prefixed signature/band CTEs so history and batch coexist
+        def sigCtes(p: String, src: String) =
+          s"""${p}sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM $src),
+              ${p}hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM ${p}sh),
+              ${p}sig AS (SELECT doc_id, $minCols FROM ${p}hh GROUP BY doc_id)"""
+        def bandRowsP(p: String) = (0 until 4).map { b =>
+          val cat = (b * 4 until (b + 1) * 4).map(i => s"m$i::VARCHAR").mkString(" || ',' || ")
+          s"SELECT doc_id, $b AS band, md5($cat) AS band_hash FROM ${p}sig"
+        }.mkString(" UNION ALL ")
+        val agree = (0 until 16)
+          .map(i => s"CASE WHEN b.m$i = h.m$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH hsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+                 bsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+                          UNION ALL
+                          SELECT doc_id + 1000000 AS doc_id, text || ' updated rev' AS text
+                          FROM documents WHERE doc_id % 10 = 0),
+                 ${sigCtes("h", "hsrc")},
+                 ${sigCtes("b", "bsrc")},
+                 hb AS (${bandRowsP("h")}),
+                 bb AS (${bandRowsP("b")}),
+                 cand AS (SELECT DISTINCT bb.doc_id AS batch_id, hb.doc_id AS hist_id
+                          FROM bb JOIN hb USING (band, band_hash)),
+                 dup AS (SELECT DISTINCT c.batch_id
+                         FROM cand c JOIN bsig b ON c.batch_id = b.doc_id
+                                     JOIN hsig h ON c.hist_id = h.doc_id
+                         WHERE $agree >= 8)
+            SELECT doc_id FROM bsrc
+            WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.batch_id = bsrc.doc_id)
+            ORDER BY doc_id"""
+      },
       "q_minhash_candidates" ->
         s"""WITH $minhashCtes
             SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""",

@@ -124,11 +124,11 @@ object Dedup {
     hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** (doc_id, band, band_hash) — LSH banding of the signature. */
-  def lshBands(docs: DataFrame, idCol: String, textCol: String,
-               k: Int = 16, bands: Int = 4, shingleLen: Int = 5): DataFrame = {
+  /** (doc_id, band, band_hash) from an existing signature table
+    * (m0..m{k-1} columns, e.g. [[minhashSignatures]] output or its
+    * persisted copy). */
+  def bandsOfSignatures(sig: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val r = k / bands
-    val sig = minhashSignatures(docs, idCol, textCol, k, shingleLen)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws(",", (b * r until (b + 1) * r).map(i => col(s"m$i")): _*)).as("band_hash"))
@@ -136,6 +136,11 @@ object Dedup {
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
       .select(col("doc_id"), col("e.band"), col("e.band_hash"))
   }
+
+  /** (doc_id, band, band_hash) — LSH banding of the signature. */
+  def lshBands(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 16, bands: Int = 4, shingleLen: Int = 5): DataFrame =
+    bandsOfSignatures(minhashSignatures(docs, idCol, textCol, k, shingleLen), k, bands)
 
   /** All unordered pairs of an array's elements, as structs. */
   private def pairsOf(arr: Column): Column =
@@ -464,5 +469,59 @@ object Dedup {
             .select("doc_id", "fingerprint"))
       }
     survivors.select(col("doc_id"), col("fingerprint")).orderBy(col("doc_id"))
+  }
+
+  /** Incremental NEAR-dup filter: batch docs with no near-duplicate
+    * in a PERSISTED history signature table — the minhash analog of
+    * [[newDocs]]'s exact fast path, for the same continuous-crawl
+    * deployment.
+    *
+    * `historySigs` is [[minhashSignatures]] output stored next to the
+    * corpus and appended per batch (k longs/doc, ~1000x smaller than
+    * the text zone). The increment costs ONE shingle pass over the
+    * batch; the history text is never re-read: candidates come from
+    * banding both signature sets and equi-joining on (band,
+    * band_hash) — never all-pairs — and verification uses the MinHash
+    * Jaccard estimator (signature agreement count >= `minMatches` of
+    * k), which needs only the two signature rows. Estimated-Jaccard
+    * verification is the deliberate at-scale trade: exact re-shingling
+    * of candidate history docs would re-open the text zone per batch.
+    * Everything is deterministic (fixed permutations), so an oracle
+    * can replay the identical math.
+    *
+    * `maxBucket > 0` caps HISTORY-side bucket sizes, same rationale
+    * as [[minhashCandidates]]: a boilerplate bucket holding millions
+    * of history docs would fan every colliding batch row out by its
+    * size. */
+  def newNearDocs(batch: DataFrame, historySigs: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  k: Int = 16, bands: Int = 4, shingleLen: Int = 5,
+                  minMatches: Int = 8, maxBucket: Int = 0): DataFrame = {
+    require(minMatches >= 1 && minMatches <= k, s"minMatches must be in [1,$k]")
+    val bSigs = minhashSignatures(batch, idCol, textCol, k, shingleLen)
+    val bBands = bandsOfSignatures(bSigs, k, bands).withColumnRenamed("doc_id", "batch_id")
+    val hBandsAll = bandsOfSignatures(historySigs, k, bands).withColumnRenamed("doc_id", "hist_id")
+    val hBands =
+      if (maxBucket <= 0) hBandsAll
+      else {
+        val sizes = hBandsAll.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
+        hBandsAll.join(sizes, Seq("band", "band_hash")).drop("__n")
+      }
+    val cand = bBands.join(hBands, Seq("band", "band_hash"))
+      .select(col("batch_id"), col("hist_id")).distinct()
+    val bSide = bSigs.select(col("doc_id").as("batch_id") +:
+      (0 until k).map(i => col(s"m$i").as(s"bm$i")): _*)
+    val hSide = historySigs.select(col("doc_id").as("hist_id") +:
+      (0 until k).map(i => col(s"m$i").as(s"hm$i")): _*)
+    val agree = (0 until k)
+      .map(i => when(col(s"bm$i") === col(s"hm$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val dupIds = cand.join(bSide, Seq("batch_id")).join(hSide, Seq("hist_id"))
+      .where(agree >= lit(minMatches))
+      .select(col("batch_id").as("doc_id")).distinct()
+    batch.select(col(idCol).as("doc_id"))
+      .join(dupIds, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
   }
 }

@@ -191,4 +191,50 @@ class DedupSpec extends SparkSuite {
     assert(out.length === 2)
     assert(out.head.getLong(0) === 1L && out.head.getLong(1) === 2L)
   }
+
+  // a paragraph long enough that a small edit leaves shingle-set
+  // jaccard (and so the minhash signature) mostly intact
+  private def para(tag: String) =
+    s"the quick brown fox $tag jumps over the lazy dog while seventeen " +
+      "sailors watch from the harbor wall and debate the merits of " +
+      "distributed deduplication at considerable length"
+
+  test("newNearDocs drops exact and lightly-edited re-crawls, keeps new docs") {
+    val history = docs((0L until 10L).map(i => i -> para(s"h$i")): _*)
+    val hSigs = Dedup.minhashSignatures(history, "doc_id", "text")
+    val batch = docs(
+      100L -> para("h3"),                    // exact re-crawl
+      101L -> (para("h7") + " appended"),    // lightly edited re-crawl
+      102L -> "a completely unrelated piece of writing about gardening and soup")
+    val kept = Dedup.newNearDocs(batch, hSigs)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept === Seq(102L), s"got $kept")
+  }
+
+  test("newNearDocs: history-side hot-bucket cap trades recall, never correctness") {
+    // 20 identical history docs = one hot bucket per band
+    val history = docs((0L until 20L).map(i => i -> para("same")): _*)
+    val hSigs = Dedup.minhashSignatures(history, "doc_id", "text")
+    val batch = docs(100L -> para("same"))
+    val uncapped = Dedup.newNearDocs(batch, hSigs).count()
+    assert(uncapped === 0L, "the re-crawl is caught without a cap")
+    val capped = Dedup.newNearDocs(batch, hSigs, maxBucket = 5).count()
+    assert(capped === 1L,
+      "capping the boilerplate bucket drops its candidates (monitored trade)")
+  }
+
+  test("newNearDocs: threshold is monotone, and 16/16 still drops identical text") {
+    val history = docs((0L until 10L).map(i => i -> para(s"h$i")): _*)
+    val hSigs = Dedup.minhashSignatures(history, "doc_id", "text")
+    val batch = docs(
+      100L -> para("h3"),
+      101L -> (para("h7") + " appended"),
+      102L -> "a completely unrelated piece of writing about gardening and soup")
+    def kept(mm: Int) = Dedup.newNearDocs(batch, hSigs, minMatches = mm)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept(16).contains(100L), "identical text has an identical signature")
+    // a stricter threshold can only ADD survivors, never drop them
+    assert(kept(8).subsetOf(kept(12)) && kept(12).subsetOf(kept(16)))
+    assert(kept(8).contains(102L))
+  }
 }
