@@ -192,6 +192,11 @@ object SparkEntry {
         "doc_id", "lang",
         Map("en" -> 0.5, "zh" -> 0.2, "es" -> 0.2, "de" -> 0.1), fraction = 0.4)
         .orderBy(col("doc_id"))),
+    // weighted sampling ([EXT]): keep probability = a per-row quality
+    // proxy (longer docs likelier kept, capped at 1)
+    "q_weighted_sample" -> ((s, d) =>
+      Sampling.byWeight(t(s, d, "documents").select("doc_id", "n_chars"),
+        "doc_id", least(lit(1.0), col("n_chars") / 2000.0)).orderBy(col("doc_id"))),
     // domain cap ([EXT]): at most 10 docs per source, hash-chosen —
     // bounds any one source's contribution to a training mix
     "q_group_cap" -> ((s, d) =>
@@ -443,6 +448,13 @@ object SparkEntry {
       Pack.contiguousBins(sized, "doc_id", "n_tokens", budget = 512)
         .orderBy(col("doc_id"))
     }),
+    // length bucketing ([EXT]): pad-to-boundary batching layout —
+    // per-row projection, no shuffle
+    "q_length_buckets" -> ((s, d) =>
+      Pack.lengthBuckets(
+        t(s, d, "documents")
+          .select(col("doc_id"), Text.bpeTokenCount(col("text")).cast("long").as("n_tokens")),
+        boundaries = Seq(64, 128, 256, 512)).orderBy(col("doc_id"))),
     // ---- similarity search (SURVEY §2.3 [EXT]) ----
     "q_topk_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -846,6 +858,11 @@ object SparkEntry {
            SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
            WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < rate_bp
            ORDER BY d.doc_id""",
+      "q_weighted_sample" ->
+        """SELECT doc_id, n_chars FROM documents
+           WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+             < floor(least(1.0, n_chars / 2000.0) * 10000)
+           ORDER BY doc_id""",
       "q_group_cap" ->
         """SELECT doc_id, source FROM documents
            QUALIFY row_number() OVER (PARTITION BY source
@@ -1245,6 +1262,15 @@ object SparkEntry {
            SELECT doc_id, CAST(before // 512 AS BIGINT) AS bin,
              CAST(before % 512 AS BIGINT) AS bin_offset
            FROM c ORDER BY doc_id""",
+      "q_length_buckets" ->
+        """WITH tc AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS BIGINT)
+               AS n_tokens FROM documents)
+           SELECT doc_id, n_tokens,
+             CAST(CASE WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+                       WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+                       ELSE -1 END AS INTEGER) AS pad_to
+           FROM tc ORDER BY doc_id""",
       "q_topk_cosine" ->
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
             sc AS (SELECT vec_id,

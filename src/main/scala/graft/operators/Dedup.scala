@@ -440,10 +440,12 @@ object Dedup {
     * is empty (Spark's convention for an empty sketch). */
   def fingerprintBloom(index: DataFrame, fpCol: String = "fingerprint",
                        expectedItems: Long = 1000000L,
-                       numBits: Long = 1L << 23): Array[Byte] =
+                       numBits: Long = 1L << 23): Array[Byte] = {
+    GraftFunctions.register(index.sparkSession)
     index.agg(GraftFunctions.bloomAgg(xxhash64(col(fpCol)), expectedItems, numBits)
         .as("bloom"))
       .head().getAs[Array[Byte]]("bloom")
+  }
 
   /** Rows of `batch` whose text is NOT already in the corpus. `bloom`
     * is the sketch from [[fingerprintBloom]] (pass null to skip the
@@ -452,6 +454,7 @@ object Dedup {
     * the caller can append it to the index for the next batch. */
   def newDocs(batch: DataFrame, index: DataFrame, bloom: Array[Byte],
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    GraftFunctions.register(batch.sparkSession)
     val fpBatch = batch.select(col(idCol).as("doc_id"),
       Text.fingerprint(col(textCol)).as("fingerprint"))
     val survivors =

@@ -56,4 +56,22 @@ object Pack {
       }
     }.toDF("doc_id", "bin", "bin_offset")
   }
+
+  /** Sequence-length bucketing, the other batching layout: pad-to-
+    * boundary batches of similar-length documents (vs [[contiguousBins]]'
+    * concat-then-chunk). Each document gets the smallest boundary that
+    * fits its token count (`pad_to`) — batches then group by `pad_to`
+    * and waste at most `pad_to - n_tokens` pad positions per row.
+    * Documents longer than the largest boundary get `pad_to = -1`
+    * (route them to [[Ngrams.chunk]] first). Pure per-row projection:
+    * no shuffle, rides the scan. */
+  def lengthBuckets(docs: DataFrame, boundaries: Seq[Int],
+                    idCol: String = "doc_id", tokensCol: String = "n_tokens"): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted && boundaries.head > 0,
+      s"boundaries must be positive and ascending: $boundaries")
+    val padTo = boundaries.reverse.foldLeft(lit(-1): org.apache.spark.sql.Column) {
+      (acc, b) => when(col(tokensCol) <= b, lit(b)).otherwise(acc)
+    }
+    docs.select(col(idCol), col(tokensCol), padTo.cast("int").as("pad_to"))
+  }
 }

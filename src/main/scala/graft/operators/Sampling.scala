@@ -28,6 +28,17 @@ object Sampling {
     df.where(hashBp(col(idCol)) < math.round(rate * 10000))
   }
 
+  /** Weighted deterministic sampling: per-row keep probability equal
+    * to a weight expression in [0,1] (a quality score, a source
+    * priority, an upsample factor capped at 1) — the "sample good
+    * documents more" primitive of quality-weighted corpus selection.
+    * Keep iff hash(id) < floor(w * 10000); same engine-portable
+    * hash-mod as [[byHash]], still a pure per-row filter (no shuffle),
+    * and monotone in the weight: raising any row's weight can only
+    * ADD it, so re-weighting a corpus never silently swaps rows. */
+  def byWeight(df: DataFrame, idCol: String, weight: Column): DataFrame =
+    df.where(hashBp(col(idCol)) < floor(weight * 10000))
+
   /** Deterministic train/val/test assignment: the hash space is cut
     * into contiguous ranges proportional to `weights` (insertion
     * order). Pure function of the id — a row NEVER migrates between

@@ -43,4 +43,20 @@ class PackSpec extends SparkSuite {
     // exercise the straddle case deterministically
     assert(a.exists(_._3 != 0L))
   }
+
+  test("lengthBuckets assigns the smallest fitting boundary; overflow gets -1") {
+    val df = Seq((1L, 10L), (2L, 64L), (3L, 65L), (4L, 512L), (5L, 513L))
+      .toDF("doc_id", "n_tokens")
+    val out = Pack.lengthBuckets(df, Seq(64, 128, 256, 512))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out === Map(1L -> 64, 2L -> 64, 3L -> 128, 4L -> 512, 5L -> -1))
+    // pad waste per row is bounded by the bucket's width
+    val waste = Pack.lengthBuckets(df, Seq(64, 128, 256, 512))
+      .where($"pad_to" =!= -1)
+      .selectExpr("max(pad_to - n_tokens)").head().getLong(0)
+    assert(waste < 512)
+    intercept[IllegalArgumentException] {
+      Pack.lengthBuckets(df, Seq(128, 64))
+    }
+  }
 }

@@ -115,6 +115,21 @@ class SamplingSpec extends SparkSuite {
     assert(tiny.count() === 10L)
   }
 
+  test("byWeight: keep rate tracks the weight; monotone in the weight") {
+    import org.apache.spark.sql.functions.{col, lit, least}
+    val rows = (1L to 4000L).map(i => (i, if (i <= 2000) 0.1 else 0.9))
+      .toDF("id", "w")
+    val out = Sampling.byWeight(rows, "id", col("w"))
+      .groupBy("w").count().collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(math.abs(out.getOrElse(0.1, 0L) / 2000.0 - 0.1) < 0.05)
+    assert(math.abs(out.getOrElse(0.9, 0L) / 2000.0 - 0.9) < 0.05)
+    // raising every weight only ADDS rows
+    val low = Sampling.byWeight(rows, "id", col("w")).select("id").as[Long].collect().toSet
+    val high = Sampling.byWeight(rows, "id", least(lit(1.0), col("w") * 2))
+      .select("id").as[Long].collect().toSet
+    assert(low.subsetOf(high))
+  }
+
   test("seededShuffle: reproducible permutation, fresh order per seed") {
     val rows = (1L to 500L).map(i => (i, s"v$i")).toDF("id", "v")
     def order(seed: String, df: org.apache.spark.sql.DataFrame) =
