@@ -208,6 +208,93 @@ object Sessions {
       }
       .start()
 
+  /** Streaming corpus ingestion with dedup — the continuous-crawl
+    * loop: each micro-batch of documents is collapsed to one row per
+    * distinct content (min-id keeper), filtered against the PERSISTED
+    * fingerprint index via the bloom fast path
+    * ([[graft.operators.Dedup.newDocs]]), and the survivors are
+    * appended to the corpus, the index, and the bloom sketch — so the
+    * next batch dedups against everything ingested so far without
+    * ever rescanning the corpus text.
+    *
+    * Exactly-once from at-least-once replay, by construction:
+    * corpus/index rows land in a `batch_id=<id>` partition that a
+    * replayed batch OVERWRITES (same input → same rows), the index
+    * read EXCLUDES the current batch's own partition (a crashed
+    * attempt's partial index write must not make the replay filter
+    * its own documents out), and the bloom update is a set-union OR —
+    * re-ORing the same elements is a no-op. A bloom polluted by a
+    * crashed attempt is harmless: bloom positives always fall through
+    * to the exact index anti-join.
+    *
+    * The bloom sketch lives at `bloomPath` (one binary row); sizing
+    * (`expectedItems`/`numBits`) is fixed at first write — merges
+    * require identical geometry. */
+  def streamIngestDedup(docs: DataFrame, corpusPath: String, indexPath: String,
+                        bloomPath: String, checkpoint: String,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        expectedItems: Long = 1000000L, numBits: Long = 1L << 23,
+                        trigger: org.apache.spark.sql.streaming.Trigger =
+                          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        graft.sources.Lake.healCrashedOverwrite(spark, bloomPath)
+        def exists(p: String) =
+          new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
+            .exists(new org.apache.hadoop.fs.Path(p))
+        // one row per distinct content within the batch (min-id keeper)
+        val reps = graft.operators.Dedup.keyedDeterministicAgg(
+          batch.withColumn("__fp", graft.functions.Text.fingerprint(col(textCol))),
+          Seq("__fp"), idCol)
+        val survivors =
+          if (!exists(indexPath)) reps
+          else {
+            // exclude this batch's own partition: a crashed attempt's
+            // index write must not hide the replay's documents
+            val index = spark.read.parquet(indexPath)
+              .where(col("batch_id") =!= batchId)
+            val bloom =
+              if (exists(bloomPath))
+                spark.read.parquet(bloomPath).head().getAs[Array[Byte]]("bloom")
+              else null
+            val newIds = graft.operators.Dedup.newDocs(reps, index, bloom, idCol, textCol)
+              .select(col("doc_id").as(idCol))
+            reps.join(newIds, Seq(idCol), "left_semi")
+          }
+        val out = survivors.localCheckpoint() // one computation, three writes
+        out.drop("__fp").write.mode("overwrite")
+          .parquet(s"$corpusPath/batch_id=$batchId")
+        out.select(col(idCol).as("doc_id"), col("__fp").as("fingerprint"))
+          .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+        val batchBloom = graft.operators.Dedup.fingerprintBloom(
+          out.select(col("__fp").as("fingerprint")), "fingerprint",
+          expectedItems, numBits)
+        if (batchBloom != null) {
+          val merged =
+            if (!exists(bloomPath)) batchBloom
+            else {
+              val old = spark.read.parquet(bloomPath).head().getAs[Array[Byte]]("bloom")
+              val a = org.apache.spark.util.sketch.BloomFilter
+                .readFrom(new java.io.ByteArrayInputStream(old))
+              val b = org.apache.spark.util.sketch.BloomFilter
+                .readFrom(new java.io.ByteArrayInputStream(batchBloom))
+              val bos = new java.io.ByteArrayOutputStream()
+              a.mergeInPlace(b).writeTo(bos)
+              bos.toByteArray
+            }
+          import spark.implicits._
+          // stage-and-rename: a crash mid-update heals next batch
+          graft.sources.Lake.overwriteSelf(Seq(Tuple1(merged)).toDF("bloom"), bloomPath)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming flavor of `windowedCounts`: file stream + watermark,
     * append mode. Driven synchronously in tests via a memory sink. */
   def streamingWindowedCounts(spark: SparkSession, path: String, schema: StructType,

@@ -31,6 +31,21 @@ class ExtensionsSpec extends SparkSuite {
     assert(row.getLong(3) === viaRegister)
   }
 
+  test("bloom agg + probe work through the pure-SQL extension route") {
+    val s2 = spark.newSession()
+    s2.range(0, 100).createOrReplaceTempView("ids")
+    // build the sketch over 0..99, probe members and a non-member
+    val rows = s2.sql(
+      """WITH bf AS (SELECT graft_bloom_agg(xxhash64(id), 1000L, 8192L) AS b FROM ids)
+        |SELECT id, graft_bloom_contains((SELECT b FROM bf), xxhash64(id)) AS hit
+        |FROM VALUES (1L), (50L), (12345L) AS t(id)
+        |""".stripMargin).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rows(1L) && rows(50L), "members always probe true (no false negatives)")
+    // 12345 MAY false-positive in principle; with 8192 bits / 100 items
+    // the fpp is ~1e-7 and the hash seed is fixed, so this is stable
+    assert(!rows(12345L))
+  }
+
   test("SQL and Column routes build identical plans for graft_dot") {
     import org.apache.spark.sql.functions._
     val viaSql = spark.sql(

@@ -201,6 +201,45 @@ class SessionsSpec extends SparkSuite {
       s"an old change replayed late must not regress the newer row: $healed")
   }
 
+  test("streamIngestDedup: cross-batch dedup via the persisted index + bloom") {
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def write(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/in/$name")
+    // batch 1: two distinct docs + an intra-batch duplicate of doc 1
+    write("f1", Seq((1L, "alpha document"), (2L, "beta document"), (3L, "alpha document")))
+    // batch 2: one new doc + a re-crawl of doc 2's content
+    write("f2", Seq((10L, "gamma document"), (11L, "beta document")))
+    val schema = spark.read.parquet(s"$dir/in/f1").schema
+    def run(ckpt: String): Unit = {
+      val q = Sessions.streamIngestDedup(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$dir/in/*"),
+        s"$dir/corpus", s"$dir/index", s"$dir/bloom", ckpt)
+      q.awaitTermination(60000)
+    }
+    run(s"$dir/ckpt")
+    val corpus = spark.read.parquet(s"$dir/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus === Set(1L, 2L, 10L),
+      s"intra-batch and cross-batch duplicates must not reach the corpus: $corpus")
+    val index = spark.read.parquet(s"$dir/index")
+    assert(index.count() === 3L, "one index row per ingested doc")
+    // the sketch tracks the index: every ingested fingerprint probes true
+    val bloom = spark.read.parquet(s"$dir/bloom").head().getAs[Array[Byte]]("bloom")
+    val misses = index.where(!graft.expressions.GraftFunctions.bloomContains(
+      org.apache.spark.sql.functions.lit(bloom),
+      org.apache.spark.sql.functions.xxhash64($"fingerprint"))).count()
+    assert(misses === 0L)
+    // a second pipeline run over the SAME input (fresh checkpoint =
+    // full replay) ingests nothing new: the index makes ingest
+    // idempotent across restarts, not just within a checkpoint
+    run(s"$dir/ckpt2")
+    val corpus2 = spark.read.parquet(s"$dir/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus2 === corpus, s"replayed input must be fully deduped: $corpus2")
+  }
+
   test("enrichWithDim joins a stream against a static dim per micro-batch") {
     val dir = Files.createTempDirectory("graft-enrich").toString
     events.write.parquet(s"$dir/in")
