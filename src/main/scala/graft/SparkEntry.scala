@@ -366,6 +366,9 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => CorpusStats.tfIdf(t(s, d, "documents"))),
     // unigram-LM document scoring ([EXT]): perplexity-proxy quality signal
     "q_unigram_logprob" -> ((s, d) => CorpusStats.unigramLogprob(t(s, d, "documents"))),
+    // per-source dataset card ([EXT]): the release summary table —
+    // volumes, length spread, language mix, quality-gate share
+    "q_corpus_card" -> ((s, d) => CorpusStats.corpusCard(t(s, d, "documents"))),
     // blocked fuzzy match ([EXT]): the part-name dictionary vs its
     // last-char-dropped corruption (deterministic, mirrored in SQL) —
     // suffix typos survive the first-token blocking by construction
@@ -498,6 +501,11 @@ object SparkEntry {
     // components); threshold sized to the synthetic corpus' cosine range
     "q_dedup_embeddings" -> ((s, d) =>
       Similarity.dedupByEmbedding(t(s, d, "embeddings"), threshold = 0.3, dim = 64)),
+    // per-label centroid components ([EXT]): class prototypes / IVF
+    // cell stats in exact integer-micro form (no float-sum order
+    // nondeterminism; division left to the caller — floor-vs-truncate
+    // semantics diverge across engines on negatives)
+    "q_centroids" -> ((s, d) => Similarity.labelCentroids(t(s, d, "embeddings"))),
     // ---- multimodal plumbing (SURVEY [EXT]) ----
     "q_payload_meta" -> ((s, d) =>
       Multimodal.payloadMeta(Multimodal.attachPayload(t(s, d, "documents")))),
@@ -1115,6 +1123,24 @@ object SparkEntry {
              ON split_part(q.q_text, ' ', 1) = split_part(d.match_text, ' ', 1)
            WHERE levenshtein(q.q_text, d.match_text) <= 2
            ORDER BY q_text, match_text""",
+      "q_corpus_card" ->
+        """WITH per_doc AS (SELECT source, lang,
+             CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS BIGINT)
+               AS tok,
+             CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 5
+               AND CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\s+')) <= 15.0
+               AND CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                   / len(text) <= 0.3
+               AND CAST(len(text) - len(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS DOUBLE)
+                   / len(text) <= 0.3 THEN 1 ELSE 0 END AS q
+             FROM documents)
+           SELECT source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+             min(tok) AS min_tokens, max(tok) AS max_tokens,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(sum(q) AS BIGINT) AS n_quality,
+             CAST(sum(q) AS BIGINT) * 10000 // count(*) AS quality_pct
+           FROM per_doc GROUP BY source ORDER BY source""",
       "q_corpus_pipeline" -> // the same stages chained as CTEs
         s"""WITH q AS (SELECT doc_id, text FROM documents WHERE
               len(regexp_split_to_array(trim(text), '\\s+')) >= 5
@@ -1271,6 +1297,13 @@ object SparkEntry {
                        WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
                        ELSE -1 END AS INTEGER) AS pad_to
            FROM tc ORDER BY doc_id""",
+      "q_centroids" -> // zipped unnests; micro-unit BIGINT sums (order-independent)
+        """WITH e AS (SELECT label,
+             unnest([i for i in range(0, len(embedding))]) AS pos,
+             unnest([round(x::DOUBLE * 1000000, 0)::BIGINT for x in embedding]) AS vm
+             FROM embeddings)
+           SELECT label, pos, count(*) AS n_vecs, CAST(sum(vm) AS BIGINT) AS sum_micro
+           FROM e GROUP BY label, pos ORDER BY label, pos""",
       "q_topk_cosine" ->
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
             sc AS (SELECT vec_id,

@@ -78,6 +78,38 @@ object CorpusStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source "dataset card" rollup — the summary table a
+    * training-data pipeline publishes with a corpus release: document
+    * and token volumes, length spread, language mix, and the share of
+    * documents passing the quality gate, one row per source.
+    *
+    * One map-side-combined aggregate over one scan; all per-document
+    * inputs ([[Text.bpeTokenCount]], [[Text.isQuality]], language)
+    * ride the scan as projections. Token sums are BIGINT (a 100 TB
+    * corpus overflows int32 token totals ~immediately); the quality
+    * share is an integer ratio computed at the end (order-independent,
+    * engine-exact). */
+  def corpusCard(docs: DataFrame, sourceCol: String = "source",
+                 textCol: String = "text", langCol: String = "lang"): DataFrame =
+    docs
+      .select(col(sourceCol).as("source"),
+        Text.bpeTokenCount(col(textCol)).cast("long").as("__tok"),
+        when(Text.isQuality(col(textCol)), 1L).otherwise(0L).as("__q"),
+        col(langCol).as("__lang"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        min(col("__tok")).as("min_tokens"),
+        max(col("__tok")).as("max_tokens"),
+        countDistinct(col("__lang")).as("n_langs"),
+        sum(col("__q")).as("n_quality"))
+      // basis points via INTEGER division (`div`, not `/`): `/` is
+      // double division whose truncation can land one off the exact
+      // integer quotient — the oracle's `//` never can
+      .withColumn("quality_pct", expr("n_quality * 10000 DIV n_docs"))
+      .orderBy(col("source"))
+
   private def bigramsOf(toks: Column): Column =
     // `when` guard: sequence(1, 0) would DESCEND for 1-token docs
     when(size(toks) >= 2,

@@ -289,4 +289,27 @@ object Similarity {
       .select(col(idCol), coalesce(col("root"), col(idCol)).as("keeper_id"))
       .orderBy(col(idCol))
   }
+
+  /** Per-label centroid components in EXACT integer form: for every
+    * (label, dimension) the count and the sum of elements scaled to
+    * micro-units (`round(x * 1e6)` as BIGINT) — class prototypes /
+    * IVF cell statistics without float-sum nondeterminism. A double
+    * `avg` differs run-to-run with partitioning (addition order);
+    * integer micro-sums are order-independent and engine-exact. The
+    * caller divides (`sum_micro / n_vecs / 1e6`) when materializing
+    * float centroids — the division is NOT done here because integral
+    * division semantics differ across engines for negative values
+    * (floor vs truncate), which would break the oracle.
+    *
+    * Shape: posexplode fans each vector ×dim, but the (label, pos)
+    * hash aggregate combines map-side, so the shuffle carries
+    * |labels| × dim rows per task — flat in corpus size. */
+  def labelCentroids(embeddings: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("v").cast("double") * 1000000, 0).cast("long")).as("sum_micro"))
+      .orderBy(col("label"), col("pos"))
 }

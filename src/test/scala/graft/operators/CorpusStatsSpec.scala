@@ -62,4 +62,24 @@ class CorpusStatsSpec extends SparkSuite {
     val (n3, _, top3, dup3) = rows(3L)
     assert(n3 === 1L && top3 === 1.0 && dup3 === None)
   }
+
+  test("corpusCard rolls up volumes, length spread, lang mix, quality share") {
+    val docs = Seq(
+      // web: one quality doc (7 tokens), one junk doc (digits), two langs
+      ("web", "the quick brown fox jumps over dogs", "en"),
+      ("web", "123 456 789 000 111 222", "de"),
+      // books: one quality doc, one lang
+      ("books", "a calm long evening of steady reading", "en"))
+      .toDF("source", "text", "lang")
+    val rows = CorpusStats.corpusCard(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    val (nDocs, nTok, minTok, maxTok, nLangs, nQ, qPct) = rows("web")
+    assert(nDocs === 2L && nLangs === 2L)
+    assert(nQ === 1L && qPct === 5000L, "digit-heavy doc fails the gate")
+    assert(minTok === 6L && maxTok === 7L && nTok === 13L)
+    val (bDocs, _, _, _, bLangs, bQ, bPct) = rows("books")
+    assert(bDocs === 1L && bLangs === 1L && bQ === 1L && bPct === 10000L)
+  }
 }

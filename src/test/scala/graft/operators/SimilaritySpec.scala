@@ -135,4 +135,22 @@ class SimilaritySpec extends SparkSuite {
     assert(Similarity.hyperplanes(8, 4, 42L) === Similarity.hyperplanes(8, 4, 42L))
     assert(Similarity.hyperplanes(8, 4, 42L) !== Similarity.hyperplanes(8, 4, 43L))
   }
+
+  test("labelCentroids: exact micro-sums per (label, dim), partitioning-independent") {
+    import spark.implicits._
+    val emb = Seq(
+      (0, Array(1.0f, -0.5f)),
+      (0, Array(0.5f, 0.25f)),
+      (1, Array(-1.0f, 2.0f)))
+      .toDF("label", "embedding")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      Similarity.labelCentroids(df).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val out = collect(emb)
+    assert(out((0, 0L)) === ((2L, 1500000L)))   // 1.0 + 0.5
+    assert(out((0, 1L)) === ((2L, -250000L)))   // -0.5 + 0.25
+    assert(out((1, 0L)) === ((1L, -1000000L)))
+    assert(out((1, 1L)) === ((1L, 2000000L)))
+    assert(collect(emb.repartition(7)) === out)
+  }
 }
