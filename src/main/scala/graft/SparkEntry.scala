@@ -144,6 +144,9 @@ object SparkEntry {
       Profile.sketchDictionary(t(s, d, "orders"), "o_orderpriority",
         Seq("o_custkey", "o_orderdate", "o_orderstatus"))),
     "q_histogram" -> ((s, d) => Profile.histogram(t(s, d, "lineitem"), "l_quantity", 10)),
+    // join-skew diagnostic ([EXT]): per-key count distribution +
+    // integer skew ratio + suggested salt for the hot-key plan choice
+    "q_key_skew" -> ((s, d) => Profile.keySkew(t(s, d, "lineitem"), "l_partkey")),
     // percentile clipping ([EXT]): outlier guard before feature scaling
     "q_winsorize" -> ((s, d) =>
       Profile.winsorize(
@@ -806,6 +809,14 @@ object SparkEntry {
                   END AS BIGINT) AS bucket, count(*) AS n
            FROM lineitem, mm WHERE l_quantity IS NOT NULL
            GROUP BY 1 ORDER BY bucket""",
+      "q_key_skew" -> // positive operands: floor (//) == truncate (DIV)
+        """WITH c AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey)
+           SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(max(n) AS BIGINT) AS max_n,
+             quantile_cont(n, 0.5) AS p50_n, quantile_cont(n, 0.99) AS p99_n,
+             CAST(max(n) * count(*) * 10000 // sum(n) AS BIGINT) AS skew_ratio_bp,
+             CAST(greatest(1, max(n) * count(*) // sum(n)) AS BIGINT) AS suggested_salt
+           FROM c""",
       "q_share_of_total" ->
         """WITH g AS (SELECT l_returnflag, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS grp
                       FROM lineitem GROUP BY l_returnflag),

@@ -191,6 +191,26 @@ object Profile {
       .orderBy(col(key))
   }
 
+  /** Join-skew diagnostic: the per-key row-count distribution of a
+    * prospective shuffle key, plus an integer skew ratio (max/avg in
+    * basis points) and the salt count that would flatten the hottest
+    * key to ~average. Run BEFORE a big join/agg to choose between a
+    * plain shuffle, AQE's skew handling, or [[Skew.saltedSum]]'s
+    * explicit two-phase salt. Cost: one map-side-combined groupBy +
+    * one tiny global aggregate over the per-key counts. Ratios use
+    * integral division (positive operands, so floor == truncate and
+    * every engine agrees). */
+  def keySkew(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_n"),
+        percentile(col("n"), lit(0.5)).as("p50_n"),
+        percentile(col("n"), lit(0.99)).as("p99_n"))
+      .withColumn("skew_ratio_bp", expr("max_n * n_keys * 10000 DIV n_rows"))
+      .withColumn("suggested_salt", expr("greatest(1L, max_n * n_keys DIV n_rows)"))
+
   /** Pearson correlation per group via EXPLICIT decimal sums, then
     * one identical double expression over them — unlike the built-in
     * `corr` (Welford-style accumulation, result depends on merge

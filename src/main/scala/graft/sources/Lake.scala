@@ -223,6 +223,25 @@ object Lake {
     (files.length, nOut)
   }
 
+  /** TTL retention: rewrite a lake table keeping only rows matching
+    * `keep` (e.g. `col("ts") >= expiry`) — the data-lifecycle
+    * maintenance op that bounds incremental/streaming zones at scale
+    * (pair with [[compact]]). The filter is a predicate-pushdown scan
+    * (row groups entirely outside the retained range are skipped via
+    * parquet statistics) and the swap rides [[overwriteSelf]], so
+    * readers never see a half-expired table. Returns (rowsBefore,
+    * rowsAfter). A partition-pruned layout (date-partitioned writes)
+    * turns this into pure directory drops — this row-level form is
+    * the fallback for unpartitioned or mid-partition expiry. */
+  def expire(spark: SparkSession, path: String,
+             keep: org.apache.spark.sql.Column): (Long, Long) = {
+    healCrashedOverwrite(spark, path)
+    val before = spark.read.parquet(path)
+    val nBefore = before.count()
+    overwriteSelf(before.where(keep), path)
+    (nBefore, spark.read.parquet(path).count())
+  }
+
   /** Readable-report CSV sink (reference: src/runnerfile.py:550-551
     * S8): single header CSV per report — reports are small by
     * construction (post-aggregation), so coalesce(1) is safe here and

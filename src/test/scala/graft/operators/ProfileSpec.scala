@@ -132,4 +132,22 @@ class ProfileSpec extends SparkSuite {
     assert(math.abs(est("num") - 2913.0) / 2913.0 < tol, s"num est ${est("num")}")
     assert(math.abs(est("str") - 8117.0) / 8117.0 < tol, s"str est ${est("str")}")
   }
+
+  test("keySkew: hand-computed ratio and salt on a hot-key distribution") {
+    // 10 cold keys x 1 row + 1 hot key x 90 rows
+    val rows = ((1 to 10).map(k => k.toLong) ++ Seq.fill(90)(99L)).zipWithIndex
+      .map { case (k, i) => (k, i) }.toDF("k", "v")
+    val r = Profile.keySkew(rows, "k").head()
+    assert(r.getLong(0) === 11L)          // n_keys
+    assert(r.getLong(1) === 100L)         // n_rows
+    assert(r.getLong(2) === 90L)          // max_n
+    assert(r.getDouble(3) === 1.0)        // p50
+    // max/avg = 90 / (100/11) = 9.9 -> 99000 bp, salt 9 (integer floor)
+    assert(r.getLong(5) === 99000L, s"skew_ratio_bp ${r.getLong(5)}")
+    assert(r.getLong(6) === 9L)
+    // uniform data: ratio collapses to ~1x and salt to the 1 floor
+    val uniform = (1 to 100).map(i => (i.toLong % 10, i)).toDF("k", "v")
+    val u = Profile.keySkew(uniform, "k").head()
+    assert(u.getLong(5) === 10000L && u.getLong(6) === 1L)
+  }
 }

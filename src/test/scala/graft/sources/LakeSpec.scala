@@ -219,6 +219,23 @@ class LakeSpec extends SparkSuite {
     assert(after2 >= 3, s"expected >=3 output files, got $after2")
   }
 
+  test("expire drops rows outside the retention predicate, atomically") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-expire").toString
+    val path = s"$dir/t"
+    spark.range(0, 1000).selectExpr("id", "id % 30 AS age_days").write.parquet(path)
+    val (before, after) = Lake.expire(spark, path, col("age_days") < 7)
+    assert(before === 1000L)
+    assert(after === spark.read.parquet(path).count())
+    val back = spark.read.parquet(path)
+    assert(back.where(col("age_days") >= 7).count() === 0L)
+    assert(back.count() === (0 until 1000).count(_ % 30 < 7))
+    // no staging/old residue after the swap
+    val residue = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.endsWith(".__staging") || n.endsWith(".__old"))
+    assert(residue.isEmpty, residue.mkString(","))
+  }
+
   test("jdbcOptions builds options and rejects injection") {
     val opts = Lake.jdbcOptions("jdbc:postgresql://h/db", "public.users", "u", "p",
       "org.postgresql.Driver", sessionInit = Some("SET TIME ZONE 'UTC'"))
