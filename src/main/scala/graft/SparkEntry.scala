@@ -147,6 +147,15 @@ object SparkEntry {
     // join-skew diagnostic ([EXT]): per-key count distribution +
     // integer skew ratio + suggested salt for the hot-key plan choice
     "q_key_skew" -> ((s, d) => Profile.keySkew(t(s, d, "lineitem"), "l_partkey")),
+    // per-group z-score normalization ([EXT]): explicit decimal
+    // moments, one canonical double expression (built-in stddev is
+    // merge-order dependent)
+    "q_zscore" -> ((s, d) =>
+      Profile.zscoreNormalize(
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
     // percentile clipping ([EXT]): outlier guard before feature scaling
     "q_winsorize" -> ((s, d) =>
       Profile.winsorize(
@@ -817,6 +826,22 @@ object SparkEntry {
              CAST(max(n) * count(*) * 10000 // sum(n) AS BIGINT) AS skew_ratio_bp,
              CAST(greatest(1, max(n) * count(*) // sum(n)) AS BIGINT) AS suggested_salt
            FROM c""",
+      "q_zscore" -> // same decimal moments + the same double expression, op for op
+        """WITH s AS (SELECT l_returnflag, count(*) AS n,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,
+                sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS sxx
+              FROM lineitem GROUP BY l_returnflag)
+           SELECT l_orderkey, l_linenumber, l.l_returnflag, l_extendedprice,
+             CASE WHEN n > 1 AND
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                  / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) > 0
+             THEN (CAST(l_extendedprice AS DOUBLE)
+                     - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                       / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+             END AS z
+           FROM lineitem l JOIN s USING (l_returnflag)
+           ORDER BY l_orderkey, l_linenumber""",
       "q_share_of_total" ->
         """WITH g AS (SELECT l_returnflag, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS grp
                       FROM lineitem GROUP BY l_returnflag),

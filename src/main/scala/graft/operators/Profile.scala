@@ -211,6 +211,34 @@ object Profile {
       .withColumn("skew_ratio_bp", expr("max_n * n_keys * 10000 DIV n_rows"))
       .withColumn("suggested_salt", expr("greatest(1L, max_n * n_keys DIV n_rows)"))
 
+  /** Per-group z-score normalization (feature standardization):
+    * `z = (x - mean) / sampleStddev` within each key group — the
+    * feature-engineering primitive for normalizing measures before
+    * modeling or embedding-metadata scoring. Same exactness design as
+    * [[pearsonExact]]: group moments as EXPLICIT decimal sums
+    * (order-independent, engine-exact), then ONE canonical double
+    * expression — the built-in `stddev` accumulates Welford-style and
+    * drifts with merge order. Degenerate groups (n = 1, or variance
+    * not strictly positive after rounding) yield null, decided by a
+    * guard on the SAME deterministic double, so every engine agrees
+    * on which rows are null. Cost: one map-side-combined aggregate +
+    * a joined-back stats table (AQE broadcasts it when keys are few). */
+  def zscoreNormalize(df: DataFrame, key: String, measure: String): DataFrame = {
+    val stats = df.groupBy(col(key)).agg(
+      count(lit(1)).as("__n"),
+      sum(col(measure).cast(DecimalType(18, 2))).as("__s"),
+      sum((col(measure) * col(measure)).cast(DecimalType(38, 4))).as("__ss"))
+    def d(c: Column) = c.cast("double")
+    val n = d(col("__n"))
+    val mean = d(col("__s")) / n
+    val variance = (d(col("__ss")) - d(col("__s")) * d(col("__s")) / n) / (n - 1)
+    df.join(stats, Seq(key))
+      .withColumn("z",
+        when(col("__n") > 1 && variance > 0,
+          (d(col(measure)) - mean) / sqrt(variance)))
+      .drop("__n", "__s", "__ss")
+  }
+
   /** Pearson correlation per group via EXPLICIT decimal sums, then
     * one identical double expression over them — unlike the built-in
     * `corr` (Welford-style accumulation, result depends on merge

@@ -150,4 +150,24 @@ class ProfileSpec extends SparkSuite {
     val u = Profile.keySkew(uniform, "k").head()
     assert(u.getLong(5) === 10000L && u.getLong(6) === 1L)
   }
+
+  test("zscoreNormalize: hand-computed z; degenerate groups go null") {
+    val df = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), // mean 2, sample sd 1
+      (4L, "b", 7.0),                                 // n = 1
+      (5L, "c", 5.0), (6L, "c", 5.0))                 // zero variance
+      .toDF("id", "k", "x")
+    def zMap(src: org.apache.spark.sql.DataFrame) =
+      Profile.zscoreNormalize(src, "k", "x").select("id", "z").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val out = zMap(df)
+    assert(out(1L).exists(z => math.abs(z + 1.0) < 1e-12))
+    assert(out(2L).exists(z => math.abs(z) < 1e-12))
+    assert(out(3L).exists(z => math.abs(z - 1.0) < 1e-12))
+    assert(out(4L) === None, "a singleton group has no spread to normalize by")
+    assert(out(5L) === None && out(6L) === None, "zero variance must not divide")
+    // moments are decimal sums: the same rows under a different
+    // partitioning give bit-identical z
+    assert(zMap(df.repartition(7)) === out)
+  }
 }
