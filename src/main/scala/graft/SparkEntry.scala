@@ -147,6 +147,13 @@ object SparkEntry {
     // join-skew diagnostic ([EXT]): per-key count distribution +
     // integer skew ratio + suggested salt for the hot-key plan choice
     "q_key_skew" -> ((s, d) => Profile.keySkew(t(s, d, "lineitem"), "l_partkey")),
+    // quantile-bucket assignment ([EXT]): equal-population strata via
+    // broadcast percentile bounds (ntile is a single-task global sort)
+    "q_quantile_buckets" -> ((s, d) =>
+      Profile.quantileBuckets(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        "l_extendedprice", n = 4)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
     // per-group z-score normalization ([EXT]): explicit decimal
     // moments, one canonical double expression (built-in stddev is
     // merge-order dependent)
@@ -826,6 +833,17 @@ object SparkEntry {
              CAST(max(n) * count(*) * 10000 // sum(n) AS BIGINT) AS skew_ratio_bp,
              CAST(greatest(1, max(n) * count(*) // sum(n)) AS BIGINT) AS suggested_salt
            FROM c""",
+      "q_quantile_buckets" -> // quantile_cont == percentile interpolation; ties to lower
+        """WITH b AS (SELECT quantile_cont(l_extendedprice::DOUBLE, 0.25) AS q0,
+                             quantile_cont(l_extendedprice::DOUBLE, 0.5) AS q1,
+                             quantile_cont(l_extendedprice::DOUBLE, 0.75) AS q2
+                      FROM lineitem)
+           SELECT l_orderkey, l_linenumber, l_extendedprice,
+             CAST(CASE WHEN l_extendedprice::DOUBLE <= q0 THEN 0
+                       WHEN l_extendedprice::DOUBLE <= q1 THEN 1
+                       WHEN l_extendedprice::DOUBLE <= q2 THEN 2 ELSE 3 END AS INTEGER)
+               AS bucket
+           FROM lineitem, b ORDER BY l_orderkey, l_linenumber""",
       "q_zscore" -> // same decimal moments + the same double expression, op for op
         """WITH s AS (SELECT l_returnflag, count(*) AS n,
                 sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,

@@ -150,6 +150,38 @@ object Profile {
       .drop("__lo", "__hi")
   }
 
+  /** Quantile-bucket assignment: label every row with which of `n`
+    * equal-population buckets its value falls in (0-based; bucket i
+    * spans (q_{i/n}, q_{(i+1)/n}]) — the stratum column for
+    * difficulty- or size-stratified sampling (pair with
+    * [[Sampling.stratifiedByHash]]) and for balanced split audits.
+    * Unlike `ntile` (a GLOBAL sort window — one task at corpus scale),
+    * the boundaries come from one aggregate of exact `percentile`s
+    * (swap `approx_percentile` at 100 TB) broadcast back, and the
+    * assignment is a per-row comparison chain riding the scan. Ties
+    * on a boundary go to the LOWER bucket (`<= bound`), matching the
+    * inclusive-upper quantile convention, so the same value always
+    * lands in the same bucket regardless of row order. */
+  def quantileBuckets(df: DataFrame, c: String, n: Int,
+                      exact: Boolean = true): DataFrame = {
+    require(n >= 2, s"need at least 2 buckets: $n")
+    val v = col(c).cast("double")
+    val ps = (1 until n).map(_.toDouble / n)
+    val aggs = ps.zipWithIndex.map { case (p, i) =>
+      if (exact) percentile(v, lit(p)).as(s"__q$i")
+      else approx_percentile(v, lit(p), lit(10000)).as(s"__q$i")
+    }
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val bucket = (0 until n - 1).reverse.foldLeft(lit(n - 1): Column) {
+      (acc, i) => when(v <= col(s"__q$i"), lit(i)).otherwise(acc)
+    }
+    df.crossJoin(broadcast(bounds))
+      // a null value belongs to no bucket (the when-chain's otherwise
+      // would silently file it in the top bucket)
+      .withColumn("bucket", when(v.isNotNull, bucket).cast("int"))
+      .drop((0 until n - 1).map(i => s"__q$i"): _*)
+  }
+
   /** value_counts (reference: eda.py:110, src/runnerfile.py:209 A9). */
   def valueCounts(df: DataFrame, c: String): DataFrame =
     df.groupBy(col(c))

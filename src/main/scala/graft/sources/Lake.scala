@@ -242,6 +242,22 @@ object Lake {
     (nBefore, spark.read.parquet(path).count())
   }
 
+  /** Targeted key deletion ("right to be forgotten" / quarantine
+    * removal): rewrite the table dropping every row whose key appears
+    * in `keys` — an anti-join rewrite with the same atomic
+    * [[overwriteSelf]] swap as [[expire]]. The join strategy is left
+    * to AQE: a short deletion list broadcasts, a bulk one shuffles.
+    * Returns (rowsBefore, rowsAfter). */
+  def deleteKeys(spark: SparkSession, path: String,
+                 keys: DataFrame, keyCol: String): (Long, Long) = {
+    healCrashedOverwrite(spark, path)
+    val before = spark.read.parquet(path)
+    val nBefore = before.count()
+    overwriteSelf(
+      before.join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti"), path)
+    (nBefore, spark.read.parquet(path).count())
+  }
+
   /** Readable-report CSV sink (reference: src/runnerfile.py:550-551
     * S8): single header CSV per report — reports are small by
     * construction (post-aggregation), so coalesce(1) is safe here and

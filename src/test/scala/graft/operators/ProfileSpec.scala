@@ -170,4 +170,20 @@ class ProfileSpec extends SparkSuite {
     // partitioning give bit-identical z
     assert(zMap(df.repartition(7)) === out)
   }
+
+  test("quantileBuckets: equal-population strata, boundary ties to lower, null stays null") {
+    val df = ((1 to 100).map(i => (i.toLong, Some(i.toDouble))) :+ (101L, None))
+      .toDF("id", "x")
+    val out = Profile.quantileBuckets(df, "x", 4).select("id", "bucket").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    // quartile bounds of 1..100: 25.75, 50.5, 75.25
+    assert(out(1L) === Some(0) && out(25L) === Some(0))
+    assert(out(26L) === Some(1) && out(50L) === Some(1))
+    assert(out(51L) === Some(2) && out(75L) === Some(2))
+    assert(out(76L) === Some(3) && out(100L) === Some(3))
+    assert(out(101L) === None, "null value must not land in the top bucket")
+    val sizes = Profile.quantileBuckets(df, "x", 4).where($"bucket".isNotNull)
+      .groupBy("bucket").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ === 25L), "equal-population buckets")
+  }
 }

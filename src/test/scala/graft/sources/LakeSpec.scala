@@ -236,6 +236,20 @@ class LakeSpec extends SparkSuite {
     assert(residue.isEmpty, residue.mkString(","))
   }
 
+  test("deleteKeys removes exactly the listed keys, including repeats") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-delete").toString
+    val path = s"$dir/t"
+    spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v").write.parquet(path)
+    // duplicate and irrelevant entries in the deletion list are harmless
+    val keys = Seq(3L, 7L, 7L, 999L).toDF("k")
+    val (before, after) = Lake.deleteKeys(spark, path, keys, "k")
+    assert(before === 100L && after === 98L)
+    val left = spark.read.parquet(path)
+    assert(left.where(col("k").isin(3L, 7L)).count() === 0L)
+    assert(left.count() === 98L)
+  }
+
   test("jdbcOptions builds options and rejects injection") {
     val opts = Lake.jdbcOptions("jdbc:postgresql://h/db", "public.users", "u", "p",
       "org.postgresql.Driver", sessionInit = Some("SET TIME ZONE 'UTC'"))
