@@ -502,6 +502,13 @@ object SparkEntry {
       Similarity.knnJoin(t(s, d, "embeddings").where(col("vec_id") < 100), 5)
         .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"), col("rank"))
         .orderBy(col("id_a"), col("rank"))),
+    // hard-negative mining ([EXT]): nearest CROSS-label vectors, the
+    // contrastive-training pair source; label filter before ranking
+    "q_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(t(s, d, "embeddings").where(col("vec_id") < 100), 5)
+        .select(col("id_a"), col("label_a"), col("id_b"), col("label_b"),
+          round(col("cosine_sim"), 6).as("cosine_sim"), col("rank"))
+        .orderBy(col("id_a"), col("rank"))),
     "q_lsh_knn" -> ((s, d) =>
       Similarity.lshKnnJoin(t(s, d, "embeddings"), 5, dim = 64, nBits = 8)
         .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"), col("rank"))
@@ -1382,6 +1389,17 @@ object SparkEntry {
                 / (a.nrm * b.nrm) AS c
               FROM n a, n b WHERE a.vec_id <> b.vec_id)
             SELECT id_a, id_b, round(c, 6) AS cosine_sim,
+              CAST(row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS INTEGER) AS "rank"
+            FROM p QUALIFY "rank" <= 5 ORDER BY id_a, "rank"""",
+      "q_hard_negatives" -> // knn_small + labels, cross-label filter BEFORE ranking
+        s"""WITH n AS (SELECT vec_id, label, embedding, sqrt(${dotSelf("embedding")}) AS nrm
+              FROM embeddings WHERE vec_id < 100),
+            p AS (SELECT a.vec_id AS id_a, a.label AS label_a,
+              b.vec_id AS id_b, b.label AS label_b,
+              ${fold("[a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE for i in range(1, len(a.embedding)+1)]")}
+                / (a.nrm * b.nrm) AS c
+              FROM n a, n b WHERE a.vec_id <> b.vec_id AND a.label <> b.label)
+            SELECT id_a, label_a, id_b, label_b, round(c, 6) AS cosine_sim,
               CAST(row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS INTEGER) AS "rank"
             FROM p QUALIFY "rank" <= 5 ORDER BY id_a, "rank"""",
       "q_lsh_knn" -> lshKnnOracle(cap = 0),

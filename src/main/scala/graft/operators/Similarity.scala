@@ -90,6 +90,36 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine_sim"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for
+    * each vector, the k most-similar vectors carrying a DIFFERENT
+    * label — the near-misses that teach a metric model the most. The
+    * label filter runs BEFORE ranking (filtering after top-k would
+    * starve vectors whose neighborhoods are same-label and return
+    * fewer than k negatives). Same broadcast brute-force shape as
+    * [[knnJoin]] for small/medium corpora; at 100 TB feed the pair
+    * stage from [[lshKnnJoin]]'s buckets instead and widen k to cover
+    * bucket recall. */
+  def hardNegatives(embeddings: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val spread = embeddings.repartition(
+      embeddings.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val a = spread.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      col(labelCol).as("label_a"))
+    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      col(labelCol).as("label_b"))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cosine_sim").desc, col("id_b"))
+    a.crossJoin(broadcast(b))
+      .where(col("id_a") =!= col("id_b") && col("label_a") =!= col("label_b"))
+      .withColumn("cosine_sim", nativeCosine(col("v_a"), col("v_b")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id_a"), col("label_a"), col("id_b"), col("label_b"),
+        col("cosine_sim"), col("rank"))
+  }
+
   /** Deterministic random hyperplanes (seeded) for sign-LSH. */
   def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)

@@ -136,6 +136,26 @@ class SimilaritySpec extends SparkSuite {
     assert(Similarity.hyperplanes(8, 4, 42L) !== Similarity.hyperplanes(8, 4, 43L))
   }
 
+  test("hardNegatives returns the nearest CROSS-label vectors, filter before rank") {
+    import spark.implicits._
+    // label 0: two near-identical vectors; label 1: one distant, one near label 0
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.14f), 0),     // same-label near neighbor of 1
+      (3L, Array(0.9f, 0.44f), 1),      // cross-label, fairly close to 1
+      (4L, Array(-1.0f, 0.0f), 1))      // cross-label, opposite
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(5)) -> r.getLong(2)).toMap
+    // vector 1's top hard negative must be 3 (2 is nearer but same-label)
+    assert(out((1L, 1)) === 3L)
+    assert(out((1L, 2)) === 4L)
+    // every returned pair crosses labels
+    val cross = Similarity.hardNegatives(emb, k = 2).collect()
+      .forall(r => r.getInt(1) != r.getInt(3))
+    assert(cross)
+  }
+
   test("labelCentroids: exact micro-sums per (label, dim), partitioning-independent") {
     import spark.implicits._
     val emb = Seq(
