@@ -420,6 +420,23 @@ object SparkEntry {
         .where(!col("contaminated")).select("doc_id")
       Ngrams.chunk(train.join(cleanIds, Seq("doc_id")))
     }),
+    // training-mix capstone ([EXT]): the SAMPLING-side counterpart of
+    // q_corpus_pipeline — quality gate → exact-dedup keepers → target
+    // mixture → train/val/test split → epoch shuffle key, all
+    // deterministic, composed purely from existing operators
+    "q_training_mix" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val keepers = docs.where(Text.isQuality(col("text")))
+        .select(col("doc_id"), col("lang"), Text.fingerprint(col("text")).as("f"))
+        .groupBy(col("f"))
+        .agg(min_by(struct(col("doc_id"), col("lang")), col("doc_id")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"))
+      val mixed = Sampling.mixtureSample(keepers, "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 0.2, "es" -> 0.2, "de" -> 0.1), fraction = 0.5)
+      val split = Sampling.assignSplit(mixed, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      Sampling.seededShuffle(split, "doc_id", "epoch0").orderBy(col("doc_id"))
+    }),
     // ---- document dedup family (SURVEY §2.7 [EXT]) ----
     "q_exact_docs" -> ((s, d) => Dedup.exactDocs(t(s, d, "documents"))),
     // bloom-guarded incremental dedup ([EXT]): batch = genuinely-new
@@ -860,10 +877,10 @@ object SparkEntry {
              CASE WHEN n > 1 AND
                (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
                   / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) > 0
-             THEN (CAST(l_extendedprice AS DOUBLE)
+             THEN round((CAST(l_extendedprice AS DOUBLE)
                      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
                   / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-                       / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+                       / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 6)
              END AS z
            FROM lineitem l JOIN s USING (l_returnflag)
            ORDER BY l_orderkey, l_linenumber""",
@@ -1242,6 +1259,40 @@ object SparkEntry {
         s"""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, fingerprint
             FROM (SELECT doc_id, $fingerprint AS fingerprint FROM documents)
             GROUP BY fingerprint ORDER BY keeper_id""",
+      "q_training_mix" -> // each stage's established oracle spelling, chained
+        s"""WITH q AS (SELECT doc_id, lang, text FROM documents WHERE
+                 len(regexp_split_to_array(trim(text), '\\s+')) >= 5
+                 AND CAST(len(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                     / len(regexp_split_to_array(trim(text), '\\s+')) <= 15.0
+                 AND CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                     / len(text) <= 0.3
+                 AND CAST(len(text) - len(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+                     / len(text) <= 0.3),
+                 fp AS (SELECT doc_id, lang, $fingerprint AS f FROM q),
+                 keep AS (SELECT doc_id, lang FROM
+                   (SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fp)
+                   WHERE rn = 1),
+                 c AS (SELECT lang, count(*) AS cnt FROM keep GROUP BY lang),
+                 t AS (SELECT sum(cnt) AS n FROM c),
+                 r AS (SELECT lang, least(10000, floor(
+                         CASE lang WHEN 'en' THEN 0.5::DOUBLE WHEN 'zh' THEN 0.2::DOUBLE
+                                   WHEN 'es' THEN 0.2::DOUBLE WHEN 'de' THEN 0.1::DOUBLE
+                                   ELSE 0.0::DOUBLE END
+                         * 0.5::DOUBLE * n::DOUBLE * 10000 / cnt::DOUBLE))::BIGINT AS rate_bp
+                       FROM c, t),
+                 m AS (SELECT k.doc_id, k.lang FROM keep k JOIN r USING (lang)
+                       WHERE ('0x' || substr(md5(k.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+                         < rate_bp),
+                 s AS (SELECT doc_id, lang,
+                         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 8000
+                                THEN 'train'
+                              WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 9000
+                                THEN 'val'
+                              ELSE 'test' END AS split
+                       FROM m)
+            SELECT doc_id, lang, split, md5('epoch0:' || doc_id::VARCHAR) AS shuffle_key
+            FROM s ORDER BY doc_id""",
       "q_bloom_new_docs" ->
         s"""WITH fp AS (SELECT doc_id, $fingerprint AS fingerprint FROM documents),
                  hist AS (SELECT fingerprint FROM fp WHERE doc_id % 2 = 0),

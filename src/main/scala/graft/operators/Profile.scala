@@ -265,9 +265,13 @@ object Profile {
     val mean = d(col("__s")) / n
     val variance = (d(col("__ss")) - d(col("__s")) * d(col("__s")) / n) / (n - 1)
     df.join(stats, Seq(key))
+      // rounded to 6dp: decimal→double casts are correctly rounded in
+      // the JVM but computed as int128/10^s in some engines — a 1-ulp
+      // input difference the rounding absorbs (same convention as the
+      // cosine scores)
       .withColumn("z",
         when(col("__n") > 1 && variance > 0,
-          (d(col(measure)) - mean) / sqrt(variance)))
+          round((d(col(measure)) - mean) / sqrt(variance), 6)))
       .drop("__n", "__s", "__ss")
   }
 
