@@ -197,7 +197,7 @@ object Sessions {
         val all =
           if (fs.exists(target)) {
             val existing = spark.read.parquet(tablePath)
-            existing.unionByName(batch.select(existing.columns.map(col): _*))
+            existing.unionByName(batch.select(existing.columns.toIndexedSeq.map(col): _*))
           } else batch
         // highest sequence per key wins: min_by on the NEGATED sequence
         val merged = graft.operators.Dedup.keyedDeterministicAgg(
