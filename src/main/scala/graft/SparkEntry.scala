@@ -466,6 +466,19 @@ object SparkEntry {
           .withColumn("text", concat(col("text"), lit(" updated rev"))))
       Dedup.newNearDocs(batch, Dedup.minhashSignatures(history, "doc_id", "text"))
     }),
+    // hot-bucket-capped twin (same guard family as q_minhash_capped /
+    // q_lsh_knn_capped): boilerplate history buckets above the cap
+    // contribute no candidates — recall trade, never wrong answers
+    "q_new_near_capped" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val history = docs.where(col("doc_id") % 2 === 0)
+      val batch = docs.where(col("doc_id") % 2 === 1)
+        .unionByName(docs.where(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000)
+          .withColumn("text", concat(col("text"), lit(" updated rev"))))
+      Dedup.newNearDocs(batch, Dedup.minhashSignatures(history, "doc_id", "text"),
+        maxBucket = 3)
+    }),
     "q_minhash_candidates" -> ((s, d) => Dedup.minhashCandidates(t(s, d, "documents"))),
     // hot-bucket guard on: buckets above the cap are dropped before
     // pair expansion (the 100 TB safety valve; cap chosen to actually
@@ -646,6 +659,46 @@ object SparkEntry {
           SELECT id_a, id_b, round(c, 6) AS cosine_sim,
             CAST(row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS INTEGER) AS "rank"
           FROM p QUALIFY "rank" <= 5 ORDER BY id_a, "rank""""
+    // incremental near-dup oracle (q_new_near_docs family): prefixed
+    // signature/band CTEs so history and batch coexist; cap > 0 = the
+    // history-side hot-bucket guard
+    def newNearOracle(cap: Int): String = {
+      def sigCtes(p: String, src: String) =
+        s"""${p}sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM $src),
+            ${p}hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM ${p}sh),
+            ${p}sig AS (SELECT doc_id, $minCols FROM ${p}hh GROUP BY doc_id)"""
+      def bandRowsP(p: String) = (0 until 4).map { b =>
+        val cat = (b * 4 until (b + 1) * 4).map(i => s"m$i::VARCHAR").mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS band_hash FROM ${p}sig"
+      }.mkString(" UNION ALL ")
+      val agree = (0 until 16)
+        .map(i => s"CASE WHEN b.m$i = h.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      val bs =
+        if (cap > 0)
+          "bs AS (SELECT band, band_hash, count(*) AS bn FROM hb GROUP BY band, band_hash),\n          "
+        else ""
+      val capJoin = if (cap > 0) " JOIN bs USING (band, band_hash)" else ""
+      val capCond = if (cap > 0) s" AND bs.bn <= $cap" else ""
+      s"""WITH hsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+               bsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+                        UNION ALL
+                        SELECT doc_id + 1000000 AS doc_id, text || ' updated rev' AS text
+                        FROM documents WHERE doc_id % 10 = 0),
+               ${sigCtes("h", "hsrc")},
+               ${sigCtes("b", "bsrc")},
+               hb AS (${bandRowsP("h")}),
+               bb AS (${bandRowsP("b")}),
+               ${bs}cand AS (SELECT DISTINCT bb.doc_id AS batch_id, hb.doc_id AS hist_id
+                        FROM bb JOIN hb USING (band, band_hash)$capJoin
+                        WHERE 1 = 1$capCond),
+               dup AS (SELECT DISTINCT c.batch_id
+                       FROM cand c JOIN bsig b ON c.batch_id = b.doc_id
+                                   JOIN hsig h ON c.hist_id = h.doc_id
+                       WHERE $agree >= 8)
+          SELECT doc_id FROM bsrc
+          WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.batch_id = bsrc.doc_id)
+          ORDER BY doc_id"""
+    }
     Map(
       "q_pricing_summary" ->
         s"""SELECT l_returnflag, l_linestatus,
@@ -1303,37 +1356,8 @@ object SparkEntry {
             SELECT doc_id, fingerprint FROM batch b
             WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fingerprint = b.fingerprint)
             ORDER BY doc_id""",
-      "q_new_near_docs" -> {
-        // prefixed signature/band CTEs so history and batch coexist
-        def sigCtes(p: String, src: String) =
-          s"""${p}sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM $src),
-              ${p}hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM ${p}sh),
-              ${p}sig AS (SELECT doc_id, $minCols FROM ${p}hh GROUP BY doc_id)"""
-        def bandRowsP(p: String) = (0 until 4).map { b =>
-          val cat = (b * 4 until (b + 1) * 4).map(i => s"m$i::VARCHAR").mkString(" || ',' || ")
-          s"SELECT doc_id, $b AS band, md5($cat) AS band_hash FROM ${p}sig"
-        }.mkString(" UNION ALL ")
-        val agree = (0 until 16)
-          .map(i => s"CASE WHEN b.m$i = h.m$i THEN 1 ELSE 0 END").mkString(" + ")
-        s"""WITH hsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
-                 bsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
-                          UNION ALL
-                          SELECT doc_id + 1000000 AS doc_id, text || ' updated rev' AS text
-                          FROM documents WHERE doc_id % 10 = 0),
-                 ${sigCtes("h", "hsrc")},
-                 ${sigCtes("b", "bsrc")},
-                 hb AS (${bandRowsP("h")}),
-                 bb AS (${bandRowsP("b")}),
-                 cand AS (SELECT DISTINCT bb.doc_id AS batch_id, hb.doc_id AS hist_id
-                          FROM bb JOIN hb USING (band, band_hash)),
-                 dup AS (SELECT DISTINCT c.batch_id
-                         FROM cand c JOIN bsig b ON c.batch_id = b.doc_id
-                                     JOIN hsig h ON c.hist_id = h.doc_id
-                         WHERE $agree >= 8)
-            SELECT doc_id FROM bsrc
-            WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.batch_id = bsrc.doc_id)
-            ORDER BY doc_id"""
-      },
+      "q_new_near_docs" -> newNearOracle(cap = 0),
+      "q_new_near_capped" -> newNearOracle(cap = 3),
       "q_minhash_candidates" ->
         s"""WITH $minhashCtes
             SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""",
