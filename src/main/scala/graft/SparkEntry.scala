@@ -907,8 +907,8 @@ object SparkEntry {
            SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
              CAST(max(n) AS BIGINT) AS max_n,
              quantile_cont(n, 0.5) AS p50_n, quantile_cont(n, 0.99) AS p99_n,
-             CAST(max(n) * count(*) * 10000 // sum(n) AS BIGINT) AS skew_ratio_bp,
-             CAST(greatest(1, max(n) * count(*) // sum(n)) AS BIGINT) AS suggested_salt
+             CAST(max(n) * 10000 // (sum(n) // count(*)) AS BIGINT) AS skew_ratio_bp,
+             CAST(greatest(1, max(n) // (sum(n) // count(*))) AS BIGINT) AS suggested_salt
            FROM c""",
       "q_quantile_buckets" -> // quantile_cont == percentile interpolation; ties to lower
         """WITH b AS (SELECT quantile_cont(l_extendedprice::DOUBLE, 0.25) AS q0,
@@ -935,7 +935,7 @@ object SparkEntry {
                   / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
                        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 6)
              END AS z
-           FROM lineitem l JOIN s USING (l_returnflag)
+           FROM lineitem l JOIN s ON l.l_returnflag IS NOT DISTINCT FROM s.l_returnflag
            ORDER BY l_orderkey, l_linenumber""",
       "q_share_of_total" ->
         """WITH g AS (SELECT l_returnflag, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS grp

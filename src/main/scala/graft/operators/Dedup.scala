@@ -448,17 +448,30 @@ object Dedup {
   }
 
   /** Rows of `batch` whose text is NOT already in the corpus. `bloom`
-    * is the sketch from [[fingerprintBloom]] (pass null to skip the
-    * fast path — e.g. first batch ever); `index` is the fingerprint
-    * index the bloom was built over. Output carries the fingerprint so
-    * the caller can append it to the index for the next batch. */
+    * is the sketch from [[fingerprintBloom]]; pass null to skip the
+    * bloom FAST PATH only (sketch lost, first batch ever) — the exact
+    * anti-join verify against `index` always runs, so a missing
+    * sketch degrades to the baseline plan, never to re-ingested
+    * duplicates. Output carries the fingerprint so the caller can
+    * append it to the index for the next batch. */
   def newDocs(batch: DataFrame, index: DataFrame, bloom: Array[Byte],
-              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    GraftFunctions.register(batch.sparkSession)
-    val fpBatch = batch.select(col(idCol).as("doc_id"),
-      Text.fingerprint(col(textCol)).as("fingerprint"))
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    newDocsByFingerprint(
+      batch.select(col(idCol).as("doc_id"),
+        Text.fingerprint(col(textCol)).as("fingerprint")),
+      index, bloom)
+
+  /** [[newDocs]] over an already-fingerprinted batch (doc_id,
+    * fingerprint) — the entry point for callers that computed the
+    * fingerprint anyway (e.g. the streaming ingest loop's intra-batch
+    * collapse), so the normalize+sha256 pass isn't paid twice. */
+  def newDocsByFingerprint(fpBatch: DataFrame, index: DataFrame,
+                           bloom: Array[Byte]): DataFrame = {
+    GraftFunctions.register(fpBatch.sparkSession)
     val survivors =
-      if (bloom == null) fpBatch
+      if (bloom == null)
+        fpBatch.join(index.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+          .select("doc_id", "fingerprint")
       else {
         val hit = GraftFunctions.bloomContains(lit(bloom), xxhash64(col("fingerprint")))
         // definitely-new rows bypass the join; only bloom-positives

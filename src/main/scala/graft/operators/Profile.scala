@@ -240,8 +240,11 @@ object Profile {
         max(col("n")).as("max_n"),
         percentile(col("n"), lit(0.5)).as("p50_n"),
         percentile(col("n"), lit(0.99)).as("p99_n"))
-      .withColumn("skew_ratio_bp", expr("max_n * n_keys * 10000 DIV n_rows"))
-      .withColumn("suggested_salt", expr("greatest(1L, max_n * n_keys DIV n_rows)"))
+      // divide FIRST (avg = n_rows DIV n_keys >= 1): the naive
+      // max_n * n_keys * 10000 overflows Long at ~1e9 keys x 1e6-row
+      // hot key — exactly the corpus this diagnostic exists for
+      .withColumn("skew_ratio_bp", expr("max_n * 10000 DIV (n_rows DIV n_keys)"))
+      .withColumn("suggested_salt", expr("greatest(1L, max_n DIV (n_rows DIV n_keys))"))
 
   /** Per-group z-score normalization (feature standardization):
     * `z = (x - mean) / sampleStddev` within each key group — the
@@ -264,7 +267,11 @@ object Profile {
     val n = d(col("__n"))
     val mean = d(col("__s")) / n
     val variance = (d(col("__ss")) - d(col("__s")) * d(col("__s")) / n) / (n - 1)
-    df.join(stats, Seq(key))
+    // null-SAFE join: groupBy produces a stats row for the null-key
+    // group, but an equi-join would drop every null-key input row —
+    // a normalizer must return all its input
+    df.join(stats.withColumnRenamed(key, "__key"),
+        col(key) <=> col("__key"), "left")
       // rounded to 6dp: decimal→double casts are correctly rounded in
       // the JVM but computed as int128/10^s in some engines — a 1-ulp
       // input difference the rounding absorbs (same convention as the
@@ -272,7 +279,7 @@ object Profile {
       .withColumn("z",
         when(col("__n") > 1 && variance > 0,
           round((d(col(measure)) - mean) / sqrt(variance), 6)))
-      .drop("__n", "__s", "__ss")
+      .drop("__key", "__n", "__s", "__ss")
   }
 
   /** Pearson correlation per group via EXPLICIT decimal sums, then

@@ -69,7 +69,10 @@ object Sampling {
     * `min(1, quota / count(d))` — an under-represented domain is taken
     * whole (rate caps at 1; the mix then under-shoots its target
     * rather than inventing rows), an over-represented one is thinned.
-    * Domains absent from `targetWeights` get rate 0.
+    * Domains absent from `targetWeights` get rate 0, and rows with a
+    * NULL domain are likewise excluded (the rate join is an equi-join;
+    * assign unlabeled rows an explicit domain first if they should
+    * participate in the mix).
     *
     * Fully declarative — the counts pass is a map-side-combined
     * aggregate whose result (one row per domain) broadcast-joins back

@@ -215,7 +215,16 @@ object Lake {
     healCrashedOverwrite(spark, path)
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(target)
+    val entries = fs.listStatus(target)
+    // a hive-partitioned layout must be compacted per LEAF partition:
+    // a flat rewrite here would see zero top-level files (totalBytes
+    // 0 → one output task) and collapse the directory structure —
+    // silently destroying partition pruning
+    val partitionDirs = entries.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    require(partitionDirs.isEmpty,
+      s"compact: $path is hive-partitioned (e.g. ${partitionDirs.headOption.map(_.getPath.getName).getOrElse("")}); " +
+        "compact leaf partition directories individually")
+    val files = entries
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val totalBytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)

@@ -199,9 +199,17 @@ object Sessions {
             val existing = spark.read.parquet(tablePath)
             existing.unionByName(batch.select(existing.columns.toIndexedSeq.map(col): _*))
           } else batch
-        // highest sequence per key wins: min_by on the NEGATED sequence
+        // highest sequence per key wins: min_by on the NEGATED
+        // sequence. The payload columns follow as tiebreaks — two
+        // rows with the SAME key and seq but different payloads must
+        // pick a partitioning-independent winner (the sequence alone
+        // is not a total order, and keyedDeterministicAgg requires
+        // one for determinism)
+        val withNeg = all.withColumn("__neg_seq", -col(seqCol))
+        val payloadTiebreaks = withNeg.columns.toSeq
+          .filterNot(c => keys.contains(c) || c == "__neg_seq")
         val merged = graft.operators.Dedup.keyedDeterministicAgg(
-          all.withColumn("__neg_seq", -col(seqCol)), keys, "__neg_seq")
+          withNeg, keys, ("__neg_seq" +: payloadTiebreaks): _*)
           .drop("__neg_seq")
         graft.sources.Lake.overwriteSelf(merged, tablePath)
         ()
@@ -262,7 +270,11 @@ object Sessions {
               if (exists(bloomPath))
                 spark.read.parquet(bloomPath).head().getAs[Array[Byte]]("bloom")
               else null
-            val newIds = graft.operators.Dedup.newDocs(reps, index, bloom, idCol, textCol)
+            // reps already carries the fingerprint — don't pay the
+            // normalize+sha256 pass a second time
+            val newIds = graft.operators.Dedup.newDocsByFingerprint(
+              reps.select(col(idCol).as("doc_id"), col("__fp").as("fingerprint")),
+              index, bloom)
               .select(col("doc_id").as(idCol))
             reps.join(newIds, Seq(idCol), "left_semi")
           }

@@ -67,6 +67,15 @@ class BloomDedupSpec extends SparkSuite {
     assert(Dedup.newDocs(batch, index, bloom).count() === batch.count())
   }
 
+  test("null bloom against a NON-empty index still verifies (lost sketch != lost dedup)") {
+    val (history, batch) = corpus
+    val index = Dedup.fingerprintIndex(history)
+    val got = Dedup.newDocs(batch, index, bloom = null)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.length === 50 && got.forall(_ >= 1000L),
+      "a missing sketch must degrade to the exact anti-join, not re-ingest duplicates")
+  }
+
   test("the sketch survives a parquet round trip (build once, probe per batch)") {
     val (history, batch) = corpus
     val index = Dedup.fingerprintIndex(history)

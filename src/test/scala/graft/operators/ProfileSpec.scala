@@ -142,9 +142,10 @@ class ProfileSpec extends SparkSuite {
     assert(r.getLong(1) === 100L)         // n_rows
     assert(r.getLong(2) === 90L)          // max_n
     assert(r.getDouble(3) === 1.0)        // p50
-    // max/avg = 90 / (100/11) = 9.9 -> 99000 bp, salt 9 (integer floor)
-    assert(r.getLong(5) === 99000L, s"skew_ratio_bp ${r.getLong(5)}")
-    assert(r.getLong(6) === 9L)
+    // avg = 100 DIV 11 = 9 (divide-first, overflow-safe at 1e9 keys);
+    // ratio = 90 * 10000 DIV 9 = 100000 bp, salt = 90 DIV 9 = 10
+    assert(r.getLong(5) === 100000L, s"skew_ratio_bp ${r.getLong(5)}")
+    assert(r.getLong(6) === 10L)
     // uniform data: ratio collapses to ~1x and salt to the 1 floor
     val uniform = (1 to 100).map(i => (i.toLong % 10, i)).toDF("k", "v")
     val u = Profile.keySkew(uniform, "k").head()
@@ -169,6 +170,16 @@ class ProfileSpec extends SparkSuite {
     // moments are decimal sums: the same rows under a different
     // partitioning give bit-identical z
     assert(zMap(df.repartition(7)) === out)
+    // null-key rows normalize within their own (null) group instead of
+    // being dropped by the join
+    val withNullKey = Seq(
+      (10L, Option("a"), 1.0), (11L, Option("a"), 3.0),
+      (12L, Option.empty[String], 1.0), (13L, Option.empty[String], 3.0))
+      .toDF("id", "k", "x")
+    val z2 = zMap(withNullKey)
+    assert(z2.size === 4, "every input row must come back")
+    assert(z2(12L).exists(z => math.abs(z + math.sqrt(0.5)) < 1e-6))
+    assert(z2(13L).exists(z => math.abs(z - math.sqrt(0.5)) < 1e-6))
   }
 
   test("quantileBuckets: equal-population strata, boundary ties to lower, null stays null") {

@@ -219,6 +219,20 @@ class LakeSpec extends SparkSuite {
     assert(after2 >= 3, s"expected >=3 output files, got $after2")
   }
 
+  test("compact refuses a hive-partitioned layout instead of flattening it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-part").toString
+    val path = s"$dir/t"
+    spark.range(0, 100).selectExpr("id", "id % 3 AS p")
+      .write.partitionBy("p").parquet(path)
+    val e = intercept[IllegalArgumentException] {
+      Lake.compact(spark, path)
+    }
+    assert(e.getMessage.contains("partition"), e.getMessage)
+    // leaf partitions compact fine
+    val (_, after) = Lake.compact(spark, s"$path/p=0", targetFileBytes = 1L << 30)
+    assert(after === 1)
+  }
+
   test("expire drops rows outside the retention predicate, atomically") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft-expire").toString

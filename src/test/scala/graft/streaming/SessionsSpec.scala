@@ -199,6 +199,18 @@ class SessionsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(healed(1L) === ((2L, "a1")),
       s"an old change replayed late must not regress the newer row: $healed")
+    // EQUAL-seq conflict in one batch: the payload tiebreak picks a
+    // deterministic (lexicographically smallest) winner, and a re-run
+    // over the same input keeps it — the seq alone is not a total order
+    write("f4", Seq((4L, 1L, "z-later"), (4L, 1L, "a-first")))
+    run()
+    val conflicted = spark.read.parquet(s"$dir/table")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(conflicted(4L) === ((1L, "a-first")), s"got ${conflicted(4L)}")
+    run()
+    val stable = spark.read.parquet(s"$dir/table")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(stable(4L) === ((1L, "a-first")))
   }
 
   test("streamIngestDedup: cross-batch dedup via the persisted index + bloom") {
