@@ -414,11 +414,19 @@ object SparkEntry {
       val keepers = fp.groupBy(col("f"))
         .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("r"))
         .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+      // train feeds three plan subtrees (decontaminate's gram explode,
+      // its passthrough join, and chunk); measured: pinning it with
+      // localCheckpoint does NOT help (4.5 s vs 4.4 s at sf0.1) — the
+      // recomputed subtree is cheap relative to the gram explode and
+      // chunk stages, and the checkpoint job adds its own cost
       val train = keepers.where(col("doc_id") % 41 =!= 0)
       val bench = docs.where(col("doc_id") % 41 === 0)
-      val cleanIds = Ngrams.decontaminate(train, bench)
-        .where(!col("contaminated")).select("doc_id")
-      Ngrams.chunk(train.join(cleanIds, Seq("doc_id")))
+      // anti-join on the CONTAMINATED ids (few) instead of inner-join
+      // on the clean ids (nearly all): same rows, but the broadcast
+      // side shrinks to the hits — measured 3.9 s vs 4.4 s at sf0.1
+      val dirtyIds = Ngrams.decontaminate(train, bench)
+        .where(col("contaminated")).select("doc_id")
+      Ngrams.chunk(train.join(dirtyIds, Seq("doc_id"), "left_anti"))
     }),
     // training-mix capstone ([EXT]): the SAMPLING-side counterpart of
     // q_corpus_pipeline — quality gate → exact-dedup keepers → target
