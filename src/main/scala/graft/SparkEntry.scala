@@ -382,6 +382,11 @@ object SparkEntry {
         docs.where(col("doc_id") % 41 === 0))
     }),
     "q_chunk" -> ((s, d) => Ngrams.chunk(t(s, d, "documents"))),
+    // inter-source overlap matrix ([EXT]): which sources republish
+    // each other — trigrams so the synthetic corpus yields a dense
+    // matrix; production uses longer grams
+    "q_source_overlap" -> ((s, d) =>
+      Ngrams.sourceOverlap(t(s, d, "documents"), n = 3)),
     "q_tfidf" -> ((s, d) => CorpusStats.tfIdf(t(s, d, "documents"))),
     // unigram-LM document scoring ([EXT]): perplexity-proxy quality signal
     "q_unigram_logprob" -> ((s, d) => CorpusStats.unigramLogprob(t(s, d, "documents"))),
@@ -1220,6 +1225,18 @@ object SparkEntry {
              COALESCE(h.n_shared, 0) > 0 AS contaminated
            FROM (SELECT doc_id FROM documents WHERE doc_id % 41 <> 0) d
            LEFT JOIN h USING (doc_id) ORDER BY doc_id""",
+      "q_source_overlap" -> // per-row gram dedup, then the sorted-pair convention
+        """WITH tk AS (SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                       FROM documents),
+               ng AS (SELECT source,
+                        [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] AS grams
+                      FROM tk),
+               sg AS (SELECT DISTINCT source, ng FROM
+                        (SELECT source, unnest(grams) AS ng FROM ng)),
+               p AS (SELECT a.source AS source_a, b.source AS source_b
+                     FROM sg a JOIN sg b ON a.ng = b.ng AND a.source < b.source)
+           SELECT source_a, source_b, count(*) AS n_shared_grams
+           FROM p GROUP BY source_a, source_b ORDER BY source_a, source_b""",
       "q_chunk" ->
         """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
                        FROM documents WHERE text IS NOT NULL),

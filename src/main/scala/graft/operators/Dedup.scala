@@ -143,7 +143,7 @@ object Dedup {
     bandsOfSignatures(minhashSignatures(docs, idCol, textCol, k, shingleLen), k, bands)
 
   /** All unordered pairs of an array's elements, as structs. */
-  private def pairsOf(arr: Column): Column =
+  private[operators] def pairsOf(arr: Column): Column =
     flatten(transform(arr, (x, i) =>
       transform(slice(arr, i + 2, size(arr)), y => struct(x.as("_1"), y.as("_2")))))
 

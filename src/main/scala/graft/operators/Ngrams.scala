@@ -63,6 +63,39 @@ object Ngrams {
       .orderBy(col("doc_id"))
   }
 
+  /** Inter-source n-gram overlap matrix: for every pair of sources,
+    * the number of distinct word n-grams both contain — the corpus
+    * AUDIT counterpart of [[decontaminate]]: which crawl sources are
+    * republishing each other (mirror sites, syndication, scraped
+    * aggregators), and so where near-dup pressure will come from.
+    *
+    * Shape: (source, gram) pairs dedup per row before the explode
+    * (same rationale as decontaminate), one distinct shuffle builds
+    * the gram → sources inverted index, and pair expansion happens
+    * bucket-locally ([[Dedup.pairsOf]] — never a gram self-join,
+    * which would recompute the explode subtree on both sides). A gram
+    * appearing in many sources expands quadratically in the SOURCE
+    * count only (sources number in the hundreds, not billions);
+    * `maxSourcesPerGram` caps even that for stop-gram-heavy corpora
+    * (a gram in every source says nothing about pairwise overlap). */
+  def sourceOverlap(docs: DataFrame, sourceCol: String = "source",
+                    textCol: String = "text", n: Int = 8,
+                    maxSourcesPerGram: Int = 0): DataFrame = {
+    val grams = docs.select(col(sourceCol).as("source"),
+        explode(array_distinct(wordNgrams(col(textCol), n))).as("ng"))
+      .distinct()
+    val inverted = grams.groupBy(col("ng"))
+      .agg(sort_array(collect_set(col("source"))).as("sources"))
+      .where(size(col("sources")) > 1)
+    val kept =
+      if (maxSourcesPerGram > 0) inverted.where(size(col("sources")) <= maxSourcesPerGram)
+      else inverted
+    kept.select(explode(Dedup.pairsOf(col("sources"))).as("p"))
+      .groupBy(col("p._1").as("source_a"), col("p._2").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Fixed-token-budget chunking: each document split into consecutive
     * `chunkSize`-token windows (last chunk ragged) — the layout step
     * before embedding or packing a long-document corpus. Tokens keep

@@ -48,4 +48,24 @@ class NgramsSpec extends SparkSuite {
     assert(out.length === 2)
     assert(out.forall(_.getLong(2) === 2L))
   }
+
+  test("sourceOverlap counts distinct shared grams per sorted source pair") {
+    val docs = Seq(
+      ("a", "one two three four"),   // grams: {one two, two three, three four}
+      ("a", "one two three four"),   // exact repeat: distinct per source
+      ("b", "zzz one two three"),    // shares {one two, two three} with a
+      ("c", "totally different words here"))
+      .toDF("source", "text")
+    val out = Ngrams.sourceOverlap(docs, n = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("a", "b") -> 2L), s"got $out")
+    // a stop-gram present in every source is dropped by the cap
+    val withStop = docs.unionByName(
+      Seq(("b", "common tail"), ("c", "common tail"), ("a", "common tail"))
+        .toDF("source", "text"))
+    val capped = Ngrams.sourceOverlap(withStop, n = 2, maxSourcesPerGram = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(capped === Map(("a", "b") -> 2L),
+      s"the all-source gram must be capped out: $capped")
+  }
 }
