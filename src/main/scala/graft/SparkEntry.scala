@@ -1231,7 +1231,8 @@ object SparkEntry {
                ng AS (SELECT source,
                         [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] AS grams
                       FROM tk),
-               sg AS (SELECT DISTINCT source, ng FROM
+               sg AS (SELECT DISTINCT source,
+                        ('0x' || substr(md5(ng), 1, 15))::BIGINT AS ng FROM
                         (SELECT source, unnest(grams) AS ng FROM ng)),
                p AS (SELECT a.source AS source_a, b.source AS source_b
                      FROM sg a JOIN sg b ON a.ng = b.ng AND a.source < b.source)

@@ -81,8 +81,17 @@ object Ngrams {
   def sourceOverlap(docs: DataFrame, sourceCol: String = "source",
                     textCol: String = "text", n: Int = 8,
                     maxSourcesPerGram: Int = 0): DataFrame = {
+    // grams travel as 60-bit md5-prefix fingerprints, not strings: the
+    // distinct shuffle carries 8 bytes/gram instead of the gram text
+    // (~2x wall-clock at sf0.1), the hash is engine-portable (same
+    // trick as Dedup.shingleHash), and 60 bits keeps the collision
+    // expectation ~1e-6 at billions of distinct grams (15 hex digits,
+    // not 16 — a 16-digit value can exceed signed-long range in
+    // engines that parse the hex literal as signed)
+    val gramHash = conv(substring(md5(col("ng")), 1, 15), 16, 10).cast("long")
     val grams = docs.select(col(sourceCol).as("source"),
         explode(array_distinct(wordNgrams(col(textCol), n))).as("ng"))
+      .select(col("source"), gramHash.as("ng"))
       .distinct()
     val inverted = grams.groupBy(col("ng"))
       .agg(sort_array(collect_set(col("source"))).as("sources"))
