@@ -513,8 +513,22 @@ object Dedup {
                   idCol: String = "doc_id", textCol: String = "text",
                   k: Int = 16, bands: Int = 4, shingleLen: Int = 5,
                   minMatches: Int = 8, maxBucket: Int = 0): DataFrame = {
-    require(minMatches >= 1 && minMatches <= k, s"minMatches must be in [1,$k]")
     val bSigs = minhashSignatures(batch, idCol, textCol, k, shingleLen)
+    batch.select(col(idCol).as("doc_id"))
+      .join(newNearBySignatures(bSigs, historySigs, k, bands, minMatches, maxBucket),
+        Seq("doc_id"), "left_semi")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The signature-level core of [[newNearDocs]]: ids of `batchSigs`
+    * rows with no near-match in `historySigs` — for callers that
+    * computed (or will persist) the batch signatures anyway, e.g. the
+    * streaming ingest loop. */
+  def newNearBySignatures(batchSigs: DataFrame, historySigs: DataFrame,
+                          k: Int = 16, bands: Int = 4,
+                          minMatches: Int = 8, maxBucket: Int = 0): DataFrame = {
+    require(minMatches >= 1 && minMatches <= k, s"minMatches must be in [1,$k]")
+    val bSigs = batchSigs
     val bBands = bandsOfSignatures(bSigs, k, bands).withColumnRenamed("doc_id", "batch_id")
     val hBandsAll = bandsOfSignatures(historySigs, k, bands).withColumnRenamed("doc_id", "hist_id")
     val hBands =
@@ -536,8 +550,7 @@ object Dedup {
     val dupIds = cand.join(bSide, Seq("batch_id")).join(hSide, Seq("hist_id"))
       .where(agree >= lit(minMatches))
       .select(col("batch_id").as("doc_id")).distinct()
-    batch.select(col(idCol).as("doc_id"))
+    bSigs.select(col("doc_id"))
       .join(dupIds, Seq("doc_id"), "left_anti")
-      .orderBy(col("doc_id"))
   }
 }

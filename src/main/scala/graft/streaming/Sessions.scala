@@ -237,11 +237,24 @@ object Sessions {
     *
     * The bloom sketch lives at `bloomPath` (one binary row); sizing
     * (`expectedItems`/`numBits`) is fixed at first write — merges
-    * require identical geometry. */
+    * require identical geometry.
+    *
+    * Pass `sigPath` to ALSO near-dedup each batch against everything
+    * ingested so far: exact survivors are minhash-signed once, probed
+    * against the persisted signature table
+    * ([[graft.operators.Dedup.newNearBySignatures]] — banding +
+    * signature-agreement verify, history text never read), and the
+    * survivors' signatures land in `sigPath/batch_id=<id>` under the
+    * same replay discipline (per-batch overwrite, self-partition
+    * exclusion). Near-dup pairs WITHIN one batch both survive — the
+    * near filter is against history by design; run the batch through
+    * [[graft.operators.Dedup.dedupDocuments]] first if intra-batch
+    * near-collapse is wanted. */
   def streamIngestDedup(docs: DataFrame, corpusPath: String, indexPath: String,
                         bloomPath: String, checkpoint: String,
                         idCol: String = "doc_id", textCol: String = "text",
                         expectedItems: Long = 1000000L, numBits: Long = 1L << 23,
+                        sigPath: String = null,
                         trigger: org.apache.spark.sql.streaming.Trigger =
                           org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -278,7 +291,25 @@ object Sessions {
               .select(col("doc_id").as(idCol))
             reps.join(newIds, Seq(idCol), "left_semi")
           }
-        val out = survivors.localCheckpoint() // one computation, three writes
+        // optional near-dup stage: sign the exact survivors ONCE, probe
+        // the persisted signature table (minus this batch's own
+        // partition), keep only near-new docs and their signatures
+        val (nearKept, keptSigs) =
+          if (sigPath == null) (survivors, None)
+          else {
+            val bSigs = graft.operators.Dedup.minhashSignatures(
+              survivors, idCol, textCol)
+            val keepIds =
+              if (!exists(sigPath)) bSigs.select(col("doc_id"))
+              else graft.operators.Dedup.newNearBySignatures(bSigs,
+                spark.read.parquet(sigPath).where(col("batch_id") =!= batchId))
+            val keep = keepIds.withColumnRenamed("doc_id", idCol)
+            (survivors.join(keep, Seq(idCol), "left_semi"),
+              Some(bSigs.join(keepIds, Seq("doc_id"), "left_semi")))
+          }
+        val out = nearKept.localCheckpoint() // one computation, N writes
+        keptSigs.foreach(_.write.mode("overwrite")
+          .parquet(s"$sigPath/batch_id=$batchId"))
         out.drop("__fp").write.mode("overwrite")
           .parquet(s"$corpusPath/batch_id=$batchId")
         out.select(col(idCol).as("doc_id"), col("__fp").as("fingerprint"))

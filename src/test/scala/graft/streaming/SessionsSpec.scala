@@ -252,6 +252,36 @@ class SessionsSpec extends SparkSuite {
     assert(corpus2 === corpus, s"replayed input must be fully deduped: $corpus2")
   }
 
+  test("streamIngestDedup with sigPath also drops near-duplicate re-crawls") {
+    val dir = Files.createTempDirectory("graft-ingest-near").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def para(tag: String) =
+      s"the quick brown fox $tag jumps over the lazy dog while seventeen " +
+        "sailors watch from the harbor wall and debate the merits of " +
+        "distributed deduplication at considerable length"
+    def write(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/in/$name")
+    write("f1", Seq((1L, para("one")), (2L, para("two"))))
+    // batch 2: a lightly-EDITED re-crawl of doc 1 (near-dup, not exact)
+    // and one genuinely new doc
+    write("f2", Seq((10L, para("one") + " appended"),
+      (11L, "a completely unrelated piece of writing about gardening and soup")))
+    val schema = spark.read.parquet(s"$dir/in/f1").schema
+    val q = Sessions.streamIngestDedup(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/in/*"),
+      s"$dir/corpus", s"$dir/index", s"$dir/bloom", s"$dir/ckpt",
+      sigPath = s"$dir/sigs")
+    q.awaitTermination(60000)
+    val corpus = spark.read.parquet(s"$dir/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus === Set(1L, 2L, 11L),
+      s"the edited re-crawl must be caught by the signature probe: $corpus")
+    // the signature table holds exactly the ingested docs
+    val sigs = spark.read.parquet(s"$dir/sigs")
+    assert(sigs.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 11L))
+  }
+
   test("enrichWithDim joins a stream against a static dim per micro-batch") {
     val dir = Files.createTempDirectory("graft-enrich").toString
     events.write.parquet(s"$dir/in")
