@@ -1266,7 +1266,7 @@ object SparkEntry {
                n AS (SELECT count(*) AS n_tok FROM term)
            SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
              CAST(sum(CAST(round(tf.tf * ln(cnt::DOUBLE / n_tok::DOUBLE), 6)
-               AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS logprob
+               AS DECIMAL(18,6))) AS DOUBLE) AS logprob
            FROM tf JOIN ct USING (term), n
            GROUP BY tf.doc_id ORDER BY tf.doc_id""",
       "q_fuzzy_match" -> // same blocking (first token) + exact edit-distance verify

@@ -72,9 +72,13 @@ object CorpusStats {
         round(col("tf") * log(col("cnt").cast("double") / col("n_tok").cast("double")), 6)
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("contrib"))
       .groupBy(col("doc_id"))
+      // decimal sum (exact, order-independent) RENDERED as double —
+      // the repo-wide `dsum` convention: raw DECIMAL output hashes
+      // differently across engines (scale/trailing-zero repr), double
+      // is canonical. The cast happens AFTER the sum, so exactness of
+      // the aggregation is unaffected.
       .agg(sum(col("tf")).cast("long").as("n_tokens"),
-        sum(col("contrib")).cast(org.apache.spark.sql.types.DecimalType(18, 6))
-          .as("logprob"))
+        sum(col("contrib")).cast("double").as("logprob"))
       .orderBy(col("doc_id"))
   }
 

@@ -29,7 +29,7 @@ class CorpusStatsSpec extends SparkSuite {
   test("unigramLogprob: hand-computed on a 3-token vocabulary") {
     val docs = Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text")
     val rows = CorpusStats.unigramLogprob(docs).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     // N = 5; counts: x=3, y=1, z=1; per-term contribs rounded to 6dp
     def c(tf: Long, cnt: Long) =
       BigDecimal(tf * math.log(cnt / 5.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
