@@ -38,7 +38,7 @@ object Bench {
     // A throwing query records -1.0 (with a stderr note), never a
     // normal-looking timing — a broken query must not masquerade as a
     // fast pass in the round's bench JSON.
-    val results = selected.map { case (name, fn) =>
+    val results = selected.toSeq.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -53,10 +53,18 @@ object Bench {
       val ok = times.filter(_ >= 0)
       name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision (9-decimal doubles double the payload for noise),
+    // slowest-first so a truncated capture drops the cheap queries,
+    // not the expensive ones the regression gate cares about.
+    def ms(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.sortBy { case (_, v) => -v }
+      .map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     spark.stop()
+    // stop Spark BEFORE printing so no straggler executor log line can
+    // land after the JSON; the driver reads the tail of stdout.
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }
