@@ -197,6 +197,148 @@ object Lake {
       existing.join(updates.select(keys.map(col): _*), keys, "left_anti"))
   }
 
+  /** Partition column of the key-bucketed table layout. Named with a
+    * leading underscore so it can't collide with user columns; the
+    * `=`-bearing partition dirs (`__kb=7/`) stay visible to Spark's
+    * listing (only underscore names WITHOUT `=` are filtered). */
+  val BucketCol = "__kb"
+
+  /** Deterministic bucket id for a key tuple: `pmod(hash(keys), n)`.
+    * Every row of a key lives in exactly one bucket, so any keyed
+    * maintenance op only ever needs the buckets its input keys map
+    * to. */
+  def keyBucket(keys: Seq[String], numBuckets: Int): org.apache.spark.sql.Column =
+    pmod(hash(keys.map(col): _*), lit(numBuckets))
+
+  /** Materialize `df` in the key-bucketed layout: hive-partitioned by
+    * [[BucketCol]] = [[keyBucket]]. `numBuckets` fixes the layout —
+    * every later [[upsertByKeyPartitioned]]/[[mergeIntoKeyBucketed]]
+    * call must pass the same value (the bucket function must agree
+    * with the directories on disk). Size it so one bucket ≈ a few GB
+    * at the target scale: 100 TB / 4096 buckets ≈ 25 GB per rewrite
+    * unit. */
+  def writeKeyBucketed(df: DataFrame, path: String, keys: Seq[String],
+                       numBuckets: Int): Unit =
+    df.withColumn(BucketCol, keyBucket(keys, numBuckets))
+      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(path)
+
+  /** Read a key-bucketed table back at its logical schema (the
+    * physical [[BucketCol]] dropped), healing any crashed bucket swap
+    * first. Filters on the key still prune: add
+    * `where(keyBucket(keys, n) === ...)` manually, or read with
+    * [[BucketCol]] via plain `spark.read.parquet` for explicit
+    * bucket-pruned scans. */
+  def readKeyBucketed(spark: SparkSession, path: String): DataFrame = {
+    healKeyBucketed(spark, path)
+    spark.read.parquet(path).drop(BucketCol)
+  }
+
+  /** Heal a key-bucketed table whose per-bucket swap crashed: any
+    * bucket parked in the `.__aside` sibling with NO live partition
+    * dir is restored (crash between "move aside" and "promote");
+    * parked copies whose live dir exists are leftovers from a crash
+    * after the promote and are cleared. One directory listing — no
+    * data read. */
+  def healKeyBucketed(spark: SparkSession, path: String): Unit = {
+    val asideRoot = new org.apache.hadoop.fs.Path(path + ".__aside")
+    val fs = asideRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(asideRoot)) return
+    fs.listStatus(asideRoot).foreach { s =>
+      val live = new org.apache.hadoop.fs.Path(path, s.getPath.getName)
+      if (!fs.exists(live)) {
+        if (!fs.rename(s.getPath, live))
+          throw new java.io.IOException(
+            s"failed to restore crashed bucket swap: ${s.getPath} -> $live")
+      } else fs.delete(s.getPath, true): Unit
+    }
+  }
+
+  /** Bounded-rewrite MERGE into a key-bucketed table: apply
+    * `merge(existingTouchedRows, incoming)` and rewrite ONLY the
+    * bucket partitions the incoming keys map to. The whole-table
+    * rewrite of [[upsertByKey]]+[[overwriteSelf]] is O(table) per
+    * call — at 100 TB a CDC stream would spend all its time rewriting
+    * unchanged data; this is O(touched buckets) ≈
+    * O(|incoming| / numBuckets × table), the shape a transactional
+    * format's MERGE has.
+    *
+    * Mechanics: the touched-bucket set comes from one distinct on the
+    * incoming keys' bucket ids (≤ numBuckets values — a bounded driver
+    * collect); existing rows are read with a [[BucketCol]] filter the
+    * scan prunes to those directories; the merged result is staged to
+    * a `.__staging` sibling and each touched bucket dir is swapped in
+    * with the same move-aside / promote / delete ordering as
+    * [[overwriteSelf]] — each bucket individually atomic and
+    * crash-healing ([[healKeyBucketed]]), matching Hive
+    * dynamic-partition-overwrite semantics (per-partition, not
+    * cross-partition, atomicity; a table format's MERGE is the
+    * upgrade path). Untouched bucket directories are never listed,
+    * read, or written — their files stay byte-identical.
+    *
+    * `merge` receives the existing touched rows at the LOGICAL schema
+    * (no [[BucketCol]]; empty when the table doesn't exist yet) and
+    * must return the full replacement row set for those buckets.
+    * Returns the touched bucket ids. */
+  def mergeIntoKeyBucketed(spark: SparkSession, path: String, incoming: DataFrame,
+                           keys: Seq[String], numBuckets: Int)
+                          (merge: (DataFrame, DataFrame) => DataFrame): Seq[Int] = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    healKeyBucketed(spark, path)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val touched = incoming.select(keyBucket(keys, numBuckets).as(BucketCol))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return touched
+    val tableExists = fs.exists(target)
+    val existingTouched =
+      if (!tableExists) incoming.limit(0)
+      else spark.read.parquet(path)
+        .where(col(BucketCol).isin(touched.map(Int.box): _*))
+        .drop(BucketCol)
+    val merged = merge(existingTouched, incoming)
+      .withColumn(BucketCol, keyBucket(keys, numBuckets))
+    if (!tableExists) {
+      merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(path)
+      return touched
+    }
+    val stagingRoot = new org.apache.hadoop.fs.Path(path + ".__staging")
+    val asideRoot = new org.apache.hadoop.fs.Path(path + ".__aside")
+    // the staged write EXECUTES the merge plan (which reads the live
+    // bucket dirs) — all reads complete before any swap below
+    merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .parquet(stagingRoot.toString)
+    fs.mkdirs(asideRoot)
+    touched.foreach { k =>
+      val part = s"$BucketCol=$k"
+      val live = new org.apache.hadoop.fs.Path(target, part)
+      val staged = new org.apache.hadoop.fs.Path(stagingRoot, part)
+      val aside = new org.apache.hadoop.fs.Path(asideRoot, part)
+      if (fs.exists(aside)) fs.delete(aside, true)
+      if (fs.exists(live) && !fs.rename(live, aside))
+        throw new java.io.IOException(s"failed to move $live aside to $aside")
+      if (fs.exists(staged) && !fs.rename(staged, live)) {
+        val restored = fs.exists(aside) && fs.rename(aside, live)
+        throw new java.io.IOException(s"failed to promote $staged into $live" +
+          (if (restored) " (original restored)" else s" (original left at $aside)"))
+      }
+      fs.delete(aside, true): Unit
+    }
+    fs.delete(stagingRoot, true)
+    fs.delete(asideRoot, true) // empty after the loop — no residue dirs
+    touched
+  }
+
+  /** [[upsertByKey]] against a key-bucketed table ON DISK, rewriting
+    * only the touched buckets. Same contract (`updates` at most one
+    * row per key; updates win, untouched keys survive), same merged
+    * table via [[readKeyBucketed]] — but the rewrite cost is bounded
+    * by the buckets the update keys land in, not the table size. */
+  def upsertByKeyPartitioned(spark: SparkSession, path: String, updates: DataFrame,
+                             keys: Seq[String], numBuckets: Int): Seq[Int] =
+    mergeIntoKeyBucketed(spark, path, updates, keys, numBuckets) {
+      (existing, ups) => upsertByKey(existing, ups, keys)
+    }
+
   /** Small-file compaction ([EXT]): rewrite `path` so each output
     * file is near `targetFileBytes`. Small files are the classic lake
     * pathology — every incremental append/streaming micro-batch adds

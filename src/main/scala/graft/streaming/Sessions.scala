@@ -178,11 +178,20 @@ object Sessions {
     * after a crash re-applies the same rows (idempotent), an old
     * change arriving in a later batch can never regress a newer row
     * (a plain key-upsert would), and within-batch duplicates collapse
-    * deterministically. The swap goes through [[Lake.overwriteSelf]]
-    * (Hadoop FS stage-and-rename), so a crash mid-swap heals on the
-    * next batch. */
+    * deterministically.
+    *
+    * The table lives in [[Lake]]'s key-bucketed layout
+    * (`__kb=<pmod(hash(keys), numBuckets)>` partitions) and each
+    * batch rewrites ONLY the buckets its keys land in
+    * ([[Lake.mergeIntoKeyBucketed]]) — a whole-table rewrite per
+    * micro-batch is O(table) and would dominate a 100 TB CDC stream;
+    * this is O(changed buckets). Each bucket swap is individually
+    * atomic and crash-healing; read the current state via
+    * [[Lake.readKeyBucketed]]. `numBuckets` fixes the on-disk layout
+    * at first write — later runs must pass the same value. */
   def streamUpsert(changes: DataFrame, tablePath: String, checkpoint: String,
                    keys: Seq[String], seqCol: String,
+                   numBuckets: Int = 64,
                    trigger: org.apache.spark.sql.streaming.Trigger =
                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -191,27 +200,30 @@ object Sessions {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        graft.sources.Lake.healCrashedOverwrite(spark, tablePath)
-        val target = new org.apache.hadoop.fs.Path(tablePath)
-        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val all =
-          if (fs.exists(target)) {
-            val existing = spark.read.parquet(tablePath)
-            existing.unionByName(batch.select(existing.columns.toIndexedSeq.map(col): _*))
-          } else batch
-        // highest sequence per key wins: min_by on the NEGATED
-        // sequence. The payload columns follow as tiebreaks — two
-        // rows with the SAME key and seq but different payloads must
-        // pick a partitioning-independent winner (the sequence alone
-        // is not a total order, and keyedDeterministicAgg requires
-        // one for determinism)
-        val withNeg = all.withColumn("__neg_seq", -col(seqCol))
-        val payloadTiebreaks = withNeg.columns.toSeq
-          .filterNot(c => keys.contains(c) || c == "__neg_seq")
-        val merged = graft.operators.Dedup.keyedDeterministicAgg(
-          withNeg, keys, ("__neg_seq" +: payloadTiebreaks): _*)
-          .drop("__neg_seq")
-        graft.sources.Lake.overwriteSelf(merged, tablePath)
+        graft.sources.Lake.mergeIntoKeyBucketed(
+          spark, tablePath, batch, keys, numBuckets) { (existing, incoming) =>
+          val all = existing.unionByName(
+            incoming.select(existing.columns.toIndexedSeq.map(col): _*))
+          // highest sequence per key wins: min_by on the NEGATED
+          // sequence. ORDERABLE payload columns follow as tiebreaks —
+          // two rows with the SAME key and seq but different payloads
+          // must pick a partitioning-independent winner (the sequence
+          // alone is not a total order, and keyedDeterministicAgg
+          // requires one for determinism). Non-orderable payloads
+          // (maps) are skipped: they can't join the ordering, so a
+          // same-key-same-seq conflict differing ONLY in a map column
+          // falls back to whichever row the ordered columns pick.
+          val withNeg = all.withColumn("__neg_seq", -col(seqCol))
+          val payloadTiebreaks = withNeg.schema.fields.toSeq
+            .filterNot(f => keys.contains(f.name) || f.name == "__neg_seq" ||
+              f.name == seqCol)
+            .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+              .isOrderable(f.dataType))
+            .map(_.name)
+          graft.operators.Dedup.keyedDeterministicAgg(
+            withNeg, keys, ("__neg_seq" +: payloadTiebreaks): _*)
+            .drop("__neg_seq")
+        }
         ()
       }
       .start()

@@ -136,6 +136,77 @@ class LakeSpec extends SparkSuite {
     assert(diff === Set((2L, "changed"), (4L, "added")))
   }
 
+  test("upsertByKeyPartitioned rewrites only touched buckets; rest byte-identical") {
+    val dir = tmp()
+    val path = s"$dir/table"
+    val n = 8
+    val base = (1L to 40L).map(k => (k, s"v$k", k * 1.0)).toDF("id", "v", "m")
+    Lake.writeKeyBucketed(base, path, Seq("id"), n)
+    // per-file (name -> bytes) snapshot of every bucket directory
+    def snapshot(): Map[String, Map[String, Array[Byte]]] =
+      new java.io.File(path).listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().filter(_.isFile)
+          .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath)).toMap
+      }.toMap
+    val before = snapshot()
+    val updates = Seq((7L, "v7-new", 777.0), (41L, "v41", 41.0)).toDF("id", "v", "m")
+    val touched = Lake.upsertByKeyPartitioned(spark, path, updates, Seq("id"), n)
+    val expectedTouched = updates.select(Lake.keyBucket(Seq("id"), n))
+      .distinct().as[Int].collect().toSeq.sorted
+    assert(touched === expectedTouched)
+    // merged-table contract identical to the in-memory upsertByKey
+    val got = Lake.readKeyBucketed(spark, path)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val want = Lake.upsertByKey(base, updates, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq === want.toSeq)
+    // every untouched bucket's files are BYTE-identical (same names,
+    // same contents) — the bounded-rewrite guarantee
+    val after = snapshot()
+    val touchedDirs = touched.map(k => s"${Lake.BucketCol}=$k").toSet
+    val untouched = before.keySet.filterNot(touchedDirs)
+    assert(untouched.nonEmpty, "test needs at least one untouched bucket")
+    untouched.foreach { bucket =>
+      val (b, a) = (before(bucket), after(bucket))
+      assert(a.keySet === b.keySet, s"$bucket file set changed")
+      b.foreach { case (f, bytes) =>
+        assert(java.util.Arrays.equals(a(f), bytes), s"$bucket/$f bytes changed")
+      }
+    }
+    // and the touched buckets did change
+    assert(touchedDirs.exists(d => before.get(d) != after.get(d)))
+    // no staging/aside residue
+    assert(!new java.io.File(path + ".__staging").exists())
+    assert(!new java.io.File(path + ".__aside").exists())
+  }
+
+  test("healKeyBucketed restores a bucket parked mid-swap; clears stale parks") {
+    val dir = tmp()
+    val path = s"$dir/table"
+    val n = 4
+    Lake.writeKeyBucketed((1L to 20L).map(k => (k, k * 2)).toDF("id", "x"),
+      path, Seq("id"), n)
+    val buckets = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(buckets.length >= 2)
+    val asideRoot = new java.io.File(path + ".__aside")
+    asideRoot.mkdirs()
+    // crash between move-aside and promote: live dir missing, park present
+    val crashed = buckets.head
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(path, crashed),
+      java.nio.file.Paths.get(asideRoot.toString, crashed))
+    // crash after promote: live dir present AND a stale park of it
+    val stale = buckets.last
+    val staleDir = new java.io.File(asideRoot, stale)
+    staleDir.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(staleDir.toString, "junk.parquet"), "junk")
+    val before = Lake.readKeyBucketed(spark, path) // heals on read
+    assert(before.count() === 20)
+    assert(new java.io.File(path, crashed).exists(), "parked bucket restored")
+    assert(!staleDir.exists(), "stale park cleared")
+  }
+
   test("ingestJson reads newline-delimited records, with or without a schema") {
     val dir = tmp()
     Files.writeString(java.nio.file.Paths.get(s"$dir/t.json"),

@@ -192,13 +192,34 @@ class SessionsSpec extends SparkSuite {
     val again = spark.read.parquet(s"$dir/table")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(again === state)
-    // late replay of an OLD change (seq 1 for k=1) must not regress the row
+    // late replay of an OLD change (seq 1 for k=1) must not regress the
+    // row — and the batch must rewrite ONLY k=1's bucket: every other
+    // bucket directory's files stay byte-identical (bounded rewrite)
+    def snapshot(): Map[String, Map[String, Array[Byte]]] =
+      new java.io.File(s"$dir/table").listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().filter(_.isFile)
+          .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath)).toMap
+      }.toMap
+    val beforeReplay = snapshot()
     write("f3", Seq((1L, 1L, "a0-replay")))
     run()
     val healed = spark.read.parquet(s"$dir/table")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(healed(1L) === ((2L, "a1")),
       s"an old change replayed late must not regress the newer row: $healed")
+    val afterReplay = snapshot()
+    val k1Bucket = Seq(Tuple1(1L)).toDF("k")
+      .select(graft.sources.Lake.keyBucket(Seq("k"), 64)).head().getInt(0)
+    val untouched = beforeReplay.keySet - s"${graft.sources.Lake.BucketCol}=$k1Bucket"
+    assert(untouched.nonEmpty)
+    untouched.foreach { bucket =>
+      assert(afterReplay(bucket).keySet === beforeReplay(bucket).keySet,
+        s"$bucket file set changed by an unrelated batch")
+      beforeReplay(bucket).foreach { case (f, bytes) =>
+        assert(java.util.Arrays.equals(afterReplay(bucket)(f), bytes),
+          s"$bucket/$f rewritten by a batch that didn't touch its keys")
+      }
+    }
     // EQUAL-seq conflict in one batch: the payload tiebreak picks a
     // deterministic (lexicographically smallest) winner, and a re-run
     // over the same input keeps it — the seq alone is not a total order
