@@ -385,12 +385,25 @@ object Lake {
     * turns this into pure directory drops — this row-level form is
     * the fallback for unpartitioned or mid-partition expiry. */
   def expire(spark: SparkSession, path: String,
-             keep: org.apache.spark.sql.Column): (Long, Long) = {
+             keep: org.apache.spark.sql.Column,
+             withCounts: Boolean = true): (Long, Long) = {
     healCrashedOverwrite(spark, path)
     val before = spark.read.parquet(path)
-    val nBefore = before.count()
-    overwriteSelf(before.where(keep), path)
-    (nBefore, spark.read.parquet(path).count())
+    if (!withCounts) { // pure pushdown rewrite: row groups outside the
+      overwriteSelf(before.where(keep), path) // retained range skipped
+      return (-1L, -1L)
+    }
+    // counts ride the rewrite as observe() metrics — ONE scan instead
+    // of count-before + rewrite + count-after (three). The metrics
+    // node pins the scan below the filter (no row-group skipping), so
+    // at 100 TB with a highly-selective pushdown-able predicate,
+    // withCounts=false is the cheaper call.
+    val obs = org.apache.spark.sql.Observation()
+    overwriteSelf(
+      before.observe(obs, count(lit(1)).as("rows_before"),
+          count(when(keep, lit(1))).as("rows_after"))
+        .where(keep), path)
+    (obs.get("rows_before").asInstanceOf[Long], obs.get("rows_after").asInstanceOf[Long])
   }
 
   /** Targeted key deletion ("right to be forgotten" / quarantine
@@ -400,13 +413,24 @@ object Lake {
     * to AQE: a short deletion list broadcasts, a bulk one shuffles.
     * Returns (rowsBefore, rowsAfter). */
   def deleteKeys(spark: SparkSession, path: String,
-                 keys: DataFrame, keyCol: String): (Long, Long) = {
+                 keys: DataFrame, keyCol: String,
+                 withCounts: Boolean = true): (Long, Long) = {
     healCrashedOverwrite(spark, path)
     val before = spark.read.parquet(path)
-    val nBefore = before.count()
+    val remaining = (df: DataFrame) =>
+      df.join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    if (!withCounts) {
+      overwriteSelf(remaining(before), path)
+      return (-1L, -1L)
+    }
+    // both counts observed on the single rewrite pass: input rows
+    // below the anti join, surviving rows above it
+    val obsIn = org.apache.spark.sql.Observation()
+    val obsOut = org.apache.spark.sql.Observation()
     overwriteSelf(
-      before.join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti"), path)
-    (nBefore, spark.read.parquet(path).count())
+      remaining(before.observe(obsIn, count(lit(1)).as("n")))
+        .observe(obsOut, count(lit(1)).as("n")), path)
+    (obsIn.get("n").asInstanceOf[Long], obsOut.get("n").asInstanceOf[Long])
   }
 
   /** Readable-report CSV sink (reference: src/runnerfile.py:550-551

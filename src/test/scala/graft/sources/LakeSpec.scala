@@ -304,12 +304,45 @@ class LakeSpec extends SparkSuite {
     assert(after === 1)
   }
 
+  // stage names (action callsites) of every job launched by `body` —
+  // listener-fed, so wait for the event queue to settle
+  private def stageNamesIn(body: => Unit): Seq[String] = {
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        names.synchronized { names ++= j.stageInfos.map(_.name); () }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      val deadline = System.nanoTime() + 3000000000L
+      var last = -1
+      while (System.nanoTime() < deadline && names.synchronized(names.length) != last) {
+        last = names.synchronized(names.length)
+        Thread.sleep(200)
+      }
+      names.synchronized(names.toSeq)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("expire drops rows outside the retention predicate, atomically") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft-expire").toString
     val path = s"$dir/t"
     spark.range(0, 1000).selectExpr("id", "id % 30 AS age_days").write.parquet(path)
-    val (before, after) = Lake.expire(spark, path, col("age_days") < 7)
+    var result: (Long, Long) = null
+    val stages = stageNamesIn {
+      result = Lake.expire(spark, path, col("age_days") < 7)
+    }
+    // counts ride the rewrite as observe() metrics: no `count at` action
+    // jobs (the old shape ran count + rewrite + count), and exactly one
+    // write pass over the table
+    assert(!stages.exists(_.startsWith("count at")),
+      s"expire must not run count() scans: $stages")
+    assert(stages.count(_.contains("parquet at Lake")) <= 2, // ≤1 footer read + 1 write
+      s"expire must be a single rewrite pass: $stages")
+    val (before, after) = result
     assert(before === 1000L)
     assert(after === spark.read.parquet(path).count())
     val back = spark.read.parquet(path)
@@ -328,7 +361,15 @@ class LakeSpec extends SparkSuite {
     spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v").write.parquet(path)
     // duplicate and irrelevant entries in the deletion list are harmless
     val keys = Seq(3L, 7L, 7L, 999L).toDF("k")
-    val (before, after) = Lake.deleteKeys(spark, path, keys, "k")
+    var result: (Long, Long) = null
+    val stages = stageNamesIn {
+      result = Lake.deleteKeys(spark, path, keys, "k")
+    }
+    // counts come from observe() metrics on the one rewrite pass —
+    // never the old count + rewrite + count table rescans
+    assert(!stages.exists(_.startsWith("count at")),
+      s"deleteKeys must not run count() scans: $stages")
+    val (before, after) = result
     assert(before === 100L && after === 98L)
     val left = spark.read.parquet(path)
     assert(left.where(col("k").isin(3L, 7L)).count() === 0L)
