@@ -127,16 +127,28 @@ object CorpusStats {
     * boilerplate, keyword stuffing, and decoding loops.
     *
     * Shape: pure per-row array expressions — no explode, no shuffle;
-    * the whole computation rides the scan. The inner
-    * distinct×filter scan is O(v·n) per doc (v = distinct tokens),
-    * fine for natural documents; a corpus of pathological million-
-    * token rows would switch to the explode+groupBy spelling. */
+    * the whole computation rides the scan. The top-token count is the
+    * longest equal-run of the SORTED token array (one fold over it) —
+    * O(n log n) per doc, so a pathological million-token row costs a
+    * sort, not the O(v·n) distinct×filter rescans of the naive
+    * spelling (v = distinct tokens; ~n²/2 comparisons on degenerate
+    * crawl junk, exactly what a 100 TB corpus contains). */
   def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     val toks = Text.tokens(lower(col(textCol)))
     val distinctToks = array_distinct(toks)
-    val topCnt = array_max(transform(distinctToks,
-      t => size(filter(toks, x => x === t))))
+    // longest run in sorted order == max token frequency. The fold
+    // state is (previous token, current run, best run); split() never
+    // yields null tokens, so `prev === t` is null only at the first
+    // element (initial null prev), where `otherwise(1)` starts run 1.
+    val topCnt = aggregate(
+      array_sort(toks),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run = when(acc("prev") === t, acc("run") + lit(1)).otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
     val bigrams = bigramsOf(toks)
     docs.select(
       col(idCol).as("doc_id"),

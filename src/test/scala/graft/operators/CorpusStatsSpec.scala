@@ -63,6 +63,24 @@ class CorpusStatsSpec extends SparkSuite {
     assert(n3 === 1L && top3 === 1.0 && dup3 === None)
   }
 
+  test("repetitionSignals: a degenerate 100k-token doc completes fast and exactly") {
+    // half distinct tokens, half one repeated token: the O(v·n)
+    // distinct×filter spelling needs ~2.5e9 comparisons here (minutes);
+    // the sorted-run fold is one 100k sort (milliseconds)
+    val n = 100000
+    val text = ((0 until n / 2).map(i => s"tok$i") ++ Seq.fill(n / 2)("spam"))
+      .mkString(" ")
+    val t0 = System.nanoTime()
+    val row = CorpusStats.repetitionSignals(Seq((1L, text)).toDF("doc_id", "text"))
+      .head()
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(row.getLong(1) === n.toLong)
+    assert(row.getLong(2) === (n / 2 + 1).toLong)
+    assert(math.abs(row.getDouble(3) - 0.5) < 1e-12) // spam is half the doc
+    assert(elapsedSec < 30.0,
+      s"degenerate doc must not hit a quadratic top-token scan ($elapsedSec s)")
+  }
+
   test("corpusCard rolls up volumes, length spread, lang mix, quality share") {
     val docs = Seq(
       // web: one quality doc (7 tokens), one junk doc (digits), two langs
