@@ -929,7 +929,8 @@ object SparkEntry {
                              quantile_cont(l_extendedprice::DOUBLE, 0.75) AS q2
                       FROM lineitem)
            SELECT l_orderkey, l_linenumber, l_extendedprice,
-             CAST(CASE WHEN l_extendedprice::DOUBLE <= q0 THEN 0
+             CAST(CASE WHEN l_extendedprice IS NULL THEN NULL
+                       WHEN l_extendedprice::DOUBLE <= q0 THEN 0
                        WHEN l_extendedprice::DOUBLE <= q1 THEN 1
                        WHEN l_extendedprice::DOUBLE <= q2 THEN 2 ELSE 3 END AS INTEGER)
                AS bucket

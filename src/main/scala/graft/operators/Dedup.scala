@@ -464,14 +464,26 @@ object Dedup {
   /** [[newDocs]] over an already-fingerprinted batch (doc_id,
     * fingerprint) — the entry point for callers that computed the
     * fingerprint anyway (e.g. the streaming ingest loop's intra-batch
-    * collapse), so the normalize+sha256 pass isn't paid twice. */
+    * collapse), so the normalize+sha256 pass isn't paid twice.
+    *
+    * Null fingerprints (null input text) are first-class: the verify
+    * is a NULL-SAFE anti join (`<=>`, still an equi hash join), so
+    * every null-text doc shares one "null content" identity and
+    * dedups across batches like any other fingerprint — a plain
+    * equality join would never match them and re-admit null docs
+    * forever. The bloom fast path is consistent with this:
+    * `xxhash64(null)` is the seed constant, so once a null doc is in
+    * the index's sketch, later null probes hit and fall through to
+    * the exact verify. */
   def newDocsByFingerprint(fpBatch: DataFrame, index: DataFrame,
                            bloom: Array[Byte]): DataFrame = {
     GraftFunctions.register(fpBatch.sparkSession)
+    def antiVerify(batch: DataFrame): DataFrame =
+      batch.join(index.select(col("fingerprint").as("__idx_fp")),
+          col("fingerprint") <=> col("__idx_fp"), "left_anti")
+        .select("doc_id", "fingerprint")
     val survivors =
-      if (bloom == null)
-        fpBatch.join(index.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
-          .select("doc_id", "fingerprint")
+      if (bloom == null) antiVerify(fpBatch)
       else {
         val hit = GraftFunctions.bloomContains(lit(bloom), xxhash64(col("fingerprint")))
         // definitely-new rows bypass the join; only bloom-positives
@@ -479,10 +491,7 @@ object Dedup {
         // batch is scanned twice, but the batch is the small side —
         // the index (the big side) is only read by the verify join,
         // whose probe set is the positive sliver.
-        fpBatch.where(!hit).unionByName(
-          fpBatch.where(hit)
-            .join(index.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
-            .select("doc_id", "fingerprint"))
+        fpBatch.where(!hit).unionByName(antiVerify(fpBatch.where(hit)))
       }
     survivors.select(col("doc_id"), col("fingerprint")).orderBy(col("doc_id"))
   }

@@ -238,7 +238,7 @@ object Sessions {
     * ever rescanning the corpus text.
     *
     * Exactly-once from at-least-once replay, by construction:
-    * corpus/index rows land in a `batch_id=<id>` partition that a
+    * corpus/index rows land in an `ingest_id=<key>` partition that a
     * replayed batch OVERWRITES (same input → same rows), the index
     * read EXCLUDES the current batch's own partition (a crashed
     * attempt's partial index write must not make the replay filter
@@ -246,6 +246,22 @@ object Sessions {
     * re-ORing the same elements is a no-op. A bloom polluted by a
     * crashed attempt is harmless: bloom positives always fall through
     * to the exact index anti-join.
+    *
+    * The partition key is a CONTENT identity — row count plus the
+    * bit-XOR of per-row `xxhash64(id, text)`, an order-independent
+    * digest of the batch's rows — not the checkpoint's batch number.
+    * Batch numbers are stable only within one checkpoint lineage: a
+    * fresh checkpoint (or a changed maxFilesPerTrigger) renumbers
+    * batches from 0, and a positional key would overwrite partitions
+    * holding DIFFERENT documents (silent row loss) while the
+    * own-partition exclusion re-admitted duplicates. Content keys
+    * make re-ingestion against existing tables safe under ANY
+    * batching: a crash replay of the SAME rows lands on the same
+    * partition (overwrite, idempotent), while a re-batched replay
+    * writes fresh partitions whose docs dedup against the old ones
+    * through the index as usual. The digest costs one extra aggregate
+    * over the micro-batch (already materialized by the source — no
+    * input re-read).
     *
     * The bloom sketch lives at `bloomPath` (one binary row); sizing
     * (`expectedItems`/`numBits`) is fixed at first write — merges
@@ -256,7 +272,7 @@ object Sessions {
     * against the persisted signature table
     * ([[graft.operators.Dedup.newNearBySignatures]] — banding +
     * signature-agreement verify, history text never read), and the
-    * survivors' signatures land in `sigPath/batch_id=<id>` under the
+    * survivors' signatures land in `sigPath/ingest_id=<key>` under the
     * same replay discipline (per-batch overwrite, self-partition
     * exclusion). Near-dup pairs WITHIN one batch both survive — the
     * near filter is against history by design; run the batch through
@@ -280,6 +296,16 @@ object Sessions {
         def exists(p: String) =
           new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
             .exists(new org.apache.hadoop.fs.Path(p))
+        // stable content identity of this batch (see scaladoc); the
+        // foreachBatch DF is a materialized LogicalRDD, so the digest
+        // aggregate never re-reads the source
+        val ingestId = {
+          val r = batch.agg(
+            count(lit(1)).cast("long").as("n"),
+            bit_xor(xxhash64(col(idCol), col(textCol))).as("x")).head()
+          val x = if (r.isNullAt(1)) 0L else r.getLong(1)
+          f"n${r.getLong(0)}-x$x%016x"
+        }
         // one row per distinct content within the batch (min-id keeper)
         val reps = graft.operators.Dedup.keyedDeterministicAgg(
           batch.withColumn("__fp", graft.functions.Text.fingerprint(col(textCol))),
@@ -290,7 +316,7 @@ object Sessions {
             // exclude this batch's own partition: a crashed attempt's
             // index write must not hide the replay's documents
             val index = spark.read.parquet(indexPath)
-              .where(col("batch_id") =!= batchId)
+              .where(col("ingest_id") =!= ingestId)
             val bloom =
               if (exists(bloomPath))
                 spark.read.parquet(bloomPath).head().getAs[Array[Byte]]("bloom")
@@ -314,18 +340,18 @@ object Sessions {
             val keepIds =
               if (!exists(sigPath)) bSigs.select(col("doc_id"))
               else graft.operators.Dedup.newNearBySignatures(bSigs,
-                spark.read.parquet(sigPath).where(col("batch_id") =!= batchId))
+                spark.read.parquet(sigPath).where(col("ingest_id") =!= ingestId))
             val keep = keepIds.withColumnRenamed("doc_id", idCol)
             (survivors.join(keep, Seq(idCol), "left_semi"),
               Some(bSigs.join(keepIds, Seq("doc_id"), "left_semi")))
           }
         val out = nearKept.localCheckpoint() // one computation, N writes
         keptSigs.foreach(_.write.mode("overwrite")
-          .parquet(s"$sigPath/batch_id=$batchId"))
+          .parquet(s"$sigPath/ingest_id=$ingestId"))
         out.drop("__fp").write.mode("overwrite")
-          .parquet(s"$corpusPath/batch_id=$batchId")
+          .parquet(s"$corpusPath/ingest_id=$ingestId")
         out.select(col(idCol).as("doc_id"), col("__fp").as("fingerprint"))
-          .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+          .write.mode("overwrite").parquet(s"$indexPath/ingest_id=$ingestId")
         val batchBloom = graft.operators.Dedup.fingerprintBloom(
           out.select(col("__fp").as("fingerprint")), "fingerprint",
           expectedItems, numBits)

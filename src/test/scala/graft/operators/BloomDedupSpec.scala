@@ -76,6 +76,27 @@ class BloomDedupSpec extends SparkSuite {
       "a missing sketch must degrade to the exact anti-join, not re-ingest duplicates")
   }
 
+  test("null-text docs dedup across batches instead of re-admitting forever") {
+    // history already ingested one null-text doc; the batch carries two
+    // more plus one real new doc. Null fingerprints must match the
+    // indexed null (null-safe verify) — with and without a bloom.
+    val history = Seq((1L, "real history doc"), (2L, null)).toDF("doc_id", "text")
+    val batch = Seq((10L, null), (11L, null), (12L, "genuinely new doc"))
+      .toDF("doc_id", "text")
+    val index = Dedup.fingerprintIndex(history)
+    val bloom = Dedup.fingerprintBloom(index)
+    Seq(bloom, null).foreach { b =>
+      val got = Dedup.newDocs(batch, index, b).select("doc_id").as[Long].collect().sorted
+      assert(got.toSeq === Seq(12L),
+        s"null-text docs must dedup against the indexed null (bloom=${b != null}): ${got.toSeq}")
+    }
+    // no null in history: the batch's null docs are new (once)
+    val freshIndex = Dedup.fingerprintIndex(history.where(col("text").isNotNull))
+    val got2 = Dedup.newDocs(batch, freshIndex, Dedup.fingerprintBloom(freshIndex))
+      .select("doc_id").as[Long].collect().sorted
+    assert(got2.toSeq === Seq(10L, 11L, 12L))
+  }
+
   test("the sketch survives a parquet round trip (build once, probe per batch)") {
     val (history, batch) = corpus
     val index = Dedup.fingerprintIndex(history)

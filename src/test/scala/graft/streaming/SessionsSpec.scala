@@ -244,9 +244,9 @@ class SessionsSpec extends SparkSuite {
     // batch 2: one new doc + a re-crawl of doc 2's content
     write("f2", Seq((10L, "gamma document"), (11L, "beta document")))
     val schema = spark.read.parquet(s"$dir/in/f1").schema
-    def run(ckpt: String): Unit = {
+    def run(ckpt: String, maxFiles: Int = 1): Unit = {
       val q = Sessions.streamIngestDedup(
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", maxFiles.toString)
           .parquet(s"$dir/in/*"),
         s"$dir/corpus", s"$dir/index", s"$dir/bloom", ckpt)
       q.awaitTermination(60000)
@@ -271,6 +271,20 @@ class SessionsSpec extends SparkSuite {
     val corpus2 = spark.read.parquet(s"$dir/corpus")
       .select("doc_id").as[Long].collect().toSet
     assert(corpus2 === corpus, s"replayed input must be fully deduped: $corpus2")
+    // a fresh checkpoint with DIFFERENT batch boundaries (2 files per
+    // trigger instead of 1, plus a new file): content-keyed ingest
+    // partitions mean the renumbered batches can't overwrite older
+    // partitions holding different documents — no row loss, no
+    // re-admitted duplicates, and the new doc lands exactly once
+    write("f3", Seq((20L, "delta document"), (21L, "alpha document")))
+    run(s"$dir/ckpt3", maxFiles = 2)
+    val corpus3 = spark.read.parquet(s"$dir/corpus")
+    assert(corpus3.select("doc_id").as[Long].collect().toSet === corpus + 20L,
+      "re-batched replay must lose nothing and admit only the new doc")
+    val index3 = spark.read.parquet(s"$dir/index")
+    assert(index3.count() === 4L)
+    assert(index3.select("fingerprint").distinct().count() === 4L,
+      "no duplicate content may enter the index under re-batching")
   }
 
   test("streamIngestDedup with sigPath also drops near-duplicate re-crawls") {
