@@ -521,10 +521,12 @@ object Dedup {
   def newNearDocs(batch: DataFrame, historySigs: DataFrame,
                   idCol: String = "doc_id", textCol: String = "text",
                   k: Int = 16, bands: Int = 4, shingleLen: Int = 5,
-                  minMatches: Int = 8, maxBucket: Int = 0): DataFrame = {
+                  minMatches: Int = 8, maxBucket: Int = 0,
+                  materialize: Boolean = false): DataFrame = {
     val bSigs = minhashSignatures(batch, idCol, textCol, k, shingleLen)
     batch.select(col(idCol).as("doc_id"))
-      .join(newNearBySignatures(bSigs, historySigs, k, bands, minMatches, maxBucket),
+      .join(newNearBySignatures(bSigs, historySigs, k, bands, minMatches, maxBucket,
+          materialize),
         Seq("doc_id"), "left_semi")
       .orderBy(col("doc_id"))
   }
@@ -532,12 +534,21 @@ object Dedup {
   /** The signature-level core of [[newNearDocs]]: ids of `batchSigs`
     * rows with no near-match in `historySigs` — for callers that
     * computed (or will persist) the batch signatures anyway, e.g. the
-    * streaming ingest loop. */
+    * streaming ingest loop.
+    *
+    * The batch-signature plan feeds THREE operators here (its band
+    * rows, the verify join's probe side, and the final anti join) and
+    * Spark does not reuse common subtrees across joins — an
+    * expression-defined `batchSigs` (shingle explode + k min-aggs)
+    * would be recomputed three times. `materialize = true` pins it
+    * once via localCheckpoint before planning; skip it only when
+    * `batchSigs` is already a table scan. */
   def newNearBySignatures(batchSigs: DataFrame, historySigs: DataFrame,
                           k: Int = 16, bands: Int = 4,
-                          minMatches: Int = 8, maxBucket: Int = 0): DataFrame = {
+                          minMatches: Int = 8, maxBucket: Int = 0,
+                          materialize: Boolean = false): DataFrame = {
     require(minMatches >= 1 && minMatches <= k, s"minMatches must be in [1,$k]")
-    val bSigs = batchSigs
+    val bSigs = if (materialize) batchSigs.localCheckpoint() else batchSigs
     val bBands = bandsOfSignatures(bSigs, k, bands).withColumnRenamed("doc_id", "batch_id")
     val hBandsAll = bandsOfSignatures(historySigs, k, bands).withColumnRenamed("doc_id", "hist_id")
     val hBands =

@@ -335,8 +335,11 @@ object Sessions {
         val (nearKept, keptSigs) =
           if (sigPath == null) (survivors, None)
           else {
+            // localCheckpoint: the signature subtree (shingle explode +
+            // k min-aggs) otherwise recomputes in each of the probe's
+            // three joins AND the signature write below
             val bSigs = graft.operators.Dedup.minhashSignatures(
-              survivors, idCol, textCol)
+              survivors, idCol, textCol).localCheckpoint()
             val keepIds =
               if (!exists(sigPath)) bSigs.select(col("doc_id"))
               else graft.operators.Dedup.newNearBySignatures(bSigs,
