@@ -324,6 +324,29 @@ object SparkEntry {
     }),
     "q_sliding_counts" -> ((s, d) => Sessions.slidingCounts(t(s, d, "events"))),
     "q_sessionize" -> ((s, d) => Sessions.sessionize(t(s, d, "events"))),
+    // the streaming ingest LOOP end-to-end, oracled: documents split
+    // into 3 deterministic batches (doc_id % 3), replayed through
+    // streamIngestDedup (one file per trigger, order pinned via
+    // mtimes), final corpus read back. The end state is deterministic
+    // — per content fingerprint the keeper is the min-id doc of the
+    // earliest batch containing it — so plain SQL can replay it.
+    "q_stream_ingest_final" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_ingest_e2e").toString
+      (0 until 3).foreach { b =>
+        docs.where(pmod(col("doc_id"), lit(3)) === b).coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/in/f$b")
+        new java.io.File(s"$root/in/f$b").listFiles()
+          .foreach(f => { f.setLastModified(1600000000000L + b * 60000L); () })
+      }
+      val schema = s.read.parquet(s"$root/in/f0").schema
+      val q = graft.streaming.Sessions.streamIngestDedup(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/in/*"),
+        s"$root/corpus", s"$root/index", s"$root/bloom", s"$root/ckpt")
+      q.awaitTermination(300000)
+      s.read.parquet(s"$root/corpus").select("doc_id", "text").orderBy("doc_id")
+    }),
     // ---- text analysis (SURVEY §2.2 [EXT]) ----
     "q_doc_stats" -> ((s, d) => {
       graft.expressions.GraftFunctions.register(s)
@@ -1140,6 +1163,16 @@ object SparkEntry {
              FROM events)
            SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
            FROM m GROUP BY user_id ORDER BY user_id""",
+      // streaming ingest loop end state: per fingerprint the keeper is
+      // the min-id doc of the earliest (doc_id % 3) batch holding it
+      "q_stream_ingest_final" ->
+        s"""WITH fp AS (SELECT doc_id, text, $fingerprint AS f, doc_id % 3 AS b
+                        FROM documents),
+               w AS (SELECT f, min(b) AS mb FROM fp GROUP BY f),
+               k AS (SELECT fp.f, min(fp.doc_id) AS kid
+                     FROM fp JOIN w ON fp.f = w.f AND fp.b = w.mb GROUP BY fp.f)
+           SELECT d.doc_id, d.text FROM documents d JOIN k ON d.doc_id = k.kid
+           ORDER BY d.doc_id""",
       "q_doc_stats" ->
         """SELECT doc_id,
              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
