@@ -245,6 +245,22 @@ object SparkEntry {
         .withColumn("o_totalprice", col("o_totalprice") + 1)
       Lake.upsertByKey(orders, updates, Seq("o_orderkey")).orderBy(col("o_orderkey"))
     }),
+    // the BOUNDED-REWRITE upsert against the on-disk key-bucketed
+    // layout: materialize orders bucketed, MERGE the same update set
+    // rewriting only touched buckets, read the merged table back.
+    // Same contract, same oracle as q_upsert — this row proves the
+    // at-scale CDC path end-to-end (layout + partition-pruned merge +
+    // per-bucket swap), not just the in-memory merge expression.
+    "q_upsert_partitioned" -> ((s, d) => {
+      val orders = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val updates = orders.where(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+      val path = java.nio.file.Files.createTempDirectory("graft_upsert_kb")
+        .resolve("orders").toString
+      Lake.writeKeyBucketed(orders, path, Seq("o_orderkey"), numBuckets = 16)
+      Lake.upsertByKeyPartitioned(s, path, updates, Seq("o_orderkey"), numBuckets = 16)
+      Lake.readKeyBucketed(s, path).orderBy(col("o_orderkey"))
+    }),
     // set difference ([EXT] §2.7): old-version rows gone from the new
     // snapshot (removed or replaced by an update)
     "q_except" -> ((s, d) => {
@@ -1083,6 +1099,15 @@ object SparkEntry {
              FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
            WHERE change IS NOT NULL ORDER BY o_orderkey""",
       "q_upsert" ->
+        """WITH u AS (SELECT o_orderkey, o_custkey, o_totalprice + 1 AS o_totalprice
+                      FROM orders WHERE o_orderkey % 5 = 0)
+           SELECT * FROM u
+           UNION ALL
+           SELECT o.o_orderkey, o.o_custkey, o.o_totalprice FROM orders o
+           WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.o_orderkey = o.o_orderkey)
+           ORDER BY o_orderkey""",
+      // same merged-table contract through the on-disk bucketed layout
+      "q_upsert_partitioned" ->
         """WITH u AS (SELECT o_orderkey, o_custkey, o_totalprice + 1 AS o_totalprice
                       FROM orders WHERE o_orderkey % 5 = 0)
            SELECT * FROM u

