@@ -247,6 +247,9 @@ object Dedup {
     val fp = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       Text.fingerprint(col(textCol)).as("f"))
     val groups = fp.groupBy(col("f")).agg(min(col("doc_id")).as("ek"))
+    // stays declarative: measured ~15% FASTER than a localCheckpoint
+    // here (unlike the CC flavor below, the one-hop assignment reuses
+    // withKeeper only once more, and AQE's exchange reuse covers it)
     val withKeeper = fp.join(groups, Seq("f"))
     val keeperDocs = withKeeper.where(col("doc_id") === col("ek"))
       .select(col("doc_id"), col("text"))
@@ -367,7 +370,15 @@ object Dedup {
     val fp = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       Text.fingerprint(col(textCol)).as("f"))
     val groups = fp.groupBy(col("f")).agg(min(col("doc_id")).as("ek"))
+    // localCheckpoint: this subtree (scan + sha256 + keeper join)
+    // feeds the pair pipeline (whose own persist triggers one eager
+    // evaluation) AND the final assignment join; one checkpoint costs
+    // about what the keeper join's shuffle already wrote and replaces
+    // the recomputes (measured 3.3 -> 2.6 s at sf0.1, 4x cold). The
+    // one-hop dedupDocuments stays declarative — same experiment
+    // measured the checkpoint ~15% SLOWER there.
     val withKeeper = fp.join(groups, Seq("f"))
+      .select(col("doc_id"), col("text"), col("ek")).localCheckpoint()
     val keeperDocs = withKeeper.where(col("doc_id") === col("ek"))
       .select(col("doc_id"), col("text"))
     val pairs = nearDupPairs(keeperDocs, idCol = "doc_id", textCol = "text",
