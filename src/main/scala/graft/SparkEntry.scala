@@ -421,12 +421,20 @@ object SparkEntry {
         docs.where(col("doc_id") % 41 === 0))
     }),
     "q_chunk" -> ((s, d) => Ngrams.chunk(t(s, d, "documents"))),
+    // substring-level dedup signal ([EXT]): spans shared across docs —
+    // trigrams so the synthetic corpus yields shared spans; production
+    // uses ~50-gram spans per the substring-dedup literature
+    "q_dup_spans" -> ((s, d) => Ngrams.dupSpans(t(s, d, "documents"), n = 3)),
     // inter-source overlap matrix ([EXT]): which sources republish
     // each other — trigrams so the synthetic corpus yields a dense
     // matrix; production uses longer grams
     "q_source_overlap" -> ((s, d) =>
       Ngrams.sourceOverlap(t(s, d, "documents"), n = 3)),
     "q_tfidf" -> ((s, d) => CorpusStats.tfIdf(t(s, d, "documents"))),
+    // vocab coverage ([EXT]): top-20 of the synthetic corpus's 31
+    // distinct tokens, so OOV discriminates; production uses 32k-256k
+    "q_vocab_coverage" -> ((s, d) =>
+      CorpusStats.vocabCoverage(t(s, d, "documents"), vocabSize = 20)),
     // unigram-LM document scoring ([EXT]): perplexity-proxy quality signal
     "q_unigram_logprob" -> ((s, d) => CorpusStats.unigramLogprob(t(s, d, "documents"))),
     // per-source dataset card ([EXT]): the release summary table —
@@ -633,6 +641,13 @@ object SparkEntry {
     // nondeterminism; division left to the caller — floor-vs-truncate
     // semantics diverge across engines on negatives)
     "q_centroids" -> ((s, d) => Similarity.labelCentroids(t(s, d, "embeddings"))),
+    // int8 scalar quantization ([EXT]): 4x-compressed ANN codes with a
+    // per-vector reconstruction-error bound
+    "q_quantize" -> ((s, d) => Similarity.quantizeEmbeddings(t(s, d, "embeddings"))),
+    // deterministic Lloyd k-means ([EXT]): engine-exact seeds/updates/
+    // distances, so the full 2-iteration training run is oracled
+    "q_kmeans" -> ((s, d) =>
+      graft.operators.Clustering.kmeans(t(s, d, "embeddings"), k = 8, iters = 2)),
     // ---- multimodal plumbing (SURVEY [EXT]) ----
     "q_payload_meta" -> ((s, d) =>
       Multimodal.payloadMeta(Multimodal.attachPayload(t(s, d, "documents")))),
@@ -1316,6 +1331,26 @@ object SparkEntry {
                      FROM sg a JOIN sg b ON a.ng = b.ng AND a.source < b.source)
            SELECT source_a, source_b, count(*) AS n_shared_grams
            FROM p GROUP BY source_a, source_b ORDER BY source_a, source_b""",
+      "q_dup_spans" -> // per-row distinct grams, 60-bit fp, df-as-window
+        """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                       FROM documents),
+               ng AS (SELECT doc_id,
+                        [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] AS grams
+                      FROM tk),
+               g AS (SELECT DISTINCT doc_id,
+                       ('0x' || substr(md5(ng), 1, 15))::BIGINT AS fp FROM
+                       (SELECT doc_id, unnest(grams) AS ng FROM ng)),
+               w AS (SELECT doc_id, count(*) OVER (PARTITION BY fp) AS df FROM g),
+               a AS (SELECT doc_id, count(*) AS n_spans,
+                       sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS n_dup,
+                       max(df) AS max_df
+                     FROM w GROUP BY doc_id)
+           SELECT d.doc_id,
+             CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+             CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup_spans,
+             CAST(COALESCE(a.max_df, 0) AS BIGINT) AS max_span_df,
+             CAST(a.n_dup AS DOUBLE) / a.n_spans AS dup_span_frac
+           FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id""",
       "q_chunk" ->
         """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
                        FROM documents WHERE text IS NOT NULL),
@@ -1336,6 +1371,19 @@ object SparkEntry {
              round(CAST(tf.tf AS DOUBLE) * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS tfidf
            FROM tf JOIN dfq USING (term), n
            WHERE tf.tf >= 2 ORDER BY doc_id, term""",
+      "q_vocab_coverage" -> // top-V cut total-ordered (cnt desc, term)
+        """WITH term AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term FROM documents),
+               c AS (SELECT term, count(*) AS cnt FROM term GROUP BY term),
+               v AS (SELECT term, 1 AS vin FROM c ORDER BY cnt DESC, term LIMIT 20),
+               p AS (SELECT t.doc_id, count(*) AS n_tokens,
+                       sum(COALESCE(v.vin, 0)) AS n_in
+                     FROM term t LEFT JOIN v USING (term) GROUP BY t.doc_id)
+           SELECT d.doc_id,
+             CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(p.n_in, 0) AS BIGINT) AS n_in_vocab,
+             1.0 - CAST(p.n_in AS DOUBLE) / p.n_tokens AS oov_frac
+           FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""",
       "q_unigram_logprob" -> // contributions rounded then DECIMAL-summed (order-independent)
         """WITH term AS (SELECT doc_id,
                 unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term FROM documents),
@@ -1547,6 +1595,48 @@ object SparkEntry {
              FROM embeddings)
            SELECT label, pos, count(*) AS n_vecs, CAST(sum(vm) AS BIGINT) AS sum_micro
            FROM e GROUP BY label, pos ORDER BY label, pos""",
+      "q_quantize" -> // per-dim min/max grid; codes integral before ::INT
+        """WITH s AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM
+                 (SELECT unnest([i for i in range(0, len(embedding))]) AS pos,
+                         unnest(embedding) AS v FROM embeddings)
+               GROUP BY pos),
+               b AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx FROM s),
+               c AS (SELECT vec_id, embedding, mn, mx,
+                       [CASE WHEN mx[i] = mn[i] THEN 0
+                          ELSE round((embedding[i]::DOUBLE - mn[i]::DOUBLE) * 255
+                            / (mx[i]::DOUBLE - mn[i]::DOUBLE), 0)::INTEGER END
+                        for i in range(1, len(embedding)+1)] AS codes
+                     FROM embeddings, b)
+           SELECT vec_id, codes,
+             round(list_max(
+               [abs(mn[i]::DOUBLE + codes[i]::DOUBLE * (mx[i]::DOUBLE - mn[i]::DOUBLE) / 255
+                  - embedding[i]::DOUBLE)
+                for i in range(1, len(embedding)+1)]), 6) AS max_abs_err
+           FROM c ORDER BY vec_id""",
+      "q_kmeans" -> // seeds=lowest ids; micro-sum updates; fold distances
+        """WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+               c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
+                      FROM e ORDER BY vec_id LIMIT 8),
+               a1 AS (SELECT vec_id, v, cell,
+                        list_reduce([(v[i]-cvec[i])*(v[i]-cvec[i])
+                                     for i in range(1, len(v)+1)], (x, y) -> x + y) AS d
+                      FROM e, c0
+                      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+               m1p AS (SELECT cell, pos, count(*) AS n, sum(vm) AS s FROM
+                         (SELECT cell,
+                            unnest([i for i in range(0, len(v))]) AS pos,
+                            unnest([round(x * 1000000, 0)::BIGINT for x in v]) AS vm
+                          FROM a1)
+                       GROUP BY cell, pos),
+               m1 AS (SELECT cell, list(s::DOUBLE / n / 1000000.0 ORDER BY pos) AS cvec
+                      FROM m1p GROUP BY cell),
+               a2 AS (SELECT vec_id, cell,
+                        list_reduce([(v[i]-cvec[i])*(v[i]-cvec[i])
+                                     for i in range(1, len(v)+1)], (x, y) -> x + y) AS d
+                      FROM e, m1
+                      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1)
+           SELECT vec_id, CAST(cell AS INTEGER) AS cell, round(d, 6) AS dist2
+           FROM a2 ORDER BY vec_id""",
       "q_topk_cosine" ->
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
             sc AS (SELECT vec_id,

@@ -114,6 +114,45 @@ object CorpusStats {
       .withColumn("quality_pct", expr("n_quality * 10000 DIV n_docs"))
       .orderBy(col("source"))
 
+  /** Vocabulary-coverage report: build the top-`vocabSize` token
+    * vocabulary by corpus frequency, then score every document by how
+    * much of it the vocabulary covers — the go/no-go check before
+    * committing a tokenizer/vocab to a corpus (a high OOV fraction
+    * means the vocab fragments that document into bytes/unks).
+    *
+    * Output per document: `n_tokens`, `n_in_vocab` (token OCCURRENCES
+    * covered, not distinct types — coverage weights frequent tokens),
+    * `oov_frac` (NULL for empty/null docs). Vocabulary selection is
+    * total-ordered (count desc, then token) so the boundary is
+    * deterministic across engines.
+    *
+    * Shape: token counts are one map-side-combined aggregate; the
+    * top-V cut is a TakeOrderedAndProject (parallel partial top-V per
+    * partition, never a global sort materialization — the V-row result
+    * is a driver-bounded query artifact by construction); the corpus
+    * then LEFT-joins the V-row vocab BROADCAST, so the only corpus
+    * shuffle is the final per-doc aggregate, map-side combined. */
+  def vocabCoverage(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", vocabSize: Int = 1000): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(Text.tokens(lower(col(textCol)))).as("term"))
+    val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("term"))
+      .limit(vocabSize)
+      .select(col("term"), lit(1L).as("__in"))
+    val perDoc = terms.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__in"), lit(0L))).as("n_in_vocab"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_in_vocab"), lit(0L)).as("n_in_vocab"),
+        (lit(1.0) - col("n_in_vocab").cast("double") / col("n_tokens")).as("oov_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   // `toks` must be a BOUND column (the lambda re-evaluates non-lambda
   // subexpressions per element — an inline split would be O(len²));
   // `when` guard: sequence(1, 0) would DESCEND for 1-token docs

@@ -122,6 +122,57 @@ object Ngrams {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Duplicate-span detection: per-document counts of word n-gram
+    * spans that also appear in OTHER documents — the substring-level
+    * dedup signal (a là "Deduplicating Training Data Makes Language
+    * Models Better": exact repeated spans across a crawl are the
+    * strongest memorization risk, and they survive document-level
+    * near-dup dedup whenever the surrounding text differs). A doc
+    * with a high `dup_span_frac` is mostly boilerplate shared with the
+    * rest of the corpus even when no whole-document duplicate exists.
+    *
+    * Output per input document: `n_spans` (distinct n-gram spans),
+    * `n_dup_spans` (spans whose fingerprint occurs in >= 2 documents),
+    * `max_span_df` (document frequency of its most-shared span), and
+    * `dup_span_frac` (= n_dup_spans / n_spans; NULL when the doc is
+    * shorter than n tokens).
+    *
+    * Shape: per-row distinct BEFORE the explode (a span repeated
+    * inside one doc is self-repetition — [[CorpusStats
+    * .repetitionSignals]]'s job — not cross-doc sharing), spans travel
+    * as 60-bit md5-prefix fingerprints (8 B vs the span text, same
+    * trick as [[sourceOverlap]]), document frequency as a window ON
+    * the exploded rows (a groupBy+join spelling would recompute the
+    * explode subtree — [[CorpusStats.tfIdf]]'s rationale), then one
+    * map-side-combinable per-doc aggregate. One shuffle total (by span
+    * fingerprint), carrying (fp, doc_id) pairs — the standard
+    * inverted-index shuffle, linear in corpus token count. */
+  def dupSpans(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+               n: Int = 8): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        Text.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(wordNgramsOfTokens(col("__toks"), n))).as("ng"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("ng")), 1, 15), 16, 10).cast("long").as("fp"))
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val perDoc = grams
+      .withColumn("df", count(lit(1)).over(byFp))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_spans"),
+        max(col("df")).as("max_span_df"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("max_span_df"), lit(0L)).as("max_span_df"),
+        (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_span_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fixed-token-budget chunking: each document split into consecutive
     * `chunkSize`-token windows (last chunk ragged) — the layout step
     * before embedding or packing a long-document corpus. Tokens keep

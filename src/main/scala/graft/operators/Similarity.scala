@@ -320,6 +320,56 @@ object Similarity {
       .orderBy(col(idCol))
   }
 
+  /** Int8 scalar quantization of an embedding column: per-DIMENSION
+    * global min/max define a 256-level uniform grid; each element maps
+    * to `round((x - mn) * 255 / (mx - mn))` — 4x smaller vectors (64
+    * int8 codes vs 64 floats) for ANN candidate generation, with exact
+    * rescoring on the float column for the survivors (the standard
+    * compressed-index layout: codes in memory, floats on disk).
+    *
+    * Returns (id, codes array<int>, max_abs_err) — the error column
+    * (largest per-element reconstruction error, rounded) is the
+    * quality surface: it bounds how far quantized dot products drift.
+    * A constant dimension (mx == mn) codes to 0 with zero error.
+    *
+    * Shape: the per-dimension stats are one posexplode + (pos) hash
+    * aggregate — map-side combined, shuffle carries dim rows per task
+    * (flat in corpus size, same argument as [[labelCentroids]]); the
+    * 1-row (mn[], mx[]) bound broadcasts back, so the encode pass is
+    * embarrassingly parallel. min/max of floats are exact (no
+    * float-sum nondeterminism), making the codes engine-exact. */
+  def quantizeEmbeddings(embeddings: DataFrame, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val dims = embeddings
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    // rebuild the per-dimension stats as 1-row arrays ordered by pos
+    // (array_sort on (pos, stat) structs orders by pos — the struct's
+    // leading field — so the transform extracts values in dim order)
+    val bounds = dims.agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+        s => s.getField("mn")).as("__mn"),
+      transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+        s => s.getField("mx")).as("__mx"))
+    val idx = sequence(lit(1), size(col(vecCol)))
+    def at(c: String, i: Column) = element_at(col(c), i).cast("double")
+    val codes = transform(idx, i =>
+      when(at("__mx", i) === at("__mn", i), lit(0))
+        .otherwise(round((at(vecCol, i) - at("__mn", i)) * lit(255)
+          / (at("__mx", i) - at("__mn", i)), 0).cast("int")))
+    val err = transform(idx, i =>
+      abs(at("__mn", i)
+        + element_at(col("codes"), i).cast("double")
+          * (at("__mx", i) - at("__mn", i)) / lit(255)
+        - at(vecCol, i)))
+    embeddings.crossJoin(broadcast(bounds))
+      .withColumn("codes", codes)
+      .select(col(idCol), col("codes"),
+        round(array_max(err), 6).as("max_abs_err"))
+      .orderBy(col(idCol))
+  }
+
   /** Per-label centroid components in EXACT integer form: for every
     * (label, dimension) the count and the sum of elements scaled to
     * micro-units (`round(x * 1e6)` as BIGINT) — class prototypes /

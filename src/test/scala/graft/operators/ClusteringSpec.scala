@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class ClusteringSpec extends SparkSuite {
+  import spark.implicits._
+
+  // two tight clusters around (0,0) and (10,10), ids interleaved so
+  // the seeds (lowest 2 ids) land one in each cluster
+  private val pts = Seq(
+    (0L, Array(0.0f, 0.1f)),
+    (1L, Array(10.0f, 9.9f)),
+    (2L, Array(0.1f, -0.1f)),
+    (3L, Array(9.9f, 10.1f)),
+    (4L, Array(-0.1f, 0.0f)),
+    (5L, Array(10.1f, 10.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("kmeans separates two obvious clusters from deterministic seeds") {
+    val out = Clustering.kmeans(pts, k = 2, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(0L) === out(2L) && out(2L) === out(4L))
+    assert(out(1L) === out(3L) && out(3L) === out(5L))
+    assert(out(0L) !== out(1L))
+  }
+
+  test("assignment is identical under any input partitioning") {
+    val base = Clustering.kmeans(pts, k = 2, iters = 2).collect().toSeq
+    val repart = Clustering.kmeans(pts.repartition(7), k = 2, iters = 2)
+      .collect().toSeq
+    assert(base === repart)
+  }
+
+  test("WCSS is non-increasing across Lloyd iterations on real embeddings") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def wcss(iters: Int): Double =
+      Clustering.kmeans(emb, k = 8, iters = iters)
+        .agg(sum(col("dist2"))).head().getDouble(0)
+    val w = (1 to 4).map(wcss)
+    w.sliding(2).foreach { case Seq(a, b) =>
+      // micro-rounded centroid updates can nudge the exact Lloyd bound
+      // by at most the quantization step; allow that epsilon
+      assert(b <= a + 1e-3, s"WCSS increased across an iteration: $w")
+    }
+    // and training actually helps: 4 iterations beat the seed assignment
+    assert(w.last < w.head)
+  }
+
+  test("ivfIndexExact: same probe contract as ivfIndex, reproducible bit-exactly") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (assigned, centers) = Clustering.ivfIndexExact(emb, nCells = 8, iters = 2)
+    val (assigned2, centers2) = Clustering.ivfIndexExact(
+      emb.repartition(13), nCells = 8, iters = 2)
+    // bit-exact reproducibility across runs and partitionings
+    assert(centers.map(_.toSeq).toSeq === centers2.map(_.toSeq).toSeq)
+    assert(assigned.select("vec_id", "__cell").collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+      === assigned2.select("vec_id", "__cell").collect().map(r => (r.getLong(0), r.getInt(1))).sorted)
+    // probing recovers most of the brute-force top-10 (ANN recall)
+    val q = Similarity.vectorOf(emb, 7L)
+    val exact = Similarity.topK(emb, q, 10).collect().map(_.getLong(0)).toSet
+    val probed = Similarity.ivfTopK(assigned, centers, q, 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(probed).size >= 6,
+      s"IVF(nprobe=4 of 8) recall too low: ${exact.intersect(probed)}")
+  }
+}

@@ -173,4 +173,52 @@ class SimilaritySpec extends SparkSuite {
     assert(out((1, 1L)) === ((1L, 2000000L)))
     assert(collect(emb.repartition(7)) === out)
   }
+
+  test("quantizeEmbeddings: exact codes on a known grid, error within half a step") {
+    import spark.implicits._
+    // dim 0 spans [0,10]; dim 1 is CONSTANT (degenerate: codes 0, err 0)
+    val emb = Seq(
+      (0L, Array(0.0f, 3.0f)),
+      (1L, Array(5.0f, 3.0f)),
+      (2L, Array(10.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeEmbeddings(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+    assert(out(0L)._1 === Seq(0, 0))
+    assert(out(1L)._1 === Seq(128, 0))  // round(5*255/10) = round(127.5) = 128
+    assert(out(2L)._1 === Seq(255, 0))
+    // max reconstruction error bounded by half a grid step (10/255/2);
+    // the reported err is rounded to 6 dp, so allow that quantum
+    val step = 10.0 / 255
+    out.values.foreach { case (_, err) => assert(err <= step / 2 + 5e-7) }
+  }
+
+  test("quantized cosine preserves brute-force top-k on real embeddings") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = Similarity.vectorOf(emb, 1L)
+    val exact = Similarity.topK(emb, q, 10).collect().map(_.getLong(0)).toSet
+    // dequantize codes back to doubles and rank by cosine against the
+    // SAME dequantized query — the drift the ANN candidate stage sees
+    val bounds = emb.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect().sortBy(_.getInt(0)).map(r => (r.getFloat(1).toDouble, r.getFloat(2).toDouble))
+    val dequantized = Similarity.quantizeEmbeddings(emb)
+      .select(col("vec_id"), col("codes")).collect().map { r =>
+        val codes = r.getSeq[Int](1)
+        val vec = codes.zipWithIndex.map { case (code, i) =>
+          val (mn, mx) = bounds(i); mn + code.toDouble * (mx - mn) / 255 }
+        r.getLong(0) -> vec
+      }.toMap
+    val qDeq = dequantized(1L)
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val approx = dequantized.toSeq
+      .map { case (id, v) => (id, cos(v, qDeq)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    // int8 grids on 64-dim vectors keep top-10 overlap high
+    assert(exact.intersect(approx).size >= 8,
+      s"quantized top-10 overlap too low: ${exact.intersect(approx)}")
+  }
 }
