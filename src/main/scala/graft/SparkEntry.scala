@@ -437,6 +437,8 @@ object SparkEntry {
       CorpusStats.vocabCoverage(t(s, d, "documents"), vocabSize = 20)),
     // unigram-LM document scoring ([EXT]): perplexity-proxy quality signal
     "q_unigram_logprob" -> ((s, d) => CorpusStats.unigramLogprob(t(s, d, "documents"))),
+    // tokenizer induction ([EXT]): the first BPE merge's pair counts
+    "q_bpe_pairs" -> ((s, d) => CorpusStats.bpePairCounts(t(s, d, "documents"))),
     // per-source dataset card ([EXT]): the release summary table —
     // volumes, length spread, language mix, quality-gate share
     "q_corpus_card" -> ((s, d) => CorpusStats.corpusCard(t(s, d, "documents"))),
@@ -1395,6 +1397,16 @@ object SparkEntry {
                AS DECIMAL(18,6))) AS DOUBLE) AS logprob
            FROM tf JOIN ct USING (term), n
            GROUP BY tf.doc_id ORDER BY tf.doc_id""",
+      "q_bpe_pairs" -> // word-frequency table first; total-ordered top-N
+        """WITH w AS (SELECT word, count(*) AS cnt FROM
+                 (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+                  FROM documents)
+               GROUP BY word),
+               p AS (SELECT cnt,
+                       unnest([substr(word, i, 2) for i in range(1, len(word))]) AS pair
+                     FROM w WHERE len(word) >= 2)
+           SELECT pair, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+           FROM p GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 50""",
       "q_fuzzy_match" -> // same blocking (first token) + exact edit-distance verify
         """WITH q AS (SELECT DISTINCT substr(p_name, 1, length(p_name) - 1) AS q_text
                       FROM part WHERE p_name IS NOT NULL),

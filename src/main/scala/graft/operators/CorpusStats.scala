@@ -153,6 +153,42 @@ object CorpusStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Adjacent-symbol pair counts over the word-frequency table — the
+    * statistic behind one BPE merge selection (tokenizer induction):
+    * the highest-count pair is the next merge a byte-pair encoder
+    * would learn. Counts are occurrence-weighted (pair count × word
+    * frequency), and the output is total-ordered (count desc, pair)
+    * so the merge choice — including ties — is deterministic.
+    *
+    * Only the FIRST merge iteration is expressible as one declarative
+    * query (later iterations re-segment words under the learned
+    * merges — an inherently sequential driver loop, like Lloyd's in
+    * [[Clustering]]); this op is that iteration, which is also the
+    * profiling surface ("what would a tokenizer learn first from this
+    * corpus?").
+    *
+    * Shape: the corpus collapses to the distinct-word frequency table
+    * first (one map-side-combined aggregate — BPE's standard trick:
+    * work scales with |vocab|, not corpus tokens), then each word
+    * fans out to its ≤len-1 adjacent 2-char pairs and one more hash
+    * aggregate sums the weighted counts. */
+  def bpePairCounts(docs: DataFrame, textCol: String = "text",
+                    topN: Int = 50): DataFrame = {
+    val words = docs
+      .select(explode(Text.tokens(lower(col(textCol)))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    words
+      // guard: sequence(1, 0) DESCENDS for 1-char words
+      .where(length(col("word")) >= 2)
+      .select(col("cnt"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("cnt")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(topN)
+  }
+
   // `toks` must be a BOUND column (the lambda re-evaluates non-lambda
   // subexpressions per element — an inline split would be O(len²));
   // `when` guard: sequence(1, 0) would DESCEND for 1-token docs

@@ -100,4 +100,30 @@ class CorpusStatsSpec extends SparkSuite {
     val (bDocs, _, _, _, bLangs, bQ, bPct) = rows("books")
     assert(bDocs === 1L && bLangs === 1L && bQ === 1L && bPct === 10000L)
   }
+
+  test("bpePairCounts: occurrence-weighted adjacent pairs, 1-char words skipped") {
+    import spark.implicits._
+    // "low" x2 and "lower": l-o and o-w ride all 3 words; w-e/e-r only
+    // "lower"; the 1-char word "a" contributes nothing
+    val docs = Seq("low low a", "lower").toDF("text")
+    val out = CorpusStats.bpePairCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.toMap === Map("lo" -> 3L, "ow" -> 3L, "we" -> 1L, "er" -> 1L))
+    // deterministic order: count desc, then pair — the merge pick is stable
+    assert(out.map(_._1).toSeq === Seq("lo", "ow", "er", "we"))
+  }
+
+  test("vocabCoverage: covered occurrences counted, OOV fraction exact") {
+    import spark.implicits._
+    // vocab size 2 -> {"b","c"} win on count (b:3, c:2, a:1, d:1 —
+    // ties at 1 broken alphabetically never reach the cut)
+    val docs = Seq((1L, "b b c"), (2L, "b c a d"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.vocabCoverage(docs, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(1L) === ((3L, 3L, Some(0.0))))
+    assert(out(2L) === ((4L, 2L, Some(0.5))))
+    assert(out(3L) === ((0L, 0L, None)))  // null text: no tokens, NULL frac
+  }
 }

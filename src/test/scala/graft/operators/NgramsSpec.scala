@@ -68,4 +68,25 @@ class NgramsSpec extends SparkSuite {
     assert(capped === Map(("a", "b") -> 2L),
       s"the all-source gram must be capped out: $capped")
   }
+
+  test("dupSpans: cross-doc spans flagged, within-doc repeats and short docs don't count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z q"),        // shares "x y" and "y z" with doc 2
+      (2L, "x y z"),          // both its spans shared
+      (3L, "x y x y"),        // "x y" twice WITHIN the doc: distinct-per-row
+      (4L, "solo"),           // shorter than n=2: zero spans
+      (5L, null: String))     // null text: zero spans
+      .toDF("doc_id", "text")
+    val out = Ngrams.dupSpans(docs, n = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    // doc 1: spans {x y, y z, z q}; x y in docs 1,2,3 (df 3), y z in 1,2
+    assert(out(1L) === ((3L, 2L, 3L, Some(2.0 / 3))))
+    assert(out(2L) === ((2L, 2L, 3L, Some(1.0))))
+    // doc 3: distinct spans {x y, y x}; only x y is cross-doc
+    assert(out(3L) === ((2L, 1L, 3L, Some(0.5))))
+    assert(out(4L) === ((0L, 0L, 0L, None)))
+    assert(out(5L) === ((0L, 0L, 0L, None)))
+  }
 }
