@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusStats, Dedup, Ngrams, Similarity}
+import graft.operators.{Clustering, CorpusStats, Dedup, Ngrams, Similarity}
 import graft.sources.Tables
 
 /** Empirical scale check: replicate the sf0.1 documents/embeddings
@@ -78,6 +78,25 @@ object ScaleProbe {
         docs0.where(col("doc_id") % 41 === 0)).count())
     println(s"[scale]   train docs checked: $decon")
     time(s"tfIdf x$factor")(CorpusStats.tfIdf(docs).count())
+    // round-7 family: dupSpans carries one (fp, doc_id) shuffle —
+    // linear; vocab/bpe collapse to vocab-sized tables before any
+    // fan-out, so their cost is scan-dominated; quantize/kmeans
+    // shuffle dim- and k·dim-bounded aggregates — flat in corpus size
+    // sum a computed measure, not count(): a bare count of the
+    // join-back-to-docs shape lets Catalyst prune the whole gram/code
+    // pipeline (the aggregate side's keys are provably distinct, so
+    // the outer join is eliminated) and the probe would time nothing
+    val spans = time(s"dupSpans x$factor")(Ngrams.dupSpans(docs, n = 3)
+      .agg(sum("n_dup_spans")).head().getLong(0))
+    println(s"[scale]   dup spans: $spans")
+    time(s"vocabCoverage x$factor")(CorpusStats.vocabCoverage(docs, vocabSize = 20)
+      .agg(sum("n_in_vocab")).head().getLong(0))
+    time(s"bpePairCounts x$factor")(CorpusStats.bpePairCounts(docs)
+      .agg(sum("n_occurrences")).head().getLong(0))
+    time(s"quantizeEmbeddings x$factor")(Similarity.quantizeEmbeddings(emb)
+      .agg(sum("max_abs_err")).head().getDouble(0))
+    time(s"kmeans k=8 iters=2 x$factor")(Clustering.kmeans(emb, k = 8, iters = 2)
+      .agg(sum("dist2")).head().getDouble(0))
 
     // incremental dedup: with the index/sketch/signatures built (the
     // one-off, amortized across every future batch), the PER-BATCH

@@ -354,19 +354,28 @@ object Similarity {
         s => s.getField("mx")).as("__mx"))
     val idx = sequence(lit(1), size(col(vecCol)))
     def at(c: String, i: Column) = element_at(col(c), i).cast("double")
-    val codes = transform(idx, i =>
-      when(at("__mx", i) === at("__mn", i), lit(0))
-        .otherwise(round((at(vecCol, i) - at("__mn", i)) * lit(255)
-          / (at("__mx", i) - at("__mn", i)), 0).cast("int")))
-    val err = transform(idx, i =>
-      abs(at("__mn", i)
-        + element_at(col("codes"), i).cast("double")
-          * (at("__mx", i) - at("__mn", i)) / lit(255)
-        - at(vecCol, i)))
+    // code and err are built in ONE per-element struct: an err lambda
+    // that referenced a separate `codes` alias got that alias INLINED
+    // (CollapseProject), re-evaluating the whole 64-element code
+    // transform per error element — O(dim²)/row, measured 66x on the
+    // encode pass. Same HOF-lambda trap as the n-gram builds, one
+    // level up: never reference a computed-array alias from inside
+    // another lambda over the same width.
+    val pairs = transform(idx, i => {
+      val x = at(vecCol, i)
+      val mn = at("__mn", i)
+      val mx = at("__mx", i)
+      val code = when(mx === mn, lit(0))
+        .otherwise(round((x - mn) * lit(255) / (mx - mn), 0).cast("int"))
+      struct(code.as("code"),
+        abs(mn + code.cast("double") * (mx - mn) / lit(255) - x).as("err"))
+    })
     embeddings.crossJoin(broadcast(bounds))
-      .withColumn("codes", codes)
-      .select(col(idCol), col("codes"),
-        round(array_max(err), 6).as("max_abs_err"))
+      .withColumn("__qe", pairs)
+      .select(col(idCol),
+        transform(col("__qe"), s => s.getField("code")).as("codes"),
+        round(array_max(transform(col("__qe"), s => s.getField("err"))), 6)
+          .as("max_abs_err"))
       .orderBy(col(idCol))
   }
 
