@@ -439,6 +439,11 @@ object SparkEntry {
     "q_unigram_logprob" -> ((s, d) => CorpusStats.unigramLogprob(t(s, d, "documents"))),
     // tokenizer induction ([EXT]): the first BPE merge's pair counts
     "q_bpe_pairs" -> ((s, d) => CorpusStats.bpePairCounts(t(s, d, "documents"))),
+    // full BPE training loop ([EXT]): rows-only by design — the
+    // iterative driver loop has no SQL oracle (like the ML baseline);
+    // BpeSpec verifies against an independent reference implementation
+    "q_bpe_train" -> ((s, d) =>
+      graft.operators.Bpe.trainAsDataFrame(s, t(s, d, "documents"), nMerges = 12)),
     // per-source dataset card ([EXT]): the release summary table —
     // volumes, length spread, language mix, quality-gate share
     "q_corpus_card" -> ((s, d) => CorpusStats.corpusCard(t(s, d, "documents"))),
