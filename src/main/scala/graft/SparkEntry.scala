@@ -177,6 +177,10 @@ object SparkEntry {
       Anonymize.anonymize(t(s, d, "customer").select("c_custkey", "c_name"), Seq("c_name"))
         .orderBy(col("c_custkey"))),
     "q_vault" -> ((s, d) => Anonymize.vault(t(s, d, "customer"), "c_name").orderBy(col("original"))),
+    // k-anonymity risk report ([EXT]): quasi-identifier group sizes —
+    // the release gate hashing alone doesn't give
+    "q_k_anonymity" -> ((s, d) =>
+      Anonymize.kAnonymity(t(s, d, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 5)),
     "q_deanonymize" -> ((s, d) => {
       val cust = t(s, d, "customer").select("c_custkey", "c_name")
       val anon = Anonymize.anonymize(cust, Seq("c_name"))
@@ -329,6 +333,9 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("metric"))),
     // ---- event-time windows / sessionization (SURVEY §2.10 [EXT]) ----
     "q_windowed_counts" -> ((s, d) => Sessions.windowedCounts(t(s, d, "events"))),
+    // cohort retention triangle ([EXT]): engagement analytics over the
+    // events table
+    "q_cohort_retention" -> ((s, d) => Reports.cohortRetention(t(s, d, "events"))),
     // stream-stream correlation shape on its batch twin: clicks
     // followed by a same-user event of another type within 10 min
     "q_stream_correlate" -> ((s, d) => {
@@ -1045,6 +1052,21 @@ object SparkEntry {
            WHERE c_name IS NOT NULL ORDER BY original""",
       "q_deanonymize" ->
         "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
+      "q_k_anonymity" ->
+        """SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS group_size, count(*) < 5 AS at_risk
+           FROM customer GROUP BY c_nationkey, c_mktsegment
+           ORDER BY c_nationkey, c_mktsegment""",
+      "q_cohort_retention" -> // DATE casts pinned by the UTC session tz
+        """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+               f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id),
+               a AS (SELECT DISTINCT user_id, day FROM d)
+           SELECT f.cohort_day,
+             CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+             CAST(count(*) AS BIGINT) AS n_users
+           FROM a JOIN f USING (user_id)
+           GROUP BY f.cohort_day, day_offset
+           ORDER BY cohort_day, day_offset""",
       "q_incremental" ->
         """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
            WHERE o_orderkey > (SELECT max(o_orderkey) FROM orders WHERE o_custkey < 100)

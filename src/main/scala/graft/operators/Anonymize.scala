@@ -20,6 +20,25 @@ object Anonymize {
   def anonymize(df: DataFrame, piiCols: Seq[String]): DataFrame =
     piiCols.foldLeft(df)((d, c) => d.withColumn(c, sha256(col(c))))
 
+  /** k-anonymity risk report ([EXT]): the release-gate complement of
+    * hashing — hashing direct identifiers does nothing about
+    * QUASI-identifier combinations (nation × segment × ...) that
+    * single out individuals by rarity. One row per observed
+    * combination with its population and an `at_risk` flag
+    * (group smaller than k); publish only after suppressing or
+    * generalizing the flagged groups.
+    *
+    * One map-side-combined aggregate — group count is bounded by the
+    * quasi-value cross product, not the table; the shuffle carries one
+    * row per combination per task. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty && k > 0, s"need quasi columns and k>0 (k=$k)")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("at_risk", col("group_size") < k)
+      .orderBy(quasiCols.map(col): _*)
+  }
+
   /** Vault table: distinct original -> hash mapping, written as a
     * restricted-access table instead of a driver-built dict
     * (reference: src/runnerfile.py:261-268 A8). */

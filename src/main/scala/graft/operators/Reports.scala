@@ -219,4 +219,30 @@ object Reports {
         ",").as("values_csv"),
         count(col(valueCol)).as("n"))
       .orderBy(col(key))
+
+  /** Cohort retention matrix ([EXT]): users grouped by FIRST-activity
+    * day; each cell counts how many of a cohort were active again
+    * `day_offset` days later — the standard engagement/retention
+    * triangle, over the events stream table.
+    *
+    * Shape: first-activity and the distinct (user, day) activity set
+    * are both map-side-combined aggregates keyed by user; the
+    * cohort-tag join is keyed by user too, so with AQE it reuses the
+    * same hash partitioning (no extra exchange beyond the three
+    * aggregates). Cells are counts of an already-distinct set, so a
+    * plain `count(*)` is exact — no count-distinct shuffle. Day
+    * arithmetic is integer `datediff` on DATE — engine-exact, no
+    * timezone rounding (session timezone pins the ts→date cast). */
+  def cohortRetention(events: DataFrame, tsCol: String = "ts",
+                      userCol: String = "user_id"): DataFrame = {
+    val days = events.select(col(userCol).as("user_id"),
+      to_date(col(tsCol)).as("day"))
+    val firstDay = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val active = days.distinct()
+    active.join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
 }

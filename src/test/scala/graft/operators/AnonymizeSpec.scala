@@ -42,4 +42,18 @@ class AnonymizeSpec extends SparkSuite {
     intercept[Exception](Anonymize.decryptBytes(enc, wrong))
     intercept[IllegalArgumentException](Anonymize.encryptBytes(plain, new Array[Byte](5)))
   }
+
+  test("kAnonymity flags quasi-identifier groups below k") {
+    import spark.implicits._
+    val df = Seq(
+      ("US", "A"), ("US", "A"), ("US", "A"),   // group of 3: safe at k=3
+      ("US", "B"), ("US", "B"),                // group of 2: at risk
+      ("DE", "A"))                             // singleton: at risk
+      .toDF("country", "segment")
+    val out = Anonymize.kAnonymity(df, Seq("country", "segment"), k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(("US", "A")) === ((3L, false)))
+    assert(out(("US", "B")) === ((2L, true)))
+    assert(out(("DE", "A")) === ((1L, true)))
+  }
 }

@@ -110,4 +110,22 @@ class ReportsSpec extends SparkSuite {
     assert(r.getString(1) === "1,2")
     assert(r.getLong(2) === 2L, "null values are not collected, so n must not count them")
   }
+
+  test("cohortRetention counts each user once per day offset from first activity") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")),  // u1 cohort day 1
+      (1L, ts("2024-01-01 23:00:00")),  // same day: counted once
+      (1L, ts("2024-01-03 01:00:00")),  // offset 2
+      (2L, ts("2024-01-01 05:00:00")),  // u2 cohort day 1
+      (3L, ts("2024-01-02 00:00:00")))  // u3 cohort day 2
+      .toDF("user_id", "ts")
+    val out = Reports.cohortRetention(events).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("2024-01-01", 0L) -> 2L,   // u1 + u2 on their first day
+      ("2024-01-01", 2L) -> 1L,   // u1 returns two days later
+      ("2024-01-02", 0L) -> 1L))  // u3's cohort
+  }
 }
