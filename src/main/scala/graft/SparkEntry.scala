@@ -427,6 +427,14 @@ object SparkEntry {
         docs.where(col("doc_id") % 41 =!= 0),
         docs.where(col("doc_id") % 41 === 0))
     }),
+    // graded contamination: rate over the doc's own distinct grams,
+    // same 41-modulus benchmark split as q_decontaminate
+    "q_contamination_rate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Ngrams.contaminationRate(
+        docs.where(col("doc_id") % 41 =!= 0),
+        docs.where(col("doc_id") % 41 === 0))
+    }),
     "q_chunk" -> ((s, d) => Ngrams.chunk(t(s, d, "documents"))),
     // substring-level dedup signal ([EXT]): spans shared across docs —
     // trigrams so the synthetic corpus yields shared spans; production
@@ -444,6 +452,7 @@ object SparkEntry {
       CorpusStats.vocabCoverage(t(s, d, "documents"), vocabSize = 20)),
     // unigram-LM document scoring ([EXT]): perplexity-proxy quality signal
     "q_unigram_logprob" -> ((s, d) => CorpusStats.unigramLogprob(t(s, d, "documents"))),
+    "q_token_entropy" -> ((s, d) => CorpusStats.tokenEntropy(t(s, d, "documents"))),
     // tokenizer induction ([EXT]): the first BPE merge's pair counts
     "q_bpe_pairs" -> ((s, d) => CorpusStats.bpePairCounts(t(s, d, "documents"))),
     // full BPE training loop ([EXT]): rows-only by design — the
@@ -662,6 +671,15 @@ object SparkEntry {
     // distances, so the full 2-iteration training run is oracled
     "q_kmeans" -> ((s, d) =>
       graft.operators.Clustering.kmeans(t(s, d, "embeddings"), k = 8, iters = 2)),
+    // SemDeDup: within-cell cosine pairs on the same deterministic
+    // quantizer; one-hop min-id keeper flag
+    "q_semantic_dedup" -> ((s, d) =>
+      graft.operators.Clustering.semanticDedup(t(s, d, "embeddings"),
+        k = 8, threshold = 0.35)),
+    // Johnson-Lindenstrauss reduction: 64-dim floats -> 16 seeded-
+    // Gaussian dot products, planes baked into the plan as literals
+    "q_random_projection" -> ((s, d) =>
+      Similarity.randomProject(t(s, d, "embeddings"), outDim = 16, dim = 64)),
     // ---- multimodal plumbing (SURVEY [EXT]) ----
     "q_payload_meta" -> ((s, d) =>
       Multimodal.payloadMeta(Multimodal.attachPayload(t(s, d, "documents")))),
@@ -1347,6 +1365,30 @@ object SparkEntry {
              COALESCE(h.n_shared, 0) > 0 AS contaminated
            FROM (SELECT doc_id FROM documents WHERE doc_id % 41 <> 0) d
            LEFT JOIN h USING (doc_id) ORDER BY doc_id""",
+      "q_contamination_rate" -> // q_decontaminate's CTEs + per-doc distinct-gram denominators
+        """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                       FROM documents),
+               ng AS (SELECT doc_id,
+                        [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks)-6)] AS grams
+                      FROM tk),
+               tr AS (SELECT DISTINCT doc_id, ng FROM
+                        (SELECT doc_id, unnest(grams) AS ng FROM ng WHERE doc_id % 41 <> 0)),
+               be AS (SELECT DISTINCT ng FROM
+                        (SELECT unnest(grams) AS ng FROM ng WHERE doc_id % 41 = 0)),
+               gc AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY doc_id),
+               h AS (SELECT doc_id, count(*) AS hits FROM tr JOIN be USING (ng)
+                     GROUP BY doc_id)
+           SELECT d.doc_id, CAST(COALESCE(gc.n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(COALESCE(h.hits, 0) AS BIGINT) AS n_shared,
+             CASE WHEN COALESCE(gc.n_grams, 0) > 0
+               THEN round(COALESCE(h.hits, 0)::DOUBLE / gc.n_grams::DOUBLE, 6) END
+               AS contamination,
+             CASE WHEN COALESCE(gc.n_grams, 0) > 0
+               THEN COALESCE(h.hits, 0)::DOUBLE / gc.n_grams::DOUBLE >= 0.05
+               ELSE false END AS flagged
+           FROM (SELECT doc_id FROM documents WHERE doc_id % 41 <> 0) d
+           LEFT JOIN gc USING (doc_id) LEFT JOIN h USING (doc_id)
+           ORDER BY doc_id""",
       "q_source_overlap" -> // per-row gram dedup, then the sorted-pair convention
         """WITH tk AS (SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
                        FROM documents),
@@ -1424,6 +1466,16 @@ object SparkEntry {
                AS DECIMAL(18,6))) AS DOUBLE) AS logprob
            FROM tf JOIN ct USING (term), n
            GROUP BY tf.doc_id ORDER BY tf.doc_id""",
+      "q_token_entropy" -> // c·ln c rounded then DECIMAL-summed; H = ln(n) - dsum/n
+        """WITH term AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term FROM documents),
+               tf AS (SELECT doc_id, term, count(*) AS tf FROM term GROUP BY doc_id, term)
+           SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             round(ln(CAST(sum(tf) AS DOUBLE)) -
+               CAST(sum(CAST(round(tf * ln(tf::DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(sum(tf) AS DOUBLE), 6) AS entropy
+           FROM tf GROUP BY doc_id ORDER BY doc_id""",
       "q_bpe_pairs" -> // word-frequency table first; total-ordered top-N
         """WITH w AS (SELECT word, count(*) AS cnt FROM
                  (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
@@ -1676,6 +1728,44 @@ object SparkEntry {
                       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1)
            SELECT vec_id, CAST(cell AS INTEGER) AS cell, round(d, 6) AS dist2
            FROM a2 ORDER BY vec_id""",
+      "q_semantic_dedup" -> // q_kmeans cells + within-cell cosine, one-hop min-id keeper
+        """WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+               c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
+                      FROM e ORDER BY vec_id LIMIT 8),
+               a1 AS (SELECT vec_id, v, cell,
+                        list_reduce([(v[i]-cvec[i])*(v[i]-cvec[i])
+                                     for i in range(1, len(v)+1)], (x, y) -> x + y) AS d
+                      FROM e, c0
+                      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+               m1p AS (SELECT cell, pos, count(*) AS n, sum(vm) AS s FROM
+                         (SELECT cell,
+                            unnest([i for i in range(0, len(v))]) AS pos,
+                            unnest([round(x * 1000000, 0)::BIGINT for x in v]) AS vm
+                          FROM a1)
+                       GROUP BY cell, pos),
+               m1 AS (SELECT cell, list(s::DOUBLE / n / 1000000.0 ORDER BY pos) AS cvec
+                      FROM m1p GROUP BY cell),
+               a2 AS (SELECT vec_id, v, cell,
+                        list_reduce([(v[i]-cvec[i])*(v[i]-cvec[i])
+                                     for i in range(1, len(v)+1)], (x, y) -> x + y) AS d
+                      FROM e, m1
+                      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+               nn AS (SELECT vec_id, cell, v,
+                        sqrt(list_reduce([v[i]*v[i] for i in range(1, len(v)+1)],
+                          (x, y) -> x + y)) AS nrm FROM a2),
+               p AS (SELECT DISTINCT y.vec_id AS idb
+                     FROM nn x JOIN nn y ON x.cell = y.cell AND x.vec_id < y.vec_id
+                     WHERE list_reduce([x.v[i]*y.v[i] for i in range(1, len(x.v)+1)],
+                             (q, w) -> q + w) / (x.nrm * y.nrm) >= 0.35)
+           SELECT a2.vec_id, CAST(a2.cell AS INTEGER) AS cell, (p.idb IS NULL) AS keep
+           FROM a2 LEFT JOIN p ON a2.vec_id = p.idb ORDER BY a2.vec_id""",
+      "q_random_projection" -> { // JL planes as double literals (same trick as the LSH oracles)
+        val comps = Similarity.projectionPlanes(64, 16, 7L).map { p =>
+          val arr = p.map(_.toString).mkString("[", ", ", "]")
+          s"round(${fold(s"[embedding[i]::DOUBLE * ($arr)[i] for i in range(1, len(embedding)+1)]")}, 6)"
+        }.mkString("[", ",\n             ", "]")
+        s"""SELECT vec_id, $comps AS rvec FROM embeddings ORDER BY vec_id"""
+      },
       "q_topk_cosine" ->
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
             sc AS (SELECT vec_id,

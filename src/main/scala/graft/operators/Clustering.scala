@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.expressions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -84,10 +85,11 @@ object Clustering {
           (col("s").cast("double") / col("n") / lit(1000000.0)).as("c")))),
         x => x.getField("c")).as("cvec"))
 
-  /** `iters` full Lloyd iterations from the deterministic seeds.
-    * Returns the final per-vector assignment: (id, cell, dist2). */
-  def kmeans(embeddings: DataFrame, k: Int, iters: Int,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** `iters` Lloyd iterations from the deterministic seeds; the raw
+    * final assignment (id, __v, cell, dist2) for operators that need
+    * the double vectors alongside the cells. */
+  private[operators] def lloydAssign(embeddings: DataFrame, k: Int, iters: Int,
+                                     idCol: String, vecCol: String): DataFrame = {
     require(k > 0 && iters > 0, s"k and iters must be positive: k=$k iters=$iters")
     var centroids = seedCentroids(embeddings, k, idCol, vecCol)
     var assigned = assignCells(embeddings, centroids, idCol, vecCol)
@@ -95,7 +97,69 @@ object Clustering {
       centroids = updateCentroids(assigned)
       assigned = assignCells(embeddings, centroids, idCol, vecCol)
     }
-    assigned.select(col(idCol), col("cell"), round(col("dist2"), 6).as("dist2"))
+    assigned
+  }
+
+  /** `iters` full Lloyd iterations from the deterministic seeds.
+    * Returns the final per-vector assignment: (id, cell, dist2). */
+  def kmeans(embeddings: DataFrame, k: Int, iters: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    lloydAssign(embeddings, k, iters, idCol, vecCol)
+      .select(col(idCol), col("cell"), round(col("dist2"), 6).as("dist2"))
+      .orderBy(col(idCol))
+
+  /** SemDeDup-style semantic dedup ([EXT]; Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the
+    * deterministic quantizer, then compare vectors ONLY within their
+    * cell — a pair of semantic near-dups lands in the same cell with
+    * high probability, so the quadratic pair stage is bounded by the
+    * cell size, never the corpus. A vector is dropped when a
+    * same-cell neighbor with a SMALLER id has cosine >= `threshold`
+    * (the repo's one-hop min-id keeper convention, matching
+    * [[Dedup.dedupDocuments]]); chains beyond one hop are the CC
+    * variant's job ([[Similarity.dedupByEmbedding]]).
+    *
+    * Returns every vector: (id, cell, keep) — the keep flag rather
+    * than a filtered table, so the drop rate is auditable per cell.
+    *
+    * Scale shape: the k-row centroid set broadcasts; assignment is
+    * one map-side-combinable argmin per vector; the pair stage is a
+    * cell-keyed self-equi-join (never all-pairs). At 100 TB, k grows
+    * with the corpus (cells of ~10-100k vectors), and `maxCell`
+    * guards the skew tail: cells larger than the cap contribute NO
+    * pairs — conservative (their vectors all survive) and monitored,
+    * the same contract as the LSH hot-bucket caps. */
+  def semanticDedup(embeddings: DataFrame, k: Int, threshold: Double,
+                    iters: Int = 2, maxCell: Int = 0,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // the assignment feeds BOTH self-join sides and the output frame;
+    // left declarative, the whole iterative Lloyd subtree (2 shuffles
+    // + a broadcast per iteration) replays three times — checkpoint
+    // once, reuse thrice (same discipline as connectedKeepers)
+    val assigned = lloydAssign(embeddings, k, iters, idCol, vecCol)
+      .withColumn("__nrm", sqrt(GraftFunctions.dot(col("__v"), col("__v"))))
+      .localCheckpoint()
+    val pruned =
+      if (maxCell > 0) {
+        val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+        assigned.join(sizes, Seq("cell")).where(col("__n") <= maxCell).drop("__n")
+      } else assigned
+    val a = pruned.select(col("cell"), col(idCol).as("__ida"),
+      col("__v").as("__va"), col("__nrm").as("__na"))
+    val b = pruned.select(col("cell"), col(idCol).as("__idb"),
+      col("__v").as("__vb"), col("__nrm").as("__nb"))
+    // distinct ids, not pairs: only the "has any smaller near-neighbor"
+    // bit survives, so the shuffle after the join carries one row per
+    // dropped vector
+    val dropped = a.join(b, Seq("cell"))
+      .where(col("__ida") < col("__idb"))
+      .where(GraftFunctions.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
+        >= threshold)
+      .select(col("__idb").as(idCol)).distinct()
+      .withColumn("__drop", lit(true))
+    assigned.select(col(idCol), col("cell"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("__drop").isNull.as("keep"))
       .orderBy(col(idCol))
   }
 

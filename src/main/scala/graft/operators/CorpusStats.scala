@@ -82,6 +82,41 @@ object CorpusStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document token-distribution Shannon entropy ([EXT]) — the
+    * standard model-free diversity signal in corpus quality gates:
+    * `H = ln(n) - (sum over terms of c·ln c)/n` for token counts c
+    * summing to n. Near-zero entropy = one token repeated (boilerplate,
+    * keyword stuffing); entropy near ln(n_distinct) = maximally mixed.
+    * Complements [[repetitionSignals]] (which looks at ADJACENT
+    * structure) and [[unigramLogprob]] (which scores against the
+    * CORPUS distribution — entropy is the doc's own).
+    *
+    * Shape: one explode + one (doc, term) aggregate + one per-doc
+    * aggregate — no window, no join, no second scan (the identity
+    * above needs only per-term counts, never per-term probabilities,
+    * so nothing global is consulted). The c·ln c contributions are
+    * rounded then DECIMAL-summed (order-independent, the repo's dsum
+    * convention); the final entropy is one double expression on
+    * exact inputs. */
+  def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(Text.tokens(lower(col(textCol)))).as("term"))
+    terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("tf"),
+        round(col("tf") * log(col("tf").cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum(col("contrib")).as("__s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(log(col("n_tokens").cast("double")) -
+          col("__s").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source "dataset card" rollup — the summary table a
     * training-data pipeline publishes with a corpus release: document
     * and token volumes, length spread, language mix, and the share of

@@ -78,6 +78,49 @@ object Ngrams {
       .orderBy(col("doc_id"))
   }
 
+  /** Graded benchmark contamination ([EXT]) — [[decontaminate]]'s
+    * binary flag fires on a single shared n-gram, which over-drops
+    * long documents that quote one benchmark line; the RATE (shared
+    * distinct grams / the doc's distinct grams) distinguishes "quotes
+    * a sentence" from "IS the benchmark". Pipelines threshold the
+    * rate (drop), keep the raw columns (audit), or route mid-rate
+    * docs to span-level surgery ([[dupSpans]]).
+    *
+    * Same scale shape as [[decontaminate]]: per-ROW gram dedup (never
+    * a global distinct over corpus grams), benchmark gram set
+    * broadcast, corpus unshuffled until the tiny post-join hit
+    * counts. Docs shorter than n grams have no grams: rate NULL,
+    * never flagged (nothing to leak). The rate divides two exact
+    * integers — engine-reproducible to the 6-dp render. */
+  def contaminationRate(train: DataFrame, benchmark: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        n: Int = 8, threshold: Double = 0.05): DataFrame = {
+    val grams = train
+      .select(col(idCol).as("doc_id"),
+        Text.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("doc_id"),
+        array_distinct(wordNgramsOfTokens(col("__toks"), n)).as("__g"))
+    val benchGrams = benchmark
+      .select(Text.tokens(lower(col(textCol))).as("__toks"))
+      .select(explode(wordNgramsOfTokens(col("__toks"), n)).as("ng"))
+      .distinct()
+    val hits = grams.select(col("doc_id"), explode(col("__g")).as("ng"))
+      .join(broadcast(benchGrams), Seq("ng"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__hits"))
+    grams.select(col("doc_id"), size(col("__g")).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("__hits"), lit(0L)).as("n_shared"),
+        when(col("n_grams") > 0,
+          round(coalesce(col("__hits"), lit(0L)).cast("double") /
+            col("n_grams").cast("double"), 6)).as("contamination"),
+        when(col("n_grams") > 0,
+          coalesce(col("__hits"), lit(0L)).cast("double") /
+            col("n_grams").cast("double") >= threshold)
+          .otherwise(lit(false)).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Inter-source n-gram overlap matrix: for every pair of sources,
     * the number of distinct word n-grams both contain — the corpus
     * AUDIT counterpart of [[decontaminate]]: which crawl sources are

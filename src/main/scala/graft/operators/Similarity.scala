@@ -126,6 +126,37 @@ object Similarity {
     Seq.fill(nBits)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
+  /** Johnson-Lindenstrauss projection planes: the same deterministic
+    * seeded-Gaussian family as [[hyperplanes]], scaled by
+    * `1/sqrt(outDim)` so projected L2 distances estimate original
+    * distances (E[|Rx|²] = |x|²). */
+  def projectionPlanes(dim: Int, outDim: Int, seed: Long = 7L): Seq[Seq[Double]] =
+    hyperplanes(dim, outDim, seed).map(_.map(_ / math.sqrt(outDim.toDouble)))
+
+  /** Random-projection dimensionality reduction ([EXT]; Johnson-
+    * Lindenstrauss): each output component is one dot product with a
+    * fixed seeded-Gaussian plane — 64-dim float vectors become
+    * `outDim`-dim summaries whose pairwise distances approximate the
+    * originals. The cheap front half of a two-stage ANN: candidate
+    * generation in the reduced space (outDim/dim of the flops and
+    * bytes), exact rescoring on the full vectors for survivors — the
+    * same candidates-then-verify layout as [[quantizeEmbeddings]],
+    * trading the int8 grid for a dense low-dim real space.
+    *
+    * Embarrassingly parallel: the planes are literals baked into the
+    * plan (no side table, no broadcast, no driver state), one
+    * codegen'd [[graft.expressions.DotProduct]] per output dim riding
+    * the scan. Components are rounded to 6 dp — reproducible across
+    * engines and partitionings. */
+  def randomProject(embeddings: DataFrame, outDim: Int, dim: Int, seed: Long = 7L,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = projectionPlanes(dim, outDim, seed)
+    embeddings.select(col(idCol),
+      array(planes.map(p =>
+        round(GraftFunctions.dot(col(vecCol), typedLit(p)), 6)): _*).as("rvec"))
+      .orderBy(col(idCol))
+  }
+
   /** Sign-LSH bucket id: one bit per hyperplane (uses the native dot
     * product; callers must have registered [[GraftFunctions]]). */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =

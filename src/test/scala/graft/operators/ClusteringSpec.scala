@@ -48,6 +48,43 @@ class ClusteringSpec extends SparkSuite {
     assert(w.last < w.head)
   }
 
+  test("semanticDedup agrees with a brute-force within-cell one-hop rule") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val tau = 0.35
+    val out = Clustering.semanticDedup(emb, k = 8, threshold = tau)
+    // row-preserving: one row per vector, keep flag not a filter
+    assert(out.count() === emb.count())
+    // brute-force reference: recompute cells, then per-cell all-pairs
+    val cells = Clustering.kmeans(emb, k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expectDrop = vecs.keySet.filter { id =>
+      vecs.keySet.exists(o => o < id && cells(o) == cells(id) &&
+        cos(vecs(o), vecs(id)) >= tau)
+    }
+    val gotDrop = out.where(!col("keep")).collect().map(_.getLong(0)).toSet
+    assert(gotDrop === expectDrop)
+    assert(gotDrop.nonEmpty, "threshold should drop something on real data")
+  }
+
+  test("semanticDedup maxCell cap: oversized cells contribute no drops") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // cap below every cell size -> no pairs anywhere -> everything kept
+    val capped = Clustering.semanticDedup(emb, k = 8, threshold = 0.35, maxCell = 1)
+    assert(capped.where(!col("keep")).count() === 0L)
+    // and a cap above every cell size is a no-op vs uncapped
+    val loose = Clustering.semanticDedup(emb, k = 8, threshold = 0.35,
+      maxCell = emb.count().toInt)
+    val uncapped = Clustering.semanticDedup(emb, k = 8, threshold = 0.35)
+    assert(loose.collect().toSeq === uncapped.collect().toSeq)
+  }
+
   test("ivfIndexExact: same probe contract as ivfIndex, reproducible bit-exactly") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val (assigned, centers) = Clustering.ivfIndexExact(emb, nCells = 8, iters = 2)

@@ -126,4 +126,27 @@ class CorpusStatsSpec extends SparkSuite {
     assert(out(2L) === ((4L, 2L, Some(0.5))))
     assert(out(3L) === ((0L, 0L, None)))  // null text: no tokens, NULL frac
   }
+
+  test("tokenEntropy: degenerate, uniform, and hand-computed mixed docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam"), // one token: H = 0
+      (2L, "a b c d"),             // uniform: H = ln(4)
+      (3L, "x x y"))               // H = ln(3) - (2 ln 2)/3
+      .toDF("doc_id", "text")
+    val out = CorpusStats.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((4L, 1L, 0.0)))
+    assert(math.abs(out(2L)._3 - math.log(4.0)) < 1e-5)
+    assert(out(2L)._1 === 4L && out(2L)._2 === 4L)
+    val h3 = math.log(3.0) - 2.0 * math.log(2.0) / 3.0
+    assert(math.abs(out(3L)._3 - h3) < 1e-5)
+  }
+
+  test("tokenEntropy is partitioning-invariant (decimal contribution sums)") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val a = CorpusStats.tokenEntropy(docs).collect().toSeq
+    val b = CorpusStats.tokenEntropy(docs.repartition(17)).collect().toSeq
+    assert(a === b)
+  }
 }

@@ -89,4 +89,29 @@ class NgramsSpec extends SparkSuite {
     assert(out(4L) === ((0L, 0L, 0L, None)))
     assert(out(5L) === ((0L, 0L, 0L, None)))
   }
+
+  test("contaminationRate grades leakage; short docs have NULL rate, never flagged") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),      // IS a benchmark line: rate 1.0
+      (2L, "alpha beta gamma delta epsilon one two three four five six seven"),
+      (3L, "one two three four five six seven eight"), // clean
+      (4L, "too short"))                               // < n tokens: no grams
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val out = Ngrams.contaminationRate(train, bench, n = 5, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))).toMap
+    assert(out(1L) === ((1L, 1L, Some(1.0), true)))
+    // doc 2: 8 distinct 5-grams, 1 shared -> rate 0.125, below 0.5
+    assert(out(2L) === ((8L, 1L, Some(0.125), false)))
+    assert(out(3L) === ((4L, 0L, Some(0.0), false)))
+    assert(out(4L) === ((0L, 0L, None, false)))
+    // consistency with the binary gate: contaminated == (n_shared > 0)
+    val binary = Ngrams.decontaminate(train, bench, n = 5).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    out.foreach { case (id, (_, shared, _, _)) =>
+      assert(binary(id) === (shared > 0L)) }
+  }
 }

@@ -221,4 +221,48 @@ class SimilaritySpec extends SparkSuite {
     assert(exact.intersect(approx).size >= 8,
       s"quantized top-10 overlap too low: ${exact.intersect(approx)}")
   }
+
+  test("randomProject: JL distance preservation and partitioning invariance") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Similarity.randomProject(emb, outDim = 16, dim = 64)
+    // deterministic under repartitioning (planes are plan literals)
+    assert(out.collect().toSeq ===
+      Similarity.randomProject(emb.repartition(11), outDim = 16, dim = 64).collect().toSeq)
+    val orig = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val proj = out.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    // E[|Rx - Ry|^2] = |x - y|^2: the ratio should center on 1 with
+    // JL concentration; assert the sampled mean lands in a wide band
+    val ids = orig.keys.toSeq.sorted.take(40)
+    val ratios = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      dOrig = d2(orig(ids(i)), orig(ids(j))) if dOrig > 0
+    } yield d2(proj(ids(i)), proj(ids(j))) / dOrig
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"JL mean distortion off: $mean")
+  }
+
+  test("randomProject candidates recover most of the exact top-k (two-stage ANN)") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Similarity.knnJoin(emb.where(col("vec_id") < 100), k = 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    val proj = Similarity.randomProject(emb.where(col("vec_id") < 100),
+      outDim = 32, dim = 64).withColumnRenamed("rvec", "embedding")
+    val approx = Similarity.knnJoin(proj, k = 20)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    // the candidate stage is deliberately generous (k=20 in 32-dim
+    // space, then exact rescoring keeps 5): on near-orthogonal
+    // synthetic vectors the projected ranking is noisy, so recall is
+    // measured at the CANDIDATE stage, where a 4x overfetch should
+    // catch most of the true cosine top-5
+    val recalls = exact.map { case (id, ex) =>
+      ex.intersect(approx.getOrElse(id, Set.empty)).size.toDouble / ex.size }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.6, s"mean 2-stage recall too low: $meanRecall")
+  }
 }
