@@ -97,6 +97,27 @@ object ScaleProbe {
       .agg(sum("max_abs_err")).head().getDouble(0))
     time(s"kmeans k=8 iters=2 x$factor")(Clustering.kmeans(emb, k = 8, iters = 2)
       .agg(sum("dist2")).head().getDouble(0))
+    // SemDeDup: replicas land in the SAME cell, so uncapped within-cell
+    // pairs grow ~factor^2 — the maxCell guard must hold the pair stage
+    // flat (same safety property as the LSH caps); keeper counts are
+    // the forced measure
+    val semUncapped = time(s"semanticDedup k=8 x$factor")(
+      Clustering.semanticDedup(emb, k = 8, threshold = 0.35)
+        .where(col("keep")).count())
+    val semCapped = time(s"semanticDedup k=8 cap=256 x$factor")(
+      Clustering.semanticDedup(emb, k = 8, threshold = 0.35, maxCell = 256)
+        .where(col("keep")).count())
+    println(s"[scale]   semantic keepers: $semUncapped uncapped, $semCapped capped")
+    time(s"tokenEntropy x$factor")(CorpusStats.tokenEntropy(docs)
+      .agg(sum("entropy")).head().getDouble(0))
+    time(s"contaminationRate x$factor")(
+      Ngrams.contaminationRate(
+        docs.where(col("doc_id") % 41 =!= 0),
+        docs0.where(col("doc_id") % 41 === 0))
+        .agg(sum("n_shared")).head().getLong(0))
+    time(s"randomProject outDim=16 x$factor")(
+      Similarity.randomProject(emb, outDim = 16, dim = 64)
+        .agg(sum(element_at(col("rvec"), 1))).head().getDouble(0))
 
     // incremental dedup: with the index/sketch/signatures built (the
     // one-off, amortized across every future batch), the PER-BATCH

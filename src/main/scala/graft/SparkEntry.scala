@@ -336,6 +336,28 @@ object SparkEntry {
     // cohort retention triangle ([EXT]): engagement analytics over the
     // events table
     "q_cohort_retention" -> ((s, d) => Reports.cohortRetention(t(s, d, "events"))),
+    // ordered funnel: min-ts-after-previous-step, one shuffle key (user)
+    "q_funnel" -> ((s, d) =>
+      Reports.funnel(t(s, d, "events"), Seq("view", "click", "purchase"))),
+    // referential-integrity audit over the star schema's FK edges
+    "q_integrity" -> ((s, d) => Profile.integrityAudit(Seq(
+      ("lineitem.l_orderkey->orders", t(s, d, "lineitem"), "l_orderkey",
+        t(s, d, "orders"), "o_orderkey"),
+      ("lineitem.l_partkey->part", t(s, d, "lineitem"), "l_partkey",
+        t(s, d, "part"), "p_partkey"),
+      ("lineitem.l_suppkey->supplier", t(s, d, "lineitem"), "l_suppkey",
+        t(s, d, "supplier"), "s_suppkey"),
+      ("orders.o_custkey->customer", t(s, d, "orders"), "o_custkey",
+        t(s, d, "customer"), "c_custkey")))),
+    // CMS heavy-hitter probe: per-source sketch shards, driver-merged
+    // (sketch bytes only); rows-only — Spark's CMS hash family isn't
+    // reproducible in SQL, accuracy laws live in ProfileSpec
+    "q_cms_heavy_hitters" -> ((s, d) => {
+      val toks = t(s, d, "documents").select(col("source"),
+        explode(Text.tokens(lower(col("text")))).as("term"))
+      Profile.cmsEstimates(Profile.cmsShards(toks, "source", "term"),
+        Seq("join", "hash", "row", "batch", "scan", "column"))
+    }),
     // stream-stream correlation shape on its batch twin: clicks
     // followed by a same-user event of another type within 10 min
     "q_stream_correlate" -> ((s, d) => {
@@ -1085,6 +1107,52 @@ object SparkEntry {
            FROM a JOIN f USING (user_id)
            GROUP BY f.cohort_day, day_offset
            ORDER BY cohort_day, day_offset""",
+      "q_funnel" -> // min-ts-after-previous-step; conversions divide exact BIGINTs
+        """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+               s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 USING (user_id)
+                      WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY e.user_id),
+               s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+                      WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY e.user_id),
+               c AS (SELECT (SELECT count(*) FROM s0) AS c0,
+                            (SELECT count(*) FROM s1) AS c1,
+                            (SELECT count(*) FROM s2) AS c2)
+           SELECT * FROM (
+             SELECT 0 AS step_idx, 'view' AS step, CAST(c0 AS BIGINT) AS n_users,
+               CASE WHEN c0 > 0 THEN round(c0::DOUBLE / c0::DOUBLE, 6) END AS conv_from_first,
+               CASE WHEN c0 > 0 THEN round(c0::DOUBLE / c0::DOUBLE, 6) END AS conv_from_prev
+             FROM c
+             UNION ALL
+             SELECT 1, 'click', CAST(c1 AS BIGINT),
+               CASE WHEN c0 > 0 THEN round(c1::DOUBLE / c0::DOUBLE, 6) END,
+               CASE WHEN c0 > 0 THEN round(c1::DOUBLE / c0::DOUBLE, 6) END
+             FROM c
+             UNION ALL
+             SELECT 2, 'purchase', CAST(c2 AS BIGINT),
+               CASE WHEN c0 > 0 THEN round(c2::DOUBLE / c0::DOUBLE, 6) END,
+               CASE WHEN c1 > 0 THEN round(c2::DOUBLE / c1::DOUBLE, 6) END
+             FROM c)
+           ORDER BY step_idx""",
+      "q_integrity" -> { // one left-join + conditional-count block per FK edge
+        def edge(name: String, child: String, ck: String,
+                 parent: String, pk: String) =
+          s"""SELECT '$name' AS relationship,
+                CAST(count(*) AS BIGINT) AS child_rows,
+                CAST(count(CASE WHEN c.$ck IS NOT NULL AND p.$pk IS NULL THEN 1 END)
+                  AS BIGINT) AS orphan_rows,
+                CAST(count(CASE WHEN c.$ck IS NULL THEN 1 END) AS BIGINT) AS null_key_rows,
+                CASE WHEN count(*) > 0 THEN
+                  round(count(CASE WHEN c.$ck IS NOT NULL AND p.$pk IS NULL THEN 1 END)::DOUBLE
+                    / count(*)::DOUBLE, 6) END AS orphan_share
+              FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p
+                ON c.$ck = p.$pk"""
+        Seq(
+          edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          edge("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+          edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"))
+          .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY relationship")
+      },
       "q_incremental" ->
         """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
            WHERE o_orderkey > (SELECT max(o_orderkey) FROM orders WHERE o_custkey < 100)

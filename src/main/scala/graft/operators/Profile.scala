@@ -112,6 +112,45 @@ object Profile {
     sketches.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Count-min-sketch shards ([EXT]) — the frequency counterpart of
+    * [[sketchShards]]: per-shard CMS over a column (Spark's own
+    * `count_min_sketch` aggregate, serialized binary), persisted the
+    * same way. A point-frequency query then reads ONLY the sketch
+    * table: heavy-hitter monitoring over a growing corpus without
+    * rescanning old shards. Overestimates only (by ≤ eps·N with
+    * `confidence`), never under — the safe direction for "is this
+    * token/domain/URL suddenly flooding the crawl" alarms. */
+  def cmsShards(df: DataFrame, shardCol: String, c: String,
+                eps: Double = 0.01, confidence: Double = 0.99,
+                seed: Int = 42): DataFrame =
+    df.groupBy(col(shardCol)).agg(
+      call_function("count_min_sketch", col(c), lit(eps), lit(confidence),
+        lit(seed)).as("cms"),
+      count(col(c)).as("n_rows"))
+
+  /** Probe a CMS shard table for the estimated counts of `probes`.
+    * Shard sketches merge on the driver — a BOUNDED action (one
+    * ~`2/eps · ln(1/(1-conf))`-cell sketch per shard, KBs each; the
+    * same "collect sketch bytes, not data" discipline as the bloom
+    * and HLL paths). Probes hash through the sketch's binary path
+    * (UTF-8 bytes), matching how the SQL aggregate fed strings in.
+    * Deterministic for a fixed seed, but the hash family is
+    * Spark-specific — rows-only oracle, like [[sketchDictionary]];
+    * the accuracy laws (never-under, eps-bounded over, shard-merge ==
+    * global) are ProfileSpec's job. */
+  def cmsEstimates(shards: DataFrame, probes: Seq[String]): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val sketches = shards.select(col("cms")).collect()
+      .map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
+    require(sketches.nonEmpty, "cmsEstimates needs at least one shard sketch")
+    val merged = sketches.reduce { (a, b) => a.mergeInPlace(b); a }
+    val spark = shards.sparkSession
+    import spark.implicits._
+    probes.map(p =>
+      (p, merged.estimateCount(p.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      .toDF("term", "cms_est").orderBy(col("term"))
+  }
+
   /** End-to-end incremental dictionary: sketch per shard → union →
     * one (column_name, distinct_est) row per column. Deterministic
     * for a given input set (HLL is order-insensitive), but not
@@ -126,6 +165,37 @@ object Profile {
     merged.select(explode(array(entries: _*)).as("e"))
       .select(col("e.column_name"), col("e.distinct_est"))
       .orderBy(col("column_name"))
+  }
+
+  /** Referential-integrity audit ([EXT]) — one row per foreign-key
+    * relationship: child rows, orphans (a non-null key with no parent),
+    * null keys (not orphans — SQL FK semantics), and the orphan share.
+    * The data-quality gate a lake runs after every load; the reference
+    * validates row counts only, which misses broken joins entirely.
+    *
+    * Each relationship is ONE pass over the child: a left join against
+    * the parent's distinct keys (broadcast when the dim is small, the
+    * usual case) feeding a single conditional-count aggregate — never
+    * one job per metric. Relationships are independent plan branches
+    * unioned at the end (k 1-row branches). */
+  def integrityAudit(rels: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(rels.nonEmpty, "integrityAudit needs at least one relationship")
+    rels.map { case (name, child, childKey, parent, parentKey) =>
+      val parents = parent.select(col(parentKey).as("__pk")).distinct()
+      child.select(col(childKey).as("__ck"))
+        .join(parents, col("__ck") === col("__pk"), "left")
+        .agg(
+          count(lit(1)).as("child_rows"),
+          count(when(col("__ck").isNotNull && col("__pk").isNull, lit(1)))
+            .as("orphan_rows"),
+          count(when(col("__ck").isNull, lit(1))).as("null_key_rows"))
+        .select(lit(name).as("relationship"), col("child_rows"),
+          col("orphan_rows"), col("null_key_rows"),
+          when(col("child_rows") > 0,
+            round(col("orphan_rows").cast("double") /
+              col("child_rows").cast("double"), 6)).as("orphan_share"))
+    }.reduce(_ unionByName _).orderBy(col("relationship"))
   }
 
   /** Winsorize ([EXT]): clip `c` into its [lo, hi] percentile range —

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -233,6 +233,55 @@ object Reports {
     * plain `count(*)` is exact — no count-distinct shuffle. Day
     * arithmetic is integer `datediff` on DATE — engine-exact, no
     * timezone rounding (session timezone pins the ts→date cast). */
+  /** Ordered funnel analysis ([EXT]) — per-user step completion in
+    * strict timestamp order: a user reaches step i at the EARLIEST
+    * event of that type occurring strictly after their step-(i-1)
+    * time (the standard "min-ts after previous step" funnel, immune
+    * to out-of-order step types). One row per step with reach and
+    * conversion shares.
+    *
+    * Shape: one conditional-min aggregate per step, every one keyed
+    * on the user column — the same shuffle partitioning reused
+    * across all k joins (AQE/exchange reuse; at scale, bucketing the
+    * events table by user makes the whole chain exchange-free). k is
+    * the funnel length (single digits), never the data. The final
+    * rollup is one tiny aggregate over n_users rows; conversion
+    * shares divide exact longs (engine-reproducible). */
+  def funnel(events: DataFrame, steps: Seq[String],
+             typeCol: String = "event_type", tsCol: String = "ts",
+             userCol: String = "user_id"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    // (user, t0, t1, ..., t_{k-1}) with NULL from the first missed
+    // step on — dropouts stay as rows (left joins), so ONE final
+    // aggregate counts every step. No driver action per step (a
+    // per-step count() would replay the whole chain k times).
+    var acc = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
+    for ((step, i) <- steps.tail.zipWithIndex) {
+      val si = events.where(col(typeCol) === step)
+        .join(acc.select(col(userCol), col(s"t$i")), Seq(userCol))
+        .where(col(tsCol) > col(s"t$i"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"t${i + 1}"))
+      acc = acc.join(si, Seq(userCol), "left")
+    }
+    val counts = acc.agg(
+      count(col("t0")).as("c0"),
+      steps.indices.tail.map(i => count(col(s"t$i")).as(s"c$i")): _*)
+    def conv(num: Int, den: Int): Column =
+      when(col(s"c$den") > 0,
+        round(col(s"c$num").cast("double") / col(s"c$den").cast("double"), 6))
+    val entries = steps.zipWithIndex.map { case (name, i) =>
+      struct(lit(i).as("step_idx"), lit(name).as("step"),
+        col(s"c$i").as("n_users"),
+        conv(i, 0).as("conv_from_first"),
+        conv(i, math.max(i - 1, 0)).as("conv_from_prev"))
+    }
+    counts.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.step_idx"), col("e.step"), col("e.n_users"),
+        col("e.conv_from_first"), col("e.conv_from_prev"))
+      .orderBy(col("step_idx"))
+  }
+
   def cohortRetention(events: DataFrame, tsCol: String = "ts",
                       userCol: String = "user_id"): DataFrame = {
     val days = events.select(col(userCol).as("user_id"),

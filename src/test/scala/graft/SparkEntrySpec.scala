@@ -12,8 +12,10 @@ class SparkEntrySpec extends SparkSuite {
     // HLL sketch estimates aren't cross-engine comparable (rsd-bounded
     // in ProfileSpec instead); the BPE training loop is iterative with
     // no SQL oracle (verified against an independent reference
-    // implementation in BpeSpec instead)
-    assert(rowsOnly === Set("q_approx_dictionary", "q_sketch_dictionary", "q_bpe_train"),
+    // implementation in BpeSpec instead); CMS estimates use Spark's
+    // own hash family (never-under + eps-bound laws in ProfileSpec)
+    assert(rowsOnly === Set("q_approx_dictionary", "q_sketch_dictionary",
+      "q_bpe_train", "q_cms_heavy_hitters"),
       "every other query must carry a DuckDB oracle")
   }
 

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{col, explode, lit, lower}
+
 import graft.SparkSuite
 
 class ProfileSpec extends SparkSuite {
@@ -196,5 +198,43 @@ class ProfileSpec extends SparkSuite {
     val sizes = Profile.quantileBuckets(df, "x", 4).where($"bucket".isNotNull)
       .groupBy("bucket").count().collect().map(_.getLong(1))
     assert(sizes.forall(_ === 25L), "equal-population buckets")
+  }
+
+  test("integrityAudit: orphans, null keys, and clean edges in one pass each") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")
+    val out = Profile.integrityAudit(Seq(
+      ("child.fk->parent", child, "fk", parent, "pk"),
+      ("parent.pk->parent", parent, "pk", parent, "pk")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    // 4 child rows: 2 matched, 1 orphan (fk=9), 1 null key (NOT an orphan)
+    assert(out("child.fk->parent") === ((4L, 1L, 1L, Some(0.25))))
+    assert(out("parent.pk->parent") === ((3L, 0L, 0L, Some(0.0))))
+  }
+
+  test("CMS shards: never-under, eps-bounded over, shard-merge == one global sketch") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val toks = docs.select(col("source"),
+      explode(graft.functions.Text.tokens(lower(col("text")))).as("term"))
+    val probes = Seq("join", "hash", "scan", "definitely-absent-token")
+    val exact = toks.where(col("term").isin(probes: _*))
+      .groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    val total = toks.count()
+    val eps = 0.01
+    val sharded = Profile.cmsEstimates(
+      Profile.cmsShards(toks, "source", "term", eps = eps), probes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    probes.foreach { p =>
+      assert(sharded(p) >= exact(p), s"CMS must never under-count: $p")
+      assert(sharded(p) <= exact(p) + math.ceil(eps * total).toLong,
+        s"CMS over-count beyond eps bound: $p ${sharded(p)} vs ${exact(p)}")
+    }
+    // shard-merge equals a single global sketch (CMS merge is exact)
+    val global = Profile.cmsEstimates(
+      Profile.cmsShards(toks.withColumn("one", lit(1)), "one", "term", eps = eps),
+      probes).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sharded === global)
   }
 }

@@ -128,4 +128,44 @@ class ReportsSpec extends SparkSuite {
       ("2024-01-01", 2L) -> 1L,   // u1 returns two days later
       ("2024-01-02", 0L) -> 1L))  // u3's cohort
   }
+
+  test("funnel: strict ts order per step; out-of-order steps don't count") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val events = Seq(
+      // u1 completes the funnel in order
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")),
+      // u2 clicked BEFORE viewing: click must not count, purchase unreachable
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "purchase", ts("2024-01-01 11:00:00")),
+      // u3 views only
+      (3L, "view", ts("2024-01-01 08:00:00")),
+      // u4 never enters the funnel
+      (4L, "purchase", ts("2024-01-01 08:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = Reports.funnel(events, Seq("view", "click", "purchase")).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("view") === ((3L, Some(1.0), Some(1.0))))
+    assert(out("click") === ((1L, Some(0.333333), Some(0.333333))))
+    assert(out("purchase") === ((1L, Some(0.333333), Some(1.0))))
+  }
+
+  test("funnel: a later same-type event after the previous step still counts") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // u1 clicks before AND after viewing: the later click re-enters
+    val events = Seq(
+      (1L, "click", ts("2024-01-01 09:00:00")),
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:30:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = Reports.funnel(events, Seq("view", "click")).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out === Map("view" -> 1L, "click" -> 1L))
+  }
 }
