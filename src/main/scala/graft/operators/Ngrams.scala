@@ -104,18 +104,25 @@ object Ngrams {
       .select(Text.tokens(lower(col(textCol))).as("__toks"))
       .select(explode(wordNgramsOfTokens(col("__toks"), n)).as("ng"))
       .distinct()
-    val hits = grams.select(col("doc_id"), explode(col("__g")).as("ng"))
-      .join(broadcast(benchGrams), Seq("ng"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("__hits"))
-    grams.select(col("doc_id"), size(col("__g")).cast("long").as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("__hits"), lit(0L)).as("n_shared"),
+    // ONE pass over the expensive gram build: an earlier draft read
+    // `grams` twice (explode branch for hits, size branch for the
+    // denominator), and Spark re-evaluates the whole tokenize+n-gram
+    // subtree per branch — measured 2x wall-clock at probe scale.
+    // explode_outer keeps gram-less docs (count over its NULL row is
+    // 0, matching the oracle's COALESCE), the broadcast left join
+    // marks benchmark grams, and one doc-keyed aggregate recovers
+    // both counts — map-side partials collapse the exploded rows to
+    // ~one row per doc before the shuffle.
+    grams.select(col("doc_id"), explode_outer(col("__g")).as("ng"))
+      .join(broadcast(benchGrams.withColumn("__hit", lit(1))), Seq("ng"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("ng")).as("n_grams"), count(col("__hit")).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
         when(col("n_grams") > 0,
-          round(coalesce(col("__hits"), lit(0L)).cast("double") /
+          round(col("n_shared").cast("double") /
             col("n_grams").cast("double"), 6)).as("contamination"),
         when(col("n_grams") > 0,
-          coalesce(col("__hits"), lit(0L)).cast("double") /
+          col("n_shared").cast("double") /
             col("n_grams").cast("double") >= threshold)
           .otherwise(lit(false)).as("flagged"))
       .orderBy(col("doc_id"))
