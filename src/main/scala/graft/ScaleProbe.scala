@@ -118,6 +118,20 @@ object ScaleProbe {
     time(s"randomProject outDim=16 x$factor")(
       Similarity.randomProject(emb, outDim = 16, dim = 64)
         .agg(sum(element_at(col("rvec"), 1))).head().getDouble(0))
+    // third batch: bm25/pmi/boilerplate are scan-dominated (query-term
+    // filter / vocab-bounded aggregates / per-row slice); covariance's
+    // shuffle is d(d+1)/2 rows per task — flat in corpus size; pca adds
+    // a bounded moment collect + a Project-over-Scan projection
+    time(s"bm25 x$factor")(CorpusStats.bm25(docs, Seq("join", "hash", "window"))
+      .agg(sum("bm25")).head().getDouble(0))
+    time(s"pmiCollocations x$factor")(CorpusStats.pmiCollocations(docs)
+      .agg(sum("c_ab")).head().getLong(0))
+    time(s"boilerplatePrefixes x$factor")(CorpusStats.boilerplatePrefixes(docs, k = 3)
+      .agg(sum("n_docs")).head().getLong(0))
+    time(s"embeddingCovariance x$factor")(Similarity.embeddingCovariance(emb)
+      .agg(sum("cov")).head().getDouble(0))
+    time(s"pcaProject k=8 x$factor")(Similarity.pcaProject(emb, k = 8)
+      .agg(sum(element_at(col("pvec"), 1))).head().getDouble(0))
 
     // incremental dedup: with the index/sketch/signatures built (the
     // one-off, amortized across every future batch), the PER-BATCH

@@ -336,6 +336,16 @@ object SparkEntry {
     // cohort retention triangle ([EXT]): engagement analytics over the
     // events table
     "q_cohort_retention" -> ((s, d) => Reports.cohortRetention(t(s, d, "events"))),
+    // forward fill / LOCF ([EXT]): deterministic synthetic gaps
+    // (event_id % 7) filled per user; ts drives the frame order but
+    // stays out of the output (nanos-vs-micros render across engines)
+    "q_gap_fill" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value"))
+          .as("value"))
+      Windows.forwardFill(ev, "user_id", "ts", "value", "event_id")
+        .select("event_id", "user_id", "value", "value_filled")
+    }),
     // ordered funnel: min-ts-after-previous-step, one shuffle key (user)
     "q_funnel" -> ((s, d) =>
       Reports.funnel(t(s, d, "events"), Seq("view", "click", "purchase"))),
@@ -468,6 +478,29 @@ object SparkEntry {
     "q_source_overlap" -> ((s, d) =>
       Ngrams.sourceOverlap(t(s, d, "documents"), n = 3)),
     "q_tfidf" -> ((s, d) => CorpusStats.tfIdf(t(s, d, "documents"))),
+    // BM25 top-k retrieval ([EXT]): the query-term filter lands before
+    // any shuffle — the aggregate never sees the corpus vocabulary
+    "q_bm25" -> ((s, d) =>
+      CorpusStats.bm25(t(s, d, "documents"), Seq("join", "hash", "window"))),
+    // PMI collocations ([EXT]): adjacent-pair lift over corpus
+    // unigram/bigram distributions
+    "q_pmi" -> ((s, d) => CorpusStats.pmiCollocations(t(s, d, "documents"))),
+    // shared-prefix boilerplate detection ([EXT]): k=3 so the synthetic
+    // corpus yields shared prefixes; production uses ~20-50 tokens
+    "q_boilerplate" -> ((s, d) =>
+      CorpusStats.boilerplatePrefixes(t(s, d, "documents"), k = 3)),
+    // PSI drift report ([EXT]): price distribution across an orderkey
+    // split; fixed bin edges so runs stay comparable
+    "q_psi_drift" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      Profile.psiDrift(li.where(col("l_orderkey") % 2 === 0),
+        li.where(col("l_orderkey") % 2 === 1), "l_extendedprice",
+        lo = 0.0, hi = 110000.0, nBins = 11)
+    }),
+    // exact covariance matrix ([EXT]): micro-unit integer moments, the
+    // labelCentroids exactness discipline over dimension pairs
+    "q_embedding_cov" -> ((s, d) =>
+      Similarity.embeddingCovariance(t(s, d, "embeddings"))),
     // vocab coverage ([EXT]): top-20 of the synthetic corpus's 31
     // distinct tokens, so OOV discriminates; production uses 32k-256k
     "q_vocab_coverage" -> ((s, d) =>
@@ -702,6 +735,11 @@ object SparkEntry {
     // Gaussian dot products, planes baked into the plan as literals
     "q_random_projection" -> ((s, d) =>
       Similarity.randomProject(t(s, d, "embeddings"), outDim = 16, dim = 64)),
+    // PCA projection ([EXT]): learned planes from the exact covariance
+    // — rows-only by design (iterative eigensolve; laws in
+    // SimilaritySpec), like the other trained-model queries
+    "q_pca" -> ((s, d) =>
+      Similarity.pcaProject(t(s, d, "embeddings"), k = 8)),
     // ---- multimodal plumbing (SURVEY [EXT]) ----
     "q_payload_meta" -> ((s, d) =>
       Multimodal.payloadMeta(Multimodal.attachPayload(t(s, d, "documents")))),
@@ -1107,6 +1145,15 @@ object SparkEntry {
            FROM a JOIN f USING (user_id)
            GROUP BY f.cohort_day, day_offset
            ORDER BY cohort_day, day_offset""",
+      "q_gap_fill" -> // LOCF copies values (no arithmetic) — engine-exact
+        """WITH g AS (SELECT event_id, user_id, ts,
+                 CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+               FROM events)
+           SELECT event_id, user_id, value,
+             last_value(value IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+           FROM g ORDER BY user_id, event_id""",
       "q_funnel" -> // min-ts-after-previous-step; conversions divide exact BIGINTs
         """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
                        WHERE event_type = 'view' GROUP BY user_id),
@@ -1510,6 +1557,89 @@ object SparkEntry {
              round(CAST(tf.tf AS DOUBLE) * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS tfidf
            FROM tf JOIN dfq USING (term), n
            WHERE tf.tf >= 2 ORDER BY doc_id, term""",
+      "q_bm25" -> // k1/b reach both engines as the same decimal text;
+        // contributions rounded then DECIMAL-summed (dsum convention)
+        """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                       FROM documents),
+               lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+               stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                                CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
+               tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM
+                        (SELECT doc_id, unnest(toks) AS term FROM tk)
+                      WHERE term IN ('join', 'hash', 'window') GROUP BY doc_id, term),
+               dfd AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+               c AS (SELECT t.doc_id,
+                       round(ln((s.n_docs::DOUBLE - t.df::DOUBLE + 0.5) / (t.df::DOUBLE + 0.5) + 1.0)
+                         * (t.tf::DOUBLE * (1.2 + 1.0))
+                         / (t.tf::DOUBLE + 1.2 * (0.25 + 0.75 * (l.dl::DOUBLE / (s.sum_dl::DOUBLE / s.n_docs::DOUBLE)))),
+                         6)::DECIMAL(18,6) AS contrib
+                     FROM dfd t JOIN lens l USING (doc_id) CROSS JOIN stats s)
+           SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS bm25
+           FROM c GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""",
+      "q_pmi" -> // exact integer counts; one rounded ln expression
+        """WITH tk AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                       FROM documents),
+               uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM
+                         (SELECT unnest(toks) AS term FROM tk) GROUP BY term),
+               bi AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab FROM
+                        (SELECT unnest([toks[i] || ' ' || toks[i+1]
+                                        for i in range(1, len(toks))]) AS bigram FROM tk)
+                      GROUP BY bigram HAVING count(*) >= 5),
+               tot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS t_uni,
+                              CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS t_bi FROM tk)
+           SELECT b.bigram, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+             round(ln((b.c_ab::DOUBLE / t.t_bi::DOUBLE) /
+               ((ua.c::DOUBLE / t.t_uni::DOUBLE) * (ub.c::DOUBLE / t.t_uni::DOUBLE))), 6) AS pmi
+           FROM bi b
+           JOIN uni ua ON ua.term = split_part(b.bigram, ' ', 1)
+           JOIN uni ub ON ub.term = split_part(b.bigram, ' ', 2)
+           CROSS JOIN tot t
+           ORDER BY pmi DESC, bigram LIMIT 100""",
+      "q_boilerplate" -> // share is an exact-integer IEEE division: UNROUNDED
+        """WITH p AS (SELECT source,
+                 array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[1:3], ' ') AS prefix
+               FROM documents),
+               c AS (SELECT source, prefix, CAST(count(*) AS BIGINT) AS n_docs
+                     FROM p GROUP BY 1, 2),
+               w AS (SELECT *, sum(n_docs) OVER (PARTITION BY source) AS source_docs FROM c)
+           SELECT source, prefix, n_docs, CAST(source_docs AS BIGINT) AS source_docs,
+             n_docs::DOUBLE / source_docs::DOUBLE AS share,
+             (n_docs >= 2 AND n_docs::DOUBLE / source_docs::DOUBLE >= 0.2) AS flagged
+           FROM w ORDER BY source, prefix""",
+      "q_psi_drift" -> // fixed exact-literal bin edges; Laplace-smoothed shares
+        """WITH bins AS (SELECT unnest(range(11)) AS bin),
+               r AS (SELECT CAST(least(greatest(floor((l_extendedprice::DOUBLE - 0.0) / 10000.0), 0.0), 10.0) AS BIGINT) AS bin,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM lineitem WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL GROUP BY 1),
+               c AS (SELECT CAST(least(greatest(floor((l_extendedprice::DOUBLE - 0.0) / 10000.0), 0.0), 10.0) AS BIGINT) AS bin,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM lineitem WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL GROUP BY 1),
+               j AS (SELECT b.bin, CAST(COALESCE(r.n, 0) AS BIGINT) AS n_ref,
+                            CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cur
+                     FROM bins b LEFT JOIN r USING (bin) LEFT JOIN c USING (bin)),
+               w AS (SELECT *, sum(n_ref) OVER () AS tr, sum(n_cur) OVER () AS tc FROM j)
+           SELECT bin, 0.0::DOUBLE + bin::DOUBLE * 10000.0::DOUBLE AS bin_lo,
+             0.0::DOUBLE + (bin + 1)::DOUBLE * 10000.0::DOUBLE AS bin_hi, n_ref, n_cur,
+             (n_ref::DOUBLE + 0.5) / (tr::DOUBLE + 5.5) AS p_ref,
+             (n_cur::DOUBLE + 0.5) / (tc::DOUBLE + 5.5) AS p_cur,
+             round(((n_ref::DOUBLE + 0.5) / (tr::DOUBLE + 5.5) - (n_cur::DOUBLE + 0.5) / (tc::DOUBLE + 5.5)) *
+               ln(((n_ref::DOUBLE + 0.5) / (tr::DOUBLE + 5.5)) / ((n_cur::DOUBLE + 0.5) / (tc::DOUBLE + 5.5))), 6) AS psi_term
+           FROM w ORDER BY bin""",
+      "q_embedding_cov" -> // zipped unnests; exact BIGINT micro-moments
+        """WITH e AS (SELECT vec_id,
+               unnest([k for k in range(0, len(embedding))]) AS pos,
+               unnest([round(x::DOUBLE * 1000000, 0)::BIGINT for x in embedding]) AS vm
+             FROM embeddings WHERE embedding IS NOT NULL)
+           SELECT CAST(a.pos AS BIGINT) AS i, CAST(b.pos AS BIGINT) AS j,
+             CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(a.vm * b.vm) AS BIGINT) AS sum_micro2,
+             CAST(sum(a.vm) AS BIGINT) AS sum_micro_i,
+             CAST(sum(b.vm) AS BIGINT) AS sum_micro_j,
+             (sum(a.vm * b.vm)::DOUBLE / count(*)::DOUBLE -
+               (sum(a.vm)::DOUBLE / count(*)::DOUBLE) * (sum(b.vm)::DOUBLE / count(*)::DOUBLE))
+               / 1000000000000.0::DOUBLE AS cov
+           FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.pos >= a.pos
+           GROUP BY a.pos, b.pos ORDER BY i, j""",
       "q_vocab_coverage" -> // top-V cut total-ordered (cnt desc, term)
         """WITH term AS (SELECT doc_id,
                 unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term FROM documents),

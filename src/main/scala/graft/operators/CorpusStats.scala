@@ -279,4 +279,122 @@ object CorpusStats {
           .as("dup_bigram_frac"))
       .orderBy(col("doc_id"))
   }
+
+  /** BM25 top-k retrieval ([EXT]) for a fixed query-term set — the
+    * standard relevance scorer behind corpus search, retrieval-based
+    * quality scoring, and hard-negative text mining:
+    * `sum over q of idf(q) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))`
+    * with `idf = ln((N−df+0.5)/(df+0.5)+1)` (the Lucene/ATIRE
+    * non-negative variant).
+    *
+    * Shape: the query-term `isin` filter lands BEFORE the (doc,term)
+    * aggregate, so the shuffle carries only query-term hits — never
+    * the corpus vocabulary. Doc lengths ride the same tokenize scan;
+    * corpus stats (N, Σ|d|) are a 1-row broadcast; df is a window ON
+    * the tf rows (a groupBy+join would recompute the explode subtree
+    * — the [[tfIdf]] discipline). Per-term contributions are rounded
+    * then DECIMAL-summed (dsum convention: order-independent,
+    * engine-exact) and the top-k resolves as TakeOrderedAndProject.
+    * k1/b literals reach both engines as the same decimal text, so
+    * the IEEE arithmetic agrees bit-for-bit. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+           k1: Double = 1.2, b: Double = 0.75,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      Text.tokens(lower(col(textCol))).as("__toks"))
+    val lens = toks.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = toks.select(col("doc_id"), explode(col("__toks")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    // avgdl spelled as an explicit double division (not avg()) so the
+    // oracle can reproduce the exact IEEE operation sequence
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    tf.withColumn("df", count(lit(1)).over(byTerm))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(idf * (col("tf").cast("double") * lit(k1 + 1)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1 - b) + lit(b) * (col("dl").cast("double") / avgdl))), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** PMI collocations ([EXT]) — pointwise mutual information of
+    * adjacent token pairs, `ln(p(ab) / (p(a)·p(b)))` over corpus
+    * bigram/unigram distributions: the classic collocation detector
+    * (multi-word expressions, named entities, templated boilerplate
+    * phrases) and a tokenizer-merge signal next to [[bpePairCounts]]
+    * (which counts within-WORD symbol pairs; this is across words).
+    *
+    * Shape: one explode to vocab-sized unigram counts, one bigram
+    * explode to (pair, count) with map-side partials, `minCount`
+    * pruning BEFORE the two unigram joins (the surviving collocation
+    * table is tiny; the joins are vocab-bounded, never corpus-bounded).
+    * Totals broadcast as one row. The PMI is one double expression on
+    * exact integer counts, rounded once — engine-reproducible; top-k
+    * by (pmi, bigram) is a total order. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5, topK: Int = 100,
+                      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(Text.tokens(lower(col(textCol))).as("__toks"))
+    val uni = toks.select(explode(col("__toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val bi = toks.select(explode(bigramsOf(col("__toks"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    val totals = toks.agg(
+      sum(size(col("__toks"))).cast("long").as("t_uni"),
+      sum(greatest(size(col("__toks")) - 1, lit(0))).cast("long").as("t_bi"))
+    bi.select(col("bigram"), col("c_ab"),
+        split(col("bigram"), " ").getItem(0).as("w1"),
+        split(col("bigram"), " ").getItem(1).as("w2"))
+      .join(uni.select(col("term").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        round(log((col("c_ab").cast("double") / col("t_bi").cast("double")) /
+          ((col("c_a").cast("double") / col("t_uni").cast("double")) *
+            (col("c_b").cast("double") / col("t_uni").cast("double")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(topK)
+  }
+
+  /** Shared-prefix boilerplate detection ([EXT]) — per source, the
+    * first-`k`-token prefixes shared by many documents: site headers,
+    * licence banners, navigation chrome, templated intros — the
+    * C4-style boilerplate a crawl pipeline strips BEFORE dedup (a
+    * shared header makes distinct pages look like near-dups) and
+    * before training (the model memorizes it). A prefix is flagged
+    * when ≥ 2 docs share it and its share of the source reaches
+    * `minShare`.
+    *
+    * Shape: prefix extraction rides the scan (one `slice` per row —
+    * no explode); ONE (source, prefix) hash aggregate with map-side
+    * partials; per-source totals as a window ON the aggregate rows
+    * (a groupBy+join spelling would recompute the scan+aggregate
+    * subtree — the tfIdf discipline). The share is an exact-integer
+    * IEEE division, shipped UNROUNDED (bit-equal across engines). */
+  def boilerplatePrefixes(docs: DataFrame, k: Int = 5, minShare: Double = 0.2,
+                          sourceCol: String = "source",
+                          textCol: String = "text"): DataFrame = {
+    require(k > 0, "boilerplatePrefixes needs k > 0")
+    val pref = docs.select(col(sourceCol).as("source"),
+      concat_ws(" ", slice(Text.tokens(lower(col(textCol))), 1, k)).as("prefix"))
+    val bySource = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val share = col("n_docs").cast("double") / col("source_docs").cast("double")
+    pref.groupBy(col("source"), col("prefix")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("source_docs", sum(col("n_docs")).over(bySource))
+      .select(col("source"), col("prefix"), col("n_docs"), col("source_docs"),
+        share.as("share"),
+        (col("n_docs") >= 2 && share >= minShare).as("flagged"))
+      .orderBy(col("source"), col("prefix"))
+  }
 }

@@ -279,6 +279,63 @@ object Profile {
       .orderBy(col("bucket"))
   }
 
+  /** Population Stability Index drift report ([EXT]) — the standard
+    * ML-monitoring comparison of a column's distribution between a
+    * reference batch and a current batch over FIXED bins:
+    * `PSI = Σ (p_i − q_i)·ln(p_i/q_i)`. Rule of thumb: < 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 broken — the alarm a feature pipeline
+    * or crawl-mix monitor runs per load, next to [[nullProfile]]'s
+    * structural checks. Fixed `[lo, hi)` edges (not per-batch
+    * quantiles) so the same query is comparable across runs; out-of-
+    * range values clamp into the edge bins; NULLs are excluded.
+    *
+    * Shape: one bin-count aggregate per side (bin-bounded shuffles),
+    * joined onto a generated bin spine so empty bins surface as 0;
+    * totals are an unpartitioned window over the POST-aggregate rows
+    * (bounded by nBins — never the data; a second aggregate would
+    * rescan both inputs). Shares are Laplace-smoothed
+    * (`(n+0.5)/(t+0.5·nBins)`) so empty bins contribute finite terms.
+    * All doubles derive from exact integer counts through one rounded
+    * expression — engine-reproducible when `lo`/`hi` and the implied
+    * bin width are exactly-representable literals. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, c: String,
+               lo: Double, hi: Double, nBins: Int = 10): DataFrame = {
+    require(nBins > 0, "psiDrift needs at least one bin")
+    require(hi > lo, "psiDrift needs hi > lo")
+    val w = (hi - lo) / nBins
+    def binned(df: DataFrame, n: String) =
+      df.select(col(c).cast("double").as("__v")).where(col("__v").isNotNull)
+        .select(least(greatest(floor((col("__v") - lo) / w), lit(0.0)),
+          lit((nBins - 1).toDouble)).cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(n))
+    val bins = ref.sparkSession.range(nBins).withColumnRenamed("id", "bin")
+    val joined = bins.join(binned(ref, "__nr"), Seq("bin"), "left")
+      .join(binned(cur, "__nc"), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("__nr"), lit(0L)).as("n_ref"),
+        coalesce(col("__nc"), lit(0L)).as("n_cur"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val p = (col("n_ref").cast("double") + lit(0.5)) /
+      (col("__tr").cast("double") + lit(0.5 * nBins))
+    val q = (col("n_cur").cast("double") + lit(0.5)) /
+      (col("__tc").cast("double") + lit(0.5 * nBins))
+    joined
+      .withColumn("__tr", sum(col("n_ref")).over(all))
+      .withColumn("__tc", sum(col("n_cur")).over(all))
+      .select(col("bin"),
+        // edges and shares are pure exactly-specified IEEE arithmetic
+        // on exact integers/literals — bit-equal across engines
+        // UNROUNDED (round() near an exact 6-dp tie is engine-
+        // dependent); only psi_term passes through ln and needs the
+        // rounded render
+        (lit(lo) + col("bin") * w).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1) * w).as("bin_hi"),
+        col("n_ref"), col("n_cur"),
+        p.as("p_ref"), q.as("p_cur"),
+        round((p - q) * log(p / q), 6).as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
   /** Exact interpolated quantiles per group (V4-family profiling —
     * median/p90 spread summaries). `percentile` is the EXACT
     * sort-based aggregate (same (1-g)·a + g·b interpolation as

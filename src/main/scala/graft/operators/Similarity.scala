@@ -432,4 +432,124 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"),
         sum(round(col("v").cast("double") * 1000000, 0).cast("long")).as("sum_micro"))
       .orderBy(col("label"), col("pos"))
+
+  /** Exact embedding covariance matrix ([EXT]) — for every dimension
+    * pair (i, j ≥ i): the vector count, the micro-unit second-moment
+    * and per-dimension sums (all exact BIGINTs, [[labelCentroids]]'
+    * order-independence discipline), and the sample covariance
+    * `(Σxy/n − (Σx/n)(Σy/n))` rendered as a rounded double. The
+    * d×d matrix feeds whitening, PCA (eigensolve the d² result on
+    * the driver — bounded), and redundant-dimension audits before
+    * quantization ([[quantizeEmbeddings]]) or projection
+    * ([[randomProject]]).
+    *
+    * Shape: ONE projection builds all d(d+1)/2 micro-products per
+    * vector (nested transform + flatten — never a posexplode
+    * self-join, which fans BOTH sides ×d and recomputes the scan),
+    * and the (i, j) hash aggregate combines map-side, so the shuffle
+    * carries d(d+1)/2 rows per task — flat in corpus size. Per-pair
+    * long sums hold to ~10^18 micro² (≈10^6 unit-norm vectors per
+    * partial); the 10^9-vector variant upcasts the sums to
+    * DECIMAL(38,0) — same plan, wider cells. */
+  def embeddingCovariance(embeddings: DataFrame,
+                          vecCol: String = "embedding"): DataFrame = {
+    val vm = embeddings.where(col(vecCol).isNotNull)
+      .select(transform(col(vecCol),
+        x => round(x.cast("double") * 1000000, 0).cast("long")).as("__vm"))
+    val pairs = vm.select(explode(flatten(
+      transform(sequence(lit(0), size(col("__vm")) - 1), i =>
+        transform(sequence(i, size(col("__vm")) - 1), j =>
+          struct(i.as("i"), j.as("j"),
+            (element_at(col("__vm"), i + 1) * element_at(col("__vm"), j + 1)).as("p"),
+            element_at(col("__vm"), i + 1).as("vi"),
+            element_at(col("__vm"), j + 1).as("vj")))))).as("s"))
+    pairs
+      .groupBy(col("s.i").cast("long").as("i"), col("s.j").cast("long").as("j"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("s.p")).as("sum_micro2"),
+        sum(col("s.vi")).as("sum_micro_i"),
+        sum(col("s.vj")).as("sum_micro_j"))
+      .select(col("i"), col("j"), col("n_vecs"),
+        col("sum_micro2"), col("sum_micro_i"), col("sum_micro_j"),
+        // deliberately UNROUNDED: every op here (int→double cast, /,
+        // *, −) is exactly-specified IEEE, so the double is bit-equal
+        // across engines — while round() near an exact 6-dp tie is
+        // resolved differently by Spark (HALF_UP on the double's full
+        // binary expansion) and DuckDB, and exact ties are COMMON for
+        // rationals with small denominators (measured at sf0.01)
+        ((col("sum_micro2").cast("double") / col("n_vecs").cast("double") -
+          (col("sum_micro_i").cast("double") / col("n_vecs").cast("double")) *
+            (col("sum_micro_j").cast("double") / col("n_vecs").cast("double"))) /
+          lit(1.0e12)).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Top-k principal components from [[embeddingCovariance]]'s exact
+    * moments: deterministic power iteration with deflation on the
+    * d×d matrix. Returns (components[k][d], eigenvalues[k],
+    * means[d]). The covariance collect is a BOUNDED driver action —
+    * d(d+1)/2 rows of integer moments (query parameters, the
+    * [[ivfIndex]] centroid discipline), never the data. Everything
+    * downstream is fixed double arithmetic on those exact inputs, so
+    * components are reproducible across runs and partitionings. */
+  def pcaComponents(embeddings: DataFrame, k: Int, iters: Int = 50,
+                    vecCol: String = "embedding")
+      : (Array[Array[Double]], Array[Double], Array[Double]) = {
+    require(k > 0, "pcaComponents needs k > 0")
+    val rows = embeddingCovariance(embeddings, vecCol).collect()
+    require(rows.nonEmpty, "pcaComponents needs at least one vector")
+    val d = rows.map(_.getLong(1)).max.toInt + 1
+    require(k <= d, s"k=$k exceeds dimensionality $d")
+    val n = rows.head.getLong(2).toDouble
+    val cov = Array.ofDim[Double](d, d)
+    val mean = new Array[Double](d)
+    rows.foreach { r =>
+      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(6))
+      cov(i)(j) = c; cov(j)(i) = c
+      if (i == j) mean(i) = r.getLong(4).toDouble / n / 1.0e6
+    }
+    def matVec(m: Array[Array[Double]], v: Array[Double]) =
+      m.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val comps = Array.ofDim[Double](k, d)
+    val eigs = new Array[Double](k)
+    val work = cov.map(_.clone())
+    for (c <- 0 until k) {
+      // fixed all-positive start (generic: never orthogonal to a
+      // nonnegative-dominant eigenvector, and deterministic)
+      var v = Array.tabulate(d)(i => 1.0 / math.sqrt(i + c + 1.0))
+      for (_ <- 1 to iters) {
+        val w = matVec(work, v)
+        val nw = norm(w)
+        if (nw > 0) v = w.map(_ / nw)
+      }
+      val lambda = v.zip(matVec(work, v)).map { case (a, b) => a * b }.sum
+      comps(c) = v; eigs(c) = lambda
+      for (i <- 0 until d; j <- 0 until d) // deflate
+        work(i)(j) -= lambda * v(i) * v(j)
+    }
+    (comps, eigs, mean)
+  }
+
+  /** PCA projection ([EXT]) — each vector's coordinates on the top-k
+    * principal components of the corpus, mean-centered:
+    * `(x − μ)·v_c = x·v_c − μ·v_c`, so the plan is k codegen'd
+    * [[graft.expressions.DotProduct]]s against literal component
+    * arrays plus a literal scalar shift, riding the scan — zero
+    * Exchange, zero broadcast (the [[randomProject]] shape, with
+    * learned planes instead of random ones). The data-aware
+    * counterpart of [[randomProject]] for embedding compression /
+    * two-stage ANN: same output contract, strictly better variance
+    * capture. Rows-only by design (the eigensolve is iterative —
+    * no SQL oracle; accuracy laws live in SimilaritySpec). */
+  def pcaProject(embeddings: DataFrame, k: Int, iters: Int = 50,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (comps, _, mean) = pcaComponents(embeddings, k, iters, vecCol)
+    embeddings.select(col(idCol),
+      array(comps.map { comp =>
+        val shift = comp.zip(mean).map { case (a, b) => a * b }.sum
+        round(GraftFunctions.dot(col(vecCol), typedLit(comp.toSeq)) - lit(shift), 6)
+      }.toIndexedSeq: _*).as("pvec"))
+      .orderBy(col(idCol))
+  }
 }

@@ -92,4 +92,25 @@ object Windows {
       .withColumn("cume", cume_dist().over(w))
       .orderBy(col("s_nationkey"), col("pct_rank"), col("s_suppkey"))
   }
+
+  /** Forward fill / LOCF ([EXT]) — per key, replace NULL measures
+    * with the last preceding non-null value in (ts, tiebreak) order:
+    * the standard gap-fill before feature windows or model scoring
+    * (sensor dropouts, sparse attribute updates, sessionized state).
+    * Leading NULLs (no prior observation) stay NULL — no value is
+    * invented. The fill only COPIES values (no arithmetic), so the
+    * output is engine-exact whatever the column's type.
+    *
+    * Shape: one key-partitioned running frame — the same single
+    * shuffle every window op here pays; at scale, bucketing the
+    * table by the key makes it exchange-free. The tiebreak column
+    * makes the frame order total (equal timestamps would otherwise
+    * fill nondeterministically). */
+  def forwardFill(df: DataFrame, key: String, ts: String, c: String,
+                  tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(s"${c}_filled", last(col(c), ignoreNulls = true).over(w))
+      .orderBy(col(key), col(ts), col(tiebreak))
+  }
 }

@@ -13,9 +13,11 @@ class SparkEntrySpec extends SparkSuite {
     // in ProfileSpec instead); the BPE training loop is iterative with
     // no SQL oracle (verified against an independent reference
     // implementation in BpeSpec instead); CMS estimates use Spark's
-    // own hash family (never-under + eps-bound laws in ProfileSpec)
+    // own hash family (never-under + eps-bound laws in ProfileSpec);
+    // the PCA eigensolve is iterative (alignment/orthonormality/
+    // variance laws in SimilaritySpec)
     assert(rowsOnly === Set("q_approx_dictionary", "q_sketch_dictionary",
-      "q_bpe_train", "q_cms_heavy_hitters"),
+      "q_bpe_train", "q_cms_heavy_hitters", "q_pca"),
       "every other query must carry a DuckDB oracle")
   }
 

@@ -149,4 +149,64 @@ class CorpusStatsSpec extends SparkSuite {
     val b = CorpusStats.tokenEntropy(docs.repartition(17)).collect().toSeq
     assert(a === b)
   }
+
+  test("bm25: hand-computed scores; idf and length-normalization laws") {
+    val docs = Seq(
+      (1L, "cat dog"),            // short doc, one hit each term
+      (2L, "cat cat cat cat"),    // higher tf, same length as doc 3
+      (3L, "cat bird fish frog"), // one hit, longer doc
+      (4L, "bird fish frog worm")).toDF("doc_id", "text")
+    val out = CorpusStats.bm25(docs, Seq("cat", "dog"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // hand-compute doc 1: N=4, avgdl=(2+4+4+4)/4=3.5
+    def idf(df: Double) = math.log((4.0 - df + 0.5) / (df + 0.5) + 1.0)
+    def term(tf: Double, df: Double, dl: Double) = BigDecimal(
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / 3.5))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp1 = term(1, 3, 2) + term(1, 1, 2) // cat df=3, dog df=1
+    assert(math.abs(out(1L) - exp1) < 1e-9, s"${out(1L)} vs $exp1")
+    // doc 4 has no query terms: absent from the result
+    assert(!out.contains(4L))
+    // higher tf at equal length scores higher
+    assert(out(2L) > out(3L))
+    // rare term (dog, df=1) outweighs common (cat, df=3): doc 1's dog
+    // contribution alone beats doc 3's cat contribution
+    assert(term(1, 1, 2) > term(1, 3, 4))
+  }
+
+  test("pmiCollocations: perfect collocation scores high, independent pair near zero") {
+    // "a b" always adjacent; "x" and "y" co-occur adjacently only
+    // sometimes out of many occurrences
+    val docs = Seq.tabulate(10)(i =>
+      (i.toLong, if (i % 2 == 0) "a b x q y p" else "a b x y p q"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.pmiCollocations(docs, minCount = 5, topK = 100)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    val (cab, ca, cb, pmiAb) = out("a b")
+    assert(cab === 10L && ca === 10L && cb === 10L)
+    // T_uni=60, T_bi=50: pmi = ln((10/50)/((10/60)^2)) = ln 7.2
+    assert(math.abs(pmiAb - math.log(7.2)) < 1e-6)
+    val (_, _, _, pmiXy) = out("x y")
+    assert(pmiAb > pmiXy, "perfect collocation must outrank partial")
+    // pairs under minCount are pruned ("x q" occurs 5x: kept; "q y" 5x)
+    assert(out.contains("x q") && !out.contains("b p"))
+  }
+
+  test("boilerplatePrefixes: shared headers flagged per source, unique intros not") {
+    val docs = Seq(
+      (1L, "terms of service apply here alpha", "siteA"),
+      (2L, "terms of service apply here beta", "siteA"),
+      (3L, "terms of service apply here gamma", "siteA"),
+      (4L, "totally unique intro text one", "siteA"),
+      (5L, "terms of service apply here delta", "siteB")) // 1 doc: not flagged
+      .toDF("doc_id", "text", "source")
+    val out = CorpusStats.boilerplatePrefixes(docs, k = 5, minShare = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out(("siteA", "terms of service apply here")) === ((3L, 4L, 0.75, true)))
+    assert(out(("siteA", "totally unique intro text one")) === ((1L, 4L, 0.25, false)))
+    // a single doc can never be "shared" boilerplate, whatever its share
+    assert(out(("siteB", "terms of service apply here")) === ((1L, 1L, 1.0, false)))
+  }
 }

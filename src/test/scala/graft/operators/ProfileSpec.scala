@@ -237,4 +237,28 @@ class ProfileSpec extends SparkSuite {
       probes).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(sharded === global)
   }
+
+  test("psiDrift: identical batches score ~0, a shifted batch alarms, edges clamp") {
+    val ref = (Seq.fill(50)(10.0) ++ Seq.fill(30)(30.0) ++ Seq.fill(20)(50.0))
+      .toDF("v")
+    val same = Profile.psiDrift(ref, ref, "v", lo = 0.0, hi = 60.0, nBins = 6)
+      .collect()
+    assert(same.length === 6, "every bin surfaces, empty ones included")
+    // identical distributions: p == q in every bin, each term exactly 0
+    assert(same.forall(_.getAs[Double]("psi_term") === 0.0))
+    // mass moved from bin 0 to bin 4 → a clearly alarming PSI
+    val cur = (Seq.fill(20)(10.0) ++ Seq.fill(30)(30.0) ++ Seq.fill(50)(50.0))
+      .toDF("v")
+    val drift = Profile.psiDrift(ref, cur, "v", lo = 0.0, hi = 60.0, nBins = 6)
+      .collect()
+    assert(drift.map(_.getAs[Double]("psi_term")).sum > 0.25)
+    assert(drift.forall(r => !r.getAs[Double]("psi_term").isNaN &&
+      !r.getAs[Double]("psi_term").isInfinite), "empty bins stay finite")
+    // out-of-range values clamp into the edge bins; NULLs are excluded
+    val ragged = Seq(Some(-5.0), Some(999.0), None).toDF("v")
+    val edges = Profile.psiDrift(ragged, ragged, "v", 0.0, 60.0, nBins = 6)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_ref")).toMap
+    assert(edges(0L) === 1L && edges(5L) === 1L)
+    assert(edges.values.sum === 2L, "NULL rows must not land in any bin")
+  }
 }

@@ -265,4 +265,85 @@ class SimilaritySpec extends SparkSuite {
     val meanRecall = recalls.sum / recalls.size
     assert(meanRecall >= 0.6, s"mean 2-stage recall too low: $meanRecall")
   }
+
+  test("embeddingCovariance: exact moments vs brute force; upper triangle only") {
+    import spark.implicits._
+    val vecs = Seq(
+      Array(1.0f, 2.0f, -1.5f),
+      Array(0.5f, -1.0f, 2.0f),
+      Array(2.0f, 0.0f, 0.25f),
+      Array(-1.0f, 1.0f, 1.0f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingCovariance(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    assert(out.size === 6, "d=3 upper triangle has 6 cells")
+    assert(out.keySet.forall { case (i, j) => j >= i })
+    // brute-force micro-unit moments
+    val micro = vecs.map(_.map(x => math.round(x.toDouble * 1e6)))
+    for (((i, j), (n, s2, si, sj, cov)) <- out) {
+      assert(n === 4L)
+      val expS2 = micro.map(v => v(i.toInt) * v(j.toInt)).sum
+      val expSi = micro.map(_(i.toInt)).sum
+      val expSj = micro.map(_(j.toInt)).sum
+      assert(s2 === expS2 && si === expSi && sj === expSj)
+      // cov ships unrounded (pure IEEE chain): expect bit-equality
+      val expCov =
+        (expS2.toDouble / 4 - (expSi.toDouble / 4) * (expSj.toDouble / 4)) / 1.0e12
+      assert(cov === expCov, s"($i,$j): $cov vs $expCov")
+    }
+    // null embeddings are excluded, not crashed on
+    val withNull = df.union(Seq((9L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding"))
+    assert(Similarity.embeddingCovariance(withNull).collect()
+      .forall(_.getLong(2) === 4L))
+  }
+
+  test("pcaComponents: dominant direction recovered, orthonormal, eigs decreasing") {
+    import spark.implicits._
+    // points spread mostly along (1,1,0)/√2, tiny noise elsewhere
+    val base = Seq(-3.0, -1.5, -0.5, 0.5, 1.5, 3.0)
+    val df = base.zipWithIndex.map { case (t, i) =>
+      (i.toLong, Array((t + 0.01 * i).toFloat, (t - 0.01 * i).toFloat,
+        (0.02 * (i % 2)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val (comps, eigs, mean) = Similarity.pcaComponents(df, k = 3)
+    val c0 = comps(0)
+    val align = math.abs((c0(0) + c0(1)) / math.sqrt(2.0) /
+      math.sqrt(c0.map(x => x * x).sum))
+    assert(align > 0.99, s"component 0 must align with (1,1,0): $align")
+    for (i <- 0 until 3; j <- i until 3) {
+      val dot = comps(i).zip(comps(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-6,
+        s"components must be orthonormal: ($i,$j)=$dot")
+    }
+    assert(eigs.sliding(2).forall(p => p(0) >= p(1) - 1e-12), "eigs must decrease")
+    assert(eigs.forall(_ >= -1e-9), "covariance eigenvalues are nonnegative")
+    assert(mean.length === 3 && math.abs(mean(2) - 0.01) < 1e-6)
+  }
+
+  test("pcaProject: centered coordinates, partitioning-invariant, beats JL at equal dim") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = Similarity.pcaProject(emb, k = 8).collect()
+    val b = Similarity.pcaProject(emb.repartition(17), k = 8).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    // mean of each projected coordinate ~ 0 (projection is centered)
+    val sums = a.map(_.getSeq[Double](1)).reduce((x, y) =>
+      x.zip(y).map { case (p, q) => p + q })
+    assert(sums.forall(s => math.abs(s / a.length) < 1e-3))
+    // captured variance == sum of top-k eigenvalues (consistency), and
+    // >= the best axis-aligned 8-subspace (optimality law: no 8 raw
+    // dimensions can hold more variance than the top-8 PCA subspace)
+    val pcaVar = a.map(_.getSeq[Double](1).map(x => x * x).sum).sum / a.length
+    val (_, eigs, _) = Similarity.pcaComponents(emb, k = 8)
+    assert(math.abs(pcaVar - eigs.sum) < 0.01 * math.max(eigs.sum, 1e-9),
+      s"captured variance $pcaVar vs eigenvalue sum ${eigs.sum}")
+    val topDiag = Similarity.embeddingCovariance(emb).collect()
+      .filter(r => r.getLong(0) === r.getLong(1)).map(_.getDouble(6))
+      .sorted.reverse.take(8).sum
+    assert(pcaVar >= topDiag - 1e-6,
+      s"PCA-8 variance $pcaVar must dominate best axis subspace $topDiag")
+  }
 }

@@ -81,4 +81,28 @@ class WindowsSpec extends SparkSuite {
       }
     }
   }
+
+  test("forwardFill: gaps take the last prior value, leading nulls stay, keys isolated") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val df = Seq(
+      // u1: leading null, then a value, then a gap, then a tie on ts
+      (1L, 1L, ts("2024-01-01 10:00:00"), None),
+      (2L, 1L, ts("2024-01-01 11:00:00"), Some(5.0)),
+      (3L, 1L, ts("2024-01-01 12:00:00"), None),
+      (4L, 1L, ts("2024-01-01 12:00:00"), Some(7.0)), // same ts: event_id breaks tie
+      (5L, 1L, ts("2024-01-01 13:00:00"), None),
+      // u2: fills never cross keys
+      (6L, 2L, ts("2024-01-01 09:00:00"), None))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = Windows.forwardFill(df, "user_id", "ts", "value", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    assert(out(1L) === None, "leading null: no value invented")
+    assert(out(2L) === Some(5.0))
+    assert(out(3L) === Some(5.0), "gap takes the last prior value")
+    assert(out(4L) === Some(7.0), "own value wins at its row")
+    assert(out(5L) === Some(7.0), "tie resolved by event_id before filling on")
+    assert(out(6L) === None, "fills must not cross keys")
+  }
 }
