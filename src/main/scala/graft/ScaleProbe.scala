@@ -128,9 +128,10 @@ object ScaleProbe {
       .agg(sum("c_ab")).head().getLong(0))
     time(s"boilerplatePrefixes x$factor")(CorpusStats.boilerplatePrefixes(docs, k = 3)
       .agg(sum("n_docs")).head().getLong(0))
-    time(s"embeddingCovariance x$factor")(Similarity.embeddingCovariance(emb)
-      .agg(sum("cov")).head().getDouble(0))
-    time(s"pcaProject k=8 x$factor")(Similarity.pcaProject(emb, k = 8)
+    time(s"embeddingCovariance x$factor")(
+      Similarity.embeddingCovariance(emb, dim = 64)
+        .agg(sum("cov")).head().getDouble(0))
+    time(s"pcaProject k=8 x$factor")(Similarity.pcaProject(emb, k = 8, dim = 64)
       .agg(sum(element_at(col("pvec"), 1))).head().getDouble(0))
 
     // incremental dedup: with the index/sketch/signatures built (the

@@ -500,7 +500,7 @@ object SparkEntry {
     // exact covariance matrix ([EXT]): micro-unit integer moments, the
     // labelCentroids exactness discipline over dimension pairs
     "q_embedding_cov" -> ((s, d) =>
-      Similarity.embeddingCovariance(t(s, d, "embeddings"))),
+      Similarity.embeddingCovariance(t(s, d, "embeddings"), dim = 64)),
     // vocab coverage ([EXT]): top-20 of the synthetic corpus's 31
     // distinct tokens, so OOV discriminates; production uses 32k-256k
     "q_vocab_coverage" -> ((s, d) =>
@@ -739,7 +739,7 @@ object SparkEntry {
     // — rows-only by design (iterative eigensolve; laws in
     // SimilaritySpec), like the other trained-model queries
     "q_pca" -> ((s, d) =>
-      Similarity.pcaProject(t(s, d, "embeddings"), k = 8)),
+      Similarity.pcaProject(t(s, d, "embeddings"), k = 8, dim = 64)),
     // ---- multimodal plumbing (SURVEY [EXT]) ----
     "q_payload_meta" -> ((s, d) =>
       Multimodal.payloadMeta(Multimodal.attachPayload(t(s, d, "documents")))),
@@ -1629,7 +1629,7 @@ object SparkEntry {
         """WITH e AS (SELECT vec_id,
                unnest([k for k in range(0, len(embedding))]) AS pos,
                unnest([round(x::DOUBLE * 1000000, 0)::BIGINT for x in embedding]) AS vm
-             FROM embeddings WHERE embedding IS NOT NULL)
+             FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64)
            SELECT CAST(a.pos AS BIGINT) AS i, CAST(b.pos AS BIGINT) AS j,
              CAST(count(*) AS BIGINT) AS n_vecs,
              CAST(sum(a.vm * b.vm) AS BIGINT) AS sum_micro2,

@@ -437,50 +437,56 @@ object Similarity {
     * pair (i, j ≥ i): the vector count, the micro-unit second-moment
     * and per-dimension sums (all exact BIGINTs, [[labelCentroids]]'
     * order-independence discipline), and the sample covariance
-    * `(Σxy/n − (Σx/n)(Σy/n))` rendered as a rounded double. The
-    * d×d matrix feeds whitening, PCA (eigensolve the d² result on
-    * the driver — bounded), and redundant-dimension audits before
-    * quantization ([[quantizeEmbeddings]]) or projection
-    * ([[randomProject]]).
+    * `(Σxy/n − (Σx/n)(Σy/n))`. The d×d matrix feeds whitening, PCA
+    * (eigensolve the d² result on the driver — bounded), and
+    * redundant-dimension audits before quantization
+    * ([[quantizeEmbeddings]]) or projection ([[randomProject]]).
+    * `dim` is explicit (the LSH-dim contract: no pre-plan driver
+    * action); NULL and ragged rows are excluded.
     *
-    * Shape: ONE projection builds all d(d+1)/2 micro-products per
-    * vector (nested transform + flatten — never a posexplode
-    * self-join, which fans BOTH sides ×d and recomputes the scan),
-    * and the (i, j) hash aggregate combines map-side, so the shuffle
-    * carries d(d+1)/2 rows per task — flat in corpus size. Per-pair
-    * long sums hold to ~10^18 micro² (≈10^6 unit-norm vectors per
-    * partial); the 10^9-vector variant upcasts the sums to
-    * DECIMAL(38,0) — same plan, wider cells. */
-  def embeddingCovariance(embeddings: DataFrame,
+    * Shape: ONE pass through [[graft.expressions.CovMomentsAggregator]]
+    * — d(d+1)/2 fused multiply-adds per row into a primitive long
+    * buffer, partial-combined map-side, so the shuffle ships one
+    * ~(d²/2)-cell buffer per task (KBs, flat in corpus size). An
+    * explode-based spelling (d(d+1)/2 structs per row through
+    * Generate + HashAggregate) has the same shuffle bound but paid
+    * ~10× the CPU (3.1 s → 0.3 s at sf0.1). The final matrix
+    * materializes driver-side from the single merged buffer —
+    * bounded, like the IVF centroid collect.
+    *
+    * The `cov` render is deliberately UNROUNDED: every op (int→double
+    * cast, /, *, −) is exactly-specified IEEE, so the double is
+    * bit-equal across engines — while round() near an exact 6-dp tie
+    * is resolved differently by Spark (HALF_UP on the double's full
+    * binary expansion) and DuckDB, and exact ties are COMMON for
+    * rationals with small denominators (measured at sf0.01). */
+  def embeddingCovariance(embeddings: DataFrame, dim: Int,
                           vecCol: String = "embedding"): DataFrame = {
-    val vm = embeddings.where(col(vecCol).isNotNull)
+    require(dim > 0, "embeddingCovariance needs dim > 0")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vm = embeddings
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
       .select(transform(col(vecCol),
-        x => round(x.cast("double") * 1000000, 0).cast("long")).as("__vm"))
-    val pairs = vm.select(explode(flatten(
-      transform(sequence(lit(0), size(col("__vm")) - 1), i =>
-        transform(sequence(i, size(col("__vm")) - 1), j =>
-          struct(i.as("i"), j.as("j"),
-            (element_at(col("__vm"), i + 1) * element_at(col("__vm"), j + 1)).as("p"),
-            element_at(col("__vm"), i + 1).as("vi"),
-            element_at(col("__vm"), j + 1).as("vj")))))).as("s"))
-    pairs
-      .groupBy(col("s.i").cast("long").as("i"), col("s.j").cast("long").as("j"))
-      .agg(count(lit(1)).as("n_vecs"),
-        sum(col("s.p")).as("sum_micro2"),
-        sum(col("s.vi")).as("sum_micro_i"),
-        sum(col("s.vj")).as("sum_micro_j"))
-      .select(col("i"), col("j"), col("n_vecs"),
-        col("sum_micro2"), col("sum_micro_i"), col("sum_micro_j"),
-        // deliberately UNROUNDED: every op here (int→double cast, /,
-        // *, −) is exactly-specified IEEE, so the double is bit-equal
-        // across engines — while round() near an exact 6-dp tie is
-        // resolved differently by Spark (HALF_UP on the double's full
-        // binary expansion) and DuckDB, and exact ties are COMMON for
-        // rationals with small denominators (measured at sf0.01)
-        ((col("sum_micro2").cast("double") / col("n_vecs").cast("double") -
-          (col("sum_micro_i").cast("double") / col("n_vecs").cast("double")) *
-            (col("sum_micro_j").cast("double") / col("n_vecs").cast("double"))) /
-          lit(1.0e12)).as("cov"))
+        x => round(x.cast("double") * 1000000, 0).cast("long")).as("vm"))
+      .as[Array[Long]]
+    val m = vm.select(
+      new graft.expressions.CovMomentsAggregator(dim).toColumn.name("m")).head()
+    val nPairs = dim * (dim + 1) / 2
+    val n = m(nPairs + dim)
+    val out =
+      if (n == 0L) Seq.empty[(Long, Long, Long, Long, Long, Long, Double)]
+      else {
+        var idx = -1
+        for { i <- 0 until dim; j <- i until dim } yield {
+          idx += 1
+          val (s2, si, sj) = (m(idx), m(nPairs + i), m(nPairs + j))
+          val cov = (s2.toDouble / n.toDouble -
+            (si.toDouble / n.toDouble) * (sj.toDouble / n.toDouble)) / 1.0e12
+          (i.toLong, j.toLong, n, s2, si, sj, cov)
+        }
+      }
+    out.toDF("i", "j", "n_vecs", "sum_micro2", "sum_micro_i", "sum_micro_j", "cov")
       .orderBy(col("i"), col("j"))
   }
 
@@ -492,13 +498,13 @@ object Similarity {
     * [[ivfIndex]] centroid discipline), never the data. Everything
     * downstream is fixed double arithmetic on those exact inputs, so
     * components are reproducible across runs and partitionings. */
-  def pcaComponents(embeddings: DataFrame, k: Int, iters: Int = 50,
+  def pcaComponents(embeddings: DataFrame, k: Int, dim: Int, iters: Int = 50,
                     vecCol: String = "embedding")
       : (Array[Array[Double]], Array[Double], Array[Double]) = {
     require(k > 0, "pcaComponents needs k > 0")
-    val rows = embeddingCovariance(embeddings, vecCol).collect()
+    val rows = embeddingCovariance(embeddings, dim, vecCol).collect()
     require(rows.nonEmpty, "pcaComponents needs at least one vector")
-    val d = rows.map(_.getLong(1)).max.toInt + 1
+    val d = dim
     require(k <= d, s"k=$k exceeds dimensionality $d")
     val n = rows.head.getLong(2).toDouble
     val cov = Array.ofDim[Double](d, d)
@@ -542,9 +548,9 @@ object Similarity {
     * two-stage ANN: same output contract, strictly better variance
     * capture. Rows-only by design (the eigensolve is iterative —
     * no SQL oracle; accuracy laws live in SimilaritySpec). */
-  def pcaProject(embeddings: DataFrame, k: Int, iters: Int = 50,
+  def pcaProject(embeddings: DataFrame, k: Int, dim: Int, iters: Int = 50,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (comps, _, mean) = pcaComponents(embeddings, k, iters, vecCol)
+    val (comps, _, mean) = pcaComponents(embeddings, k, dim, iters, vecCol)
     embeddings.select(col(idCol),
       array(comps.map { comp =>
         val shift = comp.zip(mean).map { case (a, b) => a * b }.sum

@@ -275,7 +275,7 @@ class SimilaritySpec extends SparkSuite {
       Array(-1.0f, 1.0f, 1.0f))
     val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
       .toDF("vec_id", "embedding")
-    val out = Similarity.embeddingCovariance(df).collect()
+    val out = Similarity.embeddingCovariance(df, dim = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
       .toMap
@@ -297,7 +297,7 @@ class SimilaritySpec extends SparkSuite {
     // null embeddings are excluded, not crashed on
     val withNull = df.union(Seq((9L, null.asInstanceOf[Array[Float]]))
       .toDF("vec_id", "embedding"))
-    assert(Similarity.embeddingCovariance(withNull).collect()
+    assert(Similarity.embeddingCovariance(withNull, dim = 3).collect()
       .forall(_.getLong(2) === 4L))
   }
 
@@ -309,7 +309,7 @@ class SimilaritySpec extends SparkSuite {
       (i.toLong, Array((t + 0.01 * i).toFloat, (t - 0.01 * i).toFloat,
         (0.02 * (i % 2)).toFloat))
     }.toDF("vec_id", "embedding")
-    val (comps, eigs, mean) = Similarity.pcaComponents(df, k = 3)
+    val (comps, eigs, mean) = Similarity.pcaComponents(df, k = 3, dim = 3)
     val c0 = comps(0)
     val align = math.abs((c0(0) + c0(1)) / math.sqrt(2.0) /
       math.sqrt(c0.map(x => x * x).sum))
@@ -326,8 +326,8 @@ class SimilaritySpec extends SparkSuite {
 
   test("pcaProject: centered coordinates, partitioning-invariant, beats JL at equal dim") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
-    val a = Similarity.pcaProject(emb, k = 8).collect()
-    val b = Similarity.pcaProject(emb.repartition(17), k = 8).collect()
+    val a = Similarity.pcaProject(emb, k = 8, dim = 64).collect()
+    val b = Similarity.pcaProject(emb.repartition(17), k = 8, dim = 64).collect()
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
     // mean of each projected coordinate ~ 0 (projection is centered)
     val sums = a.map(_.getSeq[Double](1)).reduce((x, y) =>
@@ -337,10 +337,10 @@ class SimilaritySpec extends SparkSuite {
     // >= the best axis-aligned 8-subspace (optimality law: no 8 raw
     // dimensions can hold more variance than the top-8 PCA subspace)
     val pcaVar = a.map(_.getSeq[Double](1).map(x => x * x).sum).sum / a.length
-    val (_, eigs, _) = Similarity.pcaComponents(emb, k = 8)
+    val (_, eigs, _) = Similarity.pcaComponents(emb, k = 8, dim = 64)
     assert(math.abs(pcaVar - eigs.sum) < 0.01 * math.max(eigs.sum, 1e-9),
       s"captured variance $pcaVar vs eigenvalue sum ${eigs.sum}")
-    val topDiag = Similarity.embeddingCovariance(emb).collect()
+    val topDiag = Similarity.embeddingCovariance(emb, dim = 64).collect()
       .filter(r => r.getLong(0) === r.getLong(1)).map(_.getDouble(6))
       .sorted.reverse.take(8).sum
     assert(pcaVar >= topDiag - 1e-6,
