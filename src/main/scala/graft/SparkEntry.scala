@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Json, Scrub, Text}
 import graft.multimodal.Multimodal
-import graft.operators.{Anonymize, AsOf, CorpusStats, Dedup, Fuzzy, Layout, Ngrams, Pack, Profile, Reports, Reshape, Sampling, Similarity, Skew, TopK, Windows}
+import graft.operators.{Anonymize, AsOf, CorpusStats, Dedup, Fuzzy, Layout, Ngrams, Pack, Profile, Reports, Reshape, Sampling, SetSimilarity, Similarity, Skew, TopK, Windows}
 import graft.sources.{Lake, Tables}
 import graft.streaming.Sessions
 
@@ -97,6 +97,21 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
+    // leakage-safe split ([EXT]): split by the DEDUP CLUSTER hash so a
+    // test doc's near-twin can never land in train (the silent
+    // eval-inflation bug); composes dedupDocuments' keeper mapping
+    "q_group_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val groups = Dedup.dedupDocuments(docs, threshold = 0.5)
+      Sampling.groupSplit(docs, "doc_id", groups, "keeper_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
+    }),
+    // class balancing ([EXT]): every label downsampled to the smallest
+    // class's count, kept rows chosen in deterministic hash order
+    "q_class_balance" -> ((s, d) =>
+      Sampling.classBalance(t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang").orderBy(col("doc_id"))),
     "q_top_parts" -> ((s, d) => TopK.topN(t(s, d, "part"), "p_retailprice", "p_partkey", 100)),
     "q_top_parts_per_brand" -> ((s, d) =>
       TopK.perGroup(t(s, d, "part"), "p_brand", "p_retailprice", "p_partkey", 3)
@@ -643,6 +658,15 @@ object SparkEntry {
     "q_minhash_capped" -> ((s, d) =>
       Dedup.minhashCandidates(t(s, d, "documents"), maxBucket = 3)),
     "q_near_dup_pairs" -> ((s, d) => Dedup.nearDupPairs(t(s, d, "documents"), threshold = 0.5)),
+    // EXACT set-similarity join ([EXT]): every pair with true Jaccard
+    // >= t via prefix filtering — recall 1 by construction (the
+    // contract-grade complement to the probabilistic minhash family,
+    // and the recall yardstick for it)
+    "q_jaccard_join" -> ((s, d) => SetSimilarity.jaccardJoin(t(s, d, "documents"), threshold = 0.5)),
+    // asymmetric containment ([EXT]): |A∩B|/|A| >= t — "B quotes A"
+    // detection that symmetric Jaccard misses when the container dwarfs
+    // the contained doc
+    "q_containment" -> ((s, d) => SetSimilarity.containmentJoin(t(s, d, "documents"), threshold = 0.8)),
     "q_dedup_docs" -> ((s, d) => Dedup.dedupDocuments(t(s, d, "documents"), threshold = 0.5)),
     // transitive-closure keeper policy (connected components of the
     // verified near-dup graph) vs q_dedup_docs' one-hop policy
@@ -1813,6 +1837,92 @@ object SparkEntry {
             ${verifiedPairCtes("documents")}
             SELECT doc_a, doc_b, round(jac, 6) AS jaccard
             FROM verified ORDER BY doc_a, doc_b""",
+      // Exact prefix-filtered Jaccard join. The oracle mirrors the
+      // candidate algebra (prefix + length filter) rather than brute-
+      // forcing all pairs — at sf0.1 the brute force is 12.5M
+      // list_intersects; SetSimilaritySpec carries the independent
+      // brute-force equivalence proof. The positional filter is
+      // result-set-neutral (a pure candidate prune) and is omitted
+      // here on purpose. jaccard ships unrounded: BIGINT casts + one
+      // IEEE divide are bit-equal across engines.
+      "q_jaccard_join" ->
+        s"""WITH sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM documents),
+            tok AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+            st AS (SELECT doc_id, h,
+                     count(*) OVER (PARTITION BY h) AS df,
+                     count(*) OVER (PARTITION BY doc_id) AS n FROM tok),
+            rk AS (SELECT doc_id, h, n,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS r FROM st),
+            pf AS (SELECT doc_id, h, n FROM rk WHERE r <= n - ceil(0.5 * n) + 1),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.n AS na, b.n AS nb
+                     FROM pf a JOIN pf b USING (h)
+                     WHERE a.doc_id < b.doc_id
+                       AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)),
+            iv AS (SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS inter
+                   FROM cand c
+                   JOIN tok ta ON ta.doc_id = c.doc_a
+                   JOIN tok tb ON tb.doc_id = c.doc_b AND tb.h = ta.h
+                   GROUP BY ALL)
+            SELECT doc_a, doc_b, inter,
+              inter::DOUBLE / (na + nb - inter) AS jaccard
+            FROM iv WHERE inter >= 0.5 * (na + nb - inter)
+            ORDER BY doc_a, doc_b""",
+      // Asymmetric containment: one-sided prefix on the contained
+      // side, full set rows on the container side.
+      "q_containment" ->
+        s"""WITH sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM documents),
+            tok AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+            st AS (SELECT doc_id, h,
+                     count(*) OVER (PARTITION BY h) AS df,
+                     count(*) OVER (PARTITION BY doc_id) AS n FROM tok),
+            rk AS (SELECT doc_id, h, n,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS r FROM st),
+            pf AS (SELECT doc_id, h, n FROM rk WHERE r <= n - ceil(0.8 * n) + 1),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.n AS na, b.n AS nb
+                     FROM pf a JOIN rk b USING (h)
+                     WHERE a.doc_id <> b.doc_id AND b.n >= 0.8 * a.n),
+            iv AS (SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS inter
+                   FROM cand c
+                   JOIN tok ta ON ta.doc_id = c.doc_a
+                   JOIN tok tb ON tb.doc_id = c.doc_b AND tb.h = ta.h
+                   GROUP BY ALL)
+            SELECT doc_a AS doc_id, doc_b AS container_id, inter,
+              inter::DOUBLE / na AS containment
+            FROM iv WHERE inter >= 0.8 * na
+            ORDER BY doc_id, container_id""",
+      // Leakage-safe split: the q_dedup_docs keeper chain, then the
+      // q_split hash boundaries applied to the KEEPER id (so every
+      // member of a dedup cluster shares its keeper's split).
+      "q_group_split" ->
+        s"""WITH fp AS (SELECT doc_id, text, $fingerprint AS f FROM documents),
+            g AS (SELECT f, min(doc_id) AS ek FROM fp GROUP BY f),
+            wk AS (SELECT fp.doc_id, fp.text, g.ek FROM fp JOIN g ON fp.f = g.f),
+            kd AS (SELECT doc_id, text FROM wk WHERE doc_id = ek),
+            ${minhashCtesFrom("kd")},
+            ${verifiedPairCtes("kd")},
+            n AS (SELECT doc_b, min(doc_a) AS nk FROM verified GROUP BY doc_b),
+            k AS (SELECT wk.doc_id,
+                    CASE WHEN wk.ek <> wk.doc_id THEN wk.ek
+                         ELSE COALESCE(n.nk, wk.doc_id) END AS keeper
+                  FROM wk LEFT JOIN n ON wk.doc_id = n.doc_b)
+            SELECT doc_id, CASE
+              WHEN ('0x' || substr(md5(keeper::VARCHAR), 1, 8))::BIGINT % 10000 < 8000 THEN 'train'
+              WHEN ('0x' || substr(md5(keeper::VARCHAR), 1, 8))::BIGINT % 10000 < 9000 THEN 'val'
+              ELSE 'test' END AS split
+            FROM k ORDER BY doc_id""",
+      // Class balancing: every label's rows ranked by the portable
+      // basis-point hash (id tiebreak), truncated at the min class
+      // count.
+      "q_class_balance" ->
+        """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+           m AS (SELECT min(cnt) AS mc FROM c),
+           r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000,
+                            doc_id) AS rn
+                 FROM documents)
+           SELECT doc_id, lang FROM r, m WHERE rn <= mc ORDER BY doc_id""",
       "q_dedup_docs" ->
         s"""WITH fp AS (SELECT doc_id, text, $fingerprint AS f FROM documents),
             g AS (SELECT f, min(doc_id) AS ek FROM fp GROUP BY f),

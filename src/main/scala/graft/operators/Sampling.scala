@@ -142,6 +142,56 @@ object Sampling {
         md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
       .orderBy(col("shuffle_key"))
 
+  /** Leakage-safe split: [[assignSplit]] hashed on a GROUP key
+    * instead of the row id, so every row of a group lands in the SAME
+    * split. Splitting near-duplicate documents independently leaks
+    * eval content into training (the test doc's near-twin is trained
+    * on — the classic silent-eval-inflation bug); hashing the dedup
+    * cluster id (or source domain, or patient id) closes it. `groups`
+    * maps each row id to its group (e.g. [[Dedup.dedupDocuments]]'s
+    * `(doc_id, keeper_id)`); rows without a group keep their own id
+    * as the group (a singleton can't leak).
+    *
+    * Shape: one equi-join on the row id (the group map is a dedup
+    * output — same cardinality as the corpus, so this is a plain
+    * shuffle join, broadcast when the map side is small) + the pure
+    * per-row hash filter. Split boundaries and the hash are
+    * [[assignSplit]]'s — engine-portable, row-stable as the corpus
+    * grows. */
+  def groupSplit(df: DataFrame, idCol: String, groups: DataFrame,
+                 groupIdCol: String, weights: Seq[(String, Double)]): DataFrame = {
+    val g = groups.select(col(idCol).as("__gid_key"), col(groupIdCol).as("__group"))
+    val joined = df.join(g, col(idCol) === col("__gid_key"), "left")
+      .withColumn("__group", coalesce(col("__group"), col(idCol)))
+    assignSplit(joined, "__group", weights).drop("__gid_key", "__group")
+  }
+
+  /** Balance classes by downsampling every class to the SIZE OF THE
+    * SMALLEST class — the standard rebalancing step before training a
+    * classifier on skewed labels (a 95/5 label mix trains a
+    * majority-class parrot). Rows are kept in deterministic hash
+    * order (ties broken by id), so the balanced set is reproducible,
+    * partitioning-independent, and stable under reruns; growing a
+    * class only evicts rows at its hash boundary.
+    *
+    * Shape: one map-side-combined counts aggregate (rows = number of
+    * classes, broadcast back) + one rank window per class. The window
+    * shuffles by label, so one pathologically hot class serializes
+    * into one partition — at that scale pre-thin the hot class with
+    * [[stratifiedByHash]] (rate ≈ target/count) and rank the
+    * survivors; the exact-quota rank is then over a bounded set. */
+  def classBalance(df: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val counts = df.groupBy(col(labelCol).as("__label"))
+      .agg(count(lit(1)).as("__cnt"))
+    val minCnt = counts.agg(min(col("__cnt")).as("__min_cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(labelCol)).orderBy(hashBp(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .crossJoin(broadcast(minCnt))
+      .where(col("__rn") <= col("__min_cnt"))
+      .drop("__rn", "__min_cnt")
+  }
+
   /** Stratified flavor: per-stratum rates, `default` for strata not
     * in the map. One pass, no shuffle — the rate is a when-chain on
     * the stratum column, the membership test stays the hash-mod. */

@@ -142,4 +142,46 @@ class SamplingSpec extends SparkSuite {
     assert(e1.sorted === e2.sorted, "a permutation, not a resample")
     assert(e1 !== e1.sorted, "and it actually shuffles")
   }
+
+  test("groupSplit: whole groups share a split; unmapped rows split by own id") {
+    val rows = (1L to 300L).map(i => (i, s"doc$i")).toDF("id", "v")
+    // groups of 3: rows 1-3 -> group 1, 4-6 -> group 4, ...
+    val groups = (1L to 300L).map(i => (i, ((i - 1) / 3) * 3 + 1)).toDF("id", "gid")
+    val out = Sampling.groupSplit(rows, "id", groups, "gid",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(out.size === 300)
+    for (g <- 1L to 298L by 3)
+      assert(Set(out(g), out(g + 1), out(g + 2)).size === 1,
+        s"group at $g straddles splits")
+    // unmapped rows fall back to their own id = assignSplit behavior
+    val noMap = Sampling.groupSplit(rows, "id", groups.filter($"id" < 0), "gid",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    val direct = Sampling.assignSplit(rows, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(noMap === direct)
+  }
+
+  test("classBalance: every class lands exactly at the min class count, deterministically") {
+    val rows = ((1L to 500L).map(i => (i, "big")) ++
+      (501L to 560L).map(i => (i, "mid")) ++
+      (561L to 580L).map(i => (i, "small"))).toDF("id", "label")
+    val out = Sampling.classBalance(rows, "id", "label")
+      .select($"id", $"label").as[(Long, String)].collect()
+    val byLabel = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLabel === Map("big" -> 20, "mid" -> 20, "small" -> 20))
+    // deterministic and partitioning-independent
+    val again = Sampling.classBalance(rows.repartition(7), "id", "label")
+      .select($"id", $"label").as[(Long, String)].collect()
+    assert(out.toSet === again.toSet)
+    // growing a class never changes OTHER classes' picks
+    val grown = (rows.collect().map(r => (r.getLong(0), r.getString(1))) ++
+      (1000L to 1100L).map(i => (i, "big"))).toSeq.toDF("id", "label")
+    val g = Sampling.classBalance(grown, "id", "label")
+      .select($"id", $"label").as[(Long, String)].collect()
+    assert(g.filter(_._2 == "mid").toSet === out.filter(_._2 == "mid").toSet)
+    assert(g.filter(_._2 == "small").toSet === out.filter(_._2 == "small").toSet)
+  }
 }
