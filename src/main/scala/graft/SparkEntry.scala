@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Json, Scrub, Text}
 import graft.multimodal.Multimodal
-import graft.operators.{Anonymize, AsOf, CorpusStats, Dedup, Fuzzy, Layout, Ngrams, Pack, Profile, Reports, Reshape, Sampling, SetSimilarity, Similarity, Skew, TopK, Windows}
+import graft.operators.{Anonymize, AsOf, CorpusStats, Dedup, Fuzzy, Layout, Ngrams, Pack, Profile, Quality, Reports, Reshape, Sampling, SetSimilarity, Similarity, Skew, TopK, Windows}
 import graft.sources.{Lake, Tables}
 import graft.streaming.Sessions
 
@@ -40,6 +40,34 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (SURVEY §2.1-2.4, §2.6) ----
     "q_pricing_summary" -> ((s, d) => Reports.pricingSummary(t(s, d, "lineitem"))),
+    // declarative data-quality gate ([EXT]): every scan rule is one
+    // conditional count inside ONE aggregate pass; keyed uniqueness
+    // runs as its own bounded aggregate and unions in
+    "q_dq_rules" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      Quality.report(li, Seq(
+        Quality.notNull("l_orderkey"),
+        Quality.inRange("l_quantity", 1, 45),
+        Quality.inRange("l_discount", 0, 0.05),
+        Quality.inSet("l_returnflag", Seq("A", "R")),
+        Quality.matches("l_linestatus", "^[OF]$"),
+        Quality.check("positive_net_price",
+          col("l_extendedprice") * (lit(1) - col("l_discount")) > 0)))
+        .unionByName(Quality.uniqueRule(li, Seq("l_orderkey", "l_linenumber")))
+        .orderBy(col("rule"))
+    }),
+    // incremental aggregate maintenance ([EXT]): per-batch mergeable
+    // partial aggregates merged into the exact full aggregate — the
+    // oracle recomputes from scratch, proving merge == rescan without
+    // ever rescanning history in production
+    "q_agg_merge" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val batches = (0 until 4).map(b =>
+        Reports.partialAggregate(li.filter(pmod(col("l_orderkey"), lit(4)) === b),
+          Seq("l_returnflag", "l_linestatus"), "l_extendedprice"))
+      Reports.mergeAggregates(batches, Seq("l_returnflag", "l_linestatus"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
     "q_drug_report" -> ((s, d) =>
       Reports.drugReport(t(s, d, "lineitem"), t(s, d, "part"))),
     "q_prescriber_report" -> ((s, d) =>
@@ -902,6 +930,42 @@ object SparkEntry {
           ORDER BY doc_id"""
     }
     Map(
+      // Data-quality gate: FILTERed counts keep every count BIGINT
+      // (a bare sum(CASE) is HUGEINT in DuckDB and would dtype-
+      // mismatch); rates are unrounded IEEE divides on exact counts.
+      "q_dq_rules" ->
+        """WITH t AS (SELECT count(*) AS n,
+             count(*) FILTER (WHERE l_orderkey IS NULL) AS v_nn,
+             count(*) FILTER (WHERE COALESCE(l_quantity < 1 OR l_quantity > 45, FALSE)) AS v_rq,
+             count(*) FILTER (WHERE COALESCE(l_discount < 0 OR l_discount > 0.05, FALSE)) AS v_rd,
+             count(*) FILTER (WHERE COALESCE(l_returnflag NOT IN ('A','R'), FALSE)) AS v_set,
+             count(*) FILTER (WHERE COALESCE(NOT regexp_matches(l_linestatus, '^[OF]$'), FALSE)) AS v_re,
+             count(*) FILTER (WHERE COALESCE(NOT (l_extendedprice * (1 - l_discount) > 0), TRUE)) AS v_ck
+             FROM lineitem),
+           u AS (SELECT count(*) AS n, count(*) -
+               (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS v
+             FROM lineitem)
+           SELECT rule, n_violations, n_rows,
+             n_violations::DOUBLE / n_rows AS violation_rate FROM (
+             SELECT 'check:positive_net_price' AS rule, v_ck AS n_violations, n AS n_rows FROM t
+             UNION ALL SELECT 'not_null:l_orderkey', v_nn, n FROM t
+             UNION ALL SELECT 'range:l_discount', v_rd, n FROM t
+             UNION ALL SELECT 'range:l_quantity', v_rq, n FROM t
+             UNION ALL SELECT 'regex:l_linestatus', v_re, n FROM t
+             UNION ALL SELECT 'set:l_returnflag', v_set, n FROM t
+             UNION ALL SELECT 'unique:l_orderkey,l_linenumber', v, n FROM u)
+           ORDER BY rule""",
+      // Incremental aggregate maintenance: the oracle aggregates the
+      // WHOLE fact from scratch — equality proves the per-batch
+      // partial/merge algebra is exact (decimal sums associate).
+      "q_agg_merge" ->
+        s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+            ${sqlDsum("l_extendedprice")} AS sum_value,
+            min(l_extendedprice) AS min_value,
+            max(l_extendedprice) AS max_value,
+            ${sqlDsum("l_extendedprice")} / count(*) AS avg_value
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
       "q_pricing_summary" ->
         s"""SELECT l_returnflag, l_linestatus,
             ${sqlDsum("l_quantity")} AS sum_qty,

@@ -282,6 +282,49 @@ object Reports {
       .orderBy(col("step_idx"))
   }
 
+  /** Mergeable partial aggregate for INCREMENTAL aggregate
+    * maintenance ([EXT]): one row per key holding the algebraic
+    * aggregate STATE (count, exact decimal sum, min, max) for one
+    * batch/shard of the fact. The state is closed under merge —
+    * `merge(partial(A), partial(B)) == aggregate(A ∪ B)` exactly,
+    * because decimal sums are associative-exact, and count/min/max
+    * trivially so — which is what lets a 100 TB pipeline maintain
+    * per-key totals by aggregating ONLY each new ingest batch and
+    * merging its partial rows into the persisted partial table. The
+    * history fact is never rescanned; the merge input is
+    * O(batches x keys), not O(rows). Same algebra Spark itself uses
+    * between map-side and final aggregation — lifted to a PERSISTED,
+    * cross-job boundary (and the same trick as the per-shard HLL
+    * sketches in [[Profile.sketchShards]], for exact measures). */
+  def partialAggregate(df: DataFrame, keys: Seq[String], valueCol: String,
+                       scale: Int = 2): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast(DecimalType(18, scale))).as("psum"),
+        min(col(valueCol)).as("pmin"),
+        max(col(valueCol)).as("pmax"))
+
+  /** Merge partial-aggregate tables ([[partialAggregate]] outputs —
+    * any number of batches, in any order) into the exact full
+    * aggregate: `(keys..., n_rows, sum_value, min_value, max_value,
+    * avg_value)`. The decimal sum stays decimal through the merge and
+    * renders as double only at output (the repo's dsum convention);
+    * avg divides the exact decimal sum by the exact count. */
+  def mergeAggregates(partials: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(partials.nonEmpty, "need at least one partial table")
+    partials.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("n_rows"),
+        sum(col("psum")).as("__sum"),
+        min(col("pmin")).as("min_value"),
+        max(col("pmax")).as("max_value"))
+      .select(keys.map(col) ++ Seq(
+        col("n_rows"),
+        col("__sum").cast("double").as("sum_value"),
+        col("min_value"), col("max_value"),
+        (col("__sum").cast("double") / col("n_rows")).as("avg_value")): _*)
+  }
+
   def cohortRetention(events: DataFrame, tsCol: String = "ts",
                       userCol: String = "user_id"): DataFrame = {
     val days = events.select(col(userCol).as("user_id"),

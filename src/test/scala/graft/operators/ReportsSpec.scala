@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{lit, pmod, sum}
+
 import graft.SparkSuite
 
 class ReportsSpec extends SparkSuite {
@@ -167,5 +169,29 @@ class ReportsSpec extends SparkSuite {
     val out = Reports.funnel(events, Seq("view", "click")).collect()
       .map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(out === Map("view" -> 1L, "click" -> 1L))
+  }
+
+  test("partialAggregate/mergeAggregates: merge == from-scratch, any batching, any order") {
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 2000L).map(i =>
+      (i, s"k${i % 7}", math.round(rng.nextDouble() * 10000) / 100.0))
+    val df = rows.toDF("id", "k", "v")
+    val direct = Reports.mergeAggregates(
+      Seq(Reports.partialAggregate(df, Seq("k"), "v")), Seq("k"))
+      .orderBy("k").collect().toSeq
+    // 3-way batch split, merged in a different order
+    val batches = Seq(0, 1, 2).map(b =>
+      Reports.partialAggregate(df.filter(pmod($"id", lit(3)) === b), Seq("k"), "v"))
+    val merged = Reports.mergeAggregates(batches.reverse, Seq("k"))
+      .orderBy("k").collect().toSeq
+    assert(merged === direct)
+    // and merge of merges (re-partialed) still agrees on the exact sums
+    val m = Reports.mergeAggregates(batches.take(2), Seq("k"))
+    val expectSum = df.groupBy($"k")
+      .agg(sum($"v".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("s"))
+      .orderBy("k").select("s").as[Double].collect().toSeq
+    assert(direct.map(_.getDouble(2)) === expectSum)
+    assert(m.count() === 7)
   }
 }
