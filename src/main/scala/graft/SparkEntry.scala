@@ -40,6 +40,30 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (SURVEY §2.1-2.4, §2.6) ----
     "q_pricing_summary" -> ((s, d) => Reports.pricingSummary(t(s, d, "lineitem"))),
+    // robust outlier gate ([EXT]): modified z-score via group medians
+    // and median absolute deviation — fat-tail-proof, unlike q_zscore
+    "q_mad_outliers" -> ((s, d) =>
+      Profile.madOutliers(t(s, d, "lineitem"), "l_returnflag", "l_extendedprice",
+        Seq("l_orderkey", "l_linenumber"), k = 1.8)),
+    // survivorship merge ([EXT]): per-field first-non-null across
+    // prioritized source feeds — the golden record after entity
+    // resolution; deterministic nulls/conflicts synthesized per-source
+    "q_golden_record" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val s1 = c.select(col("c_custkey"), lit(1).as("prio"),
+        when(col("c_custkey") % 3 === 0, lit(null)).otherwise(col("c_name")).as("name"),
+        when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_mktsegment")).as("segment"),
+        when(col("c_custkey") % 5 === 0, lit(null)).otherwise(col("c_acctbal")).as("acctbal"))
+      val s2 = c.select(col("c_custkey"), lit(2).as("prio"),
+        col("c_name").as("name"),
+        concat(lit("legacy:"), col("c_mktsegment")).as("segment"),
+        col("c_acctbal").as("acctbal"))
+      Dedup.goldenRecord(s1.unionByName(s2), Seq("c_custkey"), "prio", "prio",
+        Seq("name", "segment", "acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+    // exact distinct keys per tumbling window ([EXT])
+    "q_window_distinct" -> ((s, d) => Sessions.windowedDistinct(t(s, d, "events"))),
     // declarative data-quality gate ([EXT]): every scan rule is one
     // conditional count inside ONE aggregate pass; keyed uniqueness
     // runs as its own bounded aggregate and unions in
@@ -930,6 +954,42 @@ object SparkEntry {
           ORDER BY doc_id"""
     }
     Map(
+      // MAD outliers: quantile_cont == Spark's exact percentile
+      // interpolation; score/threshold are pure IEEE on exact inputs.
+      "q_mad_outliers" ->
+        """WITH m AS (SELECT l_returnflag AS g, quantile_cont(l_extendedprice::DOUBLE, 0.5) AS med
+                      FROM lineitem GROUP BY 1),
+           d AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                   l_extendedprice::DOUBLE AS v, med,
+                   abs(l_extendedprice::DOUBLE - med) AS ad
+                 FROM lineitem JOIN m ON l_returnflag = g),
+           md AS (SELECT l_returnflag AS g2, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY 1)
+           SELECT l_orderkey, l_linenumber, l_returnflag, v AS value, med, mad,
+             ad / mad AS score
+           FROM d JOIN md ON l_returnflag = g2
+           WHERE mad > 0 AND ad > 1.8 * mad
+           ORDER BY l_orderkey, l_linenumber""",
+      // Golden record: struct min is lexicographic in both engines;
+      // the CASE's null skips rows with a null field, so each column
+      // independently falls back to the lower-priority source.
+      "q_golden_record" ->
+        """WITH s1 AS (SELECT c_custkey, 1 AS prio,
+               CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END AS name,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS segment,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS acctbal
+             FROM customer),
+           s2 AS (SELECT c_custkey, 2 AS prio, c_name AS name,
+               'legacy:' || c_mktsegment AS segment, c_acctbal FROM customer),
+           u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+           SELECT c_custkey,
+             (min(CASE WHEN name IS NOT NULL THEN {'p': prio, 't': prio, 'v': name} END)).v AS name,
+             (min(CASE WHEN segment IS NOT NULL THEN {'p': prio, 't': prio, 'v': segment} END)).v AS segment,
+             (min(CASE WHEN acctbal IS NOT NULL THEN {'p': prio, 't': prio, 'v': acctbal} END)).v AS acctbal
+           FROM u GROUP BY c_custkey ORDER BY c_custkey""",
+      "q_window_distinct" ->
+        """SELECT (epoch_ns(ts) // 600000000000) * 600 AS window_start,
+             count(DISTINCT user_id) AS n_distinct, count(*) AS n_events
+           FROM events GROUP BY 1 ORDER BY 1""",
       // Data-quality gate: FILTERed counts keep every count BIGINT
       // (a bare sum(CASE) is HUGEINT in DuckDB and would dtype-
       // mismatch); rates are unrounded IEEE divides on exact counts.

@@ -58,6 +58,37 @@ object Dedup {
         if (keys.contains(c)) col(c) else col(s"__rep.`$c`").as(c)): _*)
   }
 
+  /** Survivorship merge ("golden record", [EXT]): one output row per
+    * key whose every value column is COLUMN-WISE the first non-null
+    * value in (priority, tiebreak) order across the key's rows — the
+    * record-linkage consolidation step after entity resolution, where
+    * each source system fills the fields it knows and a per-source
+    * priority arbitrates conflicts. [[keyedDeterministic]] keeps one
+    * whole ROW; this stitches the best CELLS from different rows (a
+    * high-priority source with a null field falls back per-field, not
+    * per-record).
+    *
+    * Shape: pure aggregate — each column is
+    * `min(when(col non-null, struct(prio, tie, col)))`, a struct min
+    * that skips null values by construction (the `when` yields null,
+    * aggregates ignore it), orders lexicographically by (prio, tie),
+    * and partial-aggregates map-side; the shuffle carries one
+    * candidate struct per (input partition, key, column). No window,
+    * no sort, engine-portable (struct min is lexicographic in DuckDB
+    * too, which is what makes the oracle possible). (prio, tie) must
+    * uniquely order a key's rows for determinism, same contract as
+    * [[keyedDeterministicAgg]]. */
+  def goldenRecord(df: DataFrame, keys: Seq[String], prioCol: String,
+                   tieCol: String, valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "goldenRecord needs at least one value column")
+    val aggs = valueCols.map { c =>
+      min(when(col(c).isNotNull,
+        struct(col(prioCol).as("p"), col(tieCol).as("t"), col(c).as("v"))))
+        .getField("v").as(c)
+    }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Exact document dedup on normalized-text fingerprint: one group
     * per distinct content, keeping min doc id. */
   def exactDocs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

@@ -220,6 +220,43 @@ object Profile {
       .drop("__lo", "__hi")
   }
 
+  /** Robust outlier report via the median absolute deviation ([EXT]):
+    * per group, med = median(v), mad = median(|v - med|); rows with
+    * |v - med| > k·mad are flagged with their robust score
+    * |v - med|/mad (the "modified z-score" family, Iglewicz & Hoaglin
+    * 1993 — mean/stddev-based z-scores ([[zscoreBy]]) let one extreme
+    * value inflate its own yardstick; medians don't budge). The
+    * production gate for "impossible" numeric values in a feed whose
+    * tails are fat by nature.
+    *
+    * Shape: two keyed aggregates of exact `percentile` (group medians
+    * broadcast back between them — group cardinality is bounded, the
+    * IVF-centroid discipline) + a per-row filter riding the scan; the
+    * fact itself never shuffles. At 100 TB swap `approx_percentile`
+    * for the medians (sketch-based, mergeable) — the contract is the
+    * same. A group with mad = 0 (over half its values identical)
+    * flags nothing — score would divide by zero; gate such groups on
+    * exact-match rules instead ([[Quality]]). Score and thresholds
+    * are pure IEEE on exact inputs — bit-equal across engines,
+    * shipped unrounded. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  idCols: Seq[String], k: Double = 3.5,
+                  exact: Boolean = true): DataFrame = {
+    require(k > 0, s"need k > 0: $k")
+    val v = col(valueCol).cast("double")
+    def med(c: Column) =
+      if (exact) percentile(c, lit(0.5)) else approx_percentile(c, lit(0.5), lit(10000))
+    val meds = df.groupBy(col(groupCol)).agg(med(v).as("med"))
+    val dev = df.join(broadcast(meds), Seq(groupCol))
+      .withColumn("__ad", abs(v - col("med")))
+    val mads = dev.groupBy(col(groupCol)).agg(med(col("__ad")).as("mad"))
+    dev.join(broadcast(mads), Seq(groupCol))
+      .filter(col("mad") > 0 && col("__ad") > lit(k) * col("mad"))
+      .select(idCols.map(col) ++ Seq(col(groupCol), v.as("value"),
+        col("med"), col("mad"), (col("__ad") / col("mad")).as("score")): _*)
+      .orderBy(idCols.map(col): _*)
+  }
+
   /** Quantile-bucket assignment: label every row with which of `n`
     * equal-population buckets its value falls in (0-based; bucket i
     * spans (q_{i/n}, q_{(i+1)/n}]) — the stratum column for

@@ -35,6 +35,23 @@ object Sessions {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Exact distinct keys per tumbling window ([EXT]) — "distinct
+    * users per 10 minutes", the audience-size measure. Exact distinct
+    * plans as Spark's two-phase Expand aggregate: partial dedup of
+    * (window, key) map-side, then the count — one keyed shuffle whose
+    * rows are the DISTINCT pairs, not the events. At 100 TB per-window
+    * HLL sketches ([[graft.operators.Profile.sketchShards]]) are the
+    * mergeable approximate path; this is the exact contract. */
+  def windowedDistinct(events: DataFrame, width: String = "10 minutes",
+                       keyCol: String = "user_id"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width))
+      .agg(count_distinct(col(keyCol)).as("n_distinct"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("n_distinct"), col("n_events"))
+      .orderBy(col("window_start"))
+
   /** Sliding-window event counts. */
   def slidingCounts(events: DataFrame, width: String = "10 minutes",
                     slide: String = "5 minutes"): DataFrame =

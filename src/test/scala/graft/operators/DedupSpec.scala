@@ -40,6 +40,32 @@ class DedupSpec extends SparkSuite {
     assert(plan.contains("partial_min_by"), s"expected map-side partial aggregation in:\n$plan")
   }
 
+  test("goldenRecord: per-FIELD fallback across priorities, aggregate-shaped plan") {
+    val feed = Seq(
+      // key 1: prio 1 misses b; prio 2 fills it — a stitched record
+      (1L, 1, Some("a1"), None: Option[String], Some(10.0)),
+      (1L, 2, Some("a2"), Some("b2"), Some(20.0)),
+      // key 2: prio 1 all null, prio 2 partial, prio 3 fills the rest
+      (2L, 1, None, None, None),
+      (2L, 2, Some("a2"), None, None),
+      (2L, 3, Some("a3"), Some("b3"), Some(30.0)),
+      // key 3: nobody knows b -> stays null
+      (3L, 1, Some("x"), None, Some(1.0))
+    ).toDF("k", "prio", "a", "b", "v")
+    val out = Dedup.goldenRecord(feed, Seq("k"), "prio", "prio", Seq("a", "b", "v"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, "a1", "b2", 10.0),
+      (2L, "a2", "b3", 30.0),
+      (3L, "x", null, 1.0)))
+    val plan = Dedup.goldenRecord(feed, Seq("k"), "prio", "prio", Seq("a", "b", "v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"must be aggregate-shaped, not a window:\n$plan")
+    assert(plan.contains("partial_min"), s"expected map-side partials:\n$plan")
+  }
+
   test("shingles produce n-length substrings, short text degrades to one") {
     val sh = docs(1L -> "abcdefg").select(Dedup.shingles($"text", 5).as("s"))
       .as[Seq[String]].head()

@@ -238,6 +238,24 @@ class ProfileSpec extends SparkSuite {
     assert(sharded === global)
   }
 
+  test("madOutliers: flags only beyond k mads, immune to the outlier's own pull") {
+    // group g: 9 values near 10 plus one wild 1000; group h: constant (mad 0)
+    val rows = ((1L to 9L).map(i => (i, "g", 9.0 + (i % 3))) :+ (10L, "g", 1000.0)) ++
+      (11L to 15L).map(i => (i, "h", 5.0))
+    val df = rows.toDF("id", "grp", "v")
+    val out = Profile.madOutliers(df, "grp", "v", Seq("id"), k = 3.5).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(10L), "only the wild value flags")
+    val r = out.head
+    assert(r.getAs[String]("grp") === "g")
+    assert(r.getAs[Double]("value") === 1000.0)
+    assert(r.getAs[Double]("score") > 3.5)
+    // median/mad are robust: the 1000 doesn't drag the yardstick like
+    // mean/stddev would (zscore on this data flags nothing at 2 sigma)
+    assert(r.getAs[Double]("med") === 10.0)
+    // a constant group has mad 0: flags nothing rather than dividing by 0
+    assert(!out.exists(_.getAs[String]("grp") === "h"))
+  }
+
   test("psiDrift: identical batches score ~0, a shifted batch alarms, edges clamp") {
     val ref = (Seq.fill(50)(10.0) ++ Seq.fill(30)(30.0) ++ Seq.fill(20)(50.0))
       .toDF("v")

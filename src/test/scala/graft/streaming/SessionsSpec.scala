@@ -31,6 +31,17 @@ class SessionsSpec extends SparkSuite {
     assert(out.contains((base + 2400, "view", 1L, 1.00)))
   }
 
+  test("windowedDistinct: distinct users per window, expand-aggregate plan") {
+    val out = Sessions.windowedDistinct(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val base = ts(0).getTime / 1000
+    // window 0: u1 twice -> 1 distinct / 2 events; window 1: u2 twice
+    assert(out.toSeq === Seq((base, 1L, 2L), (base + 600, 1L, 2L), (base + 2400, 1L, 1L)))
+    val plan = Sessions.windowedDistinct(events).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand") || plan.contains("distinct"),
+      s"expected a two-phase distinct aggregate:\n$plan")
+  }
+
   test("slidingCounts: each event lands in exactly two 10/5-minute windows") {
     val n = Sessions.slidingCounts(events).collect().map(_.getLong(2)).sum
     assert(n === events.count() * 2)
