@@ -863,6 +863,23 @@ object SparkEntry {
                    WHERE x.doc_id < y.doc_id$capCond)"""
     }
     val minhashCtes = minhashCtesFrom("documents")
+    // Word-trigram set rows for the exact set-similarity joins:
+    // distinct (doc_id, 60-bit gram fingerprint) plus per-doc set
+    // size, gram document frequency, and global-rarity rank — the
+    // SetSimilarity.rankedGramSets algebra.
+    val wordGramSetCtes =
+      """tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+               FROM documents),
+         ng AS (SELECT doc_id, unnest(list_distinct(
+                  [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])) AS ng
+                FROM tk),
+         tok AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(ng), 1, 15))::BIGINT AS fp
+                 FROM ng),
+         st AS (SELECT doc_id, fp,
+                  count(*) OVER (PARTITION BY fp) AS df,
+                  count(*) OVER (PARTITION BY doc_id) AS n FROM tok),
+         rk AS (SELECT doc_id, fp, n,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY df, fp) AS r FROM st)"""
     // Verified-pair CTEs (cand -> exact jaccard >= threshold), shared
     // by q_near_dup_pairs and q_dedup_docs.
     def verifiedPairCtes(src: String) =
@@ -1961,32 +1978,27 @@ object SparkEntry {
             ${verifiedPairCtes("documents")}
             SELECT doc_a, doc_b, round(jac, 6) AS jaccard
             FROM verified ORDER BY doc_a, doc_b""",
-      // Exact prefix-filtered Jaccard join. The oracle mirrors the
-      // candidate algebra (prefix + length filter) rather than brute-
-      // forcing all pairs — at sf0.1 the brute force is 12.5M
-      // list_intersects; SetSimilaritySpec carries the independent
-      // brute-force equivalence proof. The positional filter is
-      // result-set-neutral (a pure candidate prune) and is omitted
-      // here on purpose. jaccard ships unrounded: BIGINT casts + one
-      // IEEE divide are bit-equal across engines.
+      // Exact prefix-filtered Jaccard join over word-trigram sets
+      // (60-bit gram fingerprints, the sourceOverlap spelling). The
+      // oracle mirrors the candidate algebra (prefix + length filter)
+      // rather than brute-forcing all pairs; SetSimilaritySpec
+      // carries the independent brute-force equivalence proof. The
+      // positional filter is result-set-neutral (a pure candidate
+      // prune) and is omitted here on purpose. jaccard ships
+      // unrounded: BIGINT casts + one IEEE divide are bit-equal
+      // across engines.
       "q_jaccard_join" ->
-        s"""WITH sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM documents),
-            tok AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
-            st AS (SELECT doc_id, h,
-                     count(*) OVER (PARTITION BY h) AS df,
-                     count(*) OVER (PARTITION BY doc_id) AS n FROM tok),
-            rk AS (SELECT doc_id, h, n,
-                     row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS r FROM st),
-            pf AS (SELECT doc_id, h, n FROM rk WHERE r <= n - ceil(0.5 * n) + 1),
+        s"""WITH $wordGramSetCtes,
+            pf AS (SELECT doc_id, fp, n FROM rk WHERE r <= n - ceil(0.5 * n) + 1),
             cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                        a.n AS na, b.n AS nb
-                     FROM pf a JOIN pf b USING (h)
+                     FROM pf a JOIN pf b USING (fp)
                      WHERE a.doc_id < b.doc_id
                        AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)),
             iv AS (SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS inter
                    FROM cand c
                    JOIN tok ta ON ta.doc_id = c.doc_a
-                   JOIN tok tb ON tb.doc_id = c.doc_b AND tb.h = ta.h
+                   JOIN tok tb ON tb.doc_id = c.doc_b AND tb.fp = ta.fp
                    GROUP BY ALL)
             SELECT doc_a, doc_b, inter,
               inter::DOUBLE / (na + nb - inter) AS jaccard
@@ -1995,22 +2007,16 @@ object SparkEntry {
       // Asymmetric containment: one-sided prefix on the contained
       // side, full set rows on the container side.
       "q_containment" ->
-        s"""WITH sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM documents),
-            tok AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
-            st AS (SELECT doc_id, h,
-                     count(*) OVER (PARTITION BY h) AS df,
-                     count(*) OVER (PARTITION BY doc_id) AS n FROM tok),
-            rk AS (SELECT doc_id, h, n,
-                     row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS r FROM st),
-            pf AS (SELECT doc_id, h, n FROM rk WHERE r <= n - ceil(0.8 * n) + 1),
+        s"""WITH $wordGramSetCtes,
+            pf AS (SELECT doc_id, fp, n FROM rk WHERE r <= n - ceil(0.8 * n) + 1),
             cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                        a.n AS na, b.n AS nb
-                     FROM pf a JOIN rk b USING (h)
+                     FROM pf a JOIN rk b USING (fp)
                      WHERE a.doc_id <> b.doc_id AND b.n >= 0.8 * a.n),
             iv AS (SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS inter
                    FROM cand c
                    JOIN tok ta ON ta.doc_id = c.doc_a
-                   JOIN tok tb ON tb.doc_id = c.doc_b AND tb.h = ta.h
+                   JOIN tok tb ON tb.doc_id = c.doc_b AND tb.fp = ta.fp
                    GROUP BY ALL)
             SELECT doc_a AS doc_id, doc_b AS container_id, inter,
               inter::DOUBLE / na AS containment

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.expressions.GraftFunctions
+import graft.functions.Text
 
 /** EXACT set-similarity joins via prefix filtering ([EXT]) — the
   * deterministic complement to the MinHash/LSH family in [[Dedup]].
@@ -18,88 +18,109 @@ import graft.expressions.GraftFunctions
   * principle (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07;
   * Vernica et al. SIGMOD'10 for the MapReduce formulation):
   *
-  *   order every doc's shingle set by GLOBAL rarity (document
-  *   frequency asc); if J(A,B) >= t then |A∩B| >= ceil(t·|A|), so
-  *   the first |A| - ceil(t·|A|) + 1 shingles of A (its "prefix")
-  *   must contain a common shingle — and symmetrically for B. Only
-  *   docs whose PREFIXES share a shingle can be candidates.
+  *   order every doc's gram set by GLOBAL rarity (document frequency
+  *   asc); if J(A,B) >= t then |A∩B| >= ceil(t·|A|), so the first
+  *   |A| - ceil(t·|A|) + 1 grams of A (its "prefix") must contain a
+  *   common gram — and symmetrically for B. Only docs whose PREFIXES
+  *   share a gram can be candidates.
   *
-  * Because prefixes hold each doc's RAREST shingles, the candidate
-  * join fans out by the document frequency of rare shingles, not of
-  * stopword shingles — the same reason tf-idf prefixes work. Two
-  * further exact prunes shrink candidates before verification:
+  * Sets are WORD n-gram sets (default n = 3), hashed to 60-bit
+  * md5-prefix fingerprints (the [[Ngrams.sourceOverlap]] trick:
+  * 8 B/gram through every shuffle, engine-portable so the DuckDB
+  * oracle can mirror it). Word n-grams are the unit deliberately:
+  * prefix filtering lives or dies by gram selectivity, and character
+  * shingles collapse on template-heavy text — measured on the sf0.1
+  * corpus, char-5-grams yield only ~2k distinct values (median df
+  * 291, Σ C(df,2) ≈ 7.7e8) and HALF of all doc pairs survive the
+  * filters, while word trigrams give 27k distinct values (median df
+  * 9, pair mass 1.3e6) — a ~600x candidate-mass reduction for the
+  * same corpus. The minhash family is immune to that collapse (it
+  * joins on banded signatures, never on shingles), which is why it
+  * keeps char shingles and this operator does not. Docs shorter than
+  * n tokens have no grams and are absent from the output (nothing to
+  * compare).
+  *
+  * Two further exact prunes shrink candidates before verification:
   * the length filter (J >= t ⇒ min(|A|,|B|) >= t·max(|A|,|B|)) and
-  * the PPJoin positional filter (at a prefix match at ranks
-  * (ra, rb), the overlap can never exceed 1 + min(|A|-ra, |B|-rb),
-  * so it must reach ceil(t/(1+t)·(|A|+|B|)) to survive). Neither
-  * prune changes the result set (SetSimilaritySpec proves both
-  * against a brute-force oracle); they only bound the verify join.
+  * the PPJoin positional filter (a true pair's FIRST common gram in
+  * global order has every other common gram after it on both sides,
+  * so 1 + min(|A|-ra, |B|-rb) >= the pair's overlap lower bound must
+  * hold for at least one match). Neither prune changes the result
+  * set (SetSimilaritySpec proves both against an all-pairs brute
+  * force); they only bound the verify join, and the positional
+  * filter is specifically what kills matches on a common gram deep
+  * in both suffixes.
   *
-  * Scale shape (the reference has no analogue; its dedup is
-  * pandas `drop_duplicates`, /root/reference/src/data_clean.py):
-  *  - shingle fan-out happens inside the scan task (array HOF, no
-  *    explode before the repartition spread);
-  *  - every stage is a keyed shuffle (doc, shingle-hash, pair) with
+  * Scale shape (the reference has no analogue; its dedup is pandas
+  * `drop_duplicates`, /root/reference/src/data_clean.py):
+  *  - the gram build rides the scan (array HOFs on a bound token
+  *    column — the Ngrams perf contract), exploding only into the
+  *    keyed aggregates;
+  *  - every stage is a keyed shuffle (doc, gram-fp, pair) with
   *    map-side partials on the aggregates — nothing driver-side;
   *  - the verify join touches only surviving candidate pairs, each
-  *    verified from the (doc, h) rows — document text is read once.
+  *    verified from the (doc, fp) rows — document text is read once.
   *
-  * Shingles are the family's char-5-grams hashed to 32 bits via
-  * [[Dedup.shingleHash]] (md5-prefix — reproducible in any engine,
-  * which is what makes the DuckDB oracle possible). Jaccard is
-  * computed over the hashed-shingle SETS (`(doc, h)` deduplicated),
-  * so a 32-bit collision merges two shingles identically on both
-  * engines.
-  */
+  * Inherent contract note: under heavy replication the OUTPUT itself
+  * is quadratic in the duplicate-cluster size (every replica pair IS
+  * a true pair) — an exact join cannot cap that; the capped minhash
+  * family ([[Dedup.minhashCandidates]] with `maxBucket`) is the
+  * scale path when duplicate clusters are pathological. */
 object SetSimilarity {
 
-  /** Distinct (doc_id, h) shingle-hash set rows plus per-doc set
-    * size `n`, global-rarity rank `r` (df asc, h asc — a total order:
-    * h is unique within a doc after the dedup), and `df` itself. The
-    * two windows share one Exchange each (h, then doc_id); set size
-    * and rank come from the SAME doc_id window. */
-  private def rankedShingleSets(docs: DataFrame, idCol: String,
-                                textCol: String, shingleLen: Int): DataFrame = {
-    GraftFunctions.register(docs.sparkSession)
+  /** 60-bit engine-portable gram fingerprint (15 hex digits — 16
+    * could exceed signed-long range in engines parsing signed hex). */
+  private def gramFp(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct (doc_id, fp) word-n-gram set rows plus per-doc set
+    * size `n`, global-rarity rank `r` (df asc, fp asc — a total
+    * order: fp is unique within a doc after the dedup), and `df`.
+    * The two windows cost one Exchange each (fp, then doc_id); set
+    * size and rank come from the SAME doc_id window. */
+  private def rankedGramSets(docs: DataFrame, idCol: String,
+                             textCol: String, ngram: Int): DataFrame = {
     val tok = docs
-      // spread the ~|text| shingle fan-out before exploding (a doc
-      // table often arrives in one input split); explicit count —
-      // AQE would coalesce the small pre-explode rows back together.
+      // spread the gram fan-out before exploding (a doc table often
+      // arrives in one input split); explicit count — AQE would
+      // coalesce the small pre-explode rows back together.
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"),
-        explode(GraftFunctions.distinctShingles(col(textCol), shingleLen)).as("sh"))
-      .select(col("doc_id"), Dedup.shingleHash(col("sh")).as("h"))
-      // 32-bit collisions can duplicate (doc, h); the rank below
-      // needs h unique per doc or row_number ties are nondeterministic
+        Text.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(Ngrams.wordNgramsOfTokens(col("__toks"), ngram)))
+          .as("ng"))
+      .select(col("doc_id"), gramFp(col("ng")).as("fp"))
+      // 60-bit collisions within a doc are ~impossible but the rank
+      // below NEEDS fp unique per doc, so keep the contract explicit
       .distinct()
-    val byH = Window.partitionBy(col("h"))
+    val byFp = Window.partitionBy(col("fp"))
     val byDoc = Window.partitionBy(col("doc_id"))
-    tok.withColumn("df", count(lit(1)).over(byH))
+    tok.withColumn("df", count(lit(1)).over(byFp))
       .withColumn("n", count(lit(1)).over(byDoc))
-      .withColumn("r", row_number().over(byDoc.orderBy(col("df"), col("h"))))
+      .withColumn("r", row_number().over(byDoc.orderBy(col("df"), col("fp"))))
   }
 
   /** All pairs (doc_a < doc_b) with exact Jaccard >= `threshold` over
-    * char-`shingleLen`-gram shingle-hash sets:
-    * `(doc_a, doc_b, inter, jaccard)`. The jaccard ships UNROUNDED —
-    * BIGINT casts and one IEEE divide are exactly specified, so the
-    * double is bit-equal across engines (the exact-IEEE-render
-    * family, PLANS.md). */
+    * word-`ngram` sets: `(doc_a, doc_b, inter, jaccard)`. The jaccard
+    * ships UNROUNDED — BIGINT casts and one IEEE divide are exactly
+    * specified, so the double is bit-equal across engines (the
+    * exact-IEEE-render family, PLANS.md). */
   def jaccardJoin(docs: DataFrame, threshold: Double = 0.5,
                   idCol: String = "doc_id", textCol: String = "text",
-                  shingleLen: Int = 5): DataFrame = {
+                  ngram: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     val t = lit(threshold)
-    val ranked = rankedShingleSets(docs, idCol, textCol, shingleLen)
+    val ranked = rankedGramSets(docs, idCol, textCol, ngram)
     val pref = ranked.filter(col("r") <= col("n") - ceil(t * col("n")) + lit(1))
-    val a = pref.select(col("doc_id").as("doc_a"), col("h"),
+    val a = pref.select(col("doc_id").as("doc_a"), col("fp"),
       col("n").as("na"), col("r").as("ra"))
-    val b = pref.select(col("doc_id").as("doc_b"), col("h"),
+    val b = pref.select(col("doc_id").as("doc_b"), col("fp"),
       col("n").as("nb"), col("r").as("rb"))
     // alpha = minimum overlap a true pair must reach, from
     // J = i/(na+nb-i) >= t  ⇒  i >= t/(1+t)·(na+nb)
     val alpha = ceil(lit(threshold / (1 + threshold)) * (col("na") + col("nb")))
-    val cand = a.join(b, Seq("h"))
+    val cand = a.join(b, Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
       // length filter: J >= t ⇒ min >= t·max
       .filter(least(col("na"), col("nb")) >= t * greatest(col("na"), col("nb")))
@@ -116,28 +137,35 @@ object SetSimilarity {
   }
 
   /** All ORDERED pairs (doc_id != container_id) where `threshold` of
-    * doc's shingle-hash set is contained in container's:
-    * `|A∩B|/|A| >= t` — the quote-inclusion / subsumption detector
-    * (a near-total containment with a much larger container is "B
-    * quotes A", which symmetric Jaccard misses because the union is
-    * dominated by the container). One-sided prefix filter: only the
-    * CONTAINED side can be pruned (i >= ceil(t·|A|) forces a common
-    * shingle into A's prefix); the container side joins its full set
-    * rows, so candidate fan-out is bounded by the df of A's rarest
-    * shingles. Length filter: |B| >= t·|A| (a container can't be much
-    * smaller than what it contains). */
+    * doc's gram set is contained in container's: `|A∩B|/|A| >= t` —
+    * the quote-inclusion / subsumption detector (a near-total
+    * containment with a much larger container is "B quotes A", which
+    * symmetric Jaccard misses because the union is dominated by the
+    * container). One-sided prefix filter: only the CONTAINED side can
+    * be pruned (i >= ceil(t·|A|) forces a common gram into A's
+    * prefix); the container side joins its full set rows, with the
+    * positional filter (bound >= ceil(t·|A|)) pruning matches on
+    * common grams deep in the container's suffix — without it the
+    * hot-gram tail dominates candidates. Length filter: |B| >= t·|A|
+    * (a container can't be much smaller than what it contains). */
   def containmentJoin(docs: DataFrame, threshold: Double = 0.8,
                       idCol: String = "doc_id", textCol: String = "text",
-                      shingleLen: Int = 5): DataFrame = {
+                      ngram: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     val t = lit(threshold)
-    val ranked = rankedShingleSets(docs, idCol, textCol, shingleLen)
+    val ranked = rankedGramSets(docs, idCol, textCol, ngram)
     val pref = ranked.filter(col("r") <= col("n") - ceil(t * col("n")) + lit(1))
-    val a = pref.select(col("doc_id").as("doc_a"), col("h"), col("n").as("na"))
-    val b = ranked.select(col("doc_id").as("doc_b"), col("h"), col("n").as("nb"))
-    val cand = a.join(b, Seq("h"))
+    val a = pref.select(col("doc_id").as("doc_a"), col("fp"),
+      col("n").as("na"), col("r").as("ra"))
+    val b = ranked.select(col("doc_id").as("doc_b"), col("fp"),
+      col("n").as("nb"), col("r").as("rb"))
+    val cand = a.join(b, Seq("fp"))
       .filter(col("doc_a") =!= col("doc_b"))
       .filter(col("nb") >= t * col("na"))
+      // positional filter (exact, first-common-gram argument):
+      // i <= 1 + min(na-ra, nb-rb) must reach ceil(t·na)
+      .filter(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
+        ceil(t * col("na")))
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .distinct()
     verifyPairs(cand, ranked, col("inter") >= t * col("na"))
@@ -152,10 +180,10 @@ object SetSimilarity {
     * then keep pairs passing `keep`. Only candidates pay this. */
   private def verifyPairs(cand: DataFrame, ranked: DataFrame,
                           keep: org.apache.spark.sql.Column): DataFrame = {
-    val ta = ranked.select(col("doc_id").as("doc_a"), col("h"))
-    val tb = ranked.select(col("doc_id").as("doc_b"), col("h"))
+    val ta = ranked.select(col("doc_id").as("doc_a"), col("fp"))
+    val tb = ranked.select(col("doc_id").as("doc_b"), col("fp"))
     cand.join(ta, Seq("doc_a"))
-      .join(tb, Seq("doc_b", "h"))
+      .join(tb, Seq("doc_b", "fp"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .filter(keep)

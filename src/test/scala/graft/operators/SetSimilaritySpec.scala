@@ -1,41 +1,43 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
+import graft.functions.Text
 
 class SetSimilaritySpec extends SparkSuite {
   import spark.implicits._
 
-  // Synthetic corpus with designed similarity structure: an exact-ish
-  // near-dup pair, a quote-inclusion pair, unrelated docs, and short
-  // texts that exercise the greatest(len-4, 1) shingle edge.
+  // Synthetic corpus with designed similarity structure: a near-dup
+  // pair (one trailing word differs), a quote-inclusion pair, and
+  // unrelated / sub-n-gram-length docs.
   private val corpus = Seq(
     1L -> "the quick brown fox jumps over the lazy dog near the river bank today",
     2L -> "the quick brown fox jumps over the lazy dog near the river bank again",
     3L -> "completely unrelated text about spark query planning and shuffles",
     4L -> "the quick brown fox jumps over the lazy dog", // contained in 1 and 2
-    5L -> "tiny",
+    5L -> "tiny doc", // shorter than one trigram: no grams, absent
     6L -> "zzz",
     7L -> "another independent document mentioning rivers and banks once only"
   ).toDF("doc_id", "text")
 
-  /** Brute-force exact Jaccard over hashed char-5-gram shingle sets —
-    * the independent oracle for the prefix-filtered algorithm (no
-    * prefixes, no length/positional filters: ALL pairs verified). */
-  private def bruteSets(): Map[Long, Set[Long]] = {
-    graft.expressions.GraftFunctions.register(spark)
-    corpus
+  /** Word-trigram fingerprint sets per doc — the independent oracle
+    * basis for the prefix-filtered algorithms (ALL pairs verified,
+    * no prefixes, no length/positional filters). */
+  private def bruteSets(df: DataFrame): Map[Long, Set[Long]] =
+    df.select($"doc_id", Text.tokens(lower($"text")).as("__toks"))
       .select($"doc_id",
-        explode(graft.expressions.GraftFunctions.distinctShingles($"text", 5)).as("sh"))
-      .select($"doc_id", Dedup.shingleHash($"sh").as("h"))
+        explode(array_distinct(Ngrams.wordNgramsOfTokens($"__toks", 3))).as("ng"))
+      .select($"doc_id",
+        conv(substring(md5($"ng"), 1, 15), 16, 10).cast("long").as("fp"))
       .distinct()
       .as[(Long, Long)].collect()
       .groupBy(_._1).map { case (d, hs) => d -> hs.map(_._2).toSet }
-  }
 
   test("jaccardJoin matches the all-pairs brute force exactly") {
-    val sets = bruteSets()
+    val sets = bruteSets(corpus)
+    assert(!sets.contains(5L) && !sets.contains(6L), "sub-trigram docs have no sets")
     for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
       val expected = (for {
         a <- sets.keys; b <- sets.keys if a < b
@@ -50,7 +52,7 @@ class SetSimilaritySpec extends SparkSuite {
   }
 
   test("containmentJoin matches the all-ordered-pairs brute force exactly") {
-    val sets = bruteSets()
+    val sets = bruteSets(corpus)
     for (t <- Seq(0.5, 0.8, 1.0)) {
       val expected = (for {
         a <- sets.keys; b <- sets.keys if a != b
@@ -68,13 +70,13 @@ class SetSimilaritySpec extends SparkSuite {
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     val con = SetSimilarity.containmentJoin(corpus, threshold = 0.8)
       .select($"doc_id", $"container_id").as[(Long, Long)].collect().toSet
-    // doc 4 is a strict prefix of docs 1/2: high containment, low jaccard
+    // doc 4 is a strict prefix of docs 1/2: containment 1.0, low jaccard
     assert(con.contains((4L, 1L)) && con.contains((4L, 2L)))
     assert(!jac.contains((1L, 4L)) && !jac.contains((4L, 1L)))
   }
 
   test("property: random token soups, prefix-filtered == brute force") {
-    // Random docs over a small token alphabet force heavy set overlap
+    // Random docs over a tiny token alphabet force heavy set overlap
     // at every rank position — the adversarial regime for prefix /
     // positional filter off-by-ones.
     val rng = new scala.util.Random(42)
@@ -84,14 +86,7 @@ class SetSimilaritySpec extends SparkSuite {
       id -> Seq.fill(len)(words(rng.nextInt(words.size))).mkString(" ")
     }
     val df = rows.toDF("doc_id", "text")
-    graft.expressions.GraftFunctions.register(spark)
-    val sets = df
-      .select($"doc_id",
-        explode(graft.expressions.GraftFunctions.distinctShingles($"text", 5)).as("sh"))
-      .select($"doc_id", Dedup.shingleHash($"sh").as("h"))
-      .distinct()
-      .as[(Long, Long)].collect()
-      .groupBy(_._1).map { case (d, hs) => d -> hs.map(_._2).toSet }
+    val sets = bruteSets(df)
     for (t <- Seq(0.4, 0.6, 0.85)) {
       val expected = (for {
         a <- sets.keys; b <- sets.keys if a < b
@@ -102,6 +97,14 @@ class SetSimilaritySpec extends SparkSuite {
       val got = SetSimilarity.jaccardJoin(df, threshold = t)
         .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
       assert(got === expected, s"threshold $t")
+      val expectedCon = (for {
+        a <- sets.keys; b <- sets.keys if a != b
+        i = (sets(a) & sets(b)).size
+        if sets(a).nonEmpty && i >= t * sets(a).size
+      } yield (a, b)).toSet
+      val gotCon = SetSimilarity.containmentJoin(df, threshold = t)
+        .select($"doc_id", $"container_id").as[(Long, Long)].collect().toSet
+      assert(gotCon === expectedCon, s"containment threshold $t")
     }
   }
 
@@ -111,7 +114,7 @@ class SetSimilaritySpec extends SparkSuite {
     // intersection counts must partially aggregate before the shuffle
     assert(plan.contains("partial_count") || plan.contains("partial"),
       s"expected map-side partial aggregation in:\n$plan")
-    // no cartesian anywhere — candidates come from an equi-join on h
+    // no cartesian anywhere — candidates come from an equi-join on fp
     assert(!plan.contains("CartesianProduct"), s"no cartesian product expected:\n$plan")
   }
 }
