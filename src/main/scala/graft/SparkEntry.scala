@@ -719,6 +719,11 @@ object SparkEntry {
     // detection that symmetric Jaccard misses when the container dwarfs
     // the contained doc
     "q_containment" -> ((s, d) => SetSimilarity.containmentJoin(t(s, d, "documents"), threshold = 0.8)),
+    // LSH recall audit ([EXT]): banded minhash candidates scored
+    // against the exact Jaccard pairs ON THE SAME gram space — the
+    // empirical recall/cost curve a pipeline checks before trusting
+    // LSH dedup at scale
+    "q_lsh_recall" -> ((s, d) => SetSimilarity.lshRecallAudit(t(s, d, "documents"))),
     "q_dedup_docs" -> ((s, d) => Dedup.dedupDocuments(t(s, d, "documents"), threshold = 0.5)),
     // transitive-closure keeper policy (connected components of the
     // verified near-dup graph) vs q_dedup_docs' one-hop policy
@@ -2004,6 +2009,54 @@ object SparkEntry {
               inter::DOUBLE / (na + nb - inter) AS jaccard
             FROM iv WHERE inter >= 0.5 * (na + nb - inter)
             ORDER BY doc_a, doc_b""",
+      // LSH recall audit: the jaccard-join chain gives exact pairs;
+      // minhash over the SAME fp rows (fp reduced mod P before the
+      // multiply — 60-bit fp times a 30-bit coefficient would
+      // overflow), banded at 2/4/8 bands; counts via subqueries stay
+      // BIGINT; recall is an unrounded IEEE divide.
+      "q_lsh_recall" -> {
+        val p = Dedup.MinhashP
+        val minCols = (0 until 16).map(i =>
+          s"min(((fp % $p) * ${Dedup.aCoef(i)} + ${Dedup.bCoef(i)}) % $p) AS m$i")
+          .mkString(", ")
+        def bandCte(b: Int) = {
+          val r = 16 / b
+          val rows = (0 until b).map { j =>
+            val cat = (j * r until (j + 1) * r).map(i => s"m$i::VARCHAR")
+              .mkString(" || ',' || ")
+            s"SELECT doc_id, $j AS band, md5($cat) AS band_hash FROM sig"
+          }.mkString(" UNION ALL ")
+          s"""b$b AS ($rows),
+              cand$b AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                         FROM b$b x JOIN b$b y USING (band, band_hash)
+                         WHERE x.doc_id < y.doc_id)"""
+        }
+        val rows = Seq(2, 4, 8).map { b =>
+          s"""SELECT $b AS bands,
+               (SELECT count(*) FROM cand$b) AS n_candidates,
+               (SELECT count(*) FROM exact) AS n_true_pairs,
+               (SELECT count(*) FROM cand$b JOIN exact USING (doc_a, doc_b)) AS n_hit,
+               (SELECT count(*) FROM cand$b JOIN exact USING (doc_a, doc_b))::DOUBLE /
+                 (SELECT count(*) FROM exact) AS recall"""
+        }.mkString(" UNION ALL ")
+        s"""WITH $wordGramSetCtes,
+            pfx AS (SELECT doc_id, fp, n FROM rk WHERE r <= n - ceil(0.5 * n) + 1),
+            cdx AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.n AS na, b.n AS nb
+                    FROM pfx a JOIN pfx b USING (fp)
+                    WHERE a.doc_id < b.doc_id
+                      AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)),
+            ivx AS (SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS inter
+                    FROM cdx c
+                    JOIN tok ta ON ta.doc_id = c.doc_a
+                    JOIN tok tb ON tb.doc_id = c.doc_b AND tb.fp = ta.fp
+                    GROUP BY ALL),
+            exact AS (SELECT doc_a, doc_b FROM ivx
+                      WHERE inter >= 0.5 * (na + nb - inter)),
+            sig AS (SELECT doc_id, $minCols FROM tok GROUP BY doc_id),
+            ${bandCte(2)}, ${bandCte(4)}, ${bandCte(8)}
+            SELECT * FROM ($rows) ORDER BY bands"""
+      },
       // Asymmetric containment: one-sided prefix on the contained
       // side, full set rows on the container side.
       "q_containment" ->

@@ -175,6 +175,68 @@ object SetSimilarity {
       .orderBy(col("doc_id"), col("container_id"))
   }
 
+  /** MinHash signatures over the SAME word-n-gram fingerprint rows
+    * the exact joins use — `(a_i·(fp mod P) + b_i) mod P` with
+    * [[Dedup]]'s permutation coefficients (fp is 60-bit, so it is
+    * reduced mod P BEFORE the multiply to stay inside 2^62 under
+    * ANSI arithmetic; [[Dedup.minhashSignatures]]'s 32-bit shingle
+    * hashes don't need the reduction). One k-column row per doc,
+    * map-side min partials. */
+  private def minhashOfSets(setRows: DataFrame, k: Int): DataFrame = {
+    val p = Dedup.MinhashP
+    val aggs = (0 until k).map(i =>
+      min(((col("fp") % p) * Dedup.aCoef(i) + Dedup.bCoef(i)) % p).as(s"m$i"))
+    setRows.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH recall audit ([EXT]): measures, ON ONE SIMILARITY SPACE,
+    * what the probabilistic candidate generator actually catches.
+    * For each band count b (more bands = shorter bands = higher
+    * collision rate = higher recall AND more candidates), bands the
+    * k-hash minhash signature of every doc's word-n-gram set, takes
+    * banded candidate pairs, and scores them against the EXACT
+    * Jaccard-threshold pairs from [[jaccardJoin]]'s algebra:
+    * `(bands, n_candidates, n_true_pairs, n_hit, recall)`.
+    *
+    * This is the audit a pipeline runs before trusting LSH dedup at
+    * 100 TB — the S-curve recall of banding is a theorem about
+    * UNIFORM hash behavior, not about your corpus; the empirical
+    * recall against exact ground truth (computable on a sample) is
+    * the number that belongs in a runbook. Exact pairs and
+    * signatures share one gram-set build; each band count adds one
+    * bounded bucket aggregate over the banded signature rows
+    * (buckets of size >= 2 expand pairs locally, the
+    * [[Dedup.minhashCandidates]] shape). Recall is an unrounded IEEE
+    * divide of two exact counts. */
+  def lshRecallAudit(docs: DataFrame, threshold: Double = 0.5,
+                     k: Int = 16, bandCounts: Seq[Int] = Seq(2, 4, 8),
+                     idCol: String = "doc_id", textCol: String = "text",
+                     ngram: Int = 3): DataFrame = {
+    require(bandCounts.nonEmpty && bandCounts.forall(b => b > 0 && k % b == 0),
+      s"every band count must divide k=$k: $bandCounts")
+    val exact = jaccardJoin(docs, threshold, idCol, textCol, ngram)
+      .select(col("doc_a"), col("doc_b"))
+    val ranked = rankedGramSets(docs, idCol, textCol, ngram)
+    val sig = minhashOfSets(ranked.select(col("doc_id"), col("fp")), k)
+    val perBand = bandCounts.map { b =>
+      val cand = Dedup.bandsOfSignatures(sig, k, b)
+        .groupBy(col("band"), col("band_hash"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .where(size(col("ids")) > 1)
+        .select(explode(Dedup.pairsOf(array_sort(col("ids")))).as("p"))
+        .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+        .distinct()
+      val hit = cand.join(exact, Seq("doc_a", "doc_b"), "left_semi")
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_true_pairs")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(lit(b).as("bands"), col("n_candidates"), col("n_true_pairs"),
+          col("n_hit"),
+          (col("n_hit").cast("double") / col("n_true_pairs")).as("recall"))
+    }
+    perBand.reduce(_.unionByName(_)).orderBy(col("bands"))
+  }
+
   /** Exact intersection sizes for candidate pairs: join each side's
     * set rows and count matches per pair (map-side partial combine),
     * then keep pairs passing `keep`. Only candidates pay this. */

@@ -108,6 +108,28 @@ class SetSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("lshRecallAudit: counts consistent, recall non-decreasing in band count") {
+    val rows = (1L to 60L).map { i =>
+      // 20 clusters of 3 near-dup docs (one word differs), so exact
+      // pairs exist and banding has something to miss
+      val base = s"alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima cluster${i / 3}"
+      i -> (if (i % 3 == 0) base + " extra" else base)
+    }
+    val df = rows.toDF("doc_id", "text")
+    val out = SetSimilarity.lshRecallAudit(df, threshold = 0.5, bandCounts = Seq(2, 4, 8))
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) === Seq(2, 4, 8))
+    val nTrue = SetSimilarity.jaccardJoin(df, threshold = 0.5).count()
+    assert(nTrue > 0)
+    for ((b, nCand, nt, nHit, recall) <- out) {
+      assert(nt === nTrue, s"bands $b: true-pair count")
+      assert(nHit <= nCand && nHit <= nt, s"bands $b: hit bounds")
+      assert(recall === nHit.toDouble / nt, s"bands $b: recall arithmetic")
+    }
+    // shorter bands collide more: recall can only grow with band count
+    assert(out.map(_._5) === out.map(_._5).sorted)
+  }
+
   test("plan: verify join only touches candidates, aggregates combine map-side") {
     val plan = SetSimilarity.jaccardJoin(corpus, threshold = 0.5)
       .queryExecution.executedPlan.toString
