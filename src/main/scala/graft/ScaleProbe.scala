@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clustering, CorpusStats, Dedup, Ngrams, Similarity}
+import graft.operators.{Clustering, CorpusStats, Dedup, Ngrams, Quality, Sampling, SetSimilarity, Similarity}
 import graft.sources.Tables
 
 /** Empirical scale check: replicate the sf0.1 documents/embeddings
@@ -155,6 +155,28 @@ object ScaleProbe {
     val nearNew = time(s"newNearDocs probe (fixed batch) x$factor")(
       Dedup.newNearDocs(batch, hSigs, maxBucket = 64).count())
     println(s"[scale]   near-new docs: $nearNew")
+    // exact set-similarity: candidate mass is bounded by word-gram df
+    // (grows ~factor x per gram), but the OUTPUT is quadratic in the
+    // duplicate-cluster size by contract — replicas are true pairs.
+    // The probe verifies wall-clock tracks the (quadratic) output,
+    // not an all-pairs stage: base corpus has 256 exact pairs; x5
+    // replication makes every doc a 5-clique plus cross-pair cliques.
+    val jac = time(s"jaccardJoin t=0.5 x$factor")(
+      SetSimilarity.jaccardJoin(docs).count())
+    println(s"[scale]   exact jaccard pairs: $jac")
+    val con = time(s"containmentJoin t=0.8 x$factor")(
+      SetSimilarity.containmentJoin(docs).count())
+    println(s"[scale]   containment pairs: $con")
+    val recall = time(s"lshRecallAudit x$factor")(
+      SetSimilarity.lshRecallAudit(docs).collect())
+    recall.foreach(r => println(s"[scale]   recall: $r"))
+    time(s"classBalance x$factor")(
+      Sampling.classBalance(docs.select(col("doc_id"), col("lang")),
+        "doc_id", "lang").count())
+    time(s"dqRules x$factor")(
+      Quality.report(docs, Seq(Quality.notNull("text"),
+        Quality.inRange("n_chars", 0, 10000),
+        Quality.matches("lang", "^[a-z]{2}$"))).count())
     spark.stop()
   }
 }

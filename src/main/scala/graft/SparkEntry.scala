@@ -403,6 +403,15 @@ object SparkEntry {
     // cohort retention triangle ([EXT]): engagement analytics over the
     // events table
     "q_cohort_retention" -> ((s, d) => Reports.cohortRetention(t(s, d, "events"))),
+    // first-order event-transition matrix ([EXT]): the Markov view of
+    // the clickstream — next-step features, funnel discovery
+    "q_transitions" -> ((s, d) => Windows.transitions(t(s, d, "events"))),
+    // time-weighted average ([EXT]): piecewise-constant mean over
+    // irregular samples — a plain mean over-weights sample bursts
+    "q_time_weighted" -> ((s, d) => Windows.timeWeighted(t(s, d, "events"))),
+    // chi-square contingency cells ([EXT]): categorical-association
+    // drift (lang x source), zero cells included via the full spine
+    "q_chi2" -> ((s, d) => Profile.chi2Cells(t(s, d, "documents"), "lang", "source")),
     // forward fill / LOCF ([EXT]): deterministic synthetic gaps
     // (event_id % 7) filled per user; ts drives the frame order but
     // stays out of the output (nanos-vs-micros render across engines)
@@ -1517,6 +1526,43 @@ object SparkEntry {
            SELECT o_orderkey, 'o_custkey_d' AS metric,
              CAST(o_custkey AS DOUBLE) AS value FROM orders
            ORDER BY o_orderkey, metric""",
+      "q_transitions" ->
+        """WITH o AS (SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_ns(ts), event_id) AS prev
+             FROM events),
+           p AS (SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+                 FROM o WHERE prev IS NOT NULL GROUP BY 1, 2)
+           SELECT from_type, to_type, n,
+             n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE AS share
+           FROM p ORDER BY from_type, to_type""",
+      "q_time_weighted" -> // decimal v*dt sums; 6-dp render (the q_corr ULP lesson)
+        """WITH o AS (SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+               epoch_ns(ts) // 1000 AS us,
+               lead(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+                 ORDER BY epoch_ns(ts) // 1000, event_id) AS nxt
+             FROM events)
+           SELECT user_id,
+             round(CAST(sum(v * (nxt - us)) AS DOUBLE) /
+                   CAST(sum(nxt - us) AS DOUBLE), 6) AS twa
+           FROM o WHERE nxt IS NOT NULL GROUP BY user_id ORDER BY user_id""",
+      // Chi-square cells: expected/term are pure IEEE on exact counts
+      // (the exact-IEEE-render family) — identical expression shape on
+      // both sides, unrounded.
+      "q_chi2" ->
+        """WITH obs AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+           sp AS (SELECT lang, source FROM (SELECT DISTINCT lang FROM documents)
+                  CROSS JOIN (SELECT DISTINCT source FROM documents)),
+           f AS (SELECT sp.lang, sp.source, COALESCE(n, 0) AS n_obs
+                 FROM sp LEFT JOIN obs USING (lang, source)),
+           t AS (SELECT lang, source, n_obs,
+                   (sum(n_obs) OVER (PARTITION BY lang))::DOUBLE *
+                   (sum(n_obs) OVER (PARTITION BY source))::DOUBLE /
+                   (sum(n_obs) OVER ())::DOUBLE AS expected
+                 FROM f)
+           SELECT lang, source, n_obs, expected,
+             (n_obs::DOUBLE - expected) * (n_obs::DOUBLE - expected) / expected AS term
+           FROM t ORDER BY lang, source""",
       "q_windowed_counts" ->
         s"""SELECT (epoch_ns(ts) // 600000000000) * 600 AS window_start, event_type,
             count(*) AS n_events, ${sqlDsum("value")} AS sum_value

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -218,6 +219,44 @@ object Profile {
     df.crossJoin(broadcast(bounds))
       .withColumn(s"${c}_w", least(greatest(v, col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
+  }
+
+  /** Chi-square contingency cells ([EXT]): the full a×b spine
+    * (including never-observed combinations — omitting zero cells
+    * understates dependence) with observed counts, expected counts
+    * under independence (row·col/N), and each cell's chi-square term
+    * (obs-exp)²/exp. Complements [[psiDrift]] (numeric distribution
+    * drift) with the CATEGORICAL-association view: "did the
+    * language×source mix shift" is a chi-square question. The total
+    * statistic is the sum of `term` — left to the caller because a
+    * cross-engine-stable double sum needs the decimal-rounding
+    * convention, while the per-cell terms are pure IEEE on exact
+    * counts (multiply, divide, square — all exactly specified) and
+    * ship unrounded.
+    *
+    * Shape: ONE fact scan (the pair count aggregate); the spine is a
+    * cross join of two bounded distinct aggregates; row/col/grand
+    * totals are windows ON the spine rows (bounded by |a|·|b| — the
+    * psiDrift discipline; the unpartitioned window sees only those
+    * rows, never the fact). */
+  def chi2Cells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("__n"))
+    val spine = df.select(col(aCol)).distinct()
+      .crossJoin(df.select(col(bCol)).distinct())
+    val full = spine.join(obs, Seq(aCol, bCol), "left")
+      .select(col(aCol), col(bCol), coalesce(col("__n"), lit(0L)).as("n_obs"))
+    val byA = Window.partitionBy(col(aCol))
+    val byB = Window.partitionBy(col(bCol))
+    val all = Window.partitionBy()
+    full
+      .withColumn("expected",
+        sum(col("n_obs")).over(byA).cast("double") *
+          sum(col("n_obs")).over(byB).cast("double") /
+          sum(col("n_obs")).over(all).cast("double"))
+      .withColumn("term",
+        (col("n_obs").cast("double") - col("expected")) *
+          (col("n_obs").cast("double") - col("expected")) / col("expected"))
+      .orderBy(col(aCol), col(bCol))
   }
 
   /** Robust outlier report via the median absolute deviation ([EXT]):

@@ -93,6 +93,69 @@ object Windows {
       .orderBy(col("s_nationkey"), col("pct_rank"), col("s_suppkey"))
   }
 
+  /** First-order event-transition matrix ([EXT]): per user, each
+    * event's PREDECESSOR type in (ts, event_id) order, counted into
+    * (from_type, to_type, n, share) — the Markov-chain view of a
+    * clickstream that powers next-step prediction features, funnel
+    * discovery (which transitions actually happen vs the designed
+    * funnel in [[Reports.funnel]]), and bot detection (impossible
+    * transition mixes). Each user's first event has no predecessor
+    * and feeds no pair.
+    *
+    * Shape: one user-keyed lag window (the single shuffle), one
+    * map-side-combined pair count; `share` normalizes per from-state
+    * as a window ON the aggregate rows (bounded by the type-pair
+    * cardinality — the tfIdf no-recompute discipline), an unrounded
+    * IEEE divide of exact counts. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("__prev"))
+      .where(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("share", col("n").cast("double") /
+        sum(col("n")).over(byFrom).cast("double"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Time-weighted average ([EXT]) — per user, the piecewise-constant
+    * mean of an irregularly sampled measure: Σ vᵢ·Δtᵢ / Σ Δtᵢ with
+    * Δtᵢ the micros until the NEXT observation (each value "holds"
+    * until replaced; the final observation has no holding interval
+    * and feeds neither sum). The correct average for sensor readings,
+    * account balances, queue depths — a plain mean over-weights
+    * bursts of closely spaced samples.
+    *
+    * Exactness: value is decimal(18,2), Δt an exact long, their
+    * product and sum stay decimal (order-independent); the final
+    * ratio renders as a 6-dp-rounded double because DuckDB's
+    * hugeint-decimal→double conversion can land one ULP from Spark's
+    * BigDecimal cast (the q_corr lesson). Users with one event have
+    * no intervals and are absent. One user-keyed lead window + one
+    * aggregate — the window's single shuffle. */
+  def timeWeighted(events: DataFrame, valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        col(valueCol).cast(DecimalType(18, 2)).as("__v"),
+        unix_micros(col("ts")).as("__us"))
+      .withColumn("__dt", lead(col("__us"), 1).over(w) - col("__us"))
+      .where(col("__dt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("__v") * col("__dt")).as("__wsum"),
+        sum(col("__dt")).as("__tsum"))
+      .select(col("user_id"),
+        round(col("__wsum").cast("double") / col("__tsum").cast("double"), 6)
+          .as("twa"))
+      .orderBy(col("user_id"))
+  }
+
   /** Forward fill / LOCF ([EXT]) — per key, replace NULL measures
     * with the last preceding non-null value in (ts, tiebreak) order:
     * the standard gap-fill before feature windows or model scoring

@@ -238,6 +238,27 @@ class ProfileSpec extends SparkSuite {
     assert(sharded === global)
   }
 
+  test("chi2Cells: full spine incl. zero cells; independent data has ~0 terms") {
+    // perfectly independent 2x2: every term exactly 0
+    val ind = (Seq.fill(20)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(20)(("b", "y"))).toDF("u", "v")
+    val indOut = Profile.chi2Cells(ind, "u", "v").collect()
+    assert(indOut.length === 4)
+    assert(indOut.forall(_.getAs[Double]("term") === 0.0))
+    // a never-observed combination appears as a zero cell with its
+    // expected mass — dropping it would understate dependence
+    val dep = (Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("b", "y"))).toDF("u", "v")
+    val depOut = Profile.chi2Cells(dep, "u", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getAs[Double]("expected"))).toMap
+    assert(depOut.size === 4)
+    assert(depOut(("a", "y")) === (0L, 30.0 * 10 / 40))
+    assert(depOut(("b", "x")) === (0L, 10.0 * 30 / 40))
+    val chi2 = Profile.chi2Cells(dep, "u", "v").collect()
+      .map(_.getAs[Double]("term")).sum
+    assert(chi2 === 40.0, "fully dependent 2x2 with these margins: chi2 == N")
+  }
+
   test("madOutliers: flags only beyond k mads, immune to the outlier's own pull") {
     // group g: 9 values near 10 plus one wild 1000; group h: constant (mad 0)
     val rows = ((1L to 9L).map(i => (i, "g", 9.0 + (i % 3))) :+ (10L, "g", 1000.0)) ++

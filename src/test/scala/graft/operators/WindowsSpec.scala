@@ -105,4 +105,38 @@ class WindowsSpec extends SparkSuite {
     assert(out(5L) === Some(7.0), "tie resolved by event_id before filling on")
     assert(out(6L) === None, "fills must not cross keys")
   }
+
+  test("transitions: per-user ordered pairs; first events feed nothing; shares sum to 1") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 10:01:00"), "click"),
+      (3L, 1L, ts("2024-01-01 10:02:00"), "buy"),
+      (4L, 2L, ts("2024-01-01 11:00:00"), "view"),
+      (5L, 2L, ts("2024-01-01 11:05:00"), "click"),
+      (6L, 2L, ts("2024-01-01 11:06:00"), "view"),
+      (7L, 3L, ts("2024-01-01 12:00:00"), "view")) // lone event: no pair
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Windows.transitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out === Map(
+      ("view", "click") -> (2L, 1.0),
+      ("click", "buy") -> (1L, 0.5),
+      ("click", "view") -> (1L, 0.5)))
+  }
+
+  test("timeWeighted: holding-interval mean, not the sample mean") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 holds 10.0 for 9 minutes then 100.0 for 1 minute: twa = 19.0
+    // (the plain mean of observed samples would be 40.0)
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), 10.0),
+      (2L, 1L, ts("2024-01-01 10:09:00"), 100.0),
+      (3L, 1L, ts("2024-01-01 10:10:00"), 7.0), // final: no interval
+      (4L, 2L, ts("2024-01-01 10:00:00"), 5.0)) // lone event: absent
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = Windows.timeWeighted(ev).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(1L -> 19.0))
+  }
 }
