@@ -728,6 +728,18 @@ object SparkEntry {
     // detection that symmetric Jaccard misses when the container dwarfs
     // the contained doc
     "q_containment" -> ((s, d) => SetSimilarity.containmentJoin(t(s, d, "documents"), threshold = 0.8)),
+    // persisted-set twin ([EXT]): jaccardJoin reading a materialized
+    // ranked gram-set table — the production shape (the set build is
+    // the reusable artifact; inline variant re-derives it 4x). Same
+    // oracle as q_jaccard_join: identical results by construction.
+    "q_jaccard_persisted" -> ((s, d) => {
+      val setsDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gram_sets_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      if (!new java.io.File(setsDir, "_SUCCESS").exists())
+        SetSimilarity.rankedGramSets(t(s, d, "documents"))
+          .write.mode("overwrite").parquet(setsDir)
+      SetSimilarity.jaccardJoinOfSets(s.read.parquet(setsDir), threshold = 0.5)
+    }),
     // LSH recall audit ([EXT]): banded minhash candidates scored
     // against the exact Jaccard pairs ON THE SAME gram space — the
     // empirical recall/cost curve a pipeline checks before trusting
@@ -894,6 +906,23 @@ object SparkEntry {
                   count(*) OVER (PARTITION BY doc_id) AS n FROM tok),
          rk AS (SELECT doc_id, fp, n,
                   row_number() OVER (PARTITION BY doc_id ORDER BY df, fp) AS r FROM st)"""
+    val jaccardJoinOracle =
+      s"""WITH $wordGramSetCtes,
+          pf AS (SELECT doc_id, fp, n FROM rk WHERE r <= n - ceil(0.5 * n) + 1),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.n AS na, b.n AS nb
+                   FROM pf a JOIN pf b USING (fp)
+                   WHERE a.doc_id < b.doc_id
+                     AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)),
+          iv AS (SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS inter
+                 FROM cand c
+                 JOIN tok ta ON ta.doc_id = c.doc_a
+                 JOIN tok tb ON tb.doc_id = c.doc_b AND tb.fp = ta.fp
+                 GROUP BY ALL)
+          SELECT doc_a, doc_b, inter,
+            inter::DOUBLE / (na + nb - inter) AS jaccard
+          FROM iv WHERE inter >= 0.5 * (na + nb - inter)
+          ORDER BY doc_a, doc_b"""
     // Verified-pair CTEs (cand -> exact jaccard >= threshold), shared
     // by q_near_dup_pairs and q_dedup_docs.
     def verifiedPairCtes(src: String) =
@@ -2038,23 +2067,10 @@ object SparkEntry {
       // prune) and is omitted here on purpose. jaccard ships
       // unrounded: BIGINT casts + one IEEE divide are bit-equal
       // across engines.
-      "q_jaccard_join" ->
-        s"""WITH $wordGramSetCtes,
-            pf AS (SELECT doc_id, fp, n FROM rk WHERE r <= n - ceil(0.5 * n) + 1),
-            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       a.n AS na, b.n AS nb
-                     FROM pf a JOIN pf b USING (fp)
-                     WHERE a.doc_id < b.doc_id
-                       AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)),
-            iv AS (SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS inter
-                   FROM cand c
-                   JOIN tok ta ON ta.doc_id = c.doc_a
-                   JOIN tok tb ON tb.doc_id = c.doc_b AND tb.fp = ta.fp
-                   GROUP BY ALL)
-            SELECT doc_a, doc_b, inter,
-              inter::DOUBLE / (na + nb - inter) AS jaccard
-            FROM iv WHERE inter >= 0.5 * (na + nb - inter)
-            ORDER BY doc_a, doc_b""",
+      "q_jaccard_join" -> jaccardJoinOracle,
+      // persisted-set twin: identical math, engine side reads the
+      // materialized set table — result is the same by construction
+      "q_jaccard_persisted" -> jaccardJoinOracle,
       // LSH recall audit: the jaccard-join chain gives exact pairs;
       // minhash over the SAME fp rows (fp reduced mod P before the
       // multiply — 60-bit fp times a 30-bit coefficient would

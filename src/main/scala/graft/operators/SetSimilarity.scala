@@ -77,9 +77,20 @@ object SetSimilarity {
     * size `n`, global-rarity rank `r` (df asc, fp asc — a total
     * order: fp is unique within a doc after the dedup), and `df`.
     * The two windows cost one Exchange each (fp, then doc_id); set
-    * size and rank come from the SAME doc_id window. */
-  private def rankedGramSets(docs: DataFrame, idCol: String,
-                             textCol: String, ngram: Int): DataFrame = {
+    * size and rank come from the SAME doc_id window.
+    *
+    * THIS is the table to persist at scale: the joins consume it
+    * FOUR times (both prefix sides + both verify sides), and
+    * broadcast shapes defeat exchange reuse, so the inline operators
+    * re-derive it from text 4x (fine at audit scale, wrong at
+    * 100 TB — plan-verified in PLANS.md). Materialize it once
+    * (parquet next to the minhash signature table — same lifecycle,
+    * rebuilt when the corpus version changes) and call the
+    * `...OfSets` variants, which read the small set table instead of
+    * re-tokenizing the corpus — the [[Dedup.newNearDocs]]
+    * persisted-index pattern. */
+  def rankedGramSets(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", ngram: Int = 3): DataFrame = {
     val tok = docs
       // spread the gram fan-out before exploding (a doc table often
       // arrives in one input split); explicit count — AQE would
@@ -108,10 +119,14 @@ object SetSimilarity {
     * exact-IEEE-render family, PLANS.md). */
   def jaccardJoin(docs: DataFrame, threshold: Double = 0.5,
                   idCol: String = "doc_id", textCol: String = "text",
-                  ngram: Int = 3): DataFrame = {
+                  ngram: Int = 3): DataFrame =
+    jaccardJoinOfSets(rankedGramSets(docs, idCol, textCol, ngram), threshold)
+
+  /** [[jaccardJoin]] over a pre-built (ideally PERSISTED) ranked set
+    * table — the at-scale entry point; see [[rankedGramSets]]. */
+  def jaccardJoinOfSets(ranked: DataFrame, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     val t = lit(threshold)
-    val ranked = rankedGramSets(docs, idCol, textCol, ngram)
     val pref = ranked.filter(col("r") <= col("n") - ceil(t * col("n")) + lit(1))
     val a = pref.select(col("doc_id").as("doc_a"), col("fp"),
       col("n").as("na"), col("r").as("ra"))
@@ -150,10 +165,14 @@ object SetSimilarity {
     * (a container can't be much smaller than what it contains). */
   def containmentJoin(docs: DataFrame, threshold: Double = 0.8,
                       idCol: String = "doc_id", textCol: String = "text",
-                      ngram: Int = 3): DataFrame = {
+                      ngram: Int = 3): DataFrame =
+    containmentJoinOfSets(rankedGramSets(docs, idCol, textCol, ngram), threshold)
+
+  /** [[containmentJoin]] over a pre-built (ideally PERSISTED) ranked
+    * set table — the at-scale entry point; see [[rankedGramSets]]. */
+  def containmentJoinOfSets(ranked: DataFrame, threshold: Double = 0.8): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     val t = lit(threshold)
-    val ranked = rankedGramSets(docs, idCol, textCol, ngram)
     val pref = ranked.filter(col("r") <= col("n") - ceil(t * col("n")) + lit(1))
     val a = pref.select(col("doc_id").as("doc_a"), col("fp"),
       col("n").as("na"), col("r").as("ra"))
@@ -214,9 +233,9 @@ object SetSimilarity {
                      ngram: Int = 3): DataFrame = {
     require(bandCounts.nonEmpty && bandCounts.forall(b => b > 0 && k % b == 0),
       s"every band count must divide k=$k: $bandCounts")
-    val exact = jaccardJoin(docs, threshold, idCol, textCol, ngram)
-      .select(col("doc_a"), col("doc_b"))
     val ranked = rankedGramSets(docs, idCol, textCol, ngram)
+    val exact = jaccardJoinOfSets(ranked, threshold)
+      .select(col("doc_a"), col("doc_b"))
     val sig = minhashOfSets(ranked.select(col("doc_id"), col("fp")), k)
     val perBand = bandCounts.map { b =>
       val cand = Dedup.bandsOfSignatures(sig, k, b)

@@ -130,6 +130,27 @@ class SetSimilaritySpec extends SparkSuite {
     assert(out.map(_._5) === out.map(_._5).sorted)
   }
 
+  test("persisted ranked-set table gives identical results (the at-scale path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sets").toString
+    SetSimilarity.rankedGramSets(corpus).write.mode("overwrite").parquet(dir)
+    val persisted = spark.read.parquet(dir)
+    val inline = SetSimilarity.jaccardJoin(corpus, threshold = 0.5)
+      .collect().map(_.toSeq).toSeq
+    val ofSets = SetSimilarity.jaccardJoinOfSets(persisted, threshold = 0.5)
+      .collect().map(_.toSeq).toSeq
+    assert(ofSets === inline)
+    val inlineCon = SetSimilarity.containmentJoin(corpus, threshold = 0.8)
+      .collect().map(_.toSeq).toSeq
+    val ofSetsCon = SetSimilarity.containmentJoinOfSets(persisted, threshold = 0.8)
+      .collect().map(_.toSeq).toSeq
+    assert(ofSetsCon === inlineCon)
+    // and the persisted path's plan re-reads the small set table, not text
+    val plan = SetSimilarity.jaccardJoinOfSets(persisted, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("distinct_shingles") && !plan.contains("md5"),
+      s"persisted path must not re-derive grams from text:\n$plan")
+  }
+
   test("plan: verify join only touches candidates, aggregates combine map-side") {
     val plan = SetSimilarity.jaccardJoin(corpus, threshold = 0.5)
       .queryExecution.executedPlan.toString
