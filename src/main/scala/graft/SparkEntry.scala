@@ -149,6 +149,14 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
+    // temperature-scaled mixture ([EXT]): domain weights DERIVED from
+    // the data (∝ sqrt(n_d), the T=2 multilingual rebalance) instead
+    // of q_mixture_sample's explicit targets
+    "q_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureSample(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", fraction = 0.4)
+        .orderBy(col("doc_id"))),
     // leakage-safe split ([EXT]): split by the DEDUP CLUSTER hash so a
     // test doc's near-twin can never land in train (the silent
     // eval-inflation bug); composes dedupDocuments' keeper mapping
@@ -1451,6 +1459,21 @@ object SparkEntry {
                                   ELSE 0.0::DOUBLE END
                         * 0.4::DOUBLE * n::DOUBLE * 10000 / cnt::DOUBLE))::BIGINT AS rate_bp
                       FROM c, t)
+           SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+           WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < rate_bp
+           ORDER BY d.doc_id""",
+      // Temperature mix: sqrt is exactly-specified IEEE (pow is not);
+      // the normalizer is 6-dp-rounded sqrts DECIMAL-summed (dsum) so
+      // it is order-independent on both engines.
+      "q_temperature_mix" ->
+        """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+           w AS (SELECT lang, cnt,
+                   CAST(round(sqrt(cnt::DOUBLE), 6) AS DECIMAL(18,6)) AS wgt FROM c),
+           t AS (SELECT sum(wgt) AS wsum, sum(cnt) AS n FROM w),
+           r AS (SELECT lang, least(10000, floor(
+                   wgt::DOUBLE / wsum::DOUBLE * 0.4::DOUBLE * n::DOUBLE
+                   * 10000 / cnt::DOUBLE))::BIGINT AS rate_bp
+                 FROM w, t)
            SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
            WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < rate_bp
            ORDER BY d.doc_id""",

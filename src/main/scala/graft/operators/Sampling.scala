@@ -142,6 +142,46 @@ object Sampling {
         md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
       .orderBy(col("shuffle_key"))
 
+  /** Temperature-scaled mixture sampling ([EXT]): domain weights
+    * DERIVED from the data as `sqrt(n_d) / Σ sqrt(n_d)` — the
+    * standard temperature-T=2 rebalancing of multilingual/multi-
+    * source corpora (Conneau & Lample 2019 style): big domains are
+    * tempered, small domains upweighted, but still ∝ a power of
+    * their true mass (unlike a uniform mix, which floods tail
+    * domains with repetition). `fraction` is the overall sample
+    * share; per-domain rates derive exactly as in [[mixtureSample]]
+    * (quota / count, capped at 1, floor to basis points).
+    *
+    * The exponent is FIXED at 1/2 because `sqrt` is one of the few
+    * exactly-specified IEEE operations — an arbitrary `pow(n, a)` is
+    * library-dependent and would break the cross-engine oracle. The
+    * Σ sqrt normalizer is a sum of per-domain doubles: each sqrt is
+    * rounded to 6 dp and DECIMAL-summed (the dsum convention) so the
+    * normalizer is order-independent and engine-exact. Same shape as
+    * [[mixtureSample]]: one counts aggregate, weights on the BOUNDED
+    * domain rows, rates broadcast back, pure hash filter on the
+    * fact. */
+  def temperatureSample(df: DataFrame, idCol: String, domainCol: String,
+                        fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction")
+    val counts = df.groupBy(col(domainCol).as("__domain"))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val rates = counts
+      .withColumn("__w", round(sqrt(col("__cnt").cast("double")), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .withColumn("__wsum", sum(col("__w")).over(w)) // bounded: one row per domain
+      .withColumn("__n", sum(col("__cnt")).over(w))
+      .select(col("__domain"),
+        least(lit(10000L),
+          floor(col("__w").cast("double") / col("__wsum").cast("double") *
+            lit(fraction) * col("__n") * lit(10000) / col("__cnt"))
+            .cast("long")).as("__rate_bp"))
+    df.join(broadcast(rates), col(domainCol) === col("__domain"))
+      .where(hashBp(col(idCol)) < col("__rate_bp"))
+      .drop("__domain", "__rate_bp")
+  }
+
   /** Leakage-safe split: [[assignSplit]] hashed on a GROUP key
     * instead of the row id, so every row of a group lands in the SAME
     * split. Splitting near-duplicate documents independently leaks

@@ -143,6 +143,23 @@ class SamplingSpec extends SparkSuite {
     assert(e1 !== e1.sorted, "and it actually shuffles")
   }
 
+  test("temperatureSample: sqrt tempering upweights small domains vs their raw share") {
+    // 900 "big" rows vs 100 "small": raw shares 90/10, sqrt-tempered
+    // weights 30/10 -> small's sampled share must land well above 10%
+    val rows = ((1L to 900L).map(i => (i, "big")) ++
+      (901L to 1000L).map(i => (i, "small"))).toDF("id", "dom")
+    val out = Sampling.temperatureSample(rows, "id", "dom", fraction = 0.3)
+      .select($"id", $"dom").as[(Long, String)].collect()
+    val byDom = out.groupBy(_._2).view.mapValues(_.length).toMap
+    val smallShare = byDom("small").toDouble / out.length
+    assert(smallShare > 0.15 && smallShare < 0.40,
+      s"tempered small-domain share: $smallShare (raw would be ~0.10)")
+    // deterministic + partitioning-independent
+    val again = Sampling.temperatureSample(rows.repartition(7), "id", "dom", 0.3)
+      .select($"id", $"dom").as[(Long, String)].collect()
+    assert(out.toSet === again.toSet)
+  }
+
   test("groupSplit: whole groups share a split; unmapped rows split by own id") {
     val rows = (1L to 300L).map(i => (i, s"doc$i")).toDF("id", "v")
     // groups of 3: rows 1-3 -> group 1, 4-6 -> group 4, ...
