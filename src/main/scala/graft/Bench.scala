@@ -53,18 +53,22 @@ object Bench {
       val ok = times.filter(_ >= 0)
       name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
-    // ms precision (9-decimal doubles double the payload for noise),
-    // slowest-first so a truncated capture drops the cheap queries,
-    // not the expensive ones the regression gate cares about.
+    // ms precision (9-decimal doubles double the payload for noise).
+    // The driver keeps only the TAIL of stdout, so order the line
+    // tail-heavy: queries ascending (fastest first, slowest last) and
+    // the total as the FINAL key — a truncated capture then drops the
+    // cheap queries, never the expensive ones or the total. Failures
+    // (-1) sort with the slow set (end of line), not the head, so they
+    // survive truncation too.
     def ms(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.sortBy { case (_, v) => -v }
+    val qs = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
       .map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     spark.stop()
     // stop Spark BEFORE printing so no straggler executor log line can
     // land after the JSON; the driver reads the tail of stdout.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":${ms(total)}}""")
   }
 }

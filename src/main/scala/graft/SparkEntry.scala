@@ -830,8 +830,17 @@ object SparkEntry {
     // semantics diverge across engines on negatives)
     "q_centroids" -> ((s, d) => Similarity.labelCentroids(t(s, d, "embeddings"))),
     // int8 scalar quantization ([EXT]): 4x-compressed ANN codes with a
-    // per-vector reconstruction-error bound
-    "q_quantize" -> ((s, d) => Similarity.quantizeEmbeddings(t(s, d, "embeddings"))),
+    // per-vector reconstruction-error bound. The operator returns the
+    // array form; the REGISTERED query posexplodes to scalar rows so
+    // the driver's pandas hash-compare (which can't sort array cells)
+    // can certify it.
+    "q_quantize" -> ((s, d) =>
+      Similarity.quantizeEmbeddings(t(s, d, "embeddings"))
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("pos", "code")),
+          col("max_abs_err"))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("code"),
+          col("max_abs_err"))
+        .orderBy(col("vec_id"), col("pos"))),
     // deterministic Lloyd k-means ([EXT]): engine-exact seeds/updates/
     // distances, so the full 2-iteration training run is oracled
     "q_kmeans" -> ((s, d) =>
@@ -842,14 +851,23 @@ object SparkEntry {
       graft.operators.Clustering.semanticDedup(t(s, d, "embeddings"),
         k = 8, threshold = 0.35)),
     // Johnson-Lindenstrauss reduction: 64-dim floats -> 16 seeded-
-    // Gaussian dot products, planes baked into the plan as literals
+    // Gaussian dot products, planes baked into the plan as literals.
+    // Registered in posexploded scalar form (same reason as q_quantize).
     "q_random_projection" -> ((s, d) =>
-      Similarity.randomProject(t(s, d, "embeddings"), outDim = 16, dim = 64)),
+      Similarity.randomProject(t(s, d, "embeddings"), outDim = 16, dim = 64)
+        .select(col("vec_id"), posexplode(col("rvec")).as(Seq("pos", "component")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("component"))
+        .orderBy(col("vec_id"), col("pos"))),
     // PCA projection ([EXT]): learned planes from the exact covariance
     // — rows-only by design (iterative eigensolve; laws in
-    // SimilaritySpec), like the other trained-model queries
+    // SimilaritySpec), like the other trained-model queries. Also
+    // posexploded so the harness can count rows without choking on the
+    // array column.
     "q_pca" -> ((s, d) =>
-      Similarity.pcaProject(t(s, d, "embeddings"), k = 8, dim = 64)),
+      Similarity.pcaProject(t(s, d, "embeddings"), k = 8, dim = 64)
+        .select(col("vec_id"), posexplode(col("pvec")).as(Seq("pos", "component")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("component"))
+        .orderBy(col("vec_id"), col("pos"))),
     // ---- multimodal plumbing (SURVEY [EXT]) ----
     "q_payload_meta" -> ((s, d) =>
       Multimodal.payloadMeta(Multimodal.attachPayload(t(s, d, "documents")))),
@@ -2273,13 +2291,17 @@ object SparkEntry {
                           ELSE round((embedding[i]::DOUBLE - mn[i]::DOUBLE) * 255
                             / (mx[i]::DOUBLE - mn[i]::DOUBLE), 0)::INTEGER END
                         for i in range(1, len(embedding)+1)] AS codes
-                     FROM embeddings, b)
-           SELECT vec_id, codes,
-             round(list_max(
-               [abs(mn[i]::DOUBLE + codes[i]::DOUBLE * (mx[i]::DOUBLE - mn[i]::DOUBLE) / 255
-                  - embedding[i]::DOUBLE)
-                for i in range(1, len(embedding)+1)]), 6) AS max_abs_err
-           FROM c ORDER BY vec_id""",
+                     FROM embeddings, b),
+               f AS (SELECT vec_id, codes,
+                 round(list_max(
+                   [abs(mn[i]::DOUBLE + codes[i]::DOUBLE * (mx[i]::DOUBLE - mn[i]::DOUBLE) / 255
+                      - embedding[i]::DOUBLE)
+                    for i in range(1, len(embedding)+1)]), 6) AS max_abs_err
+               FROM c)
+           SELECT vec_id,
+             unnest([i for i in range(0, len(codes))])::BIGINT AS pos,
+             unnest(codes) AS code, max_abs_err
+           FROM f ORDER BY vec_id, pos""",
       "q_kmeans" -> // seeds=lowest ids; micro-sum updates; fold distances
         """WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
                c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
@@ -2340,7 +2362,11 @@ object SparkEntry {
           val arr = p.map(_.toString).mkString("[", ", ", "]")
           s"round(${fold(s"[embedding[i]::DOUBLE * ($arr)[i] for i in range(1, len(embedding)+1)]")}, 6)"
         }.mkString("[", ",\n             ", "]")
-        s"""SELECT vec_id, $comps AS rvec FROM embeddings ORDER BY vec_id"""
+        s"""WITH r AS (SELECT vec_id, $comps AS rvec FROM embeddings)
+            SELECT vec_id,
+              unnest([i for i in range(0, len(rvec))])::BIGINT AS pos,
+              unnest(rvec) AS component
+            FROM r ORDER BY vec_id, pos"""
       },
       "q_topk_cosine" ->
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),

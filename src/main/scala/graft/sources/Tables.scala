@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-provided test tables (TESTDATA.md).
   *
@@ -18,20 +18,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // `events.ts` is physically TIMESTAMP(NANOS), which Spark's parquet
-    // reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as LONG and
-    // convert to a microsecond timestamp — Spark's native precision.
-    // NOTE: the legacy conf is session-wide and deliberately NOT
-    // restored (the scan consults it again at execution time); any
-    // later read of a DIFFERENT nanos-timestamp parquet in the same
-    // session will therefore surface LONG columns instead of failing.
-    // No other nanos files exist in this environment.
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      if (df.schema("ts").dataType == LongType)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // `events.ts` is written as micros with isAdjustedToUTC=false, which
+    // Spark 4 infers as TIMESTAMP_NTZ. The engine's time family
+    // (window(), unix_micros, as-of joins) expects instant semantics, so
+    // normalize to TIMESTAMP here. Every entry point pins
+    // spark.sql.session.timeZone=UTC, making the cast value-preserving.
+    // Older generations wrote NANOS read back as LONG under the legacy
+    // conf; keep that normalization too so either vintage loads.
+    if (name == "events") df.schema("ts").dataType match {
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _                => df
+    } else df
   }
 }

@@ -25,6 +25,27 @@ class SparkEntrySpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("registry smoke: every registered query executes against the real sf0.001 files") {
+    // Round-7 lesson: every suite built literal DataFrames, so when the
+    // driver regenerated events.parquet with a TIMESTAMP_NTZ ts column,
+    // 271 tests stayed green while 8 registered queries broke at
+    // analysis time. This test runs the actual registry against the
+    // actual files so schema drift fails `sbt test`, not the round's
+    // correctness report. Loop-style builders that run a full streaming
+    // or iterative job inside the query function are exercised by their
+    // own dedicated specs and skipped here for time.
+    val d = "/root/testdata/sf0.001"
+    val loopy = Set("q_stream_ingest_final", "q_bpe_train", "q_kmeans",
+      "q_semantic_dedup", "q_dedup_embeddings", "q_pca")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (loopy(name)) None
+      else scala.util.Try(fn(spark, d).count()).failed.toOption
+        .map(e => s"$name: ${e.toString.linesIterator.take(2).mkString(" | ").take(300)}")
+    }
+    assert(failures.isEmpty, s"${failures.size} registry queries failed on real testdata:\n" +
+      failures.mkString("\n"))
+  }
+
   test("q_sql_topk (SQL text surface) matches q_topk_cosine (Column API)") {
     val d = "/root/testdata/sf0.001"
     val viaCol = SparkEntry.queries("q_topk_cosine")(spark, d).collect().toSeq
