@@ -216,20 +216,36 @@ object Sampling {
     *
     * Shape: one map-side-combined counts aggregate (rows = number of
     * classes, broadcast back) + one rank window per class. The window
-    * shuffles by label, so one pathologically hot class serializes
-    * into one partition — at that scale pre-thin the hot class with
-    * [[stratifiedByHash]] (rate ≈ target/count) and rank the
-    * survivors; the exact-quota rank is then over a bounded set. */
+    * shuffles by label, so a pathologically hot class would serialize
+    * its full row count into one partition; hot classes are therefore
+    * PRE-THINNED by the same hash before the window. The thin filter
+    * keeps rows with `hashBp < cutoff` where the per-class cutoff
+    * targets `2*min + 10000` expected survivors — and because the
+    * rank order is (hashBp, id), the lowest-`min` rows of the thinned
+    * class are EXACTLY the lowest-`min` rows of the full class
+    * whenever at least `min` rows survive the filter (the kept rows
+    * are a hash-prefix of the class), which the 2x+10000 margin makes
+    * overwhelmingly certain under the uniform md5 hash. Classes at or
+    * under the margin get cutoff 10000 (no thinning, exact as
+    * before). The cutoff floor is 1 basis point, so the worst-case
+    * window input for one class is `count/10000` — bounded reduction,
+    * not unbounded serialization. */
   def classBalance(df: DataFrame, idCol: String, labelCol: String): DataFrame = {
     val counts = df.groupBy(col(labelCol).as("__label"))
       .agg(count(lit(1)).as("__cnt"))
     val minCnt = counts.agg(min(col("__cnt")).as("__min_cnt"))
+    val cutoffs = counts.crossJoin(broadcast(minCnt))
+      .select(col("__label"), col("__min_cnt"),
+        least(lit(10000L), greatest(lit(1L),
+          ceil(((col("__min_cnt") * 2 + 10000) * 10000).cast("double") / col("__cnt"))
+            .cast("long"))).as("__cut_bp"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(labelCol)).orderBy(hashBp(col(idCol)), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .crossJoin(broadcast(minCnt))
+    df.join(broadcast(cutoffs), col(labelCol) === col("__label"))
+      .where(hashBp(col(idCol)) < col("__cut_bp"))
+      .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= col("__min_cnt"))
-      .drop("__rn", "__min_cnt")
+      .drop("__label", "__cut_bp", "__rn", "__min_cnt")
   }
 
   /** Stratified flavor: per-stratum rates, `default` for strata not

@@ -62,7 +62,7 @@ object Windows {
     * doubles should pre-round explicitly. (user_id, ts) is unique in
     * the events table, so the window order is total. */
   def movingStats(events: DataFrame): DataFrame = {
-    val ev = events.select(
+    val ev = graft.functions.TimeCol.instant(events).select(
       col("event_id"), col("user_id"),
       unix_micros(col("ts")).as("ts_us"),
       col("value").cast(DecimalType(18, 2)).as("__v"))
@@ -110,7 +110,7 @@ object Windows {
   def transitions(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(unix_micros(col("ts")), col("event_id"))
-    val pairs = events
+    val pairs = graft.functions.TimeCol.instant(events)
       .select(col("user_id"), col("event_type"),
         lag(col("event_type"), 1).over(w).as("__prev"))
       .where(col("__prev").isNotNull)
@@ -141,7 +141,7 @@ object Windows {
   def timeWeighted(events: DataFrame, valueCol: String = "value"): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("__us"), col("event_id"))
-    events
+    graft.functions.TimeCol.instant(events)
       .select(col("user_id"), col("event_id"),
         col(valueCol).cast(DecimalType(18, 2)).as("__v"),
         unix_micros(col("ts")).as("__us"))

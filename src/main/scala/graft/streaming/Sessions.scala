@@ -25,7 +25,7 @@ object Sessions {
     * emitted as epoch seconds so batch results compare across engines
     * without timezone/precision ambiguity. */
   def windowedCounts(events: DataFrame, width: String = "10 minutes"): DataFrame =
-    events
+    graft.functions.TimeCol.instant(events)
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -44,7 +44,7 @@ object Sessions {
     * mergeable approximate path; this is the exact contract. */
   def windowedDistinct(events: DataFrame, width: String = "10 minutes",
                        keyCol: String = "user_id"): DataFrame =
-    events
+    graft.functions.TimeCol.instant(events)
       .groupBy(window(col("ts"), width))
       .agg(count_distinct(col(keyCol)).as("n_distinct"),
         count(lit(1)).as("n_events"))
@@ -55,7 +55,7 @@ object Sessions {
   /** Sliding-window event counts. */
   def slidingCounts(events: DataFrame, width: String = "10 minutes",
                     slide: String = "5 minutes"): DataFrame =
-    events
+    graft.functions.TimeCol.instant(events)
       .groupBy(window(col("ts"), width, slide), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").cast("long").as("window_start"),
@@ -66,7 +66,7 @@ object Sessions {
     * Session semantics = `session_window` (a new session starts when
     * the gap since the previous event is >= the gap parameter). */
   def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
-    events
+    graft.functions.TimeCol.instant(events)
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("user_id"))

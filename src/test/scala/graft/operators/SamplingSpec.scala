@@ -201,4 +201,36 @@ class SamplingSpec extends SparkSuite {
     assert(g.filter(_._2 == "mid").toSet === out.filter(_._2 == "mid").toSet)
     assert(g.filter(_._2 == "small").toSet === out.filter(_._2 == "small").toSet)
   }
+
+  test("classBalance pre-thins a pathologically hot class and still picks the exact rows") {
+    // 200k-row hot class vs a 5-row minority: the rank window must see
+    // a hash-thinned slice of "hot", not all 200k rows, and the picked
+    // rows must be identical to the unthinned selection (the thin
+    // filter is a hash-prefix of the rank order).
+    val rows = ((1L to 200000L).map(i => (i, "hot")) ++
+      (900001L to 900005L).map(i => (i, "rare"))).toDF("id", "label")
+    val out = Sampling.classBalance(rows, "id", "label")
+      .select($"id", $"label").as[(Long, String)].collect()
+    assert(out.count(_._2 == "hot") === 5)
+    assert(out.count(_._2 == "rare") === 5)
+    // ground truth: the 5 lowest (hashBp, id) rows of each class,
+    // computed without any window
+    val expected = rows
+      .withColumn("__h", Sampling.hashBp($"id"))
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._2).values
+      .flatMap(_.sortBy(r => (r._3, r._1)).take(5).map(r => (r._1, r._2)))
+      .toSet
+    assert(out.toSet === expected)
+    // the guard really bounds the window input: the hot class's cutoff
+    // targets 2*min + 10000 = 10010 expected survivors, i.e. cutoff
+    // ceil(10010*10000/200000) = 501 bp -> ~10k of 200k rows pass the
+    // pre-filter (binomial concentration keeps it within a few percent)
+    val cut = math.ceil((2 * 5 + 10000) * 10000.0 / 200000).toLong
+    assert(cut === 501L)
+    val survivors = rows.where($"label" === "hot")
+      .where(Sampling.hashBp($"id") < cut).count()
+    assert(survivors < 12000L, s"pre-thin must bound the window input, saw $survivors")
+    assert(survivors >= 5L, "margin must keep at least the quota")
+  }
 }
