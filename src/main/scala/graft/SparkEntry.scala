@@ -551,6 +551,15 @@ object SparkEntry {
         docs.where(col("doc_id") % 41 =!= 0),
         docs.where(col("doc_id") % 41 === 0))
     }),
+    // fuzzy benchmark leakage ([EXT]): minhash near-match against the
+    // same 41-modulus benchmark split — catches paraphrased/partially
+    // quoted eval items the exact 8-gram screen misses
+    "q_decontaminate_near" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Ngrams.decontaminateNear(
+        docs.where(col("doc_id") % 41 =!= 0),
+        docs.where(col("doc_id") % 41 === 0))
+    }),
     "q_chunk" -> ((s, d) => Ngrams.chunk(t(s, d, "documents"))),
     // substring-level dedup signal ([EXT]): spans shared across docs —
     // trigrams so the synthetic corpus yields shared spans; production
@@ -591,6 +600,33 @@ object SparkEntry {
       CorpusStats.vocabCoverage(t(s, d, "documents"), vocabSize = 20)),
     // unigram-LM document scoring ([EXT]): perplexity-proxy quality signal
     "q_unigram_logprob" -> ((s, d) => CorpusStats.unigramLogprob(t(s, d, "documents"))),
+    // context-aware LM score ([EXT]): Laplace-smoothed bigram model —
+    // catches shuffled-real-word spam the unigram score cannot see
+    "q_bigram_logprob" -> ((s, d) => CorpusStats.bigramLogprob(t(s, d, "documents"))),
+    // per-source type/token diversity ([EXT]): templated/generated
+    // sources show collapsed bigram ratios
+    "q_ngram_diversity" -> ((s, d) => CorpusStats.ngramDiversity(t(s, d, "documents"))),
+    // mergeable document-frequency maintenance ([EXT]): three disjoint
+    // pmod shards folded by dfMerge must equal the direct corpus df —
+    // the incremental-stats contract a streaming ingest relies on
+    "q_df_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      CorpusStats.dfMerge(
+        (0 until 3).map(b =>
+          CorpusStats.dfShard(docs.where(pmod(col("doc_id"), lit(3)) === b))): _*)
+    }),
+    // character-class composition ([EXT]): the mojibake/binary-junk
+    // structural gate; classes partition the doc's length
+    "q_char_classes" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        Text.alphaCount(col("text")).cast("long").as("n_alpha"),
+        Text.digitCount(col("text")).cast("long").as("n_digits"),
+        Text.whitespaceCount(col("text")).cast("long").as("n_space"),
+        Text.punctCount(col("text")).cast("long").as("n_punct"),
+        Text.replacementCharCount(col("text")).cast("long").as("n_replacement"))
+        .orderBy(col("doc_id"))),
     "q_token_entropy" -> ((s, d) => CorpusStats.tokenEntropy(t(s, d, "documents"))),
     // tokenizer induction ([EXT]): the first BPE merge's pair counts
     "q_bpe_pairs" -> ((s, d) => CorpusStats.bpePairCounts(t(s, d, "documents"))),
@@ -1038,6 +1074,36 @@ object SparkEntry {
           SELECT doc_id FROM bsrc
           WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.batch_id = bsrc.doc_id)
           ORDER BY doc_id"""
+    }
+    // fuzzy decontamination oracle: the newNearOracle CTE family with
+    // the 41-modulus benchmark as "history" and a contaminated flag
+    // instead of an anti-join
+    val decontamNearOracle: String = {
+      def sigCtes(p: String, src: String) =
+        s"""${p}sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM $src),
+            ${p}hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM ${p}sh),
+            ${p}sig AS (SELECT doc_id, $minCols FROM ${p}hh GROUP BY doc_id)"""
+      def bandRowsP(p: String) = (0 until 4).map { b =>
+        val cat = (b * 4 until (b + 1) * 4).map(i => s"m$i::VARCHAR").mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS band_hash FROM ${p}sig"
+      }.mkString(" UNION ALL ")
+      val agree = (0 until 16)
+        .map(i => s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH tsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0),
+               bsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 = 0),
+               ${sigCtes("t", "tsrc")},
+               ${sigCtes("b", "bsrc")},
+               tb AS (${bandRowsP("t")}),
+               bb AS (${bandRowsP("b")}),
+               cand AS (SELECT DISTINCT tb.doc_id AS train_id, bb.doc_id AS bench_id
+                        FROM tb JOIN bb USING (band, band_hash)),
+               dup AS (SELECT DISTINCT c.train_id
+                       FROM cand c JOIN tsig x ON c.train_id = x.doc_id
+                                   JOIN bsig y ON c.bench_id = y.doc_id
+                       WHERE $agree >= 8)
+          SELECT doc_id,
+            EXISTS (SELECT 1 FROM dup d WHERE d.train_id = tsrc.doc_id) AS contaminated
+          FROM tsrc ORDER BY doc_id"""
     }
     Map(
       // MAD outliers: quantile_cont == Spark's exact percentile
@@ -1939,6 +2005,60 @@ object SparkEntry {
              CAST(COALESCE(p.n_in, 0) AS BIGINT) AS n_in_vocab,
              1.0 - CAST(p.n_in AS DOUBLE) / p.n_tokens AS oov_frac
            FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""",
+      "q_decontaminate_near" -> decontamNearOracle,
+      "q_bigram_logprob" -> // Laplace bigram LM: c12/c1 windows on tf rows; dsum contributions
+        """WITH tok AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+               bg AS (SELECT doc_id,
+                 unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+                 FROM tok WHERE len(t) >= 2),
+               tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY doc_id, bigram),
+               c12 AS (SELECT bigram, sum(tf) AS c12 FROM tf GROUP BY bigram),
+               c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(tf) AS c1
+                      FROM tf GROUP BY 1),
+               v AS (SELECT count(DISTINCT term) AS v FROM
+                 (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                  FROM documents))
+           SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+             CAST(sum(CAST(round(tf.tf * ln((c12 + 1)::DOUBLE / (c1 + v)::DOUBLE), 6)
+               AS DECIMAL(18,6))) AS DOUBLE) AS logprob
+           FROM tf JOIN c12 USING (bigram)
+                   JOIN c1 ON split_part(tf.bigram, ' ', 1) = c1.w1, v
+           GROUP BY tf.doc_id ORDER BY tf.doc_id""",
+      "q_ngram_diversity" -> // per-source type/token ratios, both gram orders
+        """WITH tok AS (SELECT source,
+                regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+               uni AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unigrams,
+                 CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_unigrams FROM
+                 (SELECT source, unnest(t) AS g FROM tok) GROUP BY source),
+               bi AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_bigrams FROM
+                 (SELECT source, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+                  FROM tok WHERE len(t) >= 2) GROUP BY source)
+           SELECT uni.source, n_unigrams, n_distinct_unigrams,
+             round(n_distinct_unigrams::DOUBLE / n_unigrams::DOUBLE, 6) AS unigram_ttr,
+             CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CAST(coalesce(n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams,
+             CASE WHEN n_bigrams > 0
+               THEN round(n_distinct_bigrams::DOUBLE / n_bigrams::DOUBLE, 6) END AS bigram_ttr
+           FROM uni LEFT JOIN bi USING (source) ORDER BY uni.source""",
+      "q_df_incremental" -> // shard-merge must equal the direct corpus df
+        """WITH term AS (SELECT DISTINCT doc_id, term FROM
+                 (SELECT doc_id,
+                    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                  FROM documents))
+           SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM term GROUP BY term ORDER BY term""",
+      "q_char_classes" -> // length-difference counts, classes partition len(text)
+        """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+             CAST(len(text) - len(regexp_replace(text, '\p{L}', '', 'g')) AS BIGINT) AS n_alpha,
+             CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+             CAST(len(text) - len(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_space,
+             CAST(len(text) - len(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS BIGINT)
+               AS n_punct,
+             CAST(len(text) - len(regexp_replace(text, '�', '', 'g')) AS BIGINT)
+               AS n_replacement
+           FROM documents ORDER BY doc_id""",
       "q_unigram_logprob" -> // contributions rounded then DECIMAL-summed (order-independent)
         """WITH term AS (SELECT doc_id,
                 unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term FROM documents),

@@ -96,4 +96,20 @@ object Text {
     // comparison into the last branch and answer 'zh')
     when(c.isNull, lit(null)).when(best === 0, lit("unknown")).otherwise(chain)
   }
+
+  // ---- character-class profile ([EXT]) ----
+  // Per-document composition ratios — the structural mojibake/binary-
+  // junk gate: crawl pages that decoded under the wrong charset show
+  // U+FFFD replacement chars; binary spills show high "other"; tables
+  // and ASCII art show punctuation spikes. All pure length-difference
+  // expressions (the punctCount idiom) — no explode, no shuffle.
+  def alphaCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "\\p{L}", ""))
+  def whitespaceCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "\\s", ""))
+  def replacementCharCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "�", ""))
+  // the four classes partition every char: alpha + digit + whitespace
+  // + punct (non-alnum-non-space, which contains the replacement
+  // char) = length; the profile query asserts this identity row-wise
 }

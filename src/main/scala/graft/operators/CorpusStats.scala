@@ -397,4 +397,119 @@ object CorpusStats {
         (col("n_docs") >= 2 && share >= minShare).as("flagged"))
       .orderBy(col("source"), col("prefix"))
   }
+
+  /** One shard of a MERGEABLE document-frequency table ([EXT]):
+    * (term, df) over this slice of the corpus. df is additive across
+    * disjoint doc sets, so corpus-wide term statistics can be
+    * maintained incrementally — a streaming ingest batch contributes
+    * its shard and [[dfMerge]] folds it into the persisted table
+    * without ever rescanning corpus text, the same
+    * write-partial/merge-later contract as the HLL sketch shards
+    * ([[Profile.sketchShards]]) but exact. The downstream idf/logprob
+    * consumers read ONE compact (term, df) table whatever the ingest
+    * history looked like.
+    *
+    * Shape: per-doc distinct rides the scan as an array op; one
+    * explode + one term hash aggregate (map-side partials absorb the
+    * fan-out) — vocabulary-sized output, corpus-sized input. */
+  def dfShard(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame =
+    docs.select(
+        explode(array_distinct(Text.tokens(lower(col(textCol))))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+
+  /** Fold document-frequency shards (from [[dfShard]], over DISJOINT
+    * doc sets) into one table: union + re-aggregate — one shuffle of
+    * vocabulary-sized inputs. Merging a batch shard into a persisted
+    * history table is this same expression with the history read as a
+    * shard. */
+  def dfMerge(shards: DataFrame*): DataFrame = {
+    require(shards.nonEmpty, "dfMerge needs at least one shard")
+    shards.reduce(_ unionByName _)
+      .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
+      .orderBy(col("term"))
+  }
+
+  /** Bigram language-model document score ([EXT]) — each doc's total
+    * log-probability under the corpus's own Laplace-smoothed bigram
+    * model, `sum over bigram positions of ln((c(w1w2)+1)/(c(w1·)+V))`
+    * with `c(w1·)` the corpus count of bigrams starting at w1 and V
+    * the corpus vocabulary size. The context-aware upgrade of
+    * [[unigramLogprob]]: rare-WORD soup and rare-TRANSITION soup
+    * (shuffled real words — scrambled-text spam, bad OCR segment
+    * order) score low here while the unigram score misses the latter
+    * entirely. Docs with fewer than two tokens have no bigrams and
+    * are absent, like every bigram measure.
+    *
+    * Shape: one explode + one (doc, bigram) hash aggregate (map-side
+    * partials absorb the fan-out), then the corpus bigram count AND
+    * the history count as windows ON those aggregate rows (partition
+    * by bigram / by w1 — the [[tfIdf]] no-recompute discipline, paid
+    * as two exchanges of the compact aggregate, never a re-explode);
+    * V comes from a separate no-explode distinct-count that
+    * broadcast-joins back. Contributions are rounded then
+    * DECIMAL-summed (dsum convention — order-independent). */
+  def bigramLogprob(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val bg = docs.select(col(idCol).as("doc_id"),
+      explode(bigramsOf(Text.tokens(lower(col(textCol))))).as("bigram"))
+    val tf = bg.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("tf"))
+    val byBigram = org.apache.spark.sql.expressions.Window.partitionBy(col("bigram"))
+    val byW1 = org.apache.spark.sql.expressions.Window.partitionBy(col("__w1"))
+    // distributed two-phase distinct count (partial dedup map-side);
+    // a collect_list spelling would gather every token array into one
+    // aggregate row — the exact kind of single-row bottleneck this
+    // file avoids
+    val vocab = docs
+      .select(explode(Text.tokens(lower(col(textCol)))).as("__term"))
+      .agg(count_distinct(col("__term")).cast("long").as("__v"))
+    tf.withColumn("c12", sum(col("tf")).over(byBigram))
+      .withColumn("__w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("c1", sum(col("tf")).over(byW1))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("tf"),
+        round(col("tf") * log((col("c12") + lit(1)).cast("double") /
+          (col("c1") + col("__v")).cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        sum(col("contrib")).cast("double").as("logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source n-gram diversity ([EXT]) — corpus-level type/token
+    * ratios: distinct and total unigrams and bigrams per source, with
+    * their ratios. The release-card diversity row: a source whose
+    * bigram ratio collapses toward zero is templated or machine-
+    * generated (few transition patterns reused many times), however
+    * clean each individual document looks — a CORPUS signal the
+    * per-doc [[repetitionSignals]] cannot see.
+    *
+    * Shape: one explode per gram order + one (source, gram) partial
+    * aggregate, then a per-source count/count-distinct rollup — the
+    * distinct sets never materialize on the driver. At 100 TB the
+    * per-source distinct count is the shuffle-heavy half; swap in
+    * [[Profile.sketchShards]] HLLs when approximate is acceptable. */
+  def ngramDiversity(docs: DataFrame, sourceCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(sourceCol).as("source"),
+      Text.tokens(lower(col(textCol))).as("__t"))
+    def level(grams: Column, name: String) =
+      toks.select(col("source"), explode(grams).as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as(s"n_$name"),
+          count_distinct(col("g")).as(s"n_distinct_$name"))
+    level(col("__t"), "unigrams")
+      .join(level(bigramsOf(col("__t")), "bigrams"), Seq("source"), "left")
+      .select(col("source"),
+        col("n_unigrams"), col("n_distinct_unigrams"),
+        round(col("n_distinct_unigrams").cast("double") /
+          col("n_unigrams").cast("double"), 6).as("unigram_ttr"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        when(col("n_bigrams").isNotNull && col("n_bigrams") > 0,
+          round(col("n_distinct_bigrams").cast("double") /
+            col("n_bigrams").cast("double"), 6)).as("bigram_ttr"))
+      .orderBy(col("source"))
+  }
 }

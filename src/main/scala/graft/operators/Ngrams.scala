@@ -78,6 +78,37 @@ object Ngrams {
       .orderBy(col("doc_id"))
   }
 
+  /** NEAR decontamination ([EXT]) — flag training docs whose minhash
+    * signature nearly matches ANY benchmark doc, the fuzzy complement
+    * of [[decontaminate]]'s exact-n-gram test: a benchmark item that
+    * was lightly paraphrased, re-punctuated, or partially quoted into
+    * a crawl page shares few exact 8-grams but most of its shingles,
+    * and leaks evaluation data all the same (the GPT-3/PaLM-style
+    * 13-gram screens miss exactly this class). Same signature family
+    * as the dedup path, so thresholds are comparable corpus-wide.
+    *
+    * Shape: both sides sign once (explode + k min-aggs); candidates
+    * come from the banded equi-join (never all-pairs) and verify by
+    * signature agreement ≥ `minMatches`/k — the
+    * [[Dedup.newNearBySignatures]] machinery verbatim, with the
+    * benchmark as "history". The benchmark is tiny next to a 100 TB
+    * corpus, so its band and signature sides broadcast. */
+  def decontaminateNear(train: DataFrame, benchmark: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        k: Int = 16, bands: Int = 4,
+                        minMatches: Int = 8): DataFrame = {
+    val trainSigs = Dedup.minhashSignatures(train, idCol, textCol, k)
+      .localCheckpoint() // consumed by the probe AND the final anti-join
+    val clean = Dedup.newNearBySignatures(trainSigs,
+      Dedup.minhashSignatures(benchmark, idCol, textCol, k),
+      k, bands, minMatches)
+    train.select(col(idCol).as("doc_id"))
+      .join(clean.select(col("doc_id"), lit(true).as("__clean")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__clean").isNull.as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Graded benchmark contamination ([EXT]) — [[decontaminate]]'s
     * binary flag fires on a single shared n-gram, which over-drops
     * long documents that quote one benchmark line; the RATE (shared

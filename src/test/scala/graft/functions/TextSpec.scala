@@ -90,4 +90,19 @@ class TextSpec extends SparkSuite {
       .select(Text.langId(col("t")).as("l")).head()
     assert(r.isNullAt(0))
   }
+
+  test("character classes partition the text; replacement chars flag mojibake") {
+    val in = "ab 1,2�" // 2 alpha, 2 digits, 1 space, 2 punct (incl the U+FFFD)
+    val r = Seq(in).toDF("t").select(
+      Text.alphaCount(col("t")).as("a"), Text.digitCount(col("t")).as("d"),
+      Text.whitespaceCount(col("t")).as("s"), Text.punctCount(col("t")).as("p"),
+      Text.replacementCharCount(col("t")).as("m")).head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      === ((2, 2, 1, 2, 1)))
+    assert(r.getInt(0) + r.getInt(1) + r.getInt(2) + r.getInt(3) === in.length,
+      "alpha + digit + whitespace + punct must partition every character")
+    val clean = "perfectly ordinary ascii text"
+    assert(Seq(clean).toDF("t").select(Text.replacementCharCount(col("t")))
+      .head().getInt(0) === 0)
+  }
 }

@@ -209,4 +209,58 @@ class CorpusStatsSpec extends SparkSuite {
     // a single doc can never be "shared" boilerplate, whatever its share
     assert(out(("siteB", "terms of service apply here")) === ((1L, 1L, 1.0, false)))
   }
+
+  test("bigramLogprob: hand-computed Laplace bigram scores; short docs absent") {
+    // corpus: doc1 "a b a b", doc2 "a b", doc3 "x" (no bigrams).
+    // c("a b")=3, c("b a")=1; history c(a·)=3, c(b·)=1; V=3 (a,b,x)
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val out = CorpusStats.bigramLogprob(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!out.contains(3L), "a one-token doc has no bigrams")
+    val exp1 = // round-then-sum, mirroring the dsum convention
+      BigDecimal(2 * math.log(4.0 / 6.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP) +
+        BigDecimal(math.log(2.0 / 4.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(out(1L)._1 === 3L)
+    assert(math.abs(out(1L)._2 - exp1.toDouble) < 1e-9)
+    val exp2 = BigDecimal(math.log(4.0 / 6.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(out(2L) === ((1L, exp2.toDouble)))
+    // the context sensitivity the unigram score lacks: a doc made of
+    // corpus-frequent words in a NEVER-SEEN order scores lower per
+    // bigram than the natural-order doc
+    val corpus = (1L to 20L).map(i => (i, "the cat sat on the mat")) :+
+      (100L, "mat the on sat cat the")
+    val scored = CorpusStats.bigramLogprob(corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2) / r.getLong(1)).toMap
+    assert(scored(100L) < scored(1L) - 1.0,
+      s"shuffled word order must score clearly lower: ${scored(100L)} vs ${scored(1L)}")
+  }
+
+  test("dfShard/dfMerge: disjoint shards fold to exactly the direct corpus df") {
+    val docs = Seq((1L, "a b b c"), (2L, "b c"), (3L, "c d"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val direct = CorpusStats.dfMerge(CorpusStats.dfShard(docs))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(direct === Map("a" -> 2L, "b" -> 2L, "c" -> 3L, "d" -> 1L),
+      "df counts docs containing the term, not occurrences")
+    val merged = CorpusStats.dfMerge(
+      CorpusStats.dfShard(docs.where($"doc_id" % 2 === 0)),
+      CorpusStats.dfShard(docs.where($"doc_id" % 2 === 1)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === direct, "shard-merge must equal the one-pass recompute")
+  }
+
+  test("ngramDiversity: hand-computed type/token ratios; bigram-free source handled") {
+    val docs = Seq(
+      (1L, "a b a", "X"), (2L, "a", "X"), // X: 4 unigrams (2 distinct), 2 bigrams (2 distinct)
+      (3L, "z", "Y")) // Y: no bigrams at all
+      .toDF("doc_id", "text", "source")
+    val out = CorpusStats.ngramDiversity(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = out("X")
+    assert((x.getLong(1), x.getLong(2), x.getDouble(3)) === ((4L, 2L, 0.5)))
+    assert((x.getLong(4), x.getLong(5), x.getDouble(6)) === ((2L, 2L, 1.0)))
+    val y = out("Y")
+    assert((y.getLong(4), y.getLong(5)) === ((0L, 0L)))
+    assert(y.isNullAt(6), "a source with no bigrams has no bigram ttr, not a 0/0")
+  }
 }

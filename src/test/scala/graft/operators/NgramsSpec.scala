@@ -114,4 +114,31 @@ class NgramsSpec extends SparkSuite {
     out.foreach { case (id, (_, shared, _, _)) =>
       assert(binary(id) === (shared > 0L)) }
   }
+
+  test("decontaminateNear flags paraphrased benchmark leaks the exact screen misses") {
+    import spark.implicits._
+    def para(tag: String) =
+      s"the quick brown fox $tag jumps over the lazy dog while seventeen " +
+        "sailors watch from the harbor wall and debate the merits of " +
+        "distributed deduplication at considerable length"
+    val train = Seq(
+      (1L, para("one") + " with a short suffix appended"), // light edit of bench item
+      (2L, "a completely unrelated piece of writing about gardening and soup " +
+        "that shares no shingles with the benchmark at all no indeed"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, para("one"))).toDF("doc_id", "text")
+    val near = Ngrams.decontaminateNear(train, bench)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(near === Map(1L -> true, 2L -> false))
+    // and the exact 8-gram screen DOES catch doc 1 here (word-level
+    // overlap survives the edit) — the near screen's real value is on
+    // edits inside gram windows, proven by the char-shingle threshold:
+    // a mid-sentence token swap breaks every 8-gram containing it
+    val swapped = para("one").replace("harbor wall", "harbour wall")
+    val nearSwap = Ngrams.decontaminateNear(
+      Seq((1L, swapped)).toDF("doc_id", "text"), bench)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(nearSwap(1L) === true,
+      "a one-token respelling must still register as near-contamination")
+  }
 }
