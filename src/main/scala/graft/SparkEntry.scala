@@ -218,6 +218,17 @@ object SparkEntry {
     "q_sketch_dictionary" -> ((s, d) =>
       Profile.sketchDictionary(t(s, d, "orders"), "o_orderpriority",
         Seq("o_custkey", "o_orderdate", "o_orderstatus"))),
+    // KMV distinct sketch ([EXT]): the ENGINE-PORTABLE sketch (md5
+    // fingerprints) — unlike the HLL/CMS families its estimates are
+    // hash-certified against the oracle, and it supports intersection
+    "q_kmv_distinct" -> ((s, d) =>
+      Profile.kmvEstimate(
+        Profile.kmvSketch(t(s, d, "events"), "event_type", "user_id", k = 64), k = 64)),
+    // pairwise audience overlap between event types from sketches
+    // alone (inclusion–exclusion on the union sketch)
+    "q_kmv_overlap" -> ((s, d) =>
+      Profile.kmvOverlap(
+        Profile.kmvSketch(t(s, d, "events"), "event_type", "user_id", k = 64), k = 64)),
     "q_histogram" -> ((s, d) => Profile.histogram(t(s, d, "lineitem"), "l_quantity", 10)),
     // join-skew diagnostic ([EXT]): per-key count distribution +
     // integer skew ratio + suggested salt for the hot-key plan choice
@@ -1372,6 +1383,47 @@ object SparkEntry {
       "q_value_counts" ->
         """SELECT o_orderpriority, count(*) AS n FROM orders
            GROUP BY o_orderpriority ORDER BY n DESC, o_orderpriority""",
+      "q_kmv_distinct" -> // same md5 60-bit fp, same (k-1)·2^60/h_k estimator
+        """WITH h AS (SELECT DISTINCT event_type AS "group",
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+               FROM events),
+               r AS (SELECT "group", h,
+                 row_number() OVER (PARTITION BY "group" ORDER BY h) AS r FROM h),
+               s AS (SELECT "group", h FROM r WHERE r <= 64)
+           SELECT "group", CAST(count(*) AS BIGINT) AS n_kept,
+             CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                  ELSE 63.0 * 1152921504606846976::DOUBLE / max(h)::DOUBLE END
+               AS distinct_est
+           FROM s GROUP BY "group" ORDER BY "group"""",
+      "q_kmv_overlap" -> // union sketch from the two k-min sets; inclusion–exclusion
+        """WITH h AS (SELECT DISTINCT event_type AS "group",
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+               FROM events),
+               r AS (SELECT "group", h,
+                 row_number() OVER (PARTITION BY "group" ORDER BY h) AS r FROM h),
+               s AS (SELECT "group", h FROM r WHERE r <= 64),
+               e AS (SELECT "group", CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                       ELSE 63.0 * 1152921504606846976::DOUBLE / max(h)::DOUBLE END AS est
+                     FROM s GROUP BY "group"),
+               g AS (SELECT DISTINCT "group" FROM s),
+               p AS (SELECT a."group" AS group_a, b."group" AS group_b
+                     FROM g a, g b WHERE a."group" < b."group"),
+               pr AS (SELECT DISTINCT group_a, group_b, h
+                      FROM p JOIN s ON s."group" = group_a OR s."group" = group_b),
+               u AS (SELECT group_a, group_b, h,
+                 row_number() OVER (PARTITION BY group_a, group_b ORDER BY h) AS r
+                 FROM pr),
+               ue AS (SELECT group_a, group_b,
+                 CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                      ELSE 63.0 * 1152921504606846976::DOUBLE / max(h)::DOUBLE END
+                   AS est_union
+                 FROM u WHERE r <= 64 GROUP BY group_a, group_b)
+           SELECT group_a, group_b, ea.est AS est_a, eb.est AS est_b, est_union,
+             greatest(0.0, ea.est + eb.est - est_union) AS est_intersection,
+             greatest(0.0, ea.est + eb.est - est_union) / est_union AS jaccard_est
+           FROM ue JOIN e ea ON ue.group_a = ea."group"
+                   JOIN e eb ON ue.group_b = eb."group"
+           ORDER BY group_a, group_b""",
       "q_histogram" ->
         """WITH mm AS (SELECT CAST(min(l_quantity) AS DOUBLE) AS mn,
                               CAST(max(l_quantity) AS DOUBLE) AS mx FROM lineitem)

@@ -152,6 +152,126 @@ object Profile {
       .toDF("term", "cms_est").orderBy(col("term"))
   }
 
+  // ---- KMV (k-minimum-values) distinct sketches ([EXT]) ----
+  // The ENGINE-PORTABLE member of the sketch family: where the HLL
+  // and CMS paths hash with Spark-internal families (rows-only
+  // oracles), KMV keeps the k smallest values of the repo's md5
+  // 60-bit fingerprint — every engine computes the identical sketch,
+  // so estimates are hash-certifiable against DuckDB. KMV also
+  // supports what HLL union cannot: set-INTERSECTION estimates
+  // between groups (source-overlap audits) via the union sketch +
+  // inclusion–exclusion [Beyer et al., "On Synopses for Distinct-
+  // Value Estimation Under Multiset Operations", SIGMOD'07].
+
+  /** 60-bit engine-portable value fingerprint (the gramFp spelling:
+    * 15 hex digits — 16 could exceed signed-long range in engines
+    * parsing signed hex). Injective string render first, so any
+    * input type sketches its distinct values. */
+  private def fp60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Per-group KMV sketch as ROWS: the k smallest distinct value
+    * fingerprints, ranked. Mergeable exactly like [[dfShard]]'s df
+    * table: union shards, re-rank, keep k ([[kmvMerge]]) — the sketch
+    * of a union is computable from sketches alone, so per-batch
+    * sketches maintain corpus-wide distinct estimates with no rescan.
+    *
+    * Shape: one (group, fp) distinct aggregate (map-side partial
+    * dedup — the shuffle carries distinct pairs, not rows), then the
+    * per-group rank window ON those deduped rows; output is ≤ k rows
+    * per group. */
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
+                k: Int = 256): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("h"))
+    df.select(col(groupCol).as("group"), fp60(col(valueCol)).as("h"))
+      .distinct()
+      .withColumn("r", row_number().over(w))
+      .where(col("r") <= k)
+  }
+
+  /** Fold KMV shard sketches (same group/value space, same k; shards
+    * may cover OVERLAPPING row sets — distinct-ness dedups) into one
+    * sketch table: union, re-dedup, re-rank, keep k. */
+  def kmvMerge(k: Int, shards: DataFrame*): DataFrame = {
+    require(shards.nonEmpty, "kmvMerge needs at least one shard")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("h"))
+    shards.reduce(_ unionByName _)
+      .select(col("group"), col("h")).distinct()
+      .withColumn("r", row_number().over(w))
+      .where(col("r") <= k)
+  }
+
+  /** Distinct-count estimates from a KMV sketch table: groups holding
+    * fewer than k fingerprints are EXACT (the sketch saw every
+    * value); saturated groups estimate `(k-1) · 2^60 / h_k` with h_k
+    * the k-th smallest fingerprint. Exact-IEEE arithmetic on exact
+    * integer inputs — bit-equal across engines, hence the oracle. */
+  def kmvEstimate(sketch: DataFrame, k: Int = 256): DataFrame =
+    sketch.groupBy(col("group"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        max(col("h")).as("h_max"))
+      .select(col("group"), col("n_kept"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble * 1.152921504606846976e18) /
+            col("h_max").cast("double"))
+          .as("distinct_est"))
+      .orderBy(col("group"))
+
+  /** Pairwise set-overlap estimates between groups, from sketches
+    * alone: for each group pair, the union sketch is the k smallest
+    * of the merged fingerprint sets → |A∪B| estimate; intersection by
+    * inclusion–exclusion, clamped at 0 (small-sketch noise can push
+    * it negative); Jaccard from the two. The cross-SOURCE audit
+    * ("how many users/documents do these two shards share?") that
+    * the union-only HLL family cannot answer.
+    *
+    * Shape: the sketch table is tiny (≤ k rows per group), so the
+    * pair join is a broadcast self-join of sketches — the corpus is
+    * never re-read. */
+  def kmvOverlap(sketch: DataFrame, k: Int = 256): DataFrame = {
+    // KminA ∪ KminB contains every one of the k smallest values of
+    // A∪B (each is in A or B, and within its group's k smallest), so
+    // re-ranking the merged rows yields a VALID KMV sketch of the
+    // union; n_kept < k implies both sketches were complete, making
+    // the union count exact — the same saturation rule as
+    // [[kmvEstimate]], inherited pair-wise.
+    val groups = sketch.select(col("group")).distinct()
+    val pairs = groups.select(col("group").as("group_a"))
+      .crossJoin(groups.select(col("group").as("group_b")))
+      .where(col("group_a") < col("group_b"))
+    val pairRows = pairs
+      .join(sketch.select(col("group"), col("h")),
+        col("group") === col("group_a") || col("group") === col("group_b"))
+      .select(col("group_a"), col("group_b"), col("h")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group_a"), col("group_b")).orderBy(col("h"))
+    val unionEst = pairRows
+      .withColumn("r", row_number().over(w)).where(col("r") <= k)
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).cast("long").as("n_union"), max(col("h")).as("h_max"))
+      .select(col("group_a"), col("group_b"),
+        when(col("n_union") < k, col("n_union").cast("double"))
+          .otherwise(lit((k - 1).toDouble * 1.152921504606846976e18) /
+            col("h_max").cast("double"))
+          .as("est_union"))
+    val est = kmvEstimate(sketch, k)
+    unionEst
+      .join(broadcast(est.select(col("group").as("group_a"),
+        col("distinct_est").as("est_a"))), Seq("group_a"))
+      .join(broadcast(est.select(col("group").as("group_b"),
+        col("distinct_est").as("est_b"))), Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union"))
+          .as("est_intersection"),
+        (greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")) /
+          col("est_union")).as("jaccard_est"))
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
   /** End-to-end incremental dictionary: sketch per shard → union →
     * one (column_name, distinct_est) row per column. Deterministic
     * for a given input set (HLL is order-insensitive), but not

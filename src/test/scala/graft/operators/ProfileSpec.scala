@@ -300,4 +300,48 @@ class ProfileSpec extends SparkSuite {
     assert(edges(0L) === 1L && edges(5L) === 1L)
     assert(edges.values.sum === 2L, "NULL rows must not land in any bin")
   }
+
+  test("kmv: exact below saturation, rsd-bounded above, shard-merge == direct") {
+    val k = 128
+    // group "small": 50 distinct values — under k, estimate must be EXACT
+    // group "big": 20000 distinct values — saturated, ~1/sqrt(k) rsd
+    val rows = ((1 to 50).map(v => ("small", v.toLong)) ++
+      (1 to 20000).map(v => ("big", v.toLong + 1000000L))).toDF("g", "v")
+    val est = Profile.kmvEstimate(Profile.kmvSketch(rows, "g", "v", k), k)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(est("small") === ((50L, 50.0)), "unsaturated groups are exact")
+    val (kept, e) = est("big")
+    assert(kept === k.toLong)
+    assert(math.abs(e - 20000.0) / 20000.0 < 3.0 / math.sqrt(k.toDouble),
+      s"saturated estimate outside 3 rsd: $e")
+    // merge law: sketches of overlapping halves fold to the direct sketch
+    val merged = Profile.kmvMerge(k,
+      Profile.kmvSketch(rows.where($"v" % 3 =!= 0), "g", "v", k),
+      Profile.kmvSketch(rows.where($"v" % 2 === 1), "g", "v", k),
+      Profile.kmvSketch(rows.where($"v" % 6 === 0), "g", "v", k))
+    // the overlapping slices cover every residue mod 6:
+    // {1,2,4,5} ∪ {1,3,5} ∪ {0} = all
+    val direct = Profile.kmvSketch(rows, "g", "v", k)
+    assert(merged.collect().toSet === direct.collect().toSet,
+      "union of shard sketches must re-rank to exactly the direct sketch")
+  }
+
+  test("kmv overlap: inclusion–exclusion recovers known intersections") {
+    val k = 256
+    // A = 1..3000, B = 2001..5000 (|∩| = 1000), C = 10001..13000 (disjoint)
+    val rows = ((1 to 3000).map(v => ("A", v.toLong)) ++
+      (2001 to 5000).map(v => ("B", v.toLong)) ++
+      (10001 to 13000).map(v => ("C", v.toLong))).toDF("g", "v")
+    val out = Profile.kmvOverlap(Profile.kmvSketch(rows, "g", "v", k), k)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val (unionAB, interAB, jacAB) = out(("A", "B"))
+    assert(math.abs(unionAB - 5000.0) / 5000.0 < 0.25, s"union est: $unionAB")
+    assert(interAB > 200.0 && interAB < 2200.0,
+      s"intersection est should be near 1000: $interAB")
+    assert(jacAB > 0.0 && jacAB < 0.6)
+    val (_, interAC, _) = out(("A", "C"))
+    assert(interAC < 700.0,
+      s"disjoint intersection stays near 0 (clamped): $interAC")
+  }
 }
