@@ -335,6 +335,16 @@ object SparkEntry {
         .withColumn("o_totalprice", col("o_totalprice") + 1)
       Lake.upsertByKey(orders, updates, Seq("o_orderkey")).orderBy(col("o_orderkey"))
     }),
+    // snapshot versioning ([EXT]): publish two immutable versions,
+    // read back the PINNED first one — time travel must survive the
+    // later publish (the reproducible-training-snapshot contract)
+    "q_time_travel" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_versions").toString
+      val v1 = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+      Lake.writeVersion(v1, root)
+      Lake.writeVersion(v1.withColumn("c_acctbal", col("c_acctbal") + 100), root)
+      Lake.readVersion(s, root, 1).orderBy(col("c_custkey"))
+    }),
     // the BOUNDED-REWRITE upsert against the on-disk key-bucketed
     // layout: materialize orders bucketed, MERGE the same update set
     // rewriting only touched buckets, read the merged table back.
@@ -1650,6 +1660,8 @@ object SparkEntry {
            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice FROM orders o
            WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.o_orderkey = o.o_orderkey)
            ORDER BY o_orderkey""",
+      "q_time_travel" -> // the pinned v1 is the untouched base table
+        """SELECT c_custkey, c_acctbal FROM customer ORDER BY c_custkey""",
       // same merged-table contract through the on-disk bucketed layout
       "q_upsert_partitioned" ->
         """WITH u AS (SELECT o_orderkey, o_custkey, o_totalprice + 1 AS o_totalprice

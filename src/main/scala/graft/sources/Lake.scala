@@ -374,6 +374,101 @@ object Lake {
     (files.length, nOut)
   }
 
+  // ---- snapshot versioning / time travel ([EXT]) ----
+  // Reproducible-corpus snapshots: every publish lands in an IMMUTABLE
+  // `v=N` directory and a `_latest` marker advances atomically, so a
+  // training run can pin "corpus v7" and re-read the byte-identical
+  // snapshot months later while ingestion keeps publishing — the
+  // version identity that the dedup/signature tables ("rebuilt when
+  // the corpus version changes") and model cards reference. Readers
+  // racing a writer see either the old or the new version, never a
+  // mix; published directories are never mutated (object-store
+  // friendly: no in-place rewrites, no read-after-overwrite
+  // inconsistency). Retention is [[pruneVersions]] — bounded, and
+  // never the marker's target.
+  //
+  // Commit protocol: write `v=N.__staging` → rename to `v=N`
+  // (atomic dir move) → stage-and-rename the marker. A crash between
+  // the last two leaves a complete-but-unpublished `v=N`: invisible
+  // to readers (marker still says N-1) and reclaimed by the next
+  // writer (idempotent re-publish of N).
+
+  private def versionDir(root: String, v: Long) = f"$root/v=$v%06d"
+
+  /** The published version number, if any (crash-orphaned version
+    * dirs beyond the marker do NOT count). */
+  def latestVersion(spark: SparkSession, root: String): Option[Long] = {
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_latest")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Publish `df` as the next version; returns the new version
+    * number. Never touches published directories. */
+  def writeVersion(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = latestVersion(spark, root).getOrElse(0L) + 1
+    val target = new org.apache.hadoop.fs.Path(versionDir(root, next))
+    val staging = new org.apache.hadoop.fs.Path(versionDir(root, next) + ".__staging")
+    // a crashed prior attempt at THIS version (complete or partial)
+    // is unpublished by definition — reclaim it
+    if (fs.exists(target)) fs.delete(target, true)
+    if (fs.exists(staging)) fs.delete(staging, true)
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"failed to publish $staging as $target")
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_latest")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/_latest.__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(marker)) fs.delete(marker, false)
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(s"failed to advance $marker to $next")
+    next
+  }
+
+  /** Read a pinned `version`, or the latest published one when
+    * omitted. Reading never consults directory listings — only the
+    * marker — so crash-orphaned dirs can't leak into results. */
+  def readVersion(spark: SparkSession, root: String, version: Long = -1L): DataFrame = {
+    val v =
+      if (version >= 0) version
+      else latestVersion(spark, root).getOrElse(
+        throw new java.util.NoSuchElementException(s"no published version under $root"))
+    spark.read.parquet(versionDir(root, v))
+  }
+
+  /** Delete published versions older than the `keep` most recent
+    * (always retains the marker's target). Returns the dropped
+    * version numbers. */
+  def pruneVersions(spark: SparkSession, root: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, s"must keep at least the published version: $keep")
+    val latest = latestVersion(spark, root).getOrElse(return Nil)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cut = latest - keep + 1
+    val dropped = fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .filterNot(_.endsWith(".__staging"))
+      .map(_.stripPrefix("v=").toLong)
+      .filter(v => v < cut && v != latest)
+      .sorted
+    dropped.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(versionDir(root, v)), true))
+    dropped
+  }
+
   /** TTL retention: rewrite a lake table keeping only rows matching
     * `keep` (e.g. `col("ts") >= expiry`) — the data-lifecycle
     * maintenance op that bounds incremental/streaming zones at scale

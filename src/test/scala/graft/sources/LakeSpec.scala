@@ -438,4 +438,48 @@ class LakeSpec extends SparkSuite {
       Lake.jdbcOptions("url", "(SELECT * FROM x)", "u", "p", "d")
     }
   }
+
+  test("snapshot versioning: immutable versions, time travel, atomic marker") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-versions").toString
+    assert(Lake.latestVersion(spark, root) === None)
+    intercept[java.util.NoSuchElementException] { Lake.readVersion(spark, root) }
+    assert(Lake.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root) === 1L)
+    assert(Lake.writeVersion(Seq((1L, "a2"), (3L, "c")).toDF("k", "v"), root) === 2L)
+    assert(Lake.latestVersion(spark, root) === Some(2L))
+    // latest reads v2; the pinned v1 read is byte-stable after v2 published
+    assert(Lake.readVersion(spark, root).as[(Long, String)].collect().toSet
+      === Set((1L, "a2"), (3L, "c")))
+    assert(Lake.readVersion(spark, root, 1).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("snapshot versioning: crash-orphaned version dirs stay invisible and are reclaimed") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-versions-crash").toString
+    Lake.writeVersion(Seq((1L, "a")).toDF("k", "v"), root)
+    // simulate a writer that completed the v2 directory but crashed
+    // BEFORE advancing the marker
+    Seq((9L, "ghost")).toDF("k", "v").write.parquet(f"$root/v=${2L}%06d")
+    assert(Lake.latestVersion(spark, root) === Some(1L))
+    assert(Lake.readVersion(spark, root).as[(Long, String)].collect().toSet
+      === Set((1L, "a")), "readers must not see the unpublished version")
+    // the next publish reclaims the orphaned number with fresh content
+    assert(Lake.writeVersion(Seq((2L, "real")).toDF("k", "v"), root) === 2L)
+    assert(Lake.readVersion(spark, root).as[(Long, String)].collect().toSet
+      === Set((2L, "real")), "the ghost content must be gone")
+  }
+
+  test("pruneVersions keeps the newest k and never the published target") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-versions-prune").toString
+    (1 to 4).foreach(i => Lake.writeVersion(Seq((i.toLong, s"v$i")).toDF("k", "v"), root))
+    assert(Lake.pruneVersions(spark, root, keep = 2) === Seq(1L, 2L))
+    assert(Lake.readVersion(spark, root, 3).count() === 1L, "kept versions still read")
+    assert(Lake.readVersion(spark, root).as[(Long, String)].head() === ((4L, "v4")))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Lake.readVersion(spark, root, 1).count()
+    }
+    intercept[IllegalArgumentException] { Lake.pruneVersions(spark, root, keep = 0) }
+  }
 }
