@@ -176,6 +176,42 @@ class SessionsSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/out").count() === events.count())
   }
 
+  test("document-frequency stats maintained per micro-batch equal the direct recompute") {
+    // the C38 contract in its streaming home: each batch contributes
+    // its dfShard, the persisted table folds via dfMerge — corpus
+    // stats stay current under ingest with NO text rescan (the exact
+    // analog of the bloom/sketch maintenance the ingest loop does)
+    import graft.operators.CorpusStats
+    val dir = Files.createTempDirectory("graft-dfstream").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def write(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/in/$name")
+    write("f1", Seq((1L, "a b b c"), (2L, "b c")))
+    write("f2", Seq((3L, "c d"), (4L, "a")))
+    val schema = spark.read.parquet(s"$dir/in/f1").schema
+    val dfPath = s"$dir/df"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val shard = CorpusStats.dfShard(batch)
+        val merged =
+          if (!new java.io.File(dfPath).exists()) CorpusStats.dfMerge(shard)
+          else CorpusStats.dfMerge(shard, batch.sparkSession.read.parquet(dfPath))
+        graft.sources.Lake.overwriteSelf(merged, dfPath)
+        ()
+      }.start()
+    q.awaitTermination(60000)
+    val maintained = spark.read.parquet(dfPath)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = CorpusStats.dfMerge(
+      CorpusStats.dfShard(spark.read.parquet(s"$dir/in/*")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(maintained === direct)
+    assert(direct === Map("a" -> 2L, "b" -> 2L, "c" -> 3L, "d" -> 1L))
+  }
+
   test("streamUpsert merges each micro-batch into the keyed table, latest seq wins") {
     val dir = Files.createTempDirectory("graft-cdc").toString
     Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
