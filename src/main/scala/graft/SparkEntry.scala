@@ -811,6 +811,15 @@ object SparkEntry {
     // LSH dedup at scale
     "q_lsh_recall" -> ((s, d) => SetSimilarity.lshRecallAudit(t(s, d, "documents"))),
     "q_dedup_docs" -> ((s, d) => Dedup.dedupDocuments(t(s, d, "documents"), threshold = 0.5)),
+    // quality-aware keeper re-election ([EXT]): same clusters, but the
+    // representative is the longest doc (n_chars desc, id tiebreak) —
+    // the "keep the cleanest copy" policy real corpus dedup wants
+    "q_dedup_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.keeperByQuality(
+        Dedup.dedupDocuments(docs, threshold = 0.5),
+        docs.select(col("doc_id"), col("n_chars").as("score")))
+    }),
     // transitive-closure keeper policy (connected components of the
     // verified near-dup graph) vs q_dedup_docs' one-hop policy
     "q_dedup_docs_cc" -> ((s, d) => Dedup.dedupDocumentsCC(t(s, d, "documents"), threshold = 0.5)),
@@ -2408,6 +2417,26 @@ object SparkEntry {
                    WHEN n.nk IS NOT NULL THEN 'near'
                    ELSE 'unique' END AS reason
             FROM wk LEFT JOIN n ON wk.doc_id = n.doc_b ORDER BY wk.doc_id""",
+      "q_dedup_quality" -> // q_dedup_docs clusters + per-cluster argmax(n_chars, -id)
+        s"""WITH fp AS (SELECT doc_id, text, $fingerprint AS f FROM documents),
+            g AS (SELECT f, min(doc_id) AS ek FROM fp GROUP BY f),
+            wk AS (SELECT fp.doc_id, fp.text, g.ek FROM fp JOIN g ON fp.f = g.f),
+            kd AS (SELECT doc_id, text FROM wk WHERE doc_id = ek),
+            ${minhashCtesFrom("kd")},
+            ${verifiedPairCtes("kd")},
+            n AS (SELECT doc_b, min(doc_a) AS nk FROM verified GROUP BY doc_b),
+            a AS (SELECT wk.doc_id,
+                    CASE WHEN wk.ek <> wk.doc_id THEN wk.ek
+                         ELSE COALESCE(n.nk, wk.doc_id) END AS keeper_id
+                  FROM wk LEFT JOIN n ON wk.doc_id = n.doc_b),
+            sc AS (SELECT a.doc_id, a.keeper_id, d.n_chars
+                   FROM a JOIN documents d ON a.doc_id = d.doc_id),
+            r AS (SELECT keeper_id, doc_id AS best, row_number() OVER
+                    (PARTITION BY keeper_id ORDER BY n_chars DESC, doc_id) AS rn
+                  FROM sc)
+            SELECT sc.doc_id, r.best AS keeper_id
+            FROM sc JOIN r ON sc.keeper_id = r.keeper_id AND r.rn = 1
+            ORDER BY sc.doc_id""",
       "q_dedup_docs_cc" ->
         s"""WITH RECURSIVE fp AS (SELECT doc_id, text, $fingerprint AS f FROM documents),
             g AS (SELECT f, min(doc_id) AS ek FROM fp GROUP BY f),

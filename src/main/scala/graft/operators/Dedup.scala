@@ -300,6 +300,39 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-aware keeper re-election ([EXT]) — replace a dedup
+    * assignment's arbitrary min-id representatives with each
+    * cluster's BEST member by a caller-supplied score (length,
+    * quality gate output, source priority): real corpus dedup keeps
+    * the cleanest copy of a duplicated page, not the one that
+    * happened to crawl first. Clusters come from any
+    * `(doc_id, keeper_id)` assignment ([[dedupDocuments]],
+    * [[dedupDocumentsCC]]); membership is untouched — only the
+    * representative changes. Ties break on min id, so the election
+    * is total and engine-exact.
+    *
+    * Shape: one id equi-join to attach scores (broadcast when the
+    * score table projects from a dim; same-cardinality shuffle join
+    * otherwise) + one cluster-keyed window whose argmax rides a
+    * struct max — clusters are near-dup groups, inherently small, so
+    * the window partition is bounded. */
+  def keeperByQuality(assign: DataFrame, scores: DataFrame,
+                      idCol: String = "doc_id",
+                      scoreCol: String = "score"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("keeper_id"))
+    assign
+      .join(scores.select(col(idCol).as("doc_id"), col(scoreCol).as("__q")),
+        Seq("doc_id"))
+      // argmax(score desc, id asc) as a struct max: max score wins;
+      // equal scores maximize -id, i.e. take the smallest id
+      .withColumn("__best",
+        max(struct(col("__q").as("q"), (lit(0L) - col("doc_id")).as("nid")))
+          .over(w))
+      .select(col("doc_id"),
+        (lit(0L) - col("__best.nid")).as("keeper_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Connected components of an undirected pair graph; returns
     * (doc_id, root) with root = min id in the component, for every
     * node appearing in `pairs`.

@@ -263,4 +263,19 @@ class DedupSpec extends SparkSuite {
     assert(kept(8).subsetOf(kept(12)) && kept(12).subsetOf(kept(16)))
     assert(kept(8).contains(102L))
   }
+
+  test("keeperByQuality re-elects each cluster's best-scored member; ties take min id") {
+    // clusters (by keeper_id): {1,2,3} with scores 5,9,9 → keeper 2
+    // (max score 9, tie broken by min id); {7} singleton stays itself
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
+      .toDF("doc_id", "keeper_id")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 1L))
+      .toDF("doc_id", "score")
+    val out = Dedup.keeperByQuality(assign, scores)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 7L -> 7L))
+    // cluster membership is the assignment's (one-hop groups as-is):
+    // only the representative changes, never who belongs where
+    assert(out.keySet === Set(1L, 2L, 3L, 7L))
+  }
 }
