@@ -177,6 +177,31 @@ object ScaleProbe {
       Quality.report(docs, Seq(Quality.notNull("text"),
         Quality.inRange("n_chars", 0, 10000),
         Quality.matches("lang", "^[a-z]{2}$"))).count())
+    // round-8 family: bigramLogprob is one explode + compact-tf
+    // windows — linear in corpus tokens; ngramDiversity rolls up to
+    // |sources| rows; dfShard output is vocab-sized whatever the
+    // corpus; KMV sketches are ≤ k rows/group, so the OVERLAP join
+    // cost is corpus-INDEPENDENT once the sketch is built — the probe
+    // times the sketch build (linear) and the pairwise audit
+    // (flat) separately to make that visible.
+    time(s"bigramLogprob x$factor")(CorpusStats.bigramLogprob(docs)
+      .agg(sum("logprob")).head().getDouble(0))
+    time(s"ngramDiversity x$factor")(CorpusStats.ngramDiversity(docs)
+      .agg(sum("n_distinct_bigrams")).head().getLong(0))
+    time(s"dfShard+merge x$factor")(
+      graft.operators.CorpusStats.dfMerge(CorpusStats.dfShard(docs))
+        .agg(sum("df")).head().getLong(0))
+    val kmvSketch = time(s"kmvSketch k=256 x$factor")(
+      graft.operators.Profile.kmvSketch(docs, "source", "doc_id", k = 256).cache())
+    println(s"[scale]   kmv sketch rows: ${kmvSketch.count()}")
+    time(s"kmvOverlap (sketch only) x$factor")(
+      graft.operators.Profile.kmvOverlap(kmvSketch, k = 256)
+        .agg(sum("est_intersection")).head().getDouble(0))
+    time(s"decontaminateNear x$factor")(
+      Ngrams.decontaminateNear(
+        docs.where(col("doc_id") % 41 =!= 0),
+        docs0.where(col("doc_id") % 41 === 0))
+        .where(col("contaminated")).count())
     spark.stop()
   }
 }
