@@ -824,6 +824,11 @@ object SparkEntry {
     // verified near-dup graph) vs q_dedup_docs' one-hop policy
     "q_dedup_docs_cc" -> ((s, d) => Dedup.dedupDocumentsCC(t(s, d, "documents"), threshold = 0.5)),
     "q_simhash" -> ((s, d) => Dedup.simhash32(t(s, d, "documents"))),
+    // simhash near-dup join ([EXT]): block-LSH candidates (pigeonhole
+    // recall 1 within the radius) + exact hamming verify — the
+    // one-fingerprint-per-doc member of the near-dup family
+    "q_simhash_near" -> ((s, d) =>
+      Dedup.simhashNearDup(t(s, d, "documents"), maxDist = 3)),
     // sequence packing ([EXT]): concat-then-chunk bin assignment via
     // a distributed prefix sum (never a single-task global window)
     "q_pack" -> ((s, d) => {
@@ -2466,6 +2471,24 @@ object SparkEntry {
            SELECT doc_id,
              CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
            FROM bits GROUP BY doc_id ORDER BY doc_id""",
+      "q_simhash_near" -> // q_simhash CTEs + 8-bit block equi-join + xor bit-count verify
+        """WITH tok AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t FROM documents),
+           h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok),
+           bits AS (SELECT doc_id, r.j AS j,
+             sum(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM h, range(0, 32) r(j) GROUP BY doc_id, r.j),
+           sh AS (SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+             FROM bits GROUP BY doc_id),
+           k AS (SELECT doc_id, simhash, b.b AS blk, (simhash >> (b.b * 8)) & 255 AS key
+                 FROM sh, range(0, 4) b(b)),
+           p AS (SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b,
+                   a.simhash AS sa, x.simhash AS sb
+                 FROM k a JOIN k x ON a.blk = x.blk AND a.key = x.key
+                   AND a.doc_id < x.doc_id)
+           SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+           FROM p WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""",
       "q_pack" -> // the sequential spelling of the distributed prefix sum
         """WITH s AS (SELECT doc_id,
              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens

@@ -484,6 +484,64 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints. */
   def hamming32(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs: every (doc_a < doc_b) whose 32-bit
+    * simhashes are within `maxDist` bits — the third member of the
+    * near-dup family, cheaper than minhash (one 8-byte fingerprint
+    * per doc, no k-row signature) at the cost of a coarser similarity
+    * notion (bit agreement of the token-hash profile).
+    *
+    * RECALL 1 within the radius, by pigeonhole: the fingerprint
+    * splits into `blocks` equal bit-blocks; a pair differing in at
+    * most `maxDist` < blocks bits must agree EXACTLY on some block,
+    * so the block equi-join (never all-pairs) surfaces every true
+    * pair and the `bit_count(xor)` verify is exact — the classic
+    * Charikar/Manku-Jain-Sarma rotation-table scheme as one
+    * explode + equi-join.
+    *
+    * `maxBucket > 0` caps pathological block-key buckets (the
+    * all-zeros block of boilerplate-heavy corpora) exactly like the
+    * minhash band caps: dropped buckets trade recall for a bound,
+    * monitored the same way. The candidate pair set dedups on the id
+    * pair BEFORE the verify so multi-block agreement never double-
+    * counts. */
+  def simhashNearDup(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", maxDist: Int = 3,
+                     blocks: Int = 4, maxBucket: Int = 0): DataFrame = {
+    require(blocks > 0 && 32 % blocks == 0, s"blocks must divide 32: $blocks")
+    require(maxDist >= 0 && maxDist < blocks,
+      s"pigeonhole needs maxDist < blocks for recall 1: $maxDist vs $blocks")
+    val width = 32 / blocks
+    val sh = simhash32(docs, idCol, textCol)
+    val keyed = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until blocks).map(b => struct(lit(b).as("blk"),
+        shiftright(col("simhash"), b * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.blk").as("blk"),
+        col("bk.key").as("key"))
+    val capped =
+      if (maxBucket <= 0) keyed
+      else {
+        // bucket size as a window ON the keyed rows (the tfIdf
+        // no-recompute discipline — a groupBy+join would rebuild the
+        // simhash aggregate a second time)
+        val byBucket = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("blk"), col("key"))
+        keyed.withColumn("__n", count(lit(1)).over(byBucket))
+          .where(col("__n") <= maxBucket).drop("__n")
+      }
+    val a = capped.select(col("blk"), col("key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = capped.select(col("blk"), col("key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("blk", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+      .select(col("doc_a"), col("doc_b"),
+        hamming32(col("sh_a"), col("sh_b")).cast("int").as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ------------------------------------------------------------------
   // Bloom-guarded incremental dedup ([EXT]): "is this document already
   // in the corpus?" without touching the corpus per batch.

@@ -264,6 +264,33 @@ class DedupSpec extends SparkSuite {
     assert(kept(8).contains(102L))
   }
 
+  test("simhashNearDup: recall 1 vs brute-force hamming; caps trade recall for bounds") {
+    val corpus = docs((0L until 40L).map { i =>
+      // clusters of lightly-edited paragraphs -> small hamming dists
+      i -> (para(s"v${i / 4}") + (if (i % 4 == 0) "" else s" tail ${i % 4}"))
+    }: _*)
+    val viaBlocks = Dedup.simhashNearDup(corpus, maxDist = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // brute force: every pair within hamming 3 of the same simhash32
+    val sh = Dedup.simhash32(corpus).as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- sh; (b, hb) <- sh if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(viaBlocks === brute,
+      "pigeonhole block join must find EXACTLY the brute-force pairs")
+    assert(brute.nonEmpty, "fixture must actually produce close pairs")
+    // widening the radius past blocks-1 would break pigeonhole: rejected
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDup(corpus, maxDist = 4, blocks = 4)
+    }
+    // a tiny bucket cap drops candidates (bounded trade, like the
+    // minhash caps) but can only ever REMOVE pairs, never invent them
+    val capped = Dedup.simhashNearDup(corpus, maxDist = 3, maxBucket = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(brute))
+  }
+
   test("keeperByQuality re-elects each cluster's best-scored member; ties take min id") {
     // clusters (by keeper_id): {1,2,3} with scores 5,9,9 → keeper 2
     // (max score 9, tie broken by min id); {7} singleton stays itself
