@@ -435,6 +435,9 @@ object SparkEntry {
     // first-order event-transition matrix ([EXT]): the Markov view of
     // the clickstream — next-step features, funnel discovery
     "q_transitions" -> ((s, d) => Windows.transitions(t(s, d, "events"))),
+    // interval sweep-line ([EXT]): peak-concurrency profile as a
+    // distributed prefix sum — never a single-task global window
+    "q_concurrency" -> ((s, d) => Windows.concurrencyProfile(t(s, d, "events"))),
     // time-weighted average ([EXT]): piecewise-constant mean over
     // irregular samples — a plain mean over-weights sample bursts
     "q_time_weighted" -> ((s, d) => Windows.timeWeighted(t(s, d, "events"))),
@@ -591,6 +594,15 @@ object SparkEntry {
     // matrix; production uses longer grams
     "q_source_overlap" -> ((s, d) =>
       Ngrams.sourceOverlap(t(s, d, "documents"), n = 3)),
+    // winnowing fingerprints ([EXT]): MOSS window-min selection over
+    // rolling gram hashes — trigrams/w=4 so the synthetic corpus
+    // selects densely; production uses ~5-grams with w~50
+    "q_winnow" -> ((s, d) =>
+      Ngrams.winnowFingerprints(t(s, d, "documents"), n = 3, w = 4)),
+    // winnowed passage-overlap pairs ([EXT]): substring-level
+    // complement of the minhash whole-document near-dup join
+    "q_winnow_overlap" -> ((s, d) =>
+      Ngrams.winnowOverlap(t(s, d, "documents"), n = 3, w = 4, minShared = 5)),
     "q_tfidf" -> ((s, d) => CorpusStats.tfIdf(t(s, d, "documents"))),
     // BM25 top-k retrieval ([EXT]): the query-term filter lands before
     // any shuffle — the aggregate never sees the corpus vocabulary
@@ -1750,6 +1762,19 @@ object SparkEntry {
            SELECT from_type, to_type, n,
              n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE AS share
            FROM p ORDER BY from_type, to_type""",
+      "q_concurrency" -> // decimal-exact durations; ends before starts at equal t
+        """WITH ev AS (SELECT event_id, epoch_ns(ts) // 1000 AS s_us,
+                         epoch_ns(ts) // 1000 +
+                           greatest(CAST(CAST(value AS DECIMAL(18,2)) * 1000000 AS BIGINT), 1)
+                           AS e_us
+                       FROM events),
+               pts AS (SELECT event_id, s_us AS t_us, CAST(1 AS BIGINT) AS delta FROM ev
+                       UNION ALL
+                       SELECT event_id, e_us, CAST(-1 AS BIGINT) FROM ev)
+           SELECT event_id, t_us, delta,
+             CAST(sum(delta) OVER (ORDER BY t_us, delta, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrency
+           FROM pts ORDER BY t_us, delta, event_id""",
       "q_time_weighted" -> // decimal v*dt sums; 6-dp render (the q_corr ULP lesson)
         """WITH o AS (SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
                epoch_ns(ts) // 1000 AS us,
@@ -1967,6 +1992,42 @@ object SparkEntry {
              CAST(COALESCE(a.max_df, 0) AS BIGINT) AS max_span_df,
              CAST(a.n_dup AS DOUBLE) / a.n_spans AS dup_span_frac
            FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id""",
+      "q_winnow" -> // same gram hash, window-min over starts only
+        """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                       FROM documents),
+               ng AS (SELECT doc_id,
+                        [{'pos': i - 1, 'g': array_to_string(toks[i:i+2], ' ')}
+                         for i in range(1, len(toks) - 1)] AS lst
+                      FROM tk),
+               g AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+                       ('0x' || substr(md5(u.g), 1, 15))::BIGINT AS fp
+                     FROM (SELECT doc_id, unnest(lst) AS u FROM ng)),
+               wm AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id) AS m,
+                        min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+                      FROM g)
+           SELECT DISTINCT doc_id, wmin AS fp FROM wm
+           WHERE pos <= greatest(m - 4, 0) ORDER BY doc_id, fp""",
+      "q_winnow_overlap" -> // pair counts over the selected sets
+        """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                       FROM documents),
+               ng AS (SELECT doc_id,
+                        [{'pos': i - 1, 'g': array_to_string(toks[i:i+2], ' ')}
+                         for i in range(1, len(toks) - 1)] AS lst
+                      FROM tk),
+               g AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+                       ('0x' || substr(md5(u.g), 1, 15))::BIGINT AS fp
+                     FROM (SELECT doc_id, unnest(lst) AS u FROM ng)),
+               wm AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id) AS m,
+                        min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+                      FROM g),
+               sel AS (SELECT DISTINCT doc_id, wmin AS fp FROM wm
+                       WHERE pos <= greatest(m - 4, 0))
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(count(*) AS BIGINT) AS n_shared_fps
+           FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY doc_a, doc_b""",
       "q_chunk" ->
         """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
                        FROM documents WHERE text IS NOT NULL),

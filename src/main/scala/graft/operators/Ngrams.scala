@@ -254,6 +254,89 @@ object Ngrams {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing document fingerprints ([EXT]) — the rolling-hash
+    * fingerprint selection of Schleimer/Wilkerson/Aiken's MOSS
+    * (SIGMOD'03 "Winnowing: Local Algorithms for Document
+    * Fingerprinting"): hash every word n-gram, slide a window of `w`
+    * consecutive gram hashes, and keep each window's MINIMUM hash.
+    * The guarantee that makes this the standard substring-overlap
+    * sketch: any shared run of >= w + n - 1 tokens between two
+    * documents is certain to contribute at least one shared selected
+    * fingerprint, while the stored set shrinks to ~2/(w+1) of the
+    * grams. [[dupSpans]] keeps EVERY gram (exact span accounting);
+    * winnowing is its bounded-size complement for overlap detection
+    * at corpus scale.
+    *
+    * Output: one row per distinct (doc, fingerprint) — the selected
+    * fingerprint SET. Tie positions inside a window don't affect the
+    * set (ties share the hash value), so the output is deterministic
+    * without the paper's rightmost-tie rule. Docs shorter than the
+    * window contribute their global minimum (one fingerprint); docs
+    * shorter than n tokens have no grams and are absent.
+    *
+    * Shape: grams never leave their scan task (per-row HOF build,
+    * [[wordNgramsOfTokens]]'s bound-tokens contract); the only
+    * shuffle is the per-doc window (partitions bounded by document
+    * length, the same discipline as [[dupSpans]]'s df window);
+    * fingerprints travel as 60-bit md5 prefixes ([[sourceOverlap]]'s
+    * portable-hash trick). */
+  def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         n: Int = 3, w: Int = 4): DataFrame = {
+    require(n > 0 && w > 0, s"gram size and window must be positive: n=$n w=$w")
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        Text.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("doc_id"),
+        posexplode(wordNgramsOfTokens(col("__toks"), n)).as(Seq("pos", "ng")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        conv(substring(md5(col("ng")), 1, 15), 16, 10).cast("long").as("fp"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val tail = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("pos")).rowsBetween(0, w - 1)
+    grams
+      .withColumn("__m", count(lit(1)).over(byDoc))
+      .withColumn("__wmin", min(col("fp")).over(tail))
+      // window STARTS only: pos <= m - w (trailing partial windows
+      // would select extra fingerprints the algorithm doesn't); a doc
+      // with fewer grams than the window keeps pos 0, whose partial
+      // window is exactly the whole-doc minimum
+      .where(col("pos") <= greatest(col("__m") - w, lit(0L)))
+      .select(col("doc_id"), col("__wmin").as("fp"))
+      .distinct()
+      .orderBy(col("doc_id"), col("fp"))
+  }
+
+  /** Winnowed-overlap join ([EXT]): document pairs sharing at least
+    * `minShared` selected fingerprints — MOSS's plagiarism-candidate
+    * report, and here the substring-level complement of the minhash
+    * document near-dup join (minhash scores WHOLE-document Jaccard;
+    * winnowing overlap fires on a single long shared passage inside
+    * otherwise-unrelated documents).
+    *
+    * Shape: inverted index on the fingerprint, pair expansion
+    * bucket-locally via [[Dedup.pairsOf]] (never a self-join — same
+    * rationale as [[sourceOverlap]]); `maxDocsPerFp` caps hot
+    * fingerprints (ubiquitous boilerplate says nothing pairwise, and
+    * the cap bounds the quadratic expansion exactly like the LSH
+    * bucket caps). */
+  def winnowOverlap(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", n: Int = 3, w: Int = 4,
+                    minShared: Int = 2, maxDocsPerFp: Int = 0): DataFrame = {
+    val inverted = winnowFingerprints(docs, idCol, textCol, n, w)
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .where(size(col("docs")) > 1)
+    val kept =
+      if (maxDocsPerFp > 0) inverted.where(size(col("docs")) <= maxDocsPerFp)
+      else inverted
+    kept.select(explode(Dedup.pairsOf(col("docs"))).as("p"))
+      .groupBy(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .where(col("n_shared_fps") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Fixed-token-budget chunking: each document split into consecutive
     * `chunkSize`-token windows (last chunk ragged) — the layout step
     * before embedding or packing a long-document corpus. Tokens keep

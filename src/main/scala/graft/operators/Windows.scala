@@ -156,6 +156,59 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** Concurrency sweep-line ([EXT]) — treat each event as an interval
+    * [ts, ts + duration) and compute, at every interval boundary, how
+    * many intervals are open: the classic "peak concurrent
+    * sessions/users/connections" profile (capacity planning, license
+    * audits, connection-pool sizing). Each interval contributes a +1
+    * point at its start and a -1 at its end; the running sum of
+    * deltas in (t, delta, id) order IS the concurrency after that
+    * boundary. Ends sort before starts at equal t (delta -1 < +1), so
+    * half-open intervals never overlap at a shared boundary.
+    *
+    * Scale shape: the naive spelling is `sum(delta) OVER (ORDER BY
+    * t)` — a GLOBAL window on a single task. This is instead
+    * [[Pack.contiguousBins]]' distributed prefix sum verbatim:
+    * range-partition the points by the sort key, prefix-sum the tiny
+    * per-partition delta totals on the driver (numPartitions values —
+    * a query parameter, not data), then a partition-local running sum
+    * plus the broadcast offset. localCheckpoint pins the sampled
+    * range bounds so both passes see the same partitioning.
+    *
+    * Determinism: durations go through DECIMAL(18,2)·10⁶ (exact for
+    * the 2dp generator values — [[movingStats]]' midpoint caveat
+    * applies to arbitrary doubles), and (t, delta, event_id) is a
+    * total order. Zero/negative durations clamp to 1 µs so an
+    * interval's end never sorts before its own start. */
+  def concurrencyProfile(events: DataFrame, durationCol: String = "value"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = graft.functions.TimeCol.instant(events).select(
+      col("event_id").cast("long").as("event_id"),
+      unix_micros(col("ts")).as("s_us"),
+      (unix_micros(col("ts")) +
+        greatest((col(durationCol).cast(DecimalType(18, 2)) * 1000000).cast("long"),
+          lit(1L))).as("e_us"))
+    val points = ev.select(col("event_id"), col("s_us").as("t_us"), lit(1L).as("delta"))
+      .unionByName(ev.select(col("event_id"), col("e_us").as("t_us"), lit(-1L).as("delta")))
+    val parts = spark.sparkContext.defaultParallelism
+    val sorted = points
+      .repartitionByRange(parts, col("t_us"), col("delta"), col("event_id"))
+      .sortWithinPartitions(col("t_us"), col("delta"), col("event_id"))
+      .localCheckpoint()
+    val partTotals = sorted
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(sum(col("delta")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, pid) =>
+      acc + partTotals.getOrElse(pid, 0L)).toArray
+    sorted.as[(Long, Long, Long)].mapPartitions { it =>
+      var acc = offsets(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (id, t, d) => acc += d; (id, t, d, acc) }
+    }.toDF("event_id", "t_us", "delta", "concurrency")
+      .orderBy(col("t_us"), col("delta"), col("event_id"))
+  }
+
   /** Forward fill / LOCF ([EXT]) — per key, replace NULL measures
     * with the last preceding non-null value in (ts, tiebreak) order:
     * the standard gap-fill before feature windows or model scoring

@@ -115,6 +115,49 @@ class NgramsSpec extends SparkSuite {
       assert(binary(id) === (shared > 0L)) }
   }
 
+  test("winnowFingerprints: short docs collapse to one fp, sub-gram docs are absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),       // exactly n=3 tokens: 1 gram, 1 fp
+      (2L, "a b c d e"),   // 3 grams < w=4: whole-doc min, 1 fp
+      (3L, "a b"))         // < n tokens: no grams, absent
+      .toDF("doc_id", "text")
+    val out = Ngrams.winnowFingerprints(docs, n = 3, w = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(out === Map(1L -> 1, 2L -> 1))
+  }
+
+  test("winnowing guarantee: a shared run of >= w+n-1 tokens yields a shared fingerprint") {
+    import spark.implicits._
+    val shared = "the five boxing wizards jump quickly tonight" // 7 tokens >= 4+3-1
+    val docs = Seq(
+      (1L, s"alpha bravo charlie $shared delta echo foxtrot"),
+      (2L, s"uno dos tres cuatro $shared cinco seis"),
+      (3L, "completely unrelated words about gardening soup and weather patterns"))
+      .toDF("doc_id", "text")
+    val pairs = Ngrams.winnowOverlap(docs, n = 3, w = 4, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), s"guaranteed shared fp missing: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc must not pair: ${pairs.toSeq}")
+  }
+
+  test("winnowFingerprints selects a bounded subset of the doc's gram hashes") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 40).map(i => s"tok${i % 17}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val (n, w) = (3, 4)
+    val sel = Ngrams.winnowFingerprints(docs, n = n, w = w).collect()
+      .map(_.getLong(1)).toSet
+    val gramFps = docs
+      .select(explode(Ngrams.wordNgrams(lower(col("text")), n)).as("ng"))
+      .select(conv(substring(md5(col("ng")), 1, 15), 16, 10).cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    val m = 40 - n + 1
+    assert(sel.subsetOf(gramFps), "selected fps must come from the doc's grams")
+    assert(sel.nonEmpty && sel.size <= m - w + 1)
+  }
+
   test("decontaminateNear flags paraphrased benchmark leaks the exact screen misses") {
     import spark.implicits._
     def para(tag: String) =

@@ -35,6 +35,29 @@ class WindowsSpec extends SparkSuite {
     assert(out.toSeq === Seq((1L, 1, 1), (2L, 2, 2), (3L, 3, 3), (4L, 1, 1)))
   }
 
+  test("concurrencyProfile: sweep-line running sum, ends before starts at equal t") {
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 10.0), // [0, 10)
+      (2L, Timestamp.valueOf("2024-01-01 00:00:05"), 10.0), // [5, 15)
+      (3L, Timestamp.valueOf("2024-01-01 00:00:10"), 10.0)) // [10, 20)
+      .toDF("event_id", "ts", "value")
+    val out = Windows.concurrencyProfile(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // 1 ends at t=10 BEFORE 3 starts: concurrency never reaches 3
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1L), (2L, 1L, 2L), (1L, -1L, 1L),
+      (3L, 1L, 2L), (2L, -1L, 1L), (3L, -1L, 0L)))
+  }
+
+  test("concurrencyProfile clamps zero durations to 1 microsecond") {
+    val ev = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), 0.0))
+      .toDF("event_id", "ts", "value")
+    val out = Windows.concurrencyProfile(ev).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val base = out(0)._1
+    assert(out.toSeq === Seq((base, 1L, 1L), (base + 1L, -1L, 0L)))
+  }
+
   test("approxDataDictionary: nulls exact, distinct within rsd") {
     val df = Seq(Some(1), Some(2), Some(2), None).toDF("x")
     val r = Profile.approxDataDictionary(df).head()
