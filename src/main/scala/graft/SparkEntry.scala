@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{Json, Scrub, Text}
 import graft.multimodal.Multimodal
 import graft.operators.{Anonymize, AsOf, CorpusStats, Dedup, Fuzzy, Layout, Ngrams, Pack, Profile, Quality, Reports, Reshape, Sampling, SetSimilarity, Similarity, Skew, TopK, Windows}
-import graft.sources.{Lake, Tables}
+import graft.sources.{Bucketing, Lake, Tables}
 import graft.streaming.Sessions
 
 /** Driver contract (SURVEY.md §7): every operator from SURVEY.md §2
@@ -438,6 +438,21 @@ object SparkEntry {
     // interval sweep-line ([EXT]): peak-concurrency profile as a
     // distributed prefix sum — never a single-task global window
     "q_concurrency" -> ((s, d) => Windows.concurrencyProfile(t(s, d, "events"))),
+    // batch sessionization ([EXT]): 30-min gap rule as lag + running
+    // sum — the replayable complement of the streaming session_window
+    "q_sessions_batch" -> ((s, d) =>
+      Windows.sessionizeBatch(t(s, d, "events"), gapUs = 1800000000L)),
+    // incremental histogram maintenance ([EXT]): 3 disjoint shards
+    // merged; the oracle computes the histogram from scratch — the
+    // compare IS the merge==scratch proof
+    "q_hist_merge" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      Profile.histogramMerge(
+        (0 to 2).map(i => Profile.histogramShard(
+          li.where(col("l_orderkey") % 3 === i), "l_extendedprice",
+          lo = 0.0, hi = 110000.0, nBins = 11)),
+        nBins = 11)
+    }),
     // time-weighted average ([EXT]): piecewise-constant mean over
     // irregular samples — a plain mean over-weights sample bursts
     "q_time_weighted" -> ((s, d) => Windows.timeWeighted(t(s, d, "events"))),
@@ -457,6 +472,27 @@ object SparkEntry {
     // ordered funnel: min-ts-after-previous-step, one shuffle key (user)
     "q_funnel" -> ((s, d) =>
       Reports.funnel(t(s, d, "events"), Seq("view", "click", "purchase"))),
+    // last-touch attribution ([EXT]): the channel that actually
+    // preceded each conversion, 'direct' outside the 7-day lookback
+    "q_attribution" -> ((s, d) =>
+      Reports.lastTouchAttribution(t(s, d, "events"))),
+    // co-bucketed join through the on-disk bucketed layout ([EXT]):
+    // both sides written bucketed+sorted on the join key, then joined
+    // exchange-free (BucketingSpec asserts the no-Exchange plan; this
+    // row certifies the RESULTS through the same path)
+    "q_bucket_join" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_bjoin").toString
+      val sfx = java.lang.Long.toHexString(System.nanoTime())
+      Bucketing.writeBucketed(
+        t(s, d, "lineitem").select(col("l_orderkey").as("orderkey"),
+          col("l_linenumber"), col("l_extendedprice")),
+        s"bj_fact_$sfx", "orderkey", 8, s"$root/fact")
+      Bucketing.writeBucketed(
+        t(s, d, "orders").select(col("o_orderkey").as("orderkey"), col("o_totalprice")),
+        s"bj_dim_$sfx", "orderkey", 8, s"$root/dim")
+      Bucketing.coLocatedJoin(s, s"bj_fact_$sfx", s"bj_dim_$sfx", "orderkey")
+        .orderBy(col("orderkey"), col("l_linenumber"))
+    }),
     // referential-integrity audit over the star schema's FK edges
     "q_integrity" -> ((s, d) => Profile.integrityAudit(Seq(
       ("lineitem.l_orderkey->orders", t(s, d, "lineitem"), "l_orderkey",
@@ -1542,6 +1578,28 @@ object SparkEntry {
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
            FROM g ORDER BY user_id, event_id""",
+      "q_attribution" -> // two IGNORE NULLS windows share one condition: same row
+        """WITH o AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us,
+                 last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                   IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_type,
+                 last_value(CASE WHEN event_type <> 'purchase' THEN epoch_ns(ts) // 1000 END
+                   IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_us
+               FROM events)
+           SELECT event_id, user_id, us AS conv_us,
+             CASE WHEN lt_us IS NOT NULL AND us - lt_us <= 604800000000
+                  THEN lt_type ELSE 'direct' END AS channel,
+             CASE WHEN lt_us IS NOT NULL AND us - lt_us <= 604800000000
+                  THEN us - lt_us END AS gap_us
+           FROM o WHERE event_type = 'purchase' ORDER BY event_id""",
+      "q_bucket_join" -> // the bucketed layout must not change the join's rows
+        """SELECT l.l_orderkey AS orderkey, l.l_linenumber, l.l_extendedprice,
+                  o.o_totalprice
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           ORDER BY orderkey, l_linenumber""",
       "q_funnel" -> // min-ts-after-previous-step; conversions divide exact BIGINTs
         """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
                        WHERE event_type = 'view' GROUP BY user_id),
@@ -1775,6 +1833,30 @@ object SparkEntry {
              CAST(sum(delta) OVER (ORDER BY t_us, delta, event_id
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrency
            FROM pts ORDER BY t_us, delta, event_id""",
+      "q_sessions_batch" -> // gap flags running-summed into session ids
+        """WITH o AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+                 lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+                   ORDER BY epoch_ns(ts) // 1000, event_id) AS prev
+               FROM events),
+               f AS (SELECT event_id, user_id, us,
+                       CASE WHEN prev IS NULL OR us - prev > 1800000000
+                            THEN 1 ELSE 0 END AS nw
+                     FROM o),
+               s AS (SELECT user_id, us,
+                       sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_seq
+                     FROM f)
+           SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+             min(us) AS start_us, max(us) AS end_us,
+             max(us) - min(us) AS duration_us, CAST(count(*) AS BIGINT) AS n_events
+           FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
+      "q_hist_merge" -> // from-scratch histogram == the engine's shard merge
+        """WITH b AS (SELECT CAST(least(greatest(floor(l_extendedprice / 10000.0), 0), 10)
+                        AS BIGINT) AS bin
+                      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+               c AS (SELECT bin, count(*) AS n FROM b GROUP BY bin)
+           SELECT r.bin, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+           FROM range(0, 11) r(bin) LEFT JOIN c USING (bin) ORDER BY bin""",
       "q_time_weighted" -> // decimal v*dt sums; 6-dp render (the q_corr ULP lesson)
         """WITH o AS (SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
                epoch_ns(ts) // 1000 AS us,

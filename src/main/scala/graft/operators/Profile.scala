@@ -532,6 +532,41 @@ object Profile {
       .orderBy(col("bin"))
   }
 
+  /** Fixed-bin histogram SHARD ([EXT]) — [[psiDrift]]'s clamped
+    * equi-width binning over one batch, emitted as mergeable state:
+    * (bin, n) rows closed under [[histogramMerge]] exactly (counts
+    * add), the [[graft.operators.Reports.partialAggregate]] /
+    * [[dfShard]] incremental-maintenance algebra applied to
+    * distribution profiling. Fixed `[lo, hi)` edges — not per-batch
+    * min/max — are what MAKE shards mergeable (and runs comparable);
+    * out-of-range values clamp into the edge bins, NULLs are
+    * excluded. Empty bins are absent from a shard (the merge
+    * re-spines). */
+  def histogramShard(df: DataFrame, c: String,
+                     lo: Double, hi: Double, nBins: Int = 10): DataFrame = {
+    require(nBins > 0, "histogramShard needs at least one bin")
+    require(hi > lo, "histogramShard needs hi > lo")
+    val w = (hi - lo) / nBins
+    df.select(col(c).cast("double").as("__v")).where(col("__v").isNotNull)
+      .select(least(greatest(floor((col("__v") - lo) / w), lit(0.0)),
+        lit((nBins - 1).toDouble)).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge histogram shards: union + one bin-keyed sum, joined onto
+    * the full bin spine so empty bins surface as 0 — equal to
+    * [[histogramShard]] over the concatenated input, exactly. The
+    * shuffle carries O(shards × bins) rows, never the data. */
+  def histogramMerge(shards: Seq[DataFrame], nBins: Int): DataFrame = {
+    require(shards.nonEmpty, "histogramMerge needs at least one shard")
+    val bins = shards.head.sparkSession.range(nBins).withColumnRenamed("id", "bin")
+    bins.join(
+        shards.reduce(_ unionByName _).groupBy(col("bin")).agg(sum(col("n")).as("n")),
+        Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("bin"))
+  }
+
   /** Exact interpolated quantiles per group (V4-family profiling —
     * median/p90 spread summaries). `percentile` is the EXACT
     * sort-based aggregate (same (1-g)·a + g·b interpolation as

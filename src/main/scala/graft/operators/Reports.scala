@@ -282,6 +282,42 @@ object Reports {
       .orderBy(col("step_idx"))
   }
 
+  /** Last-touch attribution ([EXT]) — for every conversion event, the
+    * type of the user's most recent PRIOR non-conversion event within
+    * a lookback horizon, else `direct`: the standard marketing/
+    * channel-attribution query ([[funnel]] measures the designed
+    * path; attribution credits the channel that actually preceded
+    * each conversion). `gap_us` (conversion minus touch time) is NULL
+    * for direct conversions.
+    *
+    * Shape: one user-keyed shuffle serves both running windows; the
+    * two `last(..., ignoreNulls)` calls share one condition, so they
+    * read the SAME row (no struct needed for consistency). The frame
+    * excludes the current row, so a conversion never attributes to
+    * itself, and consecutive conversions skip over each other to the
+    * last real touch. (ts, event_id) makes the order total. */
+  def lastTouchAttribution(events: DataFrame, convType: String = "purchase",
+                           lookbackUs: Long = 7L * 24 * 3600 * 1000000,
+                           typeCol: String = "event_type",
+                           userCol: String = "user_id"): DataFrame = {
+    require(lookbackUs > 0, s"lookback must be positive: $lookbackUs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col("__us"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val touch = col(typeCol) =!= convType
+    val within = col("__lt_us").isNotNull && col("__us") - col("__lt_us") <= lookbackUs
+    graft.functions.TimeCol.instant(events)
+      .select(col("event_id"), col(userCol).as("user_id"), col(typeCol),
+        unix_micros(col("ts")).as("__us"))
+      .withColumn("__lt_type", last(when(touch, col(typeCol)), ignoreNulls = true).over(w))
+      .withColumn("__lt_us", last(when(touch, col("__us")), ignoreNulls = true).over(w))
+      .where(col(typeCol) === convType)
+      .select(col("event_id"), col("user_id"), col("__us").as("conv_us"),
+        when(within, col("__lt_type")).otherwise(lit("direct")).as("channel"),
+        when(within, col("__us") - col("__lt_us")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Mergeable partial aggregate for INCREMENTAL aggregate
     * maintenance ([EXT]): one row per key holding the algebraic
     * aggregate STATE (count, exact decimal sum, min, max) for one

@@ -156,6 +156,37 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** Batch sessionization ([EXT]) — the gap rule (a quiet period longer
+    * than `gapUs` starts a new session) as plain windows: flag each
+    * event whose distance to the user's previous event exceeds the
+    * gap, and running-sum the flags into a per-user session sequence
+    * number; one aggregate then yields each session's span and depth.
+    * The BATCH complement of [[graft.streaming.Sessions]]' streaming
+    * `session_window` — same semantics, replayable over history (and
+    * the cross-check for the streaming path's results).
+    *
+    * One user-keyed shuffle serves the lag, the running sum, and (by
+    * AQE exchange reuse) the session aggregate. All arithmetic is
+    * exact longs; (ts, event_id) totalizes the order. */
+  def sessionizeBatch(events: DataFrame, gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"session gap must be positive: $gapUs")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__us"), col("event_id"))
+    graft.functions.TimeCol.instant(events)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("__us"))
+      .withColumn("__new",
+        when(col("__us") - lag(col("__us"), 1).over(w) > gapUs
+          or lag(col("__us"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("__us")).as("start_us"), max(col("__us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_seq"),
+        col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("duration_us"), col("n_events"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
   /** Concurrency sweep-line ([EXT]) — treat each event as an interval
     * [ts, ts + duration) and compute, at every interval boundary, how
     * many intervals are open: the classic "peak concurrent

@@ -56,6 +56,23 @@ class ProfileSpec extends SparkSuite {
     assert(Profile.histogram(h, "v", 2).collect().map(_.getLong(1)).sum === 2L)
   }
 
+  test("histogramShard merge == from-scratch shard over the union, empty bins spined") {
+    val all = (0 to 100).map(_.toDouble) ++ Seq(-5.0, 250.0) // clamp both edges
+    val shards = all.grouped(40).map(g =>
+      Profile.histogramShard(g.toDF("v"), "v", lo = 0.0, hi = 100.0, nBins = 10)).toSeq
+    val merged = Profile.histogramMerge(shards, nBins = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val scratch = Profile.histogramShard(all.toDF("v"), "v", 0.0, 100.0, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(merged === (0L to 9L).map(b => b -> scratch.getOrElse(b, 0L)).toMap)
+    assert(merged.values.sum === all.length.toLong)
+    // a shard column absent everywhere still surfaces as a 0 bin
+    val sparse = Profile.histogramMerge(
+      Seq(Profile.histogramShard(Seq(5.0).toDF("v"), "v", 0.0, 100.0, 10)), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sparse === (0L to 9L).map(b => b -> (if (b == 0L) 1L else 0L)).toMap)
+  }
+
   test("columnSamples: n values per column, nulls rendered") {
     val s = Profile.columnSamples(df.orderBy("id"), 3)
     assert(s.keySet === Set("id", "cat", "x"))

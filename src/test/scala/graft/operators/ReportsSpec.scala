@@ -171,6 +171,32 @@ class ReportsSpec extends SparkSuite {
     assert(out === Map("view" -> 1L, "click" -> 1L))
   }
 
+  test("lastTouchAttribution: last prior touch wins; no prior or stale touch is direct") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val events = Seq(
+      // u1: view then click then purchase -> click (the LAST touch)
+      (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "click", ts("2024-01-01 11:00:00")),
+      (3L, 1L, "purchase", ts("2024-01-01 12:00:00")),
+      // u1's second purchase skips over the first one to the click
+      (4L, 1L, "purchase", ts("2024-01-01 13:00:00")),
+      // u2: no prior event at all -> direct
+      (5L, 2L, "purchase", ts("2024-01-01 09:00:00")),
+      // u3: touch outside the lookback -> direct
+      (6L, 3L, "view", ts("2024-01-01 00:00:00")),
+      (7L, 3L, "purchase", ts("2024-01-10 00:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Reports.lastTouchAttribution(events,
+      lookbackUs = 24L * 3600 * 1000000).collect()
+      .map(r => r.getLong(0) -> ((r.getString(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(3L) === (("click", Some(3600L * 1000000))))
+    assert(out(4L) === (("click", Some(2L * 3600 * 1000000))))
+    assert(out(5L) === (("direct", None)))
+    assert(out(7L) === (("direct", None)))
+  }
+
   test("partialAggregate/mergeAggregates: merge == from-scratch, any batching, any order") {
     val rng = new scala.util.Random(7)
     val rows = (1L to 2000L).map(i =>

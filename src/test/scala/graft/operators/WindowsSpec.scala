@@ -49,6 +49,22 @@ class WindowsSpec extends SparkSuite {
       (3L, 1L, 2L), (2L, -1L, 1L), (3L, -1L, 0L)))
   }
 
+  test("sessionizeBatch: gap rule splits sessions; equal-gap boundary stays inside") {
+    val ev = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, 1L, Timestamp.valueOf("2024-01-01 10:10:00")), // 10 min: same session
+      (3L, 1L, Timestamp.valueOf("2024-01-01 11:10:00")), // 60 min: new session
+      (4L, 2L, Timestamp.valueOf("2024-01-01 10:00:00")), // other user isolated
+      (5L, 2L, Timestamp.valueOf("2024-01-01 10:30:00"))) // EXACTLY the gap: same
+      .toDF("event_id", "user_id", "ts")
+    val out = Windows.sessionizeBatch(ev, gapUs = 1800000000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 600000000L, 2L),  // user 1 session 1: events 1+2, 10 min span
+      (1L, 2L, 0L, 1L),          // user 1 session 2: event 3 alone
+      (2L, 1L, 1800000000L, 2L))) // user 2: one session spanning the exact gap
+  }
+
   test("concurrencyProfile clamps zero durations to 1 microsecond") {
     val ev = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), 0.0))
       .toDF("event_id", "ts", "value")
