@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clustering, CorpusStats, Dedup, Ngrams, Quality, Sampling, SetSimilarity, Similarity}
+import graft.operators.{Clustering, CorpusStats, Dedup, Ngrams, Quality, Sampling, SetSimilarity, Similarity, Windows}
 import graft.sources.Tables
 
 /** Empirical scale check: replicate the sf0.1 documents/embeddings
@@ -202,6 +202,30 @@ object ScaleProbe {
         docs.where(col("doc_id") % 41 =!= 0),
         docs0.where(col("doc_id") % 41 === 0))
         .where(col("contaminated")).count())
+    // round-8b: winnowing stores ~2/(w+1) of the grams (its inverted
+    // index shrinks vs dupSpans' every-gram index); the overlap pair
+    // stage is bucket-local with the hot-fp cap bounding replication's
+    // quadratic bucket growth — the same safety property as the LSH
+    // caps. The sweep-line is the Pack prefix sum: linear, never a
+    // single-task global sort. Replicated events keep their users, so
+    // per-user window partitions grow factor-x — the realistic shape.
+    time(s"winnowFingerprints x$factor")(
+      Ngrams.winnowFingerprints(docs).count())
+    val wo = time(s"winnowOverlap cap=64 x$factor")(
+      Ngrams.winnowOverlap(docs, minShared = 5, maxDocsPerFp = 64).count())
+    println(s"[scale]   winnow overlap pairs: $wo")
+    val ev0 = Tables.load(spark, "/root/testdata/sf0.1", "events")
+    val nEv0 = ev0.count()
+    val ev = replicate(ev0, "event_id", nEv0).cache()
+    ev.count()
+    val peak = time(s"concurrencyProfile x$factor")(
+      Windows.concurrencyProfile(ev)
+        .agg(max("concurrency")).head().getLong(0))
+    println(s"[scale]   peak concurrency: $peak")
+    time(s"sessionizeBatch x$factor")(
+      Windows.sessionizeBatch(ev, 1800000000L).count())
+    time(s"scd2 x$factor")(
+      Windows.scd2(ev, "user_id", "event_type", "event_id").count())
     spark.stop()
   }
 }

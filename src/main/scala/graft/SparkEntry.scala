@@ -102,6 +102,12 @@ object SparkEntry {
     "q_regional_revenue" -> ((s, d) =>
       Reports.regionalRevenue(t(s, d, "lineitem"), t(s, d, "supplier"),
         t(s, d, "nation"), t(s, d, "region"), regionName = "ASIA")),
+    // percent-of-parent drill-down ([EXT]): nation share within
+    // region, region share of total — shares as windows over the
+    // bounded post-aggregate rows, fact touched once
+    "q_share_hierarchy" -> ((s, d) =>
+      Reports.shareHierarchy(t(s, d, "lineitem"), t(s, d, "supplier"),
+        t(s, d, "nation"), t(s, d, "region"))),
     "q_shipped_between" -> ((s, d) =>
       Reports.shippedBetween(t(s, d, "lineitem"), "1997-01-01", "1998-01-01")),
     "q_segment_revenue" -> ((s, d) =>
@@ -442,6 +448,11 @@ object SparkEntry {
     // sum — the replayable complement of the streaming session_window
     "q_sessions_batch" -> ((s, d) =>
       Windows.sessionizeBatch(t(s, d, "events"), gapUs = 1800000000L)),
+    // SCD Type-2 build ([EXT]): the event log collapsed into validity
+    // intervals per (user, event_type run) — the point-in-time
+    // dimension shape the as-of join then consumes
+    "q_scd2" -> ((s, d) =>
+      Windows.scd2(t(s, d, "events"), "user_id", "event_type", "event_id")),
     // incremental histogram maintenance ([EXT]): 3 disjoint shards
     // merged; the oracle computes the histogram from scratch — the
     // compare IS the merge==scratch proof
@@ -832,6 +843,11 @@ object SparkEntry {
     "q_minhash_capped" -> ((s, d) =>
       Dedup.minhashCandidates(t(s, d, "documents"), maxBucket = 3)),
     "q_near_dup_pairs" -> ((s, d) => Dedup.nearDupPairs(t(s, d, "documents"), threshold = 0.5)),
+    // cross-source duplication matrix ([EXT]): verified near-dup PAIR
+    // counts per source pair — the number a curation run acts on
+    // (sourceOverlap's gram-mass audit is the cheap early warning)
+    "q_cross_source_dups" -> ((s, d) =>
+      Dedup.crossSourceDups(t(s, d, "documents"), threshold = 0.5)),
     // EXACT set-similarity join ([EXT]): every pair with true Jaccard
     // >= t via prefix filtering — recall 1 by construction (the
     // contract-grade complement to the probabilistic minhash family,
@@ -1306,6 +1322,20 @@ object SparkEntry {
             JOIN region r ON n.n_regionkey = r.r_regionkey
             WHERE r.r_name = 'ASIA'
             GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""",
+      "q_share_hierarchy" -> // decimal window sums; shares 6-dp (ULP render)
+        s"""WITH a AS (SELECT r.r_name, n.n_name,
+                 sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS rev
+               FROM lineitem l
+               JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               JOIN nation n ON s.s_nationkey = n.n_nationkey
+               JOIN region r ON n.n_regionkey = r.r_regionkey
+               GROUP BY r.r_name, n.n_name)
+            SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+              round(CAST(rev AS DOUBLE) /
+                CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share_in_region,
+              round(CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE) /
+                CAST(sum(rev) OVER () AS DOUBLE), 6) AS region_share
+            FROM a ORDER BY r_name, n_name""",
       "q_shipped_between" ->
         s"""SELECT l_returnflag, count(*) AS n_rows, ${sqlDsum("l_quantity")} AS sum_qty
             FROM lineitem
@@ -1833,6 +1863,20 @@ object SparkEntry {
              CAST(sum(delta) OVER (ORDER BY t_us, delta, event_id
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrency
            FROM pts ORDER BY t_us, delta, event_id""",
+      "q_scd2" -> // lag(1) detects first rows; IS DISTINCT FROM detects changes
+        """WITH o AS (SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS us,
+                 lag(1) OVER w IS NULL AS first,
+                 lag(event_type) OVER w AS prev
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)),
+               c AS (SELECT user_id, event_type, us FROM o
+                     WHERE first OR prev IS DISTINCT FROM event_type),
+               v AS (SELECT user_id, event_type, us AS valid_from_us,
+                       lead(us) OVER (PARTITION BY user_id ORDER BY us) AS valid_to_us
+                     FROM c)
+           SELECT user_id, event_type, valid_from_us, valid_to_us,
+             valid_to_us IS NULL AS is_current
+           FROM v ORDER BY user_id, valid_from_us""",
       "q_sessions_batch" -> // gap flags running-summed into session ids
         """WITH o AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
                  lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
@@ -2440,6 +2484,16 @@ object SparkEntry {
             ${verifiedPairCtes("documents")}
             SELECT doc_a, doc_b, round(jac, 6) AS jaccard
             FROM verified ORDER BY doc_a, doc_b""",
+      "q_cross_source_dups" -> // verified pairs rolled up per source pair
+        s"""WITH $minhashCtes,
+            ${verifiedPairCtes("documents")},
+            sp AS (SELECT least(da.source, db.source) AS source_a,
+                          greatest(da.source, db.source) AS source_b
+                   FROM verified v
+                   JOIN documents da ON v.doc_a = da.doc_id
+                   JOIN documents db ON v.doc_b = db.doc_id)
+            SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+            FROM sp GROUP BY 1, 2 ORDER BY source_a, source_b""",
       // Exact prefix-filtered Jaccard join over word-trigram sets
       // (60-bit gram fingerprints, the sourceOverlap spelling). The
       // oracle mirrors the candidate algebra (prefix + length filter)

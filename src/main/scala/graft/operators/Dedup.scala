@@ -259,6 +259,35 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Cross-source near-duplicate matrix ([EXT]) — [[nearDupPairs]]
+    * rolled up to (source_a, source_b) counts: how many verified
+    * near-dup doc pairs join each pair of sources (diagonal = within-
+    * source duplication). [[Ngrams.sourceOverlap]] audits SHARED GRAM
+    * mass — cheap but indirect; this counts actual verified
+    * document-level near-dups, the number a curation run acts on
+    * (which mirror/syndication source to drop wholesale). Source pair
+    * is order-normalized so (a,b) and (b,a) accumulate together.
+    *
+    * Shape: the pair list is the (bounded, capped) LSH-verified
+    * output; the doc→source map joins onto PAIRS (two broadcast-sized
+    * probes of a 2-column projection), never doc×doc. */
+  def crossSourceDups(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", sourceCol: String = "source",
+                      threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
+                      shingleLen: Int = 5, maxBucket: Int = 0): DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, textCol, threshold, k, bands,
+      shingleLen, maxBucket)
+    val src = docs.select(col(idCol).as("__id"), col(sourceCol).as("__src"))
+    pairs
+      .join(src.select(col("__id").as("doc_a"), col("__src").as("__sa")), Seq("doc_a"))
+      .join(src.select(col("__id").as("doc_b"), col("__src").as("__sb")), Seq("doc_b"))
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** End-to-end corpus dedup — the composite a training-data pipeline
     * actually runs (exact-collapse FIRST, so replica cliques never
     * reach the quadratic near-dup stage):

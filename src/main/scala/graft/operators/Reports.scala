@@ -140,6 +140,47 @@ object Reports {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Hierarchical share rollup ([EXT]) — revenue per nation with its
+    * share WITHIN the region and the region's share of the grand
+    * total: the percent-of-parent drill-down every BI layer puts on
+    * top of [[regionalRevenue]]'s flat slice. All shares are windows
+    * over the POST-aggregate rows (|nations| rows — bounded by the
+    * dimension, never the fact; the tfIdf no-recompute discipline),
+    * dividing one exact decimal-derived double by another. The fact
+    * is touched once: broadcast dim joins, one nation-keyed
+    * aggregate. */
+  def shareHierarchy(lineitem: DataFrame, supplier: DataFrame,
+                     nation: DataFrame, region: DataFrame): DataFrame = {
+    val dims = supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("n_name"), col("r_name"))
+    val byNation = lineitem
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4))).as("__rev"))
+    val byRegion = org.apache.spark.sql.expressions.Window.partitionBy(col("r_name"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    byNation
+      .withColumn("__region_rev", sum(col("__rev")).over(byRegion))
+      .withColumn("__total_rev", sum(col("__rev")).over(all))
+      .select(col("r_name"), col("n_name"),
+        col("__rev").cast("double").as("revenue"),
+        // shares are rendered 6-dp: the decimal window sums are exact,
+        // but their double render can differ by one ULP across engines
+        // (the q_corr lesson), and a divide amplifies that
+        round(col("__rev").cast("double") / col("__region_rev").cast("double"), 6)
+          .as("share_in_region"),
+        round(col("__region_rev").cast("double") / col("__total_rev").cast("double"), 6)
+          .as("region_share"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   /** Date-range slice of the fact — at scale this is the partition-
     * pruning / row-group-statistics query shape (the predicate lands
     * in PushedFilters). */

@@ -156,6 +156,42 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** SCD Type-2 dimension build ([EXT]) — collapse an event/change log
+    * into validity intervals: one row per (key, attribute-value RUN)
+    * with `valid_from_us` (first observation of the run) and
+    * `valid_to_us` (start of the next run, NULL while current) — the
+    * standard slowly-changing-dimension shape every warehouse keeps
+    * for point-in-time joins ([[AsOf.asofJoin]] against the interval
+    * table is the lookup side). Consecutive observations of the SAME
+    * value extend the run rather than opening a new row.
+    *
+    * Shape: one key-partitioned shuffle serves the change-detection
+    * lag AND the interval lead — the intermediate filter preserves
+    * hash partitioning and sort order, so the second window neither
+    * re-shuffles nor re-sorts. (ts, tiebreak) totalizes the order;
+    * NULL attribute values are a legal run value (null-safe change
+    * test). */
+  def scd2(events: DataFrame, keyCol: String, attrCol: String,
+           tiebreakCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"), col(tiebreakCol))
+    graft.functions.TimeCol.instant(events)
+      .select(col(keyCol), col(attrCol), col(tiebreakCol),
+        unix_micros(col("ts")).as("__us"))
+      // first-row detection is a SEPARATE lag of a constant: a plain
+      // `lag(attr)` returns NULL both out-of-range AND for a genuine
+      // NULL attribute in the previous row — conflating "first
+      // observation" with "previous value was NULL"
+      .withColumn("__changed",
+        lag(lit(1), 1).over(w).isNull or
+          not(lag(col(attrCol), 1).over(w) <=> col(attrCol)))
+      .where(col("__changed"))
+      .withColumn("valid_to_us", lead(col("__us"), 1).over(w))
+      .select(col(keyCol), col(attrCol),
+        col("__us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy(col(keyCol), col("valid_from_us"))
+  }
+
   /** Batch sessionization ([EXT]) — the gap rule (a quiet period longer
     * than `gapUs` starts a new session) as plain windows: flag each
     * event whose distance to the user's previous event exceeds the

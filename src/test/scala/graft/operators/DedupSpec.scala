@@ -5,6 +5,26 @@ import org.apache.spark.sql.functions._
 import graft.SparkSuite
 
 class DedupSpec extends SparkSuite {
+
+  test("crossSourceDups rolls verified near-dup pairs up per order-normalized source pair") {
+    import spark.implicits._
+    def long(tag: String) =
+      s"the quick brown fox jumps over the lazy dog $tag while seventeen " +
+        "sailors watch from the harbor wall debating distributed deduplication"
+    val docs = Seq(
+      (1L, long("one"), "crawl_a"),
+      (2L, long("one") + " x", "crawl_b"),  // near-dup of 1 across sources
+      (3L, long("one") + " y", "crawl_a"),  // near-dup of 1 within crawl_a
+      (4L, "completely different text about soup gardening and the weather today ok",
+        "crawl_b"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.crossSourceDups(docs, threshold = 0.5).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // pairs (1,2): a-b, (1,3): a-a, (2,3): a-b (order-normalized)
+    assert(out(("crawl_a", "crawl_b")) === 2L)
+    assert(out(("crawl_a", "crawl_a")) === 1L)
+  }
+
   import spark.implicits._
 
   private def docs(rows: (Long, String)*) =

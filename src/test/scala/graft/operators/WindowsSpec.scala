@@ -49,6 +49,30 @@ class WindowsSpec extends SparkSuite {
       (3L, 1L, 2L), (2L, -1L, 1L), (3L, -1L, 0L)))
   }
 
+  test("scd2: same-value runs extend, NULL is a legal run value, last run is current") {
+    val ev = Seq(
+      (1L, 1L, Some("a"), Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, 1L, Some("a"), Timestamp.valueOf("2024-01-01 11:00:00")), // same run
+      (3L, 1L, None, Timestamp.valueOf("2024-01-01 12:00:00")),      // null run opens
+      (4L, 1L, None, Timestamp.valueOf("2024-01-01 13:00:00")),      // null run extends
+      (5L, 1L, Some("b"), Timestamp.valueOf("2024-01-01 14:00:00")),
+      (6L, 2L, Some("x"), Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Windows.scd2(ev, "user_id", "event_type", "event_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.get(3)).isEmpty, r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      (1L, Some("a"), false, false),
+      (1L, None, false, false),
+      (1L, Some("b"), true, true),
+      (2L, Some("x"), true, true)))
+    // interval chain: each valid_to equals the next valid_from
+    val u1 = Windows.scd2(ev, "user_id", "event_type", "event_id").collect()
+      .filter(_.getLong(0) == 1L)
+    assert(u1(0).getLong(3) === u1(1).getLong(2))
+    assert(u1(1).getLong(3) === u1(2).getLong(2))
+  }
+
   test("sessionizeBatch: gap rule splits sessions; equal-gap boundary stays inside") {
     val ev = Seq(
       (1L, 1L, Timestamp.valueOf("2024-01-01 10:00:00")),
