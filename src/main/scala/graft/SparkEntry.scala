@@ -135,6 +135,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), Reports.dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("p_brand"))
     }),
+    // bloom-pruned join ([EXT]): the dim's key sketch prunes the fact
+    // at the scan before any shuffle — result bit-identical to the
+    // plain join (no false negatives; FPs die in the join)
+    "q_bloom_join" -> ((s, d) => {
+      val dim = t(s, d, "orders").where(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      Skew.bloomPrunedJoin(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice")),
+        dim, "l_orderkey", "o_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("o_totalprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
     "q_rollup" -> ((s, d) => Reports.rollupSummary(t(s, d, "lineitem"))),
     "q_cube" -> ((s, d) => Reports.cubeSummary(t(s, d, "lineitem"))),
     "q_pivot" -> ((s, d) =>
@@ -1366,6 +1380,11 @@ object SparkEntry {
              count(o_orderkey) AS n
            FROM orders WHERE o_custkey < 100
            GROUP BY o_custkey ORDER BY o_custkey""",
+      "q_bloom_join" -> // plain join: the bloom prune must not change the result
+        """SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, o.o_totalprice
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE o.o_orderkey % 97 = 0
+           ORDER BY l.l_orderkey, l.l_linenumber""",
       "q_salted_join" -> // plain join: salting must not change the result
         s"""SELECT p.p_brand, count(*) AS n_rows, ${sqlDsum("l.l_quantity")} AS sum_qty
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey

@@ -73,6 +73,45 @@ object Skew {
     saltedFact.join(repDim, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Bloom-pruned fact⋈dim equi-join ([EXT]) — runtime semi-join
+    * reduction: build a bloom filter over the dim's join keys (one
+    * bounded BINARY sketch on the driver), filter the FACT through it
+    * before the join shuffles anything, then run the exact join. No
+    * false negatives means no lost rows; false positives survive the
+    * prune but die in the join — the result is bit-identical to the
+    * plain join, only the shuffle volume changes. The explicit,
+    * persistable form of Spark's own runtime bloom pushdown
+    * (`spark.sql.optimizer.runtime.bloomFilter.*`), for when the dim
+    * side is a subquery the optimizer won't sketch, or the sketch is
+    * reused across jobs.
+    *
+    * At 100 TB this is THE join cost lever after broadcasting and
+    * bucketing: a selective dim (the common dimensional-filter query)
+    * prunes the fact at the SCAN (the filter rides columnar batches,
+    * no shuffle), so the join moves only matching-plus-ε rows.
+    *
+    * Only fact-preserving join types that DROP unmatched fact rows
+    * are legal: a left-outer join must keep pruned rows null-extended,
+    * which the prune violates by construction. */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
+                      factKey: String, dimKey: String,
+                      expectedItems: Long = 1000000L,
+                      numBits: Long = 8L * 1024 * 1024,
+                      joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left_semi").contains(joinType),
+      s"bloomPrunedJoin drops unmatched fact rows; $joinType would not")
+    graft.expressions.GraftFunctions.register(fact.sparkSession)
+    val bloom = dim
+      .agg(graft.expressions.GraftFunctions
+        .bloomAgg(xxhash64(col(dimKey)), expectedItems, numBits).as("b"))
+      .head().getAs[Array[Byte]](0)
+    // null fact keys probe as NULL and are pruned — exactly the rows
+    // an equi-join could never match
+    val pruned = fact.where(graft.expressions.GraftFunctions
+      .bloomContains(lit(bloom), xxhash64(col(factKey))))
+    pruned.join(dim, pruned(factKey) === dim(dimKey), joinType)
+  }
+
   /** Skew-safe exact distinct count per key: the distinct set is
     * sharded by value hash so no single reducer holds a hot key's
     * whole set; phase 2 sums disjoint shard counts. */

@@ -68,4 +68,18 @@ class SkewSpec extends SparkSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out === Map("hot" -> 3L, "cold" -> 1L))
   }
+
+  test("bloomPrunedJoin: identical rows to the plain join; null fact keys pruned") {
+    val factWithNull = Seq((Some(1L), "a"), (Some(2L), "b"), (Some(3L), "c"),
+      (Some(97L), "d"), (None: Option[Long], "n")).toDF("fk", "payload")
+    val dim = Seq((1L, "x"), (97L, "y")).toDF("dk", "attr")
+    val pruned = Skew.bloomPrunedJoin(factWithNull, dim, "fk", "dk")
+      .select("fk", "payload", "attr").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val plain = factWithNull.join(dim, factWithNull("fk") === dim("dk"))
+      .select("fk", "payload", "attr").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(pruned === plain)
+    assert(pruned === Set((1L, "a", "x"), (97L, "d", "y")))
+  }
 }
