@@ -231,6 +231,12 @@ object SparkEntry {
     // ---- profiling / validation (SURVEY §2.9) ----
     "q_null_profile" -> ((s, d) => Profile.nullProfile(t(s, d, "customer"))),
     "q_data_dictionary" -> ((s, d) => Profile.dataDictionary(t(s, d, "supplier"))),
+    // exact per-column modes ([EXT]): dominant-value smell test —
+    // string-compared, int/string columns only (float renders differ
+    // across engines)
+    "q_column_modes" -> ((s, d) =>
+      Profile.columnModes(t(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus", "l_linenumber"))),
     "q_value_counts" -> ((s, d) => Profile.valueCounts(t(s, d, "orders"), "o_orderpriority")),
     "q_approx_dictionary" -> ((s, d) => Profile.approxDataDictionary(t(s, d, "orders"))),
     // mergeable per-shard HLL sketches ([EXT]): incremental profiling —
@@ -358,6 +364,18 @@ object SparkEntry {
     // snapshot versioning ([EXT]): publish two immutable versions,
     // read back the PINNED first one — time travel must survive the
     // later publish (the reproducible-training-snapshot contract)
+    // JSON-lines source round-trip ([EXT]): documents written as JSONL
+    // and read back with schema inference — certifies the engine's
+    // third file format end-to-end (escaping, nulls, type inference);
+    // the oracle is the untouched source table
+    "q_jsonl_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      t(s, d, "documents").select("doc_id", "lang", "source", "n_chars", "text")
+        .write.mode("overwrite").json(dir)
+      s.read.json(dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
     "q_time_travel" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_versions").toString
       val v1 = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
@@ -467,6 +485,22 @@ object SparkEntry {
     // dimension shape the as-of join then consumes
     "q_scd2" -> ((s, d) =>
       Windows.scd2(t(s, d, "events"), "user_id", "event_type", "event_id")),
+    // point-in-time lookup ([EXT]): each purchase joined as-of against
+    // the SCD2 run table built from the user's NON-purchase events —
+    // the composition the SCD shape exists for (DuckDB oracles it
+    // with its native ASOF JOIN)
+    "q_scd2_lookup" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val dim = Windows.scd2(ev.where(col("event_type") =!= "purchase"),
+          "user_id", "event_type", "event_id")
+        .select(col("user_id"), col("valid_from_us").as("us"),
+          col("event_type").as("state"))
+      val purchases = graft.functions.TimeCol.instant(ev)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      AsOf.asofJoin(purchases, dim, "user_id", "us", Seq("state"))
+        .orderBy(col("event_id"))
+    }),
     // incremental histogram maintenance ([EXT]): 3 disjoint shards
     // merged; the oracle computes the histogram from scratch — the
     // compare IS the merge==scratch proof
@@ -1896,6 +1930,37 @@ object SparkEntry {
            SELECT user_id, event_type, valid_from_us, valid_to_us,
              valid_to_us IS NULL AS is_current
            FROM v ORDER BY user_id, valid_from_us""",
+      "q_scd2_lookup" -> // DuckDB's native ASOF JOIN against the run table
+        """WITH np AS (SELECT * FROM events WHERE event_type <> 'purchase'),
+               o AS (SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS us,
+                       lag(1) OVER w IS NULL AS first, lag(event_type) OVER w AS prev
+                     FROM np
+                     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)),
+               c AS (SELECT user_id, event_type AS state, us FROM o
+                     WHERE first OR prev IS DISTINCT FROM event_type),
+               p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+                     FROM events WHERE event_type = 'purchase')
+           SELECT p.user_id, p.us, p.event_id, c.state
+           FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us
+           ORDER BY p.event_id""",
+      "q_jsonl_roundtrip" -> // the untouched source table: write+read is identity
+        """SELECT doc_id, lang, source, n_chars, text FROM documents ORDER BY doc_id""",
+      "q_column_modes" -> // per-column top value; ties to the smaller value
+        """WITH m AS (
+             SELECT 'l_returnflag' AS col_name, l_returnflag AS value
+             FROM lineitem WHERE l_returnflag IS NOT NULL
+             UNION ALL
+             SELECT 'l_linestatus', l_linestatus FROM lineitem
+             WHERE l_linestatus IS NOT NULL
+             UNION ALL
+             SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+             WHERE l_linenumber IS NOT NULL),
+             cgrp AS (SELECT col_name, value, count(*) AS n FROM m GROUP BY 1, 2),
+             r AS (SELECT col_name, value, n,
+                     row_number() OVER (PARTITION BY col_name ORDER BY n DESC, value) AS rk
+                   FROM cgrp)
+           SELECT col_name, value, CAST(n AS BIGINT) AS n
+           FROM r WHERE rk = 1 ORDER BY col_name""",
       "q_sessions_batch" -> // gap flags running-summed into session ids
         """WITH o AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
                  lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id

@@ -532,6 +532,32 @@ object Profile {
       .orderBy(col("bin"))
   }
 
+  /** Exact mode per column ([EXT]) — the most frequent non-null value
+    * of each listed column, with its count: the one-line data-quality
+    * summary next to [[dataDictionary]] (a dominant constant in a
+    * supposedly-informative column is the classic dead-feature /
+    * default-value smell). Values are compared as STRINGS (pass
+    * integer/string columns; float renders differ across engines).
+    *
+    * Shape: one unpivot Generate (no shuffle) feeds one (column,
+    * value) aggregate; the mode pick is a row_number over the
+    * aggregate rows — bounded by per-column cardinality, never the
+    * fact. Ties break on the smaller value, deterministically. */
+  def columnModes(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnModes needs at least one column")
+    val counted = Reshape
+      .melt(df.select(cols.map(c => col(c).cast("string").as(c)): _*),
+        Seq.empty, cols, "col_name", "value")
+      .where(col("value").isNotNull)
+      .groupBy(col("col_name"), col("value"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("col_name")).orderBy(col("n").desc, col("value"))
+    counted.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1).drop("__rk")
+      .orderBy(col("col_name"))
+  }
+
   /** Fixed-bin histogram SHARD ([EXT]) — [[psiDrift]]'s clamped
     * equi-width binning over one batch, emitted as mergeable state:
     * (bin, n) rows closed under [[histogramMerge]] exactly (counts

@@ -56,6 +56,16 @@ class ProfileSpec extends SparkSuite {
     assert(Profile.histogram(h, "v", 2).collect().map(_.getLong(1)).sum === 2L)
   }
 
+  test("columnModes: most frequent non-null value per column, ties to the smaller value") {
+    val df2 = Seq(
+      (Some("a"), 1), (Some("a"), 1), (Some("b"), 2), (None, 2), (Some("c"), 3))
+      .toDF("cat2", "k")
+    val out = Profile.columnModes(df2, Seq("cat2", "k")).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out("cat2") === (("a", 2L)))   // null never counts
+    assert(out("k") === (("1", 2L)))      // 1 and 2 tie at 2; smaller value wins
+  }
+
   test("histogramShard merge == from-scratch shard over the union, empty bins spined") {
     val all = (0 to 100).map(_.toDouble) ++ Seq(-5.0, 250.0) // clamp both edges
     val shards = all.grouped(40).map(g =>
