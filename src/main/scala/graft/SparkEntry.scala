@@ -110,6 +110,10 @@ object SparkEntry {
         t(s, d, "nation"), t(s, d, "region"))),
     "q_shipped_between" -> ((s, d) =>
       Reports.shippedBetween(t(s, d, "lineitem"), "1997-01-01", "1998-01-01")),
+    // calendar rollup ([EXT]): year/quarter/month/ISO-dow breakdown —
+    // certifies the calendar-function surface (both engines map their
+    // different dayofweek conventions onto ISO)
+    "q_calendar" -> ((s, d) => Reports.calendarRollup(t(s, d, "orders"))),
     "q_segment_revenue" -> ((s, d) =>
       Reports.segmentRevenue(t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"))),
     "q_customers_with_orders" -> ((s, d) =>
@@ -1370,6 +1374,14 @@ object SparkEntry {
             JOIN region r ON n.n_regionkey = r.r_regionkey
             WHERE r.r_name = 'ASIA'
             GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""",
+      "q_calendar" -> // DuckDB's isodow IS the ISO convention; years are INTs
+        s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+              CAST(quarter(o_orderdate) AS INTEGER) AS q,
+              CAST(month(o_orderdate) AS INTEGER) AS m,
+              CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              ${sqlDsum("o_totalprice")} AS revenue
+            FROM orders GROUP BY 1, 2, 3, 4 ORDER BY y, q, m, iso_dow""",
       "q_share_hierarchy" -> // decimal window sums; shares 6-dp (ULP render)
         s"""WITH a AS (SELECT r.r_name, n.n_name,
                  sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS rev

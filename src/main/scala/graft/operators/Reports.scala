@@ -181,6 +181,27 @@ object Reports {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** Calendar rollup ([EXT]) — order counts and revenue by (year,
+    * quarter, month, day-of-week): the date-dimension breakdown every
+    * reporting layer derives, certifying the calendar-function
+    * surface (`year/quarter/month/dayofweek`) against the oracle.
+    * Day-of-week is normalized to ISO 1=Monday..7=Sunday — Spark's
+    * `dayofweek` is 1=Sunday..7=Saturday, DuckDB's `dayofweek`
+    * 0=Sunday..6=Saturday; both sides map onto the unambiguous ISO
+    * convention rather than papering over a different default.
+    * One pruned scan, one bounded aggregate. */
+  def calendarRollup(orders: DataFrame, tsCol: String = "o_orderdate"): DataFrame = {
+    val ts = col(tsCol)
+    graft.functions.TimeCol.instant(orders, tsCol)
+      .groupBy(year(ts).as("y"), quarter(ts).as("q"),
+        month(ts).as("m"),
+        // Spark 1=Sun..7=Sat → ISO 1=Mon..7=Sun
+        (pmod(dayofweek(ts) + lit(5), lit(7)) + lit(1)).as("iso_dow"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("y"), col("q"), col("m"), col("iso_dow"))
+  }
+
   /** Date-range slice of the fact — at scale this is the partition-
     * pruning / row-group-statistics query shape (the predicate lands
     * in PushedFilters). */
