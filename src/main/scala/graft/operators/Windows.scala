@@ -192,14 +192,18 @@ object Windows {
       .orderBy(col(keyCol), col("valid_from_us"))
   }
 
-  /** Batch sessionization ([EXT]) — the gap rule (a quiet period longer
-    * than `gapUs` starts a new session) as plain windows: flag each
-    * event whose distance to the user's previous event exceeds the
-    * gap, and running-sum the flags into a per-user session sequence
-    * number; one aggregate then yields each session's span and depth.
-    * The BATCH complement of [[graft.streaming.Sessions]]' streaming
-    * `session_window` — same semantics, replayable over history (and
-    * the cross-check for the streaming path's results).
+  /** Batch sessionization ([EXT]) — the gap rule (a quiet period
+    * LONGER than `gapUs` starts a new session) as plain windows: flag
+    * each event whose distance to the user's previous event exceeds
+    * the gap, and running-sum the flags into a per-user session
+    * sequence number; one aggregate then yields each session's span
+    * and depth. The BATCH twin of [[graft.streaming.Sessions]]'
+    * streaming `session_window`, replayable over history — and the
+    * boundary convention matches it EXACTLY: `session_window` MERGES
+    * sessions that touch (an event arriving precisely `gap` after the
+    * previous one extends the session — measured, not assumed), so
+    * the strict `>` here mirrors it (SessionsSpec proves batch ==
+    * streaming including the exact-gap boundary).
     *
     * One user-keyed shuffle serves the lag, the running sum, and (by
     * AQE exchange reuse) the session aggregate. All arithmetic is

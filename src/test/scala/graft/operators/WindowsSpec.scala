@@ -84,9 +84,10 @@ class WindowsSpec extends SparkSuite {
     val out = Windows.sessionizeBatch(ev, gapUs = 1800000000L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
     assert(out.toSeq === Seq(
-      (1L, 1L, 600000000L, 2L),  // user 1 session 1: events 1+2, 10 min span
-      (1L, 2L, 0L, 1L),          // user 1 session 2: event 3 alone
-      (2L, 1L, 1800000000L, 2L))) // user 2: one session spanning the exact gap
+      (1L, 1L, 600000000L, 2L),   // user 1 session 1: events 1+2, 10 min span
+      (1L, 2L, 0L, 1L),           // user 1 session 2: event 3 alone
+      (2L, 1L, 1800000000L, 2L))) // user 2: session_window MERGES touching
+    //   sessions, so the exact-gap event extends (SessionsSpec proves parity)
   }
 
   test("concurrencyProfile clamps zero durations to 1 microsecond") {

@@ -212,6 +212,64 @@ class SessionsSpec extends SparkSuite {
     assert(direct === Map("a" -> 2L, "b" -> 2L, "c" -> 3L, "d" -> 1L))
   }
 
+  test("sessionizeBatch is the exact replay twin of streaming session_window") {
+    import org.apache.spark.sql.functions._
+    // boundary case on purpose: u3's second event lands EXACTLY at the
+    // 30-min gap — session_window MERGES sessions that touch (measured
+    // here, not assumed from the [first, last+gap) window shape), so
+    // it stays ONE session and the batch op's strict > must agree
+    val ev = Seq(
+      (1L, 1L, ts(0)), (2L, 1L, ts(5)), (3L, 1L, ts(41)),
+      (4L, 2L, ts(12)), (5L, 2L, ts(14)),
+      (6L, 3L, ts(0)), (7L, 3L, ts(30)))
+      .toDF("event_id", "user_id", "ts")
+    val batch = graft.operators.Windows.sessionizeBatch(ev, gapUs = 1800000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(5))).toSet
+    val stream = graft.functions.TimeCol.instant(ev)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0),
+        r.getStruct(1).getTimestamp(0).getTime * 1000, r.getLong(2))).toSet
+    assert(batch === stream, s"batch $batch vs streaming $stream")
+    assert(batch.size === 4) // u1: 2 sessions, u2: 1, u3: 1 (exact gap merges)
+  }
+
+  test("histogram shards maintained per micro-batch equal the from-scratch histogram") {
+    // the C50 contract in its streaming home: each batch contributes a
+    // fixed-bin shard, the persisted histogram folds via histogramMerge
+    // — the distribution profile stays current under ingest with no
+    // fact rescan (the dfShard pattern for numeric profiling)
+    import graft.operators.Profile
+    val dir = Files.createTempDirectory("graft-histstream").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def write(name: String, rows: Seq[(Long, Double)]): Unit =
+      rows.toDF("id", "v").coalesce(1).write.parquet(s"$dir/in/$name")
+    write("f1", Seq((1L, 5.0), (2L, 15.0), (3L, 95.0)))
+    write("f2", Seq((4L, 5.5), (5L, 250.0), (6L, -3.0))) // clamp both edges
+    val schema = spark.read.parquet(s"$dir/in/f1").schema
+    val histPath = s"$dir/hist"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val shard = Profile.histogramShard(batch, "v", lo = 0.0, hi = 100.0, nBins = 10)
+        val shards =
+          if (!new java.io.File(histPath).exists()) Seq(shard)
+          else Seq(shard, batch.sparkSession.read.parquet(histPath))
+        graft.sources.Lake.overwriteSelf(Profile.histogramMerge(shards, 10), histPath)
+        ()
+      }.start()
+    q.awaitTermination(60000)
+    val maintained = spark.read.parquet(histPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val direct = Profile.histogramMerge(
+      Seq(Profile.histogramShard(spark.read.parquet(s"$dir/in/*"), "v", 0.0, 100.0, 10)), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(maintained === direct)
+    assert(maintained(0L) === 3L && maintained(1L) === 1L && maintained(9L) === 2L)
+  }
+
   test("streamUpsert merges each micro-batch into the keyed table, latest seq wins") {
     val dir = Files.createTempDirectory("graft-cdc").toString
     Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
