@@ -945,6 +945,15 @@ object SparkEntry {
     // one-fingerprint-per-doc member of the near-dup family
     "q_simhash_near" -> ((s, d) =>
       Dedup.simhashNearDup(t(s, d, "documents"), maxDist = 3)),
+    // systematic sampling ([EXT]): every 100th row of the total order
+    // via the distributed global-ordinal primitive — never a
+    // single-task row_number window
+    "q_systematic_sample" -> ((s, d) =>
+      Pack.globalOrdinals(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber"),
+        Seq("l_orderkey", "l_linenumber"))
+        .where(col("ordinal") % 100 === 0)
+        .orderBy(col("ordinal"))),
     // sequence packing ([EXT]): concat-then-chunk bin assignment via
     // a distributed prefix sum (never a single-task global window)
     "q_pack" -> ((s, d) => {
@@ -2782,6 +2791,12 @@ object SparkEntry {
                    AND a.doc_id < x.doc_id)
            SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
            FROM p WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""",
+      "q_systematic_sample" -> // the single-window spelling of the ordinal primitive
+        """WITH o AS (SELECT l_orderkey, l_linenumber,
+                 row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS ordinal
+               FROM lineitem)
+           SELECT l_orderkey, l_linenumber, CAST(ordinal AS BIGINT) AS ordinal
+           FROM o WHERE ordinal % 100 = 0 ORDER BY ordinal""",
       "q_pack" -> // the sequential spelling of the distributed prefix sum
         """WITH s AS (SELECT doc_id,
              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens

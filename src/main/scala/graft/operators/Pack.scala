@@ -57,6 +57,42 @@ object Pack {
     }.toDF("doc_id", "bin", "bin_offset")
   }
 
+  /** Distributed global ordinal assignment ([EXT]) — every row gets
+    * its 0-based position in the total `orderCols` order, WITHOUT the
+    * single-task `row_number() OVER (ORDER BY ...)` window: the
+    * [[contiguousBins]] prefix-sum machinery with a count of 1 per
+    * row, generalized to arbitrary row schemas via a Row encoder.
+    * The primitive behind systematic sampling (every N-th row),
+    * stable pagination, and deterministic epoch numbering.
+    *
+    * Preconditions: `orderCols` must be a total order (unique key
+    * combination) — ties sort arbitrarily within a partition and
+    * would make ordinals nondeterministic. */
+  def globalOrdinals(df: DataFrame, orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "globalOrdinals needs at least one order column")
+    val spark = df.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val sorted = df
+      .repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .localCheckpoint()
+    val partCounts = sorted.groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, pid) =>
+      acc + partCounts.getOrElse(pid, 0L)).toArray
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema :+ org.apache.spark.sql.types.StructField(
+        "ordinal", org.apache.spark.sql.types.LongType, nullable = false))
+    sorted.mapPartitions { it =>
+      var acc = offsets(TaskContext.getPartitionId())
+      it.map { r =>
+        val o = acc; acc += 1
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ o)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Sequence-length bucketing, the other batching layout: pad-to-
     * boundary batches of similar-length documents (vs [[contiguousBins]]'
     * concat-then-chunk). Each document gets the smallest boundary that

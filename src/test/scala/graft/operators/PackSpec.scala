@@ -44,6 +44,17 @@ class PackSpec extends SparkSuite {
     assert(a.exists(_._3 != 0L))
   }
 
+  test("globalOrdinals: a dense 0..n-1 numbering in total sort order, any input layout") {
+    val rows = scala.util.Random.shuffle((1 to 500).toList)
+      .map(i => (i.toLong, s"p$i"))
+    val df = rows.toDF("k", "payload").repartition(7) // adversarial layout
+    val out = Pack.globalOrdinals(df, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.length === 500)
+    assert(out.map(_._3).sorted.toSeq === (0L until 500L))       // dense, no gaps
+    assert(out.forall { case (k, p, o) => o === k - 1 && p === s"p$k" }) // order + payload kept
+  }
+
   test("lengthBuckets assigns the smallest fitting boundary; overflow gets -1") {
     val df = Seq((1L, 10L), (2L, 64L), (3L, 65L), (4L, 512L), (5L, 513L))
       .toDF("doc_id", "n_tokens")
