@@ -489,6 +489,17 @@ object SparkEntry {
     // dimension shape the as-of join then consumes
     "q_scd2" -> ((s, d) =>
       Windows.scd2(t(s, d, "events"), "user_id", "event_type", "event_id")),
+    // incremental SCD2 maintenance ([EXT]): history folded with an
+    // append-only batch touching only current rows — the oracle
+    // replays the from-scratch build over the full log, so the
+    // compare IS the merge==scratch proof
+    "q_scd2_merge" -> ((s, d) => {
+      val ev = graft.functions.TimeCol.instant(t(s, d, "events"))
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      Windows.scd2Merge(
+        Windows.scd2(ev.where(col("ts") < cut), "user_id", "event_type", "event_id"),
+        ev.where(col("ts") >= cut), "user_id", "event_type", "event_id")
+    }),
     // point-in-time lookup ([EXT]): each purchase joined as-of against
     // the SCD2 run table built from the user's NON-purchase events —
     // the composition the SCD shape exists for (DuckDB oracles it
@@ -1938,6 +1949,20 @@ object SparkEntry {
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrency
            FROM pts ORDER BY t_us, delta, event_id""",
       "q_scd2" -> // lag(1) detects first rows; IS DISTINCT FROM detects changes
+        """WITH o AS (SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS us,
+                 lag(1) OVER w IS NULL AS first,
+                 lag(event_type) OVER w AS prev
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)),
+               c AS (SELECT user_id, event_type, us FROM o
+                     WHERE first OR prev IS DISTINCT FROM event_type),
+               v AS (SELECT user_id, event_type, us AS valid_from_us,
+                       lead(us) OVER (PARTITION BY user_id ORDER BY us) AS valid_to_us
+                     FROM c)
+           SELECT user_id, event_type, valid_from_us, valid_to_us,
+             valid_to_us IS NULL AS is_current
+           FROM v ORDER BY user_id, valid_from_us""",
+      "q_scd2_merge" -> // the from-scratch build IS the merge oracle
         """WITH o AS (SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS us,
                  lag(1) OVER w IS NULL AS first,
                  lag(event_type) OVER w AS prev

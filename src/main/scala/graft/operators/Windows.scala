@@ -192,6 +192,53 @@ object Windows {
       .orderBy(col(keyCol), col("valid_from_us"))
   }
 
+  /** Incremental SCD Type-2 maintenance ([EXT]) — fold an APPEND-ONLY
+    * event batch into a persisted [[scd2]] table without recomputing
+    * history: the batch's own runs are computed locally, a first run
+    * that repeats the user's persisted current value MERGES into it
+    * (no spurious row), otherwise the persisted current row is closed
+    * at the first surviving change, and the surviving runs append.
+    * `scd2Merge(scd2(old), new) == scd2(old ∪ new)` exactly — the
+    * q_scd2_merge oracle replays the from-scratch build over the full
+    * log to prove it.
+    *
+    * Scale shape: the history is touched only through its CURRENT
+    * rows (one per key — the persisted table's live slice); closed
+    * rows pass through untouched. The merge input is O(batch) +
+    * O(keys), never O(history events) — the same contract as
+    * [[graft.operators.Reports.partialAggregate]] / dfShard.
+    *
+    * Precondition: every batch event is LATER than every persisted
+    * interval start for its key (append-only CDC; out-of-order
+    * history needs the from-scratch build). */
+  def scd2Merge(persisted: DataFrame, newEvents: DataFrame, keyCol: String,
+                attrCol: String, tiebreakCol: String): DataFrame = {
+    val batchRuns = scd2(newEvents, keyCol, attrCol, tiebreakCol)
+    val current = persisted.where(col("is_current"))
+      .select(col(keyCol), col(attrCol).as("__cur_attr"), lit(true).as("__has_cur"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("valid_from_us"))
+    // a first batch run repeating the persisted current value is not a
+    // change — it extends the current run; a NEW key (no __has_cur)
+    // always survives, including a NULL first value
+    val surviving = batchRuns
+      .withColumn("__rn", row_number().over(w))
+      .join(current, Seq(keyCol), "left")
+      .where(col("__has_cur").isNull or col("__rn") =!= 1 or
+        not(col(attrCol) <=> col("__cur_attr")))
+      .drop("__rn", "__cur_attr", "__has_cur")
+    val closeAt = surviving.groupBy(col(keyCol))
+      .agg(min(col("valid_from_us")).as("__close_us"))
+    val carried = persisted
+      .join(closeAt, Seq(keyCol), "left")
+      .select(col(keyCol), col(attrCol),
+        col("valid_from_us"),
+        when(col("is_current") && col("__close_us").isNotNull, col("__close_us"))
+          .otherwise(col("valid_to_us")).as("valid_to_us"),
+        (col("is_current") && col("__close_us").isNull).as("is_current"))
+    carried.unionByName(surviving)
+      .orderBy(col(keyCol), col("valid_from_us"))
+  }
+
   /** Batch sessionization ([EXT]) — the gap rule (a quiet period
     * LONGER than `gapUs` starts a new session) as plain windows: flag
     * each event whose distance to the user's previous event exceeds

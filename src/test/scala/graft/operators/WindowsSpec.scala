@@ -73,6 +73,34 @@ class WindowsSpec extends SparkSuite {
     assert(u1(1).getLong(3) === u1(2).getLong(2))
   }
 
+  test("scd2Merge == from-scratch: continuations merge, changes close, new keys append") {
+    val old = Seq(
+      (1L, 1L, Some("a"), Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, 1L, Some("b"), Timestamp.valueOf("2024-01-01 11:00:00")),
+      (3L, 2L, Some("x"), Timestamp.valueOf("2024-01-01 10:00:00")),
+      (4L, 4L, None, Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val batch = Seq(
+      (5L, 1L, Some("b"), Timestamp.valueOf("2024-01-02 10:00:00")), // continues run
+      (6L, 1L, Some("c"), Timestamp.valueOf("2024-01-02 11:00:00")), // change
+      (7L, 3L, Some("z"), Timestamp.valueOf("2024-01-02 10:00:00")), // new key
+      (8L, 4L, None, Timestamp.valueOf("2024-01-02 10:00:00")))      // null continues null
+      .toDF("event_id", "user_id", "event_type", "ts")
+    // user 2 is absent from the batch: its current row must stay current
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toSeq
+    val merged = canon(Windows.scd2Merge(
+      Windows.scd2(old, "user_id", "event_type", "event_id"),
+      batch, "user_id", "event_type", "event_id"))
+    val scratch = canon(Windows.scd2(old.unionByName(batch),
+      "user_id", "event_type", "event_id"))
+    assert(merged === scratch)
+    // the continuation did NOT open a spurious row: user 1 has runs a, b, c
+    assert(merged.count(_._2.contains("b")) === 1)
+    assert(merged.filter(_._1 == 2L).map(_._5) === Seq(true))
+  }
+
   test("sessionizeBatch: gap rule splits sessions; equal-gap boundary stays inside") {
     val ev = Seq(
       (1L, 1L, Timestamp.valueOf("2024-01-01 10:00:00")),
