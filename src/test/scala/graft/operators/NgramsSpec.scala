@@ -158,6 +158,29 @@ class NgramsSpec extends SparkSuite {
     assert(sel.nonEmpty && sel.size <= m - w + 1)
   }
 
+  test("winnowing guarantee holds over randomized corpora (property sweep)") {
+    import spark.implicits._
+    // 20 random doc pairs, each sharing a random >= w+n-1 token run at
+    // random positions inside random noise — every pair must surface
+    val rng = new scala.util.Random(13)
+    def words(n: Int, tag: String) = (1 to n).map(_ => s"$tag${rng.nextInt(5000)}")
+    val (n, w) = (3, 4)
+    val docs = (0 until 20).flatMap { i =>
+      val run = words(w + n - 1 + rng.nextInt(10), s"s${i}_").mkString(" ")
+      Seq(
+        (i * 2L, (words(rng.nextInt(30), s"a${i}_") :+ run :+
+          words(rng.nextInt(30), s"b${i}_").mkString(" ")).mkString(" ")),
+        (i * 2L + 1, (words(rng.nextInt(30), s"c${i}_") :+ run :+
+          words(rng.nextInt(30), s"d${i}_").mkString(" ")).mkString(" ")))
+    }.toDF("doc_id", "text")
+    val pairs = Ngrams.winnowOverlap(docs, n = n, w = w, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 20).foreach { i =>
+      assert(pairs.contains((i * 2L, i * 2L + 1)),
+        s"pair $i with a guaranteed shared run not detected")
+    }
+  }
+
   test("decontaminateNear flags paraphrased benchmark leaks the exact screen misses") {
     import spark.implicits._
     def para(tag: String) =

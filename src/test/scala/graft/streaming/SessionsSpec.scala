@@ -270,6 +270,49 @@ class SessionsSpec extends SparkSuite {
     assert(maintained(0L) === 3L && maintained(1L) === 1L && maintained(9L) === 2L)
   }
 
+  test("SCD2 table maintained per micro-batch via scd2Merge equals the from-scratch build") {
+    // C61 in its streaming home: each append-only micro-batch folds
+    // into the persisted dimension through scd2Merge — history is
+    // never recomputed, and the result tracks the full-log build
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Windows
+    val dir = Files.createTempDirectory("graft-scd2stream").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def write(name: String, rows: Seq[(Long, Long, String, Timestamp)]): Unit =
+      rows.toDF("event_id", "user_id", "event_type", "ts")
+        .coalesce(1).write.parquet(s"$dir/in/$name")
+    // file order IS batch order under maxFilesPerTrigger=1 +
+    // AvailableNow (lexicographic listing) — name them so
+    write("b1", Seq((1L, 1L, "a", ts(0)), (2L, 2L, "x", ts(1))))
+    write("b2", Seq((3L, 1L, "a", ts(10)), (4L, 1L, "b", ts(12)))) // continue + change
+    write("b3", Seq((5L, 3L, "z", ts(20)), (6L, 2L, "y", ts(21)))) // new key + change
+    val schema = spark.read.parquet(s"$dir/in/b1").schema
+    val dimPath = s"$dir/dim"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val merged =
+          if (!new java.io.File(dimPath).exists())
+            Windows.scd2(batch, "user_id", "event_type", "event_id")
+          else Windows.scd2Merge(batch.sparkSession.read.parquet(dimPath),
+            batch, "user_id", "event_type", "event_id")
+        graft.sources.Lake.overwriteSelf(merged, dimPath)
+        ()
+      }.start()
+    q.awaitTermination(60000)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("user_id"), col("valid_from_us")).collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toSeq
+    val maintained = canon(spark.read.parquet(dimPath))
+    val scratch = canon(Windows.scd2(
+      spark.read.parquet(s"$dir/in/*"), "user_id", "event_type", "event_id"))
+    assert(maintained === scratch)
+    assert(maintained.count(_._5) === 3) // one current row per user
+  }
+
   test("streamUpsert merges each micro-batch into the keyed table, latest seq wins") {
     val dir = Files.createTempDirectory("graft-cdc").toString
     Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
