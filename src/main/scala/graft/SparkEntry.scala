@@ -368,6 +368,68 @@ object SparkEntry {
     // snapshot versioning ([EXT]): publish two immutable versions,
     // read back the PINNED first one — time travel must survive the
     // later publish (the reproducible-training-snapshot contract)
+    // CSV corrupt-row quarantine ([EXT]): PERMISSIVE parse routes
+    // malformed lines to _corrupt_record instead of failing the job —
+    // the ETL-robustness contract; every doc_id % 50 == 0 line gets a
+    // deterministic type-corrupt measure, the rest survive. The
+    // driver-side collect builds the FIXTURE (bounded input file),
+    // not the computation.
+    "q_csv_quarantine" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_csvq").toString
+      val lines = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+        .collect().map { r =>
+          val (id, nc) = (r.getLong(0), r.getLong(1))
+          if (id % 50 == 0) s"$id,notanumber" else s"$id,$nc"
+        }
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "docs.csv"),
+        (Seq("doc_id,n_chars") ++ lines).mkString("\n").getBytes)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType)))
+      val parsed = s.read.schema(schema)
+        .option("header", "true").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(s"$dir/docs.csv")
+        .localCheckpoint() // corrupt-record visibility needs a materialized parse
+      parsed.where(col("_corrupt_record").isNull)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    // parquet schema evolution ([EXT]): two file generations with
+    // different columns read as ONE table via mergeSchema — old files
+    // surface the new column as NULL
+    "q_schema_evolution" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      val cust = t(s, d, "customer")
+      cust.where(col("c_custkey") % 2 === 0).select(col("c_custkey"), col("c_name"))
+        .write.mode("overwrite").parquet(s"$dir/gen=1")
+      cust.where(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .write.mode("overwrite").parquet(s"$dir/gen=2")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+    // partition-pruned read ([EXT]): hive-partitioned layout queried
+    // through a partition filter — results certified through the
+    // partitioned path (the reference's dropped-partitionBy fix, S6)
+    "q_partition_prune" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+      graft.functions.TimeCol.instant(t(s, d, "events"))
+        .withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(dir)
+      s.read.parquet(dir)
+        .where(col("day") === lit("2024-01-05").cast("date"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    }),
     // JSON-lines source round-trip ([EXT]): documents written as JSONL
     // and read back with schema inference — certifies the engine's
     // third file format end-to-end (escaping, nulls, type inference);
@@ -1989,6 +2051,17 @@ object SparkEntry {
            SELECT p.user_id, p.us, p.event_id, c.state
            FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us
            ORDER BY p.event_id""",
+      "q_csv_quarantine" -> // only the deterministically-corrupted rows vanish
+        """SELECT doc_id, n_chars FROM documents
+           WHERE doc_id % 50 <> 0 ORDER BY doc_id""",
+      "q_schema_evolution" -> // old-generation files surface the new column as NULL
+        """SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END AS c_acctbal
+           FROM customer ORDER BY c_custkey""",
+      "q_partition_prune" -> // the partitioned path must not change the day's rows
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+           FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+           GROUP BY event_type ORDER BY event_type""",
       "q_jsonl_roundtrip" -> // the untouched source table: write+read is identity
         """SELECT doc_id, lang, source, n_chars, text FROM documents ORDER BY doc_id""",
       "q_column_modes" -> // per-column top value; ties to the smaller value
