@@ -297,6 +297,33 @@ object SparkEntry {
     // the release gate hashing alone doesn't give
     "q_k_anonymity" -> ((s, d) =>
       Anonymize.kAnonymity(t(s, d, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 5)),
+    // l-diversity audit ([EXT]): distinct sensitive values per QI
+    // group — k-anonymity's necessary complement
+    "q_l_diversity" -> ((s, d) =>
+      Anonymize.lDiversity(t(s, d, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal")),
+    // dynamic-partition backfill ([EXT]): one day's partition
+    // overwritten with corrected values; every other partition must
+    // survive untouched (partitionOverwriteMode=dynamic)
+    "q_backfill" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_backfill").toString
+      val ev = graft.functions.TimeCol.instant(t(s, d, "events"))
+        .withColumn("day", to_date(col("ts")))
+      ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+      val fixed = ev.where(col("day") === lit("2024-01-05").cast("date"))
+        .withColumn("value", col("value") * 2)
+      val prior = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try fixed.write.mode("overwrite").partitionBy("day").parquet(dir)
+      finally prior match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(dir)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"), Reports.dsum(col("value")).as("sum_value"))
+        .orderBy(col("day"))
+    }),
     "q_deanonymize" -> ((s, d) => {
       val cust = t(s, d, "customer").select("c_custkey", "c_name")
       val anon = Anonymize.anonymize(cust, Seq("c_name"))
@@ -1736,6 +1763,16 @@ object SparkEntry {
              CAST(count(*) AS BIGINT) AS group_size, count(*) < 5 AS at_risk
            FROM customer GROUP BY c_nationkey, c_mktsegment
            ORDER BY c_nationkey, c_mktsegment""",
+      "q_l_diversity" ->
+        """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_diversity
+           FROM customer GROUP BY c_nationkey, c_mktsegment
+           ORDER BY c_nationkey, c_mktsegment""",
+      "q_backfill" -> // only the corrected day changes; decimal sums both sides
+        s"""SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CAST(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+                THEN value * 2 ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1 ORDER BY day""",
       "q_cohort_retention" -> // DATE casts pinned by the UTC session tz
         """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
                f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id),

@@ -60,6 +60,21 @@ object Anonymize {
       .drop(hashedCol, "hashed")
       .withColumnRenamed("original", hashedCol)
 
+  /** l-diversity audit ([EXT]) — for each quasi-identifier group, the
+    * number of DISTINCT sensitive values it contains: k-anonymity's
+    * necessary complement (a group of 500 identical diagnoses is
+    * k-anonymous and still leaks the diagnosis; l >= 2 is the minimum
+    * for the sensitive attribute to stay ambiguous). One hash
+    * aggregate; the distinct count is exact (Spark plans the standard
+    * two-phase Expand distinct). */
+  def lDiversity(df: DataFrame, qi: Seq[String], sensitive: String): DataFrame = {
+    require(qi.nonEmpty, "lDiversity needs at least one quasi-identifier column")
+    df.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitive)).as("l_diversity"))
+      .orderBy(qi.map(col): _*)
+  }
+
   /** AES-GCM file encryption for the vault at rest — driver-side
     * utility mirroring the reference's mapping-file encryption
     * (src/runnerfile.py:279-309), minus its XOR fallback. */
