@@ -1071,6 +1071,26 @@ object SparkEntry {
           .select(col("doc_id"), Text.bpeTokenCount(col("text")).cast("long").as("n_tokens")),
         boundaries = Seq(64, 128, 256, 512)).orderBy(col("doc_id"))),
     // ---- similarity search (SURVEY §2.3 [EXT]) ----
+    // pairwise-cosine distribution ([EXT]): the embedding-collapse
+    // diagnostic — consecutive-id pairs (deterministic, linear in
+    // corpus size, no self-join blowup), cosine rounded 6-dp THEN
+    // binned so the bucket edges are engine-stable
+    "q_cosine_histogram" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val a = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      val b = emb.select((col("vec_id") - 1).as("ida"), col("embedding").as("eb"))
+      val dot = graft.expressions.GraftFunctions.dot _
+      a.join(b, Seq("ida"))
+        .select(round(
+          dot(col("ea"), col("eb")) /
+            (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))), 6)
+          .as("c"))
+        .select(least(greatest(floor(col("c") * 10), lit(-10.0)), lit(9.0))
+          .cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bin"))
+    }),
     "q_topk_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.topK(emb, Similarity.vectorOf(emb, 1L), 10)
@@ -3047,6 +3067,16 @@ object SparkEntry {
               unnest(rvec) AS component
             FROM r ORDER BY vec_id, pos"""
       },
+      "q_cosine_histogram" -> // same dot spelling as q_topk_cosine; 6-dp then bin
+        s"""WITH p AS (SELECT a.embedding AS ea, b.embedding AS eb
+              FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+            c AS (SELECT round(
+                ${fold("[ea[i]::DOUBLE * eb[i]::DOUBLE for i in range(1, len(ea)+1)]")}
+                  / (sqrt(${dotSelf("ea")}) * sqrt(${dotSelf("eb")})), 6) AS c
+              FROM p)
+            SELECT CAST(least(greatest(floor(c * 10), -10), 9) AS BIGINT) AS bin,
+              CAST(count(*) AS BIGINT) AS n
+            FROM c GROUP BY 1 ORDER BY bin""",
       "q_topk_cosine" ->
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
             sc AS (SELECT vec_id,
