@@ -309,7 +309,8 @@ object SparkEntry {
       val dir = java.nio.file.Files.createTempDirectory("graft_backfill").toString
       val ev = graft.functions.TimeCol.instant(t(s, d, "events"))
         .withColumn("day", to_date(col("ts")))
-      ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+      ev.repartition(col("day")) // day-clustered write (see q_partition_prune)
+        .write.mode("overwrite").partitionBy("day").parquet(dir)
       val fixed = ev.where(col("day") === lit("2024-01-05").cast("date"))
         .withColumn("value", col("value") * 2)
       val prior = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
@@ -450,6 +451,10 @@ object SparkEntry {
       val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
       graft.functions.TimeCol.instant(t(s, d, "events"))
         .withColumn("day", to_date(col("ts")))
+        // cluster by the partition column before the partitioned write:
+        // without it every input task writes a file into every day —
+        // the classic small-files explosion at scale
+        .repartition(col("day"))
         .write.mode("overwrite").partitionBy("day").parquet(dir)
       s.read.parquet(dir)
         .where(col("day") === lit("2024-01-05").cast("date"))
