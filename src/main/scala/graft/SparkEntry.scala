@@ -2078,10 +2078,11 @@ object SparkEntry {
                  lag(event_type) OVER w AS prev
                FROM events
                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)),
-               c AS (SELECT user_id, event_type, us FROM o
+               c AS (SELECT user_id, event_type, event_id, us FROM o
                      WHERE first OR prev IS DISTINCT FROM event_type),
                v AS (SELECT user_id, event_type, us AS valid_from_us,
-                       lead(us) OVER (PARTITION BY user_id ORDER BY us) AS valid_to_us
+                       lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                         AS valid_to_us
                      FROM c)
            SELECT user_id, event_type, valid_from_us, valid_to_us,
              valid_to_us IS NULL AS is_current
@@ -2092,10 +2093,11 @@ object SparkEntry {
                  lag(event_type) OVER w AS prev
                FROM events
                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)),
-               c AS (SELECT user_id, event_type, us FROM o
+               c AS (SELECT user_id, event_type, event_id, us FROM o
                      WHERE first OR prev IS DISTINCT FROM event_type),
                v AS (SELECT user_id, event_type, us AS valid_from_us,
-                       lead(us) OVER (PARTITION BY user_id ORDER BY us) AS valid_to_us
+                       lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                         AS valid_to_us
                      FROM c)
            SELECT user_id, event_type, valid_from_us, valid_to_us,
              valid_to_us IS NULL AS is_current

@@ -25,6 +25,33 @@ import org.apache.spark.sql.functions._
   */
 object Pack {
 
+  /** The shared distributed-prefix-sum skeleton (steps 1-2 of the
+    * scaladoc above), used by [[contiguousBins]], [[globalOrdinals]],
+    * and [[Windows.concurrencyProfile]]: range-partition `df` into a
+    * contiguous total order, pin the sampled partitioning with
+    * localCheckpoint (two independent recomputations could disagree
+    * on the sampled range bounds), and fold the tiny per-partition
+    * `weight` totals into per-partition starting offsets on the
+    * driver (numPartitions values — a query parameter, not data).
+    * Callers finish with a partition-local scan indexed by
+    * `TaskContext.getPartitionId`. `weight` must be non-null. */
+  private[operators] def rangeSortedWithOffsets(
+      df: DataFrame, orderCols: Seq[String],
+      weight: org.apache.spark.sql.Column): (DataFrame, Array[Long]) = {
+    val spark = df.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val sorted = df
+      .repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .localCheckpoint()
+    val totals = sorted.groupBy(spark_partition_id().as("__pid"))
+      .agg(sum(weight).as("__w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, pid) =>
+      acc + totals.getOrElse(pid, 0L)).toArray
+    (sorted, offsets)
+  }
+
   /** Preconditions (as with [[AsOf.asofJoin]]/[[graft.sources.Lake.upsertByKey]]):
     * `idCol` must be UNIQUE — duplicate ids sort arbitrarily within a
     * partition, making their relative offsets nondeterministic — and
@@ -35,18 +62,10 @@ object Pack {
     require(budget > 0, s"token budget must be positive: $budget")
     val spark = docs.sparkSession
     import spark.implicits._
-    val parts = spark.sparkContext.defaultParallelism
-    val sorted = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        coalesce(col(tokensCol).cast("long"), lit(0L)).as("n_tokens"))
-      .repartitionByRange(parts, col("doc_id"))
-      .sortWithinPartitions(col("doc_id"))
-      .localCheckpoint()
-    val partTotals = sorted.groupBy(spark_partition_id().as("__pid"))
-      .agg(sum(col("n_tokens")).as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until parts).scanLeft(0L)((acc, pid) =>
-      acc + partTotals.getOrElse(pid, 0L)).toArray
+    val (sorted, offsets) = rangeSortedWithOffsets(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        coalesce(col(tokensCol).cast("long"), lit(0L)).as("n_tokens")),
+      Seq("doc_id"), col("n_tokens"))
     sorted.as[(Long, Long)].mapPartitions { it =>
       var acc = offsets(TaskContext.getPartitionId())
       it.map { case (id, n) =>
@@ -70,17 +89,7 @@ object Pack {
     * would make ordinals nondeterministic. */
   def globalOrdinals(df: DataFrame, orderCols: Seq[String]): DataFrame = {
     require(orderCols.nonEmpty, "globalOrdinals needs at least one order column")
-    val spark = df.sparkSession
-    val parts = spark.sparkContext.defaultParallelism
-    val sorted = df
-      .repartitionByRange(parts, orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
-      .localCheckpoint()
-    val partCounts = sorted.groupBy(spark_partition_id().as("__pid"))
-      .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until parts).scanLeft(0L)((acc, pid) =>
-      acc + partCounts.getOrElse(pid, 0L)).toArray
+    val (sorted, offsets) = rangeSortedWithOffsets(df, orderCols, lit(1L))
     val outSchema = org.apache.spark.sql.types.StructType(
       sorted.schema :+ org.apache.spark.sql.types.StructField(
         "ordinal", org.apache.spark.sql.types.LongType, nullable = false))

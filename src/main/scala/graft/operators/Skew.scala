@@ -105,8 +105,11 @@ object Skew {
       .agg(graft.expressions.GraftFunctions
         .bloomAgg(xxhash64(col(dimKey)), expectedItems, numBits).as("b"))
       .head().getAs[Array[Byte]](0)
-    // null fact keys probe as NULL and are pruned — exactly the rows
-    // an equi-join could never match
+    // NULL fact keys are NOT pruned here — xxhash64(NULL) is the seed
+    // constant (a real hash), so a null-key row can survive the probe
+    // as a false positive; the equi-join drops it, which is why only
+    // join types that drop unmatched fact rows are legal above. Do not
+    // reuse `pruned` as if it were null-key-free.
     val pruned = fact.where(graft.expressions.GraftFunctions
       .bloomContains(lit(bloom), xxhash64(col(factKey))))
     pruned.join(dim, pruned(factKey) === dim(dimKey), joinType)

@@ -309,17 +309,8 @@ object Windows {
           lit(1L))).as("e_us"))
     val points = ev.select(col("event_id"), col("s_us").as("t_us"), lit(1L).as("delta"))
       .unionByName(ev.select(col("event_id"), col("e_us").as("t_us"), lit(-1L).as("delta")))
-    val parts = spark.sparkContext.defaultParallelism
-    val sorted = points
-      .repartitionByRange(parts, col("t_us"), col("delta"), col("event_id"))
-      .sortWithinPartitions(col("t_us"), col("delta"), col("event_id"))
-      .localCheckpoint()
-    val partTotals = sorted
-      .groupBy(spark_partition_id().as("__pid"))
-      .agg(sum(col("delta")).as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until parts).scanLeft(0L)((acc, pid) =>
-      acc + partTotals.getOrElse(pid, 0L)).toArray
+    val (sorted, offsets) = Pack.rangeSortedWithOffsets(points,
+      Seq("t_us", "delta", "event_id"), col("delta"))
     sorted.as[(Long, Long, Long)].mapPartitions { it =>
       var acc = offsets(org.apache.spark.TaskContext.getPartitionId())
       it.map { case (id, t, d) => acc += d; (id, t, d, acc) }
