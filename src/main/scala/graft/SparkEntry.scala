@@ -1050,6 +1050,17 @@ object SparkEntry {
     // one-fingerprint-per-doc member of the near-dup family
     "q_simhash_near" -> ((s, d) =>
       Dedup.simhashNearDup(t(s, d, "documents"), maxDist = 3)),
+    // token-budget selection ([EXT]): highest-scoring docs until the
+    // global budget is spent — the compute-bound data-selection
+    // policy; score slot here = n_chars (pluggable)
+    "q_budget_select" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      Pack.selectUnderBudget(
+        t(s, d, "documents").select(col("doc_id"),
+          col("n_chars").cast("double").as("score"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "score", "n_tokens", budget = 20000L)
+    }),
     // systematic sampling ([EXT]): every 100th row of the total order
     // via the distributed global-ordinal primitive — never a
     // single-task row_number window
@@ -2953,6 +2964,16 @@ object SparkEntry {
                    AND a.doc_id < x.doc_id)
            SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
            FROM p WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""",
+      "q_budget_select" -> // the single-window spelling of the budget prefix sum
+        """WITH s AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+               FROM documents),
+               o AS (SELECT doc_id, score, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+                     FROM s)
+           SELECT doc_id, score, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+           FROM o WHERE cum <= 20000 ORDER BY cum_tokens""",
       "q_systematic_sample" -> // the single-window spelling of the ordinal primitive
         """WITH o AS (SELECT l_orderkey, l_linenumber,
                  row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS ordinal

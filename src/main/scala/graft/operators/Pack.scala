@@ -102,6 +102,41 @@ object Pack {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Token-budget corpus selection ([EXT]) — keep documents greedily
+    * in (score desc, id) order until the GLOBAL token budget is
+    * spent: the standard data-selection policy when compute, not
+    * data, is the binding constraint (take the highest-quality
+    * fraction that fits the training budget). The score column is
+    * the pluggable policy slot — quality score, LM logprob,
+    * dedup-cluster priority, whatever ranks docs.
+    *
+    * Output: kept docs with their running `cum_tokens` (inclusive);
+    * a doc is kept iff the budget covers it fully. Same distributed
+    * shape as [[globalOrdinals]] ([[rangeSortedWithOffsets]] — the
+    * naive spelling is a single-task global running-sum window).
+    * Scores sort negated because the skeleton's range partitioner
+    * orders ascending; negation round-trips doubles exactly. */
+  def selectUnderBudget(docs: DataFrame, idCol: String, scoreCol: String,
+                        tokensCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"token budget must be non-negative: $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (sorted, offsets) = rangeSortedWithOffsets(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        negate(col(scoreCol).cast("double")).as("__negscore"),
+        coalesce(col(tokensCol).cast("long"), lit(0L)).as("n_tokens")),
+      Seq("__negscore", "doc_id"), col("n_tokens"))
+    sorted.as[(Long, Double, Long)].mapPartitions { it =>
+      var acc = offsets(TaskContext.getPartitionId())
+      it.map { case (id, negScore, n) =>
+        acc += n
+        (id, -negScore, n, acc)
+      }
+    }.toDF("doc_id", "score", "n_tokens", "cum_tokens")
+      .where(col("cum_tokens") <= budget)
+      .orderBy(col("cum_tokens"))
+  }
+
   /** Sequence-length bucketing, the other batching layout: pad-to-
     * boundary batches of similar-length documents (vs [[contiguousBins]]'
     * concat-then-chunk). Each document gets the smallest boundary that

@@ -55,6 +55,21 @@ class PackSpec extends SparkSuite {
     assert(out.forall { case (k, p, o) => o === k - 1 && p === s"p$k" }) // order + payload kept
   }
 
+  test("selectUnderBudget keeps the highest-scoring prefix that fully fits") {
+    val docs = Seq(
+      (1L, 10.0, 50L),  // rank 2: cum 130
+      (2L, 20.0, 80L),  // rank 1: cum 80
+      (3L, 10.0, 100L), // rank 3 (score tie -> larger id later): cum 230 > budget
+      (4L, 1.0, 5L))    // rank 4: budget already exhausted upstream
+      .toDF("doc_id", "score", "n_tokens")
+    val out = Pack.selectUnderBudget(docs, "doc_id", "score", "n_tokens", budget = 200L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(3)))
+    assert(out.toSeq === Seq((2L, 20.0, 80L), (1L, 10.0, 130L)))
+    // zero budget keeps nothing; a doc is never partially taken
+    assert(Pack.selectUnderBudget(docs, "doc_id", "score", "n_tokens", 0L).count() === 0L)
+    assert(Pack.selectUnderBudget(docs, "doc_id", "score", "n_tokens", 79L).count() === 0L)
+  }
+
   test("lengthBuckets assigns the smallest fitting boundary; overflow gets -1") {
     val df = Seq((1L, 10L), (2L, 64L), (3L, 65L), (4L, 512L), (5L, 513L))
       .toDF("doc_id", "n_tokens")
