@@ -640,6 +640,12 @@ object SparkEntry {
     // ordered funnel: min-ts-after-previous-step, one shuffle key (user)
     "q_funnel" -> ((s, d) =>
       Reports.funnel(t(s, d, "events"), Seq("view", "click", "purchase"))),
+    // session-scoped funnel ([EXT]): conversion within the 30-min
+    // session, not the user's whole history — the product-analytics
+    // number (funnel ∘ sessionIds composition)
+    "q_session_funnel" -> ((s, d) =>
+      Reports.sessionFunnel(t(s, d, "events"),
+        Seq("view", "click", "purchase"), gapUs = 1800000000L)),
     // last-touch attribution ([EXT]): the channel that actually
     // preceded each conversion, 'direct' outside the 7-day lookback
     "q_attribution" -> ((s, d) =>
@@ -1850,6 +1856,42 @@ object SparkEntry {
                   o.o_totalprice
            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
            ORDER BY orderkey, l_linenumber""",
+      "q_session_funnel" -> // the funnel chain keyed by (user, session)
+        """WITH o AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us,
+                 lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+                   ORDER BY epoch_ns(ts) // 1000, event_id) AS prev
+               FROM events),
+               se AS (SELECT user_id || '#' || sum(CASE WHEN prev IS NULL
+                          OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS skey,
+                        event_type, us
+                      FROM o),
+               s0 AS (SELECT skey, min(us) AS t0 FROM se
+                      WHERE event_type = 'view' GROUP BY skey),
+               s1 AS (SELECT e.skey, min(e.us) AS t1 FROM se e JOIN s0 USING (skey)
+                      WHERE e.event_type = 'click' AND e.us > s0.t0 GROUP BY e.skey),
+               s2 AS (SELECT e.skey, min(e.us) AS t2 FROM se e JOIN s1 USING (skey)
+                      WHERE e.event_type = 'purchase' AND e.us > s1.t1 GROUP BY e.skey),
+               c AS (SELECT (SELECT count(*) FROM s0) AS c0,
+                            (SELECT count(*) FROM s1) AS c1,
+                            (SELECT count(*) FROM s2) AS c2)
+           SELECT * FROM (
+             SELECT 0 AS step_idx, 'view' AS step, CAST(c0 AS BIGINT) AS n_sessions,
+               CASE WHEN c0 > 0 THEN round(c0::DOUBLE / c0::DOUBLE, 6) END AS conv_from_first,
+               CASE WHEN c0 > 0 THEN round(c0::DOUBLE / c0::DOUBLE, 6) END AS conv_from_prev
+             FROM c
+             UNION ALL
+             SELECT 1, 'click', CAST(c1 AS BIGINT),
+               CASE WHEN c0 > 0 THEN round(c1::DOUBLE / c0::DOUBLE, 6) END,
+               CASE WHEN c0 > 0 THEN round(c1::DOUBLE / c0::DOUBLE, 6) END
+             FROM c
+             UNION ALL
+             SELECT 2, 'purchase', CAST(c2 AS BIGINT),
+               CASE WHEN c0 > 0 THEN round(c2::DOUBLE / c0::DOUBLE, 6) END,
+               CASE WHEN c1 > 0 THEN round(c2::DOUBLE / c1::DOUBLE, 6) END
+             FROM c)
+           ORDER BY step_idx""",
       "q_funnel" -> // min-ts-after-previous-step; conversions divide exact BIGINTs
         """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
                        WHERE event_type = 'view' GROUP BY user_id),

@@ -344,6 +344,21 @@ object Reports {
       .orderBy(col("step_idx"))
   }
 
+  /** Session-scoped funnel ([EXT]) — [[funnel]] with the SESSION, not
+    * the user's whole history, as the conversion unit: "how many
+    * sessions view→click→purchase" is the product-analytics number
+    * (a purchase three weeks after the view is retention, not
+    * funnel conversion). Pure composition: [[graft.operators.Windows
+    * .sessionIds]] assigns the unit, a composite key feeds the same
+    * funnel chain — the session rollup inherits funnel's one-shuffle-
+    * per-step shape on the (user, session) key. */
+  def sessionFunnel(events: DataFrame, steps: Seq[String], gapUs: Long): DataFrame =
+    funnel(
+      graft.operators.Windows.sessionIds(events, gapUs)
+        .withColumn("__skey", concat_ws("#", col("user_id"), col("session_seq"))),
+      steps, typeCol = "event_type", tsCol = "ts_us", userCol = "__skey")
+      .withColumnRenamed("n_users", "n_sessions")
+
   /** Last-touch attribution ([EXT]) — for every conversion event, the
     * type of the user's most recent PRIOR non-conversion event within
     * a lookback horizon, else `direct`: the standard marketing/

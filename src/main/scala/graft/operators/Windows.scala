@@ -255,24 +255,37 @@ object Windows {
     * One user-keyed shuffle serves the lag, the running sum, and (by
     * AQE exchange reuse) the session aggregate. All arithmetic is
     * exact longs; (ts, event_id) totalizes the order. */
-  def sessionizeBatch(events: DataFrame, gapUs: Long): DataFrame = {
+  /** Per-EVENT session assignment — [[sessionizeBatch]]'s first half,
+    * exposed because session-scoped analyses ([[graft.operators
+    * .Reports.sessionFunnel]]) need the assignment, not the rollup.
+    * Carries (event_id, user_id, event_type, ts_us, session_seq). */
+  def sessionIds(events: DataFrame, gapUs: Long): DataFrame = {
     require(gapUs > 0, s"session gap must be positive: $gapUs")
-    val w = Window.partitionBy(col("user_id")).orderBy(col("__us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    // event_type rides along when present (sessionFunnel needs it);
+    // the rollup-only callers pass frames without it
+    val carried =
+      if (events.columns.contains("event_type")) Seq(col("event_type")) else Seq.empty
     graft.functions.TimeCol.instant(events)
-      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("__us"))
+      .select(Seq(col("event_id"), col("user_id")) ++ carried :+
+        unix_micros(col("ts")).as("ts_us"): _*)
       .withColumn("__new",
-        when(col("__us") - lag(col("__us"), 1).over(w) > gapUs
-          or lag(col("__us"), 1).over(w).isNull, 1L).otherwise(0L))
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs
+          or lag(col("ts_us"), 1).over(w).isNull, 1L).otherwise(0L))
       .withColumn("session_seq",
         sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__new")
+  }
+
+  def sessionizeBatch(events: DataFrame, gapUs: Long): DataFrame =
+    sessionIds(events, gapUs)
       .groupBy(col("user_id"), col("session_seq"))
-      .agg(min(col("__us")).as("start_us"), max(col("__us")).as("end_us"),
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
         count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_seq"),
         col("start_us"), col("end_us"),
         (col("end_us") - col("start_us")).as("duration_us"), col("n_events"))
       .orderBy(col("user_id"), col("session_seq"))
-  }
 
   /** Concurrency sweep-line ([EXT]) — treat each event as an interval
     * [ts, ts + duration) and compute, at every interval boundary, how
