@@ -1056,6 +1056,16 @@ object SparkEntry {
     // one-fingerprint-per-doc member of the near-dup family
     "q_simhash_near" -> ((s, d) =>
       Dedup.simhashNearDup(t(s, d, "documents"), maxDist = 3)),
+    // per-source token budgets ([EXT]): the mixture-allocation step —
+    // each source keeps its best docs until ITS budget is spent
+    "q_budget_per_source" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      Sampling.capTokensPerGroup(
+        t(s, d, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").cast("double").as("score"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "source", "doc_id", "score", "n_tokens", budget = 800L)
+    }),
     // token-budget selection ([EXT]): highest-scoring docs until the
     // global budget is spent — the compute-bound data-selection
     // policy; score slot here = n_chars (pluggable)
@@ -3006,6 +3016,17 @@ object SparkEntry {
                    AND a.doc_id < x.doc_id)
            SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
            FROM p WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""",
+      "q_budget_per_source" -> // per-group running sums are plain windows
+        """WITH s AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+               FROM documents),
+               o AS (SELECT doc_id, source, score, n_tokens,
+                       sum(n_tokens) OVER (PARTITION BY source
+                         ORDER BY score DESC, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+                     FROM s)
+           SELECT doc_id, source, score, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+           FROM o WHERE cum <= 800 ORDER BY source, cum_tokens""",
       "q_budget_select" -> // the single-window spelling of the budget prefix sum
         """WITH s AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens

@@ -129,6 +129,28 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Per-group TOKEN-budget cap ([EXT]) — [[capPerGroup]]'s cousin
+    * with the budget in tokens, not rows: each group keeps its
+    * highest-scoring documents until the group's token budget is
+    * spent (the per-SOURCE allocation step of mixture building —
+    * [[graft.operators.Pack.selectUnderBudget]] is the GLOBAL form
+    * and needs the distributed prefix sum; per-group running sums are
+    * ordinary windows because each partition is one group, bounded).
+    * A document is kept only if it fits fully. */
+  def capTokensPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                        scoreCol: String, tokensCol: String,
+                        budget: Long): DataFrame = {
+    require(budget >= 0, s"token budget must be non-negative: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("cum_tokens",
+        org.apache.spark.sql.functions.sum(col(tokensCol)).over(w))
+      .where(col("cum_tokens") <= budget)
+      .orderBy(col(groupCol), col("cum_tokens"))
+  }
+
   /** Deterministic corpus shuffle for training order: a `shuffle_key`
     * that is a pure function of (seed, id). Writing ordered by the key
     * IS the shuffled epoch order — same data, different seed, a fresh
