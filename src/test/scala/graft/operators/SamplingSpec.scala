@@ -233,4 +233,18 @@ class SamplingSpec extends SparkSuite {
     assert(survivors < 12000L, s"pre-thin must bound the window input, saw $survivors")
     assert(survivors >= 5L, "margin must keep at least the quota")
   }
+
+  test("capTokensPerGroup: groups budget independently, docs never partially taken") {
+    val docs = Seq(
+      (1L, "a", 10.0, 60L), // a rank 1: cum 60
+      (2L, "a", 5.0, 30L),  // a rank 2: cum 90
+      (3L, "a", 1.0, 20L),  // a rank 3: cum 110 > 100 -> dropped, not trimmed
+      (4L, "b", 9.0, 100L), // b rank 1: cum 100 == budget -> kept
+      (5L, "b", 8.0, 1L))   // b rank 2: cum 101 -> dropped
+      .toDF("doc_id", "source", "score", "n_tokens")
+    val out = Sampling.capTokensPerGroup(docs, "source", "doc_id",
+      "score", "n_tokens", budget = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 60L), (2L, 90L), (4L, 100L)))
+  }
 }
