@@ -474,6 +474,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
         .orderBy(col("doc_id"))
     }),
+    // ORC source/sink round-trip ([EXT]): the other columnar format
+    // Spark ships natively — same pushdown/pruning surface as parquet.
+    // Events (timestamp + double + string cols) written to ORC and read
+    // back; the oracle is the untouched source table, so the compare
+    // certifies type fidelity (micros timestamps, IEEE doubles) across
+    // the format boundary.
+    "q_orc_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      Lake.writeOrc(t(s, d, "events"), dir)
+      Lake.readOrc(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .orderBy(col("event_id"))
+    }),
     "q_time_travel" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_versions").toString
       val v1 = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
@@ -685,6 +699,18 @@ object SparkEntry {
         explode(Text.tokens(lower(col("text")))).as("term"))
       Profile.cmsEstimates(Profile.cmsShards(toks, "source", "term"),
         Seq("join", "hash", "row", "batch", "scan", "column"))
+    }),
+    // EXACT heavy hitters ([EXT]): Misra-Gries candidate pass (≤ 32
+    // counters shuffled, never the distinct-key space) + exact
+    // recount of the candidates — deterministic superset guarantee
+    // makes the output the EXACT set of tokens above n/(k+1), so this
+    // row hash-certifies against a plain GROUP BY/HAVING oracle,
+    // unlike the CMS row above
+    "q_heavy_hitters" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(Text.tokens(lower(col("text")))).as("term"))
+        .where(length(col("term")) > 0)
+      Profile.heavyHitters(toks, "term", capacity = 32)
     }),
     // stream-stream correlation shape on its batch twin: clicks
     // followed by a same-user event of another type within 10 min
@@ -2191,6 +2217,18 @@ object SparkEntry {
            GROUP BY event_type ORDER BY event_type""",
       "q_jsonl_roundtrip" -> // the untouched source table: write+read is identity
         """SELECT doc_id, lang, source, n_chars, text FROM documents ORDER BY doc_id""",
+      "q_orc_roundtrip" -> // ORC write+read is identity incl. micros timestamps
+        """SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id, event_type,
+             value, props
+           FROM events ORDER BY event_id""",
+      "q_heavy_hitters" -> // exact two-pass heavy hitters == plain GROUP BY/HAVING
+        """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                        FROM documents WHERE text IS NOT NULL),
+               tok2 AS (SELECT term AS item FROM tok WHERE length(term) > 0),
+               c AS (SELECT item, count(*) AS n FROM tok2 GROUP BY item),
+               tt AS (SELECT count(*) AS total FROM tok2)
+           SELECT item, CAST(n AS BIGINT) AS n FROM c, tt
+           WHERE n * 33 > total ORDER BY n DESC, item""",
       "q_column_modes" -> // per-column top value; ties to the smaller value
         """WITH m AS (
              SELECT 'l_returnflag' AS col_name, l_returnflag AS value

@@ -152,6 +152,40 @@ object Profile {
       .toDF("term", "cms_est").orderBy(col("term"))
   }
 
+  /** EXACT heavy hitters via the classic two-pass scheme ([EXT]):
+    * pass 1 runs the mergeable [[graft.expressions.MisraGriesAggregator]]
+    * (capacity k) — its deterministic guarantee is that every item
+    * with true frequency > n/(k+1) is in the summary, so the ≤ k
+    * surviving keys are a SUPERSET of the true heavy hitters; pass 2
+    * recounts ONLY those candidates exactly (the IN-set literal rides
+    * the columnar scan as a pushed filter) and keeps items whose
+    * exact count clears the n/(k+1) threshold. Output = exactly the
+    * true heavy-hitter set with EXACT counts — hash-certifiable
+    * against a plain GROUP BY / HAVING oracle, unlike the CMS and HLL
+    * paths whose estimates are engine-private.
+    *
+    * Scale shape: both passes are single scans; the sketch pass
+    * shuffles at most k counters per map task, the recount pass
+    * shuffles at most k groups. Nothing is ever proportional to the
+    * distinct-key count — this is the 100 TB-safe spelling of "top
+    * domains/tokens above x% of the corpus", where the naive
+    * GROUP BY would shuffle every distinct URL. */
+  def heavyHitters(df: DataFrame, c: String, capacity: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val items = df.select(col(c).cast("string").as("item"))
+      .where(col("item").isNotNull)
+    val agg = new graft.expressions.MisraGriesAggregator(capacity).toColumn
+    val summary = items.as[String].select(agg).head()
+    val cand = summary.counts.keys.toSeq // bounded: ≤ capacity entries
+    val guard = if (cand.isEmpty) lit(false) else col("item").isin(cand: _*)
+    items.where(guard)
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") * lit(capacity + 1L) > lit(summary.n))
+      .orderBy(col("n").desc, col("item"))
+  }
+
   // ---- KMV (k-minimum-values) distinct sketches ([EXT]) ----
   // The ENGINE-PORTABLE member of the sketch family: where the HLL
   // and CMS paths hash with Spark-internal families (rows-only
