@@ -592,6 +592,26 @@ object SparkEntry {
     // sum — the replayable complement of the streaming session_window
     "q_sessions_batch" -> ((s, d) =>
       Windows.sessionizeBatch(t(s, d, "events"), gapUs = 1800000000L)),
+    // interval-overlap join ([EXT]): concurrent cross-user session
+    // pairs — the interval×interval member of the temporal-join
+    // family. Bucketized equi-join + first-shared-bucket filter, never
+    // a theta cross-join; the oracle spells the same pairs as a plain
+    // inequality self-join over the session CTE.
+    "q_interval_join" -> ((s, d) => {
+      val sess = Windows.sessionizeBatch(t(s, d, "events"), gapUs = 1800000000L)
+        .select(col("user_id"), col("session_seq"), col("start_us"), col("end_us"))
+      val a = sess.select(col("user_id").as("user_a"), col("session_seq").as("seq_a"),
+        col("start_us").as("start_a"), col("end_us").as("end_a"))
+      val b = sess.select(col("user_id").as("user_b"), col("session_seq").as("seq_b"),
+        col("start_us").as("start_b"), col("end_us").as("end_b"))
+      AsOf.intervalJoin(a, b, Nil, "start_a", "end_a", "start_b", "end_b",
+        bucketWidth = 3600000000L)
+        .where(col("user_a") < col("user_b"))
+        .select(col("user_a"), col("seq_a"), col("user_b"), col("seq_b"),
+          (least(col("end_a"), col("end_b")) -
+            greatest(col("start_a"), col("start_b"))).as("overlap_us"))
+        .orderBy(col("user_a"), col("seq_a"), col("user_b"), col("seq_b"))
+    }),
     // SCD Type-2 build ([EXT]): the event log collapsed into validity
     // intervals per (user, event_type run) — the point-in-time
     // dimension shape the as-of join then consumes
@@ -2262,6 +2282,31 @@ object SparkEntry {
              min(us) AS start_us, max(us) AS end_us,
              max(us) - min(us) AS duration_us, CAST(count(*) AS BIGINT) AS n_events
            FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
+      "q_interval_join" -> // overlap pairs as a plain inequality self-join
+        """WITH o AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+                 lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+                   ORDER BY epoch_ns(ts) // 1000, event_id) AS prev
+               FROM events),
+               f AS (SELECT event_id, user_id, us,
+                       CASE WHEN prev IS NULL OR us - prev > 1800000000
+                            THEN 1 ELSE 0 END AS nw
+                     FROM o),
+               sq AS (SELECT user_id, us,
+                        sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+                      FROM f),
+               s AS (SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                       min(us) AS start_us, max(us) AS end_us
+                     FROM sq GROUP BY user_id, session_seq)
+           SELECT a.user_id AS user_a, a.session_seq AS seq_a,
+             b.user_id AS user_b, b.session_seq AS seq_b,
+             least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us)
+               AS overlap_us
+           FROM s a JOIN s b
+             ON a.user_id < b.user_id
+             AND a.start_us < b.end_us AND b.start_us < a.end_us
+           WHERE a.end_us > a.start_us AND b.end_us > b.start_us
+           ORDER BY user_a, seq_a, user_b, seq_b""",
       "q_hist_merge" -> // from-scratch histogram == the engine's shard merge
         """WITH b AS (SELECT CAST(least(greatest(floor(l_extendedprice / 10000.0), 0), 10)
                         AS BIGINT) AS bin

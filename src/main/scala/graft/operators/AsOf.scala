@@ -103,4 +103,48 @@ object AsOf {
       .where(col(ts) >= col(start) && col(ts) < col(end))
       .drop("__bucket")
   }
+
+  /** Interval-OVERLAP join ([EXT]): pairs of intervals that intersect
+    * — `l.start < r.end AND r.start < l.end` on half-open
+    * `[start, end)` intervals — optionally also matched on equi-keys.
+    * The missing third member of the temporal-join family: [[asofJoin]]
+    * matches points to latest-state, [[rangeJoin]] points to
+    * containing intervals, this one intervals to intervals
+    * (concurrent sessions, overlapping validity windows, meeting
+    * collisions).
+    *
+    * Shape: both sides explode their intervals to the fixed-width
+    * time buckets they touch; the join is a plain equi-join on
+    * (keys..., bucket) + the exact overlap predicate. A pair
+    * overlapping in several shared buckets would duplicate, so keep
+    * each pair only in the bucket of `greatest(l.start, r.start)` —
+    * the overlap's first instant, which BOTH intervals contain by
+    * construction. That turns dedup into a scalar filter: no DISTINCT
+    * shuffle over the (potentially huge) pair set. The naive theta
+    * join is a per-key (or global) cross product; here shuffle volume
+    * is rows × buckets-touched, and the per-bucket cross term is
+    * bounded by interval density per bucket — pick `bucketWidth` ≈
+    * the typical interval length (wider: more pairs per bucket;
+    * narrower: more replicas per interval).
+    *
+    * Both sides' columns are carried through — rename collisions
+    * before calling, as any self-join needs. Degenerate intervals
+    * (`end <= start`, i.e. empty half-open ranges) match nothing and
+    * are dropped before the explode. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   lStart: String, lEnd: String, rStart: String, rEnd: String,
+                   bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    def explodeBuckets(df: DataFrame, start: String, end: String): DataFrame =
+      df.where(col(end) > col(start))
+        .withColumn("__bucket",
+          explode(expr(s"sequence(`$start` div $bucketWidth, (`$end` - 1) div $bucketWidth)")))
+    val l = explodeBuckets(left, lStart, lEnd)
+    val r = explodeBuckets(right, rStart, rEnd)
+    l.join(r, keys :+ "__bucket")
+      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .where(col("__bucket") ===
+        expr(s"greatest(`$lStart`, `$rStart`) div $bucketWidth"))
+      .drop("__bucket")
+  }
 }

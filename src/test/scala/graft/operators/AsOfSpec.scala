@@ -106,4 +106,41 @@ class AsOfSpec extends SparkSuite {
       assert(got === expect, s"width $width mismatch")
     }
   }
+
+  test("intervalJoin equals the brute-force overlap join, across bucket widths") {
+    val rng = new scala.util.Random(13)
+    def mkIvs(n: Int, tag: String) = Seq.tabulate(n) { i =>
+      val s = rng.nextInt(2000).toLong
+      (s"$tag$i", rng.nextInt(3).toLong, s, s + rng.nextInt(500).toLong)
+    }
+    val la = mkIvs(60, "a")
+    val rb = mkIvs(60, "b")
+    val left = la.toDF("aid", "k", "start_a", "end_a")
+    val right = rb.toDF("bid", "k2", "start_b", "end_b")
+    // brute force, half-open overlap, keyed on k == k2
+    val expect = (for {
+      (aid, k, sa, ea) <- la if ea > sa
+      (bid, k2, sb, eb) <- rb if eb > sb && k == k2 && sa < eb && sb < ea
+    } yield (aid, bid)).toSet
+    for (width <- Seq(37L, 250L, 5000L)) {
+      val got = AsOf.intervalJoin(
+        left.withColumnRenamed("k", "kk"), right.withColumnRenamed("k2", "kk"),
+        Seq("kk"), "start_a", "end_a", "start_b", "end_b", width)
+        .select("aid", "bid").collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got === expect, s"width $width mismatch")
+    }
+  }
+
+  test("intervalJoin with no keys is the pure temporal overlap; empties drop") {
+    val left = Seq(("a1", 0L, 10L), ("a2", 5L, 5L), ("a3", 20L, 30L))
+      .toDF("aid", "start_a", "end_a")
+    val right = Seq(("b1", 9L, 21L), ("b2", 30L, 40L))
+      .toDF("bid", "start_b", "end_b")
+    val got = AsOf.intervalJoin(left, right, Nil,
+      "start_a", "end_a", "start_b", "end_b", bucketWidth = 8L)
+      .select("aid", "bid").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // a2 is empty ([5,5)); a3=[20,30) overlaps b1=[9,21) but NOT b2=[30,40)
+    // (half-open: the shared boundary 30 is in neither)
+    assert(got === Set(("a1", "b1"), ("a3", "b1")))
+  }
 }
