@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Json, Scrub, Text}
 import graft.multimodal.Multimodal
-import graft.operators.{Anonymize, AsOf, CorpusStats, Dedup, Fuzzy, Layout, Ngrams, Pack, Profile, Quality, Reports, Reshape, Sampling, SetSimilarity, Similarity, Skew, TopK, Windows}
+import graft.operators.{Anonymize, AsOf, CorpusStats, Dedup, Fuzzy, Graph, Layout, Ngrams, Pack, Profile, Quality, Reports, Reshape, Sampling, SetSimilarity, Similarity, Skew, TopK, Windows}
 import graft.sources.{Bucketing, Lake, Tables}
 import graft.streaming.Sessions
 
@@ -585,6 +585,15 @@ object SparkEntry {
     // first-order event-transition matrix ([EXT]): the Markov view of
     // the clickstream — next-step features, funnel discovery
     "q_transitions" -> ((s, d) => Windows.transitions(t(s, d, "events"))),
+    // stationary distribution ([EXT]): damped power iteration
+    // (PageRank α=0.85) over the transition graph — exact integer
+    // fixed-point units, so 20 distributed iterations hash-match the
+    // oracle's unrolled SQL replay with zero float drift
+    "q_stationary" -> ((s, d) => {
+      val edges = Windows.transitions(t(s, d, "events"))
+        .select("from_type", "to_type", "n")
+      Graph.stationaryDistribution(edges, iters = 20)
+    }),
     // interval sweep-line ([EXT]): peak-concurrency profile as a
     // distributed prefix sum — never a single-task global window
     "q_concurrency" -> ((s, d) => Windows.concurrencyProfile(t(s, d, "events"))),
@@ -1463,6 +1472,49 @@ object SparkEntry {
             EXISTS (SELECT 1 FROM dup d WHERE d.train_id = tsrc.doc_id) AS contaminated
           FROM tsrc ORDER BY doc_id"""
     }
+    // Unrolled damped power iteration (Graph.stationaryDistribution):
+    // 20 r-CTEs, each the exact integer-unit update — teleport +
+    // dangling redistribution + per-edge contribution. HUGEINT holds
+    // the 17·r·n products (Spark side: DECIMAL(38,0)); `//` == `div`
+    // on these all-positive values, so both engines truncate
+    // identically and the BIGINT units hash-match bit-for-bit.
+    val stationaryOracle = {
+      val u = graft.operators.Graph.MassUnits
+      val rCtes = (0 until 20).map { i =>
+        s"""r${i + 1} AS MATERIALIZED (
+              SELECT s.state,
+                CAST((3 * $u) // (20 * (SELECT count(*) FROM states))
+                  + (17 * (SELECT COALESCE(sum(r.units), 0) FROM r$i r
+                           LEFT JOIN outs o ON r.state = o.state
+                           WHERE o.state IS NULL))
+                    // (20 * (SELECT count(*) FROM states))
+                  + COALESCE((SELECT CAST(sum(
+                        (CAST(17 AS HUGEINT) * r2.units * e.n)
+                          // (CAST(20 AS HUGEINT) * o2.outn)) AS BIGINT)
+                      FROM r$i r2
+                      JOIN outs o2 ON o2.state = r2.state
+                      JOIN edges e ON e.from_type = r2.state
+                      WHERE e.to_type = s.state), 0) AS BIGINT) AS units
+              FROM states s)"""
+      }.mkString(",\n")
+      s"""WITH pr AS (SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_ns(ts), event_id) AS prev
+             FROM events),
+           edges AS MATERIALIZED (SELECT prev AS from_type, event_type AS to_type,
+                       count(*) AS n
+                     FROM pr WHERE prev IS NOT NULL GROUP BY 1, 2),
+           states AS MATERIALIZED (SELECT from_type AS state FROM edges
+                      UNION SELECT to_type FROM edges),
+           outs AS MATERIALIZED (SELECT from_type AS state, sum(n) AS outn
+                    FROM edges GROUP BY 1),
+           r0 AS MATERIALIZED (SELECT state,
+                    CAST($u // (SELECT count(*) FROM states) AS BIGINT) AS units
+                  FROM states),
+           $rCtes
+         SELECT state, units, units / 1000000000000.0 AS rank
+         FROM r20 ORDER BY units DESC, state"""
+    }
     Map(
       // MAD outliers: quantile_cont == Spark's exact percentile
       // interpolation; score/threshold are pure IEEE on exact inputs.
@@ -2158,6 +2210,7 @@ object SparkEntry {
            SELECT o_orderkey, 'o_custkey_d' AS metric,
              CAST(o_custkey AS DOUBLE) AS value FROM orders
            ORDER BY o_orderkey, metric""",
+      "q_stationary" -> stationaryOracle,
       "q_transitions" ->
         """WITH o AS (SELECT user_id, event_type,
                lag(event_type) OVER (PARTITION BY user_id

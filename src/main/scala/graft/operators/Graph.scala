@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics composed from joins + aggregates ([EXT]).
+  * Complements the connected-components path in [[Dedup]]: where CC
+  * answers "which nodes belong together", the stationary distribution
+  * answers "which nodes matter" — the PageRank-style importance score
+  * over a weighted transition graph (domain authority for crawl
+  * prioritization, event-type equilibrium occupancy, hub detection in
+  * citation/link graphs).
+  */
+object Graph {
+
+  /** Total probability mass in fixed-point units (1e12 — small enough
+    * that every intermediate product fits DECIMAL(38,0) exactly, big
+    * enough for 12 significant digits of rank). */
+  val MassUnits: Long = 1000000000000L
+
+  /** Damped power iteration for the stationary distribution of the
+    * Markov chain defined by an edge-count table `(from_type,
+    * to_type, n)` — PageRank with damping 17/20 = 0.85 over weighted
+    * edges. Each of the `iters` steps computes
+    *
+    *   r'(j) = (3·U)/(20·N)  +  (17·D)/(20·N)
+    *           + Σᵢ (17 · r(i) · n(i,j)) / (20 · out(i))
+    *
+    * with U the total mass, N the state count, out(i) the total
+    * outgoing edge weight, and D the mass parked on DANGLING states
+    * (no outgoing edges) — redistributed uniformly, the standard
+    * PageRank correction, so mass is conserved up to truncation.
+    *
+    * Determinism across engines is the whole design: ranks live as
+    * INTEGER mass units and every product/divide is exact integer
+    * arithmetic (DECIMAL(38,0) holds 17·r·n without overflow; the
+    * truncating `div` matches floor on these all-positive values), so
+    * partial-aggregation order cannot perturb a single unit and the
+    * result hash-matches an unrolled SQL replay — no float drift
+    * after any number of iterations. The final `rank` renders as
+    * units/1e12, an IEEE-exact divide of a <2^53 integer by a power
+    * of ten.
+    *
+    * Scale shape: the classic distributed PageRank loop — one
+    * (join edges + aggregate by destination) per iteration, dangling
+    * mass as a broadcast 1-row aggregate, `localCheckpoint` per step
+    * to pin lineage (the kmeans/BPE loop discipline). State count N
+    * is a driver scalar (one count job); everything else stays
+    * distributed, so millions of states (domains, URLs) iterate at
+    * one shuffle per step.
+    */
+  def stationaryDistribution(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val states = edges.select(col("from_type").as("state"))
+      .unionByName(edges.select(col("to_type").as("state")))
+      .distinct()
+      .localCheckpoint()
+    val n = states.count()
+    require(n > 0, "stationaryDistribution needs a non-empty edge table")
+    val outs = edges.groupBy(col("from_type").as("state"))
+      .agg(sum(col("n")).as("outn"))
+    val tele = (3L * MassUnits) / (20L * n)
+    var r = states.withColumn("units", lit(MassUnits / n))
+    for (_ <- 0 until iters) {
+      val dangling = r.join(outs, Seq("state"), "left_anti")
+        .agg(coalesce(sum(col("units")), lit(0L)).as("d"))
+      val contrib = r.join(outs, Seq("state"))
+        .join(edges, col("state") === col("from_type"))
+        .select(col("to_type").as("cstate"),
+          expr("CAST(17 AS DECIMAL(38,0)) * units * n div " +
+            "(CAST(20 AS DECIMAL(38,0)) * outn)").as("term"))
+        .groupBy(col("cstate")).agg(sum(col("term")).as("c"))
+      r = states
+        .join(contrib, col("state") === col("cstate"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("state"),
+          (lit(tele) + expr(s"(17 * d) div (20 * $n)") +
+            coalesce(col("c"), lit(0L))).as("units"))
+        .localCheckpoint()
+    }
+    r.select(col("state"), col("units"),
+      (col("units").cast("double") / lit(1.0e12)).as("rank"))
+      .orderBy(col("units").desc, col("state"))
+  }
+}

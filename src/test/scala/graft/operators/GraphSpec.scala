@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSuite
+
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Independent reference: the same integer fixed-point update run
+    * sequentially with BigInt — any distributed-arithmetic drift
+    * (overflow, rounding-order, decimal precision) breaks equality. */
+  private def reference(edges: Seq[(String, String, Long)], iters: Int): Map[String, Long] = {
+    val u = Graph.MassUnits
+    val states = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = states.size.toLong
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val tele = (3L * u) / (20L * n)
+    var r = states.map(_ -> u / n).toMap
+    for (_ <- 0 until iters) {
+      val d = states.filterNot(out.contains).map(r).sum
+      val dShare = (17L * d) / (20L * n)
+      r = states.map { j =>
+        val contrib = edges.collect {
+          case (i, j2, w) if j2 == j =>
+            ((BigInt(17) * r(i) * w) / (BigInt(20) * out(i))).toLong
+        }.sum
+        j -> (tele + dShare + contrib)
+      }.toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(String, String, Long)], iters: Int): Map[String, Long] =
+    Graph.stationaryDistribution(
+      edges.toDF("from_type", "to_type", "n"), iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("distributed iteration equals the sequential BigInt reference exactly") {
+    val rnd = new scala.util.Random(19)
+    val states = (0 until 9).map(i => s"s$i")
+    val edges = (for {
+      i <- states; j <- states if i != j && rnd.nextInt(3) == 0
+    } yield (i, j, 1L + rnd.nextInt(50).toLong)).toSeq
+    for (iters <- Seq(1, 5, 12)) {
+      assert(run(edges, iters) === reference(edges, iters), s"iters=$iters")
+    }
+  }
+
+  test("symmetric two-state chain stays uniform") {
+    val edges = Seq(("a", "b", 5L), ("b", "a", 5L))
+    val r = run(edges, 15)
+    assert(r("a") === r("b"))
+    // mass conserved up to truncation: N units lost at most per step
+    assert(math.abs(r.values.sum - Graph.MassUnits) <= 15L * 3)
+  }
+
+  test("dangling state keeps rank and redistributes its mass") {
+    // a -> b, b dangling: b accumulates from a, leaks back uniformly
+    val r = run(Seq(("a", "b", 1L)), 20)
+    assert(r("b") > r("a"), s"expected sink to outrank source: $r")
+    assert(r.values.forall(_ > 0))
+  }
+
+  test("heavier edges attract proportionally more mass") {
+    val r = run(Seq(("hub", "big", 9L), ("hub", "small", 1L),
+      ("big", "hub", 1L), ("small", "hub", 1L)), 20)
+    assert(r("big") > r("small"))
+  }
+}
