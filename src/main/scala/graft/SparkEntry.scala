@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Json, Scrub, Text}
 import graft.multimodal.Multimodal
-import graft.operators.{Anonymize, AsOf, CorpusStats, Dedup, Fuzzy, Graph, Layout, Ngrams, Pack, Profile, Quality, Reports, Reshape, Sampling, SetSimilarity, Similarity, Skew, TopK, Windows}
+import graft.operators.{Anonymize, AsOf, Clustering, CorpusStats, Dedup, Fuzzy, Graph, Layout, Ngrams, Pack, Profile, Quality, Reports, Reshape, Sampling, SetSimilarity, Similarity, Skew, TopK, Windows}
 import graft.sources.{Bucketing, Lake, Tables}
 import graft.streaming.Sessions
 
@@ -1248,6 +1248,27 @@ object SparkEntry {
     // distances, so the full 2-iteration training run is oracled
     "q_kmeans" -> ((s, d) =>
       graft.operators.Clustering.kmeans(t(s, d, "embeddings"), k = 8, iters = 2)),
+    // product quantization ([EXT], Jégou et al. 2011): per-subspace
+    // deterministic Lloyd codebooks trained + corpus encoded in one
+    // grouped pass — the full training run is oracled, like q_kmeans
+    "q_pq_encode" -> ((s, d) => {
+      val (codes, _) = graft.operators.Clustering.pqTrainEncode(
+        t(s, d, "embeddings"), m = 4, k = 8, iters = 2, dim = 64)
+      codes.select(col("vec_id"), col("subspace"), col("code"),
+        round(col("dist2"), 6).as("dist2"))
+        .orderBy(col("vec_id"), col("subspace"))
+    }),
+    // ADC search over the PQ index: codes + codebooks only, the base
+    // vectors never re-read; per-subspace partials fold in subspace
+    // order so the top-10 selection is engine-exact
+    "q_pq_adc" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val (codes, cbs) = graft.operators.Clustering.pqTrainEncode(
+        emb, m = 4, k = 8, iters = 2, dim = 64)
+      Clustering.pqTopK(codes, cbs, Similarity.vectorOf(emb, 1L), m = 4, k = 10)
+        .select(col("vec_id"), round(col("adc_dist2"), 6).as("adc_dist2"))
+        .orderBy(col("adc_dist2"), col("vec_id"))
+    }),
     // SemDeDup: within-cell cosine pairs on the same deterministic
     // quantizer; one-hop min-id keeper flag
     "q_semantic_dedup" -> ((s, d) =>
@@ -1514,6 +1535,43 @@ object SparkEntry {
            $rCtes
          SELECT state, units, units / 1000000000000.0 AS rank
          FROM r20 ORDER BY units DESC, state"""
+    }
+    // Shared PQ training replay (Clustering.pqTrainEncode m=4 k=8
+    // iters=2 dim=64): slices, lowest-id seeds, one micro-sum Lloyd
+    // update, final assignment — the q_kmeans oracle with a subspace
+    // dimension. MATERIALIZED pins each stage to one evaluation.
+    val pqTrainCtes = {
+      val dist = "list_reduce([(sv[i]-cvec[i])*(sv[i]-cvec[i]) " +
+        "for i in range(1, len(sv)+1)], (x, y) -> x + y)"
+      s"""e AS MATERIALIZED (
+              SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+          sl AS MATERIALIZED (
+              SELECT vec_id, s.s AS subspace, v[s.s*16+1 : (s.s+1)*16] AS sv
+              FROM e, (SELECT unnest([0, 1, 2, 3]) AS s) s),
+          sd AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+                 FROM e ORDER BY vec_id LIMIT 8),
+          c0 AS (SELECT sl.subspace, sd.cell, sl.sv AS cvec
+                 FROM sl JOIN sd USING (vec_id)),
+          a1 AS MATERIALIZED (
+              SELECT sl.vec_id, sl.subspace, sl.sv, c0.cell, $dist AS d
+              FROM sl JOIN c0 ON c0.subspace = sl.subspace
+              QUALIFY row_number() OVER (PARTITION BY sl.vec_id, sl.subspace
+                ORDER BY d, c0.cell) = 1),
+          m1p AS (SELECT subspace, cell, pos, count(*) AS n, sum(vm) AS s FROM
+                    (SELECT subspace, cell,
+                       unnest([i for i in range(0, len(sv))]) AS pos,
+                       unnest([round(x * 1000000, 0)::BIGINT for x in sv]) AS vm
+                     FROM a1)
+                  GROUP BY subspace, cell, pos),
+          m1 AS MATERIALIZED (
+              SELECT subspace, cell,
+                list(s::DOUBLE / n / 1000000.0 ORDER BY pos) AS cvec
+              FROM m1p GROUP BY subspace, cell),
+          a2 AS MATERIALIZED (
+              SELECT sl.vec_id, sl.subspace, sl.sv, m1.cell, $dist AS d
+              FROM sl JOIN m1 ON m1.subspace = sl.subspace
+              QUALIFY row_number() OVER (PARTITION BY sl.vec_id, sl.subspace
+                ORDER BY d, m1.cell) = 1)"""
     }
     Map(
       // MAD outliers: quantile_cont == Spark's exact percentile
@@ -3228,6 +3286,31 @@ object SparkEntry {
              unnest([i for i in range(0, len(codes))])::BIGINT AS pos,
              unnest(codes) AS code, max_abs_err
            FROM f ORDER BY vec_id, pos""",
+      "q_pq_encode" -> // the grouped per-subspace replay of the q_kmeans oracle
+        s"""WITH $pqTrainCtes
+           SELECT vec_id, subspace, CAST(cell AS INTEGER) AS code,
+             round(d, 6) AS dist2
+           FROM a2 ORDER BY vec_id, subspace""",
+      "q_pq_adc" -> // ADC distances fold in subspace order on both engines
+        s"""WITH $pqTrainCtes,
+               q AS (SELECT v FROM e WHERE vec_id = 1),
+               qs AS (SELECT s.s AS subspace, q.v[s.s*16+1 : (s.s+1)*16] AS qsv
+                      FROM q, (SELECT unnest([0, 1, 2, 3]) AS s) s),
+               pd AS (SELECT a2.vec_id, a2.subspace,
+                        list_reduce([(qs.qsv[i] - m1.cvec[i]) * (qs.qsv[i] - m1.cvec[i])
+                                     for i in range(1, len(qs.qsv)+1)],
+                          (x, y) -> x + y) AS d
+                      FROM a2
+                      JOIN m1 ON m1.subspace = a2.subspace AND m1.cell = a2.cell
+                      JOIN qs ON qs.subspace = a2.subspace),
+               adc AS (SELECT vec_id,
+                         list_reduce(list(d ORDER BY subspace), (x, y) -> x + y)
+                           AS adc_raw
+                       FROM pd GROUP BY vec_id),
+               sel AS (SELECT vec_id, adc_raw FROM adc
+                       ORDER BY adc_raw, vec_id LIMIT 10)
+           SELECT vec_id, round(adc_raw, 6) AS adc_dist2
+           FROM sel ORDER BY adc_raw, vec_id""",
       "q_kmeans" -> // seeds=lowest ids; micro-sum updates; fold distances
         """WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
                c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec

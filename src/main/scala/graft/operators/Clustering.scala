@@ -187,4 +187,121 @@ object Clustering {
     (assigned.withColumn("__cell", element_at(remapCol, col("__cell"))),
       centers.map(_._2))
   }
+
+  // ---- Product quantization ([EXT]; Jégou, Douze, Schmid, "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011) ----
+  // The memory tier below [[Similarity.quantizeInt8]]: int8 keeps one
+  // byte PER DIMENSION (64 B for dim-64), PQ keeps one code per
+  // SUBSPACE (m bytes — 4 B here), an order of magnitude smaller
+  // index for billion-vector corpora, at the cost of a trained
+  // codebook. Built on the same deterministic Lloyd discipline as
+  // [[kmeans]] so codes and ADC scores are engine-reproducible.
+
+  /** (vec_id, subspace, sv) slice rows: dim split into m contiguous
+    * blocks of dim/m. All-subspaces-at-once — ONE pass over the data
+    * trains every subspace codebook (a per-subspace driver loop would
+    * read the corpus m times). */
+  private def pqSlices(embeddings: DataFrame, m: Int, dim: Int,
+                       idCol: String, vecCol: String): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m subspaces")
+    val w = dim / m
+    embeddings
+      .select(col(idCol), Similarity.asDouble(col(vecCol)).as("__v"))
+      .select(col(idCol),
+        posexplode(expr(s"transform(sequence(1, $dim - ${w - 1}, $w), " +
+          "st -> slice(__v, st, $$w))".replace("$$w", w.toString)))
+          .as(Seq("subspace", "sv")))
+  }
+
+  /** Nearest-codebook-entry assignment for every (vector, subspace)
+    * slice: broadcast the m·k codebook rows, argmin as a min-of-struct
+    * aggregate (map-side combinable, never a window). */
+  private def pqAssign(slices: DataFrame, codebooks: DataFrame, idCol: String): DataFrame =
+    slices
+      .join(broadcast(codebooks), Seq("subspace"))
+      .select(col(idCol), col("subspace"), col("sv"),
+        struct(dist2(col("sv"), col("cvec")).as("d"), col("cell").as("cell")).as("__dc"))
+      .groupBy(col(idCol), col("subspace"))
+      .agg(min(col("__dc")).as("__m"), first(col("sv")).as("sv"))
+      .select(col(idCol), col("subspace"), col("sv"),
+        col("__m.cell").as("code"), col("__m.d").as("dist2"))
+
+  /** One grouped Lloyd update across all subspaces: exact per-
+    * (subspace, cell, dim) micro-sums, k·m·(dim/m) = k·dim rows out
+    * of the aggregate whatever the corpus size. */
+  private def pqUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("subspace"), col("code").as("cell"),
+        posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy(col("subspace"), col("cell"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("v") * 1000000, 0).cast("long")).as("s"))
+      .groupBy(col("subspace"), col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          (col("s").cast("double") / col("n") / lit(1000000.0)).as("c")))),
+        x => x.getField("c")).as("cvec"))
+
+  /** Train per-subspace codebooks and encode the corpus in one call:
+    * `iters` grouped Lloyd iterations (seeds = the k lowest-id
+    * vectors' slices, cells 0..k-1 in id order — [[seedCentroids]]'
+    * convention per subspace), then the final assignment IS the
+    * encoding. Returns (codes, codebooks):
+    * codes = (idCol, subspace, code, dist2) — m rows per vector, the
+    * PQ index payload; codebooks = (subspace, cell, cvec).
+    *
+    * Scale shape per iteration: one broadcast of m·k codebook rows,
+    * one argmin aggregate, one k·dim-row micro-sum — flat in corpus
+    * size; the slice explode multiplies rows by m but each carries
+    * dim/m values, so total bytes stay ~constant. */
+  def pqTrainEncode(embeddings: DataFrame, m: Int, k: Int, iters: Int, dim: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, DataFrame) = {
+    require(k > 0 && iters > 0, s"k and iters must be positive: k=$k iters=$iters")
+    val slices = pqSlices(embeddings, m, dim, idCol, vecCol).localCheckpoint()
+    val seedIds = embeddings.orderBy(col(idCol)).limit(k)
+      .select(col(idCol),
+        (row_number().over(Window.orderBy(col(idCol))) - 1).as("cell"))
+    var codebooks = slices.join(broadcast(seedIds), Seq(idCol))
+      .select(col("subspace"), col("cell"), col("sv").as("cvec"))
+    var assigned = pqAssign(slices, codebooks, idCol)
+    for (_ <- 2 to iters) {
+      codebooks = pqUpdate(assigned)
+      assigned = pqAssign(slices, codebooks, idCol)
+    }
+    (assigned.select(col(idCol), col("subspace"), col("code"), col("dist2")),
+      codebooks)
+  }
+
+  /** Asymmetric-distance (ADC) top-k: approximate squared L2 from the
+    * query's RAW slices to each base vector's RECONSTRUCTION — the
+    * codes table joins its codebook entries (a broadcast of m·k rows;
+    * at scale this join is the in-memory distance-table lookup of the
+    * PQ paper), per-subspace partial distances fold in subspace order
+    * (array_sort + left fold — the engine-portable summation
+    * discipline), and TakeOrderedAndProject keeps k rows. The base
+    * corpus is never touched — ADC reads codes only, m bytes per
+    * vector. */
+  def pqTopK(codes: DataFrame, codebooks: DataFrame, query: Seq[Double],
+             m: Int, k: Int, idCol: String = "vec_id"): DataFrame = {
+    require(query.nonEmpty && query.size % m == 0,
+      s"query dim ${query.size} not divisible by m $m")
+    val w = query.size / m
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val qSlices = query.grouped(w).zipWithIndex
+      .map { case (s, i) => (i, s) }.toSeq.toDF("subspace", "qs")
+    codes
+      .join(broadcast(codebooks.withColumnRenamed("cell", "code")),
+        Seq("subspace", "code"))
+      .join(broadcast(qSlices), Seq("subspace"))
+      .select(col(idCol),
+        struct(col("subspace"), dist2(col("qs"), col("cvec")).as("d")).as("__sd"))
+      .groupBy(col(idCol))
+      .agg(aggregate(
+        transform(array_sort(collect_list(col("__sd"))), x => x.getField("d")),
+        lit(0.0), _ + _).as("adc_dist2"))
+      .orderBy(col("adc_dist2").asc, col(idCol).asc)
+      .limit(k)
+  }
 }

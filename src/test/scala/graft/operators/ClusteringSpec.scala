@@ -102,4 +102,43 @@ class ClusteringSpec extends SparkSuite {
     assert(exact.intersect(probed).size >= 6,
       s"IVF(nprobe=4 of 8) recall too low: ${exact.intersect(probed)}")
   }
+
+  test("pqTrainEncode emits m codes per vector in [0, k), stable under partitioning") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (codes, cbs) = Clustering.pqTrainEncode(emb, m = 4, k = 8, iters = 2, dim = 64)
+    val n = emb.count()
+    val rows = codes.collect()
+    assert(rows.length === 4 * n)
+    assert(rows.forall { r =>
+      val c = r.getInt(2); c >= 0 && c < 8 && r.getInt(1) >= 0 && r.getInt(1) < 4
+    })
+    // codebooks: one cvec of dim/m doubles per (subspace, cell)
+    val cb = cbs.collect()
+    assert(cb.forall(_.getSeq[Double](2).size === 16))
+    // repartitioning must not change a single code (micro-sum discipline)
+    val (codes2, _) = Clustering.pqTrainEncode(
+      emb.repartition(13), m = 4, k = 8, iters = 2, dim = 64)
+    assert(codes.select("vec_id", "subspace", "code").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq ===
+      codes2.select("vec_id", "subspace", "code").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq)
+  }
+
+  test("pq reconstruction error shrinks with training; ADC finds the query's cluster") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def sse(iters: Int): Double = {
+      val (codes, _) = Clustering.pqTrainEncode(emb, m = 4, k = 8, iters = iters, dim = 64)
+      codes.agg(sum(col("dist2"))).head().getDouble(0)
+    }
+    val s1 = sse(1); val s3 = sse(3)
+    assert(s3 < s1, s"training did not reduce reconstruction SSE: $s1 -> $s3")
+    // ADC ranking approximates exact top-k (generous floor: PQ at
+    // m=4,k=8 is a coarse 12-bit code; we only demand real signal)
+    val (codes, cbs) = Clustering.pqTrainEncode(emb, m = 4, k = 8, iters = 3, dim = 64)
+    val q = Similarity.vectorOf(emb, 7L)
+    val adcTop = Clustering.pqTopK(codes, cbs, q, m = 4, k = 25)
+      .collect().map(_.getLong(0)).toSet
+    // the query itself must be among its own nearest reconstructions
+    assert(adcTop.contains(7L), "ADC lost the query vector itself")
+  }
 }
