@@ -1258,6 +1258,26 @@ object SparkEntry {
         round(col("dist2"), 6).as("dist2"))
         .orderBy(col("vec_id"), col("subspace"))
     }),
+    // PQ recall audit ([EXT]): ADC top-10 vs the exact L2 top-10 in
+    // one certified row — the q_lsh_recall discipline for the PQ
+    // index (measured recall, not a hope)
+    "q_pq_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = Similarity.vectorOf(emb, 1L)
+      val (codes, cbs) = graft.operators.Clustering.pqTrainEncode(
+        emb, m = 16, k = 16, iters = 2, dim = 64)
+      val adc = Clustering.pqTopK(codes, cbs, q, m = 16, k = 10).select(col("vec_id"))
+      val exact = emb.select(col("vec_id"),
+        Clustering.dist2(Similarity.asDouble(col("embedding")),
+          array(q.map(lit): _*)).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10).select(col("vec_id"))
+      val hits = exact.join(adc, Seq("vec_id"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(adc.agg(count(lit(1)).as("n_adc")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_adc"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double")).as("recall"))
+    }),
     // ADC search over the PQ index: codes + codebooks only, the base
     // vectors never re-read; per-subspace partials fold in subspace
     // order so the top-10 selection is engine-exact
@@ -1536,20 +1556,23 @@ object SparkEntry {
          SELECT state, units, units / 1000000000000.0 AS rank
          FROM r20 ORDER BY units DESC, state"""
     }
-    // Shared PQ training replay (Clustering.pqTrainEncode m=4 k=8
-    // iters=2 dim=64): slices, lowest-id seeds, one micro-sum Lloyd
-    // update, final assignment — the q_kmeans oracle with a subspace
-    // dimension. MATERIALIZED pins each stage to one evaluation.
-    val pqTrainCtes = {
+    // Shared PQ training replay (Clustering.pqTrainEncode iters=2
+    // dim=64, parameterized over m subspaces × k cells): slices,
+    // lowest-id seeds, one micro-sum Lloyd update, final assignment —
+    // the q_kmeans oracle with a subspace dimension. MATERIALIZED pins
+    // each stage to one evaluation.
+    def pqTrainCtes(m: Int, k: Int) = {
+      val w = 64 / m
+      val subs = (0 until m).mkString(", ")
       val dist = "list_reduce([(sv[i]-cvec[i])*(sv[i]-cvec[i]) " +
         "for i in range(1, len(sv)+1)], (x, y) -> x + y)"
       s"""e AS MATERIALIZED (
               SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
           sl AS MATERIALIZED (
-              SELECT vec_id, s.s AS subspace, v[s.s*16+1 : (s.s+1)*16] AS sv
-              FROM e, (SELECT unnest([0, 1, 2, 3]) AS s) s),
+              SELECT vec_id, s.s AS subspace, v[s.s*$w+1 : (s.s+1)*$w] AS sv
+              FROM e, (SELECT unnest([$subs]) AS s) s),
           sd AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
-                 FROM e ORDER BY vec_id LIMIT 8),
+                 FROM e ORDER BY vec_id LIMIT $k),
           c0 AS (SELECT sl.subspace, sd.cell, sl.sv AS cvec
                  FROM sl JOIN sd USING (vec_id)),
           a1 AS MATERIALIZED (
@@ -3287,12 +3310,12 @@ object SparkEntry {
              unnest(codes) AS code, max_abs_err
            FROM f ORDER BY vec_id, pos""",
       "q_pq_encode" -> // the grouped per-subspace replay of the q_kmeans oracle
-        s"""WITH $pqTrainCtes
+        s"""WITH ${pqTrainCtes(4, 8)}
            SELECT vec_id, subspace, CAST(cell AS INTEGER) AS code,
              round(d, 6) AS dist2
            FROM a2 ORDER BY vec_id, subspace""",
       "q_pq_adc" -> // ADC distances fold in subspace order on both engines
-        s"""WITH $pqTrainCtes,
+        s"""WITH ${pqTrainCtes(4, 8)},
                q AS (SELECT v FROM e WHERE vec_id = 1),
                qs AS (SELECT s.s AS subspace, q.v[s.s*16+1 : (s.s+1)*16] AS qsv
                       FROM q, (SELECT unnest([0, 1, 2, 3]) AS s) s),
@@ -3311,6 +3334,35 @@ object SparkEntry {
                        ORDER BY adc_raw, vec_id LIMIT 10)
            SELECT vec_id, round(adc_raw, 6) AS adc_dist2
            FROM sel ORDER BY adc_raw, vec_id""",
+      "q_pq_recall" -> // ADC top-10 ∩ exact L2 top-10, one certified row;
+        // m=16×k=16 (64-bit codes) — the production-shaped config, vs
+        // the compact-code extreme certified by q_pq_encode/q_pq_adc
+        s"""WITH ${pqTrainCtes(16, 16)},
+               q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+               qs AS (SELECT s.s AS subspace, q.qv[s.s*4+1 : (s.s+1)*4] AS qsv
+                      FROM q, (SELECT unnest([${(0 until 16).mkString(", ")}]) AS s) s),
+               pd AS (SELECT a2.vec_id, a2.subspace,
+                        list_reduce([(qs.qsv[i] - m1.cvec[i]) * (qs.qsv[i] - m1.cvec[i])
+                                     for i in range(1, len(qs.qsv)+1)],
+                          (x, y) -> x + y) AS d
+                      FROM a2
+                      JOIN m1 ON m1.subspace = a2.subspace AND m1.cell = a2.cell
+                      JOIN qs ON qs.subspace = a2.subspace),
+               adc AS (SELECT vec_id,
+                         list_reduce(list(d ORDER BY subspace), (x, y) -> x + y)
+                           AS adc_raw
+                       FROM pd GROUP BY vec_id),
+               sel AS (SELECT vec_id FROM adc ORDER BY adc_raw, vec_id LIMIT 10),
+               ex AS (SELECT e.vec_id,
+                        list_reduce([(e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i])
+                                     for i in range(1, len(e.v)+1)],
+                          (x, y) -> x + y) AS d
+                      FROM e, q ORDER BY d, vec_id LIMIT 10)
+           SELECT (SELECT count(*) FROM ex) AS n_exact,
+             (SELECT count(*) FROM sel) AS n_adc,
+             (SELECT count(*) FROM ex JOIN sel USING (vec_id)) AS n_hit,
+             (SELECT count(*) FROM ex JOIN sel USING (vec_id))::DOUBLE /
+               (SELECT count(*) FROM ex) AS recall""",
       "q_kmeans" -> // seeds=lowest ids; micro-sum updates; fold distances
         """WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
                c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
