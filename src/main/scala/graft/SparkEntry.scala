@@ -729,6 +729,16 @@ object SparkEntry {
       Profile.cmsEstimates(Profile.cmsShards(toks, "source", "term"),
         Seq("join", "hash", "row", "batch", "scan", "column"))
     }),
+    // EXACT order statistic ([EXT]): the median of the fact measure
+    // in cents, by iterative range-narrowing histograms — ≤ 6 pushed-
+    // filter scans and zero shuffles at ANY scale, where a sort-based
+    // median is a full-data shuffle. The oracle is the plain
+    // ORDER BY/OFFSET spelling.
+    "q_exact_median" -> ((s, d) =>
+      Profile.exactMedianLong(
+        t(s, d, "lineitem").select(
+          (col("l_extendedprice") * 100).cast("long").as("cents")),
+        "cents")),
     // EXACT heavy hitters ([EXT]): Misra-Gries candidate pass (≤ 32
     // counters shuffled, never the distinct-key space) + exact
     // recount of the candidates — deterministic superset guarantee
@@ -2375,6 +2385,14 @@ object SparkEntry {
         """SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id, event_type,
              value, props
            FROM events ORDER BY event_id""",
+      "q_exact_median" -> // multi-pass selection == ORDER BY/OFFSET
+        """WITH v AS (SELECT CAST(l_extendedprice * 100 AS BIGINT) AS cents
+                      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+               nn AS (SELECT count(*) AS n FROM v)
+           SELECT (SELECT (n + 1) // 2 FROM nn) AS rank,
+             (SELECT cents FROM v ORDER BY cents
+              LIMIT 1 OFFSET (SELECT (n + 1) // 2 - 1 FROM nn)) AS value,
+             (SELECT n FROM nn) AS n""",
       "q_heavy_hitters" -> // exact two-pass heavy hitters == plain GROUP BY/HAVING
         """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
                         FROM documents WHERE text IS NOT NULL),

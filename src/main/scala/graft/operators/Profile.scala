@@ -186,6 +186,69 @@ object Profile {
       .orderBy(col("n").desc, col("item"))
   }
 
+  /** EXACT order statistic at scale ([EXT]): the rank-th smallest
+    * value (1-based, multiset semantics) of a long-valued column via
+    * iterative range narrowing — the classic external selection
+    * algorithm. Each pass histograms the surviving value window into
+    * `bins` buckets with ONE filtered aggregate (≤ `bins` rows back to
+    * the driver), then descends into the bucket containing the rank;
+    * the window shrinks ×bins per pass, so even a full 64-bit range
+    * resolves in ≤ ⌈64/log₂bins⌉ = 6 scans, each cheaper than the
+    * last (the narrowing `v BETWEEN lo AND hi` predicate is pushed
+    * into the columnar scan, so parquet row groups outside the
+    * window min/max prune away entirely).
+    *
+    * This is what "exact median of 100 TB" has to look like: a global
+    * sort is a full-data shuffle, Spark's exact `percentile` buffers
+    * whole groups in memory, and `approx_percentile` gives up
+    * exactness. Bounded passes, exact answer, no shuffle at all —
+    * the only cluster traffic is `bins` partial counts per pass. */
+  def exactKthLong(df: DataFrame, c: String, rank: Long, bins: Int = 4096): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val vals = df.select(col(c).cast("long").as("v")).where(col("v").isNotNull)
+    val st = vals.agg(min(col("v")), max(col("v")), count(lit(1))).head()
+    val n = st.getLong(2)
+    require(n > 0, s"exactKthLong: no non-null values in $c")
+    require(rank >= 1 && rank <= n, s"rank $rank out of [1, $n]")
+    var lo = st.getLong(0)
+    var hi = st.getLong(1)
+    // value windows wider than Long.MaxValue can't be binned with
+    // long arithmetic — reject loudly rather than overflow silently
+    require(Math.subtractExact(hi, lo) >= 0,
+      s"value range [$lo, $hi] exceeds Long.MaxValue — rescale the column first")
+    var kLeft = rank
+    while (lo < hi) {
+      val width = (hi - lo) / bins + 1
+      val hist = vals
+        .where(col("v") >= lo && col("v") <= hi)
+        .groupBy(expr(s"(v - ${lo}L) div ${width}L").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().sortBy(_.getLong(0)) // bounded: ≤ bins rows
+      var acc = 0L
+      var chosen = -1L
+      hist.foreach { r =>
+        if (chosen < 0) {
+          val cnt = r.getLong(1)
+          if (acc + cnt >= kLeft) { chosen = r.getLong(0); kLeft -= acc }
+          else acc += cnt
+        }
+      }
+      lo = lo + chosen * width
+      hi = math.min(hi, lo + width - 1)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((rank, lo, n)).toDF("rank", "value", "n")
+  }
+
+  /** Lower median: the ⌈n/2⌉-th smallest value — [[exactKthLong]] at
+    * the halfway rank. */
+  def exactMedianLong(df: DataFrame, c: String, bins: Int = 4096): DataFrame = {
+    val n = df.select(col(c).cast("long").as("v"))
+      .where(col("v").isNotNull).count()
+    exactKthLong(df, c, (n + 1) / 2, bins)
+  }
+
   // ---- KMV (k-minimum-values) distinct sketches ([EXT]) ----
   // The ENGINE-PORTABLE member of the sketch family: where the HLL
   // and CMS paths hash with Spark-internal families (rows-only

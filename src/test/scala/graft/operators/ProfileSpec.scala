@@ -371,4 +371,43 @@ class ProfileSpec extends SparkSuite {
     assert(interAC < 700.0,
       s"disjoint intersection stays near 0 (clamped): $interAC")
   }
+
+  test("exactKthLong matches sorted-rank truth across ranks, dups, negatives") {
+    val rnd = new scala.util.Random(23)
+    val data = Seq.fill(997)(rnd.nextInt(2000).toLong - 1000) ++
+      Seq.fill(50)(-123L) // a heavy duplicate
+    val df = data.toDF("v")
+    val sorted = data.sorted
+    for (rank <- Seq(1L, 2L, 500L, data.size / 2L, data.size.toLong)) {
+      val r = Profile.exactKthLong(df, "v", rank, bins = 16).head()
+      assert(r.getLong(0) === rank)
+      assert(r.getLong(1) === sorted((rank - 1).toInt), s"rank $rank")
+      assert(r.getLong(2) === data.size.toLong)
+    }
+  }
+
+  test("exactKthLong survives a huge value range (multiple narrowing passes)") {
+    val data = Seq(Long.MinValue / 4, -5L, 0L, 3L, 3L, Long.MaxValue / 4, 17L)
+    val df = data.toDF("v")
+    val sorted = data.sorted
+    (1 to data.size).foreach { k =>
+      assert(Profile.exactKthLong(df, "v", k.toLong).head().getLong(1)
+        === sorted(k - 1), s"rank $k")
+    }
+  }
+
+  test("exactMedianLong is the lower median and ignores nulls") {
+    val df = Seq(Some(10L), Some(20L), Some(30L), Some(40L), None).toDF("v")
+    val r = Profile.exactMedianLong(df, "v").head()
+    // n = 4 non-null, lower median = 2nd smallest = 20
+    assert(r.getLong(0) === 2L && r.getLong(1) === 20L && r.getLong(2) === 4L)
+  }
+
+  test("exactKthLong rejects out-of-range ranks and overflowing windows") {
+    val df = Seq(1L, 2L).toDF("v")
+    intercept[IllegalArgumentException](Profile.exactKthLong(df, "v", 0L))
+    intercept[IllegalArgumentException](Profile.exactKthLong(df, "v", 3L))
+    val wide = Seq(Long.MinValue, Long.MaxValue).toDF("v")
+    intercept[ArithmeticException](Profile.exactKthLong(wide, "v", 1L))
+  }
 }
