@@ -347,6 +347,13 @@ object SparkEntry {
     "q_sample" -> ((s, d) =>
       Sampling.byHash(t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
         "o_orderkey", 0.2).orderBy(col("o_orderkey"))),
+    // exactly-k bottom-k sample ([EXT]): count-exact, nested, and
+    // TakeOrderedAndProject-planned (per-partition top-k, no global
+    // sort shuffle) — the deterministic reservoir
+    "q_exact_sample" -> ((s, d) =>
+      Sampling.exactSize(
+        t(s, d, "documents").select("doc_id", "source"), "doc_id", 100)
+        .orderBy(col("doc_id"))),
     "q_stratified_sample" -> ((s, d) =>
       Sampling.stratifiedByHash(
         t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
@@ -2165,6 +2172,12 @@ object SparkEntry {
         """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
            WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 10000 < 2000
            ORDER BY o_orderkey""",
+      "q_exact_sample" -> // bottom-k by the 60-bit portable key
+        """SELECT doc_id, source FROM (
+             SELECT doc_id, source FROM documents
+             ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
+             LIMIT 100)
+           ORDER BY doc_id""",
       "q_stratified_sample" ->
         """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
            WHERE ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 8))::BIGINT % 10000 <

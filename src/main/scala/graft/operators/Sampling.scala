@@ -283,4 +283,31 @@ object Sampling {
     }
     df.where(hashBp(col(idCol)) < rateBp)
   }
+
+  /** 60-bit engine-portable sample key (the gramFp spelling on the
+    * row id): fine enough that real-world id sets see no ties, and
+    * any tie is broken by the id itself at the call sites. */
+  def sampleKey(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** EXACTLY-k uniform sample ([EXT]): the k rows with the smallest
+    * hash keys — "bottom-k sampling", the deterministic counterpart
+    * of reservoir sampling. Where [[byHash]] keeps a RATE (±binomial
+    * noise in the count), this keeps a COUNT ("sample exactly 10M
+    * docs for the ablation"), and the two compose: both are nested
+    * (the bottom-k set is a strict subset of the bottom-k' set for
+    * k < k'), so growing a sample never discards chosen rows.
+    *
+    * Scale shape: `ORDER BY key LIMIT k` plans as
+    * TakeOrderedAndProject — each partition reduces to its own top-k,
+    * the driver merges numPartitions·k rows, NO global sort-shuffle.
+    * That bounds the driver at partitions·k rows: fine up to k in the
+    * ~1M range; for larger k, pre-thin with a range filter on the
+    * SAME [[sampleKey]] (`sampleKey < c·k/n · 2^60`) first — same-key
+    * thinning composes exactly (the surviving bottom-k is unchanged),
+    * whereas thinning with [[byHash]]'s coarser key would not. */
+  def exactSize(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 0, s"k must be >= 0: $k")
+    df.orderBy(sampleKey(col(idCol)), col(idCol)).limit(k)
+  }
 }

@@ -247,4 +247,35 @@ class SamplingSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(4)))
     assert(out.toSeq === Seq((1L, 60L), (2L, 90L), (4L, 100L)))
   }
+
+  test("exactSize returns exactly k rows, nested across k, stable under partitioning") {
+    val df = (1L to 500L).toDF("id")
+    val s50 = Sampling.exactSize(df, "id", 50).collect().map(_.getLong(0)).toSet
+    val s200 = Sampling.exactSize(df, "id", 200).collect().map(_.getLong(0)).toSet
+    assert(s50.size === 50 && s200.size === 200)
+    assert(s50.subsetOf(s200), "bottom-k samples must nest")
+    val s50r = Sampling.exactSize(df.repartition(17), "id", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(s50 === s50r)
+    // k beyond n returns everything; k=0 nothing
+    assert(Sampling.exactSize(df, "id", 1000).count() === 500L)
+    assert(Sampling.exactSize(df, "id", 0).count() === 0L)
+  }
+
+  test("exactSize composes exactly with same-key range pre-thinning") {
+    val df = (1L to 2000L).toDF("id")
+    val direct = Sampling.exactSize(df, "id", 30).collect().map(_.getLong(0)).toSet
+    // pre-thin on the SAME sample key at a threshold far above the
+    // 30th-smallest key (~0.2 of the 2^60 key space vs ~0.015
+    // expected), then bottom-k — must select the identical set.
+    // NOTE: byHash uses a different (8-hex-char) key, so thinning
+    // with byHash would NOT compose — same-key thinning is the
+    // contract the scaladoc prescribes.
+    val threshold = (BigInt(16).pow(15) / 5).toLong
+    val thinned = Sampling.exactSize(
+      df.where(Sampling.sampleKey(org.apache.spark.sql.functions.col("id"))
+        < org.apache.spark.sql.functions.lit(threshold)), "id", 30)
+      .collect().map(_.getLong(0)).toSet
+    assert(direct === thinned)
+  }
 }
