@@ -49,8 +49,21 @@ object Graph {
     * distributed, so millions of states (domains, URLs) iterate at
     * one shuffle per step.
     */
-  def stationaryDistribution(edges: DataFrame, iters: Int): DataFrame = {
+  def stationaryDistribution(edges: DataFrame, iters: Int,
+                             driverEdgeLimit: Long = 1000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    // Small-graph fast path (the connectedKeepers union-find
+    // discipline): below `driverEdgeLimit` edges — a BOUNDED collect —
+    // the whole iteration runs on the driver in exact BigInt
+    // arithmetic. Identical results by construction (same integer
+    // update, same truncation; GraphSpec proves distributed ==
+    // sequential bit-for-bit), but ~60 Spark jobs collapse to one
+    // collect + one parallelize: iterative plans over tiny state
+    // tables are pure scheduler/codegen overhead. The distributed
+    // loop below stays the scale path for web-graph-sized inputs.
+    val edgeCount = edges.limit((driverEdgeLimit + 1).toInt).count()
+    if (edgeCount <= driverEdgeLimit)
+      return stationaryOnDriver(edges, iters)
     val states = edges.select(col("from_type").as("state"))
       .unionByName(edges.select(col("to_type").as("state")))
       .distinct()
@@ -61,7 +74,7 @@ object Graph {
       .agg(sum(col("n")).as("outn"))
     val tele = (3L * MassUnits) / (20L * n)
     var r = states.withColumn("units", lit(MassUnits / n))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val dangling = r.join(outs, Seq("state"), "left_anti")
         .agg(coalesce(sum(col("units")), lit(0L)).as("d"))
       val contrib = r.join(outs, Seq("state"))
@@ -76,10 +89,47 @@ object Graph {
         .select(col("state"),
           (lit(tele) + expr(s"(17 * d) div (20 * $n)") +
             coalesce(col("c"), lit(0L))).as("units"))
-        .localCheckpoint()
+      // pin lineage every few steps, not every step: each checkpoint
+      // is an eager job, and per-job latency (not data) dominates the
+      // tiny-state case — a 4-step plan stays small while cutting the
+      // job count 4×. The final step always checkpoints so callers
+      // get a bounded plan.
+      if (i % 4 == 3 || i == iters - 1) r = r.localCheckpoint()
     }
     r.select(col("state"), col("units"),
       (col("units").cast("double") / lit(1.0e12)).as("rank"))
+      .orderBy(col("units").desc, col("state"))
+  }
+
+  /** The driver-side twin of the distributed loop — same integer
+    * update, same truncating division (BigInt holds the 17·r·n
+    * products the distributed path holds in DECIMAL(38,0)). */
+  private def stationaryOnDriver(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("from_type").cast("string"),
+      col("to_type").cast("string"), col("n").cast("long"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(es.nonEmpty, "stationaryDistribution needs a non-empty edge table")
+    val states = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val n = states.length.toLong
+    val out = es.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val inbound = es.groupBy(_._2)
+    val tele = (3L * MassUnits) / (20L * n)
+    var r = states.map(_ -> MassUnits / n).toMap
+    for (_ <- 0 until iters) {
+      val d = states.iterator.filterNot(out.contains).map(r).sum
+      val dShare = (17L * d) / (20L * n)
+      r = states.map { j =>
+        val contrib = inbound.getOrElse(j, Array.empty[(String, String, Long)])
+          .iterator.map { case (i, _, w) =>
+            ((BigInt(17) * r(i) * w) / (BigInt(20) * out(i))).toLong
+          }.sum
+        j -> (tele + dShare + contrib)
+      }.toMap
+    }
+    states.toSeq.map(s => (s, r(s), r(s).toDouble / 1.0e12))
+      .toDF("state", "units", "rank")
       .orderBy(col("units").desc, col("state"))
   }
 }

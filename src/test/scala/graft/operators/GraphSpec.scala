@@ -29,19 +29,24 @@ class GraphSpec extends SparkSuite {
     r
   }
 
-  private def run(edges: Seq[(String, String, Long)], iters: Int): Map[String, Long] =
+  private def run(edges: Seq[(String, String, Long)], iters: Int,
+                  driverEdgeLimit: Long = 1000000L): Map[String, Long] =
     Graph.stationaryDistribution(
-      edges.toDF("from_type", "to_type", "n"), iters)
+      edges.toDF("from_type", "to_type", "n"), iters, driverEdgeLimit)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-  test("distributed iteration equals the sequential BigInt reference exactly") {
+  test("BOTH paths (driver fast path and distributed loop) equal the BigInt reference") {
     val rnd = new scala.util.Random(19)
     val states = (0 until 9).map(i => s"s$i")
     val edges = (for {
       i <- states; j <- states if i != j && rnd.nextInt(3) == 0
     } yield (i, j, 1L + rnd.nextInt(50).toLong)).toSeq
     for (iters <- Seq(1, 5, 12)) {
-      assert(run(edges, iters) === reference(edges, iters), s"iters=$iters")
+      val want = reference(edges, iters)
+      assert(run(edges, iters) === want, s"driver path, iters=$iters")
+      // driverEdgeLimit=0 forces the distributed loop on the same input
+      assert(run(edges, iters, driverEdgeLimit = 0L) === want,
+        s"distributed path, iters=$iters")
     }
   }
 
