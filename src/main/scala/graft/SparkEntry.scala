@@ -1306,6 +1306,21 @@ object SparkEntry {
         .select(col("vec_id"), round(col("adc_dist2"), 6).as("adc_dist2"))
         .orderBy(col("adc_dist2"), col("vec_id"))
     }),
+    // the PRODUCTION probe shape: same ADC math, but codes+codebooks
+    // round-trip a persisted parquet index first — base vectors and
+    // training never touched at query time (the q_jaccard_persisted
+    // discipline, so the q_pq_adc oracle certifies this path too)
+    "q_pq_persisted" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val (codes, cbs) = graft.operators.Clustering.pqTrainEncode(
+        emb, m = 4, k = 8, iters = 2, dim = 64)
+      val root = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+      Clustering.pqWriteIndex(codes, cbs, root)
+      val (codes2, cbs2) = Clustering.pqReadIndex(s, root)
+      Clustering.pqTopK(codes2, cbs2, Similarity.vectorOf(emb, 1L), m = 4, k = 10)
+        .select(col("vec_id"), round(col("adc_dist2"), 6).as("adc_dist2"))
+        .orderBy(col("adc_dist2"), col("vec_id"))
+    }),
     // SemDeDup: within-cell cosine pairs on the same deterministic
     // quantizer; one-hop min-id keeper flag
     "q_semantic_dedup" -> ((s, d) =>
@@ -1613,6 +1628,29 @@ object SparkEntry {
               QUALIFY row_number() OVER (PARTITION BY sl.vec_id, sl.subspace
                 ORDER BY d, m1.cell) = 1)"""
     }
+    // ADC distances fold in subspace order on both engines; shared by
+    // the in-memory (q_pq_adc) and persisted-index (q_pq_persisted)
+    // probe paths.
+    val pqAdcOracle =
+      s"""WITH ${pqTrainCtes(4, 8)},
+             q AS (SELECT v FROM e WHERE vec_id = 1),
+             qs AS (SELECT s.s AS subspace, q.v[s.s*16+1 : (s.s+1)*16] AS qsv
+                    FROM q, (SELECT unnest([0, 1, 2, 3]) AS s) s),
+             pd AS (SELECT a2.vec_id, a2.subspace,
+                      list_reduce([(qs.qsv[i] - m1.cvec[i]) * (qs.qsv[i] - m1.cvec[i])
+                                   for i in range(1, len(qs.qsv)+1)],
+                        (x, y) -> x + y) AS d
+                    FROM a2
+                    JOIN m1 ON m1.subspace = a2.subspace AND m1.cell = a2.cell
+                    JOIN qs ON qs.subspace = a2.subspace),
+             adc AS (SELECT vec_id,
+                       list_reduce(list(d ORDER BY subspace), (x, y) -> x + y)
+                         AS adc_raw
+                     FROM pd GROUP BY vec_id),
+             sel AS (SELECT vec_id, adc_raw FROM adc
+                     ORDER BY adc_raw, vec_id LIMIT 10)
+         SELECT vec_id, round(adc_raw, 6) AS adc_dist2
+         FROM sel ORDER BY adc_raw, vec_id"""
     Map(
       // MAD outliers: quantile_cont == Spark's exact percentile
       // interpolation; score/threshold are pure IEEE on exact inputs.
@@ -3345,26 +3383,11 @@ object SparkEntry {
            SELECT vec_id, subspace, CAST(cell AS INTEGER) AS code,
              round(d, 6) AS dist2
            FROM a2 ORDER BY vec_id, subspace""",
-      "q_pq_adc" -> // ADC distances fold in subspace order on both engines
-        s"""WITH ${pqTrainCtes(4, 8)},
-               q AS (SELECT v FROM e WHERE vec_id = 1),
-               qs AS (SELECT s.s AS subspace, q.v[s.s*16+1 : (s.s+1)*16] AS qsv
-                      FROM q, (SELECT unnest([0, 1, 2, 3]) AS s) s),
-               pd AS (SELECT a2.vec_id, a2.subspace,
-                        list_reduce([(qs.qsv[i] - m1.cvec[i]) * (qs.qsv[i] - m1.cvec[i])
-                                     for i in range(1, len(qs.qsv)+1)],
-                          (x, y) -> x + y) AS d
-                      FROM a2
-                      JOIN m1 ON m1.subspace = a2.subspace AND m1.cell = a2.cell
-                      JOIN qs ON qs.subspace = a2.subspace),
-               adc AS (SELECT vec_id,
-                         list_reduce(list(d ORDER BY subspace), (x, y) -> x + y)
-                           AS adc_raw
-                       FROM pd GROUP BY vec_id),
-               sel AS (SELECT vec_id, adc_raw FROM adc
-                       ORDER BY adc_raw, vec_id LIMIT 10)
-           SELECT vec_id, round(adc_raw, 6) AS adc_dist2
-           FROM sel ORDER BY adc_raw, vec_id""",
+      "q_pq_adc" -> pqAdcOracle,
+      // persisted-index twin: identical ADC math, probe side reads the
+      // materialized codes/codebooks — same oracle by construction
+      // (the q_jaccard_persisted discipline)
+      "q_pq_persisted" -> pqAdcOracle,
       "q_pq_recall" -> // ADC top-10 ∩ exact L2 top-10, one certified row;
         // m=16×k=16 (64-bit codes) — the production-shaped config, vs
         // the compact-code extreme certified by q_pq_encode/q_pq_adc

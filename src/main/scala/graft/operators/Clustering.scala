@@ -273,6 +273,23 @@ object Clustering {
       codebooks)
   }
 
+  /** Persist a trained PQ index — codes (m small ints per vector, the
+    * entire searchable payload) and codebooks as parquet tables; the
+    * probe side then never touches the base vectors OR retrains. The
+    * PQ twin of [[Similarity.ivfWriteIndex]]; at 100 TB the codes
+    * table is ~m bytes/vector vs 4·dim for raw floats — the artifact
+    * a billion-vector ANN service actually ships. */
+  def pqWriteIndex(codes: DataFrame, codebooks: DataFrame, root: String): Unit = {
+    codes.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/codes")
+    codebooks.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/codebooks")
+  }
+
+  def pqReadIndex(spark: org.apache.spark.sql.SparkSession,
+                  root: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$root/codes"), spark.read.parquet(s"$root/codebooks"))
+
   /** Asymmetric-distance (ADC) top-k: approximate squared L2 from the
     * query's RAW slices to each base vector's RECONSTRUCTION — the
     * codes table joins its codebook entries (a broadcast of m·k rows;

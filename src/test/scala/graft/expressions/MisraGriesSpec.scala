@@ -78,6 +78,41 @@ class MisraGriesSpec extends SparkSuite {
     assert(Profile.heavyHitters(df, "item", 4).count() === 0L)
   }
 
+  test("the aggregator streams: micro-batch partials preserve the MG guarantee") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mg-stream").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val rnd = new Random(31)
+    val items = Seq.fill(300)("hot") ++ Seq.fill(220)("warm") ++
+      (0 until 600).map(_ => s"c${rnd.nextInt(120)}")
+    val shuffled = rnd.shuffle(items)
+    // 4 files -> 4 micro-batches: state must merge across triggers
+    shuffled.grouped(280).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("item").coalesce(1).write.parquet(s"$dir/in/b$i")
+    }
+    val schema = spark.read.parquet(s"$dir/in/b0").schema
+    val k = 8
+    val agg = new MisraGriesAggregator(k)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+      .as[String].select(agg.toColumn.name("mg"))
+    val q = stream.writeStream.format("memory").queryName("mgstream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // the typed result flattens to (counts, n) columns in the sink
+    val buf = spark.sql("SELECT counts, n FROM mgstream").as[MGBuf].head()
+    val n = items.size
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(buf.n === n.toLong)
+    assert(buf.counts.size <= k)
+    buf.counts.foreach { case (w, c) =>
+      assert(c <= truth(w) && truth(w) - c <= n / (k + 1),
+        s"bound broken for $w after streaming")
+    }
+    truth.collect { case (w, c) if c > n.toDouble / (k + 1) => w }
+      .foreach(w => assert(buf.counts.contains(w), s"streamed summary lost $w"))
+  }
+
   test("heavyHitters ignores nulls and casts non-string keys") {
     val df = Seq(Some(1), Some(1), Some(1), Some(2), None).toDF("item")
     val got = Profile.heavyHitters(df, "item", 4).collect()
