@@ -226,6 +226,43 @@ object ScaleProbe {
       Windows.sessionizeBatch(ev, 1800000000L).count())
     time(s"scd2 x$factor")(
       Windows.scd2(ev, "user_id", "event_type", "event_id").count())
+    // round-8c: heavyHitters shuffles ≤ k MG counters per map task —
+    // linear in tokens and FLAT in distinct keys: the all-distinct
+    // probe multiplies the key space to ~|corpus| without widening
+    // the shuffle (the naive GROUP BY would shuffle every key).
+    // exactMedian is ≤ 6 pushed-filter scans, zero shuffles.
+    // intervalJoin pair output is bounded by interval density per
+    // bucket. pqTrainEncode reads the corpus once per iteration for
+    // ALL m subspaces (slices multiply rows ×m at 1/m width each).
+    val toks = docs.select(
+      explode(graft.functions.Text.tokens(lower(col("text")))).as("term"))
+      .where(length(col("term")) > 0)
+    val hh = time(s"heavyHitters k=32 x$factor")(
+      graft.operators.Profile.heavyHitters(toks, "term", 32).count())
+    println(s"[scale]   heavy hitters: $hh")
+    val wide = docs.select(
+      concat(col("doc_id"), lit(":"), col("source")).as("term"))
+    val hhWide = time(s"heavyHitters k=32 all-distinct x$factor")(
+      graft.operators.Profile.heavyHitters(wide, "term", 32).count())
+    println(s"[scale]   heavy hitters on all-distinct keys: $hhWide")
+    time(s"exactMedian n_chars x$factor")(
+      graft.operators.Profile.exactMedianLong(
+        docs.select(col("n_chars").as("v")), "v").count())
+    val sess = Windows.sessionizeBatch(ev, 1800000000L)
+      .select(col("user_id"), col("session_seq"),
+        col("start_us"), col("end_us")).cache()
+    println(s"[scale] sessions for interval join: ${sess.count()}")
+    val aIv = sess.select(col("user_id").as("ua"), col("session_seq").as("sa"),
+      col("start_us").as("s_a"), col("end_us").as("e_a"))
+    val bIv = sess.select(col("user_id").as("ub"), col("session_seq").as("sb"),
+      col("start_us").as("s_b"), col("end_us").as("e_b"))
+    val ivp = time(s"intervalJoin 1h buckets x$factor")(
+      graft.operators.AsOf.intervalJoin(aIv, bIv, Nil,
+        "s_a", "e_a", "s_b", "e_b", bucketWidth = 3600000000L)
+        .where(col("ua") < col("ub")).count())
+    println(s"[scale]   overlap pairs: $ivp")
+    time(s"pqTrainEncode m=4 k=8 x$factor")(
+      Clustering.pqTrainEncode(emb, m = 4, k = 8, iters = 2, dim = 64)._1.count())
     spark.stop()
   }
 }
