@@ -1303,8 +1303,11 @@ object SparkEntry {
       val (codes, cbs) = graft.operators.Clustering.pqTrainEncode(
         emb, m = 4, k = 8, iters = 2, dim = 64)
       Clustering.pqTopK(codes, cbs, Similarity.vectorOf(emb, 1L), m = 4, k = 10)
-        .select(col("vec_id"), round(col("adc_dist2"), 6).as("adc_dist2"))
+        // order on the RAW distance (matching the oracle's ORDER BY
+        // adc_raw), THEN project the 6-dp render — ordering on the
+        // rounded value could diverge from the oracle on near-ties
         .orderBy(col("adc_dist2"), col("vec_id"))
+        .select(col("vec_id"), round(col("adc_dist2"), 6).as("adc_dist2"))
     }),
     // the PRODUCTION probe shape: same ADC math, but codes+codebooks
     // round-trip a persisted parquet index first — base vectors and
@@ -1318,8 +1321,8 @@ object SparkEntry {
       Clustering.pqWriteIndex(codes, cbs, root)
       val (codes2, cbs2) = Clustering.pqReadIndex(s, root)
       Clustering.pqTopK(codes2, cbs2, Similarity.vectorOf(emb, 1L), m = 4, k = 10)
-        .select(col("vec_id"), round(col("adc_dist2"), 6).as("adc_dist2"))
         .orderBy(col("adc_dist2"), col("vec_id"))
+        .select(col("vec_id"), round(col("adc_dist2"), 6).as("adc_dist2"))
     }),
     // SemDeDup: within-cell cosine pairs on the same deterministic
     // quantizer; one-hop min-id keeper flag

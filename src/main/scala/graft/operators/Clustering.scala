@@ -208,8 +208,8 @@ object Clustering {
     embeddings
       .select(col(idCol), Similarity.asDouble(col(vecCol)).as("__v"))
       .select(col(idCol),
-        posexplode(expr(s"transform(sequence(1, $dim - ${w - 1}, $w), " +
-          "st -> slice(__v, st, $$w))".replace("$$w", w.toString)))
+        posexplode(expr(s"transform(sequence(1, ${dim - w + 1}, $w), " +
+          s"st -> slice(__v, st, $w))"))
           .as(Seq("subspace", "sv")))
   }
 

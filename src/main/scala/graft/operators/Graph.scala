@@ -61,7 +61,8 @@ object Graph {
     // collect + one parallelize: iterative plans over tiny state
     // tables are pure scheduler/codegen overhead. The distributed
     // loop below stays the scale path for web-graph-sized inputs.
-    val edgeCount = edges.limit((driverEdgeLimit + 1).toInt).count()
+    val edgeCount =
+      edges.limit(math.min(driverEdgeLimit + 1, Int.MaxValue.toLong).toInt).count()
     if (edgeCount <= driverEdgeLimit)
       return stationaryOnDriver(edges, iters)
     val states = edges.select(col("from_type").as("state"))

@@ -184,7 +184,7 @@ object Ngrams {
     // expectation ~1e-6 at billions of distinct grams (15 hex digits,
     // not 16 — a 16-digit value can exceed signed-long range in
     // engines that parse the hex literal as signed)
-    val gramHash = conv(substring(md5(col("ng")), 1, 15), 16, 10).cast("long")
+    val gramHash = graft.functions.Portable.fp60(col("ng"))
     val grams = docs.select(col(sourceCol).as("source"),
         Text.tokens(lower(col(textCol))).as("__toks"))
       .select(col("source"),
@@ -236,7 +236,7 @@ object Ngrams {
       .select(col("doc_id"),
         explode(array_distinct(wordNgramsOfTokens(col("__toks"), n))).as("ng"))
       .select(col("doc_id"),
-        conv(substring(md5(col("ng")), 1, 15), 16, 10).cast("long").as("fp"))
+        graft.functions.Portable.fp60(col("ng")).as("fp"))
     val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     val perDoc = grams
       .withColumn("df", count(lit(1)).over(byFp))
@@ -290,7 +290,7 @@ object Ngrams {
       .select(col("doc_id"),
         posexplode(wordNgramsOfTokens(col("__toks"), n)).as(Seq("pos", "ng")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        conv(substring(md5(col("ng")), 1, 15), 16, 10).cast("long").as("fp"))
+        graft.functions.Portable.fp60(col("ng")).as("fp"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val tail = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .orderBy(col("pos")).rowsBetween(0, w - 1)

@@ -203,12 +203,24 @@ object Profile {
     * whole groups in memory, and `approx_percentile` gives up
     * exactness. Bounded passes, exact answer, no shuffle at all —
     * the only cluster traffic is `bins` partial counts per pass. */
-  def exactKthLong(df: DataFrame, c: String, rank: Long, bins: Int = 4096): DataFrame = {
+  def exactKthLong(df: DataFrame, c: String, rank: Long, bins: Int = 4096): DataFrame =
+    exactKthImpl(df, c, _ => rank, bins)
+
+  /** Lower median: the ⌈n/2⌉-th smallest value — [[exactKthLong]] at
+    * the halfway rank. The rank derives from the count the first
+    * narrowing aggregate already computes, so there is NO extra
+    * pre-count scan. */
+  def exactMedianLong(df: DataFrame, c: String, bins: Int = 4096): DataFrame =
+    exactKthImpl(df, c, n => (n + 1) / 2, bins)
+
+  private def exactKthImpl(df: DataFrame, c: String, rankOf: Long => Long,
+                           bins: Int): DataFrame = {
     require(bins >= 2, s"bins must be >= 2: $bins")
     val vals = df.select(col(c).cast("long").as("v")).where(col("v").isNotNull)
     val st = vals.agg(min(col("v")), max(col("v")), count(lit(1))).head()
     val n = st.getLong(2)
     require(n > 0, s"exactKthLong: no non-null values in $c")
+    val rank = rankOf(n)
     require(rank >= 1 && rank <= n, s"rank $rank out of [1, $n]")
     var lo = st.getLong(0)
     var hi = st.getLong(1)
@@ -234,19 +246,15 @@ object Profile {
         }
       }
       lo = lo + chosen * width
-      hi = math.min(hi, lo + width - 1)
+      // overflow-safe upper bound: `lo + width - 1` can wrap past
+      // Long.MaxValue when the chosen bucket abuts the top of the
+      // range (silently exiting a pass early with a WRONG answer) —
+      // compare in subtracted form instead
+      hi = if (lo > hi - (width - 1)) hi else lo + width - 1
     }
     val spark = df.sparkSession
     import spark.implicits._
     Seq((rank, lo, n)).toDF("rank", "value", "n")
-  }
-
-  /** Lower median: the ⌈n/2⌉-th smallest value — [[exactKthLong]] at
-    * the halfway rank. */
-  def exactMedianLong(df: DataFrame, c: String, bins: Int = 4096): DataFrame = {
-    val n = df.select(col(c).cast("long").as("v"))
-      .where(col("v").isNotNull).count()
-    exactKthLong(df, c, (n + 1) / 2, bins)
   }
 
   // ---- KMV (k-minimum-values) distinct sketches ([EXT]) ----
@@ -264,8 +272,7 @@ object Profile {
     * 15 hex digits — 16 could exceed signed-long range in engines
     * parsing signed hex). Injective string render first, so any
     * input type sketches its distinct values. */
-  private def fp60(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+  private def fp60(c: Column): Column = graft.functions.Portable.fp60(c)
 
   /** Per-group KMV sketch as ROWS: the k smallest distinct value
     * fingerprints, ranked. Mergeable exactly like [[dfShard]]'s df

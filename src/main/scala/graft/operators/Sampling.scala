@@ -287,8 +287,7 @@ object Sampling {
   /** 60-bit engine-portable sample key (the gramFp spelling on the
     * row id): fine enough that real-world id sets see no ties, and
     * any tie is broken by the id itself at the call sites. */
-  def sampleKey(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+  def sampleKey(id: Column): Column = graft.functions.Portable.fp60(id)
 
   /** EXACTLY-k uniform sample ([EXT]): the k rows with the smallest
     * hash keys — "bottom-k sampling", the deterministic counterpart

@@ -71,7 +71,7 @@ object SetSimilarity {
   /** 60-bit engine-portable gram fingerprint (15 hex digits — 16
     * could exceed signed-long range in engines parsing signed hex). */
   private def gramFp(c: org.apache.spark.sql.Column) =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.Portable.fp60(c)
 
   /** Distinct (doc_id, fp) word-n-gram set rows plus per-doc set
     * size `n`, global-rarity rank `r` (df asc, fp asc — a total

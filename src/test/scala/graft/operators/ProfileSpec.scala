@@ -396,6 +396,19 @@ class ProfileSpec extends SparkSuite {
     }
   }
 
+  test("exactKthLong is exact when the window abuts Long.MaxValue (no wrap)") {
+    // regression: `lo + width - 1` used to overflow when the chosen
+    // bucket touched the top of the long range, silently exiting a
+    // pass early with a wrong answer
+    val data = Seq(1L, Long.MaxValue - 1, Long.MaxValue)
+    val df = data.toDF("v")
+    val sorted = data.sorted
+    (1 to 3).foreach { k =>
+      assert(Profile.exactKthLong(df, "v", k.toLong).head().getLong(1)
+        === sorted(k - 1), s"rank $k")
+    }
+  }
+
   test("exactMedianLong is the lower median and ignores nulls") {
     val df = Seq(Some(10L), Some(20L), Some(30L), Some(40L), None).toDF("v")
     val r = Profile.exactMedianLong(df, "v").head()
