@@ -155,6 +155,9 @@ object SparkEntry {
     }),
     "q_rollup" -> ((s, d) => Reports.rollupSummary(t(s, d, "lineitem"))),
     "q_cube" -> ((s, d) => Reports.cubeSummary(t(s, d, "lineitem"))),
+    // GROUPING SETS ([EXT]): the general form rollup/cube specialize,
+    // with grouping() flags disambiguating subtotal NULLs
+    "q_grouping_sets" -> ((s, d) => Reports.groupingSetsSummary(t(s, d, "lineitem"))),
     "q_pivot" -> ((s, d) =>
       Reports.pivotSum(t(s, d, "lineitem"), "l_returnflag", "l_linestatus",
         Seq("F", "O"), "l_quantity", prefix = "qty_")),
@@ -353,6 +356,13 @@ object SparkEntry {
     "q_exact_sample" -> ((s, d) =>
       Sampling.exactSize(
         t(s, d, "documents").select("doc_id", "source"), "doc_id", 100)
+        .orderBy(col("doc_id"))),
+    // weighted exactly-k sample ([EXT], Efraimidis-Spirakis): the
+    // count-exact form of quality-weighted corpus selection
+    "q_weighted_reservoir" -> ((s, d) =>
+      Sampling.weightedExactSize(
+        t(s, d, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id", col("n_chars"), 100)
         .orderBy(col("doc_id"))),
     "q_stratified_sample" -> ((s, d) =>
       Sampling.stratifiedByHash(
@@ -1838,6 +1848,14 @@ object SparkEntry {
             ${sqlDsum("l_quantity")} AS sum_qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+      "q_grouping_sets" -> // grouping() flags disambiguate subtotal NULLs
+        s"""SELECT l_returnflag, l_linestatus,
+            CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+            CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+            count(*) AS n_rows, ${sqlDsum("l_quantity")} AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+            ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
       "q_cube" -> // NULLS FIRST: Spark's ASC default; DuckDB defaults NULLS LAST
         s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
             ${sqlDsum("l_quantity")} AS sum_qty
@@ -2218,6 +2236,15 @@ object SparkEntry {
              SELECT doc_id, source FROM documents
              ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
              LIMIT 100)
+           ORDER BY doc_id""",
+      "q_weighted_reservoir" -> // E-S keys: u^(1/w) on the portable hash
+        """SELECT doc_id, source, n_chars FROM (
+             SELECT doc_id, source, n_chars,
+               pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1.0)
+                     / 1152921504606846976.0,
+                   1.0 / CAST(n_chars AS DOUBLE)) AS es_key
+             FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+             ORDER BY es_key DESC, doc_id LIMIT 100)
            ORDER BY doc_id""",
       "q_stratified_sample" ->
         """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem

@@ -257,6 +257,23 @@ object Reports {
       .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** GROUPING SETS over an arbitrary (non-hierarchical) set list —
+    * the general form ROLLUP and CUBE specialize: here the detail
+    * cell, one marginal, and the grand total, in ONE Expand pass.
+    * `grouping()` flags ride along so consumers can tell a subtotal
+    * NULL from a data NULL — the disambiguation CUBE output needs at
+    * scale where group columns are nullable. */
+  def groupingSetsSummary(lineitem: DataFrame): DataFrame =
+    lineitem.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Per-key row-count report (reference: src/runnerfile.py:418 A4). */
   def countPerKey(df: DataFrame, key: String): DataFrame =
     df.groupBy(col(key))

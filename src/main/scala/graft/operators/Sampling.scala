@@ -309,4 +309,32 @@ object Sampling {
     require(k >= 0, s"k must be >= 0: $k")
     df.orderBy(sampleKey(col(idCol)), col(idCol)).limit(k)
   }
+
+  /** WEIGHTED exactly-k sample without replacement (Efraimidis &
+    * Spirakis 2006, "Weighted random sampling with a reservoir"):
+    * each row draws the deterministic uniform u = (fp60(id)+1)/2^60
+    * ∈ (0,1] and ranks by uᵢ^(1/wᵢ); the k LARGEST keys are a
+    * without-replacement sample where selection probability tracks
+    * the weights — the "sample 10M docs proportional to quality
+    * score" primitive. [[byWeight]] thins at a RATE per row;
+    * [[exactSize]] is the uniform COUNT form; this is the weighted
+    * COUNT form completing the family. Rows with weight ≤ 0 are
+    * excluded (their E-S key is undefined).
+    *
+    * Deterministic and auditable like every sampler here (the draw is
+    * the portable hash), with one caveat the uniform samplers don't
+    * have: `pow` is correct to ≤ 1 ulp but not bit-specified across
+    * engines, so two DISTINCT keys within an ulp at the rank-k
+    * boundary could in principle swap — the q_kmeans float-compare
+    * risk class, vanishingly unlikely on continuous weights. Plans as
+    * TakeOrderedAndProject, same driver bound as [[exactSize]]. */
+  def weightedExactSize(df: DataFrame, idCol: String, weight: Column,
+                        k: Int): DataFrame = {
+    require(k >= 0, s"k must be >= 0: $k")
+    val u = (sampleKey(col(idCol)).cast("double") + 1.0) /
+      lit(1152921504606846976.0) // 2^60: the fp60 key space
+    val esKey = pow(u, lit(1.0) / weight.cast("double"))
+    df.where(weight.cast("double") > 0)
+      .orderBy(esKey.desc, col(idCol)).limit(k)
+  }
 }

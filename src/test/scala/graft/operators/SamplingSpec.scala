@@ -262,6 +262,34 @@ class SamplingSpec extends SparkSuite {
     assert(Sampling.exactSize(df, "id", 0).count() === 0L)
   }
 
+  test("weightedExactSize: exact k, deterministic, weight-monotone, skew-sensitive") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // 50 heavy rows (w=50) among 450 unit rows: 10% of the population
+    val df = (1L to 500L).toDF("id")
+      .withColumn("w", when(col("id") <= 50, lit(50.0)).otherwise(lit(1.0)))
+    val s = Sampling.weightedExactSize(df, "id", col("w"), 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(s.size === 100)
+    // partitioning invariance
+    val s2 = Sampling.weightedExactSize(df.repartition(13), "id", col("w"), 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(s === s2)
+    // heavy rows must be strongly overrepresented vs their 10% share
+    val heavyIn = s.count(_ <= 50)
+    assert(heavyIn > 30, s"expected heavy overrepresentation, got $heavyIn/100")
+    // raising one excluded row's weight can only pull it IN (E-S key
+    // is monotone in w for fixed u)
+    val out = (1L to 500L).find(i => i > 50 && !s.contains(i)).get
+    val df2 = df.withColumn("w", when(col("id") === out, lit(1e6)).otherwise(col("w")))
+    val s3 = Sampling.weightedExactSize(df2, "id", col("w"), 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(s3.contains(out), "raised weight must admit the row")
+    // non-positive weights are excluded
+    val df3 = df.withColumn("w", when(col("id") === 1, lit(0.0)).otherwise(col("w")))
+    assert(!Sampling.weightedExactSize(df3, "id", col("w"), 100)
+      .collect().map(_.getLong(0)).contains(1L))
+  }
+
   test("exactSize composes exactly with same-key range pre-thinning") {
     val df = (1L to 2000L).toDF("id")
     val direct = Sampling.exactSize(df, "id", 30).collect().map(_.getLong(0)).toSet
