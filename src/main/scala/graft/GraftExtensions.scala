@@ -54,5 +54,8 @@ object GraftExtensions {
         info(classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
           GraftFunctions.BloomContainsName),
         (e: Seq[Expression]) =>
-          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(e(0), e(1))))
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(e(0), e(1))),
+      (FunctionIdentifier(GraftFunctions.UnicodeNormalizeName),
+        info(classOf[UnicodeNormalize], GraftFunctions.UnicodeNormalizeName),
+        (e: Seq[Expression]) => UnicodeNormalize(e(0), e(1).eval().toString)))
 }

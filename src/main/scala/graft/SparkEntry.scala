@@ -851,6 +851,20 @@ object SparkEntry {
         .select(col("doc_id"), Scrub.normalizeText(aug).as("normalized"))
         .orderBy(col("doc_id"))
     }),
+    // Unicode NFC canonicalization ([EXT]): the codepoint-level
+    // normalization Scrub.normalizeText doesn't do — a deterministic
+    // decomposed suffix (e + combining acute) is appended so the
+    // compare proves real composition (norm_len == raw_len - 1), via
+    // the native graft_unicode_normalize codegen Expression against
+    // DuckDB's independent nfc_normalize implementation
+    "q_nfc_normalize" -> ((s, d) => {
+      val aug = concat(col("text"), lit("e" + '\u0301'))
+      val norm = graft.expressions.GraftFunctions.unicodeNormalize(aug, "NFC")
+      t(s, d, "documents")
+        .select(col("doc_id"), norm.as("norm_text"),
+          length(norm).as("norm_len"), length(aug).as("raw_len"))
+        .orderBy(col("doc_id"))
+    }),
     "q_repetition" -> ((s, d) => CorpusStats.repetitionSignals(t(s, d, "documents"))),
     // benchmark set = every 41st doc; the rest is the training corpus
     "q_decontaminate" -> ((s, d) => {
@@ -2666,6 +2680,13 @@ object SparkEntry {
                 '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS scrubbed
             FROM a ORDER BY doc_id"""
       },
+      "q_nfc_normalize" -> // DuckDB's independent NFC vs the codegen Expression
+        """SELECT doc_id,
+             nfc_normalize(text || chr(101) || chr(769)) AS norm_text,
+             CAST(length(nfc_normalize(text || chr(101) || chr(769))) AS INTEGER)
+               AS norm_len,
+             CAST(length(text || chr(101) || chr(769)) AS INTEGER) AS raw_len
+           FROM documents ORDER BY doc_id""",
       "q_normalize" -> // same strip -> decode (&amp; LAST) -> collapse -> lower order as Scrub.normalizeText
         """WITH a AS (SELECT doc_id,
              '<div class="doc"> ' || text || ' &amp; more&nbsp;text <br/> </div>' AS aug

@@ -136,6 +136,7 @@ object GraftFunctions {
   val RollingHashName = "graft_rolling_hash"
   val BloomAggName = "graft_bloom_agg"
   val BloomContainsName = "graft_bloom_contains"
+  val UnicodeNormalizeName = "graft_unicode_normalize"
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -161,6 +162,9 @@ object GraftFunctions {
       BloomContainsName, exprs =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      UnicodeNormalizeName, exprs =>
+        UnicodeNormalize(exprs(0), exprs(1).eval().toString), "scala_udf")
   }
 
   def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
@@ -186,4 +190,9 @@ object GraftFunctions {
     * foldable (a literal), `value` a LONG (xxhash64 output). */
   def bloomContains(bloom: Column, value: Column): Column =
     call_function(BloomContainsName, bloom, value)
+
+  /** Unicode normalization; `form` ∈ NFC/NFD/NFKC/NFKD. */
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column =
+    call_function(UnicodeNormalizeName, c,
+      org.apache.spark.sql.functions.lit(form))
 }
