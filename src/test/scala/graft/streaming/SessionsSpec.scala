@@ -77,6 +77,41 @@ class SessionsSpec extends SparkSuite {
     assert(math.abs(out(0).sum_value - 4.75) < 1e-9)
   }
 
+  test("stateful streaming is backend-portable: RocksDB state store == default") {
+    // production streaming runs RocksDB-backed state (bounded executor
+    // heap, changelog checkpointing); this drives the SAME stateful
+    // query through both providers and proves identical results —
+    // the config swap a real deployment makes must not change answers
+    val dir = Files.createTempDirectory("graft-rocksdb").toString
+    events.write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    def run(tag: String): Seq[(Long, Long, Double)] = {
+      val stream = Sessions.statefulUserTotals(
+        spark.readStream.schema(schema).parquet(s"$dir/in"))
+      val q = stream.toDF().writeStream.format("memory").queryName(s"rdb_$tag")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.sql(s"SELECT user_id, n_events, sum_value FROM rdb_$tag")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    }
+    val default = run("hdfs")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = run("rocks")
+      assert(rocks === default, "RocksDB state store changed streaming results")
+      assert(rocks.map(u => (u._1, u._2)) === Seq((1L, 3L), (2L, 2L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("statefulUserTotals carries state across streaming micro-batches") {
     val dir = Files.createTempDirectory("graft-state").toString
     events.where($"user_id" === 1L).limit(2).write.parquet(s"$dir/in")
