@@ -37,7 +37,9 @@ object GraftExtensions {
         (e: Seq[Expression]) => DotProduct(e(0), e(1))),
       (FunctionIdentifier(GraftFunctions.ShinglesName),
         info(classOf[DistinctShingles], GraftFunctions.ShinglesName),
-        (e: Seq[Expression]) => DistinctShingles(e(0), e(1).eval().asInstanceOf[Int])),
+        (e: Seq[Expression]) => DistinctShingles(e(0),
+          GraftFunctions.literalArg(e, 1, GraftFunctions.ShinglesName, "n")
+            .asInstanceOf[Int])),
       (FunctionIdentifier(GraftFunctions.JaccardName),
         info(classOf[JaccardSim], GraftFunctions.JaccardName),
         (e: Seq[Expression]) => JaccardSim(e(0), e(1))),
@@ -57,5 +59,7 @@ object GraftExtensions {
           org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(e(0), e(1))),
       (FunctionIdentifier(GraftFunctions.UnicodeNormalizeName),
         info(classOf[UnicodeNormalize], GraftFunctions.UnicodeNormalizeName),
-        (e: Seq[Expression]) => UnicodeNormalize(e(0), e(1).eval().toString)))
+        (e: Seq[Expression]) => UnicodeNormalize(e(0),
+          GraftFunctions.literalArg(e, 1,
+            GraftFunctions.UnicodeNormalizeName, "form").toString)))
 }

@@ -751,10 +751,15 @@ object SparkEntry {
     // filter scans and zero shuffles at ANY scale, where a sort-based
     // median is a full-data shuffle. The oracle is the plain
     // ORDER BY/OFFSET spelling.
+    // floor() on BOTH sides: a bare cast diverges — Spark double→long
+    // TRUNCATES while DuckDB CAST AS BIGINT ROUNDS, and ~5.6% of
+    // l_extendedprice*100 doubles sit just below their integer (e.g.
+    // 17.95*100 = 1794.999…), so the multisets would differ and the
+    // match would be data-luck
     "q_exact_median" -> ((s, d) =>
       Profile.exactMedianLong(
         t(s, d, "lineitem").select(
-          (col("l_extendedprice") * 100).cast("long").as("cents")),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents")),
         "cents")),
     // EXACT heavy hitters ([EXT]): Misra-Gries candidate pass (≤ 32
     // counters shuffled, never the distinct-key space) + exact
@@ -1305,13 +1310,19 @@ object SparkEntry {
     "q_pq_recall" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val q = Similarity.vectorOf(emb, 1L)
-      val (codes, cbs) = graft.operators.Clustering.pqTrainEncode(
+      val (codes0, cbs) = graft.operators.Clustering.pqTrainEncode(
         emb, m = 16, k = 16, iters = 2, dim = 64)
-      val adc = Clustering.pqTopK(codes, cbs, q, m = 16, k = 10).select(col("vec_id"))
+      // adc/exact each feed a join AND a count — checkpoint so the
+      // 2-iteration training DAG and both top-10 pipelines run ONCE,
+      // not once per downstream aggregate
+      val codes = codes0.localCheckpoint()
+      val adc = Clustering.pqTopK(codes, cbs, q, m = 16, k = 10)
+        .select(col("vec_id")).localCheckpoint()
       val exact = emb.select(col("vec_id"),
         Clustering.dist2(Similarity.asDouble(col("embedding")),
           array(q.map(lit): _*)).as("d"))
         .orderBy(col("d"), col("vec_id")).limit(10).select(col("vec_id"))
+        .localCheckpoint()
       val hits = exact.join(adc, Seq("vec_id"))
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(adc.agg(count(lit(1)).as("n_adc")))
@@ -2480,8 +2491,9 @@ object SparkEntry {
         """SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id, event_type,
              value, props
            FROM events ORDER BY event_id""",
-      "q_exact_median" -> // multi-pass selection == ORDER BY/OFFSET
-        """WITH v AS (SELECT CAST(l_extendedprice * 100 AS BIGINT) AS cents
+      "q_exact_median" -> // multi-pass selection == ORDER BY/OFFSET; floor
+        // (not bare CAST, which rounds in DuckDB but truncates in Spark)
+        """WITH v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
                       FROM lineitem WHERE l_extendedprice IS NOT NULL),
                nn AS (SELECT count(*) AS n FROM v)
            SELECT (SELECT (n + 1) // 2 FROM nn) AS rank,

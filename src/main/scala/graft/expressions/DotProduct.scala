@@ -138,13 +138,26 @@ object GraftFunctions {
   val BloomContainsName = "graft_bloom_contains"
   val UnicodeNormalizeName = "graft_unicode_normalize"
 
+  /** Extract a required non-null literal argument at function-build
+    * time, failing with a readable message instead of the NPE /
+    * unbound-attribute internal error a raw `.eval()` throws on
+    * `NULL`, a column reference, or a missing argument. */
+  private[graft] def literalArg(e: Seq[Expression], i: Int,
+                                fn: String, arg: String): Any = {
+    require(e.length > i, s"$fn: missing argument <$arg> (position ${i + 1})")
+    require(e(i).foldable, s"$fn: <$arg> must be a literal, got ${e(i).sql}")
+    val v = e(i).eval()
+    require(v != null, s"$fn: <$arg> must not be NULL")
+    v
+  }
+
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName, exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       ShinglesName, exprs => DistinctShingles(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+        literalArg(exprs, 1, ShinglesName, "n").asInstanceOf[Int]), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       JaccardName, exprs => JaccardSim(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -164,7 +177,8 @@ object GraftFunctions {
           exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       UnicodeNormalizeName, exprs =>
-        UnicodeNormalize(exprs(0), exprs(1).eval().toString), "scala_udf")
+        UnicodeNormalize(exprs(0),
+          literalArg(exprs, 1, UnicodeNormalizeName, "form").toString), "scala_udf")
   }
 
   def dot(a: Column, b: Column): Column = call_function(DotName, a, b)

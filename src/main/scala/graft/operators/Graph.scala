@@ -61,25 +61,42 @@ object Graph {
     // collect + one parallelize: iterative plans over tiny state
     // tables are pure scheduler/codegen overhead. The distributed
     // loop below stays the scale path for web-graph-sized inputs.
-    val edgeCount =
-      edges.limit(math.min(driverEdgeLimit + 1, Int.MaxValue.toLong).toInt).count()
-    if (edgeCount <= driverEdgeLimit)
+    // the bounded-count trick needs limit(), which caps at Int.MaxValue
+    // — for larger (or "disabled") cutoffs the check can't be made
+    // cheaply, so those route straight to the distributed loop rather
+    // than mis-detecting a huge graph as collectible
+    val smallEnough = driverEdgeLimit < Int.MaxValue.toLong && {
+      val edgeCount = edges.limit(driverEdgeLimit.toInt + 1).count()
+      edgeCount <= driverEdgeLimit
+    }
+    if (smallEnough)
       return stationaryOnDriver(edges, iters)
-    val states = edges.select(col("from_type").as("state"))
-      .unionByName(edges.select(col("to_type").as("state")))
+    // states render as STRING in both paths — without this the output
+    // schema (and tie order) would depend on which path the data
+    // volume selected
+    val e = edges.select(col("from_type").cast("string").as("from_type"),
+      col("to_type").cast("string").as("to_type"), col("n"))
+      .localCheckpoint() // referenced 2x per iteration — pin it once
+    val states = e.select(col("from_type").as("state"))
+      .unionByName(e.select(col("to_type").as("state")))
       .distinct()
       .localCheckpoint()
     val n = states.count()
     require(n > 0, "stationaryDistribution needs a non-empty edge table")
-    val outs = edges.groupBy(col("from_type").as("state"))
+    val outs = e.groupBy(col("from_type").as("state"))
       .agg(sum(col("n")).as("outn"))
+      .localCheckpoint()
+    // the dangling state SET is fixed across iterations (only its
+    // mass changes) — derive it once instead of an anti-join per step
+    val danglingStates = states.join(outs, Seq("state"), "left_anti")
+      .localCheckpoint()
     val tele = (3L * MassUnits) / (20L * n)
     var r = states.withColumn("units", lit(MassUnits / n))
     for (i <- 0 until iters) {
-      val dangling = r.join(outs, Seq("state"), "left_anti")
+      val dangling = r.join(danglingStates, Seq("state"), "left_semi")
         .agg(coalesce(sum(col("units")), lit(0L)).as("d"))
       val contrib = r.join(outs, Seq("state"))
-        .join(edges, col("state") === col("from_type"))
+        .join(e, col("state") === col("from_type"))
         .select(col("to_type").as("cstate"),
           expr("CAST(17 AS DECIMAL(38,0)) * units * n div " +
             "(CAST(20 AS DECIMAL(38,0)) * outn)").as("term"))
