@@ -61,5 +61,8 @@ object GraftExtensions {
         info(classOf[UnicodeNormalize], GraftFunctions.UnicodeNormalizeName),
         (e: Seq[Expression]) => UnicodeNormalize(e(0),
           GraftFunctions.literalArg(e, 1,
-            GraftFunctions.UnicodeNormalizeName, "form").toString)))
+            GraftFunctions.UnicodeNormalizeName, "form").toString)),
+      (FunctionIdentifier(GraftFunctions.JaroWinklerName),
+        info(classOf[JaroWinklerSim], GraftFunctions.JaroWinklerName),
+        (e: Seq[Expression]) => JaroWinklerSim(e(0), e(1))))
 }

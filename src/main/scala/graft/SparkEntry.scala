@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{Json, Scrub, Text}
 import graft.multimodal.Multimodal
@@ -29,6 +30,47 @@ object SparkEntry {
     * [[Reports.dsum]]. */
   private def sqlDsum(c: String, scale: Int = 2): String =
     s"CAST(sum(CAST($c AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** DuckDB twin of [[Windows.ewmaDyadic]] at k = 16 — the lag chain
+    * and dyadic weights generated from the same loop the engine uses,
+    * so the two spellings cannot drift. */
+  private def ewmaOracleSql: String = {
+    val k = 16
+    val terms = (0 until k).map { j =>
+      s"coalesce((lag(v, $j) OVER w) * ${1L << (k - 1 - j)}, 0)"
+    }.mkString(" + ")
+    val dens = (0 until k).map { j =>
+      s"(CASE WHEN lag(1, $j) OVER w IS NOT NULL THEN ${1L << (k - 1 - j)} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT event_type, event_id, ts,
+          CAST(value AS DECIMAL(18,2)) AS v FROM events)
+        SELECT event_type, event_id,
+          round(CAST($terms AS DOUBLE) / CAST($dens AS DOUBLE), 6) AS ewma
+        FROM b WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        ORDER BY event_type, event_id"""
+  }
+
+  /** Shared CTE chain for the Laplace bigram LM — one text, two
+    * oracles (`q_bigram_logprob`, `q_lm_filter`), zero drift. */
+  private val bigramLmCtes: String =
+    """tok AS (SELECT doc_id,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+       bg AS (SELECT doc_id,
+         unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+         FROM tok WHERE len(t) >= 2),
+       tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY doc_id, bigram),
+       c12 AS (SELECT bigram, sum(tf) AS c12 FROM tf GROUP BY bigram),
+       c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(tf) AS c1
+              FROM tf GROUP BY 1),
+       v AS (SELECT count(DISTINCT term) AS v FROM
+         (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+          FROM documents)),
+       lm AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+         CAST(sum(CAST(round(tf.tf * ln((c12 + 1)::DOUBLE / (c1 + v)::DOUBLE), 6)
+           AS DECIMAL(18,6))) AS DOUBLE) AS logprob
+         FROM tf JOIN c12 USING (bigram)
+                 JOIN c1 ON split_part(tf.bigram, ' ', 1) = c1.w1, v
+         GROUP BY tf.doc_id)"""
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -170,6 +212,37 @@ object SparkEntry {
       Profile.pearsonExact(t(s, d, "lineitem"), "l_returnflag",
         "l_quantity", "l_extendedprice")
         .select(col("l_returnflag"), round(col("corr"), 6).as("corr"))),
+    // Spearman rank correlation ([EXT]): monotone association over
+    // doubled-integer average ranks — exact moments, one shuffle
+    "q_spearman" -> ((s, d) =>
+      Profile.spearmanExact(t(s, d, "lineitem"), "l_returnflag",
+        "l_quantity", "l_extendedprice")),
+    // robust scaling ([EXT]): (x - median)/IQR per group — the
+    // outlier-resistant zscore twin, quantile-bridge certified
+    "q_robust_scale" -> ((s, d) =>
+      Profile.robustScale(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice")
+        .select(col("l_orderkey"), col("l_linenumber"), col("robust_z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    // per-segment OLS trend ([EXT]): slope/intercept of daily revenue
+    // vs epoch day per event type — exact decimal moments, closed-form
+    // doubles (intercept never references a rounded slope)
+    "q_trend_fit" -> ((s, d) => {
+      val ev = graft.functions.TimeCol.instant(t(s, d, "events"))
+      val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        // the (18,2) re-cast keeps the x*y product inside DECIMAL(38,2)
+        // exactly (a (28,2) sum would push the product past precision 38)
+        .agg(sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("y"))
+        .withColumn("x",
+          datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))))
+      Profile.linearFit(daily, "event_type", "x", "y")
+    }),
+    // finite-memory EWMA ([EXT]): half-life smoothing with exact
+    // dyadic weights — k lags from ONE window, decimal-exact sums
+    "q_ewma" -> ((s, d) => Windows.ewmaDyadic(t(s, d, "events"))),
     // deterministic split assignment ([EXT]): per-split row counts
     "q_split" -> ((s, d) =>
       Sampling.assignSplit(t(s, d, "orders"), "o_orderkey",
@@ -947,6 +1020,17 @@ object SparkEntry {
     // context-aware LM score ([EXT]): Laplace-smoothed bigram model —
     // catches shuffled-real-word spam the unigram score cannot see
     "q_bigram_logprob" -> ((s, d) => CorpusStats.bigramLogprob(t(s, d, "documents"))),
+    // LM perplexity gate ([EXT]): keep docs whose per-bigram average
+    // logprob clears the bar — the CCNet-style quality filter; the
+    // kept SET is engine-exact because the threshold compares the
+    // ROUNDED average
+    "q_lm_filter" -> ((s, d) =>
+      CorpusStats.lmQualityFilter(t(s, d, "documents"), minAvgLogprob = -3.42)),
+    // token-blocklist scrub ([EXT]): stopword/markup removal as a
+    // literal-array filter riding the scan — zero joins, zero shuffles
+    "q_blocklist_scrub" -> ((s, d) =>
+      CorpusStats.removeBlockedTokens(t(s, d, "documents"),
+        Seq("a", "the", "and", "of", "to", "in"))),
     // per-source type/token diversity ([EXT]): templated/generated
     // sources show collapsed bigram ratios
     "q_ngram_diversity" -> ((s, d) => CorpusStats.ngramDiversity(t(s, d, "documents"))),
@@ -990,6 +1074,23 @@ object SparkEntry {
       val corrupted = names
         .select(expr("substring(p_name, 1, length(p_name) - 1)").as("q_name"))
       Fuzzy.blockedMatch(corrupted, names, "q_name", "p_name", maxDist = 2)
+    }),
+    // Jaro-Winkler near-name pairs ([EXT]): the codegen Expression
+    // scored UNROUNDED against DuckDB's NATIVE jaro_winkler_similarity
+    // — two independent implementations agreeing bit-for-bit
+    "q_jaro_pairs" -> ((s, d) =>
+      Fuzzy.jaroWinklerPairs(t(s, d, "part"), "p_name", minSim = 0.85)),
+    // exact triangle count ([EXT]): degree-ordered orientation over
+    // the co-purchase graph (parts sharing a high-quantity order) —
+    // hub wedges charged to low-degree endpoints, O(m^1.5) bound
+    "q_triangles" -> ((s, d) => {
+      val li = t(s, d, "lineitem").where(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val edges = li.select(col("ok"), col("l_partkey").as("pa"))
+        .join(li.select(col("ok"), col("l_partkey").as("pb")), Seq("ok"))
+        .where(col("pa") < col("pb"))
+        .select(col("pa").as("src"), col("pb").as("dst"))
+      Graph.triangleCount(edges)
     }),
     // end-to-end corpus pipeline ([EXT] capstone): the hygiene
     // operators COMPOSED the way a training-data run uses them —
@@ -2246,6 +2347,61 @@ object SparkEntry {
               sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
              6) AS corr
            FROM a ORDER BY l_returnflag""",
+      "q_spearman" -> // doubled average ranks (integral), then the q_corr machinery
+        """WITH r AS (SELECT l_returnflag,
+             2*rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx,
+             2*rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry
+             FROM lineitem),
+           a AS (SELECT l_returnflag, count(*) AS n,
+             sum(CAST(rx AS DECIMAL(28,0))) AS sx,
+             sum(CAST(ry AS DECIMAL(28,0))) AS sy,
+             sum(CAST(rx*rx AS DECIMAL(38,0))) AS sxx,
+             sum(CAST(ry*ry AS DECIMAL(38,0))) AS syy,
+             sum(CAST(rx*ry AS DECIMAL(38,0))) AS sxy
+             FROM r GROUP BY l_returnflag)
+           SELECT l_returnflag,
+             CASE WHEN n > 1 AND n*sxx <> sx*sx AND n*syy <> sy*sy THEN round(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+               6) END AS spearman
+           FROM a ORDER BY l_returnflag""",
+      "q_robust_scale" -> // quantile_cont == percentile (the q_quantiles bridge)
+        """WITH s AS (SELECT l_returnflag,
+             quantile_cont(l_extendedprice::DOUBLE, 0.5) AS med,
+             quantile_cont(l_extendedprice::DOUBLE, 0.25) AS p25,
+             quantile_cont(l_extendedprice::DOUBLE, 0.75) AS p75
+             FROM lineitem GROUP BY l_returnflag)
+           SELECT l_orderkey, l_linenumber,
+             CASE WHEN p75 - p25 > 0
+                  THEN round((CAST(l_extendedprice AS DOUBLE) - med) / (p75 - p25), 6)
+             END AS robust_z
+           FROM lineitem JOIN s USING (l_returnflag)
+           ORDER BY l_orderkey, l_linenumber""",
+      "q_trend_fit" -> // exact decimal moments; closed-form slope AND intercept
+        """WITH daily AS (SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+             FROM events GROUP BY event_type, CAST(ts AS DATE)),
+           m AS (SELECT event_type, count(*) AS n,
+             sum(CAST(x AS DECIMAL(28,0))) AS sx,
+             sum(CAST(y AS DECIMAL(18,2))) AS sy,
+             sum(CAST(x*x AS DECIMAL(38,0))) AS sxx,
+             sum(CAST(CAST(x AS DECIMAL(10,0)) * y AS DECIMAL(38,2))) AS sxy
+             FROM daily GROUP BY event_type)
+           SELECT event_type, n,
+             CASE WHEN n > 1 AND n*sxx <> sx*sx THEN round(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+               6) END AS slope,
+             CASE WHEN n > 1 AND n*sxx <> sx*sx THEN round(
+               (CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE)) /
+               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+               6) END AS intercept
+           FROM m ORDER BY event_type""",
+      "q_ewma" -> ewmaOracleSql,
       "q_split" ->
         """SELECT CASE
              WHEN ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 10000 < 8000 THEN 'train'
@@ -2951,24 +3107,24 @@ object SparkEntry {
            FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""",
       "q_decontaminate_near" -> decontamNearOracle,
       "q_bigram_logprob" -> // Laplace bigram LM: c12/c1 windows on tf rows; dsum contributions
+        s"""WITH $bigramLmCtes
+           SELECT doc_id, n_bigrams, logprob FROM lm ORDER BY doc_id""",
+      "q_lm_filter" -> // the kept SET compares on the ROUNDED average — engine-exact
+        s"""WITH $bigramLmCtes
+           SELECT doc_id, n_bigrams,
+             round(logprob / CAST(n_bigrams AS DOUBLE), 6) AS avg_logprob
+           FROM lm
+           WHERE round(logprob / CAST(n_bigrams AS DOUBLE), 6) >= -3.42
+           ORDER BY doc_id""",
+      "q_blocklist_scrub" -> // literal-array token filter; same split convention
         """WITH tok AS (SELECT doc_id,
                 regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
-               bg AS (SELECT doc_id,
-                 unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
-                 FROM tok WHERE len(t) >= 2),
-               tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY doc_id, bigram),
-               c12 AS (SELECT bigram, sum(tf) AS c12 FROM tf GROUP BY bigram),
-               c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(tf) AS c1
-                      FROM tf GROUP BY 1),
-               v AS (SELECT count(DISTINCT term) AS v FROM
-                 (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-                  FROM documents))
-           SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
-             CAST(sum(CAST(round(tf.tf * ln((c12 + 1)::DOUBLE / (c1 + v)::DOUBLE), 6)
-               AS DECIMAL(18,6))) AS DOUBLE) AS logprob
-           FROM tf JOIN c12 USING (bigram)
-                   JOIN c1 ON split_part(tf.bigram, ' ', 1) = c1.w1, v
-           GROUP BY tf.doc_id ORDER BY tf.doc_id""",
+               k AS (SELECT doc_id, t,
+                 list_filter(t, x -> NOT list_contains(['a', 'the', 'and', 'of', 'to', 'in'], x)) AS kept
+                 FROM tok)
+           SELECT doc_id, array_to_string(kept, ' ') AS text_clean,
+             CAST(len(t) - len(kept) AS BIGINT) AS n_removed
+           FROM k ORDER BY doc_id""",
       "q_ngram_diversity" -> // per-source type/token ratios, both gram orders
         """WITH tok AS (SELECT source,
                 regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
@@ -3045,6 +3201,29 @@ object SparkEntry {
              ON split_part(q.q_text, ' ', 1) = split_part(d.match_text, ' ', 1)
            WHERE levenshtein(q.q_text, d.match_text) <= 2
            ORDER BY q_text, match_text""",
+      "q_jaro_pairs" -> // native jaro_winkler_similarity vs the graft Expression, UNROUNDED
+        """WITH n AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+               b AS (SELECT name, split_part(name, ' ', 1) AS blk FROM n
+                     WHERE split_part(name, ' ', 1) IS NOT NULL)
+           SELECT x.name AS name_a, y.name AS name_b,
+             jaro_winkler_similarity(x.name, y.name) AS sim
+           FROM b x JOIN b y ON x.blk = y.blk AND x.name < y.name
+           WHERE jaro_winkler_similarity(x.name, y.name) >= 0.85
+           ORDER BY name_a, name_b""",
+      "q_triangles" -> // canonical a<b edges; x<y<z triple-join counts each triangle once
+        """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40),
+               e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                     FROM li x JOIN li y
+                       ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+               nn AS (SELECT count(DISTINCT v) AS n_nodes FROM
+                        (SELECT a AS v FROM e UNION ALL SELECT b FROM e)),
+               ne AS (SELECT count(*) AS n_edges FROM e),
+               nt AS (SELECT count(*) AS n_triangles
+                      FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+           SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+                  CAST(n_triangles AS BIGINT) AS n_triangles
+           FROM nn, ne, nt""",
       "q_corpus_card" ->
         """WITH per_doc AS (SELECT source, lang,
              CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS BIGINT)

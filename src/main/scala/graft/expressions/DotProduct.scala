@@ -137,6 +137,7 @@ object GraftFunctions {
   val BloomAggName = "graft_bloom_agg"
   val BloomContainsName = "graft_bloom_contains"
   val UnicodeNormalizeName = "graft_unicode_normalize"
+  val JaroWinklerName = "graft_jaro_winkler"
 
   /** Extract a required non-null literal argument at function-build
     * time, failing with a readable message instead of the NPE /
@@ -179,6 +180,8 @@ object GraftFunctions {
       UnicodeNormalizeName, exprs =>
         UnicodeNormalize(exprs(0),
           literalArg(exprs, 1, UnicodeNormalizeName, "form").toString), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      JaroWinklerName, exprs => JaroWinklerSim(exprs(0), exprs(1)), "scala_udf")
   }
 
   def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
@@ -189,6 +192,10 @@ object GraftFunctions {
   def jaccard(a: Column, b: Column): Column = call_function(JaccardName, a, b)
 
   def rollingHash(c: Column): Column = call_function(RollingHashName, c)
+
+  /** DuckDB-pinned Jaro-Winkler similarity (see [[JaroWinklerSim]]). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function(JaroWinklerName, a, b)
 
   /** Distributed bloom-filter build over `xxhash64(value)` longs.
     * Returns one BINARY row (the serialized sketch). `estItems` /

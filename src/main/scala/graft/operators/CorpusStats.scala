@@ -481,6 +481,57 @@ object CorpusStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Perplexity-style quality gate ([EXT]) — keep documents whose
+    * per-bigram average log-probability under the corpus's own
+    * Laplace bigram LM ([[bigramLogprob]]) clears `minAvgLogprob`:
+    * the standard LM-based filter (CCNet/Wenzek et al. shape, with
+    * the corpus itself as the reference model) that drops scrambled
+    * text, OCR soup, and template spam which length/ratio heuristics
+    * ([[graft.functions.Text.isQuality]]) pass. The AVERAGE (not the
+    * sum) is the score, so long documents aren't penalized for
+    * length. Documents with < 2 tokens have no bigrams and are
+    * dropped — a 0/1-token doc carries no trainable signal.
+    *
+    * Determinism: the per-doc sum is the dsum-rounded decimal chain
+    * bigramLogprob already certifies; the average is ONE double
+    * division rounded to 6dp, and the threshold compares that rounded
+    * value — so the kept SET is engine-exact, not just the scores. */
+  def lmQualityFilter(docs: DataFrame, minAvgLogprob: Double,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    bigramLogprob(docs, idCol, textCol)
+      .withColumn("avg_logprob",
+        round(col("logprob") / col("n_bigrams").cast("double"), 6))
+      .where(col("avg_logprob") >= minAvgLogprob)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"))
+      .orderBy(col("doc_id"))
+
+  /** Token-blocklist scrub ([EXT]) — rewrite each document with every
+    * blocklisted token removed (stopword stripping before index
+    * builds, profanity/markup token scrubs before training). The
+    * blocklist ships as a LITERAL array inside the expression — it
+    * rides the scan with zero joins and zero shuffles; a 10⁵-entry
+    * list would instead broadcast-anti-join on an exploded view, but
+    * curated blocklists are hundreds of entries. Tokenization is the
+    * corpus-wide [[graft.functions.Text.tokens]] convention, bound
+    * ONCE per row before the two array passes (the wordNgrams perf
+    * contract). Matching is exact on lowercased tokens. */
+  def removeBlockedTokens(docs: DataFrame, blocklist: Seq[String],
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(blocklist.nonEmpty, "removeBlockedTokens needs a non-empty blocklist")
+    val blocked = lit(blocklist.toArray)
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Text.tokens(lower(col(textCol))).as("__t"))
+      .select(col("doc_id"), col("__t"),
+        filter(col("__t"), t => !array_contains(blocked, t)).as("__kept"))
+      .select(col("doc_id"),
+        array_join(col("__kept"), " ").as("text_clean"),
+        (size(col("__t")) - size(col("__kept"))).cast("long").as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source n-gram diversity ([EXT]) — corpus-level type/token
     * ratios: distinct and total unigrams and bigrams per source, with
     * their ratios. The release-card diversity row: a source whose

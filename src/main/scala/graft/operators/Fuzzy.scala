@@ -53,4 +53,30 @@ object Fuzzy {
       .select(col("q_text"), col("match_text"), col("dist"))
       .orderBy(col("q_text"), col("match_text"))
   }
+
+  /** Near-duplicate NAME pairs within one column, scored by
+    * Jaro-Winkler ([[graft.expressions.JaroWinklerSim]] — a codegen
+    * Expression pinned bit-exact to DuckDB's native
+    * `jaro_winkler_similarity`, which is what lets an independent
+    * engine certify the scores UNROUNDED). Same scale discipline as
+    * [[blockedMatch]]: distinct the dictionary first, block on a
+    * cheap equality key, order pairs `a < b` so each survives once.
+    * Edit distance ranks "marhta" far from "martha"; Jaro-Winkler's
+    * transposition handling plus prefix boost is the record-linkage
+    * scorer those swaps need. */
+  def jaroWinklerPairs(df: DataFrame, nameCol: String, minSim: Double,
+                       block: Column => Column = firstToken): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0, s"minSim must be in (0,1]: $minSim")
+    val names = df.select(col(nameCol).as("name")).where(col("name").isNotNull)
+      .distinct().withColumn("__b", block(col("name")))
+      .where(col("__b").isNotNull)
+    val sim = graft.expressions.GraftFunctions.jaroWinkler(col("name_a"), col("name_b"))
+    names.select(col("__b"), col("name").as("name_a"))
+      .join(names.select(col("__b"), col("name").as("name_b")), Seq("__b"))
+      .where(col("name_a") < col("name_b"))
+      .withColumn("sim", sim)
+      .where(col("sim") >= minSim)
+      .select(col("name_a"), col("name_b"), col("sim"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
 }

@@ -150,4 +150,54 @@ object Graph {
       .toDF("state", "units", "rank")
       .orderBy(col("units").desc, col("state"))
   }
+
+  /** Exact triangle count of an undirected graph via degree-ordered
+    * orientation (the compact-forward / node-iterator++ scheme,
+    * Latapy 2008; also the shape GraphX's TriangleCount uses). Input
+    * is any edge list — either direction, duplicates, self-loops all
+    * tolerated: edges canonicalize to distinct `a < b` pairs first.
+    *
+    * Why orientation matters at scale: counting wedges from EVERY
+    * vertex explodes on hubs (a degree-d vertex contributes d²/2
+    * wedge candidates — a celebrity node in a 100 TB interaction
+    * graph is a single-key quadratic bomb). Orienting each edge from
+    * its lower (degree, id) endpoint caps every out-degree at
+    * O(√m), so total wedge volume is O(m^1.5) worst-case and far less
+    * on real skewed graphs — the hub's wedges are charged to its
+    * low-degree neighbors instead. Each triangle {x,y,z} then appears
+    * EXACTLY once: as the wedge at its (degree,id)-minimal corner
+    * closed by the oriented edge between the other two.
+    *
+    * Shape: one distinct, one degree aggregate joined back (broadcast
+    * when the vertex set allows), one wedge self-join on the oriented
+    * source, one closing equi-join — all hash joins on keys, never a
+    * cross product. Returns one row: (n_nodes, n_edges, n_triangles). */
+  def triangleCount(edges: DataFrame, src: String = "src",
+                    dst: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+    // orient from the (degree, id)-smaller endpoint; a < b already,
+    // so the tie on equal degrees keeps the canonical direction
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db")), col("a"))
+        .otherwise(col("b")).as("u"),
+      when(col("da") < col("db") || (col("da") === col("db")), col("b"))
+        .otherwise(col("a")).as("v"))
+    val wedges = oriented.select(col("u"), col("v").as("w1"))
+      .join(oriented.select(col("u"), col("v").as("w2")), Seq("u"))
+      .where(col("w1") =!= col("w2"))
+    val closed = wedges.join(
+      oriented.select(col("u").as("w1"), col("v").as("w2")), Seq("w1", "w2"))
+    val counts = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .crossJoin(broadcast(closed.agg(count(lit(1)).as("n_triangles"))))
+    counts.select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
 }

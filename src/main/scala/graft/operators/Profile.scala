@@ -797,6 +797,117 @@ object Profile {
       .orderBy(col(key))
   }
 
+  /** Spearman rank correlation per group ([EXT]) — Pearson over
+    * average ranks, the monotone-association complement of
+    * [[pearsonExact]] (robust to the heavy-tailed measures a price
+    * column always has; detects nonlinear-but-monotone coupling the
+    * linear corr underestimates).
+    *
+    * Exactness: average ranks are multiples of 1/2, so both rank
+    * columns are DOUBLED to stay integral — `2·avgrank = 2·rank() +
+    * ties − 1` (rank() is the min rank of the tie run; the average of
+    * the run `r..r+t−1` is `r + (t−1)/2`). Scaling both variables by
+    * the same constant leaves the correlation unchanged, and integer
+    * ranks mean the moment sums are EXACT decimals — summation-order
+    * independent, engine-exact — with the same one-double-expression
+    * finish as [[pearsonExact]]. Moment widths: doubled ranks ≤ 2n,
+    * so Σr ≤ 2n² (DECIMAL(28,0) holds n = 10¹² rows per group) and
+    * Σr·r ≤ 4n³ (DECIMAL(38,0) likewise).
+    *
+    * Shape: ONE hash exchange on the group key serves both rank
+    * windows (the tie-count windows partition by (key, value), which
+    * hash-partitioning on key already clusters; only re-sorts are
+    * inserted), then the moment aggregate rides the same
+    * partitioning. No join, no second shuffle. */
+  def spearmanExact(df: DataFrame, key: String, x: String, y: String): DataFrame = {
+    val byX = Window.partitionBy(col(key)).orderBy(col(x))
+    val byY = Window.partitionBy(col(key)).orderBy(col(y))
+    val tiesX = Window.partitionBy(col(key), col(x))
+    val tiesY = Window.partitionBy(col(key), col(y))
+    val ranked = df.select(col(key), col(x), col(y))
+      .withColumn("__rx",
+        lit(2L) * rank().over(byX) + count(lit(1)).over(tiesX) - 1)
+      .withColumn("__ry",
+        lit(2L) * rank().over(byY) + count(lit(1)).over(tiesY) - 1)
+    val agg = ranked.groupBy(col(key)).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__rx").cast(DecimalType(28, 0))).as("__sx"),
+      sum(col("__ry").cast(DecimalType(28, 0))).as("__sy"),
+      sum((col("__rx") * col("__rx")).cast(DecimalType(38, 0))).as("__sxx"),
+      sum((col("__ry") * col("__ry")).cast(DecimalType(38, 0))).as("__syy"),
+      sum((col("__rx") * col("__ry")).cast(DecimalType(38, 0))).as("__sxy"))
+    def d(c: String) = col(c).cast("double")
+    agg.select(col(key),
+      // all-tied groups (zero rank variance) yield null, not NaN
+      when(col("__n") > 1 &&
+          col("__n") * col("__sxx") =!= col("__sx") * col("__sx") &&
+          col("__n") * col("__syy") =!= col("__sy") * col("__sy"),
+        round((d("__n") * d("__sxy") - d("__sx") * d("__sy")) /
+          (sqrt(d("__n") * d("__sxx") - d("__sx") * d("__sx")) *
+            sqrt(d("__n") * d("__syy") - d("__sy") * d("__sy"))), 6))
+        .as("spearman"))
+      .orderBy(col(key))
+  }
+
+  /** Robust per-group scaling ([EXT]) — `(x − median) / IQR`, the
+    * outlier-resistant twin of [[zscoreNormalize]]: one wild value
+    * shifts a mean/stddev scaler's own yardstick, but moves the
+    * median and quartiles not at all. The standard feature-scaling
+    * choice for heavy-tailed measures before modeling.
+    *
+    * Same shape as zscoreNormalize: one bounded per-group stats
+    * aggregate (exact interpolated percentiles — Spark `percentile`
+    * and DuckDB `quantile_cont` share the (1−g)·a + g·b rule, the
+    * q_quantiles-certified bridge) joined back null-safely, then one
+    * deterministic double expression rounded to 6dp. Zero-IQR groups
+    * (over half the values identical) yield null by the same
+    * deterministic guard. */
+  def robustScale(df: DataFrame, key: String, measure: String): DataFrame = {
+    val stats = df.groupBy(col(key)).agg(
+      percentile(col(measure), lit(0.5)).as("__med"),
+      percentile(col(measure), lit(0.25)).as("__p25"),
+      percentile(col(measure), lit(0.75)).as("__p75"))
+    val iqr = col("__p75") - col("__p25")
+    df.join(stats.withColumnRenamed(key, "__key"),
+        col(key) <=> col("__key"), "left")
+      .withColumn("robust_z",
+        when(iqr > 0,
+          round((col(measure).cast("double") - col("__med")) / iqr, 6)))
+      .drop("__key", "__med", "__p25", "__p75")
+  }
+
+  /** Per-group ordinary-least-squares line fit ([EXT]) — slope and
+    * intercept of `y ~ x` per key, the "trend per segment" query
+    * behind every dashboard sparkline (and the drift detector's
+    * numeric core). Callers pass INTEGRAL x (e.g. epoch days) and a
+    * money/quantity-scaled y; moments are exact decimal sums (the
+    * [[pearsonExact]] discipline — order-independent, engine-exact),
+    * and BOTH outputs are single closed-form double expressions over
+    * those sums — the intercept deliberately avoids referencing a
+    * rounded slope: `b = (Σy·Σxx − Σx·Σxy) / (nΣxx − (Σx)²)`.
+    * Degenerate groups (n < 2 or zero x-variance) yield null by a
+    * guard on the same exact decimals. Shape: one map-side-combined
+    * aggregate; nothing else. */
+  def linearFit(df: DataFrame, key: String, x: String, y: String): DataFrame = {
+    val agg = df.groupBy(col(key)).agg(
+      count(lit(1)).as("__n"),
+      sum(col(x).cast(DecimalType(28, 0))).as("__sx"),
+      sum(col(y).cast(DecimalType(18, 2))).as("__sy"),
+      sum((col(x) * col(x)).cast(DecimalType(38, 0))).as("__sxx"),
+      sum((col(x) * col(y)).cast(DecimalType(38, 2))).as("__sxy"))
+    def d(c: String) = col(c).cast("double")
+    val ok = col("__n") > 1 &&
+      col("__n") * col("__sxx") =!= col("__sx") * col("__sx")
+    val den = d("__n") * d("__sxx") - d("__sx") * d("__sx")
+    agg.select(col(key),
+      col("__n").as("n"),
+      when(ok, round((d("__n") * d("__sxy") - d("__sx") * d("__sy")) / den, 6))
+        .as("slope"),
+      when(ok, round((d("__sy") * d("__sxx") - d("__sx") * d("__sxy")) / den, 6))
+        .as("intercept"))
+      .orderBy(col(key))
+  }
+
   /** Share-of-total per category (reference: dashboard top-6 share pie,
     * run_dashboard.py:399-468). Exact decimal sums; one aggregate for
     * the groups, a broadcast 1-row total joined back. */

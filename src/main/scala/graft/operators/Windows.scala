@@ -351,4 +351,46 @@ object Windows {
     df.withColumn(s"${c}_filled", last(col(c), ignoreNulls = true).over(w))
       .orderBy(col(key), col(ts), col(tiebreak))
   }
+
+  /** Finite-memory EWMA ([EXT]) — per key in (ts, event_id) order,
+    * the exponentially weighted moving average with half-life decay
+    * (α = 1/2) truncated at `k` lags:
+    * `ewma_i = Σ_{j<k} 2^(k−1−j)·x_{i−j} / Σ_{j<k} 2^(k−1−j)`,
+    * the denominator counting only lags that EXIST (early rows decay
+    * over their shorter history rather than leaking zeros in). The
+    * k-term truncation drops < 2⁻ᵏ of the weight mass — at k = 16,
+    * below the 6-dp render — and is what makes the computation a
+    * FIXED window expression instead of an unbounded recursion.
+    *
+    * Exactness: dyadic weights are exact powers of two, so each term
+    * is `decimal(18,2) value × integer weight` — an exact decimal.
+    * The numerator/denominator sums are therefore order-independent
+    * and engine-exact; only the final division is IEEE, rounded to
+    * 6dp. (A recursive `s = αx + (1−α)s` in doubles would compound
+    * representation error AND defeat any engine's window batching.)
+    *
+    * Shape: all k lags plus the presence indicators come out of ONE
+    * key-partitioned window (a single exchange + sort); the per-row
+    * cost is k fused column ops inside whole-stage codegen. */
+  def ewmaDyadic(events: DataFrame, key: String = "event_type",
+                 valueCol: String = "value", k: Int = 16): DataFrame = {
+    require(k >= 1 && k <= 62, s"ewmaDyadic needs 1 <= k <= 62: $k")
+    val w = Window.partitionBy(col(key)).orderBy(col("__us"), col("event_id"))
+    val base = graft.functions.TimeCol.instant(events)
+      .select(col(key), col("event_id"),
+        unix_micros(col("ts")).as("__us"),
+        col(valueCol).cast(DecimalType(18, 2)).as("__v"))
+    val weights = (0 until k).map(j => 1L << (k - 1 - j))
+    val numer = (0 until k).map { j =>
+      coalesce(lag(col("__v"), j).over(w) * lit(weights(j)),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2)))
+    }.reduce(_ + _)
+    val denom = (0 until k).map { j =>
+      when(lag(lit(1), j).over(w).isNotNull, lit(weights(j))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    base
+      .withColumn("ewma", round(numer.cast("double") / denom.cast("double"), 6))
+      .select(col(key), col("event_id"), col("ewma"))
+      .orderBy(col(key), col("event_id"))
+  }
 }

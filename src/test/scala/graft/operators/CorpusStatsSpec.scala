@@ -263,4 +263,35 @@ class CorpusStatsSpec extends SparkSuite {
     assert((y.getLong(4), y.getLong(5)) === ((0L, 0L)))
     assert(y.isNullAt(6), "a source with no bigrams has no bigram ttr, not a 0/0")
   }
+
+  test("lmQualityFilter keeps natural-order docs, drops the scramble and shorts") {
+    val corpus = (1L to 20L).map(i => (i, "the cat sat on the mat")) ++
+      Seq((100L, "mat the on sat cat the"), (200L, "solo"))
+    val scored = CorpusStats.bigramLogprob(corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        BigDecimal(r.getDouble(2) / r.getLong(1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    // a threshold between the two scores separates them exactly
+    val thr = (scored(1L) + scored(100L)) / 2
+    val kept = CorpusStats.lmQualityFilter(corpus.toDF("doc_id", "text"), thr)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === (1L to 20L).toSet, s"got $kept")
+    // avg, not sum: doubling a doc's length must not change its score
+    val doubled = Seq((1L, "the cat sat on the mat the cat sat on the mat"))
+    val corpus2 = (2L to 20L).map(i => (i, "the cat sat on the mat")) ++ doubled
+    val s2 = CorpusStats.bigramLogprob(corpus2.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2) / r.getLong(1)).toMap
+    assert(math.abs(s2(1L) - s2(2L)) < 0.2,
+      "per-bigram average keeps long docs comparable to short ones")
+  }
+
+  test("removeBlockedTokens strips exactly the blocklist, preserves order") {
+    val docs = Seq((1L, "The cat AND the mat"), (2L, "no blocked words here"),
+      (3L, "the the the")).toDF("doc_id", "text")
+    val out = CorpusStats.removeBlockedTokens(docs, Seq("the", "and"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("cat mat", 3L)))      // case-folded matching
+    assert(out(2L) === (("no blocked words here", 0L)))
+    assert(out(3L) === (("", 3L)))             // fully-blocked doc -> empty
+  }
 }

@@ -55,4 +55,16 @@ class FuzzySpec extends SparkSuite {
       maxDist = 2, block = length)
     assert(out.collect().map(_.getString(1)).toSeq === Seq("abcx"))
   }
+
+  test("jaroWinklerPairs: each near pair once (a < b), cross-block never compared") {
+    val df = Seq("green martha", "green marhta", "green xylophone",
+      "blue martha", "green martha").toDF("name")
+    val out = Fuzzy.jaroWinklerPairs(df, "name", minSim = 0.9)
+    val pairs = out.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // the transposed pair survives; duplicates collapse via distinct;
+    // "blue martha" shares no block with the greens
+    assert(pairs === Seq(("green marhta", "green martha")))
+    val sim = out.collect().head.getDouble(2)
+    assert(sim > 0.9 && sim < 1.0)
+  }
 }

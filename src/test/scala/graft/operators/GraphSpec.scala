@@ -70,4 +70,35 @@ class GraphSpec extends SparkSuite {
       ("big", "hub", 1L), ("small", "hub", 1L)), 20)
     assert(r("big") > r("small"))
   }
+
+  private def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val r = Graph.triangleCount(edges.toDF("src", "dst")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("triangleCount: K4 has 4 triangles, a path has none") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(tri(k4) === ((4L, 6L, 4L)))
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === ((4L, 3L, 0L)))
+  }
+
+  test("triangleCount canonicalizes: direction, duplicates, self-loops") {
+    // the same triangle reported both ways, duplicated, with a loop
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L),
+      (2L, 2L), (1L, 2L))
+    assert(tri(messy) === ((3L, 3L, 1L)))
+  }
+
+  test("triangleCount: hub star plus one closed rim pair") {
+    // star center 0 to 1..6, plus rim edge (1,2): exactly one triangle
+    val star = (1L to 6L).map(v => (0L, v)) :+ ((1L, 2L))
+    assert(tri(star) === ((7L, 7L, 1L)))
+    // brute-force cross-check on a denser random-ish graph
+    val edges = (for (a <- 1L to 9L; b <- (a + 1) to 9L
+                      if (a * 31 + b * 17) % 3 == 0) yield (a, b)).toSeq
+    val expect = (for (x <- 1L to 9L; y <- (x + 1) to 9L; z <- (y + 1) to 9L
+                       if Seq((x, y), (y, z), (x, z)).forall(edges.contains))
+                    yield 1).size.toLong
+    assert(tri(edges)._3 === expect)
+  }
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSuite
+
+/** Rank-correlation / robust-scaling / trend-fit / EWMA laws
+  * (Profile.spearmanExact, robustScale, linearFit; Windows.ewmaDyadic). */
+class StatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("spearman is 1 for any monotone map, -1 for anti-monotone") {
+    val xs = Seq(1.0, 2.0, 5.0, 9.0, 11.0)
+    val up = xs.map(x => ("g", x, x * x * x)).toDF("k", "x", "y")
+    val down = xs.map(x => ("g", x, -x * x * x)).toDF("k", "x", "y")
+    assert(Profile.spearmanExact(up, "k", "x", "y").head().getDouble(1) === 1.0)
+    assert(Profile.spearmanExact(down, "k", "x", "y").head().getDouble(1) === -1.0)
+  }
+
+  test("spearman averages tied ranks (hand-computed case)") {
+    // x ranks doubled: (2,5,5,8); y ranks doubled: (4,7,7,2)
+    // pearson over those = -6/18 = -1/3
+    val df = Seq(("g", 1.0, 10.0), ("g", 2.0, 20.0),
+      ("g", 2.0, 20.0), ("g", 3.0, 5.0)).toDF("k", "x", "y")
+    assert(Profile.spearmanExact(df, "k", "x", "y").head().getDouble(1) === -0.333333)
+  }
+
+  test("spearman yields null for constant columns and singletons") {
+    val const = Seq(("g", 1.0, 1.0), ("g", 1.0, 2.0)).toDF("k", "x", "y")
+    assert(Profile.spearmanExact(const, "k", "x", "y").head().isNullAt(1))
+    val single = Seq(("g", 1.0, 1.0)).toDF("k", "x", "y")
+    assert(Profile.spearmanExact(single, "k", "x", "y").head().isNullAt(1))
+  }
+
+  test("robustScale centers at the median and scales by IQR") {
+    val df = (1 to 9).map(i => ("g", i, i.toDouble)).toDF("k", "id", "v")
+    val z = Profile.robustScale(df, "k", "v").collect()
+      .map(r => r.getInt(1) -> r.getAs[Double]("robust_z")).toMap
+    assert(z(5) === 0.0)
+    assert(z(9) === 1.0)   // (9-5)/(7-3)
+    assert(z(1) === -1.0)
+    // zero-IQR group -> null, deterministic guard
+    val flat = Seq(("g", 1, 5.0), ("g", 2, 5.0), ("g", 3, 5.0)).toDF("k", "id", "v")
+    assert(Profile.robustScale(flat, "k", "v").collect().forall(_.isNullAt(3)))
+  }
+
+  test("linearFit recovers an exact line per group; singleton yields null") {
+    val pts = (0 to 10).map(x => ("a", x, 2.0 * x + 3.0)) :+ (("b", 7, 1.0))
+    val fit = Profile.linearFit(pts.toDF("k", "x", "y"), "k", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(fit("a").getDouble(2) === 2.0)
+    assert(fit("a").getDouble(3) === 3.0)
+    assert(fit("b").isNullAt(2) && fit("b").isNullAt(3))
+  }
+
+  test("linearFit is invariant to row order / partitioning") {
+    val pts = (0 to 50).map(x => ("a", x, 0.5 * x - 4.0 + (x % 3)))
+    val df = pts.toDF("k", "x", "y")
+    val a = Profile.linearFit(df, "k", "x", "y").collect().toSeq
+    val b = Profile.linearFit(df.repartition(7), "k", "x", "y").collect().toSeq
+    assert(a === b)
+  }
+
+  private def ev(rows: (String, Long, Long, Double)*) =
+    rows.map { case (k, id, sec, v) => (k, id, new Timestamp(sec * 1000L), v) }
+      .toDF("event_type", "event_id", "ts", "value")
+
+  test("ewmaDyadic: first row is the value itself; constants stay fixed") {
+    val df = ev(("a", 1, 10, 4.0), ("a", 2, 20, 4.0), ("a", 3, 30, 4.0),
+      ("b", 9, 10, 7.5))
+    val out = Windows.ewmaDyadic(df).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out(1) === 4.0 && out(2) === 4.0 && out(3) === 4.0)
+    assert(out(9) === 7.5)
+  }
+
+  test("ewmaDyadic halves the weight per lag and renormalizes short history") {
+    // second row: (2*x2 + x1) / 3
+    val df = ev(("a", 1, 10, 1.0), ("a", 2, 20, 10.0))
+    val out = Windows.ewmaDyadic(df).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out(1) === 1.0)
+    assert(out(2) === 7.0)  // (2*10 + 1)/3
+  }
+
+  test("ewmaDyadic forgets beyond k lags entirely") {
+    // 17 points: the first value is outside the k=16 window of the last row
+    val rows = (1 to 17).map(i => ("a", i.toLong, i * 10L,
+      if (i == 1) 1000000.0 else 2.0))
+    val out = Windows.ewmaDyadic(ev(rows: _*)).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out(17) === 2.0)  // the spike fell off the window
+  }
+}
