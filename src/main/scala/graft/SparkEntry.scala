@@ -26,6 +26,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Co-purchase graph: parts sharing a high-quantity order — the
+    * edge list behind q_triangles / q_clustering_coef. */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").where(col("l_quantity") >= 40)
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+    li.select(col("ok"), col("l_partkey").as("pa"))
+      .join(li.select(col("ok"), col("l_partkey").as("pb")), Seq("ok"))
+      .where(col("pa") < col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst"))
+  }
+
   /** Exact decimal sum rendered as double — DuckDB spelling of
     * [[Reports.dsum]]. */
   private def sqlDsum(c: String, scale: Int = 2): String =
@@ -1083,15 +1094,20 @@ object SparkEntry {
     // exact triangle count ([EXT]): degree-ordered orientation over
     // the co-purchase graph (parts sharing a high-quantity order) —
     // hub wedges charged to low-degree endpoints, O(m^1.5) bound
-    "q_triangles" -> ((s, d) => {
-      val li = t(s, d, "lineitem").where(col("l_quantity") >= 40)
-        .select(col("l_orderkey").as("ok"), col("l_partkey"))
-      val edges = li.select(col("ok"), col("l_partkey").as("pa"))
-        .join(li.select(col("ok"), col("l_partkey").as("pb")), Seq("ok"))
-        .where(col("pa") < col("pb"))
-        .select(col("pa").as("src"), col("pb").as("dst"))
-      Graph.triangleCount(edges)
-    }),
+    "q_triangles" -> ((s, d) => Graph.triangleCount(copurchaseEdges(s, d))),
+    // local clustering coefficient ([EXT]): community cores vs pure
+    // hubs per part — the same machinery, per-corner credit
+    "q_clustering_coef" -> ((s, d) => Graph.localClustering(copurchaseEdges(s, d))),
+    // market-basket association rules ([EXT]): pairwise support /
+    // confidence / lift over order baskets, exact counts + one IEEE
+    // expression per ratio
+    "q_market_basket" -> ((s, d) =>
+      Reports.associationRules(t(s, d, "lineitem"), "l_orderkey", "l_partkey",
+        minPairCount = 2)),
+    // lagged cross-correlation ([EXT]): does view activity predict
+    // purchases k days out — daily-aggregate-first, bounded spine join
+    "q_lag_corr" -> ((s, d) =>
+      Windows.lagCorrelation(t(s, d, "events"), "view", "purchase", maxLag = 7)),
     // end-to-end corpus pipeline ([EXT] capstone): the hygiene
     // operators COMPOSED the way a training-data run uses them —
     // quality gate -> exact dedup (min-id keeper) -> drop benchmark
@@ -3224,6 +3240,67 @@ object SparkEntry {
            SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
                   CAST(n_triangles AS BIGINT) AS n_triangles
            FROM nn, ne, nt""",
+      "q_clustering_coef" -> // per-corner triangle credit; 2e0 keeps the ratio DOUBLE
+        """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40),
+               e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                     FROM li x JOIN li y
+                       ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+               tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                       FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                                 JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+               pn AS (SELECT v, count(*) AS n_tri FROM
+                        (SELECT unnest([x, y, z]) AS v FROM tri) GROUP BY v),
+               deg AS (SELECT v, count(*) AS d FROM
+                        (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v)
+           SELECT deg.v, CAST(d AS BIGINT) AS degree,
+             CAST(coalesce(n_tri, 0) AS BIGINT) AS n_triangles,
+             CASE WHEN d >= 2
+                  THEN round(2e0 * coalesce(n_tri, 0) / (d * (d - 1)), 6)
+             END AS clustering_coef
+           FROM deg LEFT JOIN pn USING (v) ORDER BY v""",
+      "q_market_basket" -> // exact counts; each ratio ONE IEEE expression
+        """WITH items AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+                          FROM lineitem
+                          WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+               nb AS (SELECT count(DISTINCT oid) AS n_baskets FROM items),
+               ic AS (SELECT item, count(*) AS c_item FROM items GROUP BY item),
+               pc AS (SELECT x.item AS ia, y.item AS ib, count(*) AS c_ab
+                      FROM items x JOIN items y ON x.oid = y.oid AND x.item < y.item
+                      GROUP BY 1, 2 HAVING count(*) >= 2),
+               rules AS (SELECT ia AS antecedent, ib AS consequent, c_ab FROM pc
+                         UNION ALL SELECT ib, ia, c_ab FROM pc)
+           SELECT antecedent, consequent, CAST(c_ab AS BIGINT) AS c_ab,
+             round(c_ab / CAST(n_baskets AS DOUBLE), 6) AS support,
+             round(c_ab / CAST(c_a AS DOUBLE), 6) AS confidence,
+             round((CAST(c_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE)) /
+                   (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)), 6) AS lift
+           FROM rules
+           JOIN (SELECT item AS antecedent, c_item AS c_a FROM ic) USING (antecedent)
+           JOIN (SELECT item AS consequent, c_item AS c_b FROM ic) USING (consequent)
+           CROSS JOIN nb
+           ORDER BY antecedent, consequent""",
+      "q_lag_corr" -> // daily-aggregate-first; the q_corr machinery per lag
+        """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+                          FROM events WHERE event_type IN ('view', 'purchase')
+                          GROUP BY 1, 2),
+               a AS (SELECT day AS day_a, n AS x FROM daily WHERE event_type = 'view'),
+               b AS (SELECT day AS day_b, n AS y FROM daily WHERE event_type = 'purchase'),
+               l AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS lag),
+               m AS (SELECT lag, count(*) AS n,
+                 sum(CAST(x AS DECIMAL(28,0))) AS sx,
+                 sum(CAST(y AS DECIMAL(28,0))) AS sy,
+                 sum(CAST(x*x AS DECIMAL(38,0))) AS sxx,
+                 sum(CAST(y*y AS DECIMAL(38,0))) AS syy,
+                 sum(CAST(x*y AS DECIMAL(38,0))) AS sxy
+                 FROM a CROSS JOIN l JOIN b ON day_a + CAST(lag AS INT) = day_b
+                 GROUP BY lag)
+           SELECT lag, CAST(n AS BIGINT) AS n_days,
+             CASE WHEN n > 1 AND n*sxx <> sx*sx AND n*syy <> sy*sy THEN round(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+               6) END AS corr
+           FROM m ORDER BY lag""",
       "q_corpus_card" ->
         """WITH per_doc AS (SELECT source, lang,
              CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS BIGINT)

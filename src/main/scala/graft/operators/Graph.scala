@@ -174,6 +174,44 @@ object Graph {
     * cross product. Returns one row: (n_nodes, n_edges, n_triangles). */
   def triangleCount(edges: DataFrame, src: String = "src",
                     dst: String = "dst"): DataFrame = {
+    val (und, deg, closed) = triangleMachinery(edges, src, dst)
+    und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .crossJoin(broadcast(closed.agg(count(lit(1)).as("n_triangles"))))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  /** Local clustering coefficient per vertex — `2·tri(v) / (d(v)·
+    * (d(v)−1))`, the "how clique-like is this node's neighborhood"
+    * score (community cores vs pure hubs: a celebrity node with
+    * thousands of mutually-unacquainted followers scores ~0, a tight
+    * working group ~1). Shares [[triangleCount]]'s degree-ordered
+    * machinery; the only additions are a 3-way explode of the closed
+    * wedges (each triangle credits its three corners) and one keyed
+    * aggregate — still O(m^1.5)-bounded, never vertex-centric.
+    * Degree-1 vertices have no possible wedge and yield null (0/0 is
+    * not "perfectly clustered"); triangle-free vertices score 0. */
+  def localClustering(edges: DataFrame, src: String = "src",
+                      dst: String = "dst"): DataFrame = {
+    val (_, deg, closed) = triangleMachinery(edges, src, dst)
+    val perNode = closed
+      .select(explode(array(col("u"), col("w1"), col("w2"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v"), col("d").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        when(col("d") >= 2,
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("d") * (col("d") - 1)), 6))
+          .as("clustering_coef"))
+      .orderBy(col("v"))
+  }
+
+  /** Shared core: canonical undirected edges, degrees, and the
+    * closed (u, w1, w2) wedge rows — one row per triangle, anchored
+    * at its (degree, id)-minimal corner. */
+  private def triangleMachinery(edges: DataFrame, src: String, dst: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val und = edges
       .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
@@ -186,18 +224,13 @@ object Graph {
     // orient from the (degree, id)-smaller endpoint; a < b already,
     // so the tie on equal degrees keeps the canonical direction
     val oriented = withDeg.select(
-      when(col("da") < col("db") || (col("da") === col("db")), col("a"))
-        .otherwise(col("b")).as("u"),
-      when(col("da") < col("db") || (col("da") === col("db")), col("b"))
-        .otherwise(col("a")).as("v"))
+      when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
+      when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"))
     val wedges = oriented.select(col("u"), col("v").as("w1"))
       .join(oriented.select(col("u"), col("v").as("w2")), Seq("u"))
       .where(col("w1") =!= col("w2"))
     val closed = wedges.join(
       oriented.select(col("u").as("w1"), col("v").as("w2")), Seq("w1", "w2"))
-    val counts = und.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
-      .crossJoin(broadcast(closed.agg(count(lit(1)).as("n_triangles"))))
-    counts.select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+    (und, deg, closed)
   }
 }

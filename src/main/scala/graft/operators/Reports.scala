@@ -455,6 +455,61 @@ object Reports {
         (col("__sum").cast("double") / col("n_rows")).as("avg_value")): _*)
   }
 
+  /** Market-basket association rules ([EXT]) — pairwise
+    * support / confidence / lift over order baskets (the Apriori
+    * 2-itemset level, which is where retail co-purchase analysis
+    * lives; higher orders explode combinatorially for marginal
+    * insight). For every ordered rule A→B seen in ≥ `minPairCount`
+    * baskets:
+    *   support    = n(A,B) / n_baskets
+    *   confidence = n(A,B) / n(A)
+    *   lift       = confidence / (n(B) / n_baskets)
+    *
+    * Exactness: all counts are exact longs from hash aggregates;
+    * every ratio is ONE IEEE expression over them, rounded to 6dp —
+    * lift is spelled `(n_ab·n_baskets)/(n_a·n_b)` as a single
+    * fraction, not a ratio of rounded ratios. Shape: basket dedup +
+    * per-order self-join (pair fan-out bounded by basket size, the
+    * q_triangles co-occurrence discipline — never item×item), item
+    * counts as a broadcastable side, n_baskets a broadcast 1-row
+    * aggregate. Skew note: a promotional item in every basket makes
+    * one join key hot; cap basket size upstream if baskets are
+    * unbounded (carts are, pallets aren't). */
+  def associationRules(baskets: DataFrame, orderCol: String, itemCol: String,
+                       minPairCount: Long = 2): DataFrame = {
+    val items = baskets
+      .select(col(orderCol).as("oid"), col(itemCol).as("item"))
+      .where(col("oid").isNotNull && col("item").isNotNull)
+      .distinct()
+    val nBaskets = items.select(col("oid")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemCounts = items.groupBy(col("item")).agg(count(lit(1)).as("c_item"))
+    val pairCounts = items.select(col("oid"), col("item").as("ia"))
+      .join(items.select(col("oid"), col("item").as("ib")), Seq("oid"))
+      .where(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minPairCount)
+    // each unordered pair yields both rules (A→B and B→A)
+    val rules = pairCounts.select(col("ia").as("antecedent"),
+        col("ib").as("consequent"), col("c_ab"))
+      .unionAll(pairCounts.select(col("ib").as("antecedent"),
+        col("ia").as("consequent"), col("c_ab")))
+    rules
+      .join(itemCounts.select(col("item").as("antecedent"), col("c_item").as("c_a")),
+        Seq("antecedent"))
+      .join(itemCounts.select(col("item").as("consequent"), col("c_item").as("c_b")),
+        Seq("consequent"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"), col("c_ab"),
+        round(col("c_ab") / col("n_baskets").cast("double"), 6).as("support"),
+        round(col("c_ab") / col("c_a").cast("double"), 6).as("confidence"),
+        // counts go to double BEFORE the products: overflow-free at
+        // any scale, and bit-identical while products stay < 2^53
+        round((col("c_ab").cast("double") * col("n_baskets").cast("double")) /
+          (col("c_a").cast("double") * col("c_b").cast("double")), 6).as("lift"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
   def cohortRetention(events: DataFrame, tsCol: String = "ts",
                       userCol: String = "user_id"): DataFrame = {
     val days = events.select(col(userCol).as("user_id"),

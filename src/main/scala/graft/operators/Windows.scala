@@ -352,6 +352,56 @@ object Windows {
       .orderBy(col(key), col(ts), col(tiebreak))
   }
 
+  /** Lagged cross-correlation between two event-type daily series
+    * ([EXT]) — Pearson of (count of `typeA` on day d, count of
+    * `typeB` on day d+lag) for every lag in [0, maxLag]: the "does
+    * activity today predict conversions in k days" diagnostic, and
+    * the lead-lag scan behind campaign-effect and capacity-planning
+    * dashboards. Only days where BOTH series observed enter a lag's
+    * sample (inner alignment — absent days are unknown, not zero).
+    *
+    * Exactness: day counts are exact longs; the [[Profile.pearsonExact]]
+    * discipline (decimal moments, one double expression, 6-dp) per
+    * lag. Shape: the fact collapses to a (type, day) aggregate FIRST
+    * — the lag spine (maxLag+1 literals) cross-joins the BOUNDED
+    * daily table, never the fact, so the scan cost is one aggregate
+    * regardless of maxLag. Degenerate lags (fewer than 2 aligned
+    * days, or a constant series) yield null by the exact-decimal
+    * guard. */
+  def lagCorrelation(events: DataFrame, typeA: String, typeB: String,
+                     maxLag: Int, typeCol: String = "event_type"): DataFrame = {
+    require(maxLag >= 0, s"lagCorrelation needs maxLag >= 0: $maxLag")
+    val daily = graft.functions.TimeCol.instant(events)
+      .where(col(typeCol).isin(typeA, typeB))
+      .groupBy(col(typeCol), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val a = daily.where(col(typeCol) === typeA)
+      .select(col("day").as("day_a"), col("n").as("x"))
+    val b = daily.where(col(typeCol) === typeB)
+      .select(col("day").as("day_b"), col("n").as("y"))
+    val spine = events.sparkSession.range(0, maxLag + 1L)
+      .select(col("id").as("lag"))
+    val agg = a.crossJoin(broadcast(spine))
+      .join(b, date_add(col("day_a"), col("lag").cast("int")) === col("day_b"))
+      .groupBy(col("lag")).agg(
+        count(lit(1)).as("__n"),
+        sum(col("x").cast(DecimalType(28, 0))).as("__sx"),
+        sum(col("y").cast(DecimalType(28, 0))).as("__sy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("__sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("__syy"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("__sxy"))
+    def d(c: String) = col(c).cast("double")
+    agg.select(col("lag"), col("__n").as("n_days"),
+      when(col("__n") > 1 &&
+          col("__n") * col("__sxx") =!= col("__sx") * col("__sx") &&
+          col("__n") * col("__syy") =!= col("__sy") * col("__sy"),
+        round((d("__n") * d("__sxy") - d("__sx") * d("__sy")) /
+          (sqrt(d("__n") * d("__sxx") - d("__sx") * d("__sx")) *
+            sqrt(d("__n") * d("__syy") - d("__sy") * d("__sy"))), 6))
+        .as("corr"))
+      .orderBy(col("lag"))
+  }
+
   /** Finite-memory EWMA ([EXT]) — per key in (ts, event_id) order,
     * the exponentially weighted moving average with half-life decay
     * (α = 1/2) truncated at `k` lags:

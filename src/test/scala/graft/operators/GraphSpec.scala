@@ -89,6 +89,27 @@ class GraphSpec extends SparkSuite {
     assert(tri(messy) === ((3L, 3L, 1L)))
   }
 
+  test("localClustering: K4 corners are fully clustered, star center is not") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val cc = Graph.localClustering(k4.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    (1L to 4L).foreach { v => assert(cc(v) === ((3L, 3L, 1.0))) }
+    // star 0-(1..6) with rim edge (1,2): center barely clustered,
+    // rim pair fully, leaves null (degree 1 has no possible wedge)
+    val star = (1L to 6L).map(v => (0L, v)) :+ ((1L, 2L))
+    val sc = Graph.localClustering(star.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(sc(0L).getLong(1) === 6L && sc(0L).getDouble(3) === 0.066667)
+    assert(sc(1L).getDouble(3) === 1.0 && sc(2L).getDouble(3) === 1.0)
+    assert(sc(3L).isNullAt(3))
+    // triangle-free vertex with degree >= 2 scores 0, not null
+    val path = Seq((1L, 2L), (2L, 3L))
+    val pc = Graph.localClustering(path.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(pc(2L).getDouble(3) === 0.0)
+  }
+
   test("triangleCount: hub star plus one closed rim pair") {
     // star center 0 to 1..6, plus rim edge (1,2): exactly one triangle
     val star = (1L to 6L).map(v => (0L, v)) :+ ((1L, 2L))

@@ -220,4 +220,23 @@ class ReportsSpec extends SparkSuite {
     assert(direct.map(_.getDouble(2)) === expectSum)
     assert(m.count() === 7)
   }
+
+  test("associationRules: hand-computed support/confidence/lift, both directions") {
+    // baskets: {A,B,C}, {A,B}, {A,B,B dup}, {C} -> n=4, c(A)=c(B)=3,
+    // c(C)=2, c(AB)=3; only AB clears minPairCount=2
+    val rows = Seq((1, "A"), (1, "B"), (1, "C"), (2, "A"), (2, "B"),
+      (3, "A"), (3, "B"), (3, "B"), (4, "C")).toDF("oid", "item")
+    val out = Reports.associationRules(rows, "oid", "item", minPairCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out.keySet === Set(("A", "B"), ("B", "A")))
+    assert(out(("A", "B")) === ((3L, 0.75, 1.0, 1.333333)))
+    assert(out(("B", "A")) === ((3L, 0.75, 1.0, 1.333333)))
+    // asymmetric confidence: A in 3 baskets, C with A only once ->
+    // with minPairCount=1, conf(C->A)=1/2 but conf(A->C)=1/3
+    val one = Reports.associationRules(rows, "oid", "item", minPairCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(one(("C", "A")) === 0.5)
+    assert(one(("A", "C")) === 0.333333)
+  }
 }

@@ -85,6 +85,25 @@ class StatsSpec extends SparkSuite {
     assert(out(2) === 7.0)  // (2*10 + 1)/3
   }
 
+  test("lagCorrelation finds the shift that aligns two series") {
+    // A: counts 1,2,3 on days 1-3; B: counts 3,2,1 on days 3-5 —
+    // at lag 2 the series anti-align exactly
+    def burst(tpe: String, day: Int, n: Int) = (1 to n).map { i =>
+      (tpe, (day.toLong * 100 + i),
+        new Timestamp(86400000L * day + i * 1000L), 0.0)
+    }
+    val rows = burst("view", 1, 1) ++ burst("view", 2, 2) ++ burst("view", 3, 3) ++
+      burst("purchase", 3, 3) ++ burst("purchase", 4, 2) ++ burst("purchase", 5, 1)
+    val df = rows.toDF("event_type", "event_id", "ts", "value")
+    val out = Windows.lagCorrelation(df, "view", "purchase", maxLag = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    assert(out(2L) === ((3L, -1.0)))
+    assert(out(1L) === ((2L, -1.0)))   // two non-constant points: +-1
+    assert(out(3L) === ((2L, -1.0)))
+    assert(out(0L)._1 === 1L && out(0L)._2.isNaN)  // single aligned day -> null
+  }
+
   test("ewmaDyadic forgets beyond k lags entirely") {
     // 17 points: the first value is outside the k=16 window of the last row
     val rows = (1 to 17).map(i => ("a", i.toLong, i * 10L,
