@@ -263,6 +263,35 @@ object ScaleProbe {
     println(s"[scale]   overlap pairs: $ivp")
     time(s"pqTrainEncode m=4 k=8 x$factor")(
       Clustering.pqTrainEncode(emb, m = 4, k = 8, iters = 2, dim = 64)._1.count())
+    // round-8d: triangle counting with DISJOINT replica components —
+    // nodes offset per copy, so edges, wedges, and triangles all grow
+    // exactly factor-x and wall-clock must track that (the degree-
+    // ordered orientation keeps per-source wedge lists O(sqrt m)).
+    // jaroWinklerPairs replicates names with a per-copy SUFFIX: every
+    // copy lands in the SAME first-token block, so block sizes grow
+    // factor-x and candidate pairs ~factor^2 — quadratic BY CONTRACT
+    // (suffix-variants are true near-duplicates); the probe verifies
+    // cost tracks the pair output, not a global cross product.
+    val li0 = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+      .where(col("l_quantity") >= 40)
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+    val liRep = li0.crossJoin(spark.range(factor).withColumnRenamed("id", "__copy"))
+      .select((col("ok") + col("__copy") * 100000000L).as("ok"),
+        (col("l_partkey") + col("__copy") * 100000000L).as("l_partkey"))
+    val triEdges = liRep.select(col("ok"), col("l_partkey").as("pa"))
+      .join(liRep.select(col("ok"), col("l_partkey").as("pb")), Seq("ok"))
+      .where(col("pa") < col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst"))
+    val triRow = time(s"triangleCount x$factor")(
+      graft.operators.Graph.triangleCount(triEdges).head())
+    println(s"[scale]   triangles: ${triRow.getLong(2)} over ${triRow.getLong(1)} edges")
+    val part0 = Tables.load(spark, "/root/testdata/sf0.1", "part")
+    val namesRep = part0.crossJoin(
+        spark.range(factor).withColumnRenamed("id", "__copy"))
+      .select(concat(col("p_name"), lit(" v"), col("__copy")).as("p_name"))
+    val jwp = time(s"jaroWinklerPairs t=0.85 x$factor")(
+      graft.operators.Fuzzy.jaroWinklerPairs(namesRep, "p_name", 0.85).count())
+    println(s"[scale]   jaro-winkler pairs: $jwp")
     spark.stop()
   }
 }

@@ -1108,6 +1108,19 @@ object SparkEntry {
     // purchases k days out — daily-aggregate-first, bounded spine join
     "q_lag_corr" -> ((s, d) =>
       Windows.lagCorrelation(t(s, d, "events"), "view", "purchase", maxLag = 7)),
+    // TPC-H Q3 shape: unshipped-backlog revenue top-10 — pushed
+    // filters, broadcast segment keys, top-k on the EXACT decimal
+    "q_shipping_priority" -> ((s, d) =>
+      Reports.shippingPriority(t(s, d, "customer"), t(s, d, "orders"),
+        t(s, d, "lineitem"), "BUILDING", "1998-06-01")),
+    // rolling median ([EXT]): order-statistic smoothing per key —
+    // exact percentile as a WINDOW aggregate, despikes where EWMA can't
+    "q_rolling_median" -> ((s, d) => Windows.rollingMedian(t(s, d, "events"))),
+    // Naive Bayes as pure dataflow ([EXT]): train/predict/confusion
+    // entirely in aggregates+joins — the oracle replays the whole
+    // chain, certifying a TRAINED model cross-engine
+    "q_nb_confusion" -> ((s, d) =>
+      graft.ml.NaiveBayes.confusion(t(s, d, "documents"))),
     // end-to-end corpus pipeline ([EXT] capstone): the hygiene
     // operators COMPOSED the way a training-data run uses them —
     // quality gate -> exact dedup (min-id keeper) -> drop benchmark
@@ -3301,6 +3314,58 @@ object SparkEntry {
                 sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
                6) END AS corr
            FROM m ORDER BY lag""",
+      "q_shipping_priority" -> // top-k ranked on the EXACT decimal, rendered after
+        """WITH agg AS (
+             SELECT l_orderkey, o_orderdate, o_orderpriority,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             WHERE c_mktsegment = 'BUILDING'
+               AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+               AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+             GROUP BY l_orderkey, o_orderdate, o_orderpriority)
+           SELECT l_orderkey, CAST(rev AS DOUBLE) AS revenue,
+                  o_orderdate, o_orderpriority
+           FROM agg ORDER BY rev DESC, l_orderkey LIMIT 10""",
+      "q_rolling_median" -> // windowed quantile_cont == windowed percentile (the bridge)
+        """SELECT event_type, event_id,
+             round(quantile_cont(CAST(value AS DOUBLE), 0.5) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_median
+           FROM events ORDER BY event_type, event_id""",
+      "q_nb_confusion" -> // the full train->predict chain replayed; decimal scores
+        """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+               test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+               trt AS (SELECT lang AS c,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                 FROM train),
+               ctc AS (SELECT c, term, count(*) AS n FROM trt GROUP BY 1, 2),
+               ctot AS (SELECT c, count(*) AS tot FROM trt GROUP BY 1),
+               v AS (SELECT count(DISTINCT term) AS v FROM trt),
+               pri AS (SELECT lang AS c, CAST(round(ln(count(*) /
+                   CAST((SELECT count(*) FROM train) AS DOUBLE)), 6)
+                   AS DECIMAL(18,6)) AS logprior
+                 FROM train GROUP BY 1),
+               tet AS (SELECT doc_id, term, count(*) AS tf FROM
+                 (SELECT doc_id,
+                    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                  FROM test) GROUP BY 1, 2),
+               sc AS (SELECT t.doc_id, p.c, p.logprior +
+                   sum(CAST(round(t.tf * ln((coalesce(ctc.n, 0) + 1) /
+                     CAST(ctot.tot + v.v AS DOUBLE)), 6) AS DECIMAL(18,6))) AS score
+                 FROM tet t
+                 CROSS JOIN pri p
+                 JOIN ctot ON ctot.c = p.c
+                 LEFT JOIN ctc ON ctc.c = p.c AND ctc.term = t.term
+                 CROSS JOIN v
+                 GROUP BY t.doc_id, p.c, p.logprior),
+               pred AS (SELECT doc_id, c AS predicted,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, c DESC) AS rn FROM sc)
+           SELECT te.lang AS actual, p.predicted, count(*) AS n
+           FROM pred p JOIN test te USING (doc_id) WHERE rn = 1
+           GROUP BY 1, 2 ORDER BY 1, 2""",
       "q_corpus_card" ->
         """WITH per_doc AS (SELECT source, lang,
              CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS BIGINT)

@@ -455,6 +455,39 @@ object Reports {
         (col("__sum").cast("double") / col("n_rows")).as("avg_value")): _*)
   }
 
+  /** Shipping-priority report ([EXT]) — the TPC-H Q3 shape: revenue
+    * of orders from one market segment that were PLACED before the
+    * cutoff but still have lineitems SHIPPING after it (the unshipped
+    * backlog a fulfillment dashboard ranks), top `k` by revenue.
+    *
+    * Shape: both date filters and the segment filter push into their
+    * scans BEFORE any join; the segment-filtered customer keys
+    * broadcast; the aggregate keys on the order; the top-k is a
+    * TakeOrderedAndProject on the EXACT decimal revenue (ordering on
+    * the rendered double could mis-rank ULP ties), tiebroken by
+    * order key. */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, segment: String,
+                       cutoff: String, k: Int = 10): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val cust = customer.where(col("c_mktsegment") === segment)
+      .select(col("c_custkey"))
+    val ord = orders.where(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = lineitem.where(col("l_shipdate") > cut)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4))).as("__rev"))
+      .orderBy(col("__rev").desc, col("l_orderkey"))
+      .limit(k)
+      .select(col("l_orderkey"), col("__rev").cast("double").as("revenue"),
+        col("o_orderdate"), col("o_orderpriority"))
+  }
+
   /** Market-basket association rules ([EXT]) — pairwise
     * support / confidence / lift over order baskets (the Apriori
     * 2-itemset level, which is where retail co-purchase analysis

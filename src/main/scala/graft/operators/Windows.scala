@@ -352,6 +352,32 @@ object Windows {
       .orderBy(col(key), col(ts), col(tiebreak))
   }
 
+  /** Rolling median over the last `k` observations per key ([EXT]) —
+    * the robust smoother an EWMA can't be: one wild spike moves every
+    * mean-based window it touches, but the median of the frame
+    * ignores it entirely (sensor despiking, latency dashboards).
+    * Spark's exact `percentile` runs as a WINDOW aggregate over the
+    * row frame; DuckDB's windowed `quantile_cont` shares its
+    * (1−g)·a + g·b interpolation (the q_quantiles bridge), which is
+    * what makes a rolling ORDER STATISTIC cross-engine certifiable.
+    * Cost is O(k log k) per row inside one key-partitioned window —
+    * fine for dashboard-scale k; for k in the thousands switch to a
+    * two-heap mapGroups implementation. */
+  def rollingMedian(events: DataFrame, key: String = "event_type",
+                    valueCol: String = "value", k: Int = 5): DataFrame = {
+    require(k >= 1, s"rollingMedian needs k >= 1: $k")
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__us"), col("event_id"))
+      .rowsBetween(-(k - 1L), Window.currentRow)
+    graft.functions.TimeCol.instant(events)
+      .select(col(key), col("event_id"), unix_micros(col("ts")).as("__us"),
+        col(valueCol).cast("double").as("__v"))
+      .withColumn("rolling_median",
+        round(percentile(col("__v"), lit(0.5)).over(w), 6))
+      .select(col(key), col("event_id"), col("rolling_median"))
+      .orderBy(col(key), col("event_id"))
+  }
+
   /** Lagged cross-correlation between two event-type daily series
     * ([EXT]) — Pearson of (count of `typeA` on day d, count of
     * `typeB` on day d+lag) for every lag in [0, maxLag]: the "does

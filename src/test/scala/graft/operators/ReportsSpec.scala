@@ -221,6 +221,30 @@ class ReportsSpec extends SparkSuite {
     assert(m.count() === 7)
   }
 
+  test("shippingPriority: segment + both date filters, exact-decimal top-k order") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val customer = Seq((1, "BUILDING"), (2, "AUTOMOBILE"), (3, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      (10, 1, ts("1998-05-01"), "1-URGENT"),   // qualifies
+      (11, 1, ts("1998-07-01"), "2-HIGH"),     // ordered after cutoff
+      (12, 2, ts("1998-05-01"), "3-MEDIUM"),   // wrong segment
+      (13, 3, ts("1998-05-02"), "2-HIGH"))     // qualifies
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val lineitem = Seq(
+      (10, ts("1998-07-01"), 100.0, 0.1),  // 90.00
+      (10, ts("1998-08-01"), 50.0, 0.0),   // 50.00 -> order 10 rev 140
+      (10, ts("1998-01-01"), 999.0, 0.0),  // shipped before cutoff: excluded
+      (11, ts("1998-08-01"), 10.0, 0.0),
+      (12, ts("1998-08-01"), 10.0, 0.0),
+      (13, ts("1998-07-03"), 200.0, 0.25)) // order 13 rev 150
+      .toDF("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val out = Reports.shippingPriority(customer, orders, lineitem,
+      "BUILDING", "1998-06-01", k = 10).collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(13, 10)) // by revenue desc
+    assert(out.map(_.getDouble(1)).toSeq === Seq(150.0, 140.0))
+  }
+
   test("associationRules: hand-computed support/confidence/lift, both directions") {
     // baskets: {A,B,C}, {A,B}, {A,B,B dup}, {C} -> n=4, c(A)=c(B)=3,
     // c(C)=2, c(AB)=3; only AB clears minPairCount=2

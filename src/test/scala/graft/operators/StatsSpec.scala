@@ -104,6 +104,18 @@ class StatsSpec extends SparkSuite {
     assert(out(0L)._1 === 1L && out(0L)._2.isNaN)  // single aligned day -> null
   }
 
+  test("rollingMedian interpolates even frames and ignores spikes") {
+    val df = ev(("a", 1, 10, 10.0), ("a", 2, 20, 90.0), ("a", 3, 30, 20.0),
+      ("a", 4, 40, 1000.0), ("a", 5, 50, 30.0), ("a", 6, 60, 25.0))
+    val out = Windows.rollingMedian(df, k = 3).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out(1) === 10.0)
+    assert(out(2) === 50.0)   // (10+90)/2 — interpolated even frame
+    assert(out(3) === 20.0)
+    assert(out(5) === 30.0)   // frame (20, 1000, 30): the spike is ignored
+    assert(out(6) === 30.0)   // frame (1000, 30, 25) -> 30
+  }
+
   test("ewmaDyadic forgets beyond k lags entirely") {
     // 17 points: the first value is outside the k=16 window of the last row
     val rows = (1 to 17).map(i => ("a", i.toLong, i * 10L,
