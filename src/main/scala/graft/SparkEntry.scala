@@ -1121,6 +1121,17 @@ object SparkEntry {
     // chain, certifying a TRAINED model cross-engine
     "q_nb_confusion" -> ((s, d) =>
       graft.ml.NaiveBayes.confusion(t(s, d, "documents"))),
+    // sparse tf-idf cosine join ([EXT]): df-capped inverted index —
+    // the WEIGHTED near-dup complement of q_jaccard_join
+    "q_sparse_cosine" -> ((s, d) =>
+      SetSimilarity.sparseCosineJoin(t(s, d, "documents"))),
+    // hashing-trick featurizer ([EXT]): vocabulary-free fixed-width
+    // features, signed-tf longs — exact, no float anywhere
+    "q_hash_features" -> ((s, d) =>
+      CorpusStats.hashFeatures(t(s, d, "documents"))),
+    // top user paths ([EXT]): the real sequences product analytics
+    // reads before hypothesizing a funnel
+    "q_user_paths" -> ((s, d) => Reports.userPaths(t(s, d, "events"))),
     // end-to-end corpus pipeline ([EXT] capstone): the hygiene
     // operators COMPOSED the way a training-data run uses them —
     // quality gate -> exact dedup (min-id keeper) -> drop benchmark
@@ -3366,6 +3377,51 @@ object SparkEntry {
            SELECT te.lang AS actual, p.predicted, count(*) AS n
            FROM pred p JOIN test te USING (doc_id) WHERE rn = 1
            GROUP BY 1, 2 ORDER BY 1, 2""",
+      "q_sparse_cosine" -> // df-capped inverted index; rounded-then-decimal sums
+        """WITH tk AS (SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+               ng AS (SELECT doc_id, unnest(
+                 [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS ng
+                 FROM tk),
+               tf AS (SELECT doc_id, ('0x' || substr(md5(ng), 1, 15))::BIGINT AS fp,
+                 count(*) AS tf FROM ng GROUP BY 1, 2),
+               nd AS (SELECT count(*) AS n_docs FROM documents),
+               wd AS (SELECT doc_id, fp, tf,
+                 count(*) OVER (PARTITION BY fp) AS df FROM tf),
+               w AS (SELECT doc_id, fp, round(CAST(tf AS DOUBLE) *
+                   ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 6) AS w
+                 FROM wd, nd WHERE df <= 64),
+               norms AS (SELECT doc_id, sqrt(CAST(sum(CAST(round(w * w, 6)
+                 AS DECIMAL(18,6))) AS DOUBLE)) AS norm FROM w GROUP BY 1),
+               dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 sum(CAST(round(a.w * b.w, 6) AS DECIMAL(18,6))) AS dot
+                 FROM w a JOIN w b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+           SELECT doc_a, doc_b,
+             round(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6) AS cosine
+           FROM dots JOIN norms na ON na.doc_id = dots.doc_a
+                     JOIN norms nb ON nb.doc_id = dots.doc_b
+           WHERE round(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6) >= 0.3
+           ORDER BY doc_a, doc_b""",
+      "q_hash_features" -> // portable md5 bucket + sign bit; exact signed-tf longs
+        """WITH t AS (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                 FROM documents),
+               tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+               h AS (SELECT doc_id,
+                 ('0x' || substr(md5(term), 1, 8))::BIGINT % 32 AS pos,
+                 (CASE WHEN ('0x' || substr(md5(term), 9, 1))::BIGINT % 2 = 0
+                       THEN 1 ELSE -1 END) * tf AS sv
+                 FROM tf)
+           SELECT doc_id, pos, CAST(sum(sv) AS BIGINT) AS value
+           FROM h GROUP BY 1, 2 ORDER BY doc_id, pos""",
+      "q_user_paths" -> // first-k path per user, counted; ties broken by path
+        """WITH r AS (SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               FROM events),
+             p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+               FROM r WHERE rn <= 3 GROUP BY user_id)
+           SELECT path, count(*) AS n_users FROM p GROUP BY path
+           ORDER BY n_users DESC, path""",
       "q_corpus_card" ->
         """WITH per_doc AS (SELECT source, lang,
              CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS BIGINT)

@@ -532,6 +532,38 @@ object CorpusStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Feature hashing ([EXT]) — the hashing-trick vectorizer
+    * (Weinberger et al. 2009): each token maps to a bucket in
+    * [0, dim) by a PORTABLE hash, with a second hash bit choosing ±1
+    * so colliding tokens cancel in expectation instead of
+    * accumulating bias. The vocabulary-free featurizer: no vocab
+    * build pass, no dictionary broadcast, fixed output width at any
+    * corpus size — what you feed a linear model when the vocabulary
+    * is unbounded (URLs, user agents, misspellings).
+    *
+    * Output is the harness-friendly sparse triple form
+    * `(doc_id, pos, value)` with value an EXACT long (signed tf sum)
+    * — hash-certifiable with no float anywhere. Explicit zero rows
+    * can appear when same-bucket tokens cancel; they are part of the
+    * contract (the bucket was TOUCHED). The md5-prefix hash is the
+    * engine-portable convention every sampler here uses. */
+  def hashFeatures(docs: DataFrame, dim: Int = 32, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(dim >= 2, s"hashFeatures needs dim >= 2: $dim")
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(Text.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val pos = conv(substring(md5(col("term")), 1, 8), 16, 10)
+      .cast("long") % dim
+    val sign = when(conv(substring(md5(col("term")), 9, 1), 16, 10)
+      .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    tf.select(col("doc_id"), pos.as("pos"), (sign * col("tf")).as("sv"))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(sum(col("sv")).cast("long").as("value"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   /** Per-source n-gram diversity ([EXT]) — corpus-level type/token
     * ratios: distinct and total unigrams and bigrams per source, with
     * their ratios. The release-card diversity row: a source whose

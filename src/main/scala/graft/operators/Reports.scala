@@ -543,6 +543,38 @@ object Reports {
       .orderBy(col("antecedent"), col("consequent"))
   }
 
+  /** Top user paths ([EXT]) — the first `k` event types of each
+    * user's history joined into a path string, counted across users:
+    * the onboarding-flow / drop-off view product analytics reads
+    * before any funnel is even defined (funnels test a HYPOTHESIZED
+    * sequence; paths SURFACE the real ones). Users with fewer than
+    * `k` events contribute their full shorter path — early
+    * abandonment is exactly the signal.
+    *
+    * Shape: one user-keyed window ranks events, the per-user path is
+    * a sort_array(collect_list(struct))-then-join aggregate
+    * (deterministic regardless of partitioning — collect_list alone
+    * is arrival-ordered), and the path count is a second, path-keyed
+    * aggregate whose cardinality is bounded by |event_types|^k. */
+  def userPaths(events: DataFrame, k: Int = 3, tsCol: String = "ts",
+                userCol: String = "user_id",
+                typeCol: String = "event_type"): DataFrame = {
+    require(k >= 1, s"userPaths needs k >= 1: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col("event_id"))
+    events
+      .select(col(userCol).as("user_id"), col(tsCol), col("event_id"),
+        col(typeCol).as("et"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__rn").as("r"), col("et").as("t")))),
+        x => x.getField("t")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+  }
+
   def cohortRetention(events: DataFrame, tsCol: String = "ts",
                       userCol: String = "user_id"): DataFrame = {
     val days = events.select(col(userCol).as("user_id"),

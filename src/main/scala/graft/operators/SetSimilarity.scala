@@ -275,4 +275,71 @@ object SetSimilarity {
       .agg(count(lit(1)).as("inter"))
       .filter(keep)
   }
+
+  /** Sparse TF-IDF cosine similarity join ([EXT]) — all doc pairs
+    * with cosine >= `threshold` over word-`ngram` tf-idf vectors, via
+    * the classic df-capped inverted index: pairs are generated ONLY
+    * through shared grams with df <= `maxDf`, so the fan-out per
+    * gram is C(df,2) <= C(maxDf,2) and the total join volume is
+    * bounded by gram rarity — never doc × doc. The WEIGHTED
+    * complement of [[jaccardJoin]] (set overlap treats a rare shared
+    * phrase and a boilerplate phrase alike; idf weighting makes rare
+    * shared content dominate the score).
+    *
+    * Semantics note: the cap is part of the SCORE's definition — this
+    * is cosine in the df<=maxDf gram subspace (norms computed over
+    * the same capped weights), not an approximation of uncapped
+    * cosine. That keeps the operator exactly replayable AND is what
+    * you want at scale: grams above the cap are boilerplate with
+    * idf ≈ 0 that would cost quadratic fan-out for near-zero score
+    * contribution.
+    *
+    * Determinism: weights are rounded to 6dp; dot products and
+    * squared norms are rounded-then-DECIMAL-summed (order-free);
+    * each final score is one IEEE chain over those exact sums,
+    * rounded to 6dp, and the threshold compares the rounded score. */
+  def sparseCosineJoin(docs: DataFrame, threshold: Double = 0.3,
+                       maxDf: Long = 64, idCol: String = "doc_id",
+                       textCol: String = "text", ngram: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val grams = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        Text.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("doc_id"),
+        explode(Ngrams.wordNgramsOfTokens(col("__toks"), ngram)).as("ng"))
+      .select(col("doc_id"), gramFp(col("ng")).as("fp"))
+    val tf = grams.groupBy(col("doc_id"), col("fp")).agg(count(lit(1)).as("tf"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val w = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .where(col("df") <= maxDf)
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("fp"),
+        round(col("tf").cast("double") *
+          log((col("n_docs") + lit(1)).cast("double") /
+            (col("df") + lit(1)).cast("double")), 6).as("w"))
+    val norms = w
+      .select(col("doc_id"),
+        round(col("w") * col("w"), 6).cast(DecimalType(18, 6)).as("w2"))
+      .groupBy(col("doc_id")).agg(sum(col("w2")).as("n2"))
+      .select(col("doc_id"), sqrt(col("n2").cast("double")).as("norm"))
+    val dots = w.select(col("fp"), col("doc_id").as("doc_a"), col("w").as("wa"))
+      .join(w.select(col("fp"), col("doc_id").as("doc_b"), col("w").as("wb")),
+        Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("wa") * col("wb"), 6).cast(DecimalType(18, 6)).as("p"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("p")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("norm").as("norm_a")),
+        Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("norm").as("norm_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot").cast("double") / (col("norm_a") * col("norm_b")), 6)
+          .as("cosine"))
+      .where(col("cosine") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

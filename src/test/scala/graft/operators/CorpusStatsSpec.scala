@@ -285,6 +285,25 @@ class CorpusStatsSpec extends SparkSuite {
       "per-bigram average keeps long docs comparable to short ones")
   }
 
+  test("hashFeatures: exact signed-tf buckets, doubling tokens doubles values") {
+    val one = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val two = Seq((1L, "alpha alpha beta beta gamma gamma")).toDF("doc_id", "text")
+    val f1 = CorpusStats.hashFeatures(one, dim = 16).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val f2 = CorpusStats.hashFeatures(two, dim = 16).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(f2 === f1.view.mapValues(_ * 2).toMap)
+    // total signed mass is bounded by the token count
+    assert(f1.values.map(math.abs).sum <= 3)
+    assert(f1.keys.forall(p => p >= 0 && p < 16))
+    // determinism across partitioning on a larger corpus
+    val docs = (1L to 40L).map(i => (i, s"t${i % 9} t${i % 5} t${i % 4} t${i % 3}"))
+      .toDF("doc_id", "text")
+    val a = CorpusStats.hashFeatures(docs).collect().toSeq
+    val b = CorpusStats.hashFeatures(docs.repartition(11)).collect().toSeq
+    assert(a === b)
+  }
+
   test("removeBlockedTokens strips exactly the blocklist, preserves order") {
     val docs = Seq((1L, "The cat AND the mat"), (2L, "no blocked words here"),
       (3L, "the the the")).toDF("doc_id", "text")

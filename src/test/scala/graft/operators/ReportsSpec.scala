@@ -221,6 +221,23 @@ class ReportsSpec extends SparkSuite {
     assert(m.count() === 7)
   }
 
+  test("userPaths: first-k path per user, short histories keep their prefix") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, 10L, ts(1), "view"), (1L, 11L, ts(2), "click"),
+      (1L, 12L, ts(3), "purchase"), (1L, 13L, ts(4), "view"), // 4th event ignored
+      (2L, 20L, ts(1), "view"), (2L, 21L, ts(2), "click"), (2L, 22L, ts(3), "purchase"),
+      (3L, 30L, ts(5), "view"), (3L, 31L, ts(6), "error"))    // short history
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Reports.userPaths(ev, k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("view>click>purchase" -> 2L, "view>error" -> 1L))
+    // equal timestamps break on event_id — deterministic
+    val tie = Seq((9L, 2L, ts(1), "b"), (9L, 1L, ts(1), "a"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    assert(Reports.userPaths(tie, k = 2).collect().head.getString(0) === "a>b")
+  }
+
   test("shippingPriority: segment + both date filters, exact-decimal top-k order") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
     val customer = Seq((1, "BUILDING"), (2, "AUTOMOBILE"), (3, "BUILDING"))

@@ -160,4 +160,39 @@ class SetSimilaritySpec extends SparkSuite {
     // no cartesian anywhere — candidates come from an equi-join on fp
     assert(!plan.contains("CartesianProduct"), s"no cartesian product expected:\n$plan")
   }
+
+  test("sparseCosineJoin: identical docs score exactly 1; disjoint docs never pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val out = SetSimilarity.sparseCosineJoin(docs, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out === Map((1L, 2L) -> 1.0))
+  }
+
+  test("sparseCosineJoin: the df cap removes boilerplate grams from the score space") {
+    // all four docs share the header trigram; with maxDf=2 it is
+    // excluded, so the header-only pair disappears while the pair
+    // with genuinely shared content survives
+    val header = "terms of service apply"
+    val docs = Seq(
+      (1L, s"$header unique one body text here"),
+      (2L, s"$header other words entirely different"),
+      (3L, s"$header shared tail content words"),
+      (4L, s"$header shared tail content words")).toDF("doc_id", "text")
+    val out = SetSimilarity.sparseCosineJoin(docs, threshold = 0.1, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((3L, 4L)))
+  }
+
+  test("sparseCosineJoin is invariant to partitioning") {
+    val docs = (1L to 30L).map(i =>
+      (i, s"tok${i % 5} tok${i % 7} tok${i % 3} tok${i % 11} tail${i % 2}"))
+      .toDF("doc_id", "text")
+    val a = SetSimilarity.sparseCosineJoin(docs, threshold = 0.2).collect().toSeq
+    val b = SetSimilarity.sparseCosineJoin(docs.repartition(7), threshold = 0.2)
+      .collect().toSeq
+    assert(a === b)
+  }
 }
