@@ -1132,6 +1132,20 @@ object SparkEntry {
     // top user paths ([EXT]): the real sequences product analytics
     // reads before hypothesizing a funnel
     "q_user_paths" -> ((s, d) => Reports.userPaths(t(s, d, "events"))),
+    // ABC / Pareto classes ([EXT]): global ordered cumsum on the
+    // shared prefix-sum skeleton — never a single-task window
+    "q_abc_analysis" -> ((s, d) => {
+      val rev = t(s, d, "lineitem").groupBy(col("l_partkey"))
+        .agg((sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))) * 10000).cast("long").as("units"))
+      Reports.abcAnalysis(rev, "l_partkey", "units")
+    }),
+    // RFM quintiles ([EXT]): positional ntile over total orders —
+    // monetary buckets on the EXACT decimal, never the double
+    "q_rfm" -> ((s, d) => Reports.rfmSegments(t(s, d, "orders"))),
+    // Gopher rule battery ([EXT]): the published filter set as one
+    // scan pass; every rule compares the ROUNDED metric
+    "q_gopher_rules" -> ((s, d) => CorpusStats.gopherQuality(t(s, d, "documents"))),
     // end-to-end corpus pipeline ([EXT] capstone): the hygiene
     // operators COMPOSED the way a training-data run uses them —
     // quality gate -> exact dedup (min-id keeper) -> drop benchmark
@@ -3422,6 +3436,65 @@ object SparkEntry {
                FROM r WHERE rn <= 3 GROUP BY user_id)
            SELECT path, count(*) AS n_users FROM p GROUP BY path
            ORDER BY n_users DESC, path""",
+      "q_abc_analysis" -> // desc-revenue cumulative share; total order makes RANGE==ROWS
+        """WITH rev AS (SELECT l_partkey AS key,
+                 CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                   * 10000 AS BIGINT) AS units
+               FROM lineitem GROUP BY 1),
+             tot AS (SELECT sum(units) AS t FROM rev),
+             c AS (SELECT key, units,
+                 CAST(sum(units) OVER (ORDER BY units DESC, key) AS BIGINT) AS cum_units
+               FROM rev)
+           SELECT key, units, cum_units,
+             round(CAST(cum_units AS DOUBLE) / CAST(t AS DOUBLE), 6) AS cum_share,
+             CASE WHEN round(CAST(cum_units AS DOUBLE) / CAST(t AS DOUBLE), 6) <= 0.80 THEN 'A'
+                  WHEN round(CAST(cum_units AS DOUBLE) / CAST(t AS DOUBLE), 6) <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+           FROM c, tot ORDER BY cum_units""",
+      "q_rfm" -> // positional ntile over (metric, custkey) total orders
+        """WITH per AS (SELECT o_custkey, max(o_orderdate) AS last_order,
+                 count(*) AS frequency,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS md
+               FROM orders GROUP BY 1),
+             mx AS (SELECT max(o_orderdate) AS mxo FROM orders),
+             s AS (SELECT o_custkey,
+                 date_diff('day', CAST(last_order AS DATE), CAST(mxo AS DATE)) AS recency_days,
+                 frequency, md FROM per, mx),
+             t AS (SELECT o_custkey, recency_days, frequency, md,
+                 ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r,
+                 ntile(5) OVER (ORDER BY frequency, o_custkey) AS f,
+                 ntile(5) OVER (ORDER BY md, o_custkey) AS m FROM s)
+           SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+             CAST(frequency AS BIGINT) AS frequency, CAST(md AS DOUBLE) AS monetary,
+             CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f, CAST(m AS BIGINT) AS m,
+             r::VARCHAR || f::VARCHAR || m::VARCHAR AS segment
+           FROM t ORDER BY o_custkey""",
+      "q_gopher_rules" -> // every rule compares the ROUNDED metric — kept set engine-exact
+        """WITH b AS (SELECT doc_id, text,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+             m AS (SELECT doc_id,
+                 CAST(len(t) AS BIGINT) AS n_tokens,
+                 round(CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                   / CAST(len(t) AS DOUBLE), 6) AS mean_word_len,
+                 round(CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+                   / CAST(len(t) AS DOUBLE), 6) AS symbol_ratio,
+                 round(CAST(len(list_filter(t, x -> regexp_matches(x, '\p{L}'))) AS DOUBLE)
+                   / CAST(len(t) AS DOUBLE), 6) AS alpha_word_ratio,
+                 CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b'))
+                   AS BIGINT) AS stopword_hits
+               FROM b)
+           SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, alpha_word_ratio,
+             stopword_hits,
+             (n_tokens >= 50 AND n_tokens <= 100000) AS ok_tokens,
+             (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_word_len,
+             (symbol_ratio <= 0.1) AS ok_symbols,
+             (alpha_word_ratio >= 0.8) AS ok_alpha,
+             (stopword_hits >= 2) AS ok_stopwords,
+             (n_tokens >= 50 AND n_tokens <= 100000
+               AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+               AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+               AND stopword_hits >= 2) AS pass
+           FROM m ORDER BY doc_id""",
       "q_corpus_card" ->
         """WITH per_doc AS (SELECT source, lang,
              CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS BIGINT)

@@ -532,6 +532,58 @@ object CorpusStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style quality rule battery ([EXT]) — the published
+    * pre-training filter set (Rae et al. 2021, "Scaling Language
+    * Models: ... Gopher", §A1.1), the NAMED standard [[graft.functions.Text.isQuality]]
+    * approximates: token-count range, mean-word-length range,
+    * symbol-to-token ratio ('#' and '...'), alphabetic-word ratio,
+    * and a minimum stopword-hit count. Line-based rules (bullet /
+    * ellipsis line starts) need newline structure the flat test
+    * corpus lacks and are deliberately out of scope here.
+    *
+    * Per doc: each metric, each rule's verdict, and the conjunction.
+    * Every metric is a scalar expression riding the scan (the
+    * punctCount no-explode idiom except the alpha-word filter, a
+    * bound-once array pass); ratios are single IEEE divisions rounded
+    * to 6dp, and every RULE compares the ROUNDED value — the kept set
+    * is engine-exact, not just the scores. */
+  def gopherQuality(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    minTokens: Int = 50, maxTokens: Int = 100000,
+                    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                    maxSymbolRatio: Double = 0.1,
+                    minAlphaWordRatio: Double = 0.8,
+                    minStopwordHits: Int = 2): DataFrame = {
+    val toks = Text.tokens(lower(col(textCol)))
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+      toks.as("__t"))
+    val nTok = size(col("__t")).cast("long")
+    val meanLen = round(Text.nonSpaceChars(col("__text")).cast("double") /
+      nTok.cast("double"), 6)
+    val symRatio = round(regexp_count(col("__text"), lit("#|\\.\\.\\."))
+      .cast("double") / nTok.cast("double"), 6)
+    val alphaRatio = round(
+      size(filter(col("__t"), t => t.rlike("\\p{L}"))).cast("double") /
+        nTok.cast("double"), 6)
+    val stopHits = Text.stopwordHits(col("__text"),
+      Text.stopwordPatterns.toMap.apply("en")).cast("long")
+    base.select(col("doc_id"), nTok.as("n_tokens"), meanLen.as("mean_word_len"),
+        symRatio.as("symbol_ratio"), alphaRatio.as("alpha_word_ratio"),
+        stopHits.as("stopword_hits"))
+      .withColumn("ok_tokens",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("ok_word_len",
+        col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen)
+      .withColumn("ok_symbols", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("ok_alpha", col("alpha_word_ratio") >= minAlphaWordRatio)
+      .withColumn("ok_stopwords", col("stopword_hits") >= minStopwordHits)
+      .withColumn("pass",
+        col("ok_tokens") && col("ok_word_len") && col("ok_symbols") &&
+          col("ok_alpha") && col("ok_stopwords"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Feature hashing ([EXT]) — the hashing-trick vectorizer
     * (Weinberger et al. 2009): each token maps to a bucket in
     * [0, dim) by a PORTABLE hash, with a second hash bit choosing ±1

@@ -543,6 +543,80 @@ object Reports {
       .orderBy(col("antecedent"), col("consequent"))
   }
 
+  /** ABC / Pareto analysis ([EXT]) — classify keys by cumulative
+    * revenue share in descending-revenue order: class A carries the
+    * first `aCut` (default 80%) of revenue, B to `bCut` (95%), C the
+    * tail — the inventory-prioritization classic. `unitsCol` must be
+    * an EXACT integer measure (cents / 10⁻⁴ currency units), which
+    * makes the running total order-independent and the class
+    * boundaries engine-exact.
+    *
+    * Scale shape: the global ordered cumsum rides
+    * [[Pack.rangeSortedWithOffsets]] (range partition + driver offset
+    * fold) — NEVER a single-task unbounded window; the same skeleton
+    * behind budget selection, ordinals, and the sweep-line. */
+  def abcAnalysis(df: DataFrame, keyCol: String, unitsCol: String,
+                  aCut: Double = 0.80, bCut: Double = 0.95): DataFrame = {
+    require(0 < aCut && aCut < bCut && bCut < 1,
+      s"need 0 < aCut < bCut < 1: $aCut, $bCut")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (sorted, offsets) = Pack.rangeSortedWithOffsets(
+      df.select(col(keyCol).cast("long").as("key"),
+          col(unitsCol).cast("long").as("units"))
+        .withColumn("__negu", -col("units")),
+      Seq("__negu", "key"), col("units"))
+    val total = offsets.last
+    require(total > 0, "abcAnalysis needs a positive revenue total")
+    val cum = sorted.as[(Long, Long, Long)].mapPartitions { it =>
+      var acc = offsets(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (key, units, _) => acc += units; (key, units, acc) }
+    }.toDF("key", "units", "cum_units")
+    val share = round(col("cum_units").cast("double") / lit(total.toDouble), 6)
+    cum.select(col("key"), col("units"), col("cum_units"),
+        share.as("cum_share"),
+        when(share <= aCut, lit("A")).when(share <= bCut, lit("B"))
+          .otherwise(lit("C")).as("abc_class"))
+      .orderBy(col("cum_units"))
+  }
+
+  /** RFM segmentation ([EXT]) — recency / frequency / monetary
+    * quintiles per customer, the retention-marketing workhorse.
+    * Scores are 1..n with n best (most recent, most frequent, highest
+    * spend); `ntile` is purely positional, so the (metric, custkey)
+    * total order makes bucket assignment engine-exact — and the
+    * monetary ordering uses the EXACT decimal, never the rendered
+    * double (a ULP tie would flip a bucket). The three ntile windows
+    * are global but run over the CUSTOMER DIMENSION (bounded, not the
+    * fact); past ~10⁸ customers, swap each for
+    * [[Pack.globalOrdinals]]-derived buckets. */
+  def rfmSegments(orders: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 2, s"rfmSegments needs n >= 2: $n")
+    val per = orders.groupBy(col("o_custkey")).agg(
+      max(col("o_orderdate")).as("__last"),
+      count(lit(1)).as("frequency"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2))).as("__md"))
+    val mx = orders.agg(max(col("o_orderdate")).as("__mx"))
+    val scored = per.crossJoin(broadcast(mx))
+      .select(col("o_custkey"),
+        datediff(col("__mx"), col("__last")).cast("long").as("recency_days"),
+        col("frequency"), col("__md"))
+    import org.apache.spark.sql.expressions.Window
+    val r = ntile(n).over(
+      Window.orderBy(col("recency_days").desc, col("o_custkey")))
+    val f = ntile(n).over(Window.orderBy(col("frequency"), col("o_custkey")))
+    val m = ntile(n).over(Window.orderBy(col("__md"), col("o_custkey")))
+    scored
+      .withColumn("r", r.cast("long")).withColumn("f", f.cast("long"))
+      .withColumn("m", m.cast("long"))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("__md").cast("double").as("monetary"),
+        col("r"), col("f"), col("m"),
+        concat(col("r").cast("string"), col("f").cast("string"),
+          col("m").cast("string")).as("segment"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Top user paths ([EXT]) — the first `k` event types of each
     * user's history joined into a path string, counted across users:
     * the onboarding-flow / drop-off view product analytics reads

@@ -285,6 +285,25 @@ class CorpusStatsSpec extends SparkSuite {
       "per-bigram average keeps long docs comparable to short ones")
   }
 
+  test("gopherQuality: each rule fires on its own failure mode") {
+    val good = ("the quick brown fox jumps over the lazy dog and runs to the " * 5).trim
+    val symbols = "the " + ("### ... ### " * 20).trim + (" word" * 50)
+    val digits = ("12345 67890 " * 30).trim
+    val short = "the tiny one"
+    val docs = Seq((1L, good), (2L, symbols), (3L, digits), (4L, short))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.gopherQuality(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("pass"))
+    assert(!out(2L).getAs[Boolean]("ok_symbols") && !out(2L).getAs[Boolean]("pass"))
+    assert(!out(3L).getAs[Boolean]("ok_alpha"))
+    assert(!out(3L).getAs[Boolean]("ok_stopwords"))
+    assert(!out(4L).getAs[Boolean]("ok_tokens") && !out(4L).getAs[Boolean]("pass"))
+    // metrics are the rounded ratios the rules compare
+    assert(out(4L).getAs[Long]("n_tokens") === 3L)
+    assert(out(4L).getAs[Double]("mean_word_len") === 3.333333)
+  }
+
   test("hashFeatures: exact signed-tf buckets, doubling tokens doubles values") {
     val one = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
     val two = Seq((1L, "alpha alpha beta beta gamma gamma")).toDF("doc_id", "text")

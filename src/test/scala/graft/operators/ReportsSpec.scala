@@ -221,6 +221,35 @@ class ReportsSpec extends SparkSuite {
     assert(m.count() === 7)
   }
 
+  test("abcAnalysis: cumulative-share classes at exact boundaries") {
+    val rev = Seq((1L, 80L), (2L, 15L), (3L, 5L)).toDF("k", "units")
+    val out = Reports.abcAnalysis(rev, "k", "units").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    assert(out(1L) === ((80L, 0.8, "A")))     // exactly at the A cut
+    assert(out(2L) === ((95L, 0.95, "B")))    // exactly at the B cut
+    assert(out(3L) === ((100L, 1.0, "C")))
+    // equal revenues order by key — deterministic under reshuffling
+    val tie = Seq((9L, 10L), (1L, 10L), (5L, 10L)).toDF("k", "units")
+    val cum = Reports.abcAnalysis(tie.repartition(3), "k", "units").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(cum.toSeq === Seq((1L, 10L), (5L, 20L), (9L, 30L)))
+  }
+
+  test("rfmSegments: quintiles follow the metric orders, best = n") {
+    def ts(day: Int) = new java.sql.Timestamp(86400000L * day)
+    // 5 customers, strictly increasing recency/frequency/spend for c1..c5
+    val orders = (1 to 5).flatMap { c =>
+      (1 to c).map(i => (c.toLong, ts(c * 10), 100.0 * c))
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = Reports.rfmSegments(orders).collect()
+      .map(r => r.getLong(0) -> r.getString(7)).toMap
+    // c5: most recent (day 50), most orders (5), highest spend -> 555
+    assert(out(5L) === "555")
+    assert(out(1L) === "111")
+    assert(out(3L) === "333")
+  }
+
   test("userPaths: first-k path per user, short histories keep their prefix") {
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
     val ev = Seq(
