@@ -1146,6 +1146,21 @@ object SparkEntry {
     // Gopher rule battery ([EXT]): the published filter set as one
     // scan pass; every rule compares the ROUNDED metric
     "q_gopher_rules" -> ((s, d) => CorpusStats.gopherQuality(t(s, d, "documents"))),
+    // bounded-depth BFS ([EXT]): blast radius — min-hop labels within
+    // 2 undirected hops of the seed parts; k bounded frontier stages
+    "q_khop" -> ((s, d) =>
+      Graph.kHopReachable(copurchaseEdges(s, d), Seq(1L, 2L, 3L), k = 2)),
+    // t-closeness ([EXT]): completes the privacy triad — per-group
+    // total-variation distance to the global sensitive distribution,
+    // absent values folded in algebraically (no spine)
+    "q_t_closeness" -> ((s, d) =>
+      Anonymize.tCloseness(t(s, d, "documents"), Seq("source"), "lang")),
+    // growth curve ([EXT]): users count once, on their first day —
+    // never an expanding re-count
+    "q_cumulative_users" -> ((s, d) => Reports.cumulativeUsers(t(s, d, "events"))),
+    // rolling 7-day actives / WAU ([EXT]): bounded n-literal fan-out
+    // instead of a per-day distinct re-count
+    "q_rolling_active" -> ((s, d) => Reports.rollingActiveUsers(t(s, d, "events"))),
     // end-to-end corpus pipeline ([EXT] capstone): the hygiene
     // operators COMPOSED the way a training-data run uses them —
     // quality gate -> exact dedup (min-id keeper) -> drop benchmark
@@ -3495,6 +3510,51 @@ object SparkEntry {
                AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
                AND stopword_hits >= 2) AS pass
            FROM m ORDER BY doc_id""",
+      "q_khop" -> // unrolled frontier CTEs; min-hop via NOT IN earlier rings
+        """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40),
+               e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                     FROM li x JOIN li y
+                       ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey),
+               s0 AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS v),
+               r1 AS (SELECT DISTINCT e.b AS v FROM s0 JOIN e ON e.a = s0.v),
+               r2 AS (SELECT DISTINCT e.b AS v FROM r1 JOIN e ON e.a = r1.v),
+               lab AS (SELECT v, 0 AS hop FROM s0
+                 UNION ALL SELECT v, 1 FROM r1 WHERE v NOT IN (SELECT v FROM s0)
+                 UNION ALL SELECT v, 2 FROM r2
+                   WHERE v NOT IN (SELECT v FROM s0)
+                     AND v NOT IN (SELECT v FROM r1))
+           SELECT v, CAST(hop AS BIGINT) AS hop FROM lab ORDER BY v""",
+      "q_t_closeness" -> // absent sensitive values fold in as 1 - sum(q_present)
+        """WITH g AS (SELECT lang AS s, count(*) AS ns FROM documents GROUP BY 1),
+               n AS (SELECT count(*) AS n FROM documents),
+               q AS (SELECT s, CAST(ns AS DOUBLE) / CAST(n AS DOUBLE) AS q FROM g, n),
+               c AS (SELECT source, lang AS s, count(*) AS ngs FROM documents
+                     GROUP BY 1, 2),
+               cw AS (SELECT source, s, ngs,
+                 sum(ngs) OVER (PARTITION BY source) AS ng FROM c),
+               j AS (SELECT source, ng,
+                 CAST(round(abs(CAST(ngs AS DOUBLE) / CAST(ng AS DOUBLE) - q), 6)
+                   AS DECIMAL(18,6)) AS d,
+                 CAST(round(q, 6) AS DECIMAL(18,6)) AS qp
+                 FROM cw JOIN q USING (s))
+           SELECT source, CAST(max(ng) AS BIGINT) AS n_rows,
+             round(0.5 * (CAST(sum(d) AS DOUBLE) + (1.0 - CAST(sum(qp) AS DOUBLE))), 6)
+               AS t_closeness
+           FROM j GROUP BY source ORDER BY source""",
+      "q_cumulative_users" -> // first-day counting; cumsum over the bounded day table
+        """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+               p AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+           SELECT day, new_users,
+             CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumulative_users
+           FROM p ORDER BY day""",
+      "q_rolling_active" -> // n-literal fan-out; windows past the data clipped
+        """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+               mx AS (SELECT max(day) AS m FROM a),
+               s AS (SELECT DISTINCT user_id, day + CAST(off AS INT) AS day
+                     FROM a CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o)
+           SELECT day, count(*) AS active_users
+           FROM s, mx WHERE day <= m GROUP BY day ORDER BY day""",
       "q_corpus_card" ->
         """WITH per_doc AS (SELECT source, lang,
              CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS BIGINT)

@@ -75,6 +75,50 @@ object Anonymize {
       .orderBy(qi.map(col): _*)
   }
 
+  /** t-closeness audit ([EXT]) — completes the privacy triad with
+    * [[kAnonymity]] and [[lDiversity]]: per quasi-identifier group,
+    * the total-variation distance between the group's sensitive-value
+    * distribution and the table-wide one, `TV = ½·Σ_s |p_s − q_s|`
+    * (the categorical Earth-Mover's distance with unit ground
+    * metric). k-anonymity bounds group SIZE and l-diversity counts
+    * distinct values, but a group can pass both while being 95% one
+    * diagnosis — the distribution skew t-closeness flags.
+    *
+    * Shape: no (group × sensitive) spine — absent values' mass folds
+    * in algebraically: Σ_absent q_s = 1 − Σ_present q_s, so
+    * `TV = ½·(Σ_present |p_s − q_s| + 1 − Σ_present q_s)` needs only
+    * the observed (group, sensitive) aggregate, group totals as a
+    * window ON those rows, and the broadcast global distribution.
+    * Determinism: both per-value terms are rounded to 6dp then
+    * DECIMAL-summed (the dsum convention); the final expression is
+    * one IEEE chain rounded to 6dp. */
+  def tCloseness(df: DataFrame, qi: Seq[String], sensitive: String): DataFrame = {
+    require(qi.nonEmpty, "tCloseness needs at least one quasi-identifier column")
+    import org.apache.spark.sql.types.DecimalType
+    val global = df.groupBy(col(sensitive).as("__s"))
+      .agg(count(lit(1)).as("__ns"))
+    val total = df.agg(count(lit(1)).as("__n"))
+    val gdist = global.crossJoin(broadcast(total))
+      .select(col("__s"),
+        (col("__ns").cast("double") / col("__n").cast("double")).as("__q"))
+    val cells = df.groupBy(qi.map(col) :+ col(sensitive).as("__s"): _*)
+      .agg(count(lit(1)).as("__ngs"))
+      .withColumn("__ng", sum(col("__ngs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(qi.map(col): _*)))
+    val p = col("__ngs").cast("double") / col("__ng").cast("double")
+    cells.join(gdist, Seq("__s"))
+      .select(qi.map(col) :+ col("__ng") :+
+        round(abs(p - col("__q")), 6).cast(DecimalType(18, 6)).as("__d") :+
+        round(col("__q"), 6).cast(DecimalType(18, 6)).as("__qp"): _*)
+      .groupBy(qi.map(col): _*)
+      .agg(max(col("__ng")).as("n_rows"),
+        sum(col("__d")).as("__sd"), sum(col("__qp")).as("__sq"))
+      .select(qi.map(col) :+ col("n_rows") :+
+        round(lit(0.5) * (col("__sd").cast("double") +
+          (lit(1.0) - col("__sq").cast("double"))), 6).as("t_closeness"): _*)
+      .orderBy(qi.map(col): _*)
+  }
+
   /** AES-GCM file encryption for the vault at rest — driver-side
     * utility mirroring the reference's mapping-file encryption
     * (src/runnerfile.py:279-309), minus its XOR fallback. */

@@ -207,6 +207,45 @@ object Graph {
       .orderBy(col("v"))
   }
 
+  /** Bounded-depth BFS reachability ([EXT]) — every vertex within
+    * `k` undirected hops of the seed set, labeled with its MINIMUM
+    * hop distance: the blast-radius query (which parts co-occur
+    * within 2 orders of a recalled part; which accounts sit within 3
+    * hops of a flagged one). Bounded depth is the point — an
+    * unbounded transitive closure on a connected graph is "all of
+    * it"; investigations ask "how close".
+    *
+    * Shape: the classic frontier loop — per hop one equi-join of the
+    * (shrinking) frontier against the adjacency list, a distinct,
+    * and an anti-join against the reached set, with `localCheckpoint`
+    * pinning lineage (the kmeans/BPE loop discipline). Hop count is a
+    * query parameter, so the plan is k bounded stages, never a
+    * data-dependent fixpoint. Each vertex is labeled once, at its
+    * first (= minimum) hop. */
+  def kHopReachable(edges: DataFrame, seeds: Seq[Long], k: Int,
+                    src: String = "src", dst: String = "dst"): DataFrame = {
+    require(seeds.nonEmpty, "kHopReachable needs a non-empty seed set")
+    require(k >= 0, s"kHopReachable needs k >= 0: $k")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val adj = edges.select(col(src).as("a"), col(dst).as("b"))
+      .unionAll(edges.select(col(dst).as("a"), col(src).as("b")))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    var reached = seeds.distinct.toDF("v").withColumn("hop", lit(0L))
+    var frontier = reached.select(col("v"))
+    for (h <- 1 to k if !frontier.isEmpty) {
+      val next = frontier.join(adj, col("v") === col("a"))
+        .select(col("b").as("v")).distinct()
+        .join(reached.select(col("v")), Seq("v"), "left_anti")
+        .localCheckpoint()
+      reached = reached.unionAll(next.withColumn("hop", lit(h.toLong)))
+        .localCheckpoint()
+      frontier = next
+    }
+    reached.orderBy(col("v"))
+  }
+
   /** Shared core: canonical undirected edges, degrees, and the
     * closed (u, w1, w2) wedge rows — one row per triangle, anchored
     * at its (degree, id)-minimal corner. */

@@ -649,6 +649,53 @@ object Reports {
       .orderBy(col("n_users").desc, col("path"))
   }
 
+  /** Cumulative unique users by day ([EXT]) — the growth curve: each
+    * user counts once, on their FIRST active day, and the running sum
+    * over days gives total distinct users to date. A naive
+    * count-distinct-over-expanding-window rescans history per day;
+    * this is one user aggregate (first day) + one day aggregate +
+    * one cumsum over the BOUNDED day table. */
+  def cumulativeUsers(events: DataFrame, tsCol: String = "ts",
+                      userCol: String = "user_id"): DataFrame = {
+    val firstDay = events
+      .groupBy(col(userCol).as("user_id"))
+      .agg(min(to_date(col(tsCol))).as("day"))
+    val perDay = firstDay.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perDay
+      .withColumn("cumulative_users", sum(col("new_users")).over(w))
+      .orderBy(col("day"))
+  }
+
+  /** Rolling n-day active users ([EXT]) — WAU/MAU: distinct users
+    * active in the window ENDING each day. The expanding-distinct
+    * trap again: instead of re-counting a 7-day set per day, each
+    * (user, active-day) row fans out to the n window-end days it
+    * supports (a bounded explode of n literals) and one distinct
+    * count per day finishes. Days past the observed maximum are
+    * clipped — a window that ends after the data isn't a real
+    * reading. */
+  def rollingActiveUsers(events: DataFrame, days: Int = 7,
+                         tsCol: String = "ts",
+                         userCol: String = "user_id"): DataFrame = {
+    require(days >= 1, s"rollingActiveUsers needs days >= 1: $days")
+    val active = events
+      .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val maxDay = active.agg(max(col("day")).as("__mx"))
+    active
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(days - 1))).as("__off"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("__off")).as("day"))
+      .distinct()
+      .crossJoin(broadcast(maxDay))
+      .where(col("day") <= col("__mx"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy(col("day"))
+  }
+
   def cohortRetention(events: DataFrame, tsCol: String = "ts",
                       userCol: String = "user_id"): DataFrame = {
     val days = events.select(col(userCol).as("user_id"),

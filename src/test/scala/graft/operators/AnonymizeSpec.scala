@@ -56,4 +56,26 @@ class AnonymizeSpec extends SparkSuite {
     assert(out(("US", "B")) === ((2L, true)))
     assert(out(("DE", "A")) === ((1L, true)))
   }
+
+  test("tCloseness: skewed groups flagged, matching groups score 0") {
+    // global: x and y 50/50. group "skew" is all-x (TV 0.5); group
+    // "match" mirrors the global distribution exactly (TV 0)
+    val df = Seq(
+      ("skew", "x"), ("skew", "x"),
+      ("match", "x"), ("match", "y"), ("match", "x"), ("match", "y"),
+      ("half", "y"), ("half", "y")).toDF("grp", "diag")
+    val out = Anonymize.tCloseness(df, Seq("grp"), "diag").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("match") === ((4L, 0.0)))
+    assert(out("skew") === ((2L, 0.5)))
+    assert(out("half") === ((2L, 0.5)))
+    // a group missing a sensitive value entirely still pays its mass
+    val miss = Seq(("a", "x"), ("a", "y"), ("a", "z"), ("b", "x"))
+      .toDF("grp", "diag")
+    val tv = Anonymize.tCloseness(miss, Seq("grp"), "diag").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // global: x 1/2, y 1/4, z 1/4; group b = all-x:
+    // TV = 0.5*(|1 - 0.5| + 0.25 + 0.25) = 0.5
+    assert(tv("b") === 0.5)
+  }
 }

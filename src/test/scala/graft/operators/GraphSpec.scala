@@ -89,6 +89,23 @@ class GraphSpec extends SparkSuite {
     assert(tri(messy) === ((3L, 3L, 1L)))
   }
 
+  test("kHopReachable: min-hop labels on a path, direction-insensitive") {
+    // path 1-2-3-4-5 with reversed edge directions mixed in
+    val path = Seq((1L, 2L), (3L, 2L), (3L, 4L), (5L, 4L)).toDF("src", "dst")
+    val out = Graph.kHopReachable(path, Seq(1L), k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // diamond: two routes to 4; the SHORTER labels it
+    val diamond = Seq((1L, 2L), (1L, 4L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val d = Graph.kHopReachable(diamond, Seq(1L), k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(4L) === 1L)
+    // k = 0 returns exactly the seeds; absent seeds still labeled 0
+    val z = Graph.kHopReachable(path, Seq(1L, 99L), k = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(z === Map(1L -> 0L, 99L -> 0L))
+  }
+
   test("localClustering: K4 corners are fully clustered, star center is not") {
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
     val cc = Graph.localClustering(k4.toDF("src", "dst")).collect()

@@ -221,6 +221,26 @@ class ReportsSpec extends SparkSuite {
     assert(m.count() === 7)
   }
 
+  test("cumulativeUsers: each user counts once, on their first day") {
+    def ts(day: Int) = new java.sql.Timestamp(86400000L * day)
+    val ev = Seq((1L, ts(1)), (1L, ts(3)), (2L, ts(1)), (3L, ts(3)), (3L, ts(5)))
+      .toDF("user_id", "ts")
+    val out = Reports.cumulativeUsers(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("1970-01-02", 2L, 2L), ("1970-01-04", 1L, 3L)))
+  }
+
+  test("rollingActiveUsers: window coverage, dedup, and trailing clip") {
+    def ts(day: Int) = new java.sql.Timestamp(86400000L * day)
+    // u1 active day1; u2 active day1 and day2 (dedup within window)
+    val ev = Seq((1L, ts(1)), (2L, ts(1)), (2L, ts(2)))
+      .toDF("user_id", "ts")
+    val out = Reports.rollingActiveUsers(ev, days = 3).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // observed days: jan2 (day1), jan3 (day2); windows past jan3 clipped
+    assert(out === Map("1970-01-02" -> 2L, "1970-01-03" -> 2L))
+  }
+
   test("abcAnalysis: cumulative-share classes at exact boundaries") {
     val rev = Seq((1L, 80L), (2L, 15L), (3L, 5L)).toDF("k", "units")
     val out = Reports.abcAnalysis(rev, "k", "units").collect()
