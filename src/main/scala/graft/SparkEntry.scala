@@ -1161,6 +1161,25 @@ object SparkEntry {
     // rolling 7-day actives / WAU ([EXT]): bounded n-literal fan-out
     // instead of a per-day distinct re-count
     "q_rolling_active" -> ((s, d) => Reports.rollingActiveUsers(t(s, d, "events"))),
+    // quantile transform ([EXT]): rank-based normalization immune to
+    // any monotone distortion — ties share a percent_rank
+    "q_quantile_transform" -> ((s, d) =>
+      Profile.quantileTransform(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice")
+        .select(col("l_orderkey"), col("l_linenumber"), col("q"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    // mutual information ([EXT]): the dependence chi2 tests but does
+    // not quantify — one fact scan, margins on the bounded cell rows
+    "q_mutual_info" -> ((s, d) =>
+      Profile.mutualInformation(t(s, d, "documents"), "lang", "source")),
+    // fightin' words ([EXT]): z-scored log-odds with informative
+    // Dirichlet prior — which terms distinguish src0 from src1
+    "q_log_odds" -> ((s, d) =>
+      CorpusStats.logOddsTerms(t(s, d, "documents"), "src0", "src1")),
+    // inter-arrival burstiness ([EXT]): Poisson-vs-bursty CV per user
+    "q_interarrival" -> ((s, d) => Windows.interArrival(t(s, d, "events"))),
     // end-to-end corpus pipeline ([EXT] capstone): the hygiene
     // operators COMPOSED the way a training-data run uses them —
     // quality gate -> exact dedup (min-id keeper) -> drop benchmark
@@ -3555,6 +3574,72 @@ object SparkEntry {
                      FROM a CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o)
            SELECT day, count(*) AS active_users
            FROM s, mx WHERE day <= m GROUP BY day ORDER BY day""",
+      "q_quantile_transform" -> // ties share a percent_rank in both engines
+        """SELECT l_orderkey, l_linenumber,
+             round(percent_rank() OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice), 6) AS q
+           FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+      "q_mutual_info" -> // three entropies via round-then-decimal n*ln n sums
+        """WITH cells AS (SELECT lang AS x, source AS y, count(*) AS n
+                          FROM documents GROUP BY 1, 2),
+               js AS (SELECT sum(CAST(round(n * ln(CAST(n AS DOUBLE)), 6)
+                        AS DECIMAL(18,6))) AS sxy, sum(n) AS t FROM cells),
+               xs AS (SELECT sum(CAST(round(n * ln(CAST(n AS DOUBLE)), 6)
+                        AS DECIMAL(18,6))) AS sx FROM
+                        (SELECT x, sum(n) AS n FROM cells GROUP BY x)),
+               ys AS (SELECT sum(CAST(round(n * ln(CAST(n AS DOUBLE)), 6)
+                        AS DECIMAL(18,6))) AS sy FROM
+                        (SELECT y, sum(n) AS n FROM cells GROUP BY y))
+           SELECT CAST(t AS BIGINT) AS n_rows,
+             round(ln(CAST(t AS DOUBLE)) - CAST(sx AS DOUBLE) / CAST(t AS DOUBLE), 6) AS h_x,
+             round(ln(CAST(t AS DOUBLE)) - CAST(sy AS DOUBLE) / CAST(t AS DOUBLE), 6) AS h_y,
+             round(ln(CAST(t AS DOUBLE)) - CAST(sxy AS DOUBLE) / CAST(t AS DOUBLE), 6) AS h_xy,
+             round((ln(CAST(t AS DOUBLE)) - CAST(sx AS DOUBLE) / CAST(t AS DOUBLE))
+                 + (ln(CAST(t AS DOUBLE)) - CAST(sy AS DOUBLE) / CAST(t AS DOUBLE))
+                 - (ln(CAST(t AS DOUBLE)) - CAST(sxy AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+               AS mutual_info
+           FROM js, xs, ys""",
+      "q_log_odds" -> // Monroe 2008 informative-prior log-odds z
+        """WITH tm AS (SELECT source AS src,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+               FROM documents WHERE source IN ('src0', 'src1')),
+             c AS (SELECT term,
+                 sum(CASE WHEN src = 'src0' THEN 1 ELSE 0 END) AS ya,
+                 sum(CASE WHEN src = 'src1' THEN 1 ELSE 0 END) AS yb
+               FROM tm GROUP BY term),
+             tt AS (SELECT sum(ya) AS na, sum(yb) AS nb FROM c),
+             s AS (SELECT term, ya, yb,
+                 10.0 * CAST(ya + yb AS DOUBLE) / CAST(na + nb AS DOUBLE) AS aw,
+                 CAST(ya AS DOUBLE) AS yad, CAST(yb AS DOUBLE) AS ybd,
+                 CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd
+               FROM c, tt),
+             z AS (SELECT term, CAST(ya AS BIGINT) AS ya, CAST(yb AS BIGINT) AS yb,
+                 round(ln((yad + aw) / (nad + 10.0 - yad - aw))
+                     - ln((ybd + aw) / (nbd + 10.0 - ybd - aw)), 6) AS delta,
+                 round((ln((yad + aw) / (nad + 10.0 - yad - aw))
+                     - ln((ybd + aw) / (nbd + 10.0 - ybd - aw)))
+                   / sqrt(1.0 / (yad + aw) + 1.0 / (ybd + aw)), 6) AS z
+               FROM s)
+           SELECT term, ya, yb, delta, z FROM z
+           ORDER BY abs(z) DESC, term LIMIT 50""",
+      "q_interarrival" -> // exact micros gaps; decimal moments; CV guard on exact sums
+        """WITH g AS (SELECT user_id, epoch_us(ts)
+                 - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS gap FROM events),
+             a AS (SELECT user_id, count(*) AS n_gaps,
+                 sum(CAST(gap AS DECIMAL(28,0))) AS sg,
+                 sum(CAST(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0))
+                   AS DECIMAL(38,0))) AS sgg
+               FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+           SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+             round((CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) / 1000000.0, 6)
+               AS mean_gap_s,
+             CASE WHEN n_gaps > 1 AND n_gaps * sgg <> sg * sg THEN
+               round(sqrt((CAST(sgg AS DOUBLE)
+                   - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                 / (CAST(n_gaps AS DOUBLE) - 1))
+                 / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6) END AS cv
+           FROM a ORDER BY user_id""",
       "q_corpus_card" ->
         """WITH per_doc AS (SELECT source, lang,
              CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS BIGINT)

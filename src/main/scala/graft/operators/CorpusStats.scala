@@ -532,6 +532,49 @@ object CorpusStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Log-odds-ratio term comparison with an informative Dirichlet
+    * prior ([EXT]) — Monroe/Colaresi/Quinn 2008 ("Fightin' Words"):
+    * which terms distinguish source A's language from source B's,
+    * z-scored so rare-term noise doesn't dominate (the failure mode
+    * of raw ratio rankings). The prior is the standard corpus-wide
+    * one: `a_w = a0 · (y_Aw + y_Bw) / (n_A + n_B)`.
+    *
+    *   δ_w = ln[(y_Aw + a_w)/(n_A + a0 − y_Aw − a_w)]
+    *       − ln[(y_Bw + a_w)/(n_B + a0 − y_Bw − a_w)]
+    *   z_w = δ_w / sqrt(1/(y_Aw + a_w) + 1/(y_Bw + a_w))
+    *
+    * Everything derives from exact integer counts (one (term, side)
+    * aggregate, side totals as a broadcast 1-row aggregate); δ and z
+    * are single IEEE chains rounded to 6dp. Top `k` each way by |z|
+    * with the term as tiebreak. */
+  def logOddsTerms(docs: DataFrame, sourceA: String, sourceB: String,
+                   a0: Double = 10.0, topK: Int = 50,
+                   sourceCol: String = "source",
+                   textCol: String = "text"): DataFrame = {
+    require(sourceA != sourceB, "logOddsTerms needs two distinct sources")
+    val terms = docs
+      .where(col(sourceCol).isin(sourceA, sourceB))
+      .select(col(sourceCol).as("__src"),
+        explode(Text.tokens(lower(col(textCol)))).as("term"))
+    val counts = terms.groupBy(col("term")).agg(
+      sum(when(col("__src") === sourceA, 1L).otherwise(0L)).as("ya"),
+      sum(when(col("__src") === sourceB, 1L).otherwise(0L)).as("yb"))
+    val totals = counts.agg(sum(col("ya")).as("na"), sum(col("yb")).as("nb"))
+    def d(c: Column) = c.cast("double")
+    val withTotals = counts.crossJoin(broadcast(totals))
+    val aw = lit(a0) * d(col("ya") + col("yb")) / d(col("na") + col("nb"))
+    val delta =
+      log((d(col("ya")) + aw) / (d(col("na")) + lit(a0) - d(col("ya")) - aw)) -
+        log((d(col("yb")) + aw) / (d(col("nb")) + lit(a0) - d(col("yb")) - aw))
+    val z = delta / sqrt(lit(1.0) / (d(col("ya")) + aw) +
+      lit(1.0) / (d(col("yb")) + aw))
+    withTotals
+      .select(col("term"), col("ya"), col("yb"),
+        round(delta, 6).as("delta"), round(z, 6).as("z"))
+      .orderBy(abs(col("z")).desc, col("term"))
+      .limit(topK)
+  }
+
   /** Gopher-style quality rule battery ([EXT]) — the published
     * pre-training filter set (Rae et al. 2021, "Scaling Language
     * Models: ... Gopher", §A1.1), the NAMED standard [[graft.functions.Text.isQuality]]

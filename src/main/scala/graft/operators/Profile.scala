@@ -510,6 +510,12 @@ object Profile {
     def med(c: Column) =
       if (exact) percentile(c, lit(0.5)) else approx_percentile(c, lit(0.5), lit(10000))
     val meds = df.groupBy(col(groupCol)).agg(med(v).as("med"))
+    // dev feeds BOTH the mad aggregate and the final filter. A
+    // localCheckpoint here was MEASURED SLOWER (2.7 s -> 3.2 s at
+    // sf0.1): the broadcast-join recompute it saves is cheaper than
+    // materializing 600k rows and breaking codegen fusion — the exact
+    // percentile aggregates dominate either way. Left unpinned on
+    // purpose.
     val dev = df.join(broadcast(meds), Seq(groupCol))
       .withColumn("__ad", abs(v - col("med")))
     val mads = dev.groupBy(col(groupCol)).agg(med(col("__ad")).as("mad"))
@@ -906,6 +912,55 @@ object Profile {
       when(ok, round((d("__sy") * d("__sxx") - d("__sx") * d("__sxy")) / den, 6))
         .as("intercept"))
       .orderBy(col(key))
+  }
+
+  /** Quantile transform ([EXT]) — map each value to its percentile
+    * rank within its group (`percent_rank`: ties share a rank, range
+    * [0,1]): the rank-based feature normalization that is immune to
+    * ANY monotone distortion of the raw scale — where [[zscoreNormalize]]
+    * still believes outliers and [[robustScale]] still believes the
+    * IQR, the quantile transform only believes order. One
+    * key-partitioned sort window; singleton groups are 0 by the SQL
+    * convention. */
+  def quantileTransform(df: DataFrame, key: String, measure: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(measure))
+    df.withColumn("q", round(percent_rank().over(w), 6))
+  }
+
+  /** Mutual information between two categorical columns ([EXT]) —
+    * `MI = H(X) + H(Y) − H(X,Y)` in nats, plus the three entropies:
+    * the dependence measure chi-square ([[chi2Cells]]) tests but
+    * does not QUANTIFY (MI is comparable across column pairs; a chi²
+    * statistic is not). Association audits: does `lang` determine
+    * `source`? Is a feature redundant with the label?
+    *
+    * Each entropy comes from one count aggregate via the
+    * [[tokenEntropy]] discipline — `H = ln N − Σ round(n·ln n, 6)/N`
+    * with the contributions DECIMAL-summed (order-free) — and the
+    * joint aggregate subsumes both margins as second-phase
+    * aggregates ON its (bounded) cell rows, so the fact is scanned
+    * ONCE. Output is one row; every value one IEEE chain, 6dp. */
+  def mutualInformation(df: DataFrame, x: String, y: String): DataFrame = {
+    val cells = df.groupBy(col(x).as("__x"), col(y).as("__y"))
+      .agg(count(lit(1)).as("__n"))
+    def entropySum(counts: DataFrame) = counts.agg(
+      sum(round(col("__n") * log(col("__n").cast("double")), 6)
+        .cast(DecimalType(18, 6))).as("__s"),
+      sum(col("__n")).as("__t"))
+    val jointS = entropySum(cells)
+    val xS = entropySum(cells.groupBy(col("__x")).agg(sum(col("__n")).as("__n")))
+    val yS = entropySum(cells.groupBy(col("__y")).agg(sum(col("__n")).as("__n")))
+    def h(s: Column, t: Column) = log(t.cast("double")) - s.cast("double") / t.cast("double")
+    jointS.select(col("__s").as("__sxy"), col("__t").as("__t"))
+      .crossJoin(broadcast(xS.select(col("__s").as("__sx"))))
+      .crossJoin(broadcast(yS.select(col("__s").as("__sy"))))
+      .select(
+        col("__t").as("n_rows"),
+        round(h(col("__sx"), col("__t")), 6).as("h_x"),
+        round(h(col("__sy"), col("__t")), 6).as("h_y"),
+        round(h(col("__sxy"), col("__t")), 6).as("h_xy"),
+        round(h(col("__sx"), col("__t")) + h(col("__sy"), col("__t")) -
+          h(col("__sxy"), col("__t")), 6).as("mutual_info"))
   }
 
   /** Share-of-total per category (reference: dashboard top-6 share pie,

@@ -352,6 +352,42 @@ object Windows {
       .orderBy(col(key), col(ts), col(tiebreak))
   }
 
+  /** Inter-arrival statistics per key ([EXT]) — gap count, mean gap,
+    * and the coefficient of variation of the gaps: the burstiness
+    * profile (CV ≈ 1 is Poisson-random, CV ≫ 1 is bursty — bot
+    * detection, retry storms; CV ≪ 1 is metronomic — schedulers,
+    * heartbeats). Gaps are exact micros longs from one lag window;
+    * moment sums are exact decimals (gap² ≤ 10²⁵ for month-scale
+    * gaps — DECIMAL(38,0) holds it), and mean/CV are single IEEE
+    * chains over them, 6dp. Keys with fewer than 2 gaps, or
+    * zero-variance gaps, yield null CV by the exact-decimal guard. */
+  def interArrival(events: DataFrame, key: String = "user_id"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("__us"), col("event_id"))
+    val gaps = graft.functions.TimeCol.instant(events)
+      .select(col(key), col("event_id"), unix_micros(col("ts")).as("__us"))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+      .where(col("__gap").isNotNull)
+    val agg = gaps.groupBy(col(key)).agg(
+      count(lit(1)).as("n_gaps"),
+      sum(col("__gap").cast(DecimalType(28, 0))).as("__sg"),
+      // square in DECIMAL: month-scale micro gaps overflow LONG when
+      // squared (2.6e12² = 6.7e24 > 2⁶³) — DuckDB's BIGINT·BIGINT
+      // silently widens to HUGEINT; Spark must widen explicitly
+      sum((col("__gap").cast(DecimalType(19, 0)) *
+        col("__gap").cast(DecimalType(19, 0))).cast(DecimalType(38, 0)))
+        .as("__sgg"))
+    def d(c: String) = col(c).cast("double")
+    val mean = d("__sg") / d("n_gaps")
+    val variance = (d("__sgg") - d("__sg") * d("__sg") / d("n_gaps")) /
+      (d("n_gaps") - 1)
+    agg.select(col(key), col("n_gaps"),
+      round(mean / lit(1000000.0), 6).as("mean_gap_s"),
+      when(col("n_gaps") > 1 &&
+          col("n_gaps") * col("__sgg") =!= col("__sg") * col("__sg"),
+        round(sqrt(variance) / mean, 6)).as("cv"))
+      .orderBy(col(key))
+  }
+
   /** Rolling median over the last `k` observations per key ([EXT]) —
     * the robust smoother an EWMA can't be: one wild spike moves every
     * mean-based window it touches, but the median of the frame

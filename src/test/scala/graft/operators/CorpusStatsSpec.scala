@@ -285,6 +285,29 @@ class CorpusStatsSpec extends SparkSuite {
       "per-bigram average keeps long docs comparable to short ones")
   }
 
+  test("logOddsTerms: side-exclusive terms get opposite z, shared terms near 0") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha common common", "A"),
+      (2L, "alpha alpha common common words", "A"),
+      (3L, "omega omega omega common common", "B"),
+      (4L, "omega omega common common words", "B"),
+      (5L, "never seen here", "C")) // other sources excluded
+      .toDF("doc_id", "text", "source")
+    val out = CorpusStats.logOddsTerms(docs, "A", "B")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(!out.contains("never"), "non-A/B sources must not leak in")
+    val (ya, yb, zA) = out("alpha")
+    assert(ya === 5L && yb === 0L && zA > 1.0)
+    assert(out("omega")._3 < -1.0)
+    // symmetric corpus: |z(alpha)| == |z(omega)|
+    assert(math.abs(zA + out("omega")._3) < 1e-9)
+    assert(math.abs(out("common")._3) < 0.01)
+    // ordering: the distinguishing terms outrank the shared ones
+    val order = CorpusStats.logOddsTerms(docs, "A", "B").collect().map(_.getString(0))
+    assert(Set(order(0), order(1)) === Set("alpha", "omega"))
+  }
+
   test("gopherQuality: each rule fires on its own failure mode") {
     val good = ("the quick brown fox jumps over the lazy dog and runs to the " * 5).trim
     val symbols = "the " + ("### ... ### " * 20).trim + (" word" * 50)

@@ -423,4 +423,28 @@ class ProfileSpec extends SparkSuite {
     val wide = Seq(Long.MinValue, Long.MaxValue).toDF("v")
     intercept[ArithmeticException](Profile.exactKthLong(wide, "v", 1L))
   }
+
+  test("quantileTransform: evenly spread ranks, ties share") {
+    val df = Seq(("g", 1, 10.0), ("g", 2, 20.0), ("g", 3, 30.0),
+      ("g", 4, 40.0), ("g", 5, 50.0)).toDF("k", "id", "v")
+    val q = Profile.quantileTransform(df, "k", "v").collect()
+      .map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(q === Map(1 -> 0.0, 2 -> 0.25, 3 -> 0.5, 4 -> 0.75, 5 -> 1.0))
+    val ties = Seq(("g", 1, 1.0), ("g", 2, 1.0), ("g", 3, 2.0)).toDF("k", "id", "v")
+    val tq = Profile.quantileTransform(ties, "k", "v").collect()
+      .map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(tq === Map(1 -> 0.0, 2 -> 0.0, 3 -> 1.0))
+  }
+
+  test("mutualInformation: zero when independent, H(X) when determined") {
+    val indep = Seq(("a", "p"), ("a", "q"), ("b", "p"), ("b", "q"))
+      .toDF("x", "y")
+    val mi0 = Profile.mutualInformation(indep, "x", "y").head()
+    assert(mi0.getAs[Double]("mutual_info") === 0.0)
+    assert(mi0.getAs[Double]("h_x") === 0.693147)
+    val dep = Seq(("a", "p"), ("a", "p"), ("b", "q"), ("b", "q")).toDF("x", "y")
+    val mi1 = Profile.mutualInformation(dep, "x", "y").head()
+    assert(mi1.getAs[Double]("mutual_info") === mi1.getAs[Double]("h_x"))
+    assert(mi1.getAs[Double]("h_xy") === mi1.getAs[Double]("h_x"))
+  }
 }

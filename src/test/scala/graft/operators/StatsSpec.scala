@@ -104,6 +104,26 @@ class StatsSpec extends SparkSuite {
     assert(out(0L)._1 === 1L && out(0L)._2.isNaN)  // single aligned day -> null
   }
 
+  test("interArrival: metronomic keys null out CV, bursty keys exceed it") {
+    // regular: gaps all 5s -> zero variance -> null CV
+    // bursty: gaps 1s, 1s, 10s -> cv = 1.299038
+    val rows =
+      (0 to 4).map(i => ("reg", 100L + i, 5L * i, 0.0)) ++
+        Seq(("burst", 200L, 0L, 0.0), ("burst", 201L, 1L, 0.0),
+          ("burst", 202L, 2L, 0.0), ("burst", 203L, 12L, 0.0))
+    val df = rows.map { case (k, id, sec, v) =>
+      (k, id, new Timestamp(sec * 1000L), v)
+    }.toDF("user_id", "event_id", "ts", "value")
+    val out = Windows.interArrival(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert(out("reg")._1 === 4L && out("reg")._2 === 5.0)
+    assert(out("reg")._3.isNaN)
+    assert(out("burst")._1 === 3L && out("burst")._2 === 4.0)
+    assert(out("burst")._3 === 1.299038)
+  }
+
   test("rollingMedian interpolates even frames and ignores spikes") {
     val df = ev(("a", 1, 10, 10.0), ("a", 2, 20, 90.0), ("a", 3, 30, 20.0),
       ("a", 4, 40, 1000.0), ("a", 5, 50, 30.0), ("a", 6, 60, 25.0))
