@@ -1180,6 +1180,14 @@ object SparkEntry {
       CorpusStats.logOddsTerms(t(s, d, "documents"), "src0", "src1")),
     // inter-arrival burstiness ([EXT]): Poisson-vs-bursty CV per user
     "q_interarrival" -> ((s, d) => Windows.interArrival(t(s, d, "events"))),
+    // contrastive pair mining ([EXT]): near-dup positives + portable-
+    // hash-addressed random negatives over the ordinal index
+    "q_contrastive_pairs" -> ((s, d) =>
+      Dedup.contrastivePairs(t(s, d, "documents"))),
+    // seasonal-naive backtest ([EXT]): the same-weekday-last-week
+    // baseline + MAE — the backtest join fancier models drop into
+    "q_seasonal_naive" -> ((s, d) =>
+      Reports.seasonalNaiveBacktest(t(s, d, "events"))),
     // end-to-end corpus pipeline ([EXT] capstone): the hygiene
     // operators COMPOSED the way a training-data run uses them —
     // quality gate -> exact dedup (min-id keeper) -> drop benchmark
@@ -3758,6 +3766,37 @@ object SparkEntry {
             ${verifiedPairCtes("documents")}
             SELECT doc_a, doc_b, round(jac, 6) AS jaccard
             FROM verified ORDER BY doc_a, doc_b""",
+      "q_contrastive_pairs" -> // positives + fp60-addressed negative draws
+        s"""WITH $minhashCtes,
+            ${verifiedPairCtes("documents")},
+            pos AS (SELECT doc_a AS anchor, doc_b AS other FROM verified),
+            pboth AS (SELECT anchor, other FROM pos
+                      UNION ALL SELECT other, anchor FROM pos),
+            ordx AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS ordinal
+                     FROM documents),
+            nn AS (SELECT count(*) AS n FROM documents),
+            draw AS (SELECT a.anchor,
+                ('0x' || substr(md5(a.anchor::VARCHAR || ':' || j::VARCHAR), 1, 15))::BIGINT
+                  % n AS ordinal
+              FROM (SELECT DISTINCT anchor FROM pos) a
+              CROSS JOIN (SELECT unnest(range(1, 3)) AS j) js, nn),
+            negs AS (SELECT DISTINCT d.anchor, o.doc_id AS other
+              FROM draw d JOIN ordx o USING (ordinal)
+              WHERE o.doc_id <> d.anchor
+                AND NOT EXISTS (SELECT 1 FROM pboth p
+                                WHERE p.anchor = d.anchor AND p.other = o.doc_id))
+            SELECT anchor, other, 'pos' AS label FROM pos
+            UNION ALL SELECT anchor, other, 'neg' AS label FROM negs
+            ORDER BY anchor, label, other""",
+      "q_seasonal_naive" -> // backtest join: actuals vs day-shifted actuals
+        """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                 sum(CAST(value AS DECIMAL(18,2))) AS v FROM events GROUP BY 1, 2),
+             j AS (SELECT a.event_type, abs(a.v - f.v) AS ae
+               FROM daily a JOIN daily f
+                 ON a.event_type = f.event_type AND a.day = f.day + 7)
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             round(CAST(sum(ae) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mae
+           FROM j GROUP BY event_type ORDER BY event_type""",
       "q_cross_source_dups" -> // verified pairs rolled up per source pair
         s"""WITH $minhashCtes,
             ${verifiedPairCtes("documents")},

@@ -740,4 +740,52 @@ object Dedup {
     bSigs.select(col("doc_id"))
       .join(dupIds, Seq("doc_id"), "left_anti")
   }
+
+  /** Contrastive training-pair mining ([EXT]) — turn the dedup
+    * machinery into embedding-model training data: verified near-dup
+    * pairs become POSITIVES, and each anchor draws
+    * `negativesPerAnchor` deterministic pseudo-random NEGATIVES from
+    * the corpus (the random-negatives baseline every contrastive
+    * recipe starts from; hard negatives are [[Similarity.hardNegatives]]).
+    *
+    * Negative sampling is portable-hash arithmetic, not RNG: a dense
+    * id↔ordinal index ([[Pack.globalOrdinals]] — distributed prefix
+    * sum, no global window) lets `fp60(anchor ':' j) mod N` address a
+    * uniform corpus position, reproducible across engines and runs.
+    * Accidental collisions with the anchor itself or with a true
+    * near-dup partner are filtered (anti-join against the pair set in
+    * both orders) rather than re-drawn — a filtered draw leaves at
+    * most `negativesPerAnchor` negatives, deterministically.
+    *
+    * Shape: positives are the capped LSH-verified pair list; the
+    * negative draw joins |anchors|·k probe rows against the ordinal
+    * index — linear, never doc×doc. */
+  def contrastivePairs(docs: DataFrame, negativesPerAnchor: Int = 2,
+                       threshold: Double = 0.5,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(negativesPerAnchor >= 1,
+      s"contrastivePairs needs negativesPerAnchor >= 1: $negativesPerAnchor")
+    val pos = nearDupPairs(docs, idCol, textCol, threshold)
+      .select(col("doc_a").as("anchor"), col("doc_b").as("other"))
+    val posBoth = pos.unionAll(
+      pos.select(col("other").as("anchor"), col("anchor").as("other")))
+    val ord = Pack.globalOrdinals(
+      docs.select(col(idCol).cast("long").as("did")), Seq("did"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val negs = pos.select(col("anchor")).distinct()
+      .select(col("anchor"),
+        explode(sequence(lit(1), lit(negativesPerAnchor))).as("__j"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("anchor"),
+        (graft.functions.Portable.fp60(concat(col("anchor").cast("string"),
+          lit(":"), col("__j").cast("string"))) % col("__n")).as("ordinal"))
+      .join(ord.select(col("ordinal"), col("did").as("other")), Seq("ordinal"))
+      .where(col("other") =!= col("anchor"))
+      .join(posBoth, Seq("anchor", "other"), "left_anti")
+      .select(col("anchor"), col("other")).distinct()
+    pos.withColumn("label", lit("pos"))
+      .unionAll(negs.withColumn("label", lit("neg")))
+      .orderBy(col("anchor"), col("label"), col("other"))
+  }
 }

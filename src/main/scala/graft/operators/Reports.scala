@@ -649,6 +649,36 @@ object Reports {
       .orderBy(col("n_users").desc, col("path"))
   }
 
+  /** Seasonal-naive forecast backtest ([EXT]) — forecast each day's
+    * per-type revenue as the value `period` days earlier (the
+    * same-weekday-last-week baseline every real forecasting effort
+    * must beat to justify itself) and score it with MAE over the
+    * overlap. The evaluation harness matters more than the model:
+    * this is the reusable backtest JOIN (actuals ⋈ lag-shifted
+    * actuals), and fancier forecasts drop into the same shape.
+    * Errors are exact decimal |a − f| sums; MAE is one IEEE division
+    * rounded to 6dp. */
+  def seasonalNaiveBacktest(events: DataFrame, period: Int = 7,
+                            typeCol: String = "event_type",
+                            tsCol: String = "ts",
+                            valueCol: String = "value"): DataFrame = {
+    require(period >= 1, s"seasonalNaiveBacktest needs period >= 1: $period")
+    val daily = graft.functions.TimeCol.instant(events, tsCol)
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast(DecimalType(18, 2))).as("__v"))
+    val actual = daily.select(col("event_type"), col("day"), col("__v").as("__a"))
+    val forecast = daily.select(col("event_type"),
+      date_add(col("day"), period).as("day"), col("__v").as("__f"))
+    actual.join(forecast, Seq("event_type", "day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("__a") - col("__f"))).as("__sae"))
+      .select(col("event_type"), col("n_days"),
+        round(col("__sae").cast("double") / col("n_days").cast("double"), 6)
+          .as("mae"))
+      .orderBy(col("event_type"))
+  }
+
   /** Cumulative unique users by day ([EXT]) — the growth curve: each
     * user counts once, on their FIRST active day, and the running sum
     * over days gives total distinct users to date. A naive

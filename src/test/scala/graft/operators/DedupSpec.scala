@@ -325,4 +325,24 @@ class DedupSpec extends SparkSuite {
     // only the representative changes, never who belongs where
     assert(out.keySet === Set(1L, 2L, 3L, 7L))
   }
+
+  test("contrastivePairs: near-dup positives, bounded clean negatives, reproducible") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = ((1L to 2L).map(i => (i, base + " v")) ++      // near-dup pair
+      (3L to 12L).map(i =>                                     // mutually distinct
+        (i, Seq.tabulate(10)(j => s"z${i}q${j}k${i * 7 + j}").mkString(" "))))
+      .toSeq.toDF("doc_id", "text")
+    val out = Dedup.contrastivePairs(docs, negativesPerAnchor = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val pos = out.filter(_._3 == "pos")
+    val neg = out.filter(_._3 == "neg")
+    assert(pos.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)))
+    // anchor 1 drew at most 2 negatives; none is itself or its partner
+    assert(neg.nonEmpty && neg.size <= 2)
+    assert(neg.forall { case (a, o, _) => a == 1L && o != 1L && o != 2L })
+    // deterministic across partitioning
+    val again = Dedup.contrastivePairs(docs.repartition(5), negativesPerAnchor = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq === again.toSeq)
+  }
 }

@@ -221,6 +221,19 @@ class ReportsSpec extends SparkSuite {
     assert(m.count() === 7)
   }
 
+  test("seasonalNaiveBacktest: MAE vs the value 7 days earlier, overlap only") {
+    def ts(day: Int) = new java.sql.Timestamp(86400000L * day)
+    // type "a": day1=100, day2=50, day8=130, day9=80 ->
+    // overlap day8 (|130-100|=30) and day9 (|80-50|=30) -> MAE 30
+    val ev = Seq(("a", ts(1), 100.0), ("a", ts(2), 50.0),
+      ("a", ts(8), 130.0), ("a", ts(9), 80.0),
+      ("b", ts(1), 10.0)) // no day+7 partner -> absent from output
+      .toDF("event_type", "ts", "value")
+    val out = Reports.seasonalNaiveBacktest(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out === Map("a" -> ((2L, 30.0))))
+  }
+
   test("cumulativeUsers: each user counts once, on their first day") {
     def ts(day: Int) = new java.sql.Timestamp(86400000L * day)
     val ev = Seq((1L, ts(1)), (1L, ts(3)), (2L, ts(1)), (3L, ts(3)), (3L, ts(5)))
