@@ -1188,6 +1188,46 @@ object SparkEntry {
     // baseline + MAE — the backtest join fancier models drop into
     "q_seasonal_naive" -> ((s, d) =>
       Reports.seasonalNaiveBacktest(t(s, d, "events"))),
+    // null-semantics battery ([EXT]): the ANSI traps certified in one
+    // row — NOT IN vs NOT EXISTS under nulls, null-safe joins,
+    // count(col) vs count(*), trichotomy failure
+    "q_null_semantics" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("ns_orders")
+      s.sql("""
+        WITH o AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                               ELSE o_orderkey END AS k,
+                          CASE WHEN o_orderkey % 53 = 0 THEN NULL
+                               ELSE o_totalprice END AS v
+                   FROM ns_orders),
+             p AS (SELECT CASE WHEN o_orderkey % 91 = 0 THEN NULL
+                               ELSE o_orderkey END AS k FROM ns_orders)
+        SELECT
+          (SELECT count(*) FROM o) AS n_rows,
+          (SELECT count(k) FROM o) AS n_k,
+          (SELECT count(DISTINCT k) FROM o) AS n_distinct_k,
+          (SELECT count(*) FROM o WHERE k IS NULL) AS n_null_k,
+          (SELECT count(*) FROM o JOIN p ON o.k = p.k) AS n_join,
+          (SELECT count(*) FROM o JOIN p ON o.k <=> p.k) AS n_nullsafe_join,
+          (SELECT count(*) FROM o WHERE k NOT IN (SELECT k FROM p)) AS n_not_in,
+          (SELECT count(*) FROM o
+             WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.k = o.k)) AS n_not_exists,
+          (SELECT CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) FROM o) AS sum_v,
+          (SELECT count(*) FROM o WHERE v > 0 OR NOT (v > 0)) AS n_trichotomy""")
+    }),
+    // calendar-edge battery ([EXT]): month-end clamping, leap days,
+    // ISO weeks — certified on the month-end order slice
+    "q_date_edges" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.where(dayofmonth(col("o_orderdate")) >= 29)
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"),
+          add_months(to_date(col("o_orderdate")), 1).as("plus_month"),
+          last_day(to_date(col("o_orderdate"))).as("month_end"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"))
+        .orderBy(col("o_orderkey"))
+    }),
     // end-to-end corpus pipeline ([EXT] capstone): the hygiene
     // operators COMPOSED the way a training-data run uses them —
     // quality gate -> exact dedup (min-id keeper) -> drop benchmark
@@ -3797,6 +3837,36 @@ object SparkEntry {
            SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
              round(CAST(sum(ae) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mae
            FROM j GROUP BY event_type ORDER BY event_type""",
+      "q_null_semantics" -> // ANSI null traps, one certified row
+        """WITH o AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                                  ELSE o_orderkey END AS k,
+                             CASE WHEN o_orderkey % 53 = 0 THEN NULL
+                                  ELSE o_totalprice END AS v
+                      FROM orders),
+                p AS (SELECT CASE WHEN o_orderkey % 91 = 0 THEN NULL
+                                  ELSE o_orderkey END AS k FROM orders)
+           SELECT
+             (SELECT count(*) FROM o) AS n_rows,
+             (SELECT count(k) FROM o) AS n_k,
+             (SELECT count(DISTINCT k) FROM o) AS n_distinct_k,
+             (SELECT count(*) FROM o WHERE k IS NULL) AS n_null_k,
+             (SELECT count(*) FROM o JOIN p ON o.k = p.k) AS n_join,
+             (SELECT count(*) FROM o JOIN p ON o.k IS NOT DISTINCT FROM p.k)
+               AS n_nullsafe_join,
+             (SELECT count(*) FROM o WHERE k NOT IN (SELECT k FROM p)) AS n_not_in,
+             (SELECT count(*) FROM o
+                WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.k = o.k)) AS n_not_exists,
+             (SELECT CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) FROM o) AS sum_v,
+             (SELECT count(*) FROM o WHERE v > 0 OR NOT (v > 0)) AS n_trichotomy""",
+      "q_date_edges" -> // clamped month-add, leap days, ISO weeks on month-end rows
+        """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_month,
+             last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             CAST(quarter(o_orderdate) AS BIGINT) AS q,
+             CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+             CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+           FROM orders WHERE day(CAST(o_orderdate AS DATE)) >= 29
+           ORDER BY o_orderkey""",
       "q_cross_source_dups" -> // verified pairs rolled up per source pair
         s"""WITH $minhashCtes,
             ${verifiedPairCtes("documents")},
