@@ -1214,6 +1214,22 @@ object SparkEntry {
           (SELECT CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) FROM o) AS sum_v,
           (SELECT count(*) FROM o WHERE v > 0 OR NOT (v > 0)) AS n_trichotomy""")
     }),
+    // Kaplan-Meier survival ([EXT]) over SESSION durations: sessions
+    // still inside the gap window at corpus end are censored (their
+    // true length is unobserved) — the correction a naive duration
+    // histogram misses; minutes-granularity event times
+    "q_kaplan_meier" -> ((s, d) => {
+      val gapUs = 1800000000L
+      val sess = Windows.sessionizeBatch(t(s, d, "events"), gapUs)
+      val mx = sess.agg(max(col("end_us")).as("__mx"))
+      val life = sess.crossJoin(broadcast(mx))
+        .select(expr("duration_us div 60000000").as("t"),
+          (col("end_us") > col("__mx") - gapUs).as("censored"))
+      Reports.kaplanMeierCurve(life)
+    }),
+    // two-proportion z on a hash split ([EXT]): the experiment
+    // primitive, doubling as the A/A calibration check
+    "q_ab_test" -> ((s, d) => Reports.abTest(t(s, d, "events"))),
     // calendar-edge battery ([EXT]): month-end clamping, leap days,
     // ISO weeks — certified on the month-end order slice
     "q_date_edges" -> ((s, d) => {
@@ -3837,6 +3853,66 @@ object SparkEntry {
            SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
              round(CAST(sum(ae) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mae
            FROM j GROUP BY event_type ORDER BY event_type""",
+      "q_kaplan_meier" -> // exp of decimal-summed rounded ln terms; saturated tail -> 0
+        """WITH o AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+                 lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+                   ORDER BY epoch_ns(ts) // 1000, event_id) AS prev
+               FROM events),
+             f AS (SELECT event_id, user_id, us,
+                 CASE WHEN prev IS NULL OR us - prev > 1800000000
+                      THEN 1 ELSE 0 END AS nw FROM o),
+             sq AS (SELECT user_id, us,
+                 sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_seq FROM f),
+             sess AS (SELECT user_id, session_seq, min(us) AS start_us,
+                 max(us) AS end_us FROM sq GROUP BY user_id, session_seq),
+             mx AS (SELECT max(end_us) AS m FROM sess),
+             life AS (SELECT (end_us - start_us) // 60000000 AS t,
+                 end_us > m - 1800000000 AS cens FROM sess, mx),
+             tot AS (SELECT count(*) AS total FROM life),
+             bt AS (SELECT t, count(*) AS ending,
+                 sum(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS d FROM life GROUP BY t),
+             rk AS (SELECT t, d, total - coalesce(sum(ending) OVER (
+                 ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n_risk
+               FROM bt, tot),
+             ev AS (SELECT t, n_risk, d,
+                 CASE WHEN d < n_risk THEN CAST(round(ln(1.0
+                   - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 6)
+                   AS DECIMAL(18,6)) END AS term
+               FROM rk WHERE d > 0),
+             cm AS (SELECT t, n_risk, d,
+                 sum(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum
+               FROM ev)
+           SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+             CASE WHEN d = n_risk THEN 0.0
+                  ELSE round(exp(CAST(cum AS DOUBLE)), 6) END AS survival
+           FROM cm ORDER BY t""",
+      "q_ab_test" -> // pooled two-proportion z from exact counts
+        """WITH u AS (SELECT DISTINCT user_id FROM events),
+             g AS (SELECT user_id,
+                 CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 = 0
+                      THEN 'A' ELSE 'B' END AS grp FROM u),
+             cv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+             arms AS (SELECT grp, count(*) AS n,
+                 sum(CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END) AS x
+               FROM g LEFT JOIN cv USING (user_id) GROUP BY grp),
+             w AS (SELECT max(CASE WHEN grp = 'A' THEN n END) AS n_a,
+                 max(CASE WHEN grp = 'A' THEN x END) AS x_a,
+                 max(CASE WHEN grp = 'B' THEN n END) AS n_b,
+                 max(CASE WHEN grp = 'B' THEN x END) AS x_b FROM arms)
+           SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+             CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+             round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a,
+             round(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b,
+             CASE WHEN x_a + x_b > 0 AND x_a + x_b < n_a + n_b THEN
+               round((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+             END AS z
+           FROM w""",
       "q_null_semantics" -> // ANSI null traps, one certified row
         """WITH o AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
                                   ELSE o_orderkey END AS k,

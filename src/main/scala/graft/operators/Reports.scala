@@ -649,6 +649,106 @@ object Reports {
       .orderBy(col("n_users").desc, col("path"))
   }
 
+  /** Kaplan-Meier survival estimate ([EXT]) — user lifetime curve
+    * with right-censoring: users whose last activity falls within
+    * `censorDays` of the corpus end are CENSORED (we did not observe
+    * their churn), not counted as deaths — the correction naive
+    * "average lifetime" metrics get wrong by construction. One row
+    * per event time t (days since first activity with ≥ 1 churn):
+    * risk-set size, deaths, and `S(t) = Π (1 − d_i/n_i)`.
+    *
+    * Determinism: the product runs as `exp(Σ round(ln(1 − d/n), 6))`
+    * with the log terms DECIMAL-summed over the ordered (bounded)
+    * event-time table — order-free, engine-exact; a saturated final
+    * time (d = n) short-circuits to 0 explicitly (its ln is −∞, and
+    * SQL window sums would silently SKIP a null term — both engines
+    * agree on the explicit zero instead).
+    *
+    * Shape: one per-user aggregate (bounded by |users|), counts per
+    * lifetime, then windows over the BOUNDED time table; nothing at
+    * fact scale after the first aggregate. */
+  def kaplanMeier(events: DataFrame, censorDays: Int = 3,
+                  tsCol: String = "ts", userCol: String = "user_id"): DataFrame = {
+    require(censorDays >= 0, s"kaplanMeier needs censorDays >= 0: $censorDays")
+    val perUser = events.groupBy(col(userCol).as("user_id"))
+      .agg(min(to_date(col(tsCol))).as("__first"),
+        max(to_date(col(tsCol))).as("__last"))
+    val mx = perUser.agg(max(col("__last")).as("__mx"))
+    val life = perUser.crossJoin(broadcast(mx))
+      .select(datediff(col("__last"), col("__first")).cast("long").as("t"),
+        (datediff(col("__mx"), col("__last")) <= censorDays).as("censored"))
+    kaplanMeierCurve(life)
+  }
+
+  /** [[kaplanMeier]]'s core over ANY prepared life table
+    * `(t: long, censored: boolean)` — session durations, ticket
+    * resolution times, subscription ages; the wrapper above derives
+    * user lifetimes, but the subject definition is the caller's. */
+  def kaplanMeierCurve(life: DataFrame): DataFrame = {
+    val total = life.agg(count(lit(1)).as("__total"))
+    val byT = life.groupBy(col("t")).agg(
+      count(lit(1)).as("__ending"),
+      sum(when(!col("censored"), 1L).otherwise(0L)).as("d"))
+    import org.apache.spark.sql.expressions.Window
+    val before = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risky = byT
+      .withColumn("__before", coalesce(sum(col("__ending")).over(before), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("n_risk", col("__total") - col("__before"))
+      .where(col("d") > 0)
+    val term = when(col("d") < col("n_risk"),
+      round(log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")), 6)
+        .cast(DecimalType(18, 6)))
+    val cum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    risky.withColumn("__term", term)
+      .withColumn("__cum", sum(col("__term")).over(cum))
+      .select(col("t"), col("n_risk"), col("d"),
+        when(col("d") === col("n_risk"), lit(0.0))
+          .otherwise(round(exp(col("__cum").cast("double")), 6)).as("survival"))
+      .orderBy(col("t"))
+  }
+
+  /** Two-proportion A/B test ([EXT]) — split users by the portable
+    * hash into arms A/B, measure conversion (any `conversionType`
+    * event), and report the pooled two-proportion z statistic: the
+    * experiment-analysis primitive, and — run on a hash split where
+    * NO real treatment differs — the A/A calibration check (|z| ≳ 2
+    * on an A/A split means the assignment or the metric is broken).
+    * All counts exact; every ratio and the z one IEEE chain, 6dp. */
+  def abTest(events: DataFrame, conversionType: String = "purchase",
+             typeCol: String = "event_type",
+             userCol: String = "user_id"): DataFrame = {
+    val users = events.select(col(userCol).as("user_id")).distinct()
+      .withColumn("__grp",
+        when(conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, lit("A")).otherwise(lit("B")))
+    val converted = events.where(col(typeCol) === conversionType)
+      .select(col(userCol).as("user_id")).distinct()
+      .withColumn("__c", lit(1L))
+    val arms = users.join(converted, Seq("user_id"), "left")
+      .groupBy(col("__grp"))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("__c"), lit(0L))).as("x"))
+    val wide = arms.groupBy()
+      .agg(max(when(col("__grp") === "A", col("n"))).as("n_a"),
+        max(when(col("__grp") === "A", col("x"))).as("x_a"),
+        max(when(col("__grp") === "B", col("n"))).as("n_b"),
+        max(when(col("__grp") === "B", col("x"))).as("x_b"))
+    def d(c: Column) = c.cast("double")
+    val pa = d(col("x_a")) / d(col("n_a"))
+    val pb = d(col("x_b")) / d(col("n_b"))
+    val pooled = d(col("x_a") + col("x_b")) / d(col("n_a") + col("n_b"))
+    wide.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      // degenerate pooled rates (nobody or everybody converts) have
+      // zero variance — no z statistic, not a 0/0 NaN
+      when(col("x_a") + col("x_b") > 0 &&
+          col("x_a") + col("x_b") < col("n_a") + col("n_b"),
+        round((pa - pb) / sqrt(pooled * (lit(1.0) - pooled) *
+          (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b")))), 6)).as("z"))
+  }
+
   /** Seasonal-naive forecast backtest ([EXT]) — forecast each day's
     * per-type revenue as the value `period` days earlier (the
     * same-weekday-last-week baseline every real forecasting effort

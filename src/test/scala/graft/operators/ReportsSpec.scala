@@ -221,6 +221,53 @@ class ReportsSpec extends SparkSuite {
     assert(m.count() === 7)
   }
 
+  test("kaplanMeier: censored users leave the risk set without dying") {
+    def ts(day: Int) = new java.sql.Timestamp(86400000L * day)
+    // u1,u2: lifetime 1 (churn); u3: lifetime 2 (churn); u4: lifetime
+    // 10 and still active at corpus end (censored, margin 3)
+    val ev = Seq((1L, ts(0)), (1L, ts(1)), (2L, ts(0)), (2L, ts(1)),
+      (3L, ts(0)), (3L, ts(2)), (4L, ts(0)), (4L, ts(10)))
+      .toDF("user_id", "ts")
+    val out = Reports.kaplanMeier(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet === Set(1L, 2L))       // censored time 10 is no event
+    assert(out(1L) === ((4L, 2L, 0.5)))
+    assert(out(2L) === ((2L, 1L, 0.25)))
+    // full saturation: the censored user's lifetime (0, single event
+    // at corpus end) is SHORTER than the last churn time, so the
+    // remaining risk set dies entirely at t=1 -> survival 0 exactly
+    val sat = Seq((1L, ts(0)), (1L, ts(1)), (2L, ts(0)), (2L, ts(1)),
+      (9L, ts(10))).toDF("user_id", "ts")
+    val s = Reports.kaplanMeier(sat, censorDays = 0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(s === Map(1L -> 0.0))             // d == n_risk at the last time
+  }
+
+  test("abTest: exact hash-arm counts, directional z, degenerate guard") {
+    def ts(day: Int) = new java.sql.Timestamp(86400000L * day)
+    def arm(u: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 8)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "A" else "B"
+    }
+    val users = (1L to 40L)
+    val aUsers = users.filter(arm(_) == "A")
+    // every A user converts, no B user does -> z strongly positive
+    val ev = users.map(u => (u, ts(1), "view")) ++
+      aUsers.map(u => (u, ts(2), "purchase"))
+    val r = Reports.abTest(ev.toDF("user_id", "ts", "event_type")).head()
+    assert(r.getLong(0) === aUsers.size.toLong)
+    assert(r.getLong(1) === aUsers.size.toLong)
+    assert(r.getLong(2) === (users.size - aUsers.size).toLong)
+    assert(r.getLong(3) === 0L)
+    assert(r.getDouble(6) > 3.0)
+    // everybody converts -> zero pooled variance -> null z, not NaN
+    val all = users.map(u => (u, ts(1), "purchase"))
+    assert(Reports.abTest(all.toDF("user_id", "ts", "event_type")).head().isNullAt(6))
+  }
+
   test("seasonalNaiveBacktest: MAE vs the value 7 days earlier, overlap only") {
     def ts(day: Int) = new java.sql.Timestamp(86400000L * day)
     // type "a": day1=100, day2=50, day8=130, day9=80 ->
