@@ -77,8 +77,8 @@ object SparkEntry {
          (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
           FROM documents)),
        lm AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
-         CAST(sum(CAST(round(tf.tf * ln((c12 + 1)::DOUBLE / (c1 + v)::DOUBLE), 6)
-           AS DECIMAL(18,6))) AS DOUBLE) AS logprob
+         sum(CAST(round(tf.tf * ln((c12 + 1)::DOUBLE / (c1 + v)::DOUBLE), 6)
+           AS DECIMAL(18,6))) AS lp_dec
          FROM tf JOIN c12 USING (bigram)
                  JOIN c1 ON split_part(tf.bigram, ' ', 1) = c1.w1, v
          GROUP BY tf.doc_id)"""
@@ -1230,6 +1230,9 @@ object SparkEntry {
     // two-proportion z on a hash split ([EXT]): the experiment
     // primitive, doubling as the A/A calibration check
     "q_ab_test" -> ((s, d) => Reports.abTest(t(s, d, "events"))),
+    // Benford first-digit audit ([EXT]): integer-cent leading digits
+    // vs log10(1 + 1/d) — the fabrication smell test
+    "q_benford" -> ((s, d) => Profile.benfordAudit(t(s, d, "orders"), "o_totalprice")),
     // calendar-edge battery ([EXT]): month-end clamping, leap days,
     // ISO weeks — certified on the month-end order slice
     "q_date_edges" -> ((s, d) => {
@@ -3260,13 +3263,15 @@ object SparkEntry {
       "q_decontaminate_near" -> decontamNearOracle,
       "q_bigram_logprob" -> // Laplace bigram LM: c12/c1 windows on tf rows; dsum contributions
         s"""WITH $bigramLmCtes
-           SELECT doc_id, n_bigrams, logprob FROM lm ORDER BY doc_id""",
-      "q_lm_filter" -> // the kept SET compares on the ROUNDED average — engine-exact
+           SELECT doc_id, n_bigrams, CAST(lp_dec AS DOUBLE) AS logprob
+           FROM lm ORDER BY doc_id""",
+      "q_lm_filter" -> // exact micro-nat integer average; integer threshold compare
         s"""WITH $bigramLmCtes
            SELECT doc_id, n_bigrams,
-             round(logprob / CAST(n_bigrams AS DOUBLE), 6) AS avg_logprob
+             -((-CAST(lp_dec * 1000000 AS BIGINT)) // n_bigrams)
+               AS avg_logprob_micro
            FROM lm
-           WHERE round(logprob / CAST(n_bigrams AS DOUBLE), 6) >= -3.42
+           WHERE -((-CAST(lp_dec * 1000000 AS BIGINT)) // n_bigrams) >= -3420000
            ORDER BY doc_id""",
       "q_blocklist_scrub" -> // literal-array token filter; same split convention
         """WITH tok AS (SELECT doc_id,
@@ -3696,7 +3701,7 @@ object SparkEntry {
                    AS DECIMAL(38,0))) AS sgg
                FROM g WHERE gap IS NOT NULL GROUP BY user_id)
            SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
-             round((CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) / 1000000.0, 6)
+             (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) / 1000000.0
                AS mean_gap_s,
              CASE WHEN n_gaps > 1 AND n_gaps * sgg <> sg * sg THEN
                round(sqrt((CAST(sgg AS DOUBLE)
@@ -3913,6 +3918,19 @@ object SparkEntry {
                    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
              END AS z
            FROM w""",
+      "q_benford" -> // integer-cent leading digit, no float formatting
+        """WITH b AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents FROM orders
+               WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 100 > 0),
+             c AS (SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit,
+                 count(*) AS n FROM b GROUP BY 1),
+             t AS (SELECT count(*) AS t FROM b)
+           SELECT digit, n,
+             round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
+             round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford,
+             round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+               - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS deviation
+           FROM c, t ORDER BY digit""",
       "q_null_semantics" -> // ANSI null traps, one certified row
         """WITH o AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
                                   ELSE o_orderkey END AS k,

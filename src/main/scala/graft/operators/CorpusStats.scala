@@ -450,7 +450,18 @@ object CorpusStats {
     * broadcast-joins back. Contributions are rounded then
     * DECIMAL-summed (dsum convention — order-independent). */
   def bigramLogprob(docs: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text"): DataFrame =
+    bigramLogprobDec(docs, idCol, textCol)
+      .select(col("doc_id"), col("n_bigrams"),
+        col("__lp").cast("double").as("logprob"))
+      .orderBy(col("doc_id"))
+
+  /** [[bigramLogprob]] with the per-doc score still in EXACT decimal
+    * form — what [[lmQualityFilter]] needs: its average must stay in
+    * integer arithmetic (a rounded double average hit a half-ULP
+    * round() divergence at sf0.1). */
+  private[operators] def bigramLogprobDec(docs: DataFrame, idCol: String,
+                                          textCol: String): DataFrame = {
     // bind the token array BEFORE the bigram lambda (the wordNgrams
     // PERF CONTRACT): an inline split re-evaluates per element —
     // O(len²)/doc, measured 6.6s → sub-second at sf0.1
@@ -477,8 +488,7 @@ object CorpusStats {
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("contrib"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast("long").as("n_bigrams"),
-        sum(col("contrib")).cast("double").as("logprob"))
-      .orderBy(col("doc_id"))
+        sum(col("contrib")).as("__lp"))
   }
 
   /** Perplexity-style quality gate ([EXT]) — keep documents whose
@@ -492,19 +502,27 @@ object CorpusStats {
     * length. Documents with < 2 tokens have no bigrams and are
     * dropped — a 0/1-token doc carries no trainable signal.
     *
-    * Determinism: the per-doc sum is the dsum-rounded decimal chain
-    * bigramLogprob already certifies; the average is ONE double
-    * division rounded to 6dp, and the threshold compares that rounded
-    * value — so the kept SET is engine-exact, not just the scores. */
+    * Determinism: the average stays in EXACT INTEGER arithmetic —
+    * the decimal score scaled to micro-nats, divided by the bigram
+    * count with truncation on the POSITIVE magnitude (both engines
+    * truncate positive integer division identically; a rounded
+    * double average hit a half-ULP round() divergence at sf0.1), and
+    * the threshold compares that integer. The kept SET is engine-
+    * exact by integer comparison, not by rounding luck. */
   def lmQualityFilter(docs: DataFrame, minAvgLogprob: Double,
                       idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame =
-    bigramLogprob(docs, idCol, textCol)
-      .withColumn("avg_logprob",
-        round(col("logprob") / col("n_bigrams").cast("double"), 6))
-      .where(col("avg_logprob") >= minAvgLogprob)
-      .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"))
+                      textCol: String = "text"): DataFrame = {
+    val thresholdMicro = math.round(minAvgLogprob * 1000000.0)
+    bigramLogprobDec(docs, idCol, textCol)
+      .withColumn("__lp_micro", (col("__lp") * 1000000).cast("long"))
+      // scores are <= 0, so -((-x) div n) is the same truncation rule
+      // in Spark and DuckDB
+      .withColumn("avg_logprob_micro",
+        -expr("(-__lp_micro) div n_bigrams"))
+      .where(col("avg_logprob_micro") >= thresholdMicro)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logprob_micro"))
       .orderBy(col("doc_id"))
+  }
 
   /** Token-blocklist scrub ([EXT]) — rewrite each document with every
     * blocklisted token removed (stopword stripping before index

@@ -914,6 +914,31 @@ object Profile {
       .orderBy(col(key))
   }
 
+  /** Benford first-digit audit ([EXT]) — the fraud/fabrication smell
+    * test: naturally-occurring multi-magnitude amounts follow
+    * `P(d) = log10(1 + 1/d)`; invented numbers don't. Reports each
+    * leading digit's observed share against the Benford expectation
+    * and the deviation. The first digit comes from the INTEGER cent
+    * value's decimal string — no float formatting, no log10 edge
+    * cases; zero/negative amounts are excluded (no leading digit).
+    * One aggregate over 9 possible groups. */
+  def benfordAudit(df: DataFrame, amountCol: String): DataFrame = {
+    val cents = col(amountCol).cast(DecimalType(18, 2)) * 100
+    val digit = substring(cents.cast("long").cast("string"), 1, 1)
+    val counts = df.where(cents > 0)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    val total = df.where(cents > 0).agg(count(lit(1)).as("__t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("__t").cast("double"), 6).as("share"),
+        round(log(10.0, lit(1.0) + lit(1.0) /
+          col("digit").cast("double")), 6).as("benford"),
+        round(col("n").cast("double") / col("__t").cast("double") -
+          log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("deviation"))
+      .orderBy(col("digit"))
+  }
+
   /** Quantile transform ([EXT]) — map each value to its percentile
     * rank within its group (`percent_rank`: ties share a rank, range
     * [0,1]): the rank-based feature normalization that is immune to

@@ -380,8 +380,15 @@ object Windows {
     val mean = d("__sg") / d("n_gaps")
     val variance = (d("__sgg") - d("__sg") * d("__sg") / d("n_gaps")) /
       (d("n_gaps") - 1)
+    // mean_gap_s ships UNROUNDED on purpose: Σgap < 2^53 is exactly
+    // representable, so its IEEE chain is bit-equal across engines —
+    // while round(x, 6) implementations DIFFER at half-ULP boundaries
+    // (sf0.1 hit one: 33374.0610425 split .043/.042 between Spark's
+    // BigDecimal rounding and DuckDB's float round). cv stays ROUNDED:
+    // its Σgap² exceeds 2^53, so the decimal→double conversion itself
+    // can differ by one ULP and rounding is what absorbs that.
     agg.select(col(key), col("n_gaps"),
-      round(mean / lit(1000000.0), 6).as("mean_gap_s"),
+      (mean / lit(1000000.0)).as("mean_gap_s"),
       when(col("n_gaps") > 1 &&
           col("n_gaps") * col("__sgg") =!= col("__sg") * col("__sg"),
         round(sqrt(variance) / mean, 6)).as("cv"))

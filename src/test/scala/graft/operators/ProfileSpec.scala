@@ -424,6 +424,20 @@ class ProfileSpec extends SparkSuite {
     intercept[ArithmeticException](Profile.exactKthLong(wide, "v", 1L))
   }
 
+  test("benfordAudit: integer-cent first digits, zero/negative excluded") {
+    val df = Seq(1.23, 19.99, 150.0, 0.0, -5.0, 9000.0, 1.0).toDF("amount")
+    val out = Profile.benfordAudit(df, "amount").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // cents: 123, 1999, 15000, 900000, 100 -> digits 1,1,1,9,1
+    assert(out("1") === ((4L, 0.8)))
+    assert(out("9") === ((1L, 0.2)))
+    assert(!out.contains("0") && !out.contains("-"))
+    // benford expectation for digit 1 is log10(2)
+    val b1 = Profile.benfordAudit(df, "amount").collect()
+      .find(_.getString(0) == "1").get.getDouble(3)
+    assert(b1 === 0.30103)
+  }
+
   test("quantileTransform: evenly spread ranks, ties share") {
     val df = Seq(("g", 1, 10.0), ("g", 2, 20.0), ("g", 3, 30.0),
       ("g", 4, 40.0), ("g", 5, 50.0)).toDF("k", "id", "v")
