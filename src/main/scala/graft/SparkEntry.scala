@@ -1233,6 +1233,8 @@ object SparkEntry {
     // Benford first-digit audit ([EXT]): integer-cent leading digits
     // vs log10(1 + 1/d) — the fabrication smell test
     "q_benford" -> ((s, d) => Profile.benfordAudit(t(s, d, "orders"), "o_totalprice")),
+    // per-doc keywords ([EXT]): top-3 tf-idf terms, zero-model tagger
+    "q_keywords" -> ((s, d) => CorpusStats.keywords(t(s, d, "documents"))),
     // calendar-edge battery ([EXT]): month-end clamping, leap days,
     // ISO weeks — certified on the month-end order slice
     "q_date_edges" -> ((s, d) => {
@@ -3164,6 +3166,21 @@ object SparkEntry {
              round(CAST(tf.tf AS DOUBLE) * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS tfidf
            FROM tf JOIN dfq USING (term), n
            WHERE tf.tf >= 2 ORDER BY doc_id, term""",
+      "q_keywords" -> // rank on (rounded tfidf desc, term) — total order
+        """WITH term AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term FROM documents),
+               tf AS (SELECT doc_id, term, count(*) AS tf FROM term GROUP BY doc_id, term),
+               dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+               n AS (SELECT count(*) AS n_docs FROM documents),
+               sc AS (SELECT tf.doc_id, tf.term,
+                 round(CAST(tf.tf AS DOUBLE) * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6)
+                   AS tfidf
+                 FROM tf JOIN dfq USING (term), n WHERE tf.tf >= 2),
+               rk AS (SELECT doc_id, term, tfidf,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, term) AS BIGINT) AS rk FROM sc)
+           SELECT doc_id, rk, term, tfidf FROM rk WHERE rk <= 3
+           ORDER BY doc_id, rk""",
       "q_bm25" -> // k1/b reach both engines as the same decimal text;
         // contributions rounded then DECIMAL-summed (dsum convention)
         """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks

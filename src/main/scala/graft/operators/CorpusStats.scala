@@ -550,6 +550,25 @@ object CorpusStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document keyword extraction ([EXT]) — each document's top
+    * `k` terms by tf-idf: the zero-model document tagger (faceted
+    * browse, dedup-cluster naming, quick topic labels). One rank
+    * window over the [[tfIdf]] rows, partitioned by doc — millions
+    * of independent partitions; ordering is (rounded tfidf desc,
+    * term) — a total order, so the selected SET is engine-exact. */
+  def keywords(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"keywords needs k >= 1: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tfIdf(docs, idCol, textCol)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Log-odds-ratio term comparison with an informative Dirichlet
     * prior ([EXT]) — Monroe/Colaresi/Quinn 2008 ("Fightin' Words"):
     * which terms distinguish source A's language from source B's,

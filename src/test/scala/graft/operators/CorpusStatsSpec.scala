@@ -285,6 +285,19 @@ class CorpusStatsSpec extends SparkSuite {
       "per-bigram average keeps long docs comparable to short ones")
   }
 
+  test("keywords: doc-distinctive terms outrank corpus-common ones") {
+    val docs = Seq(
+      (1L, "shared shared zebra zebra zebra shared shared"),
+      (2L, "shared shared shared common common shared"),
+      (3L, "shared shared other other shared shared")).toDF("doc_id", "text")
+    val out = CorpusStats.keywords(docs, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // 'shared' has df 3 (idf floor); each doc's rare term wins
+    assert(out(1L) === "zebra")
+    assert(out(2L) === "common")
+    assert(out(3L) === "other")
+  }
+
   test("logOddsTerms: side-exclusive terms get opposite z, shared terms near 0") {
     val docs = Seq(
       (1L, "alpha alpha alpha common common", "A"),
