@@ -273,15 +273,13 @@ object ScaleProbe {
     // (suffix-variants are true near-duplicates); the probe verifies
     // cost tracks the pair output, not a global cross product.
     val li0 = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
-      .where(col("l_quantity") >= 40)
-      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
     val liRep = li0.crossJoin(spark.range(factor).withColumnRenamed("id", "__copy"))
-      .select((col("ok") + col("__copy") * 100000000L).as("ok"),
-        (col("l_partkey") + col("__copy") * 100000000L).as("l_partkey"))
-    val triEdges = liRep.select(col("ok"), col("l_partkey").as("pa"))
-      .join(liRep.select(col("ok"), col("l_partkey").as("pb")), Seq("ok"))
-      .where(col("pa") < col("pb"))
-      .select(col("pa").as("src"), col("pb").as("dst"))
+      .select((col("l_orderkey") + col("__copy") * 100000000L).as("l_orderkey"),
+        (col("l_partkey") + col("__copy") * 100000000L).as("l_partkey"),
+        col("l_quantity"))
+    // the SAME edge definition the harness queries use — one source
+    val triEdges = graft.operators.Graph.copurchaseEdges(liRep)
     val triRow = time(s"triangleCount x$factor")(
       graft.operators.Graph.triangleCount(triEdges).head())
     println(s"[scale]   triangles: ${triRow.getLong(2)} over ${triRow.getLong(1)} edges")

@@ -26,16 +26,10 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Co-purchase graph: parts sharing a high-quantity order — the
-    * edge list behind q_triangles / q_clustering_coef. */
-  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val li = t(s, d, "lineitem").where(col("l_quantity") >= 40)
-      .select(col("l_orderkey").as("ok"), col("l_partkey"))
-    li.select(col("ok"), col("l_partkey").as("pa"))
-      .join(li.select(col("ok"), col("l_partkey").as("pb")), Seq("ok"))
-      .where(col("pa") < col("pb"))
-      .select(col("pa").as("src"), col("pb").as("dst"))
-  }
+  /** Co-purchase graph behind q_triangles / q_clustering_coef /
+    * q_khop — the shared [[Graph.copurchaseEdges]] definition. */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    Graph.copurchaseEdges(t(s, d, "lineitem"))
 
   /** Exact decimal sum rendered as double — DuckDB spelling of
     * [[Reports.dsum]]. */
@@ -51,12 +45,14 @@ object SparkEntry {
       s"coalesce((lag(v, $j) OVER w) * ${1L << (k - 1 - j)}, 0)"
     }.mkString(" + ")
     val dens = (0 until k).map { j =>
-      s"(CASE WHEN lag(1, $j) OVER w IS NOT NULL THEN ${1L << (k - 1 - j)} ELSE 0 END)"
+      s"(CASE WHEN lag(v, $j) OVER w IS NOT NULL THEN ${1L << (k - 1 - j)} ELSE 0 END)"
     }.mkString(" + ")
     s"""WITH b AS (SELECT event_type, event_id, ts,
           CAST(value AS DECIMAL(18,2)) AS v FROM events)
         SELECT event_type, event_id,
-          round(CAST($terms AS DOUBLE) / CAST($dens AS DOUBLE), 6) AS ewma
+          CASE WHEN ($dens) > 0
+               THEN round(CAST($terms AS DOUBLE) / CAST($dens AS DOUBLE), 6)
+          END AS ewma
         FROM b WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
         ORDER BY event_type, event_id"""
   }
@@ -3641,7 +3637,7 @@ object SparkEntry {
                  CAST(round(abs(CAST(ngs AS DOUBLE) / CAST(ng AS DOUBLE) - q), 6)
                    AS DECIMAL(18,6)) AS d,
                  CAST(round(q, 6) AS DECIMAL(18,6)) AS qp
-                 FROM cw JOIN q USING (s))
+                 FROM cw JOIN q ON cw.s IS NOT DISTINCT FROM q.s)
            SELECT source, CAST(max(ng) AS BIGINT) AS n_rows,
              round(0.5 * (CAST(sum(d) AS DOUBLE) + (1.0 - CAST(sum(qp) AS DOUBLE))), 6)
                AS t_closeness

@@ -106,7 +106,13 @@ object Anonymize {
       .withColumn("__ng", sum(col("__ngs")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(qi.map(col): _*)))
     val p = col("__ngs").cast("double") / col("__ng").cast("double")
-    cells.join(gdist, Seq("__s"))
+    // NULL-SAFE join on the sensitive value: a NULL sensitive class
+    // is counted in both totals, so an equi-join would DROP its cell
+    // and its global row, mis-attributing its mass to the absent-
+    // values fold-in (a group mirroring a half-NULL global would
+    // score 0.25 instead of the true 0)
+    cells.join(gdist.withColumnRenamed("__s", "__gs"),
+        col("__s") <=> col("__gs"))
       .select(qi.map(col) :+ col("__ng") :+
         round(abs(p - col("__q")), 6).cast(DecimalType(18, 6)).as("__d") :+
         round(col("__q"), 6).cast(DecimalType(18, 6)).as("__qp"): _*)

@@ -67,6 +67,9 @@ object Fuzzy {
   def jaroWinklerPairs(df: DataFrame, nameCol: String, minSim: Double,
                        block: Column => Column = firstToken): DataFrame = {
     require(minSim > 0.0 && minSim <= 1.0, s"minSim must be in (0,1]: $minSim")
+    // call_function resolves through the session registry — register
+    // defensively so vanilla sessions (no graft extension conf) work
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val names = df.select(col(nameCol).as("name")).where(col("name").isNotNull)
       .distinct().withColumn("__b", block(col("name")))
       .where(col("__b").isNotNull)

@@ -246,6 +246,20 @@ object Graph {
     reached.orderBy(col("v"))
   }
 
+  /** Co-purchase edge list from a lineitem-shaped frame: parts
+    * sharing a high-quantity order. ONE definition feeds the harness
+    * queries (q_triangles / q_clustering_coef / q_khop) AND the
+    * ScaleProbe — a threshold change cannot desynchronize the probe
+    * from the queries it characterizes. */
+  def copurchaseEdges(lineitem: DataFrame, minQuantity: Double = 40): DataFrame = {
+    val li = lineitem.where(col("l_quantity") >= minQuantity)
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+    li.select(col("ok"), col("l_partkey").as("pa"))
+      .join(li.select(col("ok"), col("l_partkey").as("pb")), Seq("ok"))
+      .where(col("pa") < col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst"))
+  }
+
   /** Shared core: canonical undirected edges, degrees, and the
     * closed (u, w1, w2) wedge rows — one row per triangle, anchored
     * at its (degree, id)-minimal corner. */

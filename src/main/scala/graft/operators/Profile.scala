@@ -830,18 +830,26 @@ object Profile {
     val byY = Window.partitionBy(col(key)).orderBy(col(y))
     val tiesX = Window.partitionBy(col(key), col(x))
     val tiesY = Window.partitionBy(col(key), col(y))
+    // incomplete pairs are EXCLUDED (standard Spearman) — ranking a
+    // NULL as "smallest" would also diverge across engines (Spark
+    // windows sort NULLS FIRST, DuckDB NULLS LAST)
     val ranked = df.select(col(key), col(x), col(y))
+      .where(col(x).isNotNull && col(y).isNotNull)
       .withColumn("__rx",
         lit(2L) * rank().over(byX) + count(lit(1)).over(tiesX) - 1)
       .withColumn("__ry",
         lit(2L) * rank().over(byY) + count(lit(1)).over(tiesY) - 1)
+    // widen to DECIMAL BEFORE squaring: long·long wraps at rx ~ 3e9
+    // (n ~ 1.5e9 rows/group) while DuckDB's BIGINT·BIGINT widens to
+    // HUGEINT — the interArrival overflow lesson applied here
+    def d19(c: Column) = c.cast(DecimalType(19, 0))
     val agg = ranked.groupBy(col(key)).agg(
       count(lit(1)).as("__n"),
       sum(col("__rx").cast(DecimalType(28, 0))).as("__sx"),
       sum(col("__ry").cast(DecimalType(28, 0))).as("__sy"),
-      sum((col("__rx") * col("__rx")).cast(DecimalType(38, 0))).as("__sxx"),
-      sum((col("__ry") * col("__ry")).cast(DecimalType(38, 0))).as("__syy"),
-      sum((col("__rx") * col("__ry")).cast(DecimalType(38, 0))).as("__sxy"))
+      sum((d19(col("__rx")) * d19(col("__rx"))).cast(DecimalType(38, 0))).as("__sxx"),
+      sum((d19(col("__ry")) * d19(col("__ry"))).cast(DecimalType(38, 0))).as("__syy"),
+      sum((d19(col("__rx")) * d19(col("__ry"))).cast(DecimalType(38, 0))).as("__sxy"))
     def d(c: String) = col(c).cast("double")
     agg.select(col(key),
       // all-tied groups (zero rank variance) yield null, not NaN
@@ -895,12 +903,16 @@ object Profile {
     * guard on the same exact decimals. Shape: one map-side-combined
     * aggregate; nothing else. */
   def linearFit(df: DataFrame, key: String, x: String, y: String): DataFrame = {
+    // widen x BEFORE squaring: an IntegerType x (epoch days, sequence
+    // index) wraps int·int at |x| > 46340 with no error under
+    // non-ANSI semantics, while the oracle's arithmetic widens
+    val xd = col(x).cast(DecimalType(19, 0))
     val agg = df.groupBy(col(key)).agg(
       count(lit(1)).as("__n"),
       sum(col(x).cast(DecimalType(28, 0))).as("__sx"),
       sum(col(y).cast(DecimalType(18, 2))).as("__sy"),
-      sum((col(x) * col(x)).cast(DecimalType(38, 0))).as("__sxx"),
-      sum((col(x) * col(y)).cast(DecimalType(38, 2))).as("__sxy"))
+      sum((xd * xd).cast(DecimalType(38, 0))).as("__sxx"),
+      sum((xd * col(y).cast(DecimalType(18, 2))).cast(DecimalType(38, 2))).as("__sxy"))
     def d(c: String) = col(c).cast("double")
     val ok = col("__n") > 1 &&
       col("__n") * col("__sxx") =!= col("__sx") * col("__sx")
@@ -948,8 +960,16 @@ object Profile {
     * key-partitioned sort window; singleton groups are 0 by the SQL
     * convention. */
   def quantileTransform(df: DataFrame, key: String, measure: String): DataFrame = {
+    // NULL measures must stay OUT of the rank window (Spark sorts
+    // NULLS FIRST, DuckDB NULLS LAST — inside the window a single
+    // null would shift every rank differently per engine) and get a
+    // null q of their own: rank over the non-null slice, union the
+    // null rows back untouched
     val w = Window.partitionBy(col(key)).orderBy(col(measure))
-    df.withColumn("q", round(percent_rank().over(w), 6))
+    df.where(col(measure).isNotNull)
+      .withColumn("q", round(percent_rank().over(w), 6))
+      .unionAll(df.where(col(measure).isNull)
+        .withColumn("q", lit(null).cast("double")))
   }
 
   /** Mutual information between two categorical columns ([EXT]) —

@@ -456,9 +456,14 @@ object Windows {
         count(lit(1)).as("__n"),
         sum(col("x").cast(DecimalType(28, 0))).as("__sx"),
         sum(col("y").cast(DecimalType(28, 0))).as("__sy"),
-        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("__sxx"),
-        sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("__syy"),
-        sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("__sxy"))
+        // widen BEFORE the products — long·long wraps past ~3e9
+        // events/day while the oracle's BIGINT·BIGINT widens
+        sum((col("x").cast(DecimalType(19, 0)) * col("x").cast(DecimalType(19, 0)))
+          .cast(DecimalType(38, 0))).as("__sxx"),
+        sum((col("y").cast(DecimalType(19, 0)) * col("y").cast(DecimalType(19, 0)))
+          .cast(DecimalType(38, 0))).as("__syy"),
+        sum((col("x").cast(DecimalType(19, 0)) * col("y").cast(DecimalType(19, 0)))
+          .cast(DecimalType(38, 0))).as("__sxy"))
     def d(c: String) = col(c).cast("double")
     agg.select(col("lag"), col("__n").as("n_days"),
       when(col("__n") > 1 &&
@@ -504,11 +509,17 @@ object Windows {
       coalesce(lag(col("__v"), j).over(w) * lit(weights(j)),
         lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2)))
     }.reduce(_ + _)
+    // presence = a NON-NULL VALUE at that lag, not mere row existence:
+    // a null observation must renormalize out of the denominator (like
+    // the short-history start), not enter as a phantom zero
     val denom = (0 until k).map { j =>
-      when(lag(lit(1), j).over(w).isNotNull, lit(weights(j))).otherwise(lit(0L))
+      when(lag(col("__v"), j).over(w).isNotNull, lit(weights(j))).otherwise(lit(0L))
     }.reduce(_ + _)
     base
-      .withColumn("ewma", round(numer.cast("double") / denom.cast("double"), 6))
+      // an all-null window (current value null, no observed history)
+      // has no average — null, not 0/0 NaN
+      .withColumn("ewma", when(denom > lit(0L),
+        round(numer.cast("double") / denom.cast("double"), 6)))
       .select(col(key), col("event_id"), col("ewma"))
       .orderBy(col(key), col("event_id"))
   }

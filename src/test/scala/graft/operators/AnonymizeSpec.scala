@@ -77,5 +77,12 @@ class AnonymizeSpec extends SparkSuite {
     // global: x 1/2, y 1/4, z 1/4; group b = all-x:
     // TV = 0.5*(|1 - 0.5| + 0.25 + 0.25) = 0.5
     assert(tv("b") === 0.5)
+    // NULL sensitive values are a CLASS, not droppable: a group
+    // mirroring a half-NULL global must score exactly 0
+    val withNull = Seq(("g1", Some("x")), ("g1", None),
+      ("g2", Some("x")), ("g2", None)).toDF("grp", "diag")
+    val nl = Anonymize.tCloseness(withNull, Seq("grp"), "diag").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(nl === Map("g1" -> 0.0, "g2" -> 0.0))
   }
 }

@@ -448,6 +448,14 @@ class ProfileSpec extends SparkSuite {
     val tq = Profile.quantileTransform(ties, "k", "v").collect()
       .map(r => r.getInt(1) -> r.getDouble(3)).toMap
     assert(tq === Map(1 -> 0.0, 2 -> 0.0, 3 -> 1.0))
+    // null measures stay out of the rank window (they'd shift ranks
+    // engine-dependently) and come back with a null q
+    val withNull = Seq(("g", 1, Some(1.0)), ("g", 2, None), ("g", 3, Some(2.0)))
+      .toDF("k", "id", "v")
+    val nq = Profile.quantileTransform(withNull, "k", "v").collect()
+      .map(r => r.getInt(1) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(nq === Map(1 -> Some(0.0), 2 -> None, 3 -> Some(1.0)))
   }
 
   test("mutualInformation: zero when independent, H(X) when determined") {

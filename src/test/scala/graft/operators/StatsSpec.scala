@@ -34,6 +34,16 @@ class StatsSpec extends SparkSuite {
     assert(Profile.spearmanExact(single, "k", "x", "y").head().isNullAt(1))
   }
 
+  test("spearman excludes incomplete pairs (standard listwise deletion)") {
+    val xs = Seq(1.0, 2.0, 5.0, 9.0)
+    val clean = xs.map(x => ("g", Some(x), Some(x * x))).toDF("k", "x", "y")
+    val noisy = (xs.map(x => ("g", Some(x), Some(x * x))) ++
+      Seq(("g", None: Option[Double], Some(99.0)),
+        ("g", Some(3.0), None: Option[Double]))).toDF("k", "x", "y")
+    assert(Profile.spearmanExact(noisy, "k", "x", "y").collect().toSeq ===
+      Profile.spearmanExact(clean, "k", "x", "y").collect().toSeq)
+  }
+
   test("robustScale centers at the median and scales by IQR") {
     val df = (1 to 9).map(i => ("g", i, i.toDouble)).toDF("k", "id", "v")
     val z = Profile.robustScale(df, "k", "v").collect()
@@ -134,6 +144,21 @@ class StatsSpec extends SparkSuite {
     assert(out(3) === 20.0)
     assert(out(5) === 30.0)   // frame (20, 1000, 30): the spike is ignored
     assert(out(6) === 30.0)   // frame (1000, 30, 25) -> 30
+  }
+
+  test("ewmaDyadic renormalizes over null observations instead of phantom zeros") {
+    // constant 4.0 with a null in the middle: the null must drop out
+    // of both numerator and denominator, keeping the average at 4.0
+    val rows = Seq(("a", 1L, new Timestamp(10000L), Some(4.0)),
+      ("a", 2L, new Timestamp(20000L), None),
+      ("a", 3L, new Timestamp(30000L), Some(4.0)))
+    val df = rows.toDF("event_type", "event_id", "ts", "value")
+    val out = Windows.ewmaDyadic(df).collect()
+      .map(r => r.getLong(1) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(out(1) === 4.0)
+    assert(out(2) === 4.0)  // only the lag-1 observation contributes
+    assert(out(3) === 4.0)
   }
 
   test("ewmaDyadic forgets beyond k lags entirely") {
