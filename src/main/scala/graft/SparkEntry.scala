@@ -1231,6 +1231,10 @@ object SparkEntry {
     "q_benford" -> ((s, d) => Profile.benfordAudit(t(s, d, "orders"), "o_totalprice")),
     // per-doc keywords ([EXT]): top-3 tf-idf terms, zero-model tagger
     "q_keywords" -> ((s, d) => CorpusStats.keywords(t(s, d, "documents"))),
+    // entity resolution capstone ([EXT]): fuzzy edges -> connected
+    // components -> lexicographic canonical per cluster
+    "q_entity_resolution" -> ((s, d) =>
+      Fuzzy.resolveEntities(t(s, d, "part"), "p_name", minSim = 0.88)),
     // calendar-edge battery ([EXT]): month-end clamping, leap days,
     // ISO weeks — certified on the month-end order slice
     "q_date_edges" -> ((s, d) => {
@@ -3380,6 +3384,26 @@ object SparkEntry {
            FROM b x JOIN b y ON x.blk = y.blk AND x.name < y.name
            WHERE jaro_winkler_similarity(x.name, y.name) >= 0.85
            ORDER BY name_a, name_b""",
+      "q_entity_resolution" -> // recursive min-label CC over name-ordinal edges
+        """WITH RECURSIVE n AS (SELECT DISTINCT p_name AS name FROM part
+                                WHERE p_name IS NOT NULL),
+             b AS (SELECT name, split_part(name, ' ', 1) AS blk FROM n
+                   WHERE split_part(name, ' ', 1) IS NOT NULL),
+             pr AS (SELECT x.name AS name_a, y.name AS name_b
+                    FROM b x JOIN b y ON x.blk = y.blk AND x.name < y.name
+                    WHERE jaro_winkler_similarity(x.name, y.name) >= 0.88),
+             o AS (SELECT name, row_number() OVER (ORDER BY name) - 1 AS ordinal FROM n),
+             e0 AS (SELECT oa.ordinal AS s, ob.ordinal AS d FROM pr
+                    JOIN o oa ON oa.name = pr.name_a
+                    JOIN o ob ON ob.name = pr.name_b),
+             e AS (SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0),
+             reach(doc, lab) AS (SELECT DISTINCT s, s FROM e
+               UNION SELECT e.d, reach.lab FROM reach JOIN e ON reach.doc = e.s),
+             roots AS (SELECT doc, min(lab) AS root FROM reach GROUP BY doc)
+           SELECT o.name, COALESCE(oc.name, o.name) AS canonical
+           FROM o LEFT JOIN roots ON roots.doc = o.ordinal
+                  LEFT JOIN o oc ON oc.ordinal = roots.root
+           ORDER BY o.name""",
       "q_triangles" -> // canonical a<b edges; x<y<z triple-join counts each triangle once
         """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40),
                e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b

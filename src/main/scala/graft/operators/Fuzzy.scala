@@ -64,6 +64,37 @@ object Fuzzy {
     * Edit distance ranks "marhta" far from "martha"; Jaro-Winkler's
     * transposition handling plus prefix boost is the record-linkage
     * scorer those swaps need. */
+  /** Entity resolution end-to-end ([EXT]) — the MDM composition:
+    * [[jaroWinklerPairs]] edges above `minSim`, transitively closed
+    * into clusters ([[Dedup.connectedKeepers]] — bounded union-find
+    * with the distributed min-label fallback), each name mapped to
+    * its cluster's canonical representative. Canonical = the
+    * LEXICOGRAPHICALLY SMALLEST name: the dense ordinal index
+    * ([[Pack.globalOrdinals]] over name order) makes min-ordinal ==
+    * min-name, so the integral-id CC machinery resolves string
+    * entities with no hashing collisions and no arbitrary roots.
+    * Names with no near-duplicate are their own canonical. */
+  def resolveEntities(df: DataFrame, nameCol: String, minSim: Double,
+                      block: Column => Column = firstToken): DataFrame = {
+    val pairs = jaroWinklerPairs(df, nameCol, minSim, block)
+    val names = df.select(col(nameCol).as("name"))
+      .where(col("name").isNotNull).distinct()
+    val ord = Pack.globalOrdinals(names, Seq("name"))
+    val edges = pairs
+      .join(ord.select(col("name").as("name_a"), col("ordinal").as("doc_a")),
+        Seq("name_a"))
+      .join(ord.select(col("name").as("name_b"), col("ordinal").as("doc_b")),
+        Seq("name_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val cc = Dedup.connectedKeepers(edges)
+    ord
+      .join(cc.select(col("doc_id").as("ordinal"), col("root")), Seq("ordinal"), "left")
+      .join(ord.select(col("ordinal").as("__r"), col("name").as("__canon")),
+        col("root") === col("__r"), "left")
+      .select(col("name"), coalesce(col("__canon"), col("name")).as("canonical"))
+      .orderBy(col("name"))
+  }
+
   def jaroWinklerPairs(df: DataFrame, nameCol: String, minSim: Double,
                        block: Column => Column = firstToken): DataFrame = {
     require(minSim > 0.0 && minSim <= 1.0, s"minSim must be in (0,1]: $minSim")

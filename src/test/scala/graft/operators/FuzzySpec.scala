@@ -56,6 +56,20 @@ class FuzzySpec extends SparkSuite {
     assert(out.collect().map(_.getString(1)).toSeq === Seq("abcx"))
   }
 
+  test("resolveEntities: transitive chains collapse to the lexicographic min") {
+    // marthaXX ~ marthaXY ~ marthaYY chain: the ends may not pair
+    // directly, but the component still collapses to one canonical
+    val df = Seq("green marthaxx", "green marthaxy", "green marthayy",
+      "green unrelatedzzz", "blue solo").toDF("name")
+    val out = Fuzzy.resolveEntities(df, "name", minSim = 0.9).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("green marthaxx") === "green marthaxx")
+    assert(out("green marthaxy") === "green marthaxx")
+    assert(out("green marthayy") === "green marthaxx")
+    assert(out("green unrelatedzzz") === "green unrelatedzzz")
+    assert(out("blue solo") === "blue solo")
+  }
+
   test("jaroWinklerPairs: each near pair once (a < b), cross-block never compared") {
     val df = Seq("green martha", "green marhta", "green xylophone",
       "blue martha", "green martha").toDF("name")
