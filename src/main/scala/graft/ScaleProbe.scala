@@ -290,6 +290,24 @@ object ScaleProbe {
     val jwp = time(s"jaroWinklerPairs t=0.85 x$factor")(
       graft.operators.Fuzzy.jaroWinklerPairs(namesRep, "p_name", 0.85).count())
     println(s"[scale]   jaro-winkler pairs: $jwp")
+    // round-8d late ops: sparseCosine's pair mass is bounded by the
+    // df cap exactly like jaccardJoin (replicas multiply each gram's
+    // df by factor, so capped grams DROP OUT — candidate volume can
+    // SHRINK under replication, the safety property itself);
+    // NB scoring fans test terms only |classes| ways; hashFeatures
+    // and keywords ride one aggregate each.
+    val sc = time(s"sparseCosineJoin t=0.3 x$factor")(
+      SetSimilarity.sparseCosineJoin(docs, threshold = 0.3).count())
+    println(s"[scale]   sparse-cosine pairs: $sc")
+    time(s"hashFeatures dim=32 x$factor")(
+      CorpusStats.hashFeatures(docs).agg(sum(abs(col("value")))).head().getLong(0))
+    time(s"nbConfusion x$factor")(
+      graft.ml.NaiveBayes.confusion(docs).agg(sum("n")).head().getLong(0))
+    time(s"keywords k=3 x$factor")(
+      CorpusStats.keywords(docs).count())
+    val cp = time(s"contrastivePairs x$factor")(
+      Dedup.contrastivePairs(docs).count())
+    println(s"[scale]   contrastive rows: $cp")
     spark.stop()
   }
 }
