@@ -1648,7 +1648,13 @@ object SparkEntry {
         .toDF().orderBy(col("doc_id"))),
     "q_frame_sample" -> ((s, d) =>
       Multimodal.frameSampleStub(Multimodal.attachPayload(t(s, d, "documents")))
-        .toDF().orderBy(col("doc_id"), col("frame_idx"))))
+        .toDF().orderBy(col("doc_id"), col("frame_idx"))),
+    // REAL image-header decode ([EXT]): PNG/GIF/BMP container bytes
+    // synthesized from table fields, parsed back by the pure-JVM
+    // header parser — builder ∘ parser == identity, oracle-certified
+    "q_image_meta" -> ((s, d) =>
+      Multimodal.imageMeta(Multimodal.synthesizeImages(t(s, d, "documents")))
+        .toDF().orderBy(col("doc_id"))))
 
   /** DuckDB-runnable oracle per query (same tables, same column names,
     * same ORDER BY). Only `q_approx_dictionary` is omitted: HLL
@@ -4454,6 +4460,13 @@ object SparkEntry {
             SELECT em.vec_id, COALESCE(r.root, em.vec_id) AS keeper_id
             FROM embeddings em LEFT JOIN roots r ON em.vec_id = r.doc
             ORDER BY em.vec_id""",
+      "q_image_meta" -> // expected dims stated FROM THE TABLE — certifies the byte parser
+        """SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
+                  WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
+             CAST(n_chars % 1000 + 1 AS INTEGER) AS width,
+             CAST(doc_id % 500 + 1 AS INTEGER) AS height
+           FROM documents ORDER BY doc_id""",
       "q_payload_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              sha256(text) AS payload_sha256

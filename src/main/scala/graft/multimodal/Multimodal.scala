@@ -89,6 +89,52 @@ object Multimodal {
       }
   }
 
+  final case class ImageMeta(doc_id: Long, format: String, width: Int, height: Int)
+
+  /** Synthesize REAL container bytes (PNG / GIF / BMP headers via
+    * [[ImageHeader]]'s builders) from table fields — the harness
+    * stand-in for a genuine media column. Format and dimensions
+    * derive deterministically from the row, so the oracle can state
+    * the expected parse output without touching bytes: certifying
+    * [[imageMeta]] means builder ∘ parser == identity on real
+    * binary container formats. */
+  def synthesizeImages(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("__n"))
+      .as[(Long, Long)]
+      .map { case (id, n) =>
+        val w = (n % 1000 + 1).toInt
+        val h = (id % 500 + 1).toInt
+        val bytes = (id % 3) match {
+          case 0 => ImageHeader.pngBytes(w, h)
+          case 1 => ImageHeader.gifBytes(w, h)
+          case _ => ImageHeader.bmpBytes(w, h)
+        }
+        (id, bytes)
+      }.toDF("doc_id", "payload")
+  }
+
+  /** REAL header decode — format + dimensions from the container
+    * bytes ([[ImageHeader]]; no media libs needed for this layer).
+    * Unrecognized / truncated payloads yield ("unknown", -1, -1)
+    * rows rather than failing the stage. Same partition-parallel
+    * batch shape as the decode stubs. */
+  def imageMeta(withPayload: DataFrame, idCol: String = "doc_id"): Dataset[ImageMeta] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    spread(withPayload.select(col(idCol).cast("long"), col("payload"))
+      .where(col("payload").isNotNull), idCol)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        ImageHeader.parse(bytes) match {
+          case Some(d) => ImageMeta(id, d.format, d.width, d.height)
+          case None    => ImageMeta(id, "unknown", -1, -1)
+        }
+      })
+  }
+
   def decodeStub(withPayload: DataFrame, idCol: String = "doc_id"): Dataset[DecodedMeta] = {
     val spark = withPayload.sparkSession
     import spark.implicits._
