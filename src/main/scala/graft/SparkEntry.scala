@@ -1654,6 +1654,11 @@ object SparkEntry {
     // header parser — builder ∘ parser == identity, oracle-certified
     "q_image_meta" -> ((s, d) =>
       Multimodal.imageMeta(Multimodal.synthesizeImages(t(s, d, "documents")))
+        .toDF().orderBy(col("doc_id"))),
+    // REAL audio header decode ([EXT]): RIFF/WAVE fmt+data chunks —
+    // rate/channels/depth/duration without any codec
+    "q_audio_meta" -> ((s, d) =>
+      Multimodal.audioMeta(Multimodal.synthesizeAudio(t(s, d, "documents")))
         .toDF().orderBy(col("doc_id"))))
 
   /** DuckDB-runnable oracle per query (same tables, same column names,
@@ -4466,6 +4471,15 @@ object SparkEntry {
                   WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
              CAST(n_chars % 1000 + 1 AS INTEGER) AS width,
              CAST(doc_id % 500 + 1 AS INTEGER) AS height
+           FROM documents ORDER BY doc_id""",
+      "q_audio_meta" -> // expected audio facts FROM the table — certifies parseWav
+        """SELECT doc_id,
+             CAST(8000 + (doc_id % 8) * 4000 AS INTEGER) AS sample_rate,
+             CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+             CAST(16 AS INTEGER) AS bits,
+             CAST(n_chars % 100000 AS BIGINT) AS n_samples,
+             CAST((n_chars % 100000) * 1000 // (8000 + (doc_id % 8) * 4000) AS BIGINT)
+               AS duration_ms
            FROM documents ORDER BY doc_id""",
       "q_payload_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -92,6 +92,52 @@ object ImageHeader {
     None
   }
 
+  final case class WavMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                           nSamples: Long)
+
+  /** WAV (RIFF/WAVE) header: walk the chunk list to `fmt ` for
+    * sample rate / channels / bit depth, and to `data` for the
+    * payload size, from which the per-channel sample count follows.
+    * Same contract as [[parse]]: bounds-checked, None on anything
+    * malformed. */
+  def parseWav(b: Array[Byte]): Option[WavMeta] = {
+    if (b == null || b.length < 12 ||
+      !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var i = 12
+    var rate = -1; var ch = -1; var bits = -1; var dataLen = -1L
+    while (i + 8 <= b.length && (rate < 0 || dataLen < 0)) {
+      val id = new String(b.slice(i, i + 4), "US-ASCII")
+      val len = le32(b, i + 4).toLong & 0xffffffffL
+      if (id == "fmt " && i + 24 <= b.length) {
+        ch = le16(b, i + 10); rate = le32(b, i + 12); bits = le16(b, i + 22)
+      } else if (id == "data") dataLen = len
+      // chunks are word-aligned: odd lengths carry a pad byte
+      i += 8 + len.toInt + (len % 2).toInt
+      if (len < 0 || i < 0) return None
+    }
+    if (rate > 0 && ch > 0 && bits > 0 && dataLen >= 0)
+      Some(WavMeta(rate, ch, bits, dataLen / (ch.toLong * (bits / 8).max(1))))
+    else None
+  }
+
+  /** Builder twin of [[parseWav]] — a structurally valid RIFF/WAVE
+    * header with an empty-bytes data chunk of `nSamples` frames. */
+  def wavBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+               nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * channels * (bitsPerSample / 8)
+    val out = new java.io.ByteArrayOutputStream()
+    "RIFF".foreach(c => out.write(c.toInt)); writeLe32(out, 36 + dataLen)
+    "WAVE".foreach(c => out.write(c.toInt))
+    "fmt ".foreach(c => out.write(c.toInt)); writeLe32(out, 16)
+    writeLe16(out, 1); writeLe16(out, channels); writeLe32(out, sampleRate)
+    writeLe32(out, sampleRate * channels * (bitsPerSample / 8))
+    writeLe16(out, channels * (bitsPerSample / 8)); writeLe16(out, bitsPerSample)
+    "data".foreach(c => out.write(c.toInt)); writeLe32(out, dataLen)
+    // data bytes themselves are not needed for header parsing
+    out.toByteArray
+  }
+
   // ---- header builders (the parser's inverse, used by the harness
   // query to synthesize REAL container bytes from table fields and by
   // tests; production rows arrive with genuine media bytes) ----

@@ -135,6 +135,43 @@ object Multimodal {
       })
   }
 
+  final case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+                             bits: Int, n_samples: Long, duration_ms: Long)
+
+  /** Audio twin of [[synthesizeImages]]: structurally valid RIFF/WAVE
+    * headers from table fields. */
+  def synthesizeAudio(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("__n"))
+      .as[(Long, Long)]
+      .map { case (id, n) =>
+        val rate = 8000 + (id % 8).toInt * 4000
+        val ch = 1 + (id % 2).toInt
+        (id, ImageHeader.wavBytes(rate, ch, 16, (n % 100000).toInt))
+      }.toDF("doc_id", "payload")
+  }
+
+  /** REAL audio header decode ([[ImageHeader.parseWav]]): sample
+    * rate, channels, bit depth, frame count, and the derived duration
+    * — the pre-codec audio filter layer (drop sub-8kHz, cap length)
+    * a speech pipeline applies before any resampling. */
+  def audioMeta(withPayload: DataFrame, idCol: String = "doc_id"): Dataset[AudioMeta] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    spread(withPayload.select(col(idCol).cast("long"), col("payload"))
+      .where(col("payload").isNotNull), idCol)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        ImageHeader.parseWav(bytes) match {
+          case Some(w) => AudioMeta(id, w.sampleRate, w.channels,
+            w.bitsPerSample, w.nSamples, w.nSamples * 1000L / w.sampleRate)
+          case None => AudioMeta(id, -1, -1, -1, -1L, -1L)
+        }
+      })
+  }
+
   def decodeStub(withPayload: DataFrame, idCol: String = "doc_id"): Dataset[DecodedMeta] = {
     val spark = withPayload.sparkSession
     import spark.implicits._

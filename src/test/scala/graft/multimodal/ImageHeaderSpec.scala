@@ -50,6 +50,23 @@ class ImageHeaderSpec extends SparkSuite {
     assert(ImageHeader.parse(Array(0xff, 0xd8, 0xff).map(_.toByte)) === None)
   }
 
+  test("wav builder round-trips; chunk walk skips odd-length pads; junk is None") {
+    val w = ImageHeader.parseWav(ImageHeader.wavBytes(16000, 2, 16, 48000)).get
+    assert((w.sampleRate, w.channels, w.bitsPerSample, w.nSamples)
+      === ((16000, 2, 16, 48000L)))
+    // an extra odd-length chunk before fmt must not break alignment
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val base = ImageHeader.wavBytes(8000, 1, 8, 100)
+    val withList = base.take(12) ++
+      "LIST".getBytes ++ b(3, 0, 0, 0) ++ b(1, 2, 3) ++ b(0) ++ // odd chunk + pad
+      base.drop(12)
+    val w2 = ImageHeader.parseWav(withList).get
+    assert((w2.sampleRate, w2.nSamples) === ((8000, 100L)))
+    assert(ImageHeader.parseWav("RIFFxxxx".getBytes) === None)
+    assert(ImageHeader.parseWav(null) === None)
+    assert(ImageHeader.parseWav(ImageHeader.pngBytes(2, 2)) === None)
+  }
+
   test("imageMeta dataset decodes synthesized payloads; junk rows survive") {
     val docs = Seq((3L, "abcdefgh", 8), (4L, "xy", 2), (5L, "hello", 5))
       .toDF("doc_id", "text", "n_chars")
