@@ -17,6 +17,12 @@ object ImageHeader {
 
   final case class Dims(format: String, width: Int, height: Int)
 
+  /** Every parser funnels through this: non-positive dimensions mean
+    * a corrupt header (and -1 would collide with the downstream
+    * "unknown" sentinel) — None, not confident garbage. */
+  private def dims(format: String, w: Int, h: Int): Option[Dims] =
+    if (w > 0 && h > 0) Some(Dims(format, w, h)) else None
+
   def parse(b: Array[Byte]): Option[Dims] = {
     if (b == null) None
     else if (isPng(b)) parsePng(b)
@@ -43,7 +49,7 @@ object ImageHeader {
     * payload); width/height are the first two big-endian ints. */
   private def parsePng(b: Array[Byte]): Option[Dims] =
     if (b.length >= 24 && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
-      Some(Dims("png", be32(b, 16), be32(b, 20)))
+      dims("png", be32(b, 16), be32(b, 20))
     else None
 
   private def isGif(b: Array[Byte]): Boolean =
@@ -52,16 +58,31 @@ object ImageHeader {
 
   /** GIF: logical screen width/height, little-endian u16 at 6/8. */
   private def parseGif(b: Array[Byte]): Option[Dims] =
-    if (b.length >= 10) Some(Dims("gif", le16(b, 6), le16(b, 8))) else None
+    if (b.length >= 10) dims("gif", le16(b, 6), le16(b, 8)) else None
 
   private def isBmp(b: Array[Byte]): Boolean =
     b.length >= 2 && b(0) == 'B' && b(1) == 'M'
 
-  /** BMP: BITMAPINFOHEADER width (i32 LE at 18) and height (i32 LE at
-    * 22 — negative means top-down row order; dimensions are |height|). */
-  private def parseBmp(b: Array[Byte]): Option[Dims] =
-    if (b.length >= 26) Some(Dims("bmp", le32(b, 18), math.abs(le32(b, 22))))
-    else None
+  /** Known DIB header sizes: BITMAPCOREHEADER (12) and the
+    * BITMAPINFOHEADER family — the 2-byte 'BM' magic alone would
+    * classify any "BM..."-prefixed payload as an image. */
+  private val DibSizes = Set(12, 40, 52, 56, 64, 108, 124)
+
+  /** BMP: validate the DIB size field, then read the right layout —
+    * i32 LE at 18/22 for the INFOHEADER family (negative height =
+    * top-down row order, dimensions are |height|), u16 LE at 18/20
+    * for the OS/2 COREHEADER. */
+  private def parseBmp(b: Array[Byte]): Option[Dims] = {
+    if (b.length < 26) return None
+    val dib = le32(b, 14)
+    if (!DibSizes.contains(dib)) None
+    else if (dib == 12) dims("bmp", le16(b, 18), le16(b, 20))
+    else {
+      val h = le32(b, 22)
+      if (h == Int.MinValue) None
+      else dims("bmp", le32(b, 18), math.abs(h))
+    }
+  }
 
   private def isJpeg(b: Array[Byte]): Boolean =
     b.length >= 2 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8
@@ -83,7 +104,7 @@ object ImageHeader {
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc
         if (isSof) {
           return if (i + 8 < b.length)
-            Some(Dims("jpeg", be16(b, i + 7), be16(b, i + 5)))
+            dims("jpeg", be16(b, i + 7), be16(b, i + 5))
           else None
         }
         i += 2 + len
@@ -104,17 +125,23 @@ object ImageHeader {
     if (b == null || b.length < 12 ||
       !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
-    var i = 12
+    // the cursor advances in LONG: a 32-bit chunk length near 2^32
+    // would wrap an Int advance to <= 0 and spin the task thread
+    // forever — the exact corrupt-blob hang this parser must never
+    // allow — and a legitimate >= 2 GiB data chunk would go negative
+    var i = 12L
     var rate = -1; var ch = -1; var bits = -1; var dataLen = -1L
     while (i + 8 <= b.length && (rate < 0 || dataLen < 0)) {
-      val id = new String(b.slice(i, i + 4), "US-ASCII")
-      val len = le32(b, i + 4).toLong & 0xffffffffL
-      if (id == "fmt " && i + 24 <= b.length) {
-        ch = le16(b, i + 10); rate = le32(b, i + 12); bits = le16(b, i + 22)
+      val at = i.toInt
+      val id = new String(b.slice(at, at + 4), "US-ASCII")
+      val len = le32(b, at + 4).toLong & 0xffffffffL
+      // honor the DECLARED fmt length: a short fmt chunk must not
+      // read its neighbors' bytes as audio facts
+      if (id == "fmt " && len >= 16 && i + 8 + 16 <= b.length) {
+        ch = le16(b, at + 10); rate = le32(b, at + 12); bits = le16(b, at + 22)
       } else if (id == "data") dataLen = len
       // chunks are word-aligned: odd lengths carry a pad byte
-      i += 8 + len.toInt + (len % 2).toInt
-      if (len < 0 || i < 0) return None
+      i += 8L + len + (len % 2)
     }
     if (rate > 0 && ch > 0 && bits > 0 && dataLen >= 0)
       Some(WavMeta(rate, ch, bits, dataLen / (ch.toLong * (bits / 8).max(1))))

@@ -76,9 +76,12 @@ object Fuzzy {
     * Names with no near-duplicate are their own canonical. */
   def resolveEntities(df: DataFrame, nameCol: String, minSim: Double,
                       block: Column => Column = firstToken): DataFrame = {
-    val pairs = jaroWinklerPairs(df, nameCol, minSim, block)
-    val names = df.select(col(nameCol).as("name"))
-      .where(col("name").isNotNull).distinct()
+    // ONE distinct name table feeds both the pair join and the
+    // ordinal index, and the pair core stays UNSORTED — the ordinal
+    // joins would destroy jaroWinklerPairs' terminal ordering, so
+    // paying that global sort here would be pure waste
+    val names = distinctNames(df, nameCol)
+    val pairs = pairsOfNames(names, minSim, block)
     val ord = Pack.globalOrdinals(names, Seq("name"))
     val edges = pairs
       .join(ord.select(col("name").as("name_a"), col("ordinal").as("doc_a")),
@@ -96,21 +99,31 @@ object Fuzzy {
   }
 
   def jaroWinklerPairs(df: DataFrame, nameCol: String, minSim: Double,
-                       block: Column => Column = firstToken): DataFrame = {
+                       block: Column => Column = firstToken): DataFrame =
+    pairsOfNames(distinctNames(df, nameCol), minSim, block)
+      .orderBy(col("name_a"), col("name_b"))
+
+  private def distinctNames(df: DataFrame, nameCol: String): DataFrame =
+    df.select(col(nameCol).as("name")).where(col("name").isNotNull).distinct()
+
+  /** Unsorted pair core — [[resolveEntities]] consumes this directly
+    * (its joins would destroy a sort anyway) and reuses the caller's
+    * distinct name table; the public [[jaroWinklerPairs]] adds the
+    * deterministic terminal ordering the harness compare needs. */
+  private def pairsOfNames(names: DataFrame, minSim: Double,
+                           block: Column => Column): DataFrame = {
     require(minSim > 0.0 && minSim <= 1.0, s"minSim must be in (0,1]: $minSim")
     // call_function resolves through the session registry — register
     // defensively so vanilla sessions (no graft extension conf) work
-    graft.expressions.GraftFunctions.register(df.sparkSession)
-    val names = df.select(col(nameCol).as("name")).where(col("name").isNotNull)
-      .distinct().withColumn("__b", block(col("name")))
+    graft.expressions.GraftFunctions.register(names.sparkSession)
+    val blocked = names.withColumn("__b", block(col("name")))
       .where(col("__b").isNotNull)
     val sim = graft.expressions.GraftFunctions.jaroWinkler(col("name_a"), col("name_b"))
-    names.select(col("__b"), col("name").as("name_a"))
-      .join(names.select(col("__b"), col("name").as("name_b")), Seq("__b"))
+    blocked.select(col("__b"), col("name").as("name_a"))
+      .join(blocked.select(col("__b"), col("name").as("name_b")), Seq("__b"))
       .where(col("name_a") < col("name_b"))
       .withColumn("sim", sim)
       .where(col("sim") >= minSim)
       .select(col("name_a"), col("name_b"), col("sim"))
-      .orderBy(col("name_a"), col("name_b"))
   }
 }

@@ -50,6 +50,39 @@ class ImageHeaderSpec extends SparkSuite {
     assert(ImageHeader.parse(Array(0xff, 0xd8, 0xff).map(_.toByte)) === None)
   }
 
+  test("hardening: BM-prefixed text, bad DIB sizes, and negative dims are None") {
+    // 'BM' magic alone must not classify a document as an image
+    assert(ImageHeader.parse(
+      "BMW annual report 2025, all figures in EUR thousands".getBytes) === None)
+    // corrupt PNG width FF FF FF FF (reads as -1) must not leak out
+    val png = ImageHeader.pngBytes(5, 5)
+    (16 until 20).foreach(i => png(i) = 0xff.toByte)
+    assert(ImageHeader.parse(png) === None)
+    // BMP height Int.MinValue: |h| is still negative — rejected
+    val bmp = ImageHeader.bmpBytes(5, 5)
+    bmp(22) = 0; bmp(23) = 0; bmp(24) = 0; bmp(25) = 0x80.toByte
+    assert(ImageHeader.parse(bmp) === None)
+    // OS/2 BITMAPCOREHEADER (DIB size 12, u16 dims) parses correctly
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val core = b('B', 'M') ++ Array.fill(12)(0.toByte) ++
+      b(12, 0, 0, 0) ++ b(17, 0) ++ b(23, 0) ++ b(1, 0, 24, 0)
+    assert(ImageHeader.parse(core) === Some(ImageHeader.Dims("bmp", 17, 23)))
+  }
+
+  test("hardening: wav chunk-length overflow and short fmt chunks cannot hang or lie") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // chunk length 0xFFFFFFF8: an Int advance would wrap to 0 and
+    // spin forever — must terminate with None
+    val spin = b('R', 'I', 'F', 'F', 0, 0, 0, 0, 'W', 'A', 'V', 'E') ++
+      "junk".getBytes ++ b(0xf8, 0xff, 0xff, 0xff) ++ Array.fill(8)(0.toByte)
+    assert(ImageHeader.parseWav(spin) === None)
+    // fmt declaring only 4 payload bytes must not read neighbor bytes
+    val shortFmt = b('R', 'I', 'F', 'F', 0, 0, 0, 0, 'W', 'A', 'V', 'E') ++
+      "fmt ".getBytes ++ b(4, 0, 0, 0) ++ b(1, 0, 2, 0) ++
+      "data".getBytes ++ b(0, 0, 0, 0)
+    assert(ImageHeader.parseWav(shortFmt) === None)
+  }
+
   test("wav builder round-trips; chunk walk skips odd-length pads; junk is None") {
     val w = ImageHeader.parseWav(ImageHeader.wavBytes(16000, 2, 16, 48000)).get
     assert((w.sampleRate, w.channels, w.bitsPerSample, w.nSamples)
