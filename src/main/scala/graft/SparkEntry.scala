@@ -1235,6 +1235,13 @@ object SparkEntry {
     // components -> lexicographic canonical per cluster
     "q_entity_resolution" -> ((s, d) =>
       Fuzzy.resolveEntities(t(s, d, "part"), "p_name", minSim = 0.88)),
+    // Fellegi-Sunter linkage ([EXT]): same-name candidate pairs scored
+    // by the data-estimated likelihood ratio over brand/type/size
+    // evidence — pure IEEE arithmetic, certified UNROUNDED
+    "q_fs_weights" -> ((s, d) =>
+      Fuzzy.fsWeights(t(s, d, "part"), "p_partkey", "p_name",
+        Seq("p_brand" -> "0.95", "p_type" -> "0.90", "p_size" -> "0.85"),
+        block = c => c)),
     // calendar-edge battery ([EXT]): month-end clamping, leap days,
     // ISO weeks — certified on the month-end order slice
     "q_date_edges" -> ((s, d) => {
@@ -1659,6 +1666,12 @@ object SparkEntry {
     // rate/channels/depth/duration without any codec
     "q_audio_meta" -> ((s, d) =>
       Multimodal.audioMeta(Multimodal.synthesizeAudio(t(s, d, "documents")))
+        .toDF().orderBy(col("doc_id"))),
+    // REAL video container decode ([EXT]): ISO-BMFF box walk —
+    // brand/timescale/duration/dims/tracks, completing the
+    // image/audio/video header-parsing trio without any codec
+    "q_video_meta" -> ((s, d) =>
+      Multimodal.videoMeta(Multimodal.synthesizeVideo(t(s, d, "documents")))
         .toDF().orderBy(col("doc_id"))))
 
   /** DuckDB-runnable oracle per query (same tables, same column names,
@@ -3395,6 +3408,38 @@ object SparkEntry {
            FROM b x JOIN b y ON x.blk = y.blk AND x.name < y.name
            WHERE jaro_winkler_similarity(x.name, y.name) >= 0.85
            ORDER BY name_a, name_b""",
+      "q_fs_weights" -> // FS likelihood ratios, replayed term-by-term in the same IEEE order
+        """WITH base AS (
+             SELECT CAST(p_partkey AS BIGINT) AS k, p_name AS b,
+                    p_brand, p_type, p_size
+             FROM part WHERE p_name IS NOT NULL),
+           stats AS (
+             SELECT (SELECT count(*) FROM base) AS n,
+               (SELECT sum(c*(c-1)) FROM (SELECT count(*) AS c FROM base
+                  WHERE p_brand IS NOT NULL GROUP BY p_brand)) AS s_brand,
+               (SELECT sum(c*(c-1)) FROM (SELECT count(*) AS c FROM base
+                  WHERE p_type IS NOT NULL GROUP BY p_type)) AS s_type,
+               (SELECT sum(c*(c-1)) FROM (SELECT count(*) AS c FROM base
+                  WHERE p_size IS NOT NULL GROUP BY p_size)) AS s_size),
+           scored AS (
+             SELECT a.k AS a_key, b.k AS b_key,
+               CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS agree_p_brand,
+               CASE WHEN a.p_type  = b.p_type  THEN 1 ELSE 0 END AS agree_p_type,
+               CASE WHEN a.p_size  = b.p_size  THEN 1 ELSE 0 END AS agree_p_size,
+               (((CASE WHEN a.p_brand = b.p_brand
+                   THEN 0.95 / (CAST(s.s_brand AS DOUBLE) / CAST(s.n*(s.n-1) AS DOUBLE))
+                   ELSE 0.05 / (1.0 - CAST(s.s_brand AS DOUBLE) / CAST(s.n*(s.n-1) AS DOUBLE)) END)
+                * (CASE WHEN a.p_type = b.p_type
+                   THEN 0.90 / (CAST(s.s_type AS DOUBLE) / CAST(s.n*(s.n-1) AS DOUBLE))
+                   ELSE 0.10 / (1.0 - CAST(s.s_type AS DOUBLE) / CAST(s.n*(s.n-1) AS DOUBLE)) END))
+               * (CASE WHEN a.p_size = b.p_size
+                   THEN 0.85 / (CAST(s.s_size AS DOUBLE) / CAST(s.n*(s.n-1) AS DOUBLE))
+                   ELSE 0.15 / (1.0 - CAST(s.s_size AS DOUBLE) / CAST(s.n*(s.n-1) AS DOUBLE)) END)) AS lr
+             FROM base a JOIN base b ON a.b = b.b AND a.k < b.k, stats s)
+           SELECT a_key, b_key, agree_p_brand, agree_p_type, agree_p_size, lr,
+             CASE WHEN lr >= 1000.0 THEN 'match' ELSE 'possible' END AS fs_class
+           FROM scored WHERE lr >= 10.0
+           ORDER BY a_key, b_key""",
       "q_entity_resolution" -> // recursive min-label CC over name-ordinal edges
         """WITH RECURSIVE n AS (SELECT DISTINCT p_name AS name FROM part
                                 WHERE p_name IS NOT NULL),
@@ -4480,6 +4525,16 @@ object SparkEntry {
              CAST(n_chars % 100000 AS BIGINT) AS n_samples,
              CAST((n_chars % 100000) * 1000 // (8000 + (doc_id % 8) * 4000) AS BIGINT)
                AS duration_ms
+           FROM documents ORDER BY doc_id""",
+      "q_video_meta" -> // expected video facts FROM the table — certifies the box walk
+        """SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+             CAST(1000 * (1 + doc_id % 3) AS INTEGER) AS timescale_hz,
+             CAST((n_chars % 1000000) * 1000 // (1000 * (1 + doc_id % 3)) AS BIGINT)
+               AS duration_ms,
+             CAST(16 + doc_id % 1905 AS INTEGER) AS width,
+             CAST(16 + doc_id % 1065 AS INTEGER) AS height,
+             CAST(1 AS INTEGER) AS n_tracks
            FROM documents ORDER BY doc_id""",
       "q_payload_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -172,6 +172,49 @@ object Multimodal {
       })
   }
 
+  final case class VideoMeta(doc_id: Long, brand: String, timescale_hz: Int,
+                             duration_ms: Long, width: Int, height: Int,
+                             n_tracks: Int)
+
+  /** Video member of the synthesize family: structurally valid
+    * ISO-BMFF `ftyp` + `moov(mvhd + trak(tkhd))` skeletons from table
+    * fields ([[Mp4Header.mp4Bytes]]). Dimensions stay under 16 bits
+    * (the tkhd 16.16 integer part) by construction. */
+  def synthesizeVideo(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("__n"))
+      .as[(Long, Long)]
+      .map { case (id, n) =>
+        val brand = if (id % 2 == 0) "isom" else "mp42"
+        val scale = 1000 * (1 + (id % 3).toInt)
+        (id, Mp4Header.mp4Bytes(brand, scale, (n % 1000000).toInt,
+          16 + (id % 1905).toInt, 16 + (id % 1065).toInt))
+      }.toDF("doc_id", "payload")
+  }
+
+  /** REAL video container decode ([[Mp4Header.parse]]): brand,
+    * timescale, duration, presentation dims, track count — the
+    * pre-codec filter/partition layer (drop sub-720p, cap duration,
+    * route by brand) a video pipeline applies before any frame work.
+    * Unparseable payloads yield a ("unknown", -1…) row, never a
+    * stage failure. */
+  def videoMeta(withPayload: DataFrame, idCol: String = "doc_id"): Dataset[VideoMeta] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    spread(withPayload.select(col(idCol).cast("long"), col("payload"))
+      .where(col("payload").isNotNull), idCol)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        Mp4Header.parse(bytes) match {
+          case Some(m) => VideoMeta(id, m.brand, m.timescaleHz, m.durationMs,
+            m.width, m.height, m.nTracks)
+          case None => VideoMeta(id, "unknown", -1, -1L, -1, -1, -1)
+        }
+      })
+  }
+
   def decodeStub(withPayload: DataFrame, idCol: String = "doc_id"): Dataset[DecodedMeta] = {
     val spark = withPayload.sparkSession
     import spark.implicits._

@@ -98,6 +98,85 @@ object Fuzzy {
       .orderBy(col("name"))
   }
 
+  /** Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter
+    * 1969; the scoring layer [[jaroWinklerPairs]]/[[resolveEntities]]
+    * lack — those say "similar NAME", this weighs the EVIDENCE of
+    * every compared field, including disagreements).
+    *
+    * For each candidate pair (same blocking key, `a_key < b_key` once)
+    * and each field f with assumed match-agreement probability m_f,
+    * the likelihood ratio multiplies per-field terms
+    * `m_f / u_f` on agreement and `(1-m_f) / (1-u_f)` on
+    * disagreement, where u_f — the chance two RANDOM records agree on
+    * f — is estimated from the data itself as Σ c_v(c_v−1) / N(N−1)
+    * over f's value histogram (the standard unlabeled-u estimate; an
+    * EM refinement would update m too, but m stays a stated prior
+    * here and is part of the operator's contract). NULL field values
+    * never agree (missing data cannot support a match) and are
+    * excluded from u's numerator.
+    *
+    * Scale shape: u-stats are one tiny aggregate per field over the
+    * (deduplicated) record table, broadcast as a 1-row frame — no
+    * driver collect, no second scan at pair time; pairs come from the
+    * same bounded block join as every other linkage operator here;
+    * the output keeps only pairs clearing `lower` (on 100 TB the
+    * non-match mass is ~all pairs — emitting it would be the
+    * scale bug). Determinism: every term is pure IEEE arithmetic
+    * (divisions and one fixed-order product — no logs, whose libm
+    * implementations differ across engines), from exact integer
+    * counts and exact decimal-literal priors, so the UNROUNDED ratio
+    * is bit-identical cross-engine and hash-certifiable.
+    *
+    * `fields` maps field name → m_f as a decimal STRING ("0.95"):
+    * the disagreement numerator 1−m_f is derived in exact decimal and
+    * only then converted to double — a double `1 - 0.95` would differ
+    * from the oracle's decimal-literal `0.05` by one ULP.
+    */
+  def fsWeights(records: DataFrame, keyCol: String, nameCol: String,
+                fields: Seq[(String, String)],
+                lower: Double = 10.0, upper: Double = 1000.0,
+                block: Column => Column = firstToken): DataFrame = {
+    require(fields.nonEmpty, "at least one comparison field")
+    val base = records
+      .select((col(keyCol).cast("long").as("__k") +:
+        block(col(nameCol)).as("__b") +:
+        fields.map { case (f, _) => col(f) }): _*)
+      .where(col("__b").isNotNull)
+    // 1-row stats frame: N plus per-field agreeing-pair counts
+    val stats = fields.foldLeft(base.agg(count(lit(1)).as("__n"))) {
+      case (acc, (f, _)) =>
+        val grouped = base.where(col(f).isNotNull)
+          .groupBy(col(f)).agg(count(lit(1)).as("__c"))
+        acc.crossJoin(broadcast(grouped.agg(
+          coalesce(sum(col("__c") * (col("__c") - 1)), lit(0L)).as(s"__s_$f"))))
+    }
+    def side(p: String) = base.select((col("__b") +:
+      col("__k").as(s"${p}_key") +:
+      fields.map { case (f, _) => col(f).as(s"${p}_$f") }): _*)
+    val pairs = side("a").join(side("b"), Seq("__b"))
+      .where(col("a_key") < col("b_key"))
+      .crossJoin(broadcast(stats))
+    val den = (col("__n") * (col("__n") - lit(1L))).cast("double")
+    val lr = fields.map { case (f, m) =>
+      val u = col(s"__s_$f").cast("double") / den
+      val agree = col(s"a_$f") === col(s"b_$f") // null never agrees
+      when(agree, lit(m.toDouble) / u)
+        .otherwise(lit((BigDecimal(1) - BigDecimal(m)).toDouble) / (lit(1.0) - u))
+    }.reduceLeft(_ * _) // fixed left-assoc order, mirrored in the oracle
+    val flags = fields.map { case (f, _) =>
+      when(col(s"a_$f") === col(s"b_$f"), lit(1)).otherwise(lit(0))
+        .cast("int").as(s"agree_$f")
+    }
+    val out = (col("a_key") +: col("b_key") +: flags) ++ Seq(
+      col("lr"),
+      when(col("lr") >= lit(upper), lit("match")).otherwise(lit("possible"))
+        .as("fs_class"))
+    pairs.withColumn("lr", lr)
+      .where(col("lr") >= lit(lower))
+      .select(out: _*)
+      .orderBy(col("a_key"), col("b_key"))
+  }
+
   def jaroWinklerPairs(df: DataFrame, nameCol: String, minSim: Double,
                        block: Column => Column = firstToken): DataFrame =
     pairsOfNames(distinctNames(df, nameCol), minSim, block)

@@ -70,6 +70,40 @@ class FuzzySpec extends SparkSuite {
     assert(out("blue solo") === "blue solo")
   }
 
+  test("fsWeights: hand-computed likelihood ratio, null fields never agree") {
+    import org.apache.spark.sql.functions.col
+    // 4 records in one block; u-stats over the whole table
+    val df = Seq(
+      (1L, "acme pump", "B1", 10),
+      (2L, "acme pump", "B1", 10),   // agrees with 1 on both fields
+      (3L, "acme pump", "B2", 10),   // agrees on size only
+      (4L, "acme pump", "B3", 20)    // agrees on nothing
+    ).toDF("k", "name", "brand", "size")
+    val out = Fuzzy.fsWeights(df, "k", "name",
+      Seq("brand" -> "0.90", "size" -> "0.80"), lower = 0.0, upper = 5.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), r.getDouble(4), r.getString(5))).toMap
+    // u_brand = sum c(c-1) / N(N-1) = 2/12; u_size = (3*2)/12 = 1/2
+    val uB = 2.0 / 12.0; val uS = 6.0 / 12.0
+    val agreeB = 0.90 / uB; val disB = 0.10 / (1.0 - uB)
+    val agreeS = 0.80 / uS; val disS = 0.20 / (1.0 - uS)
+    assert(out((1L, 2L)) === ((1, 1, agreeB * agreeS, "match")))
+    assert(out((1L, 3L)) === ((0, 1, disB * agreeS, "possible")))
+    assert(out((1L, 4L))._3 === disB * disS)
+    assert(out.size === 6) // all C(4,2) pairs at lower=0
+    // a NULL field value disagrees with everything, including NULL
+    val withNull = Seq((1L, "x", null.asInstanceOf[String]),
+      (2L, "x", null.asInstanceOf[String])).toDF("k", "name", "brand")
+    val nOut = Fuzzy.fsWeights(withNull, "k", "name",
+      Seq("brand" -> "0.90"), lower = 0.0).collect()
+    assert(nOut.length === 1 && nOut.head.getInt(2) === 0)
+    // and the threshold filter drops the weak pairs
+    val filtered = Fuzzy.fsWeights(df, "k", "name",
+      Seq("brand" -> "0.90", "size" -> "0.80"), lower = 2.0)
+      .select(col("a_key"), col("b_key")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(filtered.toSet === Set((1L, 2L))) // only the double-agreement clears 2.0
+  }
+
   test("jaroWinklerPairs: each near pair once (a < b), cross-block never compared") {
     val df = Seq("green martha", "green marhta", "green xylophone",
       "blue martha", "green martha").toDF("name")
