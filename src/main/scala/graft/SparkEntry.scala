@@ -1112,11 +1112,19 @@ object SparkEntry {
     // rolling median ([EXT]): order-statistic smoothing per key —
     // exact percentile as a WINDOW aggregate, despikes where EWMA can't
     "q_rolling_median" -> ((s, d) => Windows.rollingMedian(t(s, d, "events"))),
+    // seasonal-residual anomaly flags ([EXT]): (type, weekday) mean
+    // baseline, MAD-scaled residual, |score| > 3 on the ROUNDED score
+    "q_ts_anomaly" -> ((s, d) =>
+      Windows.seasonalAnomalies(graft.functions.TimeCol.instant(t(s, d, "events")))),
     // Naive Bayes as pure dataflow ([EXT]): train/predict/confusion
     // entirely in aggregates+joins — the oracle replays the whole
     // chain, certifying a TRAINED model cross-engine
     "q_nb_confusion" -> ((s, d) =>
       graft.ml.NaiveBayes.confusion(t(s, d, "documents"))),
+    // per-class precision/recall/F1 over the same held-out matrix —
+    // the evaluation sheet, engine-exact ratios from exact counts
+    "q_nb_metrics" -> ((s, d) =>
+      graft.ml.NaiveBayes.metrics(t(s, d, "documents"))),
     // sparse tf-idf cosine join ([EXT]): df-capped inverted index —
     // the WEIGHTED near-dup complement of q_jaccard_join
     "q_sparse_cosine" -> ((s, d) =>
@@ -1683,6 +1691,41 @@ object SparkEntry {
     val fingerprint = "sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
     val shingles = "[substr(text, i, 5) for i in range(1, greatest(len(text)-4, 1)+1)]"
     def fold(products: String) = s"list_reduce($products, (x, y) -> x + y)"
+    // shared NB train->predict->confusion chain: q_nb_confusion replays
+    // it directly, q_nb_metrics derives the precision/recall/F1 sheet
+    // from the same matrix
+    val nbCm =
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+               test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+               trt AS (SELECT lang AS c,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                 FROM train),
+               ctc AS (SELECT c, term, count(*) AS n FROM trt GROUP BY 1, 2),
+               ctot AS (SELECT c, count(*) AS tot FROM trt GROUP BY 1),
+               v AS (SELECT count(DISTINCT term) AS v FROM trt),
+               pri AS (SELECT lang AS c, CAST(round(ln(count(*) /
+                   CAST((SELECT count(*) FROM train) AS DOUBLE)), 6)
+                   AS DECIMAL(18,6)) AS logprior
+                 FROM train GROUP BY 1),
+               tet AS (SELECT doc_id, term, count(*) AS tf FROM
+                 (SELECT doc_id,
+                    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                  FROM test) GROUP BY 1, 2),
+               sc AS (SELECT t.doc_id, p.c, p.logprior +
+                   sum(CAST(round(t.tf * ln((coalesce(ctc.n, 0) + 1) /
+                     CAST(ctot.tot + v.v AS DOUBLE)), 6) AS DECIMAL(18,6))) AS score
+                 FROM tet t
+                 CROSS JOIN pri p
+                 JOIN ctot ON ctot.c = p.c
+                 LEFT JOIN ctc ON ctc.c = p.c AND ctc.term = t.term
+                 CROSS JOIN v
+                 GROUP BY t.doc_id, p.c, p.logprior),
+               pred AS (SELECT doc_id, c AS predicted,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, c DESC) AS rn FROM sc),
+           cm AS (SELECT te.lang AS actual, p.predicted, count(*) AS n
+             FROM pred p JOIN test te USING (doc_id) WHERE rn = 1
+             GROUP BY 1, 2)"""
     def dotSelf(v: String) =
       fold(s"[$v[i]::DOUBLE * $v[i]::DOUBLE for i in range(1, len($v)+1)]")
     // MinHash CTEs mirroring Dedup.minhashSignatures/lshBands (k=16, 4
@@ -3549,6 +3592,27 @@ object SparkEntry {
            SELECT l_orderkey, CAST(rev AS DOUBLE) AS revenue,
                   o_orderdate, o_orderpriority
            FROM agg ORDER BY rev DESC, l_orderkey LIMIT 10""",
+      "q_ts_anomaly" -> // weekday baseline + MAD-scaled residual; flag on the ROUNDED score
+        """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+               count(*) AS cnt FROM events GROUP BY 1, 2),
+             base AS (SELECT event_type, dayofweek(day) AS dw,
+               CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS expected
+               FROM daily GROUP BY 1, 2),
+             r AS (SELECT d.event_type, d.day, d.cnt, b.expected,
+                 CAST(d.cnt AS DOUBLE) - b.expected AS resid
+               FROM daily d JOIN base b
+                 ON d.event_type = b.event_type AND dayofweek(d.day) = b.dw),
+             m AS (SELECT event_type, quantile_cont(abs(resid), 0.5) AS mad
+               FROM r GROUP BY 1)
+           SELECT r.event_type, r.day, r.cnt,
+             round(r.expected, 6) AS expected,
+             CASE WHEN m.mad > 0
+               THEN round(r.resid / (1.4826 * m.mad), 6) END AS score,
+             CAST(CASE WHEN m.mad > 0 AND
+                 abs(round(r.resid / (1.4826 * m.mad), 6)) > 3.0
+               THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+           FROM r JOIN m USING (event_type)
+           ORDER BY event_type, day""",
       "q_rolling_median" -> // windowed quantile_cont == windowed percentile (the bridge)
         """SELECT event_type, event_id,
              round(quantile_cont(CAST(value AS DOUBLE), 0.5) OVER (
@@ -3556,37 +3620,32 @@ object SparkEntry {
                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_median
            FROM events ORDER BY event_type, event_id""",
       "q_nb_confusion" -> // the full train->predict chain replayed; decimal scores
-        """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
-               test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
-               trt AS (SELECT lang AS c,
-                 unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-                 FROM train),
-               ctc AS (SELECT c, term, count(*) AS n FROM trt GROUP BY 1, 2),
-               ctot AS (SELECT c, count(*) AS tot FROM trt GROUP BY 1),
-               v AS (SELECT count(DISTINCT term) AS v FROM trt),
-               pri AS (SELECT lang AS c, CAST(round(ln(count(*) /
-                   CAST((SELECT count(*) FROM train) AS DOUBLE)), 6)
-                   AS DECIMAL(18,6)) AS logprior
-                 FROM train GROUP BY 1),
-               tet AS (SELECT doc_id, term, count(*) AS tf FROM
-                 (SELECT doc_id,
-                    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-                  FROM test) GROUP BY 1, 2),
-               sc AS (SELECT t.doc_id, p.c, p.logprior +
-                   sum(CAST(round(t.tf * ln((coalesce(ctc.n, 0) + 1) /
-                     CAST(ctot.tot + v.v AS DOUBLE)), 6) AS DECIMAL(18,6))) AS score
-                 FROM tet t
-                 CROSS JOIN pri p
-                 JOIN ctot ON ctot.c = p.c
-                 LEFT JOIN ctc ON ctc.c = p.c AND ctc.term = t.term
-                 CROSS JOIN v
-                 GROUP BY t.doc_id, p.c, p.logprior),
-               pred AS (SELECT doc_id, c AS predicted,
-                 row_number() OVER (PARTITION BY doc_id
-                   ORDER BY score DESC, c DESC) AS rn FROM sc)
-           SELECT te.lang AS actual, p.predicted, count(*) AS n
-           FROM pred p JOIN test te USING (doc_id) WHERE rn = 1
-           GROUP BY 1, 2 ORDER BY 1, 2""",
+        (nbCm + "\nSELECT actual, predicted, n FROM cm ORDER BY 1, 2"),
+      "q_nb_metrics" -> // precision/recall/F1 sheet over the same replayed matrix
+        (nbCm + """,
+           act AS (SELECT actual AS clazz, CAST(sum(n) AS BIGINT) AS actual_n
+                   FROM cm GROUP BY 1),
+           prd AS (SELECT predicted AS pc, CAST(sum(n) AS BIGINT) AS pn
+                   FROM cm GROUP BY 1),
+           tpt AS (SELECT actual AS tc, n AS tpn FROM cm WHERE actual = predicted)
+           SELECT clazz,
+             CAST(coalesce(tpn, 0) AS BIGINT) AS tp,
+             actual_n,
+             CAST(coalesce(pn, 0) AS BIGINT) AS predicted_n,
+             CASE WHEN coalesce(pn, 0) > 0
+               THEN round(CAST(coalesce(tpn, 0) AS DOUBLE) / CAST(coalesce(pn, 0) AS DOUBLE), 6)
+             END AS prec,
+             round(CAST(coalesce(tpn, 0) AS DOUBLE) / CAST(actual_n AS DOUBLE), 6) AS rec,
+             CASE WHEN coalesce(pn, 0) > 0 AND
+                 (CAST(coalesce(tpn, 0) AS DOUBLE) / CAST(coalesce(pn, 0) AS DOUBLE)
+                  + CAST(coalesce(tpn, 0) AS DOUBLE) / CAST(actual_n AS DOUBLE)) > 0.0
+               THEN round((2.0 * (CAST(coalesce(tpn, 0) AS DOUBLE) / CAST(coalesce(pn, 0) AS DOUBLE))
+                     * (CAST(coalesce(tpn, 0) AS DOUBLE) / CAST(actual_n AS DOUBLE)))
+                    / (CAST(coalesce(tpn, 0) AS DOUBLE) / CAST(coalesce(pn, 0) AS DOUBLE)
+                       + CAST(coalesce(tpn, 0) AS DOUBLE) / CAST(actual_n AS DOUBLE)), 6)
+             END AS f1
+           FROM act LEFT JOIN prd ON clazz = pc LEFT JOIN tpt ON clazz = tc
+           ORDER BY clazz"""),
       "q_sparse_cosine" -> // df-capped inverted index; rounded-then-decimal sums
         """WITH tk AS (SELECT doc_id,
                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),

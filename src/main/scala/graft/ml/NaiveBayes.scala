@@ -90,4 +90,39 @@ object NaiveBayes {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("actual"), col("predicted"))
   }
+
+  /** Per-class precision / recall / F1 from the held-out confusion
+    * matrix — the standard evaluation sheet over [[confusion]]'s
+    * engine-exact counts. Classes are anchored on the ACTUAL label
+    * set (a class predicted but never present in the fold has no
+    * recall and is out of scope by construction). Precision is null
+    * when the class is never predicted (0/0 has no value, and 0 would
+    * fake perfect badness); F1 is null when both ratios are 0 (their
+    * harmonic mean is 0/0). Each ratio is ONE IEEE division over
+    * exact longs, F1 one fixed-order chain over the UNROUNDED ratios,
+    * all rounded to 6 for the certified output — the whole sheet
+    * stays a few-rows aggregate no matter the corpus size. */
+  def metrics(docs: DataFrame, folds: Int = 5, classCol: String = "lang",
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cm = confusion(docs, folds, classCol, idCol, textCol)
+    val act = cm.groupBy(col("actual").as("clazz")).agg(sum(col("n")).as("actual_n"))
+    val pred = cm.groupBy(col("predicted").as("__p")).agg(sum(col("n")).as("__pn"))
+    val tp = cm.where(col("actual") === col("predicted"))
+      .select(col("actual").as("__t"), col("n").as("__tp"))
+    val p = col("tp").cast("double") / col("predicted_n").cast("double")
+    val r = col("tp").cast("double") / col("actual_n").cast("double")
+    act
+      .join(pred, col("clazz") === col("__p"), "left")
+      .join(tp, col("clazz") === col("__t"), "left")
+      .select(col("clazz"),
+        coalesce(col("__tp"), lit(0L)).as("tp"),
+        col("actual_n"),
+        coalesce(col("__pn"), lit(0L)).as("predicted_n"))
+      .withColumn("prec", when(col("predicted_n") > 0, round(p, 6)))
+      .withColumn("rec", round(r, 6))
+      .withColumn("f1",
+        when(col("predicted_n") > 0 && (p + r) > lit(0.0),
+          round((lit(2.0) * p * r) / (p + r), 6)))
+      .orderBy(col("clazz"))
+  }
 }

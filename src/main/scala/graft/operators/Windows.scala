@@ -523,4 +523,46 @@ object Windows {
       .select(col(key), col("event_id"), col("ewma"))
       .orderBy(col(key), col("event_id"))
   }
+
+  /** Seasonal-residual anomaly flags over a daily count series ([EXT])
+    * — the STL-shaped monitor every event pipeline wants: per
+    * (key, weekday) mean as the seasonal baseline, residual scaled by
+    * the per-key MAD (median absolute deviation × the 1.4826
+    * consistency constant — the robust σ estimate; [[Profile.madOutliers]]'s
+    * discipline applied to a TIME series), |score| > k flags.
+    *
+    * Scale shape: the fact collapses to a (key, day) aggregate before
+    * anything else — baseline, residual, and MAD all run over the
+    * bounded day table, so scan cost is one pass regardless of series
+    * length; the MAD median rides the certified percentile ==
+    * quantile_cont bridge. Determinism: the baseline is ONE double
+    * division of exact longs, the score is rounded before the flag
+    * compare, so the flagged set itself is engine-exact; zero-MAD
+    * keys (metronomic series) yield null scores, never 0/0.
+    */
+  def seasonalAnomalies(events: DataFrame, typeCol: String = "event_type",
+                        tsCol: String = "ts", k: Double = 3.0): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__dow", dayofweek(col("day")))
+    val base = daily.groupBy(col(typeCol).as("__t"), col("__dow").as("__d"))
+      .agg((sum(col("cnt")).cast("double") / count(lit(1)).cast("double"))
+        .as("__expected"))
+    val resid = daily
+      .join(base, col(typeCol) === col("__t") && col("__dow") === col("__d"))
+      .withColumn("__resid", col("cnt").cast("double") - col("__expected"))
+    val mad = resid.groupBy(col(typeCol).as("__mt"))
+      .agg(percentile(abs(col("__resid")), lit(0.5)).as("__mad"))
+    resid.join(mad, col(typeCol) === col("__mt"))
+      .withColumn("score",
+        when(col("__mad") > 0,
+          round(col("__resid") / (lit(1.4826) * col("__mad")), 6)))
+      .withColumn("is_anomaly",
+        when(col("score").isNotNull && abs(col("score")) > lit(k), lit(1))
+          .otherwise(lit(0)).cast("int"))
+      .select(col(typeCol), col("day"), col("cnt"),
+        round(col("__expected"), 6).as("expected"), col("score"), col("is_anomaly"))
+      .orderBy(col(typeCol), col("day"))
+  }
 }

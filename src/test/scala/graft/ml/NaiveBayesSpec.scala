@@ -53,4 +53,33 @@ class NaiveBayesSpec extends SparkSuite {
     assert(cm(("even", "even")) === 5L && cm(("odd", "odd")) === 5L)
     assert(!cm.contains(("even", "odd")) && !cm.contains(("odd", "even")))
   }
+
+  test("metrics: perfect separation scores 1.0 across the sheet") {
+    val docs = (1L to 50L).map(i =>
+      (i, if (i % 2 == 0) "x y z x" else "p q r p",
+        if (i % 2 == 0) "even" else "odd")).toDF("doc_id", "text", "lang")
+    val m = NaiveBayes.metrics(docs, folds = 5).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(m("even") === ((5L, 5L, 5L, 1.0, 1.0, 1.0)))
+    assert(m("odd") === ((5L, 5L, 5L, 1.0, 1.0, 1.0)))
+  }
+
+  test("metrics: never-predicted class gets null precision/f1, zero recall") {
+    // class "rare" appears in the held-out fold but its vocabulary is
+    // swamped by "common" training mass -> never predicted
+    val docs = (1L to 40L).map { i =>
+      if (i == 5L) (i, "c c c", "rare") else (i, "c c c", "common")
+    }.toDF("doc_id", "text", "lang")
+    val rows = NaiveBayes.metrics(docs, folds = 5).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rare = rows("rare")
+    assert(rare.getLong(1) === 0L)       // tp
+    assert(rare.getLong(3) === 0L)       // predicted_n
+    assert(rare.isNullAt(4))             // precision 0/0 -> null
+    assert(rare.getDouble(5) === 0.0)    // recall 0
+    assert(rare.isNullAt(6))             // f1 null
+    val common = rows("common")
+    assert(common.getDouble(5) === 1.0)  // all commons recalled
+  }
 }

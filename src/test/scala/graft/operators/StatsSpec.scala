@@ -169,4 +169,30 @@ class StatsSpec extends SparkSuite {
       .map(r => r.getLong(1) -> r.getDouble(2)).toMap
     assert(out(17) === 2.0)  // the spike fell off the window
   }
+
+  test("seasonalAnomalies: planted spike flags; metronomic series has null scores") {
+    import java.sql.Timestamp
+    // 4 weeks of daily events: type a exactly 2/day (zero MAD -> null
+    // scores); type b alternates 2/3 per day with a 40-event spike
+    val rows = for {
+      d <- 0 until 28
+      typ <- Seq("a", "b")
+      n = if (typ == "a") 2 else if (d == 15) 40 else 2 + (d % 2)
+      _ <- 0 until n
+    } yield (typ, Timestamp.valueOf(f"2024-03-${d + 1}%02d 12:00:00"))
+    val out = Windows.seasonalAnomalies(rows.toDF("event_type", "ts")).collect()
+    val a = out.filter(_.getString(0) == "a")
+    assert(a.length === 28)
+    assert(a.forall(r => r.isNullAt(4) && r.getInt(5) === 0))
+    val b = out.filter(_.getString(0) == "b")
+      .map(r => r.getDate(1).toString -> r).toMap
+    assert(b("2024-03-16").getInt(5) === 1) // the planted spike
+    assert(b("2024-03-16").getDouble(4) > 3.0)
+    // days outside the spike's weekday column stay clean (their
+    // baseline never saw the spike)
+    val spikeDow = java.time.LocalDate.of(2024, 3, 16).getDayOfWeek
+    val clean = b.filter { case (day, _) =>
+      java.time.LocalDate.parse(day).getDayOfWeek != spikeDow }
+    assert(clean.nonEmpty && clean.values.forall(_.getInt(5) === 0))
+  }
 }
