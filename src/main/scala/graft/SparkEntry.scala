@@ -826,6 +826,11 @@ object SparkEntry {
       Profile.cmsEstimates(Profile.cmsShards(toks, "source", "term"),
         Seq("join", "hash", "row", "batch", "scan", "column"))
     }),
+    // DDSketch mergeable quantiles ([EXT]): relative-error p50/p90/p99
+    // per group, self-priced against the exact percentile; rows-only —
+    // the sketch is engine-private, alpha-bound laws in ProfileSpec
+    "q_dd_quantiles" -> ((s, d) =>
+      Profile.ddQuantiles(t(s, d, "lineitem"), "l_returnflag", "l_extendedprice")),
     // EXACT order statistic ([EXT]): the median of the fact measure
     // in cents, by iterative range-narrowing histograms — ≤ 6 pushed-
     // filter scans and zero shuffles at ANY scale, where a sort-based

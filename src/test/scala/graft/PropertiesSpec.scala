@@ -98,4 +98,31 @@ class PropertiesSpec extends SparkSuite {
       assert(salted === plain)
     }
   }
+
+  test("property: media header parsers never throw — arbitrary and mutated bytes") {
+    import graft.multimodal.{ImageHeader, Mp4Header}
+    val junk = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    // pure garbage: a billion-row scan meets every byte sequence there is
+    samples(junk, 300).foreach { b =>
+      ImageHeader.parse(b); ImageHeader.parseWav(b); Mp4Header.parse(b)
+    }
+    // near-valid: real container bytes with one mutated byte — the
+    // nastier corruption class (magic intact, structure lying)
+    val builders = Seq[Array[Byte]](
+      ImageHeader.pngBytes(640, 480), ImageHeader.gifBytes(33, 44),
+      ImageHeader.bmpBytes(100, 100), ImageHeader.wavBytes(44100, 2, 16, 1000),
+      Mp4Header.mp4Bytes("isom", 1000, 12345, 1280, 720))
+    val mut = Gen.zip(Gen.choose(0, 1000), Gen.choose(Byte.MinValue, Byte.MaxValue))
+    builders.foreach { base =>
+      samples(mut, 200).foreach { case (pos, v) =>
+        val b = base.clone(); b(pos % b.length) = v
+        ImageHeader.parse(b); ImageHeader.parseWav(b); Mp4Header.parse(b)
+      }
+      // every truncation prefix parses to None or a value, never throws
+      (0 to base.length).foreach { n =>
+        ImageHeader.parse(base.take(n)); ImageHeader.parseWav(base.take(n))
+        Mp4Header.parse(base.take(n))
+      }
+    }
+  }
 }

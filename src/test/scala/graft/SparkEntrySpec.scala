@@ -15,9 +15,10 @@ class SparkEntrySpec extends SparkSuite {
     // implementation in BpeSpec instead); CMS estimates use Spark's
     // own hash family (never-under + eps-bound laws in ProfileSpec);
     // the PCA eigensolve is iterative (alignment/orthonormality/
-    // variance laws in SimilaritySpec)
+    // variance laws in SimilaritySpec); DDSketch quantile estimates
+    // are engine-private (alpha-bound + merge laws in ProfileSpec)
     assert(rowsOnly === Set("q_approx_dictionary", "q_sketch_dictionary",
-      "q_bpe_train", "q_cms_heavy_hitters", "q_pca"),
+      "q_bpe_train", "q_cms_heavy_hitters", "q_pca", "q_dd_quantiles"),
       "every other query must carry a DuckDB oracle")
   }
 

@@ -469,4 +469,72 @@ class ProfileSpec extends SparkSuite {
     assert(mi1.getAs[Double]("mutual_info") === mi1.getAs[Double]("h_x"))
     assert(mi1.getAs[Double]("h_xy") === mi1.getAs[Double]("h_x"))
   }
+
+  test("ddQuantiles: every estimate is within the alpha relative-error bound") {
+    // long-tailed deterministic values — the distribution DDSketch's
+    // relative (not rank) guarantee exists for
+    val vals = (1 to 4000).map(i => ("g" + (i % 3), math.exp((i * 37 % 1000) / 100.0)))
+    val out = Profile.ddQuantiles(vals.toDF("k", "v"), "k", "v", alpha = 0.01)
+      .collect()
+    assert(out.length === 9) // 3 groups x 3 quantiles
+    // the sketch guarantees alpha=1% against the ORDER STATISTIC at
+    // the lower rank (law-tested exactly below); the rel_err column
+    // compares against the INTERPOLATED percentile, which sits up to
+    // two ~1% value-gaps away on this grid — hence the looser bound
+    out.foreach { r =>
+      assert(r.getAs[Double]("rel_err") <= 0.032,
+        s"${r.getAs[String]("key")} q=${r.getAs[Double]("q")}: ${r.getAs[Double]("rel_err")}")
+    }
+    // partitioning invariance: commutative merges -> identical rows
+    val re = Profile.ddQuantiles(vals.toDF("k", "v").repartition(17), "k", "v",
+      alpha = 0.01).collect()
+    assert(out.map(_.toSeq).toSeq === re.map(_.toSeq).toSeq)
+  }
+
+  test("DDSketch laws: shard-merge == whole, merge commutes, signs preserved") {
+    import graft.expressions.{DDBuf, DDSketch, DDSketchAggregator}
+    val agg = new DDSketchAggregator[Double](Double.box, 0.02)
+    def build(xs: Seq[Double]): DDBuf = xs.foldLeft(agg.zero)(agg.reduce)
+    val a = Seq(-50.0, -1.0, 0.0, 0.0, 3.5, 700.0)
+    val b = Seq(-2.25, 0.0, 9.0, 9.0, 12345.0)
+    val whole = build(a ++ b)
+    val merged = agg.merge(build(a), build(b))
+    assert(merged === whole)                          // exact, not approximate
+    assert(agg.merge(build(b), build(a)) === merged)  // commutative
+    // sign preservation and exact zeros
+    val s = build(Seq(-10.0, -10.0, 0.0, 0.0, 0.0, 5.0))
+    assert(DDSketch.quantile(s, 0.0, 0.02) < 0)
+    assert(DDSketch.quantile(s, 0.5, 0.02) === 0.0)
+    assert(DDSketch.quantile(s, 1.0, 0.02) > 0)
+    // the p0/p100 estimates bracket the true extremes within alpha
+    assert(math.abs(DDSketch.quantile(s, 0.0, 0.02) - (-10.0)) <= 0.02 * 10.0)
+    assert(math.abs(DDSketch.quantile(s, 1.0, 0.02) - 5.0) <= 0.02 * 5.0)
+    // THE guarantee, tested exactly: for any q, the estimate is within
+    // alpha (relative) of the order statistic at rank ⌊q·(n−1)⌋
+    val xs = (1 to 5000).map(i => math.exp((i * 613 % 5000) / 500.0))
+    val sorted = xs.sorted
+    val big = xs.foldLeft(agg.zero)(agg.reduce)
+    for (q <- Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 0.999, 1.0)) {
+      val truth = sorted(((q * (xs.size - 1)).toLong).toInt)
+      val est = DDSketch.quantile(big, q, 0.02)
+      // + 1 ULP-ish slack: a value EXACTLY on a bucket edge (x = 1.0,
+      // index 0) realizes the bound with equality in double arithmetic
+      assert(math.abs(est - truth) <= 0.02 * truth + 1e-12,
+        s"q=$q est=$est truth=$truth")
+    }
+  }
+
+  test("DDSketch collapse caps the buckets and keeps the upper quantiles") {
+    import graft.expressions.{DDSketch, DDSketchAggregator}
+    val agg = new DDSketchAggregator[Double](Double.box, 0.01, maxBuckets = 32)
+    // 3 decades of range: far more than 32 natural buckets at 1%
+    val xs = (1 to 2000).map(i => i.toDouble)
+    val buf = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(buf.pos.size <= 32)
+    // upper quantiles keep the guarantee (collapse eats the LOW tail)
+    val p99 = DDSketch.quantile(buf, 0.99, 0.01)
+    val exact = 1981.0 // 0.99*(2000-1) = 1979.01 -> lower rank 1979 -> value 1980? see below
+    assert(math.abs(p99 - 1980.0) / 1980.0 <= 0.011 ||
+      math.abs(p99 - exact) / exact <= 0.011)
+  }
 }
