@@ -308,6 +308,34 @@ object ScaleProbe {
     val cp = time(s"contrastivePairs x$factor")(
       Dedup.contrastivePairs(docs).count())
     println(s"[scale]   contrastive rows: $cp")
+    // round-8e ops: fsWeights pairs within same-name blocks — replicas
+    // (suffix-free, identical names) multiply block sizes by factor,
+    // so pair volume grows ~factor^2 BY CONTRACT (identical records
+    // ARE link candidates); the u-stat aggregates stay one tiny pass.
+    // seasonalAnomalies and ddQuantiles must show FLAT output and
+    // bounded state as rows grow: the day table and the sketch don't
+    // scale with the fact.
+    val partRep = part0.crossJoin(
+        spark.range(factor).withColumnRenamed("id", "__copy"))
+      .select((col("p_partkey") + col("__copy") * 100000000L).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"))
+    val fsw = time(s"fsWeights x$factor")(
+      graft.operators.Fuzzy.fsWeights(partRep, "p_partkey", "p_name",
+        Seq("p_brand" -> "0.95", "p_type" -> "0.90", "p_size" -> "0.85"),
+        block = c => c).count())
+    println(s"[scale]   fs scored pairs: $fsw")
+    val evRep = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      .select(col("event_type"), col("ts"))
+      .crossJoin(spark.range(factor)).drop("id")
+    val tsa = time(s"seasonalAnomalies x$factor")(
+      Windows.seasonalAnomalies(evRep).count())
+    println(s"[scale]   anomaly rows (flat in factor): $tsa")
+    val liQ = liRep.select(col("l_orderkey"),
+      (col("l_quantity") % 5).cast("string").as("grp"),
+      col("l_quantity").cast("double").as("v"))
+    val ddq = time(s"ddQuantiles x$factor")(
+      graft.operators.Profile.ddQuantiles(liQ, "grp", "v").count())
+    println(s"[scale]   dd-quantile rows (flat in factor): $ddq")
     spark.stop()
   }
 }

@@ -922,6 +922,21 @@ object SparkEntry {
     // The PII/markup fixtures are appended deterministically to the
     // documents text (the synthetic corpus has none), IDENTICALLY in
     // the oracle SQL — so the redaction/normalization genuinely fires.
+    // URL surface ([EXT]): synthesized crawl URLs parsed back through
+    // parse_url + canonicalized (tracking params stripped) — every
+    // part certified against table-stated expectations
+    "q_url_meta" -> ((s, d) => {
+      val url = concat(lit("https://"), col("source"), lit(".Example.com/docs/"),
+        col("doc_id"), lit("?utm_source=feed&lang="), col("lang"), lit("&fbclid=x1"))
+      t(s, d, "documents").select(col("doc_id"), url.as("__u"))
+        .select(col("doc_id"),
+          graft.functions.Urls.host(col("__u")).as("host"),
+          graft.functions.Urls.domain(col("__u")).as("domain"),
+          graft.functions.Urls.path(col("__u")).as("path"),
+          graft.functions.Urls.queryParam(col("__u"), "lang").as("q_lang"),
+          graft.functions.Urls.stripTracking(col("__u")).as("canonical_url"))
+        .orderBy(col("doc_id"))
+    }),
     "q_pii_scrub" -> ((s, d) => {
       val aug = concat(col("text"), lit(" reach user"), col("doc_id"),
         lit("@mail.example.com or 555-867-5309 ssn 123-45-6789 host 10.0.0."),
@@ -1429,6 +1444,11 @@ object SparkEntry {
     // transitive-closure keeper policy (connected components of the
     // verified near-dup graph) vs q_dedup_docs' one-hop policy
     "q_dedup_docs_cc" -> ((s, d) => Dedup.dedupDocumentsCC(t(s, d, "documents"), threshold = 0.5)),
+    // quality-aware dedup policy ([EXT]): same clusters, best-scoring
+    // member kept (longest copy, ties to smaller id) — the LLM-corpus
+    // standard keeper rule
+    "q_dedup_keep_best" -> ((s, d) =>
+      Dedup.dedupKeepBest(t(s, d, "documents"), scoreCol = "n_chars", threshold = 0.5)),
     "q_simhash" -> ((s, d) => Dedup.simhash32(t(s, d, "documents"))),
     // simhash near-dup join ([EXT]): block-LSH candidates (pigeonhole
     // recall 1 within the radius) + exact hamming verify — the
@@ -3058,6 +3078,15 @@ object SparkEntry {
              AND CAST(len(text) - len(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS DOUBLE)
                  / len(text) <= 0.3 AS keep
            FROM documents ORDER BY doc_id""",
+      "q_url_meta" -> // expected URL parts stated FROM the table — certifies parse_url
+        """SELECT doc_id,
+             lower(source || '.Example.com') AS host,
+             'example.com' AS domain,
+             '/docs/' || doc_id AS path,
+             lang AS q_lang,
+             'https://' || source || '.Example.com/docs/' || doc_id ||
+               '?lang=' || lang AS canonical_url
+           FROM documents ORDER BY doc_id""",
       "q_pii_scrub" -> {
         // same pattern set and replacement ORDER as Scrub.piiScrub
         val email = Scrub.EmailPattern
@@ -4292,6 +4321,30 @@ object SparkEntry {
                    ELSE 'unique' END AS reason
             FROM wk LEFT JOIN roots r ON wk.ek = r.doc
             ORDER BY wk.doc_id""",
+      "q_dedup_keep_best" -> // same clusters, argmax-quality keeper
+        s"""WITH RECURSIVE fp AS (SELECT doc_id, text, $fingerprint AS f FROM documents),
+            g AS (SELECT f, min(doc_id) AS ek FROM fp GROUP BY f),
+            wk AS (SELECT fp.doc_id, fp.text, g.ek FROM fp JOIN g ON fp.f = g.f),
+            kd AS (SELECT doc_id, text FROM wk WHERE doc_id = ek),
+            ${minhashCtesFrom("kd")},
+            ${verifiedPairCtes("kd")},
+            e AS (SELECT doc_a AS s, doc_b AS d FROM verified
+                  UNION ALL SELECT doc_b AS s, doc_a AS d FROM verified),
+            reach(doc, lab) AS (SELECT DISTINCT s, s FROM e
+              UNION SELECT e.d, reach.lab FROM reach JOIN e ON reach.doc = e.s),
+            roots AS (SELECT doc, min(lab) AS root FROM reach GROUP BY doc),
+            asn AS (SELECT wk.doc_id, COALESCE(r.root, wk.ek) AS cluster_id
+                    FROM wk LEFT JOIN roots r ON wk.ek = r.doc),
+            best AS (SELECT cluster_id, doc_id AS best_id FROM (
+              SELECT a.cluster_id, a.doc_id,
+                row_number() OVER (PARTITION BY a.cluster_id
+                  ORDER BY dd.n_chars DESC, a.doc_id) AS rn
+              FROM asn a JOIN documents dd ON a.doc_id = dd.doc_id)
+              WHERE rn = 1)
+            SELECT a.doc_id, a.cluster_id, b.best_id,
+              CAST(CASE WHEN a.doc_id = b.best_id THEN 1 ELSE 0 END AS INTEGER) AS kept
+            FROM asn a JOIN best b ON a.cluster_id = b.cluster_id
+            ORDER BY a.doc_id""",
       "q_simhash" ->
         """WITH tok AS (SELECT doc_id,
              unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t FROM documents),

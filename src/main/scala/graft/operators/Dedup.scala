@@ -459,7 +459,17 @@ object Dedup {
   def dedupDocumentsCC(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                        threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
                        shingleLen: Int = 5, maxBucket: Int = 0,
-                       maxIter: Int = 20): DataFrame = {
+                       maxIter: Int = 20): DataFrame =
+    assignCC(docs, idCol, textCol, threshold, k, bands, shingleLen,
+      maxBucket, maxIter).orderBy(col("doc_id"))
+
+  /** Unsorted core of [[dedupDocumentsCC]] — [[dedupKeepBest]] joins
+    * on top (paying the terminal sort here would be pure waste, the
+    * same split [[Fuzzy.resolveEntities]] uses). */
+  private def assignCC(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, k: Int, bands: Int,
+                       shingleLen: Int, maxBucket: Int,
+                       maxIter: Int): DataFrame = {
     val fp = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       Text.fingerprint(col(textCol)).as("f"))
     val groups = fp.groupBy(col("f")).agg(min(col("doc_id")).as("ek"))
@@ -487,6 +497,41 @@ object Dedup {
         when(col("doc_id") =!= col("ek"), lit("exact"))
           .when(col("root").isNotNull && col("root") =!= col("doc_id"), lit("near"))
           .otherwise(lit("unique")).as("reason"))
+  }
+
+  /** Quality-aware dedup policy ([EXT]): same exact+near clusters as
+    * [[dedupDocumentsCC]], but each cluster keeps its BEST-scoring
+    * member (ties to the smaller id) instead of the accidentally-
+    * smallest id — the LLM-corpus standard, where dedup should retain
+    * the longest/cleanest copy of a crawl near-duplicate, not
+    * whichever shard happened to assign the low id. `scoreCol` is any
+    * engine-exact per-doc score (length, a quality battery output, a
+    * recency stamp). Output: (doc_id, cluster_id, best_id, kept).
+    *
+    * Scale shape: one extra bounded step over the CC assignment — the
+    * argmax window partitions by cluster (cluster sizes are dedup
+    * cluster sizes, never corpus-scale), and the score join touches
+    * only (id, score) columns. */
+  def dedupKeepBest(docs: DataFrame, scoreCol: String = "n_chars",
+                    idCol: String = "doc_id", textCol: String = "text",
+                    threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
+                    shingleLen: Int = 5, maxBucket: Int = 0,
+                    maxIter: Int = 20): DataFrame = {
+    val assign = assignCC(docs, idCol, textCol, threshold, k, bands,
+      shingleLen, maxBucket, maxIter)
+      .select(col("doc_id"), col("keeper_id").as("cluster_id"))
+    val scored = assign.join(
+      docs.select(col(idCol).as("doc_id"), col(scoreCol).as("__score")),
+      Seq("doc_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__score").desc, col("doc_id"))
+    val best = scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("best_id"))
+    scored.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("best_id"),
+        when(col("doc_id") === col("best_id"), lit(1)).otherwise(lit(0))
+          .cast("int").as("kept"))
       .orderBy(col("doc_id"))
   }
 

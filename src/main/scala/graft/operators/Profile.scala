@@ -156,6 +156,45 @@ object Profile {
       .orderBy(col("key"), col("q"))
   }
 
+  /** Persisted-shard twin of [[ddQuantiles]], completing the same
+    * lifecycle the HLL/CMS shards have: one DDSketch row per shard
+    * (plain parquet-writable maps — no binary blob, the sketch IS its
+    * bucket table), so a growing corpus profiles each new shard as it
+    * lands and answers "p99 across everything" from the sketch table
+    * alone, never rescanning old data. */
+  def ddSketchShards(df: DataFrame, shardCol: String, measure: String,
+                     alpha: Double = 0.01): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new graft.expressions.DDSketchAggregator[(String, Double)](
+      t => Double.box(t._2), alpha).toColumn
+    df.select(col(shardCol).cast("string").as("k"),
+        col(measure).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .as[(String, Double)].groupByKey(_._1).agg(agg)
+      .map { case (k, buf) => (k, buf.neg, buf.zero, buf.pos) }
+      .toDF("shard", "neg", "zero", "pos")
+  }
+
+  /** Merge a DDSketch shard table into global quantile estimates —
+    * reads ONLY the sketch rows (bounded: one bucket map per shard);
+    * commutative merges make the result identical to sketching the
+    * whole data in one pass, exactly (ProfileSpec law). */
+  def ddMergeShards(sketches: DataFrame, qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                    alpha: Double = 0.01): DataFrame = {
+    import graft.expressions.{DDBuf, DDSketch}
+    val agg = new graft.expressions.DDSketchAggregator[Double](Double.box, alpha)
+    val bufs = sketches.select(col("neg"), col("zero"), col("pos")).collect()
+      .map(r => DDBuf(r.getAs[Map[Int, Long]]("neg"), r.getLong(1),
+        r.getAs[Map[Int, Long]]("pos")))
+    require(bufs.nonEmpty, "ddMergeShards needs at least one shard sketch")
+    val merged = bufs.reduce(agg.merge)
+    val spark = sketches.sparkSession
+    import spark.implicits._
+    qs.map(q => (q, merged.n, DDSketch.quantile(merged, q, alpha)))
+      .toDF("q", "n", "dd_est").orderBy(col("q"))
+  }
+
   /** Count-min-sketch shards ([EXT]) — the frequency counterpart of
     * [[sketchShards]]: per-shard CMS over a column (Spark's own
     * `count_min_sketch` aggregate, serialized binary), persisted the

@@ -345,4 +345,31 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(out.toSeq === again.toSeq)
   }
+
+  test("dedupKeepBest: clusters keep the best-scoring member, ties to min id") {
+    // 1-3 near-dups of each other (3 longest), 4 unique, 5-6 exact dups
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", 50L),
+      (2L, "the quick brown fox jumps over the lazy dog todays", 51L),
+      (3L, "the quick brown fox jumps over the lazy dog today!!!!", 54L),
+      (4L, "completely different text about spark and scala here", 52L),
+      (5L, "twin twin twin twin twin twin twin twin twin twin", 50L),
+      (6L, "twin twin twin twin twin twin twin twin twin twin", 50L)
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Dedup.dedupKeepBest(docs, scoreCol = "n_chars", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    // the near cluster {1,2,3} keeps 3 (longest), not min-id 1
+    assert(out(1L)._2 === 3L && out(1L)._3 === 0)
+    assert(out(2L)._2 === 3L && out(2L)._3 === 0)
+    assert(out(3L)._2 === 3L && out(3L)._3 === 1)
+    // the cluster id itself is still the CC min-id root
+    assert(Set(out(1L)._1, out(2L)._1, out(3L)._1) === Set(1L))
+    // unique doc keeps itself
+    assert(out(4L) === ((4L, 4L, 1)))
+    // exact twins: equal scores -> min id wins the tie
+    assert(out(5L) === ((5L, 5L, 1)))
+    assert(out(6L) === ((5L, 5L, 0)))
+    // exactly one kept row per cluster
+    assert(out.values.count(_._3 == 1) === 3)
+  }
 }

@@ -524,6 +524,22 @@ class ProfileSpec extends SparkSuite {
     }
   }
 
+  test("ddSketchShards: parquet round-trip + merge == one-pass sketch, exactly") {
+    import graft.expressions.{DDBuf, DDSketch, DDSketchAggregator}
+    val vals = (1 to 3000).map(i => ("s" + (i % 7), math.exp((i * 13 % 600) / 60.0)))
+    val df = vals.toDF("shard", "v")
+    val dir = java.nio.file.Files.createTempDirectory("ddshards").toString
+    Profile.ddSketchShards(df, "shard", "v").write.mode("overwrite").parquet(dir)
+    val probe = Profile.ddMergeShards(spark.read.parquet(dir))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    // one-pass sketch over the SAME values — must agree exactly:
+    // commutative merges mean shard boundaries are invisible
+    val agg = new DDSketchAggregator[Double](Double.box, 0.01)
+    val whole = vals.map(_._2).foldLeft(agg.zero)(agg.reduce)
+    for (q <- Seq(0.5, 0.9, 0.99))
+      assert(probe(q) === DDSketch.quantile(whole, q, 0.01))
+  }
+
   test("DDSketch collapse caps the buckets and keeps the upper quantiles") {
     import graft.expressions.{DDSketch, DDSketchAggregator}
     val agg = new DDSketchAggregator[Double](Double.box, 0.01, maxBuckets = 32)
