@@ -1145,6 +1145,14 @@ object SparkEntry {
     // the evaluation sheet, engine-exact ratios from exact counts
     "q_nb_metrics" -> ((s, d) =>
       graft.ml.NaiveBayes.metrics(t(s, d, "documents"))),
+    // EXACT distributed AUC ([EXT]): rank-sum identity on the
+    // distinct-score table + the distributed prefix-sum skeleton —
+    // never per-pair, never a one-task global rank window
+    "q_auc" -> ((s, d) =>
+      Profile.aucExact(
+        t(s, d, "documents")
+          .withColumn("y", when(col("lang") === "en", 1L).otherwise(0L)),
+        "n_chars", "y")),
     // sparse tf-idf cosine join ([EXT]): df-capped inverted index —
     // the WEIGHTED near-dup complement of q_jaccard_join
     "q_sparse_cosine" -> ((s, d) =>
@@ -3655,6 +3663,22 @@ object SparkEntry {
            FROM events ORDER BY event_type, event_id""",
       "q_nb_confusion" -> // the full train->predict chain replayed; decimal scores
         (nbCm + "\nSELECT actual, predicted, n FROM cm ORDER BY 1, 2"),
+      "q_auc" -> // rank-sum AUC, doubled ranks keep ties integral
+        """WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS sc,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+             FROM documents WHERE n_chars IS NOT NULL),
+           ps AS (SELECT sc, count(*) AS c, sum(y) AS p FROM s GROUP BY sc),
+           r AS (SELECT c, p, coalesce(sum(c) OVER (ORDER BY sc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+             FROM ps),
+           a AS (SELECT sum(p*(2*cum+c+1)) AS sdbl, sum(p) AS np,
+               sum(c-p) AS nn FROM r)
+           SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+             CASE WHEN np > 0 AND nn > 0 THEN
+               round((CAST(sdbl AS DOUBLE) - CAST(np*(np+1) AS DOUBLE))
+                 / CAST(np*nn*2 AS DOUBLE), 6)
+             END AS auc
+           FROM a""",
       "q_nb_metrics" -> // precision/recall/F1 sheet over the same replayed matrix
         (nbCm + """,
            act AS (SELECT actual AS clazz, CAST(sum(n) AS BIGINT) AS actual_n

@@ -234,6 +234,58 @@ object Profile {
       .toDF("term", "cms_est").orderBy(col("term"))
   }
 
+  /** EXACT distributed AUC (Mann-Whitney) ([EXT]) — the
+    * ranking-quality metric for any scalar scorer (quality scores,
+    * classifier margins, retrieval scores): the probability a random
+    * positive outranks a random negative, ties counted half. Exact,
+    * at any scale, via the rank-sum identity — never a per-pair
+    * comparison and never a single-task global rank window:
+    * the fact collapses to the DISTINCT-SCORE table first (one
+    * aggregate), the exclusive rank prefix runs on the
+    * [[Pack.rangeSortedWithOffsets]] skeleton (range partition +
+    * driver offset fold — distributed, unlike `rank() OVER (ORDER BY
+    * score)` which serializes the corpus into one task), and ties
+    * stay EXACT with the doubled-rank trick (2·cum + c + 1 is
+    * integral where the average rank is x.5): every moment is an
+    * exact integer/decimal sum and AUC is ONE rounded IEEE chain.
+    * Degenerate inputs (no positives or no negatives) yield null. */
+  def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val s = df.select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("long").as("y"))
+      .where(col("s").isNotNull && col("y").isNotNull)
+    val perScore = s.groupBy(col("s")).agg(
+      count(lit(1)).as("c"), sum(col("y")).as("p"))
+    val (sorted, offsets) = Pack.rangeSortedWithOffsets(perScore, Seq("s"), col("c"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema :+ org.apache.spark.sql.types.StructField(
+        "cum", org.apache.spark.sql.types.LongType, nullable = false))
+    val withCum = sorted.mapPartitions { it =>
+      var acc = offsets(org.apache.spark.TaskContext.getPartitionId())
+      it.map { r =>
+        val cum = acc // items strictly below this score
+        acc += r.getAs[Long]("c")
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cum)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    // doubled rank-sum of positives: Σ p·(2·cum + c + 1); widened to
+    // DECIMAL — cum is corpus-sized, the product overflows LONG at
+    // ~10^9.5 rows (the linearFit widen-BEFORE-multiplying lesson)
+    val dec = DecimalType(38, 0)
+    val agg = withCum.agg(
+      sum((col("p").cast(dec) * (col("cum").cast(dec) * 2 + col("c") + 1))
+        .cast(dec)).as("sdbl"),
+      sum(col("p")).as("np"),
+      sum(col("c") - col("p")).as("nn"))
+    agg.select(
+      col("np").cast("long").as("n_pos"),
+      col("nn").cast("long").as("n_neg"),
+      when(col("np") > 0 && col("nn") > 0,
+        round((col("sdbl").cast("double") -
+            (col("np").cast(dec) * (col("np") + 1)).cast("double")) /
+          (col("np").cast(dec) * col("nn") * 2).cast("double"), 6))
+        .as("auc"))
+  }
+
   /** EXACT heavy hitters via the classic two-pass scheme ([EXT]):
     * pass 1 runs the mergeable [[graft.expressions.MisraGriesAggregator]]
     * (capacity k) — its deterministic guarantee is that every item

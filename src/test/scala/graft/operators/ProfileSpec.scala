@@ -524,6 +524,32 @@ class ProfileSpec extends SparkSuite {
     }
   }
 
+  test("aucExact: hand value with ties, flip symmetry, monotone invariance") {
+    val df = Seq((1.0, 0L), (2.0, 0L), (2.0, 1L), (3.0, 1L)).toDF("sc", "y")
+    def auc(d: org.apache.spark.sql.DataFrame) =
+      Profile.aucExact(d, "sc", "y").head()
+    // pairs: (2,1)=win, (2,2)=tie half, (3,1)=win, (3,2)=win -> 3.5/4
+    val r = auc(df)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 0.875)
+    // label flip: AUC' = 1 - AUC (ties stay half either way)
+    val flipped = df.select(col("sc"), (lit(1L) - col("y")).as("y"))
+    assert(auc(flipped).getDouble(2) === 0.125)
+    // monotone score transform changes nothing
+    val mono = df.select((col("sc") * 10 + 7).as("sc"), col("y"))
+    assert(auc(mono).getDouble(2) === 0.875)
+    // perfect separation and degenerate labels
+    val perfect = Seq((1.0, 0L), (2.0, 0L), (5.0, 1L)).toDF("sc", "y")
+    assert(auc(perfect).getDouble(2) === 1.0)
+    val onlyPos = Seq((1.0, 1L), (2.0, 1L)).toDF("sc", "y")
+    assert(auc(onlyPos).isNullAt(2))
+    // partitioning invariance (the prefix-sum skeleton, not luck)
+    val big = (1 to 2000).map(i => ((i * 7 % 97).toDouble, (i % 3 == 0).compareTo(false).toLong))
+    val a1 = Profile.aucExact(big.toDF("sc", "y"), "sc", "y").head().getDouble(2)
+    val a2 = Profile.aucExact(big.toDF("sc", "y").repartition(13), "sc", "y").head().getDouble(2)
+    assert(a1 === a2)
+  }
+
   test("ddSketchShards: parquet round-trip + merge == one-pass sketch, exactly") {
     import graft.expressions.{DDBuf, DDSketch, DDSketchAggregator}
     val vals = (1 to 3000).map(i => ("s" + (i % 7), math.exp((i * 13 % 600) / 60.0)))
