@@ -1145,6 +1145,11 @@ object SparkEntry {
     // the evaluation sheet, engine-exact ratios from exact counts
     "q_nb_metrics" -> ((s, d) =>
       graft.ml.NaiveBayes.metrics(t(s, d, "documents"))),
+    // EXACT two-sample KS drift ([EXT]): sup|ECDF diff| as integer
+    // cross-products over the distinct-value table, dual prefix sums
+    // on one distributed sort
+    "q_ks_drift" -> ((s, d) =>
+      Profile.ksDrift(t(s, d, "documents"), "source", "n_chars", "src0", "src1")),
     // EXACT distributed AUC ([EXT]): rank-sum identity on the
     // distinct-score table + the distributed prefix-sum skeleton —
     // never per-pair, never a one-task global rank window
@@ -3663,6 +3668,26 @@ object SparkEntry {
            FROM events ORDER BY event_type, event_id""",
       "q_nb_confusion" -> // the full train->predict chain replayed; decimal scores
         (nbCm + "\nSELECT actual, predicted, n FROM cm ORDER BY 1, 2"),
+      "q_ks_drift" -> // sup ECDF gap at step points; integer cross-products
+        """WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v, source AS g
+             FROM documents
+             WHERE n_chars IS NOT NULL AND source IN ('src0', 'src1')),
+           per AS (SELECT v,
+               sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS c2
+             FROM s GROUP BY v),
+           r AS (SELECT
+               sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+               sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
+             FROM per),
+           t AS (SELECT CAST(coalesce((SELECT sum(c1) FROM per), 0) AS BIGINT) AS n1,
+                        CAST(coalesce((SELECT sum(c2) FROM per), 0) AS BIGINT) AS n2)
+           SELECT n1 AS n_a, n2 AS n_b,
+             CASE WHEN n1 > 0 AND n2 > 0 THEN
+               round(CAST((SELECT max(abs(cum1*t.n2 - cum2*t.n1)) FROM r) AS DOUBLE)
+                 / CAST(n1*n2 AS DOUBLE), 6)
+             END AS ks_d
+           FROM t""",
       "q_auc" -> // rank-sum AUC, doubled ranks keep ties integral
         """WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS sc,
                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y

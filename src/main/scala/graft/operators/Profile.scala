@@ -286,6 +286,55 @@ object Profile {
         .as("auc"))
   }
 
+  /** EXACT two-sample Kolmogorov-Smirnov distance ([EXT]) — the
+    * continuous-measure drift test [[psiDrift]]'s binned shares can't
+    * be: D = sup|F_a − F_b| over the two empirical CDFs. Exact at any
+    * scale by the same discipline as [[aucExact]]: collapse to the
+    * distinct-value table, run BOTH inclusive count prefixes
+    * distributed (range partition + driver offset fold — one sort
+    * serves both accumulators), and compare ECDFs as the INTEGER
+    * cross-products |cum_a·n_b − cum_b·n_a| (a float ECDF difference
+    * would make the argmax rounding-dependent); D's one division is
+    * the only IEEE step. The sup over the full real line is attained
+    * at value step points, so scanning distinct values is exhaustive,
+    * not a discretization. */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
+              groupA: String, groupB: String): DataFrame = {
+    val s = df.select(col(valueCol).cast("double").as("v"), col(groupCol).as("g"))
+      .where(col("v").isNotNull && col("g").isin(groupA, groupB))
+    val per = s.groupBy(col("v")).agg(
+      sum(when(col("g") === groupA, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("g") === groupB, 1L).otherwise(0L)).as("c2"))
+    val spark = df.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val sorted = per.repartitionByRange(parts, col("v"))
+      .sortWithinPartitions(col("v")).localCheckpoint()
+    val totals = sorted.groupBy(spark_partition_id().as("__pid"))
+      .agg(sum(col("c1")).as("__w1"), sum(col("c2")).as("__w2"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val off1 = (0 until parts).scanLeft(0L)((a, p) => a + totals.get(p).map(_._1).getOrElse(0L)).toArray
+    val off2 = (0 until parts).scanLeft(0L)((a, p) => a + totals.get(p).map(_._2).getOrElse(0L)).toArray
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cum1", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cum2", org.apache.spark.sql.types.LongType, nullable = false)))
+    val cums = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var a1 = off1(pid); var a2 = off2(pid)
+      it.map { r =>
+        a1 += r.getAs[Long]("c1"); a2 += r.getAs[Long]("c2") // inclusive: ECDF steps AT the value
+        org.apache.spark.sql.Row(a1, a2)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val n1 = off1(parts); val n2 = off2(parts)
+    val dec = DecimalType(38, 0)
+    val d = cums.agg(max(abs(col("cum1").cast(dec) * n2 - col("cum2").cast(dec) * n1)).as("d"))
+    d.select(
+      lit(n1).as("n_a"), lit(n2).as("n_b"),
+      when(lit(n1) > 0 && lit(n2) > 0,
+        round(col("d").cast("double") / (lit(n1).cast(dec) * n2).cast("double"), 6))
+        .as("ks_d"))
+  }
+
   /** EXACT heavy hitters via the classic two-pass scheme ([EXT]):
     * pass 1 runs the mergeable [[graft.expressions.MisraGriesAggregator]]
     * (capacity k) — its deterministic guarantee is that every item

@@ -550,6 +550,32 @@ class ProfileSpec extends SparkSuite {
     assert(a1 === a2)
   }
 
+  test("ksDrift: hand values, identical samples -> 0, disjoint -> 1") {
+    def ks(rows: Seq[(String, Double)]) =
+      Profile.ksDrift(rows.toDF("g", "v"), "g", "v", "a", "b").head()
+    // a = {1,2}, b = {2,3}: ECDFs F_a = .5 at 1, 1 at 2; F_b = .5 at 2
+    // -> sup gap .5 (at v=1 or v=2)
+    val r = ks(Seq("a" -> 1.0, "a" -> 2.0, "b" -> 2.0, "b" -> 3.0))
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === ((2L, 2L, 0.5)))
+    // identical samples: D = 0
+    val same = Seq("a" -> 1.0, "a" -> 5.0, "b" -> 1.0, "b" -> 5.0)
+    assert(ks(same).getDouble(2) === 0.0)
+    // disjoint supports: D = 1
+    val disj = Seq("a" -> 1.0, "a" -> 2.0, "b" -> 9.0, "b" -> 10.0)
+    assert(ks(disj).getDouble(2) === 1.0)
+    // unequal sizes, hand-checked: a={1,1,4}, b={2}: F_a(1)=2/3 vs
+    // F_b(1)=0 -> gap 2/3; F_a(2)=2/3 vs 1 -> 1/3 -> D = 2/3
+    val r2 = ks(Seq("a" -> 1.0, "a" -> 1.0, "a" -> 4.0, "b" -> 2.0))
+    assert(r2.getDouble(2) === BigDecimal(2.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // partitioning invariance
+    val big = (1 to 3000).map(i => (if (i % 2 == 0) "a" else "b", (i * 11 % 211).toDouble))
+    val k1 = Profile.ksDrift(big.toDF("g", "v"), "g", "v", "a", "b").head().getDouble(2)
+    val k2 = Profile.ksDrift(big.toDF("g", "v").repartition(17), "g", "v", "a", "b")
+      .head().getDouble(2)
+    assert(k1 === k2)
+  }
+
   test("ddSketchShards: parquet round-trip + merge == one-pass sketch, exactly") {
     import graft.expressions.{DDBuf, DDSketch, DDSketchAggregator}
     val vals = (1 to 3000).map(i => ("s" + (i % 7), math.exp((i * 13 % 600) / 60.0)))
