@@ -1145,6 +1145,17 @@ object SparkEntry {
     // the evaluation sheet, engine-exact ratios from exact counts
     "q_nb_metrics" -> ((s, d) =>
       graft.ml.NaiveBayes.metrics(t(s, d, "documents"))),
+    // decile gains/lift table ([EXT]): the targeting view of a scorer
+    // — positional ntiles, response/capture/lift per tile
+    "q_gains" -> ((s, d) =>
+      Reports.gainsTable(
+        t(s, d, "documents")
+          .withColumn("y", when(col("lang") === "en", 1L).otherwise(0L)),
+        "n_chars", "y", "doc_id")),
+    // gaps-and-islands activity streaks ([EXT]): epoch-day minus
+    // row_number labels each contiguous run per type
+    "q_streaks" -> ((s, d) =>
+      Windows.activityStreaks(graft.functions.TimeCol.instant(t(s, d, "events")))),
     // EXACT two-sample KS drift ([EXT]): sup|ECDF diff| as integer
     // cross-products over the distinct-value table, dual prefix sums
     // on one distributed sort
@@ -3668,6 +3679,38 @@ object SparkEntry {
            FROM events ORDER BY event_type, event_id""",
       "q_nb_confusion" -> // the full train->predict chain replayed; decimal scores
         (nbCm + "\nSELECT actual, predicted, n FROM cm ORDER BY 1, 2"),
+      "q_gains" -> // positional deciles; rates/lifts as rounded IEEE chains
+        """WITH scored AS (SELECT doc_id, n_chars AS s,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+             FROM documents WHERE n_chars IS NOT NULL),
+           tiled AS (SELECT y, CAST(ntile(10) OVER (ORDER BY s DESC, doc_id) AS BIGINT)
+               AS decile FROM scored),
+           per AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS n_pos FROM tiled GROUP BY decile),
+           tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+               CAST(sum(n_pos) AS BIGINT) AS tp FROM per),
+           cum AS (SELECT decile, n, n_pos,
+               CAST(sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS cum_pos FROM per)
+           SELECT decile, n, n_pos,
+             round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS response_rate,
+             CASE WHEN tp > 0 THEN
+               round(CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE), 6) END AS cum_capture,
+             CASE WHEN tp > 0 THEN
+               round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) END AS lift
+           FROM cum, tot ORDER BY decile""",
+      "q_streaks" -> // epoch-day minus row_number labels each run
+        """WITH days AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day
+             FROM events),
+           g AS (SELECT event_type, day,
+               date_diff('day', DATE '1970-01-01', day)
+                 - row_number() OVER (PARTITION BY event_type ORDER BY day) AS grp
+             FROM days)
+           SELECT event_type, min(day) AS streak_start, max(day) AS streak_end,
+             CAST(count(*) AS BIGINT) AS days
+           FROM g GROUP BY event_type, grp
+           ORDER BY event_type, streak_start""",
       "q_ks_drift" -> // sup ECDF gap at step points; integer cross-products
         """WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v, source AS g
              FROM documents

@@ -838,4 +838,45 @@ object Reports {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_day"), col("day_offset"))
   }
+
+  /** Decile gains/lift table ([EXT]) — the targeting-quality view of
+    * a scorer that [[graft.operators.Profile.aucExact]] summarizes to
+    * one number: rank by score, cut into positional n-tiles, and per
+    * tile report the response rate, cumulative capture of all
+    * positives, and lift over the base rate — "the top decile holds
+    * 34% of the positives" is the sentence the one-number AUC can't
+    * say. Positional ntile over a (score desc, id) total order keeps
+    * bucket boundaries engine-exact (same discipline as
+    * [[rfmSegments]], including its documented globalOrdinals swap
+    * for fact-scale inputs); all rates/lifts are IEEE chains over
+    * exact counts on the BOUNDED tile table, rounded for the
+    * certified output. */
+  def gainsTable(df: DataFrame, scoreCol: String, labelCol: String,
+                 idCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"gainsTable needs buckets >= 2: $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.select(col(idCol).as("__id"),
+        col(scoreCol).as("__s"), col(labelCol).cast("long").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+    val tiled = scored.withColumn("decile",
+      ntile(buckets).over(Window.orderBy(col("__s").desc, col("__id"))).cast("long"))
+    val per = tiled.groupBy(col("decile")).agg(
+      count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum(col("n")).as("__tn"), sum(col("n_pos")).as("__tp"))
+    per.withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("response_rate"),
+        when(col("__tp") > 0,
+          round(col("cum_pos").cast("double") / col("__tp").cast("double"), 6))
+          .as("cum_capture"),
+        when(col("__tp") > 0,
+          round((col("n_pos").cast("double") / col("n").cast("double")) /
+            (col("__tp").cast("double") / col("__tn").cast("double")), 6))
+          .as("lift"))
+      .orderBy(col("decile"))
+  }
 }

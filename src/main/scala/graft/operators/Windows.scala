@@ -524,6 +524,29 @@ object Windows {
       .orderBy(col(key), col("event_id"))
   }
 
+  /** Gaps-and-islands activity streaks ([EXT]) — contiguous runs of
+    * active DAYS per key, the classic sequence-reconstruction shape
+    * ([[Reports.cumulativeUsers]] counts activity, this finds its
+    * RUNS): the epoch-day minus row_number trick labels each
+    * consecutive run with a constant, so islands fall out of one
+    * grouped aggregate. The fact collapses to the distinct
+    * (key, day) table first — the window and the aggregate run over
+    * bounded day rows, never the raw events. */
+  def activityStreaks(events: DataFrame, typeCol: String = "event_type",
+                      tsCol: String = "ts"): DataFrame = {
+    val days = events.select(col(typeCol), to_date(col(tsCol)).as("day")).distinct()
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("day"))
+    days
+      .withColumn("__grp",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+          - row_number().over(w))
+      .groupBy(col(typeCol), col("__grp"))
+      .agg(min(col("day")).as("streak_start"), max(col("day")).as("streak_end"),
+        count(lit(1)).cast("long").as("days"))
+      .select(col(typeCol), col("streak_start"), col("streak_end"), col("days"))
+      .orderBy(col(typeCol), col("streak_start"))
+  }
+
   /** Seasonal-residual anomaly flags over a daily count series ([EXT])
     * — the STL-shaped monitor every event pipeline wants: per
     * (key, weekday) mean as the seasonal baseline, residual scaled by

@@ -389,4 +389,18 @@ class ReportsSpec extends SparkSuite {
     assert(one(("C", "A")) === 0.5)
     assert(one(("A", "C")) === 0.333333)
   }
+
+  test("gainsTable: hand-computed rates, capture, and lift per tile") {
+    // 8 rows, scores 8..1; positives at scores 8, 7, 4 -> base rate 3/8
+    val df = (1L to 8L).map(i => (i, i, if (Set(8L, 7L, 4L)(i)) 1L else 0L))
+      .toDF("id", "s", "y")
+    val out = Reports.gainsTable(df, "s", "y", "id", buckets = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out(1L) === ((2L, 2L, 1.0, 0.666667, 2.666667)))
+    assert(out(2L) === ((2L, 0L, 0.0, 0.666667, 0.0)))
+    assert(out(3L) === ((2L, 1L, 0.5, 1.0, 1.333333)))
+    assert(out(4L) === ((2L, 0L, 0.0, 1.0, 0.0)))
+  }
 }

@@ -170,6 +170,21 @@ class StatsSpec extends SparkSuite {
     assert(out(17) === 2.0)  // the spike fell off the window
   }
 
+  test("activityStreaks: islands split exactly at the missing day") {
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-05-$day%02d 09:00:00")
+    // a: days 1-3 then 5-6 (gap at 4); b: one day; duplicate events
+    // on a day must not split or lengthen a streak
+    val df = Seq(("a", ts(1)), ("a", ts(2)), ("a", ts(2)), ("a", ts(3)),
+      ("a", ts(5)), ("a", ts(6)), ("b", ts(9))).toDF("event_type", "ts")
+    val out = Windows.activityStreaks(df).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDate(2).toString, r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("a", "2024-05-01", "2024-05-03", 3L),
+      ("a", "2024-05-05", "2024-05-06", 2L),
+      ("b", "2024-05-09", "2024-05-09", 1L)))
+  }
+
   test("seasonalAnomalies: planted spike flags; metronomic series has null scores") {
     import java.sql.Timestamp
     // 4 weeks of daily events: type a exactly 2/day (zero MAD -> null
