@@ -461,6 +461,14 @@ object SparkEntry {
     "q_weighted_sample" -> ((s, d) =>
       Sampling.byWeight(t(s, d, "documents").select("doc_id", "n_chars"),
         "doc_id", least(lit(1.0), col("n_chars") / 2000.0)).orderBy(col("doc_id"))),
+    // Poisson-bootstrap CI ([EXT]): error bars on a mean in ONE pass
+    // — deterministic hash multiplicities against integer CDF
+    // thresholds, B partial sums per task, certified end-to-end
+    "q_bootstrap_ci" -> ((s, d) =>
+      Sampling.bootstrapMeanCI(
+        t(s, d, "lineitem").withColumn("rid",
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"))),
+        "rid", col("l_extendedprice"), b = 100)),
     // domain cap ([EXT]): at most 10 docs per source, hash-chosen —
     // bounds any one source's contribution to a training mix
     "q_group_cap" -> ((s, d) =>
@@ -2738,6 +2746,38 @@ object SparkEntry {
            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
              < floor(least(1.0, n_chars / 2000.0) * 10000)
            ORDER BY doc_id""",
+      "q_bootstrap_ci" -> // Poisson bootstrap replayed draw-for-draw
+        """WITH base AS (SELECT l_orderkey || ':' || l_linenumber AS rid,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS x
+             FROM lineitem WHERE l_extendedprice IS NOT NULL),
+           f AS (SELECT rid, x, unnest(range(0, 100)) AS rb FROM base),
+           km AS (SELECT x, rb,
+               CASE WHEN fp <  424136118829305344 THEN 0
+                    WHEN fp <  848272237658610688 THEN 1
+                    WHEN fp < 1060340297073263360 THEN 2
+                    WHEN fp < 1131029650211480960 THEN 3
+                    WHEN fp < 1148701988496035328 THEN 4
+                    WHEN fp < 1152236456152946176 THEN 5
+                    ELSE 6 END AS k
+             FROM (SELECT x, rb,
+                 ('0x' || substr(md5(rid || ':' || rb), 1, 15))::BIGINT AS fp
+               FROM f)),
+           means AS (SELECT round(CAST(sum(CAST(k * x AS DECIMAL(28,2))) AS DOUBLE)
+                 / CAST(sum(k) AS DOUBLE), 6) AS mu
+             FROM km GROUP BY rb HAVING sum(k) > 0),
+           md AS (SELECT CAST(CAST(mu AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS mi,
+               mu FROM means),
+           pt AS (SELECT round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS point_mean FROM base),
+           agg AS (SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+               round(quantile_cont(mu, 0.025), 6) AS ci_lo,
+               round(quantile_cont(mu, 0.975), 6) AS ci_hi,
+               round(sqrt((CAST(sum(CAST(mi AS HUGEINT) * mi) AS DOUBLE)
+                   - CAST(sum(mi) AS DOUBLE) * CAST(sum(mi) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE))
+                 / (CAST(count(*) AS DOUBLE) - 1.0)) / 1000000.0, 6) AS se_boot
+             FROM md)
+           SELECT point_mean, n_resamples, ci_lo, ci_hi, se_boot FROM pt, agg""",
       "q_group_cap" ->
         """SELECT doc_id, source FROM documents
            QUALIFY row_number() OVER (PARTITION BY source

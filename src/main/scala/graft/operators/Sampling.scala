@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deterministic sampling for training-data pipelines ([EXT] —
   * SURVEY.md §2.6 samples via `limit`; real corpus work needs more).
@@ -336,5 +337,78 @@ object Sampling {
     val esKey = pow(u, lit(1.0) / weight.cast("double"))
     df.where(weight.cast("double") > 0)
       .orderBy(esKey.desc, col(idCol)).limit(k)
+  }
+
+  /** Poisson(1) bootstrap multiplicity thresholds in fp60 space:
+    * floor(CDF(k) · 2^60) for k = 0..5 — INTEGER literals, so the
+    * multiplicity function is exact integer logic on the portable
+    * hash in BOTH engines (a float CDF compare would put hashes near
+    * a boundary at the mercy of rounding). Tail above k = 6 has mass
+    * < 6e-5 and is capped (documented bias far below sampling noise). */
+  private val PoissonCdf60: Seq[Long] = Seq(
+    424136118829305344L, 848272237658610688L, 1060340297073263360L,
+    1131029650211480960L, 1148701988496035328L, 1152236456152946176L)
+
+  /** Poisson-bootstrap confidence interval for a mean (Chamandy,
+    * Muralidharan, Najmi & Naidu, "Estimating uncertainty for massive
+    * data streams", Google 2012) — error bars on an aggregate in ONE
+    * pass, the way that actually works at 100 TB: true resampling
+    * needs Binomial(n, 1/n) multiplicities (global n — a barrier);
+    * Poissonization makes each row's multiplicity in each of the B
+    * resamples an INDEPENDENT Poisson(1) draw, so every row streams
+    * once, emitting its B (resample, multiplicity) contributions, and
+    * map-side combine means only B partial sums per task cross the
+    * wire. The draw is the deterministic portable hash fp60(id':'b)
+    * against integer CDF thresholds — reproducible, auditable, and
+    * replayable by an independent engine (hash-certified), where
+    * `rand()`-based resampling is none of those.
+    *
+    * Output: one row — the point mean, the percentile CI of the B
+    * resample means (the certified percentile bridge), and the
+    * bootstrap SE from exact decimal moments of the 6-dp-rounded
+    * resample means. `idCol` must be unique per row (the draw's
+    * identity), as with every deterministic sampler here. */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, measure: Column,
+                      b: Int = 100, level: Double = 0.95): DataFrame = {
+    require(b >= 2, s"bootstrapMeanCI needs b >= 2: $b")
+    require(level > 0 && level < 1, s"level must be in (0,1): $level")
+    val base = df.select(col(idCol).cast("string").as("__id"),
+        measure.cast(DecimalType(18, 2)).as("__x"))
+      .where(col("__x").isNotNull)
+    val fanned = base.select(col("__id"), col("__x"),
+      explode(sequence(lit(0), lit(b - 1))).as("__rb"))
+    val fp = graft.functions.Portable.fp60(
+      concat(col("__id"), lit(":"), col("__rb")))
+    val mult = PoissonCdf60.zipWithIndex.foldRight(lit(6): Column) {
+      case ((t, k), rest) => when(fp < t, lit(k)).otherwise(rest)
+    }
+    val means = fanned.withColumn("__k", mult.cast("long"))
+      .groupBy(col("__rb")).agg(
+        sum((col("__k") * col("__x")).cast(DecimalType(28, 2))).as("__sx"),
+        sum(col("__k")).as("__sk"))
+      .where(col("__sk") > 0) // an empty resample (tiny inputs) has no mean
+      .select(round(col("__sx").cast("double") / col("__sk").cast("double"), 6)
+        .as("__mu"))
+    val lo = (1 - level) / 2
+    val point = base.agg(
+      round(sum(col("__x")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("point_mean"))
+    // SE from exact INTEGER micro-unit moments of the rounded means —
+    // the order-independent stddev spelling that also dodges both
+    // engines' decimal-multiply width rules (micro² rides int128/
+    // DECIMAL(38) exactly); sqrt is IEEE-correctly-rounded, so the
+    // one final chain is engine-identical
+    val muI = (col("__mu").cast(DecimalType(18, 6)) * 1000000).cast("long")
+    val withI = means.withColumn("__mi", muI)
+    point.crossJoin(broadcast(withI.agg(
+      count(lit(1)).cast("long").as("n_resamples"),
+      round(percentile(col("__mu"), lit(lo)), 6).as("ci_lo"),
+      round(percentile(col("__mu"), lit(1 - lo)), 6).as("ci_hi"),
+      round(sqrt(
+        (sum((col("__mi").cast(DecimalType(38, 0)) * col("__mi"))
+            .cast(DecimalType(38, 0))).cast("double") -
+          sum(col("__mi")).cast("double") * sum(col("__mi")).cast("double") /
+            count(lit(1)).cast("double")) /
+        (count(lit(1)).cast("double") - 1.0)) / 1000000.0, 6).as("se_boot"))))
   }
 }

@@ -306,4 +306,21 @@ class SamplingSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet
     assert(direct === thinned)
   }
+
+  test("bootstrapMeanCI: brackets the point mean, deterministic, sane width") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 2000L).map(i => (i, 100.0 + (i % 37))).toDF("id", "v")
+    val r = Sampling.bootstrapMeanCI(df, "id", col("v"), b = 60).head()
+    val (point, n, lo, hi, se) = (r.getDouble(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(n === 60L)
+    assert(lo <= point && point <= hi) // percentile CI brackets the mean
+    assert(hi - lo < 5.0 && hi - lo > 0.0) // sd≈10.7, n=2000 -> SE≈0.24
+    assert(se > 0.05 && se < 2.0)
+    // deterministic: the hash draw ignores partitioning entirely
+    val r2 = Sampling.bootstrapMeanCI(df.repartition(13), "id", col("v"), b = 60).head()
+    assert(r.toSeq === r2.toSeq)
+    // resample means really vary (the multiplicities aren't constant)
+    assert(hi > lo)
+  }
 }
