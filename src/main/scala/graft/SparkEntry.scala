@@ -2750,20 +2750,22 @@ object SparkEntry {
         """WITH base AS (SELECT l_orderkey || ':' || l_linenumber AS rid,
                CAST(l_extendedprice AS DECIMAL(18,2)) AS x
              FROM lineitem WHERE l_extendedprice IS NOT NULL),
-           f AS (SELECT rid, x, unnest(range(0, 100)) AS rb FROM base),
-           km AS (SELECT x, rb,
-               CASE WHEN fp <  424136118829305344 THEN 0
-                    WHEN fp <  848272237658610688 THEN 1
-                    WHEN fp < 1060340297073263360 THEN 2
-                    WHEN fp < 1131029650211480960 THEN 3
-                    WHEN fp < 1148701988496035328 THEN 4
-                    WHEN fp < 1152236456152946176 THEN 5
+           fb AS (SELECT rid, CAST(x * 100 AS BIGINT) AS xc,
+               ('0x' || substr(md5(rid), 1, 15))::BIGINT AS fp FROM base),
+           masks AS (SELECT rb,
+               ('0x' || substr(md5('mask:' || rb), 1, 15))::BIGINT AS mk
+             FROM (SELECT unnest(range(0, 100)) AS rb)),
+           km AS (SELECT xc, rb,
+               CASE WHEN u <  424136118829305344 THEN 0
+                    WHEN u <  848272237658610688 THEN 1
+                    WHEN u < 1060340297073263360 THEN 2
+                    WHEN u < 1131029650211480960 THEN 3
+                    WHEN u < 1148701988496035328 THEN 4
+                    WHEN u < 1152236456152946176 THEN 5
                     ELSE 6 END AS k
-             FROM (SELECT x, rb,
-                 ('0x' || substr(md5(rid || ':' || rb), 1, 15))::BIGINT AS fp
-               FROM f)),
-           means AS (SELECT round(CAST(sum(CAST(k * x AS DECIMAL(28,2))) AS DOUBLE)
-                 / CAST(sum(k) AS DOUBLE), 6) AS mu
+             FROM (SELECT xc, rb, xor(fp, mk) AS u FROM fb, masks)),
+           means AS (SELECT round(CAST(sum(k * xc) AS DOUBLE)
+                 / (CAST(sum(k) AS DOUBLE) * 100.0), 6) AS mu
              FROM km GROUP BY rb HAVING sum(k) > 0),
            md AS (SELECT CAST(CAST(mu AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS mi,
                mu FROM means),

@@ -372,23 +372,58 @@ object Sampling {
                       b: Int = 100, level: Double = 0.95): DataFrame = {
     require(b >= 2, s"bootstrapMeanCI needs b >= 2: $b")
     require(level > 0 && level < 1, s"level must be in (0,1): $level")
+    // ONE md5 per ROW (not per row×resample — at B=100 that multiplies
+    // scan cost ~50×, measured 99 s vs ~4 s at sf0.1): the per-resample
+    // uniform is the row hash XOR a per-resample 60-bit mask, itself
+    // md5-derived ("mask:b" — same derivation the oracle replays in
+    // SQL). Resamples therefore share one base hash per row — the
+    // documented at-scale trade (each resample is still an exact
+    // uniform hash sample across rows; only resample-PAIR joint
+    // structure is scrambled rather than independent, a second-order
+    // effect on the SE). The fan-out is inline() over a LITERAL
+    // (rb, mask) array — a codegen'd Generate; a crossJoin(broadcast)
+    // spelling plans as BroadcastNestedLoopJoin, which is NOT
+    // whole-stage-codegen'd and ran the 60M-row subtree interpreted
+    // (measured 80 s vs 4 s at sf0.1).
     val base = df.select(col(idCol).cast("string").as("__id"),
         measure.cast(DecimalType(18, 2)).as("__x"))
       .where(col("__x").isNotNull)
-    val fanned = base.select(col("__id"), col("__x"),
-      explode(sequence(lit(0), lit(b - 1))).as("__rb"))
-    val fp = graft.functions.Portable.fp60(
-      concat(col("__id"), lit(":"), col("__rb")))
-    val mult = PoissonCdf60.zipWithIndex.foldRight(lit(6): Column) {
-      case ((t, k), rest) => when(fp < t, lit(k)).otherwise(rest)
+      .withColumn("__fp", graft.functions.Portable.fp60(col("__id")))
+      // exact integer cents: the hot loop below multiplies/sums
+      // PRIMITIVE longs inside codegen (a per-row Decimal op allocates
+      // a BigDecimal 60M times)
+      .withColumn("__xc", (col("__x") * 100).cast("long"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val maskPairs = (0 until b).map { rb =>
+      val hex = md.digest(s"mask:$rb".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      struct(lit(rb.toLong).as("__rb"),
+        lit(java.lang.Long.parseLong(hex.substring(0, 15), 16)).as("__mask"))
     }
+    val fanned = base.select(col("__xc"), col("__fp"),
+      inline(array(maskPairs: _*)))
+    val u = col("__fp").bitwiseXOR(col("__mask"))
+    val mult = PoissonCdf60.zipWithIndex.foldRight(lit(6): Column) {
+      case ((t, k), rest) => when(u < t, lit(k)).otherwise(rest)
+    }
+    // two-level aggregation: per-(resample, task) partials stay LONG
+    // (bounded by rows-per-task × 6 × cents — safe for any money-like
+    // column under a ~$10^9 per-value bound), the cross-task final is
+    // DECIMAL — exact at any total scale without a Decimal in the
+    // 60M-row loop
     val means = fanned.withColumn("__k", mult.cast("long"))
+      .groupBy(col("__rb"), spark_partition_id().as("__pid")).agg(
+        sum(col("__k") * col("__xc")).as("__psx"),
+        sum(col("__k")).as("__psk"))
       .groupBy(col("__rb")).agg(
-        sum((col("__k") * col("__x")).cast(DecimalType(28, 2))).as("__sx"),
-        sum(col("__k")).as("__sk"))
+        sum(col("__psx").cast(DecimalType(38, 0))).as("__sxc"),
+        sum(col("__psk")).as("__sk"))
       .where(col("__sk") > 0) // an empty resample (tiny inputs) has no mean
-      .select(round(col("__sx").cast("double") / col("__sk").cast("double"), 6)
-        .as("__mu"))
+      .select(round(col("__sxc").cast("double") /
+        (col("__sk").cast("double") * 100.0), 6).as("__mu"))
+      // barrier: percentile is an ObjectHashAggregate; keep the heavy
+      // aggregate in its own whole-stage-codegen'd stage
+      .localCheckpoint()
     val lo = (1 - level) / 2
     val point = base.agg(
       round(sum(col("__x")).cast("double") /
