@@ -1134,6 +1134,16 @@ object SparkEntry {
       Windows.lagCorrelation(t(s, d, "events"), "view", "purchase", maxLag = 7)),
     // TPC-H Q3 shape: unshipped-backlog revenue top-10 — pushed
     // filters, broadcast segment keys, top-k on the EXACT decimal
+    // TPC-H Q5 shape: 6-table star join, region filter broadcast down,
+    // cross-dimension c_nationkey = s_nationkey on the join keys
+    "q_tpch_q5" -> ((s, d) =>
+      Reports.localSupplierVolume(t(s, d, "customer"), t(s, d, "orders"),
+        t(s, d, "lineitem"), t(s, d, "supplier"), t(s, d, "nation"),
+        t(s, d, "region"), "ASIA", "1996-01-01", "1998-01-01")),
+    // one-row NB evaluation summary: accuracy + Cohen's kappa (the
+    // chance-corrected agreement a majority-class baseline can't fake)
+    "q_nb_summary" -> ((s, d) =>
+      graft.ml.NaiveBayes.summary(t(s, d, "documents"))),
     "q_shipping_priority" -> ((s, d) =>
       Reports.shippingPriority(t(s, d, "customer"), t(s, d, "orders"),
         t(s, d, "lineitem"), "BUILDING", "1998-06-01")),
@@ -3678,6 +3688,36 @@ object SparkEntry {
                 sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
                6) END AS corr
            FROM m ORDER BY lag""",
+      "q_tpch_q5" -> // 6-table star join; q_pricing_summary revenue discipline
+        s"""SELECT n_name,
+             ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+           FROM customer, orders, lineitem, supplier, nation, region
+           WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             AND r_name = 'ASIA'
+             AND o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01'
+           GROUP BY n_name
+           ORDER BY revenue DESC, n_name""",
+      "q_nb_summary" -> // accuracy + kappa over the replayed matrix
+        (nbCm + """,
+           tot AS (SELECT sum(CASE WHEN actual = predicted THEN n ELSE 0 END)
+               AS diag, sum(n) AS nt FROM cm),
+           ma AS (SELECT actual AS c, sum(n) AS a FROM cm GROUP BY 1),
+           mp AS (SELECT predicted AS c, sum(n) AS p FROM cm GROUP BY 1),
+           pen AS (SELECT coalesce(sum(CAST(a AS HUGEINT) * p), 0) AS pen
+             FROM ma JOIN mp USING (c))
+           SELECT CAST(nt AS BIGINT) AS n_test,
+             round(CAST(diag AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS accuracy,
+             CASE WHEN CAST(pen AS DOUBLE)
+                 / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)) <> 1.0
+               THEN round((CAST(diag AS DOUBLE) / CAST(nt AS DOUBLE)
+                   - CAST(pen AS DOUBLE) / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)))
+                 / (1.0 - CAST(pen AS DOUBLE)
+                     / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))), 6)
+             END AS kappa
+           FROM tot, pen"""),
       "q_shipping_priority" -> // top-k ranked on the EXACT decimal, rendered after
         """WITH agg AS (
              SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -102,6 +102,35 @@ object NaiveBayes {
     * exact longs, F1 one fixed-order chain over the UNROUNDED ratios,
     * all rounded to 6 for the certified output — the whole sheet
     * stays a few-rows aggregate no matter the corpus size. */
+  /** One-row evaluation summary: accuracy and Cohen's kappa — the
+    * chance-corrected agreement (a majority-class predictor scores
+    * high accuracy but kappa ≈ 0, which is why the sheet needs both).
+    * pe (chance agreement) is Σ act_c·pred_c / N² over the margins,
+    * DECIMAL-widened before the products; both statistics are single
+    * rounded IEEE chains over exact counts; kappa is null when pe = 1
+    * (a degenerate single-class fold has no chance correction). */
+  def summary(docs: DataFrame, folds: Int = 5, classCol: String = "lang",
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cm = confusion(docs, folds, classCol, idCol, textCol)
+    val tot = cm.agg(
+      sum(when(col("actual") === col("predicted"), col("n")).otherwise(0L))
+        .as("__diag"),
+      sum(col("n")).as("__n"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pen = cm.groupBy(col("actual")).agg(sum(col("n")).as("__a"))
+      .join(cm.groupBy(col("predicted")).agg(sum(col("n")).as("__p")),
+        col("actual") === col("predicted"))
+      .agg(coalesce(sum((col("__a").cast(dec) * col("__p")).cast(dec)), lit(0L))
+        .as("__pen"))
+    val po = col("__diag").cast("double") / col("__n").cast("double")
+    val pe = col("__pen").cast("double") /
+      (col("__n").cast("double") * col("__n").cast("double"))
+    tot.crossJoin(broadcast(pen))
+      .select(col("__n").cast("long").as("n_test"),
+        round(po, 6).as("accuracy"),
+        when(pe =!= 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
   def metrics(docs: DataFrame, folds: Int = 5, classCol: String = "lang",
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val cm = confusion(docs, folds, classCol, idCol, textCol)

@@ -839,6 +839,42 @@ object Reports {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** TPC-H Q5 shape (local supplier volume) — the 6-table star-join
+    * plan audit: revenue per nation for orders placed in a window,
+    * shipped by a supplier in the CUSTOMER's own nation, within one
+    * region. The join graph is the point: region→nation filters first
+    * (broadcast — dims are tiny), the c_nationkey = s_nationkey
+    * cross-dimension equality rides the join keys rather than a
+    * post-filter, and the date range is pushed into the orders scan.
+    * Revenue uses the q_pricing_summary decimal discipline. */
+  def localSupplierVolume(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, supplier: DataFrame,
+                          nation: DataFrame, region: DataFrame,
+                          regionName: String, from: String,
+                          until: String): DataFrame = {
+    val nations = nation.join(
+        broadcast(region.where(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val o = orders
+      .where(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = customer.join(broadcast(nations),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val s = supplier.select(col("s_suppkey"), col("s_nationkey"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Decile gains/lift table ([EXT]) — the targeting-quality view of
     * a scorer that [[graft.operators.Profile.aucExact]] summarizes to
     * one number: rank by score, cut into positional n-tiles, and per

@@ -65,6 +65,25 @@ class NaiveBayesSpec extends SparkSuite {
     assert(m("odd") === ((5L, 5L, 5L, 1.0, 1.0, 1.0)))
   }
 
+  test("summary: perfect separation kappa 1; majority-collapse kappa 0") {
+    val sep = (1L to 50L).map(i =>
+      (i, if (i % 2 == 0) "x y z x" else "p q r p",
+        if (i % 2 == 0) "even" else "odd")).toDF("doc_id", "text", "lang")
+    val r = NaiveBayes.summary(sep, folds = 5).head()
+    assert(r.getLong(0) === 10L)
+    assert(r.getDouble(1) === 1.0)
+    assert(r.getDouble(2) === 1.0)
+    // identical text everywhere -> the model predicts one class for
+    // all: accuracy equals that class's share, kappa exactly 0
+    // (chance-corrected agreement sees through the majority vote)
+    val flat = (1L to 40L).map(i =>
+      (i, "same same", if (i % 4 == 0) "rare" else "common"))
+      .toDF("doc_id", "text", "lang")
+    val f = NaiveBayes.summary(flat, folds = 5).head()
+    assert(f.getDouble(1) < 1.0)
+    assert(f.getDouble(2) === 0.0)
+  }
+
   test("metrics: never-predicted class gets null precision/f1, zero recall") {
     // class "rare" appears in the held-out fold but its vocabulary is
     // swamped by "common" training mass -> never predicted

@@ -390,6 +390,35 @@ class ReportsSpec extends SparkSuite {
     assert(one(("A", "C")) === 0.333333)
   }
 
+  test("localSupplierVolume: region, window, and local-supplier filters all bite") {
+    import java.sql.Timestamp
+    val customer = Seq((1L, 10L), (2L, 11L), (3L, 20L))
+      .toDF("c_custkey", "c_nationkey")
+    val supplier = Seq((100L, 10L), (101L, 11L), (102L, 20L))
+      .toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((10L, "JAPAN", 1L), (11L, "CHINA", 1L), (20L, "PERU", 2L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((1L, "ASIA"), (2L, "AMERICA")).toDF("r_regionkey", "r_name")
+    def d(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1000L, 1L, d("1996-06-01")), // in window, JAPAN customer
+      (1001L, 2L, d("1995-01-01")), // before window -> excluded
+      (1002L, 3L, d("1996-06-01")), // PERU customer -> wrong region
+      (1003L, 2L, d("1997-12-31"))  // in window, CHINA customer
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val lineitem = Seq(
+      (1000L, 100L, 100.0, 0.1), // JAPAN supplier, local -> 90
+      (1000L, 101L, 50.0, 0.0),  // CHINA supplier for JAPAN cust -> not local
+      (1003L, 101L, 200.0, 0.5), // CHINA local -> 100
+      (1001L, 101L, 999.0, 0.0), // excluded order
+      (1002L, 102L, 999.0, 0.0)  // wrong region
+    ).toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val out = Reports.localSupplierVolume(customer, orders, lineitem,
+      supplier, nation, region, "ASIA", "1996-01-01", "1998-01-01")
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(out.toSeq === Seq("CHINA" -> 100.0, "JAPAN" -> 90.0))
+  }
+
   test("gainsTable: hand-computed rates, capture, and lift per tile") {
     // 8 rows, scores 8..1; positives at scores 8, 7, 4 -> base rate 3/8
     val df = (1L to 8L).map(i => (i, i, if (Set(8L, 7L, 4L)(i)) 1L else 0L))
