@@ -1136,6 +1136,12 @@ object SparkEntry {
     // filters, broadcast segment keys, top-k on the EXACT decimal
     // TPC-H Q5 shape: 6-table star join, region filter broadcast down,
     // cross-dimension c_nationkey = s_nationkey on the join keys
+    // streaming quantile monitor ([EXT]) in its batch twin: DDSketch
+    // carried in keyed state, p50/p99 per type — rows-only (sketch
+    // estimates are engine-private; stream==batch law in SessionsSpec)
+    "q_quantile_monitor" -> ((s, d) =>
+      Sessions.quantileMonitor(graft.functions.TimeCol.instant(t(s, d, "events")))
+        .toDF().orderBy(col("event_type"))),
     "q_tpch_q5" -> ((s, d) =>
       Reports.localSupplierVolume(t(s, d, "customer"), t(s, d, "orders"),
         t(s, d, "lineitem"), t(s, d, "supplier"), t(s, d, "nation"),

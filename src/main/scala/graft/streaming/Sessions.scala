@@ -11,6 +11,10 @@ final case class UserState(nEvents: Long, sumValue: Double)
 /** One update row emitted per user per micro-batch. */
 final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
+/** One quantile-monitor update per key per micro-batch. */
+final case class QuantileUpdate(event_type: String, n: Long,
+                                p50: Double, p99: Double)
+
 /** Event-time windowing + sessionization (SURVEY.md §2.10 [EXT] —
   * absent from the reference, which names streaming as future work at
   * reference README.md:507).
@@ -138,6 +142,40 @@ object Sessions {
             state.setTimeoutDuration(timeout)
             Iterator(UserTotals(user, n, s))
           }
+      }
+  }
+
+  /** Streaming quantile monitor ([EXT]) — the "p99 per event type,
+    * continuously" dashboard primitive, as a DDSketch
+    * ([[graft.expressions.DDSketchAggregator]]) carried in keyed
+    * state: each micro-batch folds its values into the per-key sketch
+    * (bounded: ≤ 2·maxBuckets+1 counters per key, FOREVER — unlike a
+    * windowed exact percentile, which buffers rows) and emits the
+    * updated p50/p99. Because DDSketch merges are commutative, the
+    * monitor's estimates after any batch split are IDENTICAL to a
+    * one-shot batch sketch over the same rows — the spec asserts
+    * exact equality, not approximate agreement. Works over a batch
+    * frame (one pass) and a stream (state persists; Update mode). */
+  def quantileMonitor(events: DataFrame, alpha: Double = 0.01,
+                      maxBuckets: Int = 2048): Dataset[QuantileUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.expressions.{DDBuf, DDSketch, DDSketchAggregator}
+    val agg = new DDSketchAggregator[Double](Double.box, alpha, maxBuckets)
+    events.select(col("event_type"), col("value").cast("double"))
+      .where(col("value").isNotNull)
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[DDBuf]) =>
+          val buf = rows.foldLeft(state.getOption.getOrElse(agg.zero)) {
+            (b, r) => agg.reduce(b, r._2)
+          }
+          state.update(buf)
+          if (buf.n == 0) Iterator.empty
+          else Iterator(QuantileUpdate(key, buf.n,
+            DDSketch.quantile(buf, 0.5, alpha),
+            DDSketch.quantile(buf, 0.99, alpha)))
       }
   }
 

@@ -18,7 +18,8 @@ class SparkEntrySpec extends SparkSuite {
     // variance laws in SimilaritySpec); DDSketch quantile estimates
     // are engine-private (alpha-bound + merge laws in ProfileSpec)
     assert(rowsOnly === Set("q_approx_dictionary", "q_sketch_dictionary",
-      "q_bpe_train", "q_cms_heavy_hitters", "q_pca", "q_dd_quantiles"),
+      "q_bpe_train", "q_cms_heavy_hitters", "q_pca", "q_dd_quantiles",
+      "q_quantile_monitor"),
       "every other query must carry a DuckDB oracle")
   }
 

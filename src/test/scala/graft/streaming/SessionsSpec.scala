@@ -71,6 +71,36 @@ class SessionsSpec extends SparkSuite {
     assert(ids.toSeq === Seq(100L, 101L))
   }
 
+  test("quantileMonitor: streamed estimates == one-shot batch sketch, exactly") {
+    import graft.expressions.{DDSketch, DDSketchAggregator}
+    val dir = Files.createTempDirectory("graft-qmon").toString
+    // two micro-batch files; commutative merges must make the split invisible
+    val b1 = (1 to 300).map(i => ("a", ts(0), "api", math.exp(i % 50 / 10.0)))
+    val b2 = (1 to 200).map(i => ("a", ts(1), "api", math.exp(i % 70 / 10.0)))
+    b1.toDF("u", "ts", "event_type", "value").write.parquet(s"$dir/in/f1")
+    b2.toDF("u", "ts", "event_type", "value").write.parquet(s"$dir/in/f2")
+    val schema = spark.read.parquet(s"$dir/in/f1").schema
+    val stream = Sessions.quantileMonitor(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*"))
+    val q = stream.toDF().writeStream.format("memory").queryName("qmon")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // the LAST update (largest n) is the final cumulative estimate
+    val fin = spark.sql("SELECT n, p50, p99 FROM qmon ORDER BY n DESC LIMIT 1")
+      .head()
+    val agg = new DDSketchAggregator[Double](Double.box, 0.01)
+    val whole = (b1 ++ b2).map(_._4).foldLeft(agg.zero)(agg.reduce)
+    assert(fin.getLong(0) === 500L)
+    assert(fin.getDouble(1) === DDSketch.quantile(whole, 0.5, 0.01))
+    assert(fin.getDouble(2) === DDSketch.quantile(whole, 0.99, 0.01))
+    // batch-mode single pass gives the same final row
+    val batch = Sessions.quantileMonitor(
+      (b1 ++ b2).toDF("u", "ts", "event_type", "value")).collect()
+    assert(batch.length === 1 && batch.head.n === 500L)
+    assert(batch.head.p99 === fin.getDouble(2))
+  }
+
   test("statefulUserTotals in batch mode: one pass, totals per user") {
     val out = Sessions.statefulUserTotals(events).collect().sortBy(_.user_id)
     assert(out.map(u => (u.user_id, u.n_events)).toSeq === Seq((1L, 3L), (2L, 2L)))
