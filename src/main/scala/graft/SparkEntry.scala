@@ -798,6 +798,10 @@ object SparkEntry {
     // preceded each conversion, 'direct' outside the 7-day lookback
     "q_attribution" -> ((s, d) =>
       Reports.lastTouchAttribution(t(s, d, "events"))),
+    // U-shaped multi-touch attribution ([EXT]): fractional credit per
+    // channel, decimal-rounded BEFORE summing (partitioning-blind)
+    "q_attribution_position" -> ((s, d) =>
+      Reports.positionAttribution(t(s, d, "events"))),
     // co-bucketed join through the on-disk bucketed layout ([EXT]):
     // both sides written bucketed+sorted on the join key, then joined
     // exchange-free (BucketingSpec asserts the no-Exchange plan; this
@@ -2522,6 +2526,31 @@ object SparkEntry {
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
            FROM g ORDER BY user_id, event_id""",
+      "q_attribution_position" -> // U-shape credits, decimal-rounded pre-sum
+        """WITH ev AS (SELECT event_id, user_id, event_type,
+               epoch_us(ts) AS us FROM events),
+           convs AS (SELECT user_id, event_id AS conv_id, us AS conv_us
+             FROM ev WHERE event_type = 'purchase'),
+           touches AS (SELECT user_id, event_id AS touch_id,
+               event_type AS channel, us AS touch_us
+             FROM ev WHERE event_type <> 'purchase'),
+           pairs AS (SELECT c.conv_id, t.channel, t.touch_us, t.touch_id
+             FROM convs c JOIN touches t USING (user_id)
+             WHERE t.touch_us < c.conv_us
+               AND c.conv_us - t.touch_us <= 604800000000),
+           scored AS (SELECT conv_id, channel,
+               count(*) OVER (PARTITION BY conv_id) AS k,
+               row_number() OVER (PARTITION BY conv_id
+                 ORDER BY touch_us, touch_id) AS rn
+             FROM pairs)
+           SELECT channel,
+             CAST(count(DISTINCT conv_id) AS BIGINT) AS conversions,
+             CAST(sum(CAST(CASE WHEN k = 1 THEN 1.0
+                 WHEN k = 2 THEN 0.5
+                 WHEN rn = 1 OR rn = k THEN 0.4
+                 ELSE round(0.2 / CAST(k - 2 AS DOUBLE), 6)
+               END AS DECIMAL(18,6))) AS DOUBLE) AS total_credit
+           FROM scored GROUP BY channel ORDER BY channel""",
       "q_attribution" -> // two IGNORE NULLS windows share one condition: same row
         """WITH o AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us,
                  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END

@@ -412,6 +412,55 @@ object Reports {
       .orderBy(col("event_id"))
   }
 
+  /** Position-based (U-shaped) multi-touch attribution ([EXT]) — the
+    * fractional-credit complement of [[lastTouchAttribution]]: every
+    * touch inside the conversion's lookback window shares the credit
+    * (first and last 0.4 each, middles splitting 0.2; single-touch
+    * paths take 1.0, two-touch 0.5/0.5 — the standard U-shape).
+    * The lookback-window model deliberately lets one touch credit
+    * several later conversions (each conversion's path is judged
+    * independently — the industry-standard reading).
+    *
+    * Scale shape: the (conversion, touch) pairs come from a per-user
+    * time-predicate join — bounded by per-user activity inside ONE
+    * lookback window, never user-history². Credits are rounded to
+    * DECIMAL(18,6) BEFORE summing: fractional credits summed as
+    * doubles would make channel totals partitioning-dependent. */
+  def positionAttribution(events: DataFrame, convType: String = "purchase",
+                          lookbackUs: Long = 7L * 24 * 3600 * 1000000,
+                          typeCol: String = "event_type",
+                          userCol: String = "user_id"): DataFrame = {
+    require(lookbackUs > 0, s"lookback must be positive: $lookbackUs")
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.functions.TimeCol.instant(events)
+      .select(col("event_id"), col(userCol).as("user_id"),
+        col(typeCol).as("etype"), unix_micros(col("ts")).as("__us"))
+    val convs = ev.where(col("etype") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("__us").as("conv_us"))
+    val touches = ev.where(col("etype") =!= convType)
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("etype").as("channel"), col("__us").as("touch_us"))
+    val pairs = convs.join(touches, Seq("user_id"))
+      .where(col("touch_us") < col("conv_us") &&
+        col("conv_us") - col("touch_us") <= lookbackUs)
+    val byTime = Window.partitionBy(col("conv_id"))
+      .orderBy(col("touch_us"), col("touch_id"))
+    val path = Window.partitionBy(col("conv_id"))
+    val k = count(lit(1)).over(path)
+    val rn = row_number().over(byTime)
+    val credit = when(k === 1, lit(1.0))
+      .when(k === 2, lit(0.5))
+      .when(rn === 1 || rn === k, lit(0.4))
+      .otherwise(round(lit(0.2) / (k - 2).cast("double"), 6))
+      .cast(DecimalType(18, 6))
+    pairs.withColumn("__credit", credit)
+      .groupBy(col("channel"))
+      .agg(countDistinct(col("conv_id")).as("conversions"),
+        sum(col("__credit")).cast("double").as("total_credit"))
+      .orderBy(col("channel"))
+  }
+
   /** Mergeable partial aggregate for INCREMENTAL aggregate
     * maintenance ([EXT]): one row per key holding the algebraic
     * aggregate STATE (count, exact decimal sum, min, max) for one

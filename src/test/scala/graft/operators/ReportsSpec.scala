@@ -419,6 +419,30 @@ class ReportsSpec extends SparkSuite {
     assert(out.toSeq === Seq("CHINA" -> 100.0, "JAPAN" -> 90.0))
   }
 
+  test("positionAttribution: U-shape credits by path length, conservation") {
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // u1: ad, email, ad, email -> purchase (k=4: 0.4/0.4 ends, 0.1 mids)
+    // u2: ad -> purchase (k=1: full credit)
+    // u3: ad, email -> purchase (k=2: 0.5 each)
+    val df = Seq(
+      (1L, 1L, "ad", ts(0)), (2L, 1L, "email", ts(1)),
+      (3L, 1L, "ad", ts(2)), (4L, 1L, "email", ts(3)),
+      (5L, 1L, "purchase", ts(4)),
+      (6L, 2L, "ad", ts(0)), (7L, 2L, "purchase", ts(5)),
+      (8L, 3L, "ad", ts(0)), (9L, 3L, "email", ts(1)),
+      (10L, 3L, "purchase", ts(2))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Reports.positionAttribution(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // u1 path [ad,email,ad,email]: ad 0.4+0.1, email 0.1+0.4
+    // u2: ad 1.0; u3: ad 0.5, email 0.5
+    assert(out("ad") === ((3L, 0.5 + 1.0 + 0.5)))
+    assert(out("email") === ((2L, 0.5 + 0.5)))
+    // credit conserves: one unit per conversion
+    assert(out.values.map(_._2).sum === 3.0)
+  }
+
   test("gainsTable: hand-computed rates, capture, and lift per tile") {
     // 8 rows, scores 8..1; positives at scores 8, 7, 4 -> base rate 3/8
     val df = (1L to 8L).map(i => (i, i, if (Set(8L, 7L, 4L)(i)) 1L else 0L))
