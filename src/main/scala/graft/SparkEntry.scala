@@ -905,6 +905,18 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus").select("doc_id", "text").orderBy("doc_id")
     }),
     // ---- text analysis (SURVEY §2.2 [EXT]) ----
+    // Flesch reading-ease ([EXT]): words/sentences/vowel-group
+    // syllables, one rounded IEEE chain — the classic readability
+    // feature beside the Gopher battery
+    "q_readability" -> ((s, d) => {
+      val c = col("text")
+      t(s, d, "documents").select(col("doc_id"),
+          Text.tokenCount(c).cast("long").as("n_words"),
+          Text.sentenceCount(c).cast("long").as("n_sentences"),
+          Text.syllableCount(c).cast("long").as("n_syllables"),
+          Text.fleschScore(c).as("flesch"))
+        .orderBy(col("doc_id"))
+    }),
     "q_doc_stats" -> ((s, d) => {
       graft.expressions.GraftFunctions.register(s)
       val c = col("text")
@@ -3144,6 +3156,22 @@ object SparkEntry {
                      FROM fp JOIN w ON fp.f = w.f AND fp.b = w.mb GROUP BY fp.f)
            SELECT d.doc_id, d.text FROM documents d JOIN k ON d.doc_id = k.kid
            ORDER BY d.doc_id""",
+      "q_readability" -> // same regexes verbatim; one rounded IEEE chain
+        """SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+               AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+               AS n_syllables,
+             CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0 THEN
+               round(206.835
+                 - 1.015 * (CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+                   / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
+                 - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+                   / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)), 6)
+             END AS flesch
+           FROM documents ORDER BY doc_id""",
       "q_doc_stats" ->
         """SELECT doc_id,
              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -23,6 +23,28 @@ object Text {
 
   def bpeTokenCount(c: Column): Column = regexp_count(c, lit(bpeTokenPattern))
 
+  /** Flesch reading-ease ([EXT]) — the classic readability feature a
+    * corpus-quality stack reports next to the Gopher rules: 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words), with the
+    * standard automated approximations (sentences = terminal-punct
+    * runs, floored at 1; syllables = vowel-group runs — both shared
+    * Java/RE2 regex, so the oracle replays them verbatim). One IEEE
+    * chain over the three counts, rounded; wordless docs null. */
+  def sentenceCount(c: Column): Column =
+    greatest(regexp_count(c, lit("[.!?]+")), lit(1L))
+
+  def syllableCount(c: Column): Column =
+    regexp_count(lower(c), lit("[aeiouy]+"))
+
+  def fleschScore(c: Column): Column = {
+    val words = tokenCount(c).cast("double")
+    val sents = sentenceCount(c).cast("double")
+    val syll = syllableCount(c).cast("double")
+    when(tokenCount(c) > 0,
+      round(lit(206.835) - lit(1.015) * (words / sents)
+        - lit(84.6) * (syll / words), 6))
+  }
+
   /** Polynomial rolling hash over the character codepoints
     * (base 31 mod 2^31-1) — an order-sensitive fingerprint that is
     * cheap to compute incrementally and reproducible in any engine

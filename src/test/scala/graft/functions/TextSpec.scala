@@ -105,4 +105,20 @@ class TextSpec extends SparkSuite {
     assert(Seq(clean).toDF("t").select(Text.replacementCharCount(col("t")))
       .head().getInt(0) === 0)
   }
+
+  test("fleschScore: hand value; short sentences read easier than run-ons") {
+    def f(t: String): Double =
+      Seq(t).toDF("t").select(Text.fleschScore(col("t"))).head().getDouble(0)
+    // "the cat sat." -> words 3, sentences 1, vowel groups e/a/a = 3
+    // flesch = 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert(f("the cat sat.") === BigDecimal(206.835 - 1.015 * 3 - 84.6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // same words as one run-on vs many sentences: run-on scores lower
+    val words = Seq.fill(20)("testing word here").mkString(" ")
+    assert(f(words + ".") < f(words.split(" ").grouped(4).map(_.mkString(" "))
+      .mkString(". ") + "."))
+    // sentence floor: no terminal punctuation still scores (floored at 1)
+    assert(Seq("no punctuation at all").toDF("t")
+      .select(Text.sentenceCount(col("t"))).head().getLong(0) === 1L)
+  }
 }
