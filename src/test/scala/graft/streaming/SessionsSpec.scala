@@ -193,7 +193,7 @@ class SessionsSpec extends SparkSuite {
     def write(name: String, rows: Seq[(Long, Timestamp, String, Double)]): Unit =
       rows.toDF("event_id", "ts", "event_type", "value")
         .coalesce(1).write.parquet(s"$dir/in/$name")
-    def run(): Unit = {
+    def run(): Long = {
       val schema = spark.read.parquet(s"$dir/in/*").schema
       val stream = Sessions.streamingWindowedCounts(spark,
         s"$dir/in/*", schema, width = "10 minutes", watermark = "10 minutes")
@@ -205,6 +205,10 @@ class SessionsSpec extends SparkSuite {
         .outputMode("append")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination(60000)
+      // operational observability: the drop is COUNTED, not silent —
+      // the metric an SLO monitor alerts on
+      q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
     }
     // run 1: events at 10:00:30 and 10:30 -> watermark lands at 10:20,
     // closing and emitting window [10:00, 10:10) with ONE event
@@ -215,7 +219,9 @@ class SessionsSpec extends SparkSuite {
     // run 2 (restart, same checkpoint): a LATE event for the already
     // closed 10:00 window arrives -> the watermark must drop it
     write("b2", Seq((3L, Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0)))
-    run()
+    val droppedRun2 = run()
+    assert(droppedRun2 === 1L,
+      s"the late row must surface in numRowsDroppedByWatermark, got $droppedRun2")
     val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
     val emitted = spark.read.parquet(s"$dir/out")
       .collect().map(r => r.getLong(0) -> r.getLong(2))
