@@ -1196,6 +1196,10 @@ object SparkEntry {
     // row_number labels each contiguous run per type
     "q_streaks" -> ((s, d) =>
       Windows.activityStreaks(graft.functions.TimeCol.instant(t(s, d, "events")))),
+    // Mann-Kendall trend test ([EXT]): distribution-free monotonicity
+    // — exact integer S over the bounded daily table, guarded z chain
+    "q_trend_test" -> ((s, d) =>
+      Windows.mannKendall(graft.functions.TimeCol.instant(t(s, d, "events")))),
     // EXACT two-sample KS drift ([EXT]): sup|ECDF diff| as integer
     // cross-products over the distinct-value table, dual prefix sums
     // on one distributed sort
@@ -3845,6 +3849,32 @@ object SparkEntry {
                round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
                  / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) END AS lift
            FROM cum, tot ORDER BY decile""",
+      "q_trend_test" -> // exact integer S; the z chain replayed verbatim
+        """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+               count(*) AS cnt FROM events GROUP BY 1, 2),
+           pr AS (SELECT a.event_type,
+               CASE WHEN b.cnt > a.cnt THEN 1
+                    WHEN b.cnt < a.cnt THEN -1 ELSE 0 END AS sg,
+               CASE WHEN b.cnt = a.cnt THEN 1 ELSE 0 END AS tie
+             FROM daily a JOIN daily b
+               ON a.event_type = b.event_type AND a.day < b.day),
+           st AS (SELECT event_type, CAST(sum(sg) AS BIGINT) AS s,
+               CAST(sum(tie) AS BIGINT) AS n_ties
+             FROM pr GROUP BY 1),
+           nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+             FROM daily GROUP BY 1)
+           SELECT st.event_type, n_days, s, n_ties,
+             CASE WHEN n_days >= 3 THEN
+               round(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+                   / sqrt(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)
+                     * (2.0 * CAST(n_days AS DOUBLE) + 5.0) / 18.0)
+                 WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+                   / sqrt(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)
+                     * (2.0 * CAST(n_days AS DOUBLE) + 5.0) / 18.0)
+                 ELSE 0.0 END, 6)
+             END AS z
+           FROM st JOIN nd USING (event_type)
+           ORDER BY st.event_type""",
       "q_streaks" -> // epoch-day minus row_number labels each run
         """WITH days AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day
              FROM events),

@@ -524,6 +524,44 @@ object Windows {
       .orderBy(col(key), col("event_id"))
   }
 
+  /** Mann-Kendall trend test ([EXT]) — "is this series actually
+    * trending?" with a DISTRIBUTION-FREE answer ([[Profile.linearFit]]
+    * fits a slope; this tests monotonicity without assuming
+    * linearity or normality): S = Σ_{i<j} sign(x_j − x_i) over the
+    * per-key daily series, with the normal approximation
+    * z = (S ∓ 1)/σ, σ² = n(n−1)(2n+5)/18 (no-ties form — count
+    * ties and judge applicability from the output).
+    *
+    * Scale shape: the fact collapses to the (key, day) count table
+    * FIRST; the pairwise S runs over that BOUNDED table (a year is
+    * ~66k pairs per key — nothing), so scan cost is one pass and the
+    * quadratic term never touches raw events. S is an exact integer;
+    * z is one guarded IEEE chain (sqrt is IEEE-exact). */
+  def mannKendall(events: DataFrame, typeCol: String = "event_type",
+                  tsCol: String = "ts"): DataFrame = {
+    val daily = events.groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    def side(p: String) = daily.select(col(typeCol).as(s"__t$p"),
+      col("day").as(s"${p}_day"), col("cnt").as(s"${p}_cnt"))
+    val pairs = side("a").join(side("b"),
+      col("__ta") === col("__tb") && col("a_day") < col("b_day"))
+    val stats = pairs.groupBy(col("__ta").as(s"$typeCol"))
+      .agg(sum(signum((col("b_cnt") - col("a_cnt")).cast("double")).cast("long"))
+          .as("s"),
+        sum(when(col("b_cnt") === col("a_cnt"), 1L).otherwise(0L)).as("n_ties"))
+    val nDays = daily.groupBy(col(typeCol).as("__nt"))
+      .agg(count(lit(1)).as("n_days"))
+    val n = col("n_days").cast("double")
+    val sigma = sqrt(n * (n - 1.0) * (lit(2.0) * n + 5.0) / 18.0)
+    stats.join(nDays, col(typeCol) === col("__nt"))
+      .select(col(typeCol), col("n_days"), col("s"), col("n_ties"),
+        when(col("n_days") >= 3,
+          round(when(col("s") > 0, (col("s").cast("double") - 1.0) / sigma)
+            .when(col("s") < 0, (col("s").cast("double") + 1.0) / sigma)
+            .otherwise(lit(0.0)), 6)).as("z"))
+      .orderBy(col(typeCol))
+  }
+
   /** Gaps-and-islands activity streaks ([EXT]) — contiguous runs of
     * active DAYS per key, the classic sequence-reconstruction shape
     * ([[Reports.cumulativeUsers]] counts activity, this finds its

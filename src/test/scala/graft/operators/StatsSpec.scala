@@ -170,6 +170,29 @@ class StatsSpec extends SparkSuite {
     assert(out(17) === 2.0)  // the spike fell off the window
   }
 
+  test("mannKendall: monotone series hit +-S_max, flat scores z = 0") {
+    import java.sql.Timestamp
+    // "up": 1,2,3,4 events on days 1..4 -> every pair ascending, S = 6
+    // "down": 4,3,2,1 -> S = -6; "flat": 2,2,2,2 -> S = 0, ties = 6
+    val rows = for {
+      d <- 0 until 4
+      (typ, n) <- Seq(("up", d + 1), ("down", 4 - d), ("flat", 2))
+      _ <- 0 until n
+    } yield (typ, Timestamp.valueOf(f"2024-02-0${d + 1} 08:00:00"))
+    val out = Windows.mannKendall(rows.toDF("event_type", "ts")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    val sigma = math.sqrt(4.0 * 3.0 * 13.0 / 18.0)
+    assert(out("up")._1 === 4L)
+    assert(out("up")._2 === 6L && out("up")._3 === 0L)
+    assert(out("up")._4 === BigDecimal(5.0 / sigma)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out("down")._2 === -6L)
+    assert(out("down")._4 === -out("up")._4)
+    assert(out("flat")._2 === 0L && out("flat")._3 === 6L)
+    assert(out("flat")._4 === 0.0)
+  }
+
   test("activityStreaks: islands split exactly at the missing day") {
     import java.sql.Timestamp
     def ts(day: Int) = Timestamp.valueOf(f"2024-05-$day%02d 09:00:00")
