@@ -775,6 +775,9 @@ object SparkEntry {
     // chi-square contingency cells ([EXT]): categorical-association
     // drift (lang x source), zero cells included via the full spine
     "q_chi2" -> ((s, d) => Profile.chi2Cells(t(s, d, "documents"), "lang", "source")),
+    // Cramér's V ([EXT]): the N-free effect size over the chi² cells
+    // — rounded-then-decimal term sum, one guarded sqrt finish
+    "q_cramers_v" -> ((s, d) => Profile.cramersV(t(s, d, "documents"), "lang", "source")),
     // forward fill / LOCF ([EXT]): deterministic synthetic gaps
     // (event_id % 7) filled per user; ts drives the frame order but
     // stays out of the output (nanos-vs-micros render across engines)
@@ -3132,6 +3135,31 @@ object SparkEntry {
            SELECT lang, source, n_obs, expected,
              (n_obs::DOUBLE - expected) * (n_obs::DOUBLE - expected) / expected AS term
            FROM t ORDER BY lang, source""",
+      "q_cramers_v" -> // rounded-then-decimal chi2 sum; guarded sqrt finish
+        """WITH obs AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+           sp AS (SELECT lang, source FROM (SELECT DISTINCT lang FROM documents)
+                  CROSS JOIN (SELECT DISTINCT source FROM documents)),
+           f AS (SELECT sp.lang, sp.source, COALESCE(n, 0) AS n_obs
+                 FROM sp LEFT JOIN obs USING (lang, source)),
+           t AS (SELECT lang, source, n_obs,
+                   (sum(n_obs) OVER (PARTITION BY lang))::DOUBLE *
+                   (sum(n_obs) OVER (PARTITION BY source))::DOUBLE /
+                   (sum(n_obs) OVER ())::DOUBLE AS expected
+                 FROM f),
+           a AS (SELECT
+               sum(CAST(round((n_obs::DOUBLE - expected) * (n_obs::DOUBLE - expected)
+                 / expected, 6) AS DECIMAL(18,6))) AS chi2d,
+               CAST(sum(n_obs) AS BIGINT) AS n,
+               CAST(count(DISTINCT lang) AS BIGINT) AS r,
+               CAST(count(DISTINCT source) AS BIGINT) AS c
+             FROM t)
+           SELECT n, r AS n_rows_cat, c AS n_cols_cat,
+             round(CAST(chi2d AS DOUBLE), 6) AS chi2,
+             CASE WHEN n > 0 AND least(r, c) > 1 THEN
+               round(sqrt(CAST(chi2d AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(least(r, c) AS DOUBLE) - 1.0))), 6)
+             END AS cramers_v
+           FROM a""",
       "q_windowed_counts" ->
         s"""SELECT (epoch_ns(ts) // 600000000000) * 600 AS window_start, event_type,
             count(*) AS n_events, ${sqlDsum("value")} AS sum_value

@@ -666,6 +666,32 @@ object Profile {
       .orderBy(col(aCol), col(bCol))
   }
 
+  /** Cramér's V ([EXT]) — the EFFECT SIZE [[chi2Cells]]'s statistic
+    * needs for comparability: χ² grows with N (everything is
+    * "significant" at 100 TB), V = sqrt(χ² / (N·(min(r,c)−1))) ∈
+    * [0,1] doesn't. Rides the same cell table; per-cell terms are
+    * ROUNDED then decimal-summed (a raw double sum over cells would
+    * make χ² partitioning-dependent), and V is one guarded IEEE
+    * finish; degenerate tables (a single row or column category)
+    * yield null, not 0/0. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = chi2Cells(df, aCol, bCol)
+    val agg = cells.agg(
+      sum(round(col("term"), 6).cast(DecimalType(18, 6))).as("__chi2"),
+      sum(col("n_obs")).as("__n"),
+      countDistinct(col(aCol)).as("__r"),
+      countDistinct(col(bCol)).as("__c"))
+    val k = least(col("__r"), col("__c")).cast("double") - 1.0
+    agg.select(
+      col("__n").cast("long").as("n"),
+      col("__r").cast("long").as("n_rows_cat"),
+      col("__c").cast("long").as("n_cols_cat"),
+      round(col("__chi2").cast("double"), 6).as("chi2"),
+      when(col("__n") > 0 && least(col("__r"), col("__c")) > 1,
+        round(sqrt(col("__chi2").cast("double") /
+          (col("__n").cast("double") * k)), 6)).as("cramers_v"))
+  }
+
   /** Robust outlier report via the median absolute deviation ([EXT]):
     * per group, med = median(v), mad = median(|v - med|); rows with
     * |v - med| > k·mad are flagged with their robust score

@@ -524,6 +524,23 @@ class ProfileSpec extends SparkSuite {
     }
   }
 
+  test("cramersV: perfect association scores 1, independence 0, degenerate null") {
+    // x determines y exactly -> V = 1 (2x2, 10 rows per diagonal cell)
+    val perfect = ((1 to 10).map(_ => ("a", "p")) ++ (1 to 10).map(_ => ("b", "q")))
+      .toDF("x", "y")
+    val p = Profile.cramersV(perfect, "x", "y").head()
+    assert(p.getAs[Double]("cramers_v") === 1.0)
+    assert(p.getAs[Double]("chi2") === 20.0)
+    // perfectly balanced independent table -> chi2 = 0, V = 0
+    val indep = (for { a <- Seq("a", "b"); b <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (a, b)).toDF("x", "y")
+    assert(Profile.cramersV(indep, "x", "y").head()
+      .getAs[Double]("cramers_v") === 0.0)
+    // one-category column: no association is definable -> null
+    val degen = Seq(("a", "p"), ("a", "q")).toDF("x", "y")
+    assert(Profile.cramersV(degen, "x", "y").head().isNullAt(4))
+  }
+
   test("aucExact: hand value with ties, flip symmetry, monotone invariance") {
     val df = Seq((1.0, 0L), (2.0, 0L), (2.0, 1L), (3.0, 1L)).toDF("sc", "y")
     def auc(d: org.apache.spark.sql.DataFrame) =
