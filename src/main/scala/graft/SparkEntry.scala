@@ -1203,6 +1203,10 @@ object SparkEntry {
     // — exact integer S over the bounded daily table, guarded z chain
     "q_trend_test" -> ((s, d) =>
       Windows.mannKendall(graft.functions.TimeCol.instant(t(s, d, "events")))),
+    // CUSUM control chart ([EXT]): sustained-drift alarms via the
+    // prefix-sum unroll, all integer micro-units (frame-order-proof)
+    "q_cusum" -> ((s, d) =>
+      Windows.cusum(graft.functions.TimeCol.instant(t(s, d, "events")))),
     // EXACT two-sample KS drift ([EXT]): sup|ECDF diff| as integer
     // cross-products over the distinct-value table, dual prefix sums
     // on one distributed sort
@@ -3877,6 +3881,27 @@ object SparkEntry {
                round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
                  / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) END AS lift
            FROM cum, tot ORDER BY decile""",
+      "q_cusum" -> // integer micro-unit prefix sums; the max(0,·) unroll
+        """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+               count(*) AS cnt FROM events GROUP BY 1, 2),
+           mu AS (SELECT event_type, (sum(cnt) * 1000000) // count(*) AS mu6
+             FROM daily GROUP BY 1),
+           z AS (SELECT d.event_type, d.day, d.cnt,
+               d.cnt * 1000000 - m.mu6 - 1000000 AS z6
+             FROM daily d JOIN mu m USING (event_type)),
+           runs AS (SELECT event_type, day, cnt,
+               sum(z6) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS zz
+             FROM z),
+           rm AS (SELECT event_type, day, cnt, zz,
+               min(zz) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS runmin
+             FROM runs)
+           SELECT event_type, day, cnt,
+             round(CAST(zz - least(runmin, 0) AS DOUBLE) / 1000000.0, 6) AS cusum,
+             CAST(CASE WHEN zz - least(runmin, 0) > 8000000 THEN 1 ELSE 0 END
+               AS INTEGER) AS alarm
+           FROM rm ORDER BY event_type, day""",
       "q_trend_test" -> // exact integer S; the z chain replayed verbatim
         """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
                count(*) AS cnt FROM events GROUP BY 1, 2),

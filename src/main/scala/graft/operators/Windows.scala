@@ -524,6 +524,48 @@ object Windows {
       .orderBy(col(key), col("event_id"))
   }
 
+  /** CUSUM change-point monitor ([EXT]) — the control chart (Page
+    * 1954): C_t = max(0, C_{t−1} + (x_t − μ − k)) accumulates
+    * sustained drift above the per-key baseline and alarms at C > h —
+    * catching the slow leak [[seasonalAnomalies]]' per-day spike test
+    * can't (ten days each 2σ high never flag a MAD rule; their CUSUM
+    * climbs). The recursion unrolls to prefix sums —
+    * C_t = Z_t − min(0, min_{s≤t} Z_s) with Z the running sum of
+    * (x − μ − k) — so it's two windows over the BOUNDED daily table,
+    * not a sequential scan.
+    *
+    * Exactness: everything runs in INTEGER micro-units — μ is the
+    * floor-divided (Σ·10⁶)/n, z/Z/C are longs — because window-frame
+    * sums are internally tree-ordered and a double cumsum would be
+    * engine- and partitioning-dependent; integer addition is
+    * associative-exact, so the frame's internal order cannot matter.
+    * `slack` (k) and `threshold` (h) are in count units. */
+  def cusum(events: DataFrame, typeCol: String = "event_type",
+            tsCol: String = "ts", slack: Double = 1.0,
+            threshold: Double = 8.0): DataFrame = {
+    val daily = events.groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    // integral `div`, NOT `/`: Spark's `/` on longs is true (double)
+    // division — the fractional µ would leak IEEE noise into every
+    // prefix sum (caught by the oracle gate: 0.6 vs 0.600004)
+    val mu = daily.groupBy(col(typeCol).as("__t"))
+      .agg(expr("(sum(cnt) * 1000000) div count(*)").as("__mu6"))
+    val kMicro = math.round(slack * 1000000L)
+    val hMicro = math.round(threshold * 1000000L)
+    val byDay = Window.partitionBy(col(typeCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(mu, col(typeCol) === col("__t"))
+      .withColumn("__z", col("cnt") * 1000000L - col("__mu6") - lit(kMicro))
+      .withColumn("__Z", sum(col("__z")).over(byDay))
+      .withColumn("__runmin", min(col("__Z")).over(byDay))
+      .withColumn("__C", col("__Z") - least(col("__runmin"), lit(0L)))
+      .select(col(typeCol), col("day"), col("cnt"),
+        round(col("__C").cast("double") / 1000000.0, 6).as("cusum"),
+        when(col("__C") > hMicro, lit(1)).otherwise(lit(0)).cast("int")
+          .as("alarm"))
+      .orderBy(col(typeCol), col("day"))
+  }
+
   /** Mann-Kendall trend test ([EXT]) — "is this series actually
     * trending?" with a DISTRIBUTION-FREE answer ([[Profile.linearFit]]
     * fits a slope; this tests monotonicity without assuming

@@ -170,6 +170,28 @@ class StatsSpec extends SparkSuite {
     assert(out(17) === 2.0)  // the spike fell off the window
   }
 
+  test("cusum: level shift accumulates and alarms; steady series stays at 0") {
+    import java.sql.Timestamp
+    // "s": 10 days at 10/day then 10 days at 13/day -> mu = 11.5, k = 1:
+    // pre-shift z = -2.5 (C pinned at 0), post-shift z = +0.5 -> C = 0.5j
+    // "flat": constant 5/day -> z = -k forever, C = 0, no alarms
+    val rows = for {
+      d <- 0 until 20
+      (typ, n) <- Seq(("s", if (d < 10) 10 else 13), ("flat", 5))
+      _ <- 0 until n
+    } yield (typ, Timestamp.valueOf(f"2024-03-${d + 1}%02d 12:00:00"))
+    val out = Windows.cusum(rows.toDF("event_type", "ts"),
+        slack = 1.0, threshold = 3.0).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getDouble(3), r.getInt(4))).toMap
+    assert(out(("s", "2024-03-10")) === ((0.0, 0)))  // decline keeps C at 0
+    assert(out(("s", "2024-03-11")) === ((0.5, 0)))  // shift starts climbing
+    assert(out(("s", "2024-03-20")) === ((5.0, 1)))  // C = 0.5 * 10
+    val alarms = out.collect { case ((t, d), (_, 1)) if t == "s" => d }.toSeq.sorted
+    assert(alarms === Seq("2024-03-17", "2024-03-18", "2024-03-19", "2024-03-20"))
+    assert(out.forall { case ((t, _), (c, a)) => t != "flat" || (c == 0.0 && a == 0) })
+  }
+
   test("mannKendall: monotone series hit +-S_max, flat scores z = 0") {
     import java.sql.Timestamp
     // "up": 1,2,3,4 events on days 1..4 -> every pair ascending, S = 6
