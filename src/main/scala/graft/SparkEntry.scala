@@ -791,6 +791,11 @@ object SparkEntry {
     // ordered funnel: min-ts-after-previous-step, one shuffle key (user)
     "q_funnel" -> ((s, d) =>
       Reports.funnel(t(s, d, "events"), Seq("view", "click", "purchase"))),
+    // funnel velocity ([EXT]): median/p90 step-to-step gap on the same
+    // earliest-qualifying-times chain — the slow-step diagnosis
+    "q_funnel_timing" -> ((s, d) =>
+      Reports.funnelTiming(graft.functions.TimeCol.instant(t(s, d, "events")),
+        Seq("view", "click", "purchase"))),
     // session-scoped funnel ([EXT]): conversion within the 30-min
     // session, not the user's whole history — the product-analytics
     // number (funnel ∘ sessionIds composition)
@@ -2657,6 +2662,28 @@ object SparkEntry {
                CASE WHEN c0 > 0 THEN round(c2::DOUBLE / c0::DOUBLE, 6) END,
                CASE WHEN c1 > 0 THEN round(c2::DOUBLE / c1::DOUBLE, 6) END
              FROM c)
+           ORDER BY step_idx""",
+      "q_funnel_timing" -> // same chain; gap percentiles via the bridge
+        """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+               s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 USING (user_id)
+                      WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY e.user_id),
+               s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+                      WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY e.user_id),
+               g1 AS (SELECT CAST(epoch_us(s1.t1) - epoch_us(s0.t0) AS DOUBLE) AS gap
+                      FROM s1 JOIN s0 USING (user_id)),
+               g2 AS (SELECT CAST(epoch_us(s2.t2) - epoch_us(s1.t1) AS DOUBLE) AS gap
+                      FROM s2 JOIN s1 USING (user_id))
+           SELECT * FROM (
+             SELECT 0 AS step_idx, 'view -> click' AS transition,
+               (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users,
+               (SELECT round(quantile_cont(gap, 0.5) / 1000000.0, 3) FROM g1) AS median_s,
+               (SELECT round(quantile_cont(gap, 0.9) / 1000000.0, 3) FROM g1) AS p90_s
+             UNION ALL
+             SELECT 1, 'click -> purchase',
+               (SELECT CAST(count(*) AS BIGINT) FROM s2),
+               (SELECT round(quantile_cont(gap, 0.5) / 1000000.0, 3) FROM g2),
+               (SELECT round(quantile_cont(gap, 0.9) / 1000000.0, 3) FROM g2))
            ORDER BY step_idx""",
       "q_integrity" -> { // one left-join + conditional-count block per FK edge
         def edge(name: String, child: String, ck: String,

@@ -361,6 +361,43 @@ object Reports {
       .orderBy(col("step_idx"))
   }
 
+  /** Funnel velocity ([EXT]) — [[funnel]] says how many convert, this
+    * says how FAST: per adjacent step pair, the median and p90 gap
+    * between a user's first step-i and first subsequent step-i+1
+    * (the same earliest-qualifying-times chain funnel builds — one
+    * pass, no per-step driver action), through the certified
+    * percentile == quantile_cont bridge on exact micros. The
+    * slow-step diagnosis conversion ratios can't make. */
+  def funnelTiming(events: DataFrame, steps: Seq[String],
+                   typeCol: String = "event_type", tsCol: String = "ts",
+                   userCol: String = "user_id"): DataFrame = {
+    require(steps.size >= 2, "funnelTiming needs at least two steps")
+    var acc = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
+    for ((step, i) <- steps.tail.zipWithIndex) {
+      val si = events.where(col(typeCol) === step)
+        .join(acc.select(col(userCol), col(s"t$i")), Seq(userCol))
+        .where(col(tsCol) > col(s"t$i"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"t${i + 1}"))
+      acc = acc.join(si, Seq(userCol), "left")
+    }
+    val entries = steps.indices.tail.map { i =>
+      val gap = (unix_micros(col(s"t$i")) - unix_micros(col(s"t${i - 1}")))
+        .cast("double")
+      struct(lit(i - 1).as("step_idx"),
+        lit(s"${steps(i - 1)} -> ${steps(i)}").as("transition"),
+        count(col(s"t$i")).as("n_users"),
+        round(percentile(gap, lit(0.5)) / 1000000.0, 3).as("median_s"),
+        round(percentile(gap, lit(0.9)) / 1000000.0, 3).as("p90_s"))
+        .as(s"__e$i")
+    }
+    acc.agg(entries.head, entries.tail: _*)
+      .select(explode(array(
+        steps.indices.tail.map(i => col(s"__e$i")): _*)).as("e"))
+      .select(col("e.*"))
+      .orderBy(col("step_idx"))
+  }
+
   /** Session-scoped funnel ([EXT]) — [[funnel]] with the SESSION, not
     * the user's whole history, as the conversion unit: "how many
     * sessions view→click→purchase" is the product-analytics number

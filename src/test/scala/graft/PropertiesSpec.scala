@@ -99,6 +99,28 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("property: DDSketch alpha bound holds for arbitrary signed multisets") {
+    import graft.expressions.{DDSketch, DDSketchAggregator}
+    val agg = new DDSketchAggregator[Double](Double.box, 0.02)
+    val values = Gen.listOfN(200, Gen.oneOf(
+      Gen.choose(-1e6, -1e-3), Gen.const(0.0), Gen.choose(1e-3, 1e6)))
+    samples(values, 20).foreach { xs =>
+      val buf = xs.foldLeft(agg.zero)(agg.reduce)
+      val sorted = xs.sorted
+      for (q <- Seq(0.0, 0.25, 0.5, 0.75, 0.99, 1.0)) {
+        val truth = sorted((q * (xs.size - 1)).toLong.toInt)
+        val est = DDSketch.quantile(buf, q, 0.02)
+        // sign-preserving relative bound (exact for the zero bucket)
+        assert(math.abs(est - truth) <= 0.02 * math.abs(truth) + 1e-9,
+          s"q=$q est=$est truth=$truth n=${xs.size}")
+      }
+      // shard-merge == whole for a random split point too
+      val (a, b) = xs.splitAt(xs.size / 3)
+      assert(agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce)) === buf)
+    }
+  }
+
   test("property: media header parsers never throw — arbitrary and mutated bytes") {
     import graft.multimodal.{ImageHeader, Mp4Header}
     val junk = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)

@@ -419,6 +419,27 @@ class ReportsSpec extends SparkSuite {
     assert(out.toSeq === Seq("CHINA" -> 100.0, "JAPAN" -> 90.0))
   }
 
+  test("funnelTiming: hand medians; dropouts and repeat events don't pollute") {
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val df = Seq(
+      // u1: view@0 -> click@10 (gap 600 s) -> buy@40 (gap 1800 s)
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(40)),
+      // u2: view@0 -> click@30 (gap 1800 s), never buys
+      (2L, "view", ts(0)), (2L, "click", ts(30)),
+      // u3: click before any view -> never enters the funnel tail
+      (3L, "click", ts(5)), (3L, "view", ts(6)),
+      // u1's SECOND click must not matter (first qualifying wins)
+      (1L, "click", ts(20))
+    ).map { case (u, e, t) => (u * 100 + t.getTime / 60000, u, e, t) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Reports.funnelTiming(df, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    // view->click gaps: u1 600 s, u2 1800 s, u3 none -> median 1200 s
+    assert(out("view -> click") === ((2L, 1200.0)))
+    assert(out("click -> purchase") === ((1L, 1800.0)))
+  }
+
   test("positionAttribution: U-shape credits by path length, conservation") {
     import java.sql.Timestamp
     def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
