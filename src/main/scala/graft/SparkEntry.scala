@@ -1212,6 +1212,13 @@ object SparkEntry {
     // prefix-sum unroll, all integer micro-units (frame-order-proof)
     "q_cusum" -> ((s, d) =>
       Windows.cusum(graft.functions.TimeCol.instant(t(s, d, "events")))),
+    // session exit rates ([EXT]): share of each event type's
+    // occurrences that ended a session — sessionIds composition
+    "q_exit_rates" -> ((s, d) => Windows.exitRates(t(s, d, "events"))),
+    // new-vs-returning daily split ([EXT]): acquisition vs retention
+    // over the distinct (user, day) table
+    "q_new_returning" -> ((s, d) =>
+      Windows.newVsReturning(graft.functions.TimeCol.instant(t(s, d, "events")))),
     // EXACT two-sample KS drift ([EXT]): sup|ECDF diff| as integer
     // cross-products over the distinct-value table, dual prefix sums
     // on one distributed sort
@@ -3908,6 +3915,32 @@ object SparkEntry {
                round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
                  / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) END AS lift
            FROM cum, tot ORDER BY decile""",
+      "q_exit_rates" -> // session assignment replayed in exact micros
+        """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+             FROM events),
+           m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                 OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+           s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+               ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM m),
+           x AS (SELECT event_type,
+               CASE WHEN row_number() OVER (PARTITION BY user_id, sess
+                 ORDER BY us DESC, event_id DESC) = 1 THEN 1 ELSE 0 END AS ex
+             FROM s)
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(ex) AS BIGINT) AS n_exits,
+             round(CAST(sum(ex) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS exit_rate
+           FROM x GROUP BY 1 ORDER BY 1""",
+      "q_new_returning" -> // first-day classification over distinct (user, day)
+        """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+           f AS (SELECT user_id, min(day) AS fd FROM d GROUP BY 1)
+           SELECT day,
+             CAST(sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+             CAST(sum(CASE WHEN day <> fd THEN 1 ELSE 0 END) AS BIGINT)
+               AS returning_users
+           FROM d JOIN f USING (user_id)
+           GROUP BY day ORDER BY day""",
       "q_cusum" -> // integer micro-unit prefix sums; the max(0,·) unroll
         """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
                count(*) AS cnt FROM events GROUP BY 1, 2),

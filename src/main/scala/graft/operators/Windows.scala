@@ -287,6 +287,43 @@ object Windows {
         (col("end_us") - col("start_us")).as("duration_us"), col("n_events"))
       .orderBy(col("user_id"), col("session_seq"))
 
+  /** Session exit rates ([EXT]) — per event type, the share of its
+    * occurrences that ENDED a session (the "where do users leave"
+    * product question [[Reports.funnel]]'s fixed step order can't
+    * ask). Pure composition over [[sessionIds]]: one row_number per
+    * session marks the last event ((ts, event_id) desc — the same
+    * tiebreak the session order uses), then one aggregate. Exact
+    * counts; the rate is one rounded IEEE division. */
+  def exitRates(events: DataFrame, gapUs: Long = 1800000000L): DataFrame = {
+    val s = sessionIds(events, gapUs)
+    val w = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    s.withColumn("__exit",
+        when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("__exit")).as("n_exits"))
+      .withColumn("exit_rate",
+        round(col("n_exits").cast("double") / col("n_events").cast("double"), 6))
+      .orderBy(col("event_type"))
+  }
+
+  /** New-vs-returning daily split ([EXT]) — the acquisition/retention
+    * decomposition of [[Reports.rollingActiveUsers]]' totals: each
+    * (user, day) active pair is "new" iff the day is that user's
+    * FIRST. Two bounded aggregates over the distinct (user, day)
+    * table; counts exact. */
+  def newVsReturning(events: DataFrame, userCol: String = "user_id",
+                     tsCol: String = "ts"): DataFrame = {
+    val days = events.select(col(userCol).as("user_id"),
+      to_date(col(tsCol)).as("day")).distinct()
+    val first = days.groupBy(col("user_id")).agg(min(col("day")).as("__first"))
+    days.join(first, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("day") === col("__first"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("day") =!= col("__first"), 1L).otherwise(0L)).as("returning_users"))
+      .orderBy(col("day"))
+  }
+
   /** Concurrency sweep-line ([EXT]) — treat each event as an interval
     * [ts, ts + duration) and compute, at every interval boundary, how
     * many intervals are open: the classic "peak concurrent

@@ -170,6 +170,27 @@ class StatsSpec extends SparkSuite {
     assert(out(17) === 2.0)  // the spike fell off the window
   }
 
+  test("exitRates and newVsReturning: hand session ends and first days") {
+    import java.sql.Timestamp
+    def ts(d: Int, min: Int) = Timestamp.valueOf(f"2024-04-0$d 10:$min%02d:00")
+    // u1 day1: view,click | (31-min gap) view -> two sessions ending
+    // in click and view; u2 day1: view; u2 day2: click
+    val df = Seq(
+      (1L, 1L, "view", ts(1, 0)), (2L, 1L, "click", ts(1, 5)),
+      (3L, 1L, "view", ts(1, 37)),
+      (4L, 2L, "view", ts(1, 0)), (5L, 2L, "click", ts(2, 0))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val er = Windows.exitRates(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // exits: u1s1 click, u1s2 view, u2s1 view, u2s2 click
+    assert(er("view") === ((3L, 2L, 0.666667)))
+    assert(er("click") === ((2L, 2L, 1.0)))
+    val nr = Windows.newVsReturning(df).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    assert(nr("2024-04-01") === ((2L, 0L))) // both users new on day 1
+    assert(nr("2024-04-02") === ((0L, 1L))) // u2 returns
+  }
+
   test("cusum: level shift accumulates and alarms; steady series stays at 0") {
     import java.sql.Timestamp
     // "s": 10 days at 10/day then 10 days at 13/day -> mu = 11.5, k = 1:
