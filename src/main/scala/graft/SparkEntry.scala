@@ -1166,6 +1166,12 @@ object SparkEntry {
     "q_quantile_monitor" -> ((s, d) =>
       Sessions.quantileMonitor(graft.functions.TimeCol.instant(t(s, d, "events")))
         .toDF().orderBy(col("event_type"))),
+    // streaming distinct monitor ([EXT]) in its batch twin: KMV in
+    // keyed state — portable fp60 + the kmvEstimate arithmetic make
+    // this streaming monitor ORACLE-certifiable
+    "q_distinct_monitor" -> ((s, d) =>
+      Sessions.distinctMonitor(t(s, d, "events"))
+        .toDF().orderBy(col("event_type"))),
     "q_tpch_q5" -> ((s, d) =>
       Reports.localSupplierVolume(t(s, d, "customer"), t(s, d, "orders"),
         t(s, d, "lineitem"), t(s, d, "supplier"), t(s, d, "nation"),
@@ -2428,6 +2434,18 @@ object SparkEntry {
       "q_value_counts" ->
         """SELECT o_orderpriority, count(*) AS n FROM orders
            GROUP BY o_orderpriority ORDER BY n DESC, o_orderpriority""",
+      "q_distinct_monitor" -> // the stateful monitor's batch twin == the KMV chain
+        """WITH h AS (SELECT DISTINCT event_type,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+               FROM events WHERE user_id IS NOT NULL),
+               r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS r FROM h),
+               s AS (SELECT event_type, h FROM r WHERE r <= 64)
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+             CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                  ELSE 63.0 * 1152921504606846976::DOUBLE / max(h)::DOUBLE END
+               AS distinct_est
+           FROM s GROUP BY event_type ORDER BY event_type""",
       "q_kmv_distinct" -> // same md5 60-bit fp, same (k-1)·2^60/h_k estimator
         """WITH h AS (SELECT DISTINCT event_type AS "group",
                  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h

@@ -15,6 +15,14 @@ final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 final case class QuantileUpdate(event_type: String, n: Long,
                                 p50: Double, p99: Double)
 
+/** KMV (k minimum values) distinct sketch carried in keyed state:
+  * the k smallest 60-bit value fingerprints seen so far (sorted). */
+final case class KmvBuf(hashes: Seq[Long])
+
+/** One distinct-count update per key per micro-batch. */
+final case class DistinctUpdate(event_type: String, n_kept: Long,
+                                distinct_est: Double)
+
 /** Event-time windowing + sessionization (SURVEY.md §2.10 [EXT] —
   * absent from the reference, which names streaming as future work at
   * reference README.md:507).
@@ -156,6 +164,47 @@ object Sessions {
     * one-shot batch sketch over the same rows — the spec asserts
     * exact equality, not approximate agreement. Works over a batch
     * frame (one pass) and a stream (state persists; Update mode). */
+  /** Streaming distinct-count monitor ([EXT]) — "distinct users per
+    * type, continuously" as a KMV sketch in keyed state (the k
+    * smallest value fingerprints — the state is k longs per key
+    * FOREVER, where exact streaming distinct state grows with the
+    * universe). The k-min set of a growing multiset is monotone
+    * (a discarded hash can never re-enter), so the fold is
+    * order-insensitive: the monitor's estimate after any batch split
+    * equals the one-shot batch sketch EXACTLY — and because the
+    * fingerprint is the portable md5 fp60 and the estimator the same
+    * (k−1)·2^60/h_k arithmetic as [[graft.operators.Profile.kmvEstimate]],
+    * the batch twin is hash-certified against a DuckDB replay (this
+    * is the ORACLED streaming monitor; the DDSketch one is
+    * engine-private). Exact below k distinct values, ±O(1/√k) above. */
+  def distinctMonitor(events: DataFrame, k: Int = 64): Dataset[DistinctUpdate] = {
+    require(k >= 2, s"KMV needs k >= 2: $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type"), col("user_id").cast("string"))
+      .where(col("user_id").isNotNull)
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)], state: GroupState[KmvBuf]) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def fp(sv: String): Long = { // JVM twin of Portable.fp60
+            val hex = md.digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            java.lang.Long.parseLong(hex.substring(0, 15), 16)
+          }
+          val prev = state.getOption.map(_.hashes).getOrElse(Seq.empty)
+          val merged = (prev.toSet ++ rows.map(r => fp(r._2))).toSeq.sorted.take(k)
+          state.update(KmvBuf(merged))
+          if (merged.isEmpty) Iterator.empty
+          else {
+            val est =
+              if (merged.size < k) merged.size.toDouble
+              else (k - 1).toDouble * 1.152921504606846976e18 / merged.last.toDouble
+            Iterator(DistinctUpdate(key, merged.size.toLong, est))
+          }
+      }
+  }
+
   def quantileMonitor(events: DataFrame, alpha: Double = 0.01,
                       maxBuckets: Int = 2048): Dataset[QuantileUpdate] = {
     val spark = events.sparkSession

@@ -101,6 +101,35 @@ class SessionsSpec extends SparkSuite {
     assert(batch.head.p99 === fin.getDouble(2))
   }
 
+  test("distinctMonitor: streamed estimate == batch twin; exact below k") {
+    val dir = Files.createTempDirectory("graft-dmon").toString
+    // 100 users split across two batch files with overlap; k = 16
+    // saturates (est within ~1/sqrt(16) of truth), k = 256 stays exact
+    val b1 = (1 to 60).map(u => (u.toLong, ts(0), "api", 1.0))
+    val b2 = (30 to 100).map(u => (u.toLong, ts(1), "api", 1.0))
+    b1.toDF("user_id", "ts", "event_type", "value").write.parquet(s"$dir/in/f1")
+    b2.toDF("user_id", "ts", "event_type", "value").write.parquet(s"$dir/in/f2")
+    val schema = spark.read.parquet(s"$dir/in/f1").schema
+    val stream = Sessions.distinctMonitor(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*"), k = 16)
+    val q = stream.toDF().writeStream.format("memory").queryName("dmon")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val all = (b1 ++ b2).toDF("user_id", "ts", "event_type", "value")
+    val batch = Sessions.distinctMonitor(all, k = 16).collect().head
+    // the last streamed update (the cumulative sketch) == one-shot batch
+    val fin = spark.sql(
+      "SELECT n_kept, distinct_est FROM dmon ORDER BY distinct_est DESC LIMIT 1").head()
+    assert(fin.getLong(0) === batch.n_kept)
+    assert(fin.getDouble(1) === batch.distinct_est)
+    // saturated estimate lands near the true 100
+    assert(batch.distinct_est > 60 && batch.distinct_est < 160)
+    // below k the count is EXACT
+    val exact = Sessions.distinctMonitor(all, k = 256).collect().head
+    assert(exact.n_kept === 100L && exact.distinct_est === 100.0)
+  }
+
   test("statefulUserTotals in batch mode: one pass, totals per user") {
     val out = Sessions.statefulUserTotals(events).collect().sortBy(_.user_id)
     assert(out.map(u => (u.user_id, u.n_events)).toSeq === Seq((1L, 3L), (2L, 2L)))
