@@ -153,6 +153,39 @@ object Sessions {
       }
   }
 
+  /** Streaming heavy-hitters monitor ([EXT]) — completes the
+    * bounded-state monitor trio (quantiles = DDSketch, distincts =
+    * KMV, frequency = this): a Misra-Gries summary
+    * ([[graft.expressions.MisraGriesAggregator]]) in keyed state, ≤
+    * `capacity` counters per key forever. The MG DETERMINISTIC
+    * guarantee survives the cross-batch merges (Agarwal et al., PODS
+    * 2012): after any prefix of the stream, every value with true
+    * frequency > n/(capacity+1) is guaranteed PRESENT in the emitted
+    * summary — the property the spec asserts. Unlike the other two
+    * monitors, MG merge results depend on merge order, so the
+    * summary's exact counters are lineage-specific (spec-law'd, not
+    * oracled — the guarantee, not the counters, is the contract). */
+  def heavyHittersMonitor(events: DataFrame, valueCol: String = "user_id",
+                          capacity: Int = 16): Dataset[(String, Long, Map[String, Long])] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val agg = new graft.expressions.MisraGriesAggregator(capacity)
+    events.select(col("event_type"), col(valueCol).cast("string"))
+      .where(col(valueCol).isNotNull)
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[graft.expressions.MGBuf]) =>
+          val buf = rows.foldLeft(state.getOption.getOrElse(agg.zero)) {
+            (b, r) => agg.reduce(b, r._2)
+          }
+          state.update(buf)
+          if (buf.n == 0) Iterator.empty
+          else Iterator((key, buf.n, buf.counts))
+      }
+  }
+
   /** Streaming quantile monitor ([EXT]) — the "p99 per event type,
     * continuously" dashboard primitive, as a DDSketch
     * ([[graft.expressions.DDSketchAggregator]]) carried in keyed

@@ -101,6 +101,37 @@ class SessionsSpec extends SparkSuite {
     assert(batch.head.p99 === fin.getDouble(2))
   }
 
+  test("heavyHittersMonitor: the MG guarantee survives batch splits") {
+    val dir = Files.createTempDirectory("graft-hhmon").toString
+    // one hot user (40% of all events) among 50 cold ones, split so
+    // the hot mass straddles the batch boundary; capacity 8 ->
+    // guarantee threshold n/9 ~ 11% << 40%
+    val hot = (1 to 40).map(i => (999L, ts(i % 50), "api", 1.0))
+    val cold = (1 to 60).map(i => ((i % 50).toLong, ts(i % 50), "api", 1.0))
+    val (b1, b2) = (hot.take(20) ++ cold.take(30), hot.drop(20) ++ cold.drop(30))
+    b1.toDF("user_id", "ts", "event_type", "value").write.parquet(s"$dir/in/f1")
+    b2.toDF("user_id", "ts", "event_type", "value").write.parquet(s"$dir/in/f2")
+    val schema = spark.read.parquet(s"$dir/in/f1").schema
+    val stream = Sessions.heavyHittersMonitor(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*"), capacity = 8)
+    val q = stream.toDF("event_type", "n", "counts").writeStream
+      .format("memory").queryName("hhmon")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val fin = spark.sql("SELECT n, counts FROM hhmon ORDER BY n DESC LIMIT 1").head()
+    assert(fin.getLong(0) === 100L)
+    val counts = fin.getMap[String, Long](1)
+    assert(counts.size <= 8) // bounded state
+    // the guarantee: freq 40/100 > 100/9 -> the hot user MUST survive
+    assert(counts.contains("999"), s"hot user lost from $counts")
+    // batch mode single pass honors the same guarantee
+    val batch = Sessions.heavyHittersMonitor(
+      (b1 ++ b2).toDF("user_id", "ts", "event_type", "value"), capacity = 8)
+      .collect().head
+    assert(batch._2 === 100L && batch._3.contains("999"))
+  }
+
   test("distinctMonitor: streamed estimate == batch twin; exact below k") {
     val dir = Files.createTempDirectory("graft-dmon").toString
     // 100 users split across two batch files with overlap; k = 16
