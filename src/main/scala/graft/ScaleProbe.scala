@@ -336,6 +336,18 @@ object ScaleProbe {
     val ddq = time(s"ddQuantiles x$factor")(
       graft.operators.Profile.ddQuantiles(liQ, "grp", "v").count())
     println(s"[scale]   dd-quantile rows (flat in factor): $ddq")
+    // the stateful monitor trio in batch mode over the replicated
+    // events: output (and state) must stay FLAT — one bounded row per
+    // key regardless of fact size; wall-clock linear in the scan
+    val evFull = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      .crossJoin(spark.range(factor)).drop("id")
+    val qm = time(s"quantileMonitor x$factor")(
+      graft.streaming.Sessions.quantileMonitor(evFull).count())
+    val dm = time(s"distinctMonitor x$factor")(
+      graft.streaming.Sessions.distinctMonitor(evFull).count())
+    val hm = time(s"heavyHittersMonitor x$factor")(
+      graft.streaming.Sessions.heavyHittersMonitor(evFull).count())
+    println(s"[scale]   monitor rows (all flat in factor): $qm / $dm / $hm")
     spark.stop()
   }
 }
