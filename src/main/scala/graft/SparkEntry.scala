@@ -1143,6 +1143,13 @@ object SparkEntry {
     // the co-purchase graph (parts sharing a high-quantity order) —
     // hub wedges charged to low-degree endpoints, O(m^1.5) bound
     "q_triangles" -> ((s, d) => Graph.triangleCount(copurchaseEdges(s, d))),
+    // degree distribution ([EXT]): the hub/power-law fingerprint —
+    // histogram bounded by max degree, never node count
+    "q_degree_dist" -> ((s, d) => Graph.degreeDistribution(copurchaseEdges(s, d))),
+    // dedup cluster-size profile ([EXT]): the corpus-duplication
+    // fingerprint over the same CC assignment
+    "q_cluster_sizes" -> ((s, d) =>
+      Dedup.clusterSizeProfile(t(s, d, "documents"), threshold = 0.5)),
     // local clustering coefficient ([EXT]): community cores vs pure
     // hubs per part — the same machinery, per-corner credit
     "q_clustering_coef" -> ((s, d) => Graph.localClustering(copurchaseEdges(s, d))),
@@ -3764,6 +3771,34 @@ object SparkEntry {
            FROM o LEFT JOIN roots ON roots.doc = o.ordinal
                   LEFT JOIN o oc ON oc.ordinal = roots.root
            ORDER BY o.name""",
+      "q_degree_dist" -> // canonical distinct edges; degree histogram
+        """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40),
+               e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                     FROM li x JOIN li y
+                       ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+               deg AS (SELECT v, CAST(count(*) AS BIGINT) AS degree FROM
+                         (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+                       GROUP BY v)
+           SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+           FROM deg GROUP BY degree ORDER BY degree""",
+      "q_cluster_sizes" -> // same CC chain; two histogram aggregates on top
+        s"""WITH RECURSIVE fp AS (SELECT doc_id, text, $fingerprint AS f FROM documents),
+            g AS (SELECT f, min(doc_id) AS ek FROM fp GROUP BY f),
+            wk AS (SELECT fp.doc_id, fp.text, g.ek FROM fp JOIN g ON fp.f = g.f),
+            kd AS (SELECT doc_id, text FROM wk WHERE doc_id = ek),
+            ${minhashCtesFrom("kd")},
+            ${verifiedPairCtes("kd")},
+            e AS (SELECT doc_a AS s, doc_b AS d FROM verified
+                  UNION ALL SELECT doc_b AS s, doc_a AS d FROM verified),
+            reach(doc, lab) AS (SELECT DISTINCT s, s FROM e
+              UNION SELECT e.d, reach.lab FROM reach JOIN e ON reach.doc = e.s),
+            roots AS (SELECT doc, min(lab) AS root FROM reach GROUP BY doc),
+            asn AS (SELECT wk.doc_id, COALESCE(r.root, wk.ek) AS cluster_id
+                    FROM wk LEFT JOIN roots r ON wk.ek = r.doc),
+            cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                   FROM asn GROUP BY cluster_id)
+            SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM cs GROUP BY cluster_size ORDER BY cluster_size""",
       "q_triangles" -> // canonical a<b edges; x<y<z triple-join counts each triangle once
         """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40),
                e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b

@@ -535,6 +535,22 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Dedup cluster-size profile ([EXT]) — the corpus-duplication
+    * fingerprint: how many clusters of each size the exact+near CC
+    * assignment produces (size 1 = unique docs; a fat tail of large
+    * clusters means template spam or a crawl loop). Two bounded
+    * aggregates over the shared CC core; the histogram is bounded by
+    * the largest cluster, never the corpus. */
+  def clusterSizeProfile(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", threshold: Double = 0.5,
+                         k: Int = 16, bands: Int = 4, shingleLen: Int = 5,
+                         maxBucket: Int = 0, maxIter: Int = 20): DataFrame =
+    assignCC(docs, idCol, textCol, threshold, k, bands, shingleLen,
+      maxBucket, maxIter)
+      .groupBy(col("keeper_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
   /** 32-bit SimHash over whitespace tokens (weighted by occurrence).
     * Distributed as explode + one groupBy(doc) shuffle. */
   def simhash32(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -286,4 +286,21 @@ object Graph {
       oriented.select(col("u").as("w1"), col("v").as("w2")), Seq("w1", "w2"))
     (und, deg, closed)
   }
+
+  /** Degree distribution ([EXT]) — the first thing to look at on ANY
+    * graph (hub structure, power-law tails, disconnection smell):
+    * canonical-dedup the edges, count each node's incident edges, and
+    * histogram the degrees. Two keyed aggregates; the histogram is
+    * bounded by the max degree, never the node count. */
+  def degreeDistribution(edges: DataFrame, src: String = "src",
+                         dst: String = "dst"): DataFrame = {
+    val e = edges.select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+  }
 }

@@ -372,4 +372,18 @@ class DedupSpec extends SparkSuite {
     // exactly one kept row per cluster
     assert(out.values.count(_._3 == 1) === 3)
   }
+
+  test("clusterSizeProfile: histogram of exact+near cluster sizes") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),  // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog todays"), // near dup of 1
+      (4L, "completely different text about spark and scala here"),
+      (5L, "another unrelated document talking about databases")
+    ).toDF("doc_id", "text")
+    val out = Dedup.clusterSizeProfile(docs, threshold = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one cluster of 3 (1,2,3), two singletons
+    assert(out === Map(1L -> 2L, 3L -> 1L))
+  }
 }

@@ -139,4 +139,15 @@ class GraphSpec extends SparkSuite {
                     yield 1).size.toLong
     assert(tri(edges)._3 === expect)
   }
+
+  test("degreeDistribution: canonical dedup, histogram by degree") {
+    // triangle 1-2-3 plus pendant 4 on 1; duplicate and reversed
+    // edges must not inflate degrees
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (1L, 4L), (1L, 4L))
+      .toDF("src", "dst")
+    val out = Graph.degreeDistribution(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // degrees: 1 -> 3, 2 -> 2, 3 -> 2, 4 -> 1
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
 }
