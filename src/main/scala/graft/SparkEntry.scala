@@ -1232,6 +1232,13 @@ object SparkEntry {
     // over the distinct (user, day) table
     "q_new_returning" -> ((s, d) =>
       Windows.newVsReturning(graft.functions.TimeCol.instant(t(s, d, "events")))),
+    // EXACT Gini coefficient ([EXT]): rank-weighted identity on the
+    // prefix-sum skeleton, tie-proof integer moments
+    "q_gini" -> ((s, d) => Profile.giniExact(t(s, d, "documents"), "n_chars")),
+    // concentration indices ([EXT]): HHI + effective category count
+    // per column — the training-mix diversification check
+    "q_concentration" -> ((s, d) =>
+      Profile.concentration(t(s, d, "documents"), Seq("source", "lang"))),
     // EXACT two-sample KS drift ([EXT]): sup|ECDF diff| as integer
     // cross-products over the distinct-value table, dual prefix sums
     // on one distributed sort
@@ -4052,6 +4059,38 @@ object SparkEntry {
              CAST(count(*) AS BIGINT) AS days
            FROM g GROUP BY event_type, grp
            ORDER BY event_type, streak_start""",
+      "q_gini" -> // rank-weighted identity; tie runs contribute c·cum + c(c+1)/2
+        """WITH s AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+             WHERE n_chars IS NOT NULL AND n_chars >= 0),
+           pv AS (SELECT v, count(*) AS c FROM s GROUP BY v),
+           r AS (SELECT v, c, coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+             FROM pv),
+           a AS (SELECT sum(v * (c*cum + (c*(c+1))//2)) AS srx,
+               sum(c) AS n, sum(v*c) AS sx FROM r)
+           SELECT CAST(n AS BIGINT) AS n, CAST(sx AS DOUBLE) AS total,
+             CASE WHEN n > 0 AND sx > 0 THEN
+               round(CAST(srx*2 AS DOUBLE) / CAST(n*sx AS DOUBLE)
+                 - CAST(n+1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             END AS gini
+           FROM a""",
+      "q_concentration" -> // HHI and effective-N per column; exact moments
+        """SELECT * FROM (
+             SELECT 'source' AS "column",
+               CAST(count(*) AS BIGINT) AS n_categories,
+               round(CAST(sum(c*c) AS DOUBLE) / CAST(sum(c)*sum(c) AS DOUBLE), 6) AS hhi,
+               round(CAST(sum(c)*sum(c) AS DOUBLE) / CAST(sum(c*c) AS DOUBLE), 6)
+                 AS effective_n
+             FROM (SELECT count(*) AS c FROM documents
+                   WHERE source IS NOT NULL GROUP BY source)
+             UNION ALL
+             SELECT 'lang',
+               CAST(count(*) AS BIGINT),
+               round(CAST(sum(c*c) AS DOUBLE) / CAST(sum(c)*sum(c) AS DOUBLE), 6),
+               round(CAST(sum(c)*sum(c) AS DOUBLE) / CAST(sum(c*c) AS DOUBLE), 6)
+             FROM (SELECT count(*) AS c FROM documents
+                   WHERE lang IS NOT NULL GROUP BY lang))
+           ORDER BY "column"""",
       "q_ks_drift" -> // sup ECDF gap at step points; integer cross-products
         """WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v, source AS g
              FROM documents

@@ -286,6 +286,73 @@ object Profile {
         .as("auc"))
   }
 
+  /** EXACT Gini coefficient ([EXT]) — the inequality of a
+    * distribution ("how concentrated is the token budget in few
+    * documents", "do a handful of customers carry the revenue"): the
+    * rank-weighted identity G = 2·Σrᵢxᵢ/(n·Σx) − (n+1)/n on the same
+    * discipline as [[aucExact]] — distinct-value collapse, the
+    * distributed prefix skeleton for ranks, and EXACT integer
+    * moments: within a tie run the rank-sum is c·cum + c(c+1)/2
+    * regardless of order, so ties need no convention; moments are
+    * DECIMAL-widened, G is one rounded IEEE chain. Requires
+    * non-negative integral values (lengths, cents, counts). */
+  def giniExact(df: DataFrame, valueCol: String): DataFrame = {
+    val s = df.select(col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull && col("v") >= 0)
+    val perValue = s.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val (sorted, offsets) = Pack.rangeSortedWithOffsets(perValue, Seq("v"), col("c"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema :+ org.apache.spark.sql.types.StructField(
+        "cum", org.apache.spark.sql.types.LongType, nullable = false))
+    val withCum = sorted.mapPartitions { it =>
+      var acc = offsets(org.apache.spark.TaskContext.getPartitionId())
+      it.map { r =>
+        val cum = acc
+        acc += r.getAs[Long]("c")
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cum)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val dec = DecimalType(38, 0)
+    val agg = withCum.agg(
+      sum((col("v").cast(dec) *
+        (col("c").cast(dec) * col("cum") + (col("c").cast(dec) * (col("c") + 1)) / 2))
+        .cast(dec)).as("srx"),
+      sum(col("c")).as("n"),
+      sum((col("v").cast(dec) * col("c")).cast(dec)).as("sx"))
+    agg.select(
+      col("n").cast("long").as("n"),
+      col("sx").cast("double").as("total"),
+      when(col("n") > 0 && col("sx") > 0,
+        round((col("srx").cast(dec) * 2).cast("double") /
+            (col("n").cast(dec) * col("sx")).cast("double") -
+          (col("n") + 1).cast("double") / col("n").cast("double"), 6))
+        .as("gini"))
+  }
+
+  /** Concentration indices per categorical column ([EXT]) — the
+    * Herfindahl-Hirschman index Σ share² and its reciprocal, the
+    * EFFECTIVE category count ("this corpus acts like 4.2 sources,
+    * not 20") — the one-number diversification check a training-mix
+    * review starts with. One tiny aggregate per column over the value
+    * histogram; exact integer moments, one IEEE chain each. */
+  def concentration(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "concentration needs at least one column")
+    val dec = DecimalType(38, 0)
+    cols.map { c =>
+      df.select(col(c).as("v")).where(col("v").isNotNull)
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_categories"),
+          sum(col("cnt")).as("__n"),
+          sum((col("cnt").cast(dec) * col("cnt")).cast(dec)).as("__s2"))
+        .select(lit(c).as("column"),
+          col("n_categories").cast("long").as("n_categories"),
+          round(col("__s2").cast("double") /
+            (col("__n").cast(dec) * col("__n")).cast("double"), 6).as("hhi"),
+          round((col("__n").cast(dec) * col("__n")).cast("double") /
+            col("__s2").cast("double"), 6).as("effective_n"))
+    }.reduce(_ unionByName _).orderBy(col("column"))
+  }
+
   /** EXACT two-sample Kolmogorov-Smirnov distance ([EXT]) — the
     * continuous-measure drift test [[psiDrift]]'s binned shares can't
     * be: D = sup|F_a − F_b| over the two empirical CDFs. Exact at any

@@ -524,6 +524,32 @@ class ProfileSpec extends SparkSuite {
     }
   }
 
+  test("giniExact: equality -> 0, all-in-one -> (n-1)/n, hand value, tie-proof") {
+    def gini(xs: Seq[Long]) = Profile.giniExact(
+      xs.map(Tuple1(_)).toDF("v"), "v").head().getDouble(2)
+    assert(gini(Seq(7L, 7L, 7L, 7L)) === 0.0)
+    // one holder of everything: G = (n-1)/n
+    assert(gini(Seq(0L, 0L, 0L, 100L)) === 0.75)
+    // hand case {1,2,3,4}: sum r*x = 1+4+9+16 = 30; G = 60/(4*10) - 5/4 = 0.25
+    assert(gini(Seq(1L, 2L, 3L, 4L)) === 0.25)
+    // ties across partitions: same value everywhere in any order
+    val big = (1 to 1000).map(i => (i * 37 % 10).toLong)
+    val a = Profile.giniExact(big.map(Tuple1(_)).toDF("v"), "v").head().getDouble(2)
+    val b = Profile.giniExact(big.reverse.map(Tuple1(_)).toDF("v").repartition(13), "v")
+      .head().getDouble(2)
+    assert(a === b)
+  }
+
+  test("concentration: uniform -> effective n == k, monopoly -> hhi 1") {
+    val uniform = (1 to 40).map(i => ("s" + (i % 4), "x")).toDF("src", "y")
+    val u = Profile.concentration(uniform, Seq("src")).head()
+    assert(u.getLong(1) === 4L)
+    assert(u.getDouble(2) === 0.25 && u.getDouble(3) === 4.0)
+    val mono = (1 to 40).map(_ => ("only", "x")).toDF("src", "y")
+    val m = Profile.concentration(mono, Seq("src")).head()
+    assert(m.getDouble(2) === 1.0 && m.getDouble(3) === 1.0)
+  }
+
   test("cramersV: perfect association scores 1, independence 0, degenerate null") {
     // x determines y exactly -> V = 1 (2x2, 10 rows per diagonal cell)
     val perfect = ((1 to 10).map(_ => ("a", "p")) ++ (1 to 10).map(_ => ("b", "q")))
