@@ -1235,6 +1235,10 @@ object SparkEntry {
     // EXACT Gini coefficient ([EXT]): rank-weighted identity on the
     // prefix-sum skeleton, tie-proof integer moments
     "q_gini" -> ((s, d) => Profile.giniExact(t(s, d, "documents"), "n_chars")),
+    // Lorenz curve ([EXT]): the decile view behind the Gini number —
+    // positional tiles, exact decimal shares
+    "q_lorenz" -> ((s, d) =>
+      Profile.lorenzCurve(t(s, d, "documents"), "n_chars", "doc_id")),
     // concentration indices ([EXT]): HHI + effective category count
     // per column — the training-mix diversification check
     "q_concentration" -> ((s, d) =>
@@ -4059,6 +4063,22 @@ object SparkEntry {
              CAST(count(*) AS BIGINT) AS days
            FROM g GROUP BY event_type, grp
            ORDER BY event_type, streak_start""",
+      "q_lorenz" -> // positional tiles on a unique total order; exact shares
+        """WITH tiled AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v,
+               CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tile
+             FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0),
+           per AS (SELECT tile, CAST(count(*) AS BIGINT) AS n,
+               sum(v) AS s FROM tiled GROUP BY tile),
+           tot AS (SELECT sum(s) AS t FROM per),
+           cum AS (SELECT tile, n, s,
+               sum(s) OVER (ORDER BY tile ROWS UNBOUNDED PRECEDING) AS cs
+             FROM per)
+           SELECT tile, n, CAST(s AS DOUBLE) AS tile_total,
+             CASE WHEN t > 0 THEN round(CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 6)
+               END AS share,
+             CASE WHEN t > 0 THEN round(CAST(cs AS DOUBLE) / CAST(t AS DOUBLE), 6)
+               END AS cum_share
+           FROM cum, tot ORDER BY tile""",
       "q_gini" -> // rank-weighted identity; tie runs contribute c·cum + c(c+1)/2
         """WITH s AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
              WHERE n_chars IS NOT NULL AND n_chars >= 0),

@@ -329,6 +329,39 @@ object Profile {
         .as("gini"))
   }
 
+  /** Lorenz curve ([EXT]) — the decile view behind [[giniExact]]'s
+    * one number: rank rows by value ascending, cut into positional
+    * n-tiles (the gainsTable discipline: a unique (value, id) total
+    * order keeps boundaries engine-exact), and report each tile's
+    * exact value share and the cumulative share — "the bottom 80% of
+    * documents hold 38% of the tokens". Shares divide exact decimal
+    * sums on the BOUNDED tile table. */
+  def lorenzCurve(df: DataFrame, valueCol: String, idCol: String,
+                  buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"lorenzCurve needs buckets >= 2: $buckets")
+    val dec = DecimalType(38, 0)
+    val tiled = df.select(col(idCol).as("__id"), col(valueCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull && col("__v") >= 0)
+      .withColumn("tile",
+        ntile(buckets).over(Window.orderBy(col("__v"), col("__id"))).cast("long"))
+    val per = tiled.groupBy(col("tile")).agg(
+      count(lit(1)).as("n"), sum(col("__v").cast(dec)).as("__s"))
+    val w = Window.orderBy(col("tile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum(col("__s")).as("__t"))
+    per.withColumn("__cum", sum(col("__s")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("tile"), col("n"),
+        col("__s").cast("double").as("tile_total"),
+        when(col("__t") > 0,
+          round(col("__s").cast("double") / col("__t").cast("double"), 6))
+          .as("share"),
+        when(col("__t") > 0,
+          round(col("__cum").cast("double") / col("__t").cast("double"), 6))
+          .as("cum_share"))
+      .orderBy(col("tile"))
+  }
+
   /** Concentration indices per categorical column ([EXT]) — the
     * Herfindahl-Hirschman index Σ share² and its reciprocal, the
     * EFFECTIVE category count ("this corpus acts like 4.2 sources,

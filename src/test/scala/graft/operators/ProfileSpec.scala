@@ -540,6 +540,18 @@ class ProfileSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("lorenzCurve: equality is the diagonal; concentration bends it") {
+    // 20 equal values in 4 tiles: every share 0.25, cum = diagonal
+    val eq = (1L to 20L).map(i => (i, 10L)).toDF("id", "v")
+    val e = Profile.lorenzCurve(eq, "v", "id", buckets = 4).collect()
+    assert(e.map(_.getDouble(3)).toSeq === Seq(0.25, 0.25, 0.25, 0.25))
+    assert(e.map(_.getDouble(4)).toSeq === Seq(0.25, 0.5, 0.75, 1.0))
+    // one whale: last tile holds everything
+    val skew = ((1L to 19L).map(i => (i, 0L)) :+ (20L, 100L)).toDF("id", "v")
+    val s = Profile.lorenzCurve(skew, "v", "id", buckets = 4).collect()
+    assert(s.map(_.getDouble(4)).toSeq === Seq(0.0, 0.0, 0.0, 1.0))
+  }
+
   test("concentration: uniform -> effective n == k, monopoly -> hhi 1") {
     val uniform = (1 to 40).map(i => ("s" + (i % 4), "x")).toDF("src", "y")
     val u = Profile.concentration(uniform, Seq("src")).head()
