@@ -687,6 +687,10 @@ object SparkEntry {
     // cohort retention triangle ([EXT]): engagement analytics over the
     // events table
     "q_cohort_retention" -> ((s, d) => Reports.cohortRetention(t(s, d, "events"))),
+    // cohort LTV curve ([EXT]): cumulative revenue per acquired user
+    // — decimal cumsum over the bounded (cohort, offset) table
+    "q_cohort_ltv" -> ((s, d) =>
+      Reports.cohortLtv(graft.functions.TimeCol.instant(t(s, d, "events")))),
     // first-order event-transition matrix ([EXT]): the Markov view of
     // the clickstream — next-step features, funnel discovery
     "q_transitions" -> ((s, d) => Windows.transitions(t(s, d, "events"))),
@@ -2587,6 +2591,28 @@ object SparkEntry {
              CAST(count(*) AS BIGINT) AS n_users
            FROM a JOIN f USING (user_id)
            GROUP BY f.cohort_day, day_offset
+           ORDER BY cohort_day, day_offset""",
+      "q_cohort_ltv" -> // decimal cumsum per cohort; day-0 size denominator
+        """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(value AS DECIMAL(18,2)) AS v FROM events),
+           f AS (SELECT user_id, min(day) AS cohort_day FROM b GROUP BY user_id),
+           sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_users
+             FROM f GROUP BY cohort_day),
+           daily AS (SELECT f.cohort_day,
+               CAST(date_diff('day', f.cohort_day, b.day) AS BIGINT) AS day_offset,
+               CAST(sum(b.v) AS DECIMAL(28,2)) AS rev
+             FROM b JOIN f USING (user_id)
+             GROUP BY f.cohort_day, day_offset),
+           c AS (SELECT cohort_day, day_offset, rev,
+               CAST(sum(rev) OVER (PARTITION BY cohort_day ORDER BY day_offset
+                 ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,2)) AS cum
+             FROM daily)
+           SELECT c.cohort_day, c.day_offset, sz.cohort_users,
+             CAST(rev AS DOUBLE) AS revenue,
+             CAST(cum AS DOUBLE) AS cum_revenue,
+             round(CAST(cum AS DOUBLE) / CAST(sz.cohort_users AS DOUBLE), 6)
+               AS ltv_per_user
+           FROM c JOIN sz USING (cohort_day)
            ORDER BY cohort_day, day_offset""",
       "q_gap_fill" -> // LOCF copies values (no arithmetic) — engine-exact
         """WITH g AS (SELECT event_id, user_id, ts,

@@ -925,6 +925,43 @@ object Reports {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Cohort LTV curve ([EXT]) — the revenue analog of
+    * [[cohortRetention]]'s user counts: per (cohort_day, day_offset),
+    * the cohort's cumulative value so far and the per-user LTV — the
+    * payback-window number ("the March cohort reaches $X/user by day
+    * 30"). Value sums are exact decimals; the cumulative runs as a
+    * DECIMAL window over the BOUNDED (cohort, offset) table (a double
+    * cumsum would be frame-order-dependent); the per-user division is
+    * the single rounded IEEE step. Cohort size = the cohort's day-0
+    * user count, fixed for the whole row set (that is what "per
+    * acquired user" means — not the day's active count). */
+  def cohortLtv(events: DataFrame, tsCol: String = "ts",
+                userCol: String = "user_id",
+                valueCol: String = "value"): DataFrame = {
+    val base = events.select(col(userCol).as("user_id"),
+      to_date(col(tsCol)).as("day"),
+      col(valueCol).cast(DecimalType(18, 2)).as("v"))
+    val firstDay = base.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val sizes = firstDay.groupBy(col("cohort_day")).agg(
+      count(lit(1)).as("cohort_users"))
+    val daily = base.join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(sum(col("v")).cast(DecimalType(28, 2)).as("__rev"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("__cum", sum(col("__rev")).over(w).cast(DecimalType(28, 2)))
+      .join(sizes, Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("cohort_users"),
+        col("__rev").cast("double").as("revenue"),
+        col("__cum").cast("double").as("cum_revenue"),
+        round(col("__cum").cast("double") / col("cohort_users").cast("double"), 6)
+          .as("ltv_per_user"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** TPC-H Q5 shape (local supplier volume) — the 6-table star-join
     * plan audit: revenue per nation for orders placed in a window,
     * shipped by a supplier in the CUSTOMER's own nation, within one

@@ -419,6 +419,24 @@ class ReportsSpec extends SparkSuite {
     assert(out.toSeq === Seq("CHINA" -> 100.0, "JAPAN" -> 90.0))
   }
 
+  test("cohortLtv: cumulative per-user value against the day-0 cohort size") {
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-06-0$d 10:00:00")
+    // cohort day 1: users 1,2 (sizes fixed at 2 even when only one
+    // returns); cohort day 2: user 3
+    val df = Seq(
+      (1L, ts(1), 10.0), (2L, ts(1), 20.0),   // day 0: 30 total
+      (1L, ts(2), 5.0),                       // day 1: only u1 returns
+      (3L, ts(2), 7.0)                        // second cohort starts
+    ).toDF("user_id", "ts", "value")
+    val out = Reports.cohortLtv(df).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out(("2024-06-01", 0L)) === ((2L, 30.0, 15.0)))
+    assert(out(("2024-06-01", 1L)) === ((2L, 35.0, 17.5))) // divisor stays 2
+    assert(out(("2024-06-02", 0L)) === ((1L, 7.0, 7.0)))
+  }
+
   test("funnelTiming: hand medians; dropouts and repeat events don't pollute") {
     import java.sql.Timestamp
     def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
