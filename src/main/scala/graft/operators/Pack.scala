@@ -37,12 +37,23 @@ object Pack {
     * `TaskContext.getPartitionId`. `weight` must be non-null. */
   private[operators] def rangeSortedWithOffsets(
       df: DataFrame, orderCols: Seq[String],
+      weight: org.apache.spark.sql.Column): (DataFrame, Array[Long]) =
+    rangeSortedWithOffsetsBy(df, orderCols.map(col), weight)
+
+  /** Column-expression variant of [[rangeSortedWithOffsets]]:
+    * `orderCols` may carry sort direction (`col(...).desc`), which
+    * `repartitionByRange`/`sortWithinPartitions` both honor — the
+    * descending orders [[positionalTiles]] needs never pay a value
+    * negation (which would be lossy for decimals near the precision
+    * edge and impossible for strings). */
+  private[operators] def rangeSortedWithOffsetsBy(
+      df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
       weight: org.apache.spark.sql.Column): (DataFrame, Array[Long]) = {
     val spark = df.sparkSession
     val parts = spark.sparkContext.defaultParallelism
     val sorted = df
-      .repartitionByRange(parts, orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
+      .repartitionByRange(parts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
       .localCheckpoint()
     val totals = sorted.groupBy(spark_partition_id().as("__pid"))
       .agg(sum(weight).as("__w"))
@@ -50,6 +61,42 @@ object Pack {
     val offsets = (0 until parts).scanLeft(0L)((acc, pid) =>
       acc + totals.getOrElse(pid, 0L)).toArray
     (sorted, offsets)
+  }
+
+  /** Distributed positional n-tiles ([EXT]) — every row gets its SQL
+    * `ntile(buckets) OVER (ORDER BY orderCols)` bucket (1-based,
+    * BIGINT) WITHOUT the single-task global window that spelling
+    * executes as: ordinals come from the [[rangeSortedWithOffsets]]
+    * prefix-sum skeleton, and the tile is derived arithmetically with
+    * the exact ANSI fill rule — the first `n mod buckets` tiles hold
+    * `n/buckets + 1` rows, the rest `n/buckets` (verified bit-equal
+    * to DuckDB's `ntile` in PackSpec, which is what keeps the gains /
+    * RFM / Lorenz oracles hash-green after the swap). The total row
+    * count is `offsets.last` — already on the driver, free.
+    *
+    * Preconditions as [[globalOrdinals]]: `orderCols` must be a total
+    * order (unique combination); direction-carrying columns
+    * (`col(c).desc`) are honored. All input columns pass through. */
+  def positionalTiles(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
+                      buckets: Int, tileCol: String = "tile"): DataFrame = {
+    require(buckets >= 1, s"positionalTiles needs buckets >= 1: $buckets")
+    val (sorted, offsets) = rangeSortedWithOffsetsBy(df, orderCols, lit(1L))
+    val n = offsets.last
+    val q = n / buckets
+    val r = n % buckets
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema :+ org.apache.spark.sql.types.StructField(
+        tileCol, org.apache.spark.sql.types.LongType, nullable = false))
+    sorted.mapPartitions { it =>
+      var o = offsets(TaskContext.getPartitionId())
+      it.map { row =>
+        val tile =
+          if (o < r * (q + 1)) o / (q + 1) + 1
+          else r + (o - r * (q + 1)) / q + 1
+        o += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ tile)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Preconditions (as with [[AsOf.asofJoin]]/[[graft.sources.Lake.upsertByKey]]):

@@ -334,16 +334,19 @@ object Profile {
     * n-tiles (the gainsTable discipline: a unique (value, id) total
     * order keeps boundaries engine-exact), and report each tile's
     * exact value share and the cumulative share — "the bottom 80% of
-    * documents hold 38% of the tokens". Shares divide exact decimal
-    * sums on the BOUNDED tile table. */
+    * documents hold 38% of the tokens". Tile assignment rides
+    * [[Pack.positionalTiles]] (prefix-sum skeleton — never the
+    * single-task global `ntile` window this operator's input, the
+    * full fact, would make fatal); shares divide exact decimal sums
+    * on the BOUNDED tile table. */
   def lorenzCurve(df: DataFrame, valueCol: String, idCol: String,
                   buckets: Int = 10): DataFrame = {
     require(buckets >= 2, s"lorenzCurve needs buckets >= 2: $buckets")
     val dec = DecimalType(38, 0)
-    val tiled = df.select(col(idCol).as("__id"), col(valueCol).cast("long").as("__v"))
-      .where(col("__v").isNotNull && col("__v") >= 0)
-      .withColumn("tile",
-        ntile(buckets).over(Window.orderBy(col("__v"), col("__id"))).cast("long"))
+    val tiled = Pack.positionalTiles(
+      df.select(col(idCol).as("__id"), col(valueCol).cast("long").as("__v"))
+        .where(col("__v").isNotNull && col("__v") >= 0),
+      Seq(col("__v"), col("__id")), buckets, "tile")
     val per = tiled.groupBy(col("tile")).agg(
       count(lit(1)).as("n"), sum(col("__v").cast(dec)).as("__s"))
     val w = Window.orderBy(col("tile"))

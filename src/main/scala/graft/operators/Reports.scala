@@ -669,13 +669,14 @@ object Reports {
   /** RFM segmentation ([EXT]) — recency / frequency / monetary
     * quintiles per customer, the retention-marketing workhorse.
     * Scores are 1..n with n best (most recent, most frequent, highest
-    * spend); `ntile` is purely positional, so the (metric, custkey)
+    * spend); tiles are purely positional, so the (metric, custkey)
     * total order makes bucket assignment engine-exact — and the
     * monetary ordering uses the EXACT decimal, never the rendered
-    * double (a ULP tie would flip a bucket). The three ntile windows
-    * are global but run over the CUSTOMER DIMENSION (bounded, not the
-    * fact); past ~10⁸ customers, swap each for
-    * [[Pack.globalOrdinals]]-derived buckets. */
+    * double (a ULP tie would flip a bucket). Each of the three tile
+    * assignments rides [[Pack.positionalTiles]] (prefix-sum skeleton,
+    * never a single-task global `ntile` window), re-attached to the
+    * customer row by a custkey equi-join — three bounded shuffles of
+    * the customer dimension, distributed at any customer count. */
   def rfmSegments(orders: DataFrame, n: Int = 5): DataFrame = {
     require(n >= 2, s"rfmSegments needs n >= 2: $n")
     val per = orders.groupBy(col("o_custkey")).agg(
@@ -687,14 +688,16 @@ object Reports {
       .select(col("o_custkey"),
         datediff(col("__mx"), col("__last")).cast("long").as("recency_days"),
         col("frequency"), col("__md"))
-    import org.apache.spark.sql.expressions.Window
-    val r = ntile(n).over(
-      Window.orderBy(col("recency_days").desc, col("o_custkey")))
-    val f = ntile(n).over(Window.orderBy(col("frequency"), col("o_custkey")))
-    val m = ntile(n).over(Window.orderBy(col("__md"), col("o_custkey")))
+    def tiles(metric: String, desc: Boolean, as: String): DataFrame = {
+      val order = if (desc) col(metric).desc else col(metric)
+      Pack.positionalTiles(scored.select(col("o_custkey"), col(metric)),
+          Seq(order, col("o_custkey")), n, as)
+        .select(col("o_custkey"), col(as))
+    }
     scored
-      .withColumn("r", r.cast("long")).withColumn("f", f.cast("long"))
-      .withColumn("m", m.cast("long"))
+      .join(tiles("recency_days", desc = true, "r"), Seq("o_custkey"))
+      .join(tiles("frequency", desc = false, "f"), Seq("o_custkey"))
+      .join(tiles("__md", desc = false, "m"), Seq("o_custkey"))
       .select(col("o_custkey"), col("recency_days"), col("frequency"),
         col("__md").cast("double").as("monetary"),
         col("r"), col("f"), col("m"),
@@ -1004,12 +1007,14 @@ object Reports {
     * tile report the response rate, cumulative capture of all
     * positives, and lift over the base rate — "the top decile holds
     * 34% of the positives" is the sentence the one-number AUC can't
-    * say. Positional ntile over a (score desc, id) total order keeps
-    * bucket boundaries engine-exact (same discipline as
-    * [[rfmSegments]], including its documented globalOrdinals swap
-    * for fact-scale inputs); all rates/lifts are IEEE chains over
-    * exact counts on the BOUNDED tile table, rounded for the
-    * certified output. */
+    * say. Positional tiles over a (score desc, id) total order keep
+    * bucket boundaries engine-exact; the tile assignment rides
+    * [[Pack.positionalTiles]] (prefix-sum skeleton — a literal
+    * `ntile() OVER (ORDER BY ...)` serializes the whole scored fact
+    * into one task, the repo's canonical scale anti-pattern). The
+    * remaining windows run over the BOUNDED `buckets`-row tile table;
+    * all rates/lifts are IEEE chains over exact counts, rounded for
+    * the certified output. */
   def gainsTable(df: DataFrame, scoreCol: String, labelCol: String,
                  idCol: String, buckets: Int = 10): DataFrame = {
     require(buckets >= 2, s"gainsTable needs buckets >= 2: $buckets")
@@ -1017,8 +1022,8 @@ object Reports {
     val scored = df.select(col(idCol).as("__id"),
         col(scoreCol).as("__s"), col(labelCol).cast("long").as("__y"))
       .where(col("__s").isNotNull && col("__y").isNotNull)
-    val tiled = scored.withColumn("decile",
-      ntile(buckets).over(Window.orderBy(col("__s").desc, col("__id"))).cast("long"))
+    val tiled = Pack.positionalTiles(scored,
+      Seq(col("__s").desc, col("__id")), buckets, "decile")
     val per = tiled.groupBy(col("decile")).agg(
       count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
     val w = Window.orderBy(col("decile"))

@@ -85,4 +85,47 @@ class PackSpec extends SparkSuite {
       Pack.lengthBuckets(df, Seq(128, 64))
     }
   }
+
+  test("positionalTiles matches SQL ntile bit-for-bit, including ragged fills") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, ntile}
+    // n=13/b=10 (first 3 tiles get 2 rows), n=3/b=5 (more buckets than
+    // rows), n=40/b=4 (even), n=7/b=3: every fill-rule branch
+    for ((n, b) <- Seq((13, 10), (3, 5), (40, 4), (7, 3))) {
+      val df = (1 to n).map(i => (i.toLong, s"v$i")).reverse
+        .toDF("k", "payload").repartition(5)
+      val got = Pack.positionalTiles(df, Seq(col("k")), b)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val want = df.withColumn("tile",
+          ntile(b).over(Window.orderBy(col("k"))).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === want, s"n=$n b=$b")
+    }
+  }
+
+  test("positionalTiles honors descending order columns") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, ntile}
+    val df = (1 to 23).map(i => (i.toLong, (i * 37 % 11).toLong))
+      .toDF("k", "s").repartition(4)
+    val got = Pack.positionalTiles(df, Seq(col("s").desc, col("k")), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val want = df.withColumn("tile",
+        ntile(4).over(Window.orderBy(col("s").desc, col("k"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === want)
+  }
+
+  test("positionalTiles plan has no window operator at all") {
+    // the skeleton's range exchange is hidden behind the localCheckpoint
+    // pin, so the visible certification is the ABSENCE of any Window
+    // node (a global ntile spelling would plan one with an empty
+    // partition spec — the single-task pattern this helper exists to kill)
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+    val plan = Pack.positionalTiles(df, Seq(col("k")), 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ntile"), s"ntile window leaked into:\n$plan")
+    assert(!plan.contains("Window"), s"window operator leaked into:\n$plan")
+  }
 }

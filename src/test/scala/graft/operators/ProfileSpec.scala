@@ -550,6 +550,10 @@ class ProfileSpec extends SparkSuite {
     val skew = ((1L to 19L).map(i => (i, 0L)) :+ (20L, 100L)).toDF("id", "v")
     val s = Profile.lorenzCurve(skew, "v", "id", buckets = 4).collect()
     assert(s.map(_.getDouble(4)).toSeq === Seq(0.0, 0.0, 0.0, 1.0))
+    // tile assignment rides the prefix-sum skeleton, never a global ntile
+    val plan = Profile.lorenzCurve(eq, "v", "id", buckets = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ntile"), s"global ntile leaked into lorenzCurve:\n$plan")
   }
 
   test("concentration: uniform -> effective n == k, monopoly -> hhi 1") {

@@ -495,4 +495,21 @@ class ReportsSpec extends SparkSuite {
     assert(out(3L) === ((2L, 1L, 0.5, 1.0, 1.333333)))
     assert(out(4L) === ((2L, 0L, 0.0, 1.0, 0.0)))
   }
+
+  test("gainsTable and rfmSegments plan no global ntile window over the input") {
+    // the tile assignment must ride the prefix-sum skeleton; the only
+    // Window allowed is the cumulative sum over the BOUNDED tile table
+    val df = (1L to 100L).map(i => (i, i, i % 3))
+      .toDF("id", "s", "y")
+    val gPlan = Reports.gainsTable(df, "s", "y", "id")
+      .queryExecution.executedPlan.toString
+    assert(!gPlan.contains("ntile"), s"global ntile leaked into gainsTable:\n$gPlan")
+    def ts(day: Int) = new java.sql.Timestamp(86400000L * day)
+    val orders = (1 to 20).map(c => (c.toLong, ts(c), 10.0 * c))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val rPlan = Reports.rfmSegments(orders)
+      .queryExecution.executedPlan.toString
+    assert(!rPlan.contains("ntile"), s"global ntile leaked into rfmSegments:\n$rPlan")
+    assert(!rPlan.contains("Window"), s"rfmSegments should be window-free:\n$rPlan")
+  }
 }
