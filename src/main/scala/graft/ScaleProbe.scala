@@ -324,6 +324,22 @@ object ScaleProbe {
         Seq("p_brand" -> "0.95", "p_type" -> "0.90", "p_size" -> "0.85"),
         block = c => c).count())
     println(s"[scale]   fs scored pairs: $fsw")
+    // round-9: the hot-block cap must make the same input's pair mass
+    // FLAT in factor — replicas push every block past the cap, so the
+    // capped run's cost collapses to the u-stat aggregates while
+    // droppedBlocks surfaces exactly what the cap discarded. This is
+    // the single-task-quadratic-bomb defense, measured.
+    val fswCap = time(s"fsWeights capped x$factor")(
+      graft.operators.Fuzzy.fsWeights(partRep, "p_partkey", "p_name",
+        Seq("p_brand" -> "0.95", "p_type" -> "0.90", "p_size" -> "0.85"),
+        block = c => c, maxBlock = 1).count())
+    val fswDropped = graft.operators.Fuzzy.droppedBlocks(partRep, "p_name",
+      maxBlock = 1, block = c => c, distinctFirst = false).count()
+    println(s"[scale]   fs capped pairs (must be 0): $fswCap; dropped blocks: $fswDropped")
+    val jwpCap = time(s"jaroWinklerPairs capped x$factor")(
+      graft.operators.Fuzzy.jaroWinklerPairs(namesRep, "p_name", 0.85,
+        maxBlock = 2 * factor).count())
+    println(s"[scale]   jw capped pairs (bounded per block): $jwpCap")
     val evRep = Tables.load(spark, "/root/testdata/sf0.1", "events")
       .select(col("event_type"), col("ts"))
       .crossJoin(spark.range(factor)).drop("id")

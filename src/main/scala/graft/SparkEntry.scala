@@ -3774,13 +3774,16 @@ object SparkEntry {
                CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS agree_p_brand,
                CASE WHEN a.p_type  = b.p_type  THEN 1 ELSE 0 END AS agree_p_type,
                CASE WHEN a.p_size  = b.p_size  THEN 1 ELSE 0 END AS agree_p_size,
-               (((CASE WHEN a.p_brand = b.p_brand
+               (((CASE WHEN a.p_brand IS NULL OR b.p_brand IS NULL THEN 1.0
+                   WHEN a.p_brand = b.p_brand
                    THEN 0.95 / (CAST(s.s_brand AS DOUBLE) / CAST(s.n*(s.n-1) AS DOUBLE))
                    ELSE 0.05 / (1.0 - CAST(s.s_brand AS DOUBLE) / CAST(s.n*(s.n-1) AS DOUBLE)) END)
-                * (CASE WHEN a.p_type = b.p_type
+                * (CASE WHEN a.p_type IS NULL OR b.p_type IS NULL THEN 1.0
+                   WHEN a.p_type = b.p_type
                    THEN 0.90 / (CAST(s.s_type AS DOUBLE) / CAST(s.n*(s.n-1) AS DOUBLE))
                    ELSE 0.10 / (1.0 - CAST(s.s_type AS DOUBLE) / CAST(s.n*(s.n-1) AS DOUBLE)) END))
-               * (CASE WHEN a.p_size = b.p_size
+               * (CASE WHEN a.p_size IS NULL OR b.p_size IS NULL THEN 1.0
+                   WHEN a.p_size = b.p_size
                    THEN 0.85 / (CAST(s.s_size AS DOUBLE) / CAST(s.n*(s.n-1) AS DOUBLE))
                    ELSE 0.15 / (1.0 - CAST(s.s_size AS DOUBLE) / CAST(s.n*(s.n-1) AS DOUBLE)) END)) AS lr
              FROM base a JOIN base b ON a.b = b.b AND a.k < b.k, stats s)

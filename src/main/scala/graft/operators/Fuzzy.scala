@@ -21,11 +21,55 @@ import org.apache.spark.sql.functions._
   * blocking key excludes its row entirely (made explicit by a filter,
   * not left to equi-join null semantics — even an exact duplicate is
   * unmatchable without a key).
-  */
+  *
+  * Hot-block guard (the [[Dedup.minhashCandidates]] `maxBucket`
+  * discipline, applied to every pair join in this family): one
+  * pathological block — every record named "john", an empty-string
+  * normalization artifact, a null-ish sentinel that survives the
+  * isNotNull guard — expands C(block, 2) pairs on a SINGLE task; at
+  * fact scale that is a quadratic bomb no cluster size fixes.
+  * `maxBlock > 0` drops blocks larger than the cap BEFORE pair
+  * expansion, bounding per-task pair mass at C(maxBlock, 2); an
+  * oversized block is near-worthless for linkage anyway (everything
+  * "matches" everything — the blocking key has stopped discriminating
+  * and should be refined instead). [[droppedBlocks]] is the
+  * observability surface for what a cap discards. 0 (default) =
+  * uncapped, bit-identical to the pre-cap behavior. */
 object Fuzzy {
 
   /** Default blocking key: first whitespace token. */
   def firstToken(c: Column): Column = element_at(split(c, " "), 1)
+
+  /** Drop every member of a `__b` block larger than `maxBlock` BEFORE
+    * any pair expansion (0 = uncapped). One bounded aggregate over
+    * block keys + an equi-join — never touches pair space. */
+  private def capBlocks(blocked: DataFrame, maxBlock: Int): DataFrame =
+    if (maxBlock <= 0) blocked
+    else {
+      val sizes = blocked.groupBy(col("__b")).agg(count(lit(1)).as("__bn"))
+      blocked.join(sizes.where(col("__bn") <= maxBlock), Seq("__b")).drop("__bn")
+    }
+
+  /** The blocks a cap of `maxBlock` discards, with their member
+    * counts — the monitoring twin of [[Dedup.droppedBuckets]] (log
+    * the count, route the keys to a blocking-strategy review).
+    * `distinctFirst` mirrors the capped operator's shape: true for
+    * the name-pair family ([[jaroWinklerPairs]]/[[blockedMatch]]/
+    * [[resolveEntities]] block DISTINCT strings), false for
+    * [[fsWeights]] (blocks raw keyed records). */
+  def droppedBlocks(df: DataFrame, nameCol: String, maxBlock: Int,
+                    block: Column => Column = firstToken,
+                    distinctFirst: Boolean = true): DataFrame = {
+    require(maxBlock > 0, "droppedBlocks needs a positive cap")
+    val names = df.select(col(nameCol).as("name")).where(col("name").isNotNull)
+    val base = if (distinctFirst) names.distinct() else names
+    base.withColumn("__b", block(col("name")))
+      .where(col("__b").isNotNull)
+      .groupBy(col("__b")).agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxBlock)
+      .select(col("__b").as("block_key"), col("n_members"))
+      .orderBy(col("block_key"))
+  }
 
   /** Match every distinct `queries` string to the distinct `dictionary`
     * strings within `maxDist` edits, comparing only within equal
@@ -37,12 +81,13 @@ object Fuzzy {
     * identical. */
   def blockedMatch(queries: DataFrame, dictionary: DataFrame,
                    queryCol: String, dictCol: String, maxDist: Int = 2,
-                   block: Column => Column = firstToken): DataFrame = {
+                   block: Column => Column = firstToken,
+                   maxBlock: Int = 0): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative: $maxDist")
     def side(src: DataFrame, from: String, as: String) =
-      src.select(col(from).as(as)).where(col(as).isNotNull)
+      capBlocks(src.select(col(from).as(as)).where(col(as).isNotNull)
         .distinct().withColumn("__b", block(col(as)))
-        .where(col("__b").isNotNull)
+        .where(col("__b").isNotNull), maxBlock)
     val q = side(queries, queryCol, "q_text")
     val d = side(dictionary, dictCol, "match_text")
     q.join(d, Seq("__b"))
@@ -75,13 +120,16 @@ object Fuzzy {
     * entities with no hashing collisions and no arbitrary roots.
     * Names with no near-duplicate are their own canonical. */
   def resolveEntities(df: DataFrame, nameCol: String, minSim: Double,
-                      block: Column => Column = firstToken): DataFrame = {
+                      block: Column => Column = firstToken,
+                      maxBlock: Int = 0): DataFrame = {
     // ONE distinct name table feeds both the pair join and the
     // ordinal index, and the pair core stays UNSORTED — the ordinal
     // joins would destroy jaroWinklerPairs' terminal ordering, so
-    // paying that global sort here would be pure waste
+    // paying that global sort here would be pure waste. A capped-away
+    // hot block simply yields no edges: its names stay their own
+    // canonicals (the safe direction — under-merge, never mis-merge).
     val names = distinctNames(df, nameCol)
-    val pairs = pairsOfNames(names, minSim, block)
+    val pairs = pairsOfNames(names, minSim, block, maxBlock)
     val ord = Pack.globalOrdinals(names, Seq("name"))
     val edges = pairs
       .join(ord.select(col("name").as("name_a"), col("ordinal").as("doc_a")),
@@ -111,9 +159,14 @@ object Fuzzy {
     * f — is estimated from the data itself as Σ c_v(c_v−1) / N(N−1)
     * over f's value histogram (the standard unlabeled-u estimate; an
     * EM refinement would update m too, but m stays a stated prior
-    * here and is part of the operator's contract). NULL field values
-    * never agree (missing data cannot support a match) and are
-    * excluded from u's numerator.
+    * here and is part of the operator's contract). A NULL on either
+    * side makes the field UNINFORMATIVE (factor 1) — standard
+    * Fellegi-Sunter missing-data handling: absence is neither
+    * evidence for nor against a match (scoring it as disagreement
+    * would systematically under-score sparse records below `lower`
+    * and silently drop them). NULLs are likewise excluded from u's
+    * numerator, and the agree_f flag reports 0 for a null comparison
+    * (it flags OBSERVED agreement only).
     *
     * Scale shape: u-stats are one tiny aggregate per field over the
     * (deduplicated) record table, broadcast as a 1-row frame — no
@@ -135,14 +188,17 @@ object Fuzzy {
   def fsWeights(records: DataFrame, keyCol: String, nameCol: String,
                 fields: Seq[(String, String)],
                 lower: Double = 10.0, upper: Double = 1000.0,
-                block: Column => Column = firstToken): DataFrame = {
+                block: Column => Column = firstToken,
+                maxBlock: Int = 0): DataFrame = {
     require(fields.nonEmpty, "at least one comparison field")
     val base = records
       .select((col(keyCol).cast("long").as("__k") +:
         block(col(nameCol)).as("__b") +:
         fields.map { case (f, _) => col(f) }): _*)
       .where(col("__b").isNotNull)
-    // 1-row stats frame: N plus per-field agreeing-pair counts
+    // 1-row stats frame: N plus per-field agreeing-pair counts. The
+    // u-estimates deliberately come from the UNCAPPED base — they are
+    // DATA statistics; the cap only bounds candidate generation.
     val stats = fields.foldLeft(base.agg(count(lit(1)).as("__n"))) {
       case (acc, (f, _)) =>
         val grouped = base.where(col(f).isNotNull)
@@ -150,7 +206,8 @@ object Fuzzy {
         acc.crossJoin(broadcast(grouped.agg(
           coalesce(sum(col("__c") * (col("__c") - 1)), lit(0L)).as(s"__s_$f"))))
     }
-    def side(p: String) = base.select((col("__b") +:
+    val kept = capBlocks(base, maxBlock)
+    def side(p: String) = kept.select((col("__b") +:
       col("__k").as(s"${p}_key") +:
       fields.map { case (f, _) => col(f).as(s"${p}_$f") }): _*)
     val pairs = side("a").join(side("b"), Seq("__b"))
@@ -159,8 +216,9 @@ object Fuzzy {
     val den = (col("__n") * (col("__n") - lit(1L))).cast("double")
     val lr = fields.map { case (f, m) =>
       val u = col(s"__s_$f").cast("double") / den
-      val agree = col(s"a_$f") === col(s"b_$f") // null never agrees
-      when(agree, lit(m.toDouble) / u)
+      // three-way term: null on either side -> uninformative (1.0)
+      when(col(s"a_$f").isNull || col(s"b_$f").isNull, lit(1.0))
+        .when(col(s"a_$f") === col(s"b_$f"), lit(m.toDouble) / u)
         .otherwise(lit((BigDecimal(1) - BigDecimal(m)).toDouble) / (lit(1.0) - u))
     }.reduceLeft(_ * _) // fixed left-assoc order, mirrored in the oracle
     val flags = fields.map { case (f, _) =>
@@ -178,8 +236,9 @@ object Fuzzy {
   }
 
   def jaroWinklerPairs(df: DataFrame, nameCol: String, minSim: Double,
-                       block: Column => Column = firstToken): DataFrame =
-    pairsOfNames(distinctNames(df, nameCol), minSim, block)
+                       block: Column => Column = firstToken,
+                       maxBlock: Int = 0): DataFrame =
+    pairsOfNames(distinctNames(df, nameCol), minSim, block, maxBlock)
       .orderBy(col("name_a"), col("name_b"))
 
   private def distinctNames(df: DataFrame, nameCol: String): DataFrame =
@@ -190,13 +249,14 @@ object Fuzzy {
     * distinct name table; the public [[jaroWinklerPairs]] adds the
     * deterministic terminal ordering the harness compare needs. */
   private def pairsOfNames(names: DataFrame, minSim: Double,
-                           block: Column => Column): DataFrame = {
+                           block: Column => Column,
+                           maxBlock: Int = 0): DataFrame = {
     require(minSim > 0.0 && minSim <= 1.0, s"minSim must be in (0,1]: $minSim")
     // call_function resolves through the session registry — register
     // defensively so vanilla sessions (no graft extension conf) work
     graft.expressions.GraftFunctions.register(names.sparkSession)
-    val blocked = names.withColumn("__b", block(col("name")))
-      .where(col("__b").isNotNull)
+    val blocked = capBlocks(names.withColumn("__b", block(col("name")))
+      .where(col("__b").isNotNull), maxBlock)
     val sim = graft.expressions.GraftFunctions.jaroWinkler(col("name_a"), col("name_b"))
     blocked.select(col("__b"), col("name").as("name_a"))
       .join(blocked.select(col("__b"), col("name").as("name_b")), Seq("__b"))

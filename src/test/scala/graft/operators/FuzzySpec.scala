@@ -70,7 +70,7 @@ class FuzzySpec extends SparkSuite {
     assert(out("blue solo") === "blue solo")
   }
 
-  test("fsWeights: hand-computed likelihood ratio, null fields never agree") {
+  test("fsWeights: hand-computed likelihood ratio, null fields are uninformative") {
     import org.apache.spark.sql.functions.col
     // 4 records in one block; u-stats over the whole table
     val df = Seq(
@@ -91,12 +91,24 @@ class FuzzySpec extends SparkSuite {
     assert(out((1L, 3L)) === ((0, 1, disB * agreeS, "possible")))
     assert(out((1L, 4L))._3 === disB * disS)
     assert(out.size === 6) // all C(4,2) pairs at lower=0
-    // a NULL field value disagrees with everything, including NULL
-    val withNull = Seq((1L, "x", null.asInstanceOf[String]),
-      (2L, "x", null.asInstanceOf[String])).toDF("k", "name", "brand")
+    // a NULL on either side is UNINFORMATIVE (factor 1, standard FS):
+    // missing data is neither evidence for nor against — scoring it as
+    // disagreement would bury sparse records below any useful `lower`
+    val withNull = Seq((1L, "x", null.asInstanceOf[String], "B1"),
+      (2L, "x", null.asInstanceOf[String], "B1"),  // null-vs-null brand
+      (3L, "x", "Z9", "B1"))                       // null-vs-value brand with 1
+      .toDF("k", "name", "brand", "other")
     val nOut = Fuzzy.fsWeights(withNull, "k", "name",
-      Seq("brand" -> "0.90"), lower = 0.0).collect()
-    assert(nOut.length === 1 && nOut.head.getInt(2) === 0)
+      Seq("brand" -> "0.90", "other" -> "0.80"), lower = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getDouble(4))).toMap
+    // u_other = 3*2/(3*2) = 1 is degenerate; only brand's term varies:
+    // null comparisons contribute exactly 1.0 * other-term, and the
+    // agree flag stays 0 (observed agreement only)
+    val otherTerm = 0.80 / 1.0
+    assert(nOut((1L, 2L)) === ((0, 1.0 * otherTerm)))  // null vs null
+    assert(nOut((1L, 3L)) === ((0, 1.0 * otherTerm)))  // null vs value
+    assert(nOut((2L, 3L)) === ((0, 1.0 * otherTerm)))
     // and the threshold filter drops the weak pairs
     val filtered = Fuzzy.fsWeights(df, "k", "name",
       Seq("brand" -> "0.90", "size" -> "0.80"), lower = 2.0)
@@ -114,5 +126,42 @@ class FuzzySpec extends SparkSuite {
     assert(pairs === Seq(("green marhta", "green martha")))
     val sim = out.collect().head.getDouble(2)
     assert(sim > 0.9 && sim < 1.0)
+  }
+
+  test("maxBlock caps drop hot blocks before pair expansion; droppedBlocks reports them") {
+    import org.apache.spark.sql.functions.col
+    // hot block: 20 near-identical "acme ..." names; cold block: 2 "zen ..." names
+    val hot = (1 to 20).map(i => s"acme pump unit $i")
+    val cold = Seq("zen filter a", "zen filter b")
+    val df = (hot ++ cold).toDF("name")
+    val uncapped = Fuzzy.jaroWinklerPairs(df, "name", minSim = 0.7)
+    val capped = Fuzzy.jaroWinklerPairs(df, "name", minSim = 0.7, maxBlock = 10)
+    // the hot block's C(20,2) pairs vanish; the cold block survives intact
+    assert(uncapped.where(col("name_a").startsWith("acme")).count() > 0)
+    assert(capped.where(col("name_a").startsWith("acme")).count() === 0)
+    assert(capped.where(col("name_a").startsWith("zen")).count() ===
+      uncapped.where(col("name_a").startsWith("zen")).count())
+    // maxBlock = 0 (default) is bit-identical to the uncapped spelling
+    assert(Fuzzy.jaroWinklerPairs(df, "name", 0.7, Fuzzy.firstToken, 0)
+      .collect().toSeq === uncapped.collect().toSeq)
+    // the monitor reports exactly the discarded block and its size
+    val dropped = Fuzzy.droppedBlocks(df, "name", maxBlock = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(dropped.toSeq === Seq("acme" -> 20L))
+    // same cap discipline on the record-linkage path: fsWeights with a
+    // hot name block emits zero pairs from it, keeps the cold block
+    val recs = (1 to 20).map(i => (i.toLong, "acme pump", s"B$i")) ++
+      Seq((21L, "zen filter", "Z1"), (22L, "zen filter", "Z1"))
+    val fsCapped = Fuzzy.fsWeights(recs.toDF("k", "name", "brand"), "k", "name",
+      Seq("brand" -> "0.90"), lower = 0.0, maxBlock = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fsCapped.toSeq === Seq((21L, 22L)))
+    val fsDropped = Fuzzy.droppedBlocks(recs.toDF("k", "name", "brand"), "name",
+      maxBlock = 10, distinctFirst = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(fsDropped.toSeq === Seq("acme" -> 20L))
+    // blockedMatch honors the cap on both sides
+    val m = Fuzzy.blockedMatch(df, df, "name", "name", maxDist = 2, maxBlock = 10)
+    assert(m.where(col("q_text").startsWith("acme")).count() === 0)
   }
 }
