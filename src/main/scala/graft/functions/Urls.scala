@@ -28,11 +28,16 @@ object Urls {
     regexp_extract(host(c), "([^.]+\\.[^.]+)$", 1)
 
   /** Canonical URL: strip tracking parameters (utm_*, gclid, fbclid)
-    * and tidy the separators they leave behind. Order is load-bearing
-    * and mirrored in the oracle: pair removal, '&' collapse, '?&'
-    * repair, trailing-separator trim. */
+    * and tidy the separators they leave behind. The param name is
+    * ANCHORED to its separator — `([?&])` must immediately precede it
+    * and is kept via `$1` — so a legitimate param whose name merely
+    * contains a tracking name survives (`?xgclid=1`, `?my_utm_test=2`
+    * were previously mangled to `?x` / `?my_`; canonical URLs serve
+    * as dedup keys, where that silently merges distinct URLs). Order
+    * is load-bearing and mirrored in the oracle: anchored pair
+    * removal, '&' collapse, '?&' repair, trailing-separator trim. */
   def stripTracking(c: Column): Column = {
-    val noPairs = regexp_replace(c, "(utm_[a-z]+|gclid|fbclid)=[^&#]*", "")
+    val noPairs = regexp_replace(c, "([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*", "$1")
     val collapsed = regexp_replace(noPairs, "&+", "&")
     val fixedHead = regexp_replace(collapsed, "\\?&", "?")
     regexp_replace(fixedHead, "[?&]+$", "")

@@ -40,4 +40,20 @@ class UrlsSpec extends SparkSuite {
     assert(one("https://e.com/plain", Urls.stripTracking)
       === "https://e.com/plain")
   }
+
+  test("stripTracking is anchored: params merely CONTAINING a tracking name survive") {
+    // canonical URLs are dedup keys — an unanchored match silently
+    // merged '?xgclid=1' with '?x' (distinct URLs, one key)
+    assert(one("https://e.com/p?xgclid=1", Urls.stripTracking)
+      === "https://e.com/p?xgclid=1")
+    assert(one("https://e.com/p?my_utm_test=2", Urls.stripTracking)
+      === "https://e.com/p?my_utm_test=2")
+    assert(one("https://e.com/p?a=1&nofbclid=3", Urls.stripTracking)
+      === "https://e.com/p?a=1&nofbclid=3")
+    // while the genuinely-anchored pair still dies, even adjacent ones
+    assert(one("https://e.com/p?gclid=1&utm_x=2", Urls.stripTracking)
+      === "https://e.com/p")
+    assert(one("https://e.com/p?utm_a=1&utm_b=2&lang=en", Urls.stripTracking)
+      === "https://e.com/p?lang=en")
+  }
 }
