@@ -1738,8 +1738,8 @@ object SparkEntry {
         .localCheckpoint()
       val hits = exact.join(adc, Seq("vec_id"))
       exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(adc.agg(count(lit(1)).as("n_adc")))
-        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(broadcast(adc.agg(count(lit(1)).as("n_adc"))))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
         .select(col("n_exact"), col("n_adc"), col("n_hit"),
           (col("n_hit").cast("double") / col("n_exact").cast("double")).as("recall"))
     }),

@@ -252,9 +252,12 @@ object SetSimilarity {
         .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
         .distinct()
       val hit = cand.join(exact, Seq("doc_a", "doc_b"), "left_semi")
+      // broadcast(1-row agg): the repo-wide crossJoin convention —
+      // AQE would rescue an unhinted spelling, but the plan shouldn't
+      // need rescuing
       cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(exact.agg(count(lit(1)).as("n_true_pairs")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_true_pairs"))))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
         .select(lit(b).as("bands"), col("n_candidates"), col("n_true_pairs"),
           col("n_hit"),
           (col("n_hit").cast("double") / col("n_true_pairs")).as("recall"))

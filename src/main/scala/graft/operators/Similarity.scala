@@ -65,12 +65,33 @@ object Similarity {
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
 
+  /** Fail-fast guard for the brute-force broadcast paths: a comment
+    * saying "small corpora only" is not a guard — a caller handing
+    * [[knnJoin]] a 10 B-row table would OOM the DRIVER on the
+    * broadcast collect, the worst failure mode (takes the whole app
+    * down, not one task). One cheap `limit(max+1).count()` bounds the
+    * check itself (never a full scan of an oversized table). */
+  private def requireBroadcastable(embeddings: DataFrame, maxRows: Long,
+                                   op: String): Unit = {
+    require(maxRows > 0, s"maxBroadcastRows must be positive: $maxRows")
+    val probe = embeddings.limit((maxRows + 1).min(Int.MaxValue).toInt).count()
+    require(probe <= maxRows,
+      s"$op broadcasts the full embedding table, but it exceeds " +
+        s"maxBroadcastRows=$maxRows — this is the documented small/medium " +
+        "path. At corpus scale use lshKnnJoin (bucketed sign-LSH, never " +
+        "all-pairs), or raise maxBroadcastRows deliberately.")
+  }
+
   /** All-pairs k-NN join (brute force). Broadcast one side; only for
-    * corpora whose one side fits the broadcast threshold. Vectors stay
+    * corpora whose one side fits the broadcast threshold — enforced
+    * by a fail-fast row-count guard (`maxBroadcastRows`), with
+    * [[lshKnnJoin]] as the at-scale alternative. Vectors stay
     * in their storage type (float) end-to-end — half the broadcast
     * and shuffle width of an array<double> cast. */
   def knnJoin(embeddings: DataFrame, k: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              maxBroadcastRows: Long = 1000000L): DataFrame = {
+    requireBroadcastable(embeddings, maxBroadcastRows, "knnJoin")
     GraftFunctions.register(embeddings.sparkSession)
     // the probe side keeps its input partitioning through a broadcast
     // join — an embeddings table read from one file would compute the
@@ -96,12 +117,15 @@ object Similarity {
     * label filter runs BEFORE ranking (filtering after top-k would
     * starve vectors whose neighborhoods are same-label and return
     * fewer than k negatives). Same broadcast brute-force shape as
-    * [[knnJoin]] for small/medium corpora; at 100 TB feed the pair
+    * [[knnJoin]] for small/medium corpora (same fail-fast
+    * `maxBroadcastRows` guard); at 100 TB feed the pair
     * stage from [[lshKnnJoin]]'s buckets instead and widen k to cover
     * bucket recall. */
   def hardNegatives(embeddings: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    labelCol: String = "label"): DataFrame = {
+                    labelCol: String = "label",
+                    maxBroadcastRows: Long = 1000000L): DataFrame = {
+    requireBroadcastable(embeddings, maxBroadcastRows, "hardNegatives")
     GraftFunctions.register(embeddings.sparkSession)
     val spread = embeddings.repartition(
       embeddings.sparkSession.sparkContext.defaultParallelism, col(idCol))

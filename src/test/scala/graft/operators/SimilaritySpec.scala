@@ -41,6 +41,23 @@ class SimilaritySpec extends SparkSuite {
     assert(out.values.forall(_.length === 2))
   }
 
+  test("brute-force paths fail fast above maxBroadcastRows, pointing to lshKnnJoin") {
+    // the guard is code, not a comment: a 10B-row table must die with
+    // a diagnosis BEFORE the driver-OOMing broadcast collect
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnJoin(emb, 2, maxBroadcastRows = 3)
+    }
+    assert(e.getMessage.contains("lshKnnJoin"))
+    assert(e.getMessage.contains("maxBroadcastRows=3"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(emb.withColumn("label",
+        org.apache.spark.sql.functions.lit("x")), 2, maxBroadcastRows = 3)
+    }
+    assert(e2.getMessage.contains("lshKnnJoin"))
+    // at or under the cap the operator runs untouched
+    assert(Similarity.knnJoin(emb, 2, maxBroadcastRows = emb.count()).count() > 0)
+  }
+
   test("lshKnnJoin returns a subset of brute-force pairs with identical cosines") {
     val brute = Similarity.knnJoin(emb, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
