@@ -29,17 +29,28 @@ final case class DDBuf(neg: Map[Int, Long], zero: Long, pos: Map[Int, Long]) {
   * DDSketch's p99 of a heavy tail is off by at most alpha·value,
   * not by "a few ranks" that may span an order of magnitude.
   *
-  * Memory: buckets span the value range logarithmically (full double
-  * range ≈ a few thousand buckets at alpha = 1%); `maxBuckets` caps
-  * each sign's map by collapsing the SMALLEST-magnitude buckets into
-  * one (the published collapsing variant: upper quantiles keep their
-  * guarantee, only the extreme low tail degrades). The cap also
-  * bounds the shuffle: at most 2·maxBuckets+1 counters leave a map
-  * task regardless of row count.
+  * Memory: buckets span the value range logarithmically, and the map
+  * is INTRINSICALLY bounded — every positive double (denormals
+  * included) indexes into ≈[−37.6k, +35.5k] at alpha = 1%, so an
+  * uncapped per-sign map never exceeds ~73k counters (≈1 MB) no
+  * matter the row count, and real data spanning d decades occupies
+  * only ≈115·d of them. `maxBuckets` additionally collapses the
+  * SMALLEST-magnitude buckets into one (the published collapsing
+  * variant: upper quantiles keep their guarantee, only the extreme
+  * low tail degrades) — but ONLY in `finish`, never in
+  * reduce/merge: an in-flight collapse would make the collapse floor
+  * depend on which partials merged first, breaking (a+b)+c ==
+  * a+(b+c) exactly when the cap triggers. With addition-only
+  * reduce/merge the order-invariance guarantee below is
+  * unconditional, and the finished sketch is still ≤ maxBuckets per
+  * sign.
   *
   * Determinism: bucket index is ceil(log(x)/log(gamma)) in fixed JVM
-  * double arithmetic — same input multiset, same sketch, bit-for-bit,
-  * any partitioning. Estimates are engine-private (an independent
+  * double arithmetic, and reduce/merge are pure bucket addition —
+  * commutative AND associative — so the same input multiset yields
+  * the same sketch bit-for-bit under ANY partitioning or merge
+  * order; `finish`'s collapse is a deterministic function of that
+  * merged multiset. Estimates are engine-private (an independent
   * engine has no DDSketch), so harness checks are rows-only and the
   * accuracy laws live in the spec, like every other sketch here.
   */
@@ -70,6 +81,10 @@ class DDSketchAggregator[IN](f: IN => java.lang.Double, alpha: Double = 0.01,
 
   override def zero: DDBuf = DDBuf(Map.empty, 0L, Map.empty)
 
+  // reduce and merge are ADDITION ONLY (no collapse): the map is
+  // intrinsically bounded by the double index range, and deferring
+  // the collapse to finish() is what makes the fold exactly
+  // order-invariant even past maxBuckets (see class scaladoc)
   override def reduce(b: DDBuf, in: IN): DDBuf = {
     val v = f(in)
     if (v == null || v.isNaN) b // nothing to rank
@@ -78,21 +93,22 @@ class DDSketchAggregator[IN](f: IN => java.lang.Double, alpha: Double = 0.01,
       if (x == 0.0) b.copy(zero = b.zero + 1)
       else if (x > 0) {
         val i = index(x)
-        b.copy(pos = collapse(b.pos.updated(i, b.pos.getOrElse(i, 0L) + 1)))
+        b.copy(pos = b.pos.updated(i, b.pos.getOrElse(i, 0L) + 1))
       } else {
         val i = index(-x)
-        b.copy(neg = collapse(b.neg.updated(i, b.neg.getOrElse(i, 0L) + 1)))
+        b.copy(neg = b.neg.updated(i, b.neg.getOrElse(i, 0L) + 1))
       }
     }
   }
 
   override def merge(a: DDBuf, b: DDBuf): DDBuf = {
     def add(x: Map[Int, Long], y: Map[Int, Long]) =
-      collapse(y.foldLeft(x) { case (m, (i, c)) => m.updated(i, m.getOrElse(i, 0L) + c) })
+      y.foldLeft(x) { case (m, (i, c)) => m.updated(i, m.getOrElse(i, 0L) + c) }
     DDBuf(add(a.neg, b.neg), a.zero + b.zero, add(a.pos, b.pos))
   }
 
-  override def finish(buf: DDBuf): DDBuf = buf
+  override def finish(buf: DDBuf): DDBuf =
+    DDBuf(collapse(buf.neg), buf.zero, collapse(buf.pos))
   override def bufferEncoder: Encoder[DDBuf] = Encoders.product[DDBuf]
   override def outputEncoder: Encoder[DDBuf] = Encoders.product[DDBuf]
 }

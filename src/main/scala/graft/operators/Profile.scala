@@ -188,7 +188,8 @@ object Profile {
       .map(r => DDBuf(r.getAs[Map[Int, Long]]("neg"), r.getLong(1),
         r.getAs[Map[Int, Long]]("pos")))
     require(bufs.nonEmpty, "ddMergeShards needs at least one shard sketch")
-    val merged = bufs.reduce(agg.merge)
+    // finish applies the maxBuckets view AFTER the order-invariant merge
+    val merged = agg.finish(bufs.reduce(agg.merge))
     val spark = sketches.sparkSession
     import spark.implicits._
     qs.map(q => (q, merged.n, DDSketch.quantile(merged, q, alpha)))

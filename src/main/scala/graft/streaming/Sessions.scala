@@ -190,13 +190,18 @@ object Sessions {
     * continuously" dashboard primitive, as a DDSketch
     * ([[graft.expressions.DDSketchAggregator]]) carried in keyed
     * state: each micro-batch folds its values into the per-key sketch
-    * (bounded: ≤ 2·maxBuckets+1 counters per key, FOREVER — unlike a
-    * windowed exact percentile, which buffers rows) and emits the
-    * updated p50/p99. Because DDSketch merges are commutative, the
-    * monitor's estimates after any batch split are IDENTICAL to a
-    * one-shot batch sketch over the same rows — the spec asserts
-    * exact equality, not approximate agreement. Works over a batch
-    * frame (one pass) and a stream (state persists; Update mode). */
+    * (bounded FOREVER by the intrinsic log-gamma index range — ≈115
+    * counters per decade of value spread, ≤ ~73k even for the full
+    * double range — unlike a windowed exact percentile, which buffers
+    * rows) and emits the updated p50/p99 from the maxBuckets-capped
+    * `finish` view. State stays UNCOLLAPSED so the fold is pure
+    * bucket addition: the monitor's estimates after any batch split
+    * are IDENTICAL to a one-shot batch sketch over the same rows —
+    * the spec asserts exact equality, not approximate agreement —
+    * unconditionally, even for ranges past maxBuckets (an in-state
+    * collapse would make the floor depend on batch boundaries).
+    * Works over a batch frame (one pass) and a stream (state
+    * persists; Update mode). */
   /** Streaming distinct-count monitor ([EXT]) — "distinct users per
     * type, continuously" as a KMV sketch in keyed state (the k
     * smallest value fingerprints — the state is k longs per key
@@ -255,9 +260,12 @@ object Sessions {
           }
           state.update(buf)
           if (buf.n == 0) Iterator.empty
-          else Iterator(QuantileUpdate(key, buf.n,
-            DDSketch.quantile(buf, 0.5, alpha),
-            DDSketch.quantile(buf, 0.99, alpha)))
+          else {
+            val capped = agg.finish(buf) // maxBuckets applies to the VIEW, not the state
+            Iterator(QuantileUpdate(key, capped.n,
+              DDSketch.quantile(capped, 0.5, alpha),
+              DDSketch.quantile(capped, 0.99, alpha)))
+          }
       }
   }
 

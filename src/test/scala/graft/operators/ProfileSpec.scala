@@ -656,12 +656,33 @@ class ProfileSpec extends SparkSuite {
     val agg = new DDSketchAggregator[Double](Double.box, 0.01, maxBuckets = 32)
     // 3 decades of range: far more than 32 natural buckets at 1%
     val xs = (1 to 2000).map(i => i.toDouble)
-    val buf = xs.foldLeft(agg.zero)(agg.reduce)
+    // the RAW fold stays uncollapsed (addition-only reduce);
+    // the cap applies to the finished view
+    val buf = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
     assert(buf.pos.size <= 32)
     // upper quantiles keep the guarantee (collapse eats the LOW tail)
     val p99 = DDSketch.quantile(buf, 0.99, 0.01)
     val exact = 1981.0 // 0.99*(2000-1) = 1979.01 -> lower rank 1979 -> value 1980? see below
     assert(math.abs(p99 - 1980.0) / 1980.0 <= 0.011 ||
       math.abs(p99 - exact) / exact <= 0.011)
+  }
+
+  test("DDSketch merge is associative even past maxBuckets (collapse only in finish)") {
+    import graft.expressions.{DDSketch, DDSketchAggregator}
+    val agg = new DDSketchAggregator[Double](Double.box, 0.01, maxBuckets = 16)
+    def build(xs: Seq[Double]) = xs.foldLeft(agg.zero)(agg.reduce)
+    // three shards far apart in magnitude: an in-flight collapse floor
+    // would depend on which pair merged first
+    val a = build((1 to 200).map(i => i * 1e-6))
+    val b = build((1 to 200).map(i => i.toDouble))
+    val c = build((1 to 200).map(i => i * 1e6))
+    val left = agg.merge(agg.merge(a, b), c)
+    val right = agg.merge(a, agg.merge(b, c))
+    assert(left === right)                            // exact, not approximate
+    assert(agg.finish(left) === agg.finish(right))    // and so is the capped view
+    assert(agg.finish(left).pos.size <= 16)
+    // the finished view equals finishing a one-shot build of everything
+    val whole = build((1 to 200).flatMap(i => Seq(i * 1e-6, i.toDouble, i * 1e6)))
+    assert(agg.finish(whole) === agg.finish(left))
   }
 }
