@@ -3958,9 +3958,17 @@ object SparkEntry {
            SELECT l_orderkey, CAST(rev AS DOUBLE) AS revenue,
                   o_orderdate, o_orderpriority
            FROM agg ORDER BY rev DESC, l_orderkey LIMIT 10""",
-      "q_ts_anomaly" -> // weekday baseline + MAD-scaled residual; flag on the ROUNDED score
-        """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      "q_ts_anomaly" -> // weekday baseline + MAD residual over the DENSE day spine
+        """WITH sparse AS (SELECT event_type, CAST(ts AS DATE) AS day,
                count(*) AS cnt FROM events GROUP BY 1, 2),
+             bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+               FROM sparse GROUP BY 1),
+             spine AS (SELECT event_type,
+                 CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+               FROM bounds),
+             daily AS (SELECT s.event_type, s.day,
+                 CAST(coalesce(sp.cnt, 0) AS BIGINT) AS cnt
+               FROM spine s LEFT JOIN sparse sp USING (event_type, day)),
              base AS (SELECT event_type, dayofweek(day) AS dw,
                CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS expected
                FROM daily GROUP BY 1, 2),
@@ -4034,9 +4042,17 @@ object SparkEntry {
                AS returning_users
            FROM d JOIN f USING (user_id)
            GROUP BY day ORDER BY day""",
-      "q_cusum" -> // integer micro-unit prefix sums; the max(0,·) unroll
-        """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      "q_cusum" -> // integer micro-unit prefix sums over the DENSE day spine
+        """WITH sparse AS (SELECT event_type, CAST(ts AS DATE) AS day,
                count(*) AS cnt FROM events GROUP BY 1, 2),
+           bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+             FROM sparse GROUP BY 1),
+           spine AS (SELECT event_type,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             FROM bounds),
+           daily AS (SELECT s.event_type, s.day,
+               CAST(coalesce(sp.cnt, 0) AS BIGINT) AS cnt
+             FROM spine s LEFT JOIN sparse sp USING (event_type, day)),
            mu AS (SELECT event_type, (sum(cnt) * 1000000) // count(*) AS mu6
              FROM daily GROUP BY 1),
            z AS (SELECT d.event_type, d.day, d.cnt,
@@ -4055,9 +4071,17 @@ object SparkEntry {
              CAST(CASE WHEN zz - least(runmin, 0) > 8000000 THEN 1 ELSE 0 END
                AS INTEGER) AS alarm
            FROM rm ORDER BY event_type, day""",
-      "q_trend_test" -> // exact integer S; the z chain replayed verbatim
-        """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      "q_trend_test" -> // exact integer S over the DENSE day spine; z replayed verbatim
+        """WITH sparse AS (SELECT event_type, CAST(ts AS DATE) AS day,
                count(*) AS cnt FROM events GROUP BY 1, 2),
+           bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+             FROM sparse GROUP BY 1),
+           spine AS (SELECT event_type,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             FROM bounds),
+           daily AS (SELECT s.event_type, s.day,
+               CAST(coalesce(sp.cnt, 0) AS BIGINT) AS cnt
+             FROM spine s LEFT JOIN sparse sp USING (event_type, day)),
            pr AS (SELECT a.event_type,
                CASE WHEN b.cnt > a.cnt THEN 1
                     WHEN b.cnt < a.cnt THEN -1 ELSE 0 END AS sg,

@@ -561,6 +561,27 @@ object Windows {
       .orderBy(col(key), col("event_id"))
   }
 
+  /** Per-key DENSE daily count series behind the time-series monitors
+    * ([[cusum]], [[mannKendall]], [[seasonalAnomalies]]): the fact
+    * collapses to (key, day, cnt) and the per-key [min(day), max(day)]
+    * span is densified with cnt=0 rows. Without the spine a monitor
+    * only sees days that HAD events — an outage (the exact signal a
+    * change-point chart exists for) would be invisible, and the
+    * baseline μ biased upward. The spine is bounded by keys × calendar
+    * days (a query-shaped quantity, never the fact): one bounded
+    * aggregate for the per-key bounds, one `sequence` explode, one
+    * left join. */
+  private def denseDaily(events: DataFrame, typeCol: String,
+                         tsCol: String): DataFrame = {
+    val daily = events.groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = daily.groupBy(col(typeCol))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(col(typeCol), explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    spine.join(daily, Seq(typeCol, "day"), "left")
+      .select(col(typeCol), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   /** CUSUM change-point monitor ([EXT]) — the control chart (Page
     * 1954): C_t = max(0, C_{t−1} + (x_t − μ − k)) accumulates
     * sustained drift above the per-key baseline and alarms at C > h —
@@ -569,7 +590,11 @@ object Windows {
     * climbs). The recursion unrolls to prefix sums —
     * C_t = Z_t − min(0, min_{s≤t} Z_s) with Z the running sum of
     * (x − μ − k) — so it's two windows over the BOUNDED daily table,
-    * not a sequential scan.
+    * not a sequential scan. The series is the DENSE [[denseDaily]]
+    * spine: days with zero events enter as cnt=0, so an outage or a
+    * downward shift drives the (negated) statistic instead of
+    * silently vanishing from the chart, and μ averages over real
+    * calendar days, not just active ones.
     *
     * Exactness: everything runs in INTEGER micro-units — μ is the
     * floor-divided (Σ·10⁶)/n, z/Z/C are longs — because window-frame
@@ -580,8 +605,7 @@ object Windows {
   def cusum(events: DataFrame, typeCol: String = "event_type",
             tsCol: String = "ts", slack: Double = 1.0,
             threshold: Double = 8.0): DataFrame = {
-    val daily = events.groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("cnt"))
+    val daily = denseDaily(events, typeCol, tsCol)
     // integral `div`, NOT `/`: Spark's `/` on longs is true (double)
     // division — the fractional µ would leak IEEE noise into every
     // prefix sum (caught by the oracle gate: 0.6 vs 0.600004)
@@ -618,8 +642,8 @@ object Windows {
     * z is one guarded IEEE chain (sqrt is IEEE-exact). */
   def mannKendall(events: DataFrame, typeCol: String = "event_type",
                   tsCol: String = "ts"): DataFrame = {
-    val daily = events.groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("cnt"))
+    // dense spine: a quiet spell is DOWNWARD evidence, not a hole
+    val daily = denseDaily(events, typeCol, tsCol)
     def side(p: String) = daily.select(col(typeCol).as(s"__t$p"),
       col("day").as(s"${p}_day"), col("cnt").as(s"${p}_cnt"))
     val pairs = side("a").join(side("b"),
@@ -682,9 +706,8 @@ object Windows {
     */
   def seasonalAnomalies(events: DataFrame, typeCol: String = "event_type",
                         tsCol: String = "ts", k: Double = 3.0): DataFrame = {
-    val daily = events
-      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("cnt"))
+    // dense spine: a silent day is the anomaly most worth flagging
+    val daily = denseDaily(events, typeCol, tsCol)
       .withColumn("__dow", dayofweek(col("day")))
     val base = daily.groupBy(col(typeCol).as("__t"), col("__dow").as("__d"))
       .agg((sum(col("cnt")).cast("double") / count(lit(1)).cast("double"))

@@ -213,6 +213,34 @@ class StatsSpec extends SparkSuite {
     assert(out.forall { case ((t, _), (c, a)) => t != "flat" || (c == 0.0 && a == 0) })
   }
 
+  test("monitors densify the day spine: silent days surface as cnt=0") {
+    import java.sql.Timestamp
+    // type g: 10/day on days 1-3 and 6-8; days 4-5 have NO events —
+    // without the dense spine the outage is simply absent from the
+    // chart and mu is biased to the active days
+    val rows = for {
+      d <- Seq(0, 1, 2, 5, 6, 7)
+      _ <- 0 until 10
+    } yield ("g", Timestamp.valueOf(f"2024-03-${d + 1}%02d 12:00:00"))
+    val out = Windows.cusum(rows.toDF("event_type", "ts"), slack = 1.0)
+      .collect().map(r => r.getDate(1).toString -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.size === 8)                       // 8 calendar days, not 6
+    // mu = 60/8 = 7.5, k = 1: active z = +1.5, outage z = -8.5 (C pins at 0)
+    assert(out("2024-03-04") === ((0L, 0.0)))
+    assert(out("2024-03-05") === ((0L, 0.0)))
+    assert(out("2024-03-03") === ((10L, 4.5)))
+    assert(out("2024-03-08") === ((10L, 4.5)))   // recovery climbs from the pinned 0
+    // mannKendall sees the quiet spell as DOWNWARD evidence: series
+    // [3,2,0,0,1] over the dense 5-day spine -> S = -5, one 0-0 tie
+    val mk = for {
+      (d, n) <- Seq((0, 3), (1, 2), (4, 1)); _ <- 0 until n
+    } yield ("m", Timestamp.valueOf(f"2024-04-${d + 1}%02d 12:00:00"))
+    val m = Windows.mannKendall(mk.toDF("event_type", "ts")).head()
+    assert(m.getLong(1) === 5L)                  // dense day count
+    assert(m.getLong(2) === -5L && m.getLong(3) === 1L)
+  }
+
   test("mannKendall: monotone series hit +-S_max, flat scores z = 0") {
     import java.sql.Timestamp
     // "up": 1,2,3,4 events on days 1..4 -> every pair ascending, S = 6
