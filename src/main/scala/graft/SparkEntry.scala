@@ -855,6 +855,15 @@ object SparkEntry {
     // the sketch is engine-private, alpha-bound laws in ProfileSpec
     "q_dd_quantiles" -> ((s, d) =>
       Profile.ddQuantiles(t(s, d, "lineitem"), "l_returnflag", "l_extendedprice")),
+    // DDSketch bucket histogram ([EXT]): the sketch's data-touching
+    // stage hash-certified — ceil(ln(x)/ln(gamma)) on exact integer
+    // cents is replayable IEEE arithmetic (unlike the estimates);
+    // built through the REAL aggregator, not a parallel SQL spelling
+    "q_dd_buckets" -> ((s, d) =>
+      Profile.ddBucketCounts(
+        t(s, d, "lineitem").select(
+          (col("l_extendedprice") * 100).cast("long").as("cents")),
+        "cents")),
     // EXACT order statistic ([EXT]): the median of the fact measure
     // in cents, by iterative range-narrowing histograms — ≤ 6 pushed-
     // filter scans and zero shuffles at ANY scale, where a sort-based
@@ -3135,6 +3144,22 @@ object SparkEntry {
              (SELECT cents FROM v ORDER BY cents
               LIMIT 1 OFFSET (SELECT (n + 1) // 2 - 1 FROM nn)) AS value,
              (SELECT n FROM nn) AS n""",
+      "q_dd_buckets" -> // ceil(ln(x)/ln(gamma)) on exact integer cents is replayable
+        // IEEE arithmetic; gamma is REBUILT as (1+0.01)/(1-0.01) in doubles,
+        // not stated as a literal, so both engines derive the identical double
+        """WITH v AS (SELECT CAST(l_extendedprice * 100 AS BIGINT) AS cents
+                      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+           idx AS (SELECT
+               CAST(CASE WHEN cents = 0 THEN 0 WHEN cents > 0 THEN 1
+                    ELSE -1 END AS BIGINT) AS sign,
+               CASE WHEN cents = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(ceil(ln(CAST(abs(cents) AS DOUBLE)) /
+                   ln((CAST(1.0 AS DOUBLE) + CAST(0.01 AS DOUBLE)) /
+                      (CAST(1.0 AS DOUBLE) - CAST(0.01 AS DOUBLE)))) AS BIGINT)
+               END AS bucket
+             FROM v)
+           SELECT sign, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM idx GROUP BY 1, 2 ORDER BY 1, 2""",
       "q_heavy_hitters" -> // exact two-pass heavy hitters == plain GROUP BY/HAVING
         """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
                         FROM documents WHERE text IS NOT NULL),

@@ -156,6 +156,41 @@ object Profile {
       .orderBy(col("key"), col("q"))
   }
 
+  /** DDSketch bucket histogram over an EXACT integer measure ([EXT])
+    * — the cross-engine certification the estimate queries can't
+    * give: quantile ESTIMATES are engine-private (no independent
+    * engine has a DDSketch), but the bucket INDEX
+    * ceil(ln(x)/ln(gamma)) is plain IEEE arithmetic an oracle can
+    * replay — so this query hash-certifies the sketch's entire
+    * data-touching stage (value → bucket → count), leaving only the
+    * walk over ≤2·maxBuckets counters law-tested.
+    *
+    * ULP honesty: JVM `Math.log` and C libm `log` are each ≤1 ulp
+    * from the true value but not guaranteed bit-identical, so a
+    * value within ~1e-13 of a bucket boundary COULD flip an index
+    * cross-engine. On integer inputs the quotient lands that close
+    * to an integer only for ln(x) ≈ k·ln(gamma) — measured zero
+    * flips across the full sf0.1 integer-cents domain (PLANS.md);
+    * x = 1 (ln = 0, exactly bucket 0 in both engines) is the one
+    * exact boundary and is consistent by IEEE zero-division rules.
+    * The sketch is built by the REAL aggregator (same reduce/merge
+    * path as [[ddQuantiles]]), not a parallel SQL spelling. */
+  def ddBucketCounts(df: DataFrame, measure: String,
+                     alpha: Double = 0.01): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new graft.expressions.DDSketchAggregator[Double](Double.box, alpha)
+    val buf = df.select(col(measure).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .as[Double]
+      .select(agg.toColumn).head()
+    val rows =
+      buf.neg.toSeq.map { case (b, c) => (-1L, b.toLong, c) } ++
+        (if (buf.zero > 0) Seq((0L, 0L, buf.zero)) else Nil) ++
+        buf.pos.toSeq.map { case (b, c) => (1L, b.toLong, c) }
+    rows.toDF("sign", "bucket", "cnt").orderBy(col("sign"), col("bucket"))
+  }
+
   /** Persisted-shard twin of [[ddQuantiles]], completing the same
     * lifecycle the HLL/CMS shards have: one DDSketch row per shard
     * (plain parquet-writable maps — no binary blob, the sketch IS its

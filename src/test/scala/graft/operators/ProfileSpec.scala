@@ -667,6 +667,21 @@ class ProfileSpec extends SparkSuite {
       math.abs(p99 - exact) / exact <= 0.011)
   }
 
+  test("ddBucketCounts: signs split, zeros exact, buckets match the index formula") {
+    val df = Seq(-100L, 0L, 0L, 1L, 1L, 50L, 50L, 50L).toDF("v")
+    val out = Profile.ddBucketCounts(df, "v", alpha = 0.01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val gamma = (1 + 0.01) / (1 - 0.01)
+    def idx(x: Double) = math.ceil(math.log(x) / math.log(gamma)).toLong
+    assert(out === Map(
+      (-1L, idx(100.0)) -> 1L,  // negative magnitude bucket
+      (0L, 0L) -> 2L,           // exact zero count
+      (1L, 0L) -> 2L,           // ln(1)=0 -> bucket 0, the one exact boundary
+      (1L, idx(50.0)) -> 3L))
+    // counts conserve the input multiset
+    assert(out.values.sum === 8L)
+  }
+
   test("DDSketch merge is associative even past maxBuckets (collapse only in finish)") {
     import graft.expressions.{DDSketch, DDSketchAggregator}
     val agg = new DDSketchAggregator[Double](Double.box, 0.01, maxBuckets = 16)
