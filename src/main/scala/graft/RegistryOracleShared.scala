@@ -1,0 +1,345 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{Json, Scrub, Text}
+import graft.multimodal.Multimodal
+import graft.operators.{Anonymize, AsOf, Clustering, CorpusStats, Dedup, Fuzzy, Graph, Layout, Ngrams, Pack, Profile, Quality, Reports, Reshape, Sampling, SetSimilarity, Similarity, Skew, TopK, Windows}
+import graft.sources.{Bucketing, Lake, Tables}
+import graft.streaming.Sessions
+
+/** DuckDB spellings shared across oracle entries in
+  * RegistryOraclesA/B/C — hoisted from the original oracleSql body
+  * so one text feeds every oracle that replays it (zero drift). */
+private[graft] object OracleShared {
+  import Reg._
+    // DuckDB spellings shared across oracles.
+    val fingerprint = "sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    val shingles = "[substr(text, i, 5) for i in range(1, greatest(len(text)-4, 1)+1)]"
+    def fold(products: String) = s"list_reduce($products, (x, y) -> x + y)"
+    // shared NB train->predict->confusion chain: q_nb_confusion replays
+    // it directly, q_nb_metrics derives the precision/recall/F1 sheet
+    // from the same matrix
+    val nbCm =
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+               test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+               trt AS (SELECT lang AS c,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                 FROM train),
+               ctc AS (SELECT c, term, count(*) AS n FROM trt GROUP BY 1, 2),
+               ctot AS (SELECT c, count(*) AS tot FROM trt GROUP BY 1),
+               v AS (SELECT count(DISTINCT term) AS v FROM trt),
+               pri AS (SELECT lang AS c, CAST(round(ln(count(*) /
+                   CAST((SELECT count(*) FROM train) AS DOUBLE)), 6)
+                   AS DECIMAL(18,6)) AS logprior
+                 FROM train GROUP BY 1),
+               tet AS (SELECT doc_id, term, count(*) AS tf FROM
+                 (SELECT doc_id,
+                    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                  FROM test) GROUP BY 1, 2),
+               sc AS (SELECT t.doc_id, p.c, p.logprior +
+                   sum(CAST(round(t.tf * ln((coalesce(ctc.n, 0) + 1) /
+                     CAST(ctot.tot + v.v AS DOUBLE)), 6) AS DECIMAL(18,6))) AS score
+                 FROM tet t
+                 CROSS JOIN pri p
+                 JOIN ctot ON ctot.c = p.c
+                 LEFT JOIN ctc ON ctc.c = p.c AND ctc.term = t.term
+                 CROSS JOIN v
+                 GROUP BY t.doc_id, p.c, p.logprior),
+               pred AS (SELECT doc_id, c AS predicted,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, c DESC) AS rn FROM sc),
+           cm AS (SELECT te.lang AS actual, p.predicted, count(*) AS n
+             FROM pred p JOIN test te USING (doc_id) WHERE rn = 1
+             GROUP BY 1, 2)"""
+    def dotSelf(v: String) =
+      fold(s"[$v[i]::DOUBLE * $v[i]::DOUBLE for i in range(1, len($v)+1)]")
+    // MinHash CTEs mirroring Dedup.minhashSignatures/lshBands (k=16, 4
+    // bands), parameterized over the source relation.
+    val minCols = (0 until 16).map(i =>
+      s"min((h * ${Dedup.aCoef(i)} + ${Dedup.bCoef(i)}) % ${Dedup.MinhashP}) AS m$i").mkString(", ")
+    val bandRows = (0 until 4).map { b =>
+      val cat = (b * 4 until (b + 1) * 4).map(i => s"m$i::VARCHAR").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS band_hash FROM sig"
+    }.mkString(" UNION ALL ")
+    def minhashCtesFrom(src: String, cap: Int = 0) = {
+      // cap > 0 = the hot-bucket guard: buckets holding more than
+      // `cap` docs contribute no candidate pairs
+      val bs =
+        if (cap > 0)
+          "bs AS (SELECT band, band_hash, count(*) AS n FROM b GROUP BY band, band_hash),\n          "
+        else ""
+      val capJoin = if (cap > 0) " JOIN bs USING (band, band_hash)" else ""
+      val capCond = if (cap > 0) s" AND bs.n <= $cap" else ""
+      s"""sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM $src),
+          hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+          sig AS (SELECT doc_id, $minCols FROM hh GROUP BY doc_id),
+          b AS ($bandRows),
+          ${bs}cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                   FROM b x JOIN b y USING (band, band_hash)$capJoin
+                   WHERE x.doc_id < y.doc_id$capCond)"""
+    }
+    val minhashCtes = minhashCtesFrom("documents")
+    // Word-trigram set rows for the exact set-similarity joins:
+    // distinct (doc_id, 60-bit gram fingerprint) plus per-doc set
+    // size, gram document frequency, and global-rarity rank — the
+    // SetSimilarity.rankedGramSets algebra.
+    val wordGramSetCtes =
+      """tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+               FROM documents),
+         ng AS (SELECT doc_id, unnest(list_distinct(
+                  [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])) AS ng
+                FROM tk),
+         tok AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(ng), 1, 15))::BIGINT AS fp
+                 FROM ng),
+         st AS (SELECT doc_id, fp,
+                  count(*) OVER (PARTITION BY fp) AS df,
+                  count(*) OVER (PARTITION BY doc_id) AS n FROM tok),
+         rk AS (SELECT doc_id, fp, n,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY df, fp) AS r FROM st)"""
+    val jaccardJoinOracle =
+      s"""WITH $wordGramSetCtes,
+          pf AS (SELECT doc_id, fp, n FROM rk WHERE r <= n - ceil(0.5 * n) + 1),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.n AS na, b.n AS nb
+                   FROM pf a JOIN pf b USING (fp)
+                   WHERE a.doc_id < b.doc_id
+                     AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)),
+          iv AS (SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS inter
+                 FROM cand c
+                 JOIN tok ta ON ta.doc_id = c.doc_a
+                 JOIN tok tb ON tb.doc_id = c.doc_b AND tb.fp = ta.fp
+                 GROUP BY ALL)
+          SELECT doc_a, doc_b, inter,
+            inter::DOUBLE / (na + nb - inter) AS jaccard
+          FROM iv WHERE inter >= 0.5 * (na + nb - inter)
+          ORDER BY doc_a, doc_b"""
+    // Verified-pair CTEs (cand -> exact jaccard >= threshold), shared
+    // by q_near_dup_pairs and q_dedup_docs.
+    def verifiedPairCtes(src: String) =
+      s"""sets AS (SELECT doc_id, list_distinct($shingles) AS sd FROM $src),
+          j AS (SELECT cand.doc_a, cand.doc_b,
+            len(list_intersect(a.sd, bb.sd)) AS inter,
+            len(a.sd) + len(bb.sd) - len(list_intersect(a.sd, bb.sd)) AS un
+            FROM cand JOIN sets a ON cand.doc_a = a.doc_id
+                      JOIN sets bb ON cand.doc_b = bb.doc_id),
+          verified AS (SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / un AS jac
+                       FROM j WHERE CAST(inter AS DOUBLE) / un >= 0.5)"""
+    // The sign-LSH hyperplanes are deterministic (seeded JVM RNG);
+    // embedding them as double literals makes the whole ANN join
+    // SQL-expressible. Shortest-repr double text round-trips to
+    // identical bits in any correct parser. dim=64 matches the
+    // driver-generated embeddings tables. cap > 0 = the hot-bucket
+    // guard: buckets above the cap are removed from both join sides.
+    // Shared CTEs for the sign-LSH embedding oracles: bucket-tagged
+    // vectors (t), optional hot-bucket cap (bc), norms (n).
+    // Literal sign-LSH bucket expression for one seeded hyperplane set.
+    def lshBucketExpr(seed: Long): String = {
+      val planes = Similarity.hyperplanes(64, 8, seed)
+      def dotLit(p: Seq[Double]) = {
+        val arr = p.map(_.toString).mkString("[", ", ", "]")
+        fold(s"[embedding[i]::DOUBLE * ($arr)[i] for i in range(1, len(embedding)+1)]")
+      }
+      planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN ${dotLit(p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+    def lshNormCtes(cap: Int): String = {
+      val bucket = lshBucketExpr(42L)
+      val bc =
+        if (cap > 0) s"bc AS (SELECT bucket, count(*) AS n FROM t GROUP BY bucket),\n            "
+        else ""
+      val capJoin = if (cap > 0) s" JOIN bc USING (bucket) WHERE bc.n <= $cap" else ""
+      s"""t AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+          ${bc}n AS (SELECT vec_id, embedding, bucket, sqrt(${dotSelf("embedding")}) AS nrm
+             FROM t$capJoin)"""
+    }
+    val pairCos =
+      fold("[a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE for i in range(1, len(a.embedding)+1)]") +
+        " / (a.nrm * b.nrm)"
+    def lshKnnOracle(cap: Int): String =
+      s"""WITH ${lshNormCtes(cap)},
+          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, $pairCos AS c
+            FROM n a JOIN n b USING (bucket) WHERE a.vec_id <> b.vec_id)
+          SELECT id_a, id_b, round(c, 6) AS cosine_sim,
+            CAST(row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS INTEGER) AS "rank"
+          FROM p QUALIFY "rank" <= 5 ORDER BY id_a, "rank""""
+    // incremental near-dup oracle (q_new_near_docs family): prefixed
+    // signature/band CTEs so history and batch coexist; cap > 0 = the
+    // history-side hot-bucket guard
+    def newNearOracle(cap: Int): String = {
+      def sigCtes(p: String, src: String) =
+        s"""${p}sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM $src),
+            ${p}hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM ${p}sh),
+            ${p}sig AS (SELECT doc_id, $minCols FROM ${p}hh GROUP BY doc_id)"""
+      def bandRowsP(p: String) = (0 until 4).map { b =>
+        val cat = (b * 4 until (b + 1) * 4).map(i => s"m$i::VARCHAR").mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS band_hash FROM ${p}sig"
+      }.mkString(" UNION ALL ")
+      val agree = (0 until 16)
+        .map(i => s"CASE WHEN b.m$i = h.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      val bs =
+        if (cap > 0)
+          "bs AS (SELECT band, band_hash, count(*) AS bn FROM hb GROUP BY band, band_hash),\n          "
+        else ""
+      val capJoin = if (cap > 0) " JOIN bs USING (band, band_hash)" else ""
+      val capCond = if (cap > 0) s" AND bs.bn <= $cap" else ""
+      s"""WITH hsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+               bsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+                        UNION ALL
+                        SELECT doc_id + 1000000 AS doc_id, text || ' updated rev' AS text
+                        FROM documents WHERE doc_id % 10 = 0),
+               ${sigCtes("h", "hsrc")},
+               ${sigCtes("b", "bsrc")},
+               hb AS (${bandRowsP("h")}),
+               bb AS (${bandRowsP("b")}),
+               ${bs}cand AS (SELECT DISTINCT bb.doc_id AS batch_id, hb.doc_id AS hist_id
+                        FROM bb JOIN hb USING (band, band_hash)$capJoin
+                        WHERE 1 = 1$capCond),
+               dup AS (SELECT DISTINCT c.batch_id
+                       FROM cand c JOIN bsig b ON c.batch_id = b.doc_id
+                                   JOIN hsig h ON c.hist_id = h.doc_id
+                       WHERE $agree >= 8)
+          SELECT doc_id FROM bsrc
+          WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.batch_id = bsrc.doc_id)
+          ORDER BY doc_id"""
+    }
+    // fuzzy decontamination oracle: the newNearOracle CTE family with
+    // the 41-modulus benchmark as "history" and a contaminated flag
+    // instead of an anti-join
+    val decontamNearOracle: String = {
+      def sigCtes(p: String, src: String) =
+        s"""${p}sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM $src),
+            ${p}hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM ${p}sh),
+            ${p}sig AS (SELECT doc_id, $minCols FROM ${p}hh GROUP BY doc_id)"""
+      def bandRowsP(p: String) = (0 until 4).map { b =>
+        val cat = (b * 4 until (b + 1) * 4).map(i => s"m$i::VARCHAR").mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS band_hash FROM ${p}sig"
+      }.mkString(" UNION ALL ")
+      val agree = (0 until 16)
+        .map(i => s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH tsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0),
+               bsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 = 0),
+               ${sigCtes("t", "tsrc")},
+               ${sigCtes("b", "bsrc")},
+               tb AS (${bandRowsP("t")}),
+               bb AS (${bandRowsP("b")}),
+               cand AS (SELECT DISTINCT tb.doc_id AS train_id, bb.doc_id AS bench_id
+                        FROM tb JOIN bb USING (band, band_hash)),
+               dup AS (SELECT DISTINCT c.train_id
+                       FROM cand c JOIN tsig x ON c.train_id = x.doc_id
+                                   JOIN bsig y ON c.bench_id = y.doc_id
+                       WHERE $agree >= 8)
+          SELECT doc_id,
+            EXISTS (SELECT 1 FROM dup d WHERE d.train_id = tsrc.doc_id) AS contaminated
+          FROM tsrc ORDER BY doc_id"""
+    }
+    // Unrolled damped power iteration (Graph.stationaryDistribution):
+    // 20 r-CTEs, each the exact integer-unit update — teleport +
+    // dangling redistribution + per-edge contribution. HUGEINT holds
+    // the 17·r·n products (Spark side: DECIMAL(38,0)); `//` == `div`
+    // on these all-positive values, so both engines truncate
+    // identically and the BIGINT units hash-match bit-for-bit.
+    val stationaryOracle = {
+      val u = graft.operators.Graph.MassUnits
+      val rCtes = (0 until 20).map { i =>
+        s"""r${i + 1} AS MATERIALIZED (
+              SELECT s.state,
+                CAST((3 * $u) // (20 * (SELECT count(*) FROM states))
+                  + (17 * (SELECT COALESCE(sum(r.units), 0) FROM r$i r
+                           LEFT JOIN outs o ON r.state = o.state
+                           WHERE o.state IS NULL))
+                    // (20 * (SELECT count(*) FROM states))
+                  + COALESCE((SELECT CAST(sum(
+                        (CAST(17 AS HUGEINT) * r2.units * e.n)
+                          // (CAST(20 AS HUGEINT) * o2.outn)) AS BIGINT)
+                      FROM r$i r2
+                      JOIN outs o2 ON o2.state = r2.state
+                      JOIN edges e ON e.from_type = r2.state
+                      WHERE e.to_type = s.state), 0) AS BIGINT) AS units
+              FROM states s)"""
+      }.mkString(",\n")
+      s"""WITH pr AS (SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_ns(ts), event_id) AS prev
+             FROM events),
+           edges AS MATERIALIZED (SELECT prev AS from_type, event_type AS to_type,
+                       count(*) AS n
+                     FROM pr WHERE prev IS NOT NULL GROUP BY 1, 2),
+           states AS MATERIALIZED (SELECT from_type AS state FROM edges
+                      UNION SELECT to_type FROM edges),
+           outs AS MATERIALIZED (SELECT from_type AS state, sum(n) AS outn
+                    FROM edges GROUP BY 1),
+           r0 AS MATERIALIZED (SELECT state,
+                    CAST($u // (SELECT count(*) FROM states) AS BIGINT) AS units
+                  FROM states),
+           $rCtes
+         SELECT state, units, units / 1000000000000.0 AS rank
+         FROM r20 ORDER BY units DESC, state"""
+    }
+    // Shared PQ training replay (Clustering.pqTrainEncode iters=2
+    // dim=64, parameterized over m subspaces × k cells): slices,
+    // lowest-id seeds, one micro-sum Lloyd update, final assignment —
+    // the q_kmeans oracle with a subspace dimension. MATERIALIZED pins
+    // each stage to one evaluation.
+    def pqTrainCtes(m: Int, k: Int) = {
+      val w = 64 / m
+      val subs = (0 until m).mkString(", ")
+      val dist = "list_reduce([(sv[i]-cvec[i])*(sv[i]-cvec[i]) " +
+        "for i in range(1, len(sv)+1)], (x, y) -> x + y)"
+      s"""e AS MATERIALIZED (
+              SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+          sl AS MATERIALIZED (
+              SELECT vec_id, s.s AS subspace, v[s.s*$w+1 : (s.s+1)*$w] AS sv
+              FROM e, (SELECT unnest([$subs]) AS s) s),
+          sd AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+                 FROM e ORDER BY vec_id LIMIT $k),
+          c0 AS (SELECT sl.subspace, sd.cell, sl.sv AS cvec
+                 FROM sl JOIN sd USING (vec_id)),
+          a1 AS MATERIALIZED (
+              SELECT sl.vec_id, sl.subspace, sl.sv, c0.cell, $dist AS d
+              FROM sl JOIN c0 ON c0.subspace = sl.subspace
+              QUALIFY row_number() OVER (PARTITION BY sl.vec_id, sl.subspace
+                ORDER BY d, c0.cell) = 1),
+          m1p AS (SELECT subspace, cell, pos, count(*) AS n, sum(vm) AS s FROM
+                    (SELECT subspace, cell,
+                       unnest([i for i in range(0, len(sv))]) AS pos,
+                       unnest([round(x * 1000000, 0)::BIGINT for x in sv]) AS vm
+                     FROM a1)
+                  GROUP BY subspace, cell, pos),
+          m1 AS MATERIALIZED (
+              SELECT subspace, cell,
+                list(s::DOUBLE / n / 1000000.0 ORDER BY pos) AS cvec
+              FROM m1p GROUP BY subspace, cell),
+          a2 AS MATERIALIZED (
+              SELECT sl.vec_id, sl.subspace, sl.sv, m1.cell, $dist AS d
+              FROM sl JOIN m1 ON m1.subspace = sl.subspace
+              QUALIFY row_number() OVER (PARTITION BY sl.vec_id, sl.subspace
+                ORDER BY d, m1.cell) = 1)"""
+    }
+    // ADC distances fold in subspace order on both engines; shared by
+    // the in-memory (q_pq_adc) and persisted-index (q_pq_persisted)
+    // probe paths.
+    val pqAdcOracle =
+      s"""WITH ${pqTrainCtes(4, 8)},
+             q AS (SELECT v FROM e WHERE vec_id = 1),
+             qs AS (SELECT s.s AS subspace, q.v[s.s*16+1 : (s.s+1)*16] AS qsv
+                    FROM q, (SELECT unnest([0, 1, 2, 3]) AS s) s),
+             pd AS (SELECT a2.vec_id, a2.subspace,
+                      list_reduce([(qs.qsv[i] - m1.cvec[i]) * (qs.qsv[i] - m1.cvec[i])
+                                   for i in range(1, len(qs.qsv)+1)],
+                        (x, y) -> x + y) AS d
+                    FROM a2
+                    JOIN m1 ON m1.subspace = a2.subspace AND m1.cell = a2.cell
+                    JOIN qs ON qs.subspace = a2.subspace),
+             adc AS (SELECT vec_id,
+                       list_reduce(list(d ORDER BY subspace), (x, y) -> x + y)
+                         AS adc_raw
+                     FROM pd GROUP BY vec_id),
+             sel AS (SELECT vec_id, adc_raw FROM adc
+                     ORDER BY adc_raw, vec_id LIMIT 10)
+         SELECT vec_id, round(adc_raw, 6) AS adc_dist2
+         FROM sel ORDER BY adc_raw, vec_id"""
+}

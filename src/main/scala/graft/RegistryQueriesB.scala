@@ -1,0 +1,925 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{Json, Scrub, Text}
+import graft.multimodal.Multimodal
+import graft.operators.{Anonymize, AsOf, Clustering, CorpusStats, Dedup, Fuzzy, Graph, Layout, Ngrams, Pack, Profile, Quality, Reports, Reshape, Sampling, SetSimilarity, Similarity, Skew, TopK, Windows}
+import graft.sources.{Bucketing, Lake, Tables}
+import graft.streaming.Sessions
+
+/** Query registrations, part B: text analysis, corpus hygiene,
+  * document dedup, similarity search, multimodal (SURVEY §2.2-2.3,
+  * §2.7, §2.13 [EXT]). Mechanical split of [[SparkEntry.queries]]. */
+private[graft] object RegistryQueriesB {
+  import Reg._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis (SURVEY §2.2 [EXT]) ----
+    // Flesch reading-ease ([EXT]): words/sentences/vowel-group
+    // syllables, one rounded IEEE chain — the classic readability
+    // feature beside the Gopher battery
+    "q_readability" -> ((s, d) => {
+      val c = col("text")
+      t(s, d, "documents").select(col("doc_id"),
+          Text.tokenCount(c).cast("long").as("n_words"),
+          Text.sentenceCount(c).cast("long").as("n_sentences"),
+          Text.syllableCount(c).cast("long").as("n_syllables"),
+          Text.fleschScore(c).as("flesch"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_doc_stats" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val c = col("text")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        Text.tokenCount(c).cast("long").as("n_tokens"),
+        Text.bpeTokenCount(c).cast("long").as("n_bpe_tokens"),
+        graft.expressions.GraftFunctions.rollingHash(c).as("rolling_hash"),
+        Text.nonSpaceChars(c).cast("long").as("n_nonspace"),
+        Text.digitCount(c).cast("long").as("n_digits"),
+        Text.punctCount(c).cast("long").as("n_punct"),
+        Text.avgTokenLen(c).as("avg_token_len"),
+        Text.digitRatio(c).as("digit_ratio"),
+        Text.stopwordRatio(c).as("stopword_ratio"),
+        Text.fingerprint(c).as("fingerprint")).orderBy(col("doc_id"))
+    }),
+    "q_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), Text.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+    "q_quality_filter" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Text.isQuality(col("text")).as("keep"))
+        .orderBy(col("doc_id"))),
+    // ---- corpus hygiene ([EXT]): PII scrub, web-text normalization,
+    // repetition signals, benchmark decontamination, chunking, tf-idf.
+    // The PII/markup fixtures are appended deterministically to the
+    // documents text (the synthetic corpus has none), IDENTICALLY in
+    // the oracle SQL — so the redaction/normalization genuinely fires.
+    // URL surface ([EXT]): synthesized crawl URLs parsed back through
+    // parse_url + canonicalized (tracking params stripped) — every
+    // part certified against table-stated expectations
+    "q_url_meta" -> ((s, d) => {
+      val url = concat(lit("https://"), col("source"), lit(".Example.com/docs/"),
+        col("doc_id"), lit("?utm_source=feed&lang="), col("lang"), lit("&fbclid=x1"))
+      t(s, d, "documents").select(col("doc_id"), url.as("__u"))
+        .select(col("doc_id"),
+          graft.functions.Urls.host(col("__u")).as("host"),
+          graft.functions.Urls.domain(col("__u")).as("domain"),
+          graft.functions.Urls.path(col("__u")).as("path"),
+          graft.functions.Urls.queryParam(col("__u"), "lang").as("q_lang"),
+          graft.functions.Urls.stripTracking(col("__u")).as("canonical_url"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_pii_scrub" -> ((s, d) => {
+      val aug = concat(col("text"), lit(" reach user"), col("doc_id"),
+        lit("@mail.example.com or 555-867-5309 ssn 123-45-6789 host 10.0.0."),
+        col("doc_id") % 250)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        Scrub.emailCount(aug).cast("long").as("n_emails"),
+        Scrub.ssnCount(aug).cast("long").as("n_ssns"),
+        Scrub.phoneCount(aug).cast("long").as("n_phones"),
+        Scrub.ipCount(aug).cast("long").as("n_ips"),
+        Scrub.piiScrub(aug).as("scrubbed")).orderBy(col("doc_id"))
+    }),
+    "q_normalize" -> ((s, d) => {
+      val aug = concat(lit("<div class=\"doc\"> "), col("text"),
+        lit(" &amp; more&nbsp;text <br/> </div>"))
+      t(s, d, "documents")
+        .select(col("doc_id"), Scrub.normalizeText(aug).as("normalized"))
+        .orderBy(col("doc_id"))
+    }),
+    // Unicode NFC canonicalization ([EXT]): the codepoint-level
+    // normalization Scrub.normalizeText doesn't do — a deterministic
+    // decomposed suffix (e + combining acute) is appended so the
+    // compare proves real composition (norm_len == raw_len - 1), via
+    // the native graft_unicode_normalize codegen Expression against
+    // DuckDB's independent nfc_normalize implementation
+    "q_nfc_normalize" -> ((s, d) => {
+      val aug = concat(col("text"), lit("e" + '\u0301'))
+      val norm = graft.expressions.GraftFunctions.unicodeNormalize(aug, "NFC")
+      t(s, d, "documents")
+        .select(col("doc_id"), norm.as("norm_text"),
+          length(norm).as("norm_len"), length(aug).as("raw_len"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_repetition" -> ((s, d) => CorpusStats.repetitionSignals(t(s, d, "documents"))),
+    // benchmark set = every 41st doc; the rest is the training corpus
+    "q_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Ngrams.decontaminate(
+        docs.where(col("doc_id") % 41 =!= 0),
+        docs.where(col("doc_id") % 41 === 0))
+    }),
+    // graded contamination: rate over the doc's own distinct grams,
+    // same 41-modulus benchmark split as q_decontaminate
+    "q_contamination_rate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Ngrams.contaminationRate(
+        docs.where(col("doc_id") % 41 =!= 0),
+        docs.where(col("doc_id") % 41 === 0))
+    }),
+    // fuzzy benchmark leakage ([EXT]): minhash near-match against the
+    // same 41-modulus benchmark split — catches paraphrased/partially
+    // quoted eval items the exact 8-gram screen misses
+    "q_decontaminate_near" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Ngrams.decontaminateNear(
+        docs.where(col("doc_id") % 41 =!= 0),
+        docs.where(col("doc_id") % 41 === 0))
+    }),
+    "q_chunk" -> ((s, d) => Ngrams.chunk(t(s, d, "documents"))),
+    // substring-level dedup signal ([EXT]): spans shared across docs —
+    // trigrams so the synthetic corpus yields shared spans; production
+    // uses ~50-gram spans per the substring-dedup literature
+    "q_dup_spans" -> ((s, d) => Ngrams.dupSpans(t(s, d, "documents"), n = 3)),
+    // inter-source overlap matrix ([EXT]): which sources republish
+    // each other — trigrams so the synthetic corpus yields a dense
+    // matrix; production uses longer grams
+    "q_source_overlap" -> ((s, d) =>
+      Ngrams.sourceOverlap(t(s, d, "documents"), n = 3)),
+    // winnowing fingerprints ([EXT]): MOSS window-min selection over
+    // rolling gram hashes — trigrams/w=4 so the synthetic corpus
+    // selects densely; production uses ~5-grams with w~50
+    "q_winnow" -> ((s, d) =>
+      Ngrams.winnowFingerprints(t(s, d, "documents"), n = 3, w = 4)),
+    // winnowed passage-overlap pairs ([EXT]): substring-level
+    // complement of the minhash whole-document near-dup join
+    "q_winnow_overlap" -> ((s, d) =>
+      Ngrams.winnowOverlap(t(s, d, "documents"), n = 3, w = 4, minShared = 5)),
+    "q_tfidf" -> ((s, d) => CorpusStats.tfIdf(t(s, d, "documents"))),
+    // BM25 top-k retrieval ([EXT]): the query-term filter lands before
+    // any shuffle — the aggregate never sees the corpus vocabulary
+    "q_bm25" -> ((s, d) =>
+      CorpusStats.bm25(t(s, d, "documents"), Seq("join", "hash", "window"))),
+    // PMI collocations ([EXT]): adjacent-pair lift over corpus
+    // unigram/bigram distributions
+    "q_pmi" -> ((s, d) => CorpusStats.pmiCollocations(t(s, d, "documents"))),
+    // shared-prefix boilerplate detection ([EXT]): k=3 so the synthetic
+    // corpus yields shared prefixes; production uses ~20-50 tokens
+    "q_boilerplate" -> ((s, d) =>
+      CorpusStats.boilerplatePrefixes(t(s, d, "documents"), k = 3)),
+    // PSI drift report ([EXT]): price distribution across an orderkey
+    // split; fixed bin edges so runs stay comparable
+    "q_psi_drift" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      Profile.psiDrift(li.where(col("l_orderkey") % 2 === 0),
+        li.where(col("l_orderkey") % 2 === 1), "l_extendedprice",
+        lo = 0.0, hi = 110000.0, nBins = 11)
+    }),
+    // exact covariance matrix ([EXT]): micro-unit integer moments, the
+    // labelCentroids exactness discipline over dimension pairs
+    "q_embedding_cov" -> ((s, d) =>
+      Similarity.embeddingCovariance(t(s, d, "embeddings"), dim = 64)),
+    // vocab coverage ([EXT]): top-20 of the synthetic corpus's 31
+    // distinct tokens, so OOV discriminates; production uses 32k-256k
+    "q_vocab_coverage" -> ((s, d) =>
+      CorpusStats.vocabCoverage(t(s, d, "documents"), vocabSize = 20)),
+    // unigram-LM document scoring ([EXT]): perplexity-proxy quality signal
+    "q_unigram_logprob" -> ((s, d) => CorpusStats.unigramLogprob(t(s, d, "documents"))),
+    // context-aware LM score ([EXT]): Laplace-smoothed bigram model —
+    // catches shuffled-real-word spam the unigram score cannot see
+    "q_bigram_logprob" -> ((s, d) => CorpusStats.bigramLogprob(t(s, d, "documents"))),
+    // LM perplexity gate ([EXT]): keep docs whose per-bigram average
+    // logprob clears the bar — the CCNet-style quality filter; the
+    // kept SET is engine-exact because the threshold compares the
+    // ROUNDED average
+    "q_lm_filter" -> ((s, d) =>
+      CorpusStats.lmQualityFilter(t(s, d, "documents"), minAvgLogprob = -3.42)),
+    // token-blocklist scrub ([EXT]): stopword/markup removal as a
+    // literal-array filter riding the scan — zero joins, zero shuffles
+    "q_blocklist_scrub" -> ((s, d) =>
+      CorpusStats.removeBlockedTokens(t(s, d, "documents"),
+        Seq("a", "the", "and", "of", "to", "in"))),
+    // per-source type/token diversity ([EXT]): templated/generated
+    // sources show collapsed bigram ratios
+    "q_ngram_diversity" -> ((s, d) => CorpusStats.ngramDiversity(t(s, d, "documents"))),
+    // mergeable document-frequency maintenance ([EXT]): three disjoint
+    // pmod shards folded by dfMerge must equal the direct corpus df —
+    // the incremental-stats contract a streaming ingest relies on
+    "q_df_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      CorpusStats.dfMerge(
+        (0 until 3).map(b =>
+          CorpusStats.dfShard(docs.where(pmod(col("doc_id"), lit(3)) === b))): _*)
+    }),
+    // character-class composition ([EXT]): the mojibake/binary-junk
+    // structural gate; classes partition the doc's length
+    "q_char_classes" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        Text.alphaCount(col("text")).cast("long").as("n_alpha"),
+        Text.digitCount(col("text")).cast("long").as("n_digits"),
+        Text.whitespaceCount(col("text")).cast("long").as("n_space"),
+        Text.punctCount(col("text")).cast("long").as("n_punct"),
+        Text.replacementCharCount(col("text")).cast("long").as("n_replacement"))
+        .orderBy(col("doc_id"))),
+    "q_token_entropy" -> ((s, d) => CorpusStats.tokenEntropy(t(s, d, "documents"))),
+    // tokenizer induction ([EXT]): the first BPE merge's pair counts
+    "q_bpe_pairs" -> ((s, d) => CorpusStats.bpePairCounts(t(s, d, "documents"))),
+    // full BPE training loop ([EXT]): rows-only by design — the
+    // iterative driver loop has no SQL oracle (like the ML baseline);
+    // BpeSpec verifies against an independent reference implementation
+    "q_bpe_train" -> ((s, d) =>
+      graft.operators.Bpe.trainAsDataFrame(s, t(s, d, "documents"), nMerges = 12)),
+    // per-source dataset card ([EXT]): the release summary table —
+    // volumes, length spread, language mix, quality-gate share
+    "q_corpus_card" -> ((s, d) => CorpusStats.corpusCard(t(s, d, "documents"))),
+    // blocked fuzzy match ([EXT]): the part-name dictionary vs its
+    // last-char-dropped corruption (deterministic, mirrored in SQL) —
+    // suffix typos survive the first-token blocking by construction
+    "q_fuzzy_match" -> ((s, d) => {
+      val names = t(s, d, "part").select(col("p_name"))
+      val corrupted = names
+        .select(expr("substring(p_name, 1, length(p_name) - 1)").as("q_name"))
+      Fuzzy.blockedMatch(corrupted, names, "q_name", "p_name", maxDist = 2)
+    }),
+    // Jaro-Winkler near-name pairs ([EXT]): the codegen Expression
+    // scored UNROUNDED against DuckDB's NATIVE jaro_winkler_similarity
+    // — two independent implementations agreeing bit-for-bit
+    "q_jaro_pairs" -> ((s, d) =>
+      Fuzzy.jaroWinklerPairs(t(s, d, "part"), "p_name", minSim = 0.85)),
+    // exact triangle count ([EXT]): degree-ordered orientation over
+    // the co-purchase graph (parts sharing a high-quantity order) —
+    // hub wedges charged to low-degree endpoints, O(m^1.5) bound
+    "q_triangles" -> ((s, d) => Graph.triangleCount(copurchaseEdges(s, d))),
+    // degree distribution ([EXT]): the hub/power-law fingerprint —
+    // histogram bounded by max degree, never node count
+    "q_degree_dist" -> ((s, d) => Graph.degreeDistribution(copurchaseEdges(s, d))),
+    // dedup cluster-size profile ([EXT]): the corpus-duplication
+    // fingerprint over the same CC assignment
+    "q_cluster_sizes" -> ((s, d) =>
+      Dedup.clusterSizeProfile(t(s, d, "documents"), threshold = 0.5)),
+    // local clustering coefficient ([EXT]): community cores vs pure
+    // hubs per part — the same machinery, per-corner credit
+    "q_clustering_coef" -> ((s, d) => Graph.localClustering(copurchaseEdges(s, d))),
+    // market-basket association rules ([EXT]): pairwise support /
+    // confidence / lift over order baskets, exact counts + one IEEE
+    // expression per ratio
+    "q_market_basket" -> ((s, d) =>
+      Reports.associationRules(t(s, d, "lineitem"), "l_orderkey", "l_partkey",
+        minPairCount = 2)),
+    // lagged cross-correlation ([EXT]): does view activity predict
+    // purchases k days out — daily-aggregate-first, bounded spine join
+    "q_lag_corr" -> ((s, d) =>
+      Windows.lagCorrelation(t(s, d, "events"), "view", "purchase", maxLag = 7)),
+    // TPC-H Q3 shape: unshipped-backlog revenue top-10 — pushed
+    // filters, broadcast segment keys, top-k on the EXACT decimal
+    // TPC-H Q5 shape: 6-table star join, region filter broadcast down,
+    // cross-dimension c_nationkey = s_nationkey on the join keys
+    // streaming quantile monitor ([EXT]) in its batch twin: DDSketch
+    // carried in keyed state, p50/p99 per type — rows-only (sketch
+    // estimates are engine-private; stream==batch law in SessionsSpec)
+    "q_quantile_monitor" -> ((s, d) =>
+      Sessions.quantileMonitor(graft.functions.TimeCol.instant(t(s, d, "events")))
+        .toDF().orderBy(col("event_type"))),
+    // streaming distinct monitor ([EXT]) in its batch twin: KMV in
+    // keyed state — portable fp60 + the kmvEstimate arithmetic make
+    // this streaming monitor ORACLE-certifiable
+    "q_distinct_monitor" -> ((s, d) =>
+      Sessions.distinctMonitor(t(s, d, "events"))
+        .toDF().orderBy(col("event_type"))),
+    "q_tpch_q5" -> ((s, d) =>
+      Reports.localSupplierVolume(t(s, d, "customer"), t(s, d, "orders"),
+        t(s, d, "lineitem"), t(s, d, "supplier"), t(s, d, "nation"),
+        t(s, d, "region"), "ASIA", "1996-01-01", "1998-01-01")),
+    // one-row NB evaluation summary: accuracy + Cohen's kappa (the
+    // chance-corrected agreement a majority-class baseline can't fake)
+    "q_nb_summary" -> ((s, d) =>
+      graft.ml.NaiveBayes.summary(t(s, d, "documents"))),
+    "q_shipping_priority" -> ((s, d) =>
+      Reports.shippingPriority(t(s, d, "customer"), t(s, d, "orders"),
+        t(s, d, "lineitem"), "BUILDING", "1998-06-01")),
+    // rolling median ([EXT]): order-statistic smoothing per key —
+    // exact percentile as a WINDOW aggregate, despikes where EWMA can't
+    "q_rolling_median" -> ((s, d) => Windows.rollingMedian(t(s, d, "events"))),
+    // seasonal-residual anomaly flags ([EXT]): (type, weekday) mean
+    // baseline, MAD-scaled residual, |score| > 3 on the ROUNDED score
+    "q_ts_anomaly" -> ((s, d) =>
+      Windows.seasonalAnomalies(graft.functions.TimeCol.instant(t(s, d, "events")))),
+    // Naive Bayes as pure dataflow ([EXT]): train/predict/confusion
+    // entirely in aggregates+joins — the oracle replays the whole
+    // chain, certifying a TRAINED model cross-engine
+    "q_nb_confusion" -> ((s, d) =>
+      graft.ml.NaiveBayes.confusion(t(s, d, "documents"))),
+    // per-class precision/recall/F1 over the same held-out matrix —
+    // the evaluation sheet, engine-exact ratios from exact counts
+    "q_nb_metrics" -> ((s, d) =>
+      graft.ml.NaiveBayes.metrics(t(s, d, "documents"))),
+    // decile gains/lift table ([EXT]): the targeting view of a scorer
+    // — positional ntiles, response/capture/lift per tile
+    "q_gains" -> ((s, d) =>
+      Reports.gainsTable(
+        t(s, d, "documents")
+          .withColumn("y", when(col("lang") === "en", 1L).otherwise(0L)),
+        "n_chars", "y", "doc_id")),
+    // gaps-and-islands activity streaks ([EXT]): epoch-day minus
+    // row_number labels each contiguous run per type
+    "q_streaks" -> ((s, d) =>
+      Windows.activityStreaks(graft.functions.TimeCol.instant(t(s, d, "events")))),
+    // Mann-Kendall trend test ([EXT]): distribution-free monotonicity
+    // — exact integer S over the bounded daily table, guarded z chain
+    "q_trend_test" -> ((s, d) =>
+      Windows.mannKendall(graft.functions.TimeCol.instant(t(s, d, "events")))),
+    // CUSUM control chart ([EXT]): sustained-drift alarms via the
+    // prefix-sum unroll, all integer micro-units (frame-order-proof)
+    "q_cusum" -> ((s, d) =>
+      Windows.cusum(graft.functions.TimeCol.instant(t(s, d, "events")))),
+    // session exit rates ([EXT]): share of each event type's
+    // occurrences that ended a session — sessionIds composition
+    "q_exit_rates" -> ((s, d) => Windows.exitRates(t(s, d, "events"))),
+    // new-vs-returning daily split ([EXT]): acquisition vs retention
+    // over the distinct (user, day) table
+    "q_new_returning" -> ((s, d) =>
+      Windows.newVsReturning(graft.functions.TimeCol.instant(t(s, d, "events")))),
+    // EXACT Gini coefficient ([EXT]): rank-weighted identity on the
+    // prefix-sum skeleton, tie-proof integer moments
+    "q_gini" -> ((s, d) => Profile.giniExact(t(s, d, "documents"), "n_chars")),
+    // Lorenz curve ([EXT]): the decile view behind the Gini number —
+    // positional tiles, exact decimal shares
+    "q_lorenz" -> ((s, d) =>
+      Profile.lorenzCurve(t(s, d, "documents"), "n_chars", "doc_id")),
+    // concentration indices ([EXT]): HHI + effective category count
+    // per column — the training-mix diversification check
+    "q_concentration" -> ((s, d) =>
+      Profile.concentration(t(s, d, "documents"), Seq("source", "lang"))),
+    // EXACT two-sample KS drift ([EXT]): sup|ECDF diff| as integer
+    // cross-products over the distinct-value table, dual prefix sums
+    // on one distributed sort
+    "q_ks_drift" -> ((s, d) =>
+      Profile.ksDrift(t(s, d, "documents"), "source", "n_chars", "src0", "src1")),
+    // EXACT distributed AUC ([EXT]): rank-sum identity on the
+    // distinct-score table + the distributed prefix-sum skeleton —
+    // never per-pair, never a one-task global rank window
+    "q_auc" -> ((s, d) =>
+      Profile.aucExact(
+        t(s, d, "documents")
+          .withColumn("y", when(col("lang") === "en", 1L).otherwise(0L)),
+        "n_chars", "y")),
+    // sparse tf-idf cosine join ([EXT]): df-capped inverted index —
+    // the WEIGHTED near-dup complement of q_jaccard_join
+    "q_sparse_cosine" -> ((s, d) =>
+      SetSimilarity.sparseCosineJoin(t(s, d, "documents"))),
+    // hashing-trick featurizer ([EXT]): vocabulary-free fixed-width
+    // features, signed-tf longs — exact, no float anywhere
+    "q_hash_features" -> ((s, d) =>
+      CorpusStats.hashFeatures(t(s, d, "documents"))),
+    // top user paths ([EXT]): the real sequences product analytics
+    // reads before hypothesizing a funnel
+    "q_user_paths" -> ((s, d) => Reports.userPaths(t(s, d, "events"))),
+    // ABC / Pareto classes ([EXT]): global ordered cumsum on the
+    // shared prefix-sum skeleton — never a single-task window
+    "q_abc_analysis" -> ((s, d) => {
+      val rev = t(s, d, "lineitem").groupBy(col("l_partkey"))
+        .agg((sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))) * 10000).cast("long").as("units"))
+      Reports.abcAnalysis(rev, "l_partkey", "units")
+    }),
+    // RFM quintiles ([EXT]): positional ntile over total orders —
+    // monetary buckets on the EXACT decimal, never the double
+    "q_rfm" -> ((s, d) => Reports.rfmSegments(t(s, d, "orders"))),
+    // Gopher rule battery ([EXT]): the published filter set as one
+    // scan pass; every rule compares the ROUNDED metric
+    "q_gopher_rules" -> ((s, d) => CorpusStats.gopherQuality(t(s, d, "documents"))),
+    // bounded-depth BFS ([EXT]): blast radius — min-hop labels within
+    // 2 undirected hops of the seed parts; k bounded frontier stages
+    "q_khop" -> ((s, d) =>
+      Graph.kHopReachable(copurchaseEdges(s, d), Seq(1L, 2L, 3L), k = 2)),
+    // t-closeness ([EXT]): completes the privacy triad — per-group
+    // total-variation distance to the global sensitive distribution,
+    // absent values folded in algebraically (no spine)
+    "q_t_closeness" -> ((s, d) =>
+      Anonymize.tCloseness(t(s, d, "documents"), Seq("source"), "lang")),
+    // growth curve ([EXT]): users count once, on their first day —
+    // never an expanding re-count
+    "q_cumulative_users" -> ((s, d) => Reports.cumulativeUsers(t(s, d, "events"))),
+    // rolling 7-day actives / WAU ([EXT]): bounded n-literal fan-out
+    // instead of a per-day distinct re-count
+    "q_rolling_active" -> ((s, d) => Reports.rollingActiveUsers(t(s, d, "events"))),
+    // quantile transform ([EXT]): rank-based normalization immune to
+    // any monotone distortion — ties share a percent_rank
+    "q_quantile_transform" -> ((s, d) =>
+      Profile.quantileTransform(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice")
+        .select(col("l_orderkey"), col("l_linenumber"), col("q"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    // mutual information ([EXT]): the dependence chi2 tests but does
+    // not quantify — one fact scan, margins on the bounded cell rows
+    "q_mutual_info" -> ((s, d) =>
+      Profile.mutualInformation(t(s, d, "documents"), "lang", "source")),
+    // fightin' words ([EXT]): z-scored log-odds with informative
+    // Dirichlet prior — which terms distinguish src0 from src1
+    "q_log_odds" -> ((s, d) =>
+      CorpusStats.logOddsTerms(t(s, d, "documents"), "src0", "src1")),
+    // inter-arrival burstiness ([EXT]): Poisson-vs-bursty CV per user
+    "q_interarrival" -> ((s, d) => Windows.interArrival(t(s, d, "events"))),
+    // contrastive pair mining ([EXT]): near-dup positives + portable-
+    // hash-addressed random negatives over the ordinal index
+    "q_contrastive_pairs" -> ((s, d) =>
+      Dedup.contrastivePairs(t(s, d, "documents"))),
+    // seasonal-naive backtest ([EXT]): the same-weekday-last-week
+    // baseline + MAE — the backtest join fancier models drop into
+    "q_seasonal_naive" -> ((s, d) =>
+      Reports.seasonalNaiveBacktest(t(s, d, "events"))),
+    // null-semantics battery ([EXT]): the ANSI traps certified in one
+    // row — NOT IN vs NOT EXISTS under nulls, null-safe joins,
+    // count(col) vs count(*), trichotomy failure
+    "q_null_semantics" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("ns_orders")
+      s.sql("""
+        WITH o AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                               ELSE o_orderkey END AS k,
+                          CASE WHEN o_orderkey % 53 = 0 THEN NULL
+                               ELSE o_totalprice END AS v
+                   FROM ns_orders),
+             p AS (SELECT CASE WHEN o_orderkey % 91 = 0 THEN NULL
+                               ELSE o_orderkey END AS k FROM ns_orders)
+        SELECT
+          (SELECT count(*) FROM o) AS n_rows,
+          (SELECT count(k) FROM o) AS n_k,
+          (SELECT count(DISTINCT k) FROM o) AS n_distinct_k,
+          (SELECT count(*) FROM o WHERE k IS NULL) AS n_null_k,
+          (SELECT count(*) FROM o JOIN p ON o.k = p.k) AS n_join,
+          (SELECT count(*) FROM o JOIN p ON o.k <=> p.k) AS n_nullsafe_join,
+          (SELECT count(*) FROM o WHERE k NOT IN (SELECT k FROM p)) AS n_not_in,
+          (SELECT count(*) FROM o
+             WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.k = o.k)) AS n_not_exists,
+          (SELECT CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) FROM o) AS sum_v,
+          (SELECT count(*) FROM o WHERE v > 0 OR NOT (v > 0)) AS n_trichotomy""")
+    }),
+    // Kaplan-Meier survival ([EXT]) over SESSION durations: sessions
+    // still inside the gap window at corpus end are censored (their
+    // true length is unobserved) — the correction a naive duration
+    // histogram misses; minutes-granularity event times
+    "q_kaplan_meier" -> ((s, d) => {
+      val gapUs = 1800000000L
+      val sess = Windows.sessionizeBatch(t(s, d, "events"), gapUs)
+      val mx = sess.agg(max(col("end_us")).as("__mx"))
+      val life = sess.crossJoin(broadcast(mx))
+        .select(expr("duration_us div 60000000").as("t"),
+          (col("end_us") > col("__mx") - gapUs).as("censored"))
+      Reports.kaplanMeierCurve(life)
+    }),
+    // two-proportion z on a hash split ([EXT]): the experiment
+    // primitive, doubling as the A/A calibration check
+    "q_ab_test" -> ((s, d) => Reports.abTest(t(s, d, "events"))),
+    // Benford first-digit audit ([EXT]): integer-cent leading digits
+    // vs log10(1 + 1/d) — the fabrication smell test
+    "q_benford" -> ((s, d) => Profile.benfordAudit(t(s, d, "orders"), "o_totalprice")),
+    // per-doc keywords ([EXT]): top-3 tf-idf terms, zero-model tagger
+    "q_keywords" -> ((s, d) => CorpusStats.keywords(t(s, d, "documents"))),
+    // entity resolution capstone ([EXT]): fuzzy edges -> connected
+    // components -> lexicographic canonical per cluster
+    "q_entity_resolution" -> ((s, d) =>
+      Fuzzy.resolveEntities(t(s, d, "part"), "p_name", minSim = 0.88)),
+    // Fellegi-Sunter linkage ([EXT]): same-name candidate pairs scored
+    // by the data-estimated likelihood ratio over brand/type/size
+    // evidence — pure IEEE arithmetic, certified UNROUNDED
+    "q_fs_weights" -> ((s, d) =>
+      Fuzzy.fsWeights(t(s, d, "part"), "p_partkey", "p_name",
+        Seq("p_brand" -> "0.95", "p_type" -> "0.90", "p_size" -> "0.85"),
+        block = c => c)),
+    // calendar-edge battery ([EXT]): month-end clamping, leap days,
+    // ISO weeks — certified on the month-end order slice
+    "q_date_edges" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.where(dayofmonth(col("o_orderdate")) >= 29)
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"),
+          add_months(to_date(col("o_orderdate")), 1).as("plus_month"),
+          last_day(to_date(col("o_orderdate"))).as("month_end"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"))
+        .orderBy(col("o_orderkey"))
+    }),
+    // end-to-end corpus pipeline ([EXT] capstone): the hygiene
+    // operators COMPOSED the way a training-data run uses them —
+    // quality gate -> exact dedup (min-id keeper) -> drop benchmark
+    // members and benchmark-contaminated docs -> fixed-budget chunks.
+    // Every stage is an existing operator; the oracle chains the same
+    // stages as CTEs.
+    "q_corpus_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val kept = docs.where(Text.isQuality(col("text")))
+      val fp = kept.select(col("doc_id"), col("text"),
+        Text.fingerprint(col("text")).as("f"))
+      // min_by keeps the min-id row (with ITS raw text) in ONE
+      // aggregate — the fp⋈fp.groupBy self-join spelling computes the
+      // quality+sha256 subtree twice
+      val keepers = fp.groupBy(col("f"))
+        .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+      // train feeds three plan subtrees (decontaminate's gram explode,
+      // its passthrough join, and chunk); measured: pinning it with
+      // localCheckpoint does NOT help (4.5 s vs 4.4 s at sf0.1) — the
+      // recomputed subtree is cheap relative to the gram explode and
+      // chunk stages, and the checkpoint job adds its own cost
+      val train = keepers.where(col("doc_id") % 41 =!= 0)
+      val bench = docs.where(col("doc_id") % 41 === 0)
+      // anti-join on the CONTAMINATED ids (few) instead of inner-join
+      // on the clean ids (nearly all): same rows, but the broadcast
+      // side shrinks to the hits — measured 3.9 s vs 4.4 s at sf0.1
+      val dirtyIds = Ngrams.decontaminate(train, bench)
+        .where(col("contaminated")).select("doc_id")
+      Ngrams.chunk(train.join(dirtyIds, Seq("doc_id"), "left_anti"))
+    }),
+    // training-mix capstone ([EXT]): the SAMPLING-side counterpart of
+    // q_corpus_pipeline — quality gate → exact-dedup keepers → target
+    // mixture → train/val/test split → epoch shuffle key, all
+    // deterministic, composed purely from existing operators
+    "q_training_mix" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val keepers = docs.where(Text.isQuality(col("text")))
+        .select(col("doc_id"), col("lang"), Text.fingerprint(col("text")).as("f"))
+        .groupBy(col("f"))
+        .agg(min_by(struct(col("doc_id"), col("lang")), col("doc_id")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"))
+      val mixed = Sampling.mixtureSample(keepers, "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 0.2, "es" -> 0.2, "de" -> 0.1), fraction = 0.5)
+      val split = Sampling.assignSplit(mixed, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      Sampling.seededShuffle(split, "doc_id", "epoch0").orderBy(col("doc_id"))
+    }),
+    // ---- document dedup family (SURVEY §2.7 [EXT]) ----
+    "q_exact_docs" -> ((s, d) => Dedup.exactDocs(t(s, d, "documents"))),
+    // bloom-guarded incremental dedup ([EXT]): batch = genuinely-new
+    // odd docs + re-crawled copies of history docs under fresh ids
+    // (the crawler pattern); bloom-negatives skip the verify join,
+    // result exact regardless of sketch sizing
+    "q_bloom_new_docs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val history = docs.where(col("doc_id") % 2 === 0)
+      val batch = docs.where(col("doc_id") % 2 === 1)
+        .unionByName(docs.where(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      val index = Dedup.fingerprintIndex(history)
+      Dedup.newDocs(batch, index, Dedup.fingerprintBloom(index))
+    }),
+    // incremental NEAR-dup ([EXT]): batch signatures banded against a
+    // persisted history signature table; verification = MinHash
+    // Jaccard estimator (signature agreement), so history text is
+    // never re-read. Batch = genuinely-new odd docs + lightly-edited
+    // re-crawls of history docs (near- but not exact-dups).
+    "q_new_near_docs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val history = docs.where(col("doc_id") % 2 === 0)
+      val batch = docs.where(col("doc_id") % 2 === 1)
+        .unionByName(docs.where(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000)
+          .withColumn("text", concat(col("text"), lit(" updated rev"))))
+      Dedup.newNearDocs(batch, Dedup.minhashSignatures(history, "doc_id", "text"))
+    }),
+    // hot-bucket-capped twin (same guard family as q_minhash_capped /
+    // q_lsh_knn_capped): boilerplate history buckets above the cap
+    // contribute no candidates — recall trade, never wrong answers
+    "q_new_near_capped" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val history = docs.where(col("doc_id") % 2 === 0)
+      val batch = docs.where(col("doc_id") % 2 === 1)
+        .unionByName(docs.where(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000)
+          .withColumn("text", concat(col("text"), lit(" updated rev"))))
+      Dedup.newNearDocs(batch, Dedup.minhashSignatures(history, "doc_id", "text"),
+        maxBucket = 3)
+    }),
+    // the PRODUCTION shape of the incremental near-dup probe: the
+    // history signature table is PERSISTED (built once, here lazily
+    // per scale dir) and only READ per batch — so this entry's bench
+    // time is the true per-batch increment cost, where q_new_near_docs
+    // re-signs the whole history in-query (an upper bound). Same
+    // result, same oracle.
+    "q_new_near_persisted" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sigDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_hist_sigs_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      if (!new java.io.File(sigDir, "_SUCCESS").exists())
+        Dedup.minhashSignatures(docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+          .write.mode("overwrite").parquet(sigDir)
+      val batch = docs.where(col("doc_id") % 2 === 1)
+        .unionByName(docs.where(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000)
+          .withColumn("text", concat(col("text"), lit(" updated rev"))))
+      Dedup.newNearDocs(batch, s.read.parquet(sigDir), materialize = true)
+    }),
+    "q_minhash_candidates" -> ((s, d) => Dedup.minhashCandidates(t(s, d, "documents"))),
+    // hot-bucket guard on: buckets above the cap are dropped before
+    // pair expansion (the 100 TB safety valve; cap chosen to actually
+    // drop a bucket at the gate's scale)
+    "q_minhash_capped" -> ((s, d) =>
+      Dedup.minhashCandidates(t(s, d, "documents"), maxBucket = 3)),
+    "q_near_dup_pairs" -> ((s, d) => Dedup.nearDupPairs(t(s, d, "documents"), threshold = 0.5)),
+    // cross-source duplication matrix ([EXT]): verified near-dup PAIR
+    // counts per source pair — the number a curation run acts on
+    // (sourceOverlap's gram-mass audit is the cheap early warning)
+    "q_cross_source_dups" -> ((s, d) =>
+      Dedup.crossSourceDups(t(s, d, "documents"), threshold = 0.5)),
+    // EXACT set-similarity join ([EXT]): every pair with true Jaccard
+    // >= t via prefix filtering — recall 1 by construction (the
+    // contract-grade complement to the probabilistic minhash family,
+    // and the recall yardstick for it)
+    "q_jaccard_join" -> ((s, d) => SetSimilarity.jaccardJoin(t(s, d, "documents"), threshold = 0.5)),
+    // asymmetric containment ([EXT]): |A∩B|/|A| >= t — "B quotes A"
+    // detection that symmetric Jaccard misses when the container dwarfs
+    // the contained doc
+    "q_containment" -> ((s, d) => SetSimilarity.containmentJoin(t(s, d, "documents"), threshold = 0.8)),
+    // persisted-set twin ([EXT]): jaccardJoin reading a materialized
+    // ranked gram-set table — the production shape (the set build is
+    // the reusable artifact; inline variant re-derives it 4x). Same
+    // oracle as q_jaccard_join: identical results by construction.
+    "q_jaccard_persisted" -> ((s, d) => {
+      val setsDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gram_sets_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      if (!new java.io.File(setsDir, "_SUCCESS").exists())
+        SetSimilarity.rankedGramSets(t(s, d, "documents"))
+          .write.mode("overwrite").parquet(setsDir)
+      SetSimilarity.jaccardJoinOfSets(s.read.parquet(setsDir), threshold = 0.5)
+    }),
+    // LSH recall audit ([EXT]): banded minhash candidates scored
+    // against the exact Jaccard pairs ON THE SAME gram space — the
+    // empirical recall/cost curve a pipeline checks before trusting
+    // LSH dedup at scale
+    "q_lsh_recall" -> ((s, d) => SetSimilarity.lshRecallAudit(t(s, d, "documents"))),
+    "q_dedup_docs" -> ((s, d) => Dedup.dedupDocuments(t(s, d, "documents"), threshold = 0.5)),
+    // quality-aware keeper re-election ([EXT]): same clusters, but the
+    // representative is the longest doc (n_chars desc, id tiebreak) —
+    // the "keep the cleanest copy" policy real corpus dedup wants
+    "q_dedup_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.keeperByQuality(
+        Dedup.dedupDocuments(docs, threshold = 0.5),
+        docs.select(col("doc_id"), col("n_chars").as("score")))
+    }),
+    // transitive-closure keeper policy (connected components of the
+    // verified near-dup graph) vs q_dedup_docs' one-hop policy
+    "q_dedup_docs_cc" -> ((s, d) => Dedup.dedupDocumentsCC(t(s, d, "documents"), threshold = 0.5)),
+    // quality-aware dedup policy ([EXT]): same clusters, best-scoring
+    // member kept (longest copy, ties to smaller id) — the LLM-corpus
+    // standard keeper rule
+    "q_dedup_keep_best" -> ((s, d) =>
+      Dedup.dedupKeepBest(t(s, d, "documents"), scoreCol = "n_chars", threshold = 0.5)),
+    "q_simhash" -> ((s, d) => Dedup.simhash32(t(s, d, "documents"))),
+    // simhash near-dup join ([EXT]): block-LSH candidates (pigeonhole
+    // recall 1 within the radius) + exact hamming verify — the
+    // one-fingerprint-per-doc member of the near-dup family
+    "q_simhash_near" -> ((s, d) =>
+      Dedup.simhashNearDup(t(s, d, "documents"), maxDist = 3)),
+    // per-source token budgets ([EXT]): the mixture-allocation step —
+    // each source keeps its best docs until ITS budget is spent
+    "q_budget_per_source" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      Sampling.capTokensPerGroup(
+        t(s, d, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").cast("double").as("score"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "source", "doc_id", "score", "n_tokens", budget = 800L)
+    }),
+    // token-budget selection ([EXT]): highest-scoring docs until the
+    // global budget is spent — the compute-bound data-selection
+    // policy; score slot here = n_chars (pluggable)
+    "q_budget_select" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      Pack.selectUnderBudget(
+        t(s, d, "documents").select(col("doc_id"),
+          col("n_chars").cast("double").as("score"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "score", "n_tokens", budget = 20000L)
+    }),
+    // systematic sampling ([EXT]): every 100th row of the total order
+    // via the distributed global-ordinal primitive — never a
+    // single-task row_number window
+    "q_systematic_sample" -> ((s, d) =>
+      Pack.globalOrdinals(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber"),
+        Seq("l_orderkey", "l_linenumber"))
+        .where(col("ordinal") % 100 === 0)
+        .orderBy(col("ordinal"))),
+    // sequence packing ([EXT]): concat-then-chunk bin assignment via
+    // a distributed prefix sum (never a single-task global window)
+    "q_pack" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val sized = t(s, d, "documents")
+        .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Pack.contiguousBins(sized, "doc_id", "n_tokens", budget = 512)
+        .orderBy(col("doc_id"))
+    }),
+    // length bucketing ([EXT]): pad-to-boundary batching layout —
+    // per-row projection, no shuffle
+    "q_length_buckets" -> ((s, d) =>
+      Pack.lengthBuckets(
+        t(s, d, "documents")
+          .select(col("doc_id"), Text.bpeTokenCount(col("text")).cast("long").as("n_tokens")),
+        boundaries = Seq(64, 128, 256, 512)).orderBy(col("doc_id"))),
+    // ---- similarity search (SURVEY §2.3 [EXT]) ----
+    // pairwise-cosine distribution ([EXT]): the embedding-collapse
+    // diagnostic — consecutive-id pairs (deterministic, linear in
+    // corpus size, no self-join blowup), cosine rounded 6-dp THEN
+    // binned so the bucket edges are engine-stable
+    "q_cosine_histogram" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val a = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      val b = emb.select((col("vec_id") - 1).as("ida"), col("embedding").as("eb"))
+      val dot = graft.expressions.GraftFunctions.dot _
+      a.join(b, Seq("ida"))
+        .select(round(
+          dot(col("ea"), col("eb")) /
+            (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))), 6)
+          .as("c"))
+        .select(least(greatest(floor(col("c") * 10), lit(-10.0)), lit(9.0))
+          .cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bin"))
+    }),
+    "q_topk_cosine" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.topK(emb, Similarity.vectorOf(emb, 1L), 10)
+        .select(col("vec_id"), round(col("cosine_sim"), 6).as("cosine_sim"))
+    }),
+    // Same top-k, but expressed entirely as SQL text over the
+    // extension-injected functions (GraftExtensions) — proves a
+    // pure-SQL client reproduces the Column-API results bit-for-bit.
+    "q_sql_topk" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      t(s, d, "embeddings").createOrReplaceTempView("graft_sql_embeddings")
+      s.sql(
+        """WITH q AS (SELECT embedding AS qv FROM graft_sql_embeddings WHERE vec_id = 1),
+          |sc AS (SELECT vec_id,
+          |  graft_dot(embedding, qv) /
+          |    (sqrt(graft_dot(embedding, embedding)) * sqrt(graft_dot(qv, qv))) AS c
+          |  FROM graft_sql_embeddings CROSS JOIN q)
+          |SELECT vec_id, round(c, 6) AS cosine_sim FROM sc
+          |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin)
+    }),
+    "q_knn_small" -> ((s, d) =>
+      Similarity.knnJoin(t(s, d, "embeddings").where(col("vec_id") < 100), 5)
+        .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"), col("rank"))
+        .orderBy(col("id_a"), col("rank"))),
+    // hard-negative mining ([EXT]): nearest CROSS-label vectors, the
+    // contrastive-training pair source; label filter before ranking
+    "q_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(t(s, d, "embeddings").where(col("vec_id") < 100), 5)
+        .select(col("id_a"), col("label_a"), col("id_b"), col("label_b"),
+          round(col("cosine_sim"), 6).as("cosine_sim"), col("rank"))
+        .orderBy(col("id_a"), col("rank"))),
+    "q_lsh_knn" -> ((s, d) =>
+      Similarity.lshKnnJoin(t(s, d, "embeddings"), 5, dim = 64, nBits = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"), col("rank"))
+        .orderBy(col("id_a"), col("rank"))),
+    "q_lsh_knn_capped" -> ((s, d) =>
+      Similarity.lshKnnJoin(t(s, d, "embeddings"), 5, dim = 64, nBits = 8, maxBucket = 6)
+        .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"), col("rank"))
+        .orderBy(col("id_a"), col("rank"))),
+    // multi-seed LSH: recall dial — pairs bucketed under ANY seed
+    "q_lsh_knn_multi" -> ((s, d) =>
+      Similarity.lshKnnJoinMultiSeed(t(s, d, "embeddings"), 5, dim = 64, nBits = 8,
+        seeds = Seq(42L, 43L))
+        .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"), col("rank"))
+        .orderBy(col("id_a"), col("rank"))),
+    // embedding-cosine near-dup keeper map (LSH pairs -> connected
+    // components); threshold sized to the synthetic corpus' cosine range
+    "q_dedup_embeddings" -> ((s, d) =>
+      Similarity.dedupByEmbedding(t(s, d, "embeddings"), threshold = 0.3, dim = 64)),
+    // per-label centroid components ([EXT]): class prototypes / IVF
+    // cell stats in exact integer-micro form (no float-sum order
+    // nondeterminism; division left to the caller — floor-vs-truncate
+    // semantics diverge across engines on negatives)
+    "q_centroids" -> ((s, d) => Similarity.labelCentroids(t(s, d, "embeddings"))),
+    // int8 scalar quantization ([EXT]): 4x-compressed ANN codes with a
+    // per-vector reconstruction-error bound. The operator returns the
+    // array form; the REGISTERED query posexplodes to scalar rows so
+    // the driver's pandas hash-compare (which can't sort array cells)
+    // can certify it.
+    "q_quantize" -> ((s, d) =>
+      Similarity.quantizeEmbeddings(t(s, d, "embeddings"))
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("pos", "code")),
+          col("max_abs_err"))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("code"),
+          col("max_abs_err"))
+        .orderBy(col("vec_id"), col("pos"))),
+    // deterministic Lloyd k-means ([EXT]): engine-exact seeds/updates/
+    // distances, so the full 2-iteration training run is oracled
+    "q_kmeans" -> ((s, d) =>
+      graft.operators.Clustering.kmeans(t(s, d, "embeddings"), k = 8, iters = 2)),
+    // product quantization ([EXT], Jégou et al. 2011): per-subspace
+    // deterministic Lloyd codebooks trained + corpus encoded in one
+    // grouped pass — the full training run is oracled, like q_kmeans
+    "q_pq_encode" -> ((s, d) => {
+      val (codes, _) = graft.operators.Clustering.pqTrainEncode(
+        t(s, d, "embeddings"), m = 4, k = 8, iters = 2, dim = 64)
+      codes.select(col("vec_id"), col("subspace"), col("code"),
+        round(col("dist2"), 6).as("dist2"))
+        .orderBy(col("vec_id"), col("subspace"))
+    }),
+    // PQ recall audit ([EXT]): ADC top-10 vs the exact L2 top-10 in
+    // one certified row — the q_lsh_recall discipline for the PQ
+    // index (measured recall, not a hope)
+    "q_pq_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = Similarity.vectorOf(emb, 1L)
+      val (codes0, cbs) = graft.operators.Clustering.pqTrainEncode(
+        emb, m = 16, k = 16, iters = 2, dim = 64)
+      // adc/exact each feed a join AND a count — checkpoint so the
+      // 2-iteration training DAG and both top-10 pipelines run ONCE,
+      // not once per downstream aggregate
+      val codes = codes0.localCheckpoint()
+      val adc = Clustering.pqTopK(codes, cbs, q, m = 16, k = 10)
+        .select(col("vec_id")).localCheckpoint()
+      val exact = emb.select(col("vec_id"),
+        Clustering.dist2(Similarity.asDouble(col("embedding")),
+          array(q.map(lit): _*)).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10).select(col("vec_id"))
+        .localCheckpoint()
+      val hits = exact.join(adc, Seq("vec_id"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(adc.agg(count(lit(1)).as("n_adc"))))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+        .select(col("n_exact"), col("n_adc"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double")).as("recall"))
+    }),
+    // ADC search over the PQ index: codes + codebooks only, the base
+    // vectors never re-read; per-subspace partials fold in subspace
+    // order so the top-10 selection is engine-exact
+    "q_pq_adc" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val (codes, cbs) = graft.operators.Clustering.pqTrainEncode(
+        emb, m = 4, k = 8, iters = 2, dim = 64)
+      Clustering.pqTopK(codes, cbs, Similarity.vectorOf(emb, 1L), m = 4, k = 10)
+        // order on the RAW distance (matching the oracle's ORDER BY
+        // adc_raw), THEN project the 6-dp render — ordering on the
+        // rounded value could diverge from the oracle on near-ties
+        .orderBy(col("adc_dist2"), col("vec_id"))
+        .select(col("vec_id"), round(col("adc_dist2"), 6).as("adc_dist2"))
+    }),
+    // the PRODUCTION probe shape: same ADC math, but codes+codebooks
+    // round-trip a persisted parquet index first — base vectors and
+    // training never touched at query time (the q_jaccard_persisted
+    // discipline, so the q_pq_adc oracle certifies this path too)
+    "q_pq_persisted" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val (codes, cbs) = graft.operators.Clustering.pqTrainEncode(
+        emb, m = 4, k = 8, iters = 2, dim = 64)
+      val root = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+      Clustering.pqWriteIndex(codes, cbs, root)
+      val (codes2, cbs2) = Clustering.pqReadIndex(s, root)
+      Clustering.pqTopK(codes2, cbs2, Similarity.vectorOf(emb, 1L), m = 4, k = 10)
+        .orderBy(col("adc_dist2"), col("vec_id"))
+        .select(col("vec_id"), round(col("adc_dist2"), 6).as("adc_dist2"))
+    }),
+    // SemDeDup: within-cell cosine pairs on the same deterministic
+    // quantizer; one-hop min-id keeper flag
+    "q_semantic_dedup" -> ((s, d) =>
+      graft.operators.Clustering.semanticDedup(t(s, d, "embeddings"),
+        k = 8, threshold = 0.35)),
+    // Johnson-Lindenstrauss reduction: 64-dim floats -> 16 seeded-
+    // Gaussian dot products, planes baked into the plan as literals.
+    // Registered in posexploded scalar form (same reason as q_quantize).
+    "q_random_projection" -> ((s, d) =>
+      Similarity.randomProject(t(s, d, "embeddings"), outDim = 16, dim = 64)
+        .select(col("vec_id"), posexplode(col("rvec")).as(Seq("pos", "component")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("component"))
+        .orderBy(col("vec_id"), col("pos"))),
+    // PCA projection ([EXT]): learned planes from the exact covariance
+    // — rows-only by design (iterative eigensolve; laws in
+    // SimilaritySpec), like the other trained-model queries. Also
+    // posexploded so the harness can count rows without choking on the
+    // array column.
+    "q_pca" -> ((s, d) =>
+      Similarity.pcaProject(t(s, d, "embeddings"), k = 8, dim = 64)
+        .select(col("vec_id"), posexplode(col("pvec")).as(Seq("pos", "component")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("component"))
+        .orderBy(col("vec_id"), col("pos"))),
+    // ---- multimodal plumbing (SURVEY [EXT]) ----
+    "q_payload_meta" -> ((s, d) =>
+      Multimodal.payloadMeta(Multimodal.attachPayload(t(s, d, "documents")))),
+    "q_decode_stub" -> ((s, d) =>
+      Multimodal.decodeStub(Multimodal.attachPayload(t(s, d, "documents")))
+        .toDF().orderBy(col("doc_id"))),
+    "q_frame_sample" -> ((s, d) =>
+      Multimodal.frameSampleStub(Multimodal.attachPayload(t(s, d, "documents")))
+        .toDF().orderBy(col("doc_id"), col("frame_idx"))),
+    // REAL image-header decode ([EXT]): PNG/GIF/BMP container bytes
+    // synthesized from table fields, parsed back by the pure-JVM
+    // header parser — builder ∘ parser == identity, oracle-certified
+    "q_image_meta" -> ((s, d) =>
+      Multimodal.imageMeta(Multimodal.synthesizeImages(t(s, d, "documents")))
+        .toDF().orderBy(col("doc_id"))),
+    // REAL audio header decode ([EXT]): RIFF/WAVE fmt+data chunks —
+    // rate/channels/depth/duration without any codec
+    "q_audio_meta" -> ((s, d) =>
+      Multimodal.audioMeta(Multimodal.synthesizeAudio(t(s, d, "documents")))
+        .toDF().orderBy(col("doc_id"))),
+    // REAL video container decode ([EXT]): ISO-BMFF box walk —
+    // brand/timescale/duration/dims/tracks, completing the
+    // image/audio/video header-parsing trio without any codec
+    "q_video_meta" -> ((s, d) =>
+      Multimodal.videoMeta(Multimodal.synthesizeVideo(t(s, d, "documents")))
+        .toDF().orderBy(col("doc_id"))))
+}
