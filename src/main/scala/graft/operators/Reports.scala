@@ -772,30 +772,54 @@ object Reports {
   /** [[kaplanMeier]]'s core over ANY prepared life table
     * `(t: long, censored: boolean)` — session durations, ticket
     * resolution times, subscription ages; the wrapper above derives
-    * user lifetimes, but the subject definition is the caller's. */
+    * user lifetimes, but the subject definition is the caller's.
+    *
+    * Scale shape: the wrapper's t is calendar-bounded, but THIS entry
+    * point admits second/micro-granularity durations whose distinct-t
+    * table scales with the subject count — so both running sums (the
+    * risk-set prefix and the log-term cumsum) ride
+    * [[Pack.rangeSortedWithOffsetsBy]], never an empty-partition
+    * window (the aucExact discipline). The total comes free as the
+    * first pass's last offset; log terms cumulate as exact 6-dp micro
+    * longs (same rational as the former DECIMAL(18,6) window sum, so
+    * the rendered survival is bit-identical and the oracle is
+    * unchanged). */
   def kaplanMeierCurve(life: DataFrame): DataFrame = {
-    val total = life.agg(count(lit(1)).as("__total"))
-    val byT = life.groupBy(col("t")).agg(
+    val spark = life.sparkSession
+    import spark.implicits._
+    val byT = life.groupBy(col("t").cast("long").as("t")).agg(
       count(lit(1)).as("__ending"),
       sum(when(!col("censored"), 1L).otherwise(0L)).as("d"))
-    import org.apache.spark.sql.expressions.Window
-    val before = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val risky = byT
-      .withColumn("__before", coalesce(sum(col("__ending")).over(before), lit(0L)))
-      .crossJoin(broadcast(total))
-      .withColumn("n_risk", col("__total") - col("__before"))
-      .where(col("d") > 0)
-    val term = when(col("d") < col("n_risk"),
-      round(log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")), 6)
-        .cast(DecimalType(18, 6)))
-    val cum = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    risky.withColumn("__term", term)
-      .withColumn("__cum", sum(col("__term")).over(cum))
+    // pass 1: exclusive prefix of endings -> risk set; offsets.last IS
+    // the subject total (no separate aggregate)
+    val (s1, o1) = Pack.rangeSortedWithOffsetsBy(byT, Seq(col("t")), col("__ending"))
+    val total = o1.last
+    val risky = s1.as[(Long, Long, Long)].mapPartitions { it =>
+      var before = o1(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (t, ending, d) =>
+        val nRisk = total - before
+        before += ending
+        (t, d, nRisk)
+      }
+    }.toDF("t", "d", "n_risk").where(col("d") > 0)
+    // the saturated row (d == n_risk, ln = -inf) contributes 0 to the
+    // cumsum — the explicit twin of a SQL window sum skipping its null
+    val termMicros = when(col("d") < col("n_risk"),
+      (round(log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")), 6)
+        .cast(DecimalType(18, 6)) * 1000000).cast("long")).otherwise(lit(0L))
+    // pass 2: inclusive prefix of the exact micro log-terms
+    val (s2, o2) = Pack.rangeSortedWithOffsetsBy(
+      risky.withColumn("__tm", termMicros), Seq(col("t")), col("__tm"))
+    s2.as[(Long, Long, Long, Long)].mapPartitions { it =>
+      var acc = o2(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (t, d, nRisk, tm) =>
+        acc += tm
+        (t, nRisk, d, acc)
+      }
+    }.toDF("t", "n_risk", "d", "__cum")
       .select(col("t"), col("n_risk"), col("d"),
         when(col("d") === col("n_risk"), lit(0.0))
-          .otherwise(round(exp(col("__cum").cast("double")), 6)).as("survival"))
+          .otherwise(round(exp(col("__cum").cast("double") / 1e6), 6)).as("survival"))
       .orderBy(col("t"))
   }
 
