@@ -787,6 +787,33 @@ private[graft] object RegistryOraclesB {
            FROM b x JOIN b y ON x.blk = y.blk AND x.name < y.name
            WHERE jaro_winkler_similarity(x.name, y.name) >= 0.85
            ORDER BY name_a, name_b""",
+      "q_jaro_capped" -> // the maxBlock cap replayed as a HAVING filter on block size;
+        // same planted 40-name hot block as the Spark side
+        """WITH src AS (SELECT p_name AS name FROM part WHERE p_name IS NOT NULL
+                        UNION ALL
+                        SELECT 'zzhot variant ' || p_partkey FROM part
+                        WHERE p_partkey <= 40),
+               n AS (SELECT DISTINCT name FROM src),
+               b AS (SELECT name, split_part(name, ' ', 1) AS blk FROM n
+                     WHERE split_part(name, ' ', 1) IS NOT NULL),
+               keep AS (SELECT blk FROM b GROUP BY blk HAVING count(*) <= 30),
+               k AS (SELECT b.name, b.blk FROM b JOIN keep USING (blk))
+           SELECT x.name AS name_a, y.name AS name_b,
+             jaro_winkler_similarity(x.name, y.name) AS sim
+           FROM k x JOIN k y ON x.blk = y.blk AND x.name < y.name
+           WHERE jaro_winkler_similarity(x.name, y.name) >= 0.85
+           ORDER BY name_a, name_b""",
+      "q_dropped_blocks" -> // the cap's observability surface: exactly the planted block
+        """WITH src AS (SELECT p_name AS name FROM part WHERE p_name IS NOT NULL
+                        UNION ALL
+                        SELECT 'zzhot variant ' || p_partkey FROM part
+                        WHERE p_partkey <= 40),
+               n AS (SELECT DISTINCT name FROM src),
+               b AS (SELECT split_part(name, ' ', 1) AS blk FROM n
+                     WHERE split_part(name, ' ', 1) IS NOT NULL)
+           SELECT blk AS block_key, CAST(count(*) AS BIGINT) AS n_members
+           FROM b GROUP BY blk HAVING count(*) > 30
+           ORDER BY block_key""",
       "q_fs_weights" -> // FS likelihood ratios, replayed term-by-term in the same IEEE order
         """WITH base AS (
              SELECT CAST(p_partkey AS BIGINT) AS k, p_name AS b,

@@ -16,6 +16,16 @@ import graft.streaming.Sessions
 private[graft] object RegistryQueriesB {
   import Reg._
 
+  /** Part names plus a deterministic 40-name hot block ("zzhot
+    * variant <k>") — the adversarial input behind q_jaro_capped /
+    * q_dropped_blocks: natural first-token blocks are a uniform 8
+    * names, so the cap needs a planted bomb to demonstrably defuse.
+    * Mirrored verbatim in the oracle SQL. */
+  private def hotBlockNames(part: DataFrame): DataFrame =
+    part.select(col("p_name"))
+      .unionByName(part.where(col("p_partkey") <= 40)
+        .select(concat(lit("zzhot variant "), col("p_partkey")).as("p_name")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis (SURVEY §2.2 [EXT]) ----
     // Flesch reading-ease ([EXT]): words/sentences/vowel-group
@@ -244,6 +254,20 @@ private[graft] object RegistryQueriesB {
     // — two independent implementations agreeing bit-for-bit
     "q_jaro_pairs" -> ((s, d) =>
       Fuzzy.jaroWinklerPairs(t(s, d, "part"), "p_name", minSim = 0.85)),
+    // hot-block-capped twin (the q_minhash_capped guard family, now on
+    // the linkage side): a synthesized 40-name hot block (natural
+    // first-token blocks are a uniform 8, so a cap must be GIVEN a
+    // bomb to defuse) dies above the cap while every natural block
+    // survives intact — recall trade, never wrong answers; the cap
+    // replays cross-engine as a HAVING filter
+    "q_jaro_capped" -> ((s, d) =>
+      Fuzzy.jaroWinklerPairs(hotBlockNames(t(s, d, "part")), "p_name",
+        minSim = 0.85, maxBlock = 30)),
+    // the cap's observability surface, oracled: exactly which block a
+    // maxBlock of 30 discards on the same input, with its size
+    "q_dropped_blocks" -> ((s, d) =>
+      Fuzzy.droppedBlocks(hotBlockNames(t(s, d, "part")), "p_name",
+        maxBlock = 30)),
     // exact triangle count ([EXT]): degree-ordered orientation over
     // the co-purchase graph (parts sharing a high-quantity order) —
     // hub wedges charged to low-degree endpoints, O(m^1.5) bound
