@@ -48,6 +48,59 @@ class SparkEntrySpec extends SparkSuite {
       failures.mkString("\n"))
   }
 
+  test("structural plan gate: unpartitioned windows only over bounded tables; ntile nowhere") {
+    // The repo's signature scale discipline, asserted MECHANICALLY over
+    // the whole registry: an empty-partition Window serializes its
+    // input into one task, so it is only ever allowed over a table
+    // bounded by a query parameter (tiles, distinct categories,
+    // calendar days, bootstrap replicas) — never the fact. Every
+    // offender below carries its boundedness justification; a new
+    // query that plans a global window over unbounded input fails this
+    // test, not the 100 TB deploy. ntile is banned outright: the
+    // positional-tile operators ride Pack.positionalTiles instead.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val d = "/root/testdata/sf0.001"
+    val loopy = Set("q_stream_ingest_final", "q_bpe_train", "q_kmeans",
+      "q_semantic_dedup", "q_dedup_embeddings", "q_pca")
+    import org.apache.spark.sql.catalyst.expressions.NTile
+    // every allowed empty-partition window runs over a table bounded
+    // by a QUERY PARAMETER, never the fact — the justification is the
+    // contract; changing this set (either direction) is a reviewable event
+    val boundedAllow: Map[String, String] = Map(
+      "q_chi2" -> "category spine: |a|x|b| distinct-value cross, psiDrift discipline",
+      "q_cramers_v" -> "same chi2 category spine",
+      "q_psi_drift" -> "bin spine: nBins rows, a query parameter",
+      "q_cumulative_users" -> "day table: calendar-bounded",
+      "q_gains" -> "cumulative capture over the `buckets`-row tile table",
+      "q_lorenz" -> "same: tile table bounded by `buckets`",
+      "q_pq_adc" -> "rank over k centroids per subspace, k a query parameter",
+      "q_pq_encode" -> "same k-bounded codebook ranking",
+      "q_share_hierarchy" -> "grand-total window over the 25-row nation aggregate",
+      "q_temperature_mix" -> "domain-count table: one row per domain")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (loopy(name)) None
+      else scala.util.Try {
+        val globals = fn(spark, d).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w }
+        val globalNtile = globals.exists(_.windowExpressions
+          .exists(e => e.collect { case _: NTile => 1 }.nonEmpty))
+        (name, globals.nonEmpty, globalNtile)
+      }.toOption
+    }
+    // a PARTITIONED ntile (per-group positional quartiles) is fine;
+    // an ntile with no partition spec is the single-task tile sort
+    // Pack.positionalTiles exists to kill
+    val ntileUsers = offenders.collect { case (n, _, true) => n }
+    assert(ntileUsers.isEmpty, s"global ntile planned in: $ntileUsers")
+    val globalWindows = offenders.collect { case (n, true, _) => n }.toSet
+    assert(globalWindows === boundedAllow.keySet,
+      s"empty-partition window set drifted.\n  gained: ${
+        (globalWindows -- boundedAllow.keySet).toSeq.sorted.mkString(", ")
+      }\n  lost: ${
+        (boundedAllow.keySet -- globalWindows).toSeq.sorted.mkString(", ")
+      }\nEach allowed entry must be bounded by a query parameter; update the map WITH a justification.")
+  }
+
   test("q_sql_topk (SQL text surface) matches q_topk_cosine (Column API)") {
     val d = "/root/testdata/sf0.001"
     val viaCol = SparkEntry.queries("q_topk_cosine")(spark, d).collect().toSeq
