@@ -340,6 +340,15 @@ object ScaleProbe {
       graft.operators.Fuzzy.jaroWinklerPairs(namesRep, "p_name", 0.85,
         maxBlock = 2 * factor).count())
     println(s"[scale]   jw capped pairs (bounded per block): $jwpCap")
+    // round-9: positional tiles (the ntile replacement) must stay
+    // distributed — wall-clock ~linear in rows, output fixed at
+    // `buckets` rows regardless of input size (the single-task ntile
+    // would show superlinear sort cost here)
+    val gains = time(s"gainsTable tiles x$factor")(
+      graft.operators.Reports.gainsTable(
+        docs.withColumn("y", (col("doc_id") % 2 === 0).cast("long")),
+        "n_chars", "y", "doc_id").count())
+    println(s"[scale]   gains tiles (fixed at buckets): $gains")
     val evRep = Tables.load(spark, "/root/testdata/sf0.1", "events")
       .select(col("event_type"), col("ts"))
       .crossJoin(spark.range(factor)).drop("id")
