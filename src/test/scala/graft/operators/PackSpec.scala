@@ -116,6 +116,17 @@ class PackSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("positionalTiles is stable under input partitioning") {
+    import org.apache.spark.sql.functions.col
+    val rows = (1 to 97).map(i => (i.toLong, (i * 31 % 13).toLong))
+    val base = rows.toDF("k", "s")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Pack.positionalTiles(df, Seq(col("s"), col("k")), 7)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(run(base) === run(base.repartition(13)))
+    assert(run(base) === run(base.repartition(1)))
+  }
+
   test("positionalTiles plan has no window operator at all") {
     // the skeleton's range exchange is hidden behind the localCheckpoint
     // pin, so the visible certification is the ABSENCE of any Window
