@@ -69,10 +69,12 @@ object Pack {
     * executes as: ordinals come from the [[rangeSortedWithOffsets]]
     * prefix-sum skeleton, and the tile is derived arithmetically with
     * the exact ANSI fill rule — the first `n mod buckets` tiles hold
-    * `n/buckets + 1` rows, the rest `n/buckets` (verified bit-equal
-    * to DuckDB's `ntile` in PackSpec, which is what keeps the gains /
-    * RFM / Lorenz oracles hash-green after the swap). The total row
-    * count is `offsets.last` — already on the driver, free.
+    * `n/buckets + 1` rows, the rest `n/buckets`. PackSpec pins the
+    * assignment bit-equal to the ENGINE's own `ntile` window across
+    * ragged fills; the driver's oracle gate pins it against DuckDB's
+    * `ntile` (the gains / RFM / Lorenz oracles stayed hash-green,
+    * unchanged, after the swap). The total row count is
+    * `offsets.last` — already on the driver, free.
     *
     * Preconditions as [[globalOrdinals]]: `orderCols` must be a total
     * order (unique combination); direction-carrying columns

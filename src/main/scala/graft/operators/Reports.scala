@@ -787,9 +787,12 @@ object Reports {
   def kaplanMeierCurve(life: DataFrame): DataFrame = {
     val spark = life.sparkSession
     import spark.implicits._
-    val byT = life.groupBy(col("t").cast("long").as("t")).agg(
-      count(lit(1)).as("__ending"),
-      sum(when(!col("censored"), 1L).otherwise(0L)).as("d"))
+    // null t = no observable lifetime: dropped (and the partition-local
+    // tuple scan below must never see a null primitive)
+    val byT = life.where(col("t").isNotNull)
+      .groupBy(col("t").cast("long").as("t")).agg(
+        count(lit(1)).as("__ending"),
+        sum(when(!col("censored"), 1L).otherwise(0L)).as("d"))
     // pass 1: exclusive prefix of endings -> risk set; offsets.last IS
     // the subject total (no separate aggregate)
     val (s1, o1) = Pack.rangeSortedWithOffsetsBy(byT, Seq(col("t")), col("__ending"))

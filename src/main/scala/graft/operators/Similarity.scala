@@ -74,7 +74,10 @@ object Similarity {
   private def requireBroadcastable(embeddings: DataFrame, maxRows: Long,
                                    op: String): Unit = {
     require(maxRows > 0, s"maxBroadcastRows must be positive: $maxRows")
-    val probe = embeddings.limit((maxRows + 1).min(Int.MaxValue).toInt).count()
+    // clamp BEFORE the +1: a Long.MaxValue threshold must not overflow
+    // into a negative limit
+    val probeRows = math.min(maxRows, Int.MaxValue - 1L).toInt + 1
+    val probe = embeddings.limit(probeRows).count()
     require(probe <= maxRows,
       s"$op broadcasts the full embedding table, but it exceeds " +
         s"maxBroadcastRows=$maxRows — this is the documented small/medium " +
