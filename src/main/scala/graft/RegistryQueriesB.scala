@@ -775,7 +775,7 @@ private[graft] object RegistryQueriesB {
       t(s, d, "embeddings").createOrReplaceTempView("graft_sql_embeddings")
       s.sql(
         """WITH q AS (SELECT embedding AS qv FROM graft_sql_embeddings WHERE vec_id = 1),
-          |sc AS (SELECT vec_id,
+          |sc AS (SELECT /*+ BROADCAST(q) */ vec_id,
           |  graft_dot(embedding, qv) /
           |    (sqrt(graft_dot(embedding, embedding)) * sqrt(graft_dot(qv, qv))) AS c
           |  FROM graft_sql_embeddings CROSS JOIN q)

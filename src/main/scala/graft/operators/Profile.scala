@@ -787,8 +787,11 @@ object Profile {
     * rows, never the fact). */
   def chi2Cells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val obs = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("__n"))
+    // broadcast the b-side of the category cross: both sides are
+    // bounded distinct-value dims, and the hint keeps the repo-wide
+    // no-unguarded-cross convention mechanical (plan-gate enforced)
     val spine = df.select(col(aCol)).distinct()
-      .crossJoin(df.select(col(bCol)).distinct())
+      .crossJoin(broadcast(df.select(col(bCol)).distinct()))
     val full = spine.join(obs, Seq(aCol, bCol), "left")
       .select(col(aCol), col(bCol), coalesce(col("__n"), lit(0L)).as("n_obs"))
     val byA = Window.partitionBy(col(aCol))

@@ -101,6 +101,40 @@ class SparkEntrySpec extends SparkSuite {
       }\nEach allowed entry must be bounded by a query parameter; update the map WITH a justification.")
   }
 
+  test("structural plan gate: cross joins only against broadcast-size sides") {
+    // the companion to the window gate: a condition-free Cross join
+    // whose build side isn't bounded is an n x m explosion. Allowed
+    // occurrences are 1-row aggregates (already broadcast-hinted by
+    // convention) and parameter-bounded spines; everything else fails
+    // here, not on the cluster.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.Cross
+    val d = "/root/testdata/sf0.001"
+    val loopy = Set("q_stream_ingest_final", "q_bpe_train", "q_kmeans",
+      "q_semantic_dedup", "q_dedup_embeddings", "q_pca")
+    def isSafe(j: Join): Boolean = {
+      // safe iff a side is statically tiny (grand aggregate: maxRows
+      // folds to ~1) or explicitly broadcast-hinted (the convention)
+      val tiny = Seq(j.left, j.right).exists(_.maxRows.exists(_ <= 100))
+      val hinted = j.hint.leftHint.exists(_.strategy.isDefined) ||
+        j.hint.rightHint.exists(_.strategy.isDefined)
+      tiny || hinted
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (loopy(name)) None
+      else scala.util.Try {
+        val wild = fn(spark, d).queryExecution.optimizedPlan.collect {
+          case j: Join if j.joinType == Cross && j.condition.isEmpty && !isSafe(j) => j }
+        name -> wild.nonEmpty
+      }.toOption
+    }
+    val crossers = offenders.collect { case (n, true) => n }.toSet
+    assert(crossers.isEmpty,
+      s"unguarded condition-free cross joins (no tiny side, no broadcast hint) in: ${
+        crossers.toSeq.sorted.mkString(", ")
+      }\nEither bound a side statically, broadcast-hint the bounded side, or rework the join.")
+  }
+
   test("q_sql_topk (SQL text surface) matches q_topk_cosine (Column API)") {
     val d = "/root/testdata/sf0.001"
     val viaCol = SparkEntry.queries("q_topk_cosine")(spark, d).collect().toSeq
