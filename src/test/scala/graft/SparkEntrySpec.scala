@@ -135,6 +135,32 @@ class SparkEntrySpec extends SparkSuite {
       }\nEither bound a side statically, broadcast-hint the bounded side, or rework the join.")
   }
 
+  test("structural plan gate: filters reach the scan, projections prune columns") {
+    // the PLANS.md pushdown claims as enforced specs, on representative
+    // queries — a regression that silently turns a pruned scan into a
+    // full read fails here, not in a cluster bill
+    val d = "/root/testdata/sf0.001"
+    // watermark slice: the > max-id predicate must be IN the parquet scan
+    val inc = SparkEntry.queries("q_incremental")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(inc.contains("PushedFilters") && inc.contains("GreaterThan"),
+      s"watermark filter not pushed into the scan:\n$inc")
+    // single-key count: the orders scan must read ONLY the grouping key
+    val cpk = SparkEntry.queries("q_count_per_key")(spark, d)
+      .queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: [^\\n]+".r.findAllIn(cpk).toList
+    assert(readSchemas.nonEmpty && readSchemas.forall(s =>
+        s.contains("o_custkey") && !s.contains("o_totalprice") && !s.contains("o_orderdate")),
+      s"count-per-key reads more than the key column:\n$cpk")
+    // pricing summary: the lineitem scan must not read join-only columns
+    val ps = SparkEntry.queries("q_pricing_summary")(spark, d)
+      .queryExecution.executedPlan.toString
+    val psSchemas = "ReadSchema: [^\\n]+".r.findAllIn(ps).toList
+    assert(psSchemas.nonEmpty && psSchemas.forall(s =>
+        !s.contains("l_comment") && !s.contains("l_shipmode")),
+      s"pricing summary reads unprojected columns:\n$ps")
+  }
+
   test("q_sql_topk (SQL text surface) matches q_topk_cosine (Column API)") {
     val d = "/root/testdata/sf0.001"
     val viaCol = SparkEntry.queries("q_topk_cosine")(spark, d).collect().toSeq
