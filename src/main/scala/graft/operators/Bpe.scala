@@ -57,7 +57,7 @@ object Bpe {
   /** Weighted adjacent-pair counts over the CURRENT segmentation —
     * [[CorpusStats.bpePairCounts]] generalized from characters to
     * learned symbols. */
-  private def pairCounts(vocab: DataFrame): DataFrame =
+  private[operators] def pairCounts(vocab: DataFrame): DataFrame =
     vocab.where(size(col("syms")) >= 2)
       .select(col("cnt"),
         explode(transform(sequence(lit(1), size(col("syms")) - 1),

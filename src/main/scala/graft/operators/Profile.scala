@@ -176,10 +176,17 @@ object Profile {
     * The sketch is built by the REAL aggregator (same reduce/merge
     * path as [[ddQuantiles]]), not a parallel SQL spelling. */
   def ddBucketCounts(df: DataFrame, measure: String,
-                     alpha: Double = 0.01): DataFrame = {
+                     alpha: Double = 0.01,
+                     maxBuckets: Int = Int.MaxValue - 1): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val agg = new graft.expressions.DDSketchAggregator[Double](Double.box, alpha)
+    // This query exists to replay RAW bucket indices against the oracle,
+    // so the default cap is effectively "never collapse" — unlike the
+    // quantile path, a silent low-bucket merge here would break the
+    // value->bucket->count certification the scaladoc promises. Callers
+    // who want a bounded histogram pass an explicit maxBuckets.
+    val agg = new graft.expressions.DDSketchAggregator[Double](
+      Double.box, alpha, maxBuckets)
     val buf = df.select(col(measure).cast("double").as("v"))
       .where(col("v").isNotNull)
       .as[Double]

@@ -684,10 +684,15 @@ object Reports {
       count(lit(1)).as("frequency"),
       sum(col("o_totalprice").cast(DecimalType(18, 2))).as("__md"))
     val mx = orders.agg(max(col("o_orderdate")).as("__mx"))
+    // Pin the per-customer aggregate ONCE: each of the three tile passes
+    // below range-partitions its input independently, and without this
+    // checkpoint each pass would recompute the orders groupBy from scratch
+    // (3x the scan + shuffle for identical bytes).
     val scored = per.crossJoin(broadcast(mx))
       .select(col("o_custkey"),
         datediff(col("__mx"), col("__last")).cast("long").as("recency_days"),
         col("frequency"), col("__md"))
+      .localCheckpoint()
     def tiles(metric: String, desc: Boolean, as: String): DataFrame = {
       val order = if (desc) col(metric).desc else col(metric)
       Pack.positionalTiles(scored.select(col("o_custkey"), col(metric)),

@@ -74,9 +74,15 @@ object Similarity {
   private def requireBroadcastable(embeddings: DataFrame, maxRows: Long,
                                    op: String): Unit = {
     require(maxRows > 0, s"maxBroadcastRows must be positive: $maxRows")
-    // clamp BEFORE the +1: a Long.MaxValue threshold must not overflow
-    // into a negative limit
-    val probeRows = math.min(maxRows, Int.MaxValue - 1L).toInt + 1
+    // A threshold at or past Int.MaxValue would clamp the probe limit and
+    // make the guard vacuous (probe <= maxRows always true) while the
+    // "cheap" probe itself counts ~2^31 rows — and any broadcast that
+    // large is unconditionally fatal anyway, so reject the configuration.
+    require(maxRows < Int.MaxValue,
+      s"maxBroadcastRows=$maxRows disables the guard (probe limit clamps " +
+        "at Int.MaxValue); a broadcast that size is fatal regardless — " +
+        "use lshKnnJoin for corpus-scale inputs")
+    val probeRows = maxRows.toInt + 1
     val probe = embeddings.limit(probeRows).count()
     require(probe <= maxRows,
       s"$op broadcasts the full embedding table, but it exceeds " +

@@ -573,7 +573,15 @@ object Windows {
     * left join. */
   private def denseDaily(events: DataFrame, typeCol: String,
                          tsCol: String): DataFrame = {
-    val daily = events.groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+    // Null-ts rows are DROPPED, explicitly: a null timestamp has no
+    // calendar position, so it can't sit on a daily change-point chart
+    // (same documented rule as kaplanMeierCurve's null-t drop). Without
+    // this filter the drop would still happen — the spine's min/max
+    // ignore nulls and the left join is spine-driven — but as an
+    // artifact of join direction rather than a stated semantic.
+    val daily = events
+      .where(to_date(col(tsCol)).isNotNull)
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("cnt"))
     val spine = daily.groupBy(col(typeCol))
       .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))

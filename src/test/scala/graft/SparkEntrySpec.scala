@@ -60,6 +60,10 @@ class SparkEntrySpec extends SparkSuite {
     // positional-tile operators ride Pack.positionalTiles instead.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val d = "/root/testdata/sf0.001"
+    // the six loop-style queries are exempt HERE because the whole
+    // query is a driver loop / streaming job — but their per-iteration
+    // stage plans get the SAME assertions in LoopStageGateSpec, so the
+    // exemption covers only the unplannable wrappers
     val loopy = Set("q_stream_ingest_final", "q_bpe_train", "q_kmeans",
       "q_semantic_dedup", "q_dedup_embeddings", "q_pca")
     import org.apache.spark.sql.catalyst.expressions.NTile
@@ -101,38 +105,29 @@ class SparkEntrySpec extends SparkSuite {
       }\nEach allowed entry must be bounded by a query parameter; update the map WITH a justification.")
   }
 
-  test("structural plan gate: cross joins only against broadcast-size sides") {
+  test("structural plan gate: cross joins must broadcast-hint their bounded side") {
     // the companion to the window gate: a condition-free Cross join
-    // whose build side isn't bounded is an n x m explosion. Allowed
-    // occurrences are 1-row aggregates (already broadcast-hinted by
-    // convention) and parameter-bounded spines; everything else fails
-    // here, not on the cluster.
-    import org.apache.spark.sql.catalyst.plans.logical.Join
-    import org.apache.spark.sql.catalyst.plans.Cross
+    // whose build side isn't bounded is an n x m explosion. Round-10
+    // tightening (the round-9 verdict's point): a statically-tiny side
+    // alone no longer passes — a 100-row side crossed against a 10 B-row
+    // fact is safe exactly when the 100 rows BROADCAST, so the explicit
+    // hint (which pins the bounded side as the build side, leaving the
+    // fact as the probe side) is required unconditionally. The shared
+    // predicate lives in PlanGates so the loop-stage gates can't drift.
     val d = "/root/testdata/sf0.001"
     val loopy = Set("q_stream_ingest_final", "q_bpe_train", "q_kmeans",
       "q_semantic_dedup", "q_dedup_embeddings", "q_pca")
-    def isSafe(j: Join): Boolean = {
-      // safe iff a side is statically tiny (grand aggregate: maxRows
-      // folds to ~1) or explicitly broadcast-hinted (the convention)
-      val tiny = Seq(j.left, j.right).exists(_.maxRows.exists(_ <= 100))
-      val hinted = j.hint.leftHint.exists(_.strategy.isDefined) ||
-        j.hint.rightHint.exists(_.strategy.isDefined)
-      tiny || hinted
-    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (loopy(name)) None
       else scala.util.Try {
-        val wild = fn(spark, d).queryExecution.optimizedPlan.collect {
-          case j: Join if j.joinType == Cross && j.condition.isEmpty && !isSafe(j) => j }
-        name -> wild.nonEmpty
+        name -> PlanGates.wildCrossJoins(fn(spark, d)).nonEmpty
       }.toOption
     }
     val crossers = offenders.collect { case (n, true) => n }.toSet
     assert(crossers.isEmpty,
-      s"unguarded condition-free cross joins (no tiny side, no broadcast hint) in: ${
+      s"condition-free cross joins without an explicit broadcast hint in: ${
         crossers.toSeq.sorted.mkString(", ")
-      }\nEither bound a side statically, broadcast-hint the bounded side, or rework the join.")
+      }\nbroadcast()-wrap the parameter-bounded side (tiny maxRows alone no longer passes).")
   }
 
   test("structural plan gate: filters reach the scan, projections prune columns") {

@@ -316,6 +316,47 @@ class LakeSpec extends SparkSuite {
     assert(Lake.jdbcRead(spark, opts).count() === 1)
   }
 
+  test("partitioned JDBC read: parallel connections, identical rows, watermark slice") {
+    val dir = tmp()
+    System.setProperty("derby.system.home", dir)
+    val (url, driver) = Lake.jdbcUrl("derby", "", 0, s"$dir/graftpart")
+    val opts = Lake.jdbcOptions(url, "fact", "app", "app", driver)
+    val df = (1L to 1000L).map(i => (i, s"v$i", i * 1.5)).toDF("id", "payload", "x")
+    Lake.jdbcWrite(df, opts, numPartitions = 2)
+    // bounds probe answers from the table, not a Spark scan
+    assert(Lake.jdbcBounds(spark, opts, "id") === Some((1L, 1000L)))
+    // numPartitions>1 read: really striped AND byte-identical to single-stream
+    val par = Lake.jdbcReadPartitioned(spark, opts, "id", numPartitions = 4)
+    assert(par.rdd.getNumPartitions === 4)
+    val single = Lake.jdbcRead(spark, opts)
+    assert(par.orderBy("id").collect().toSeq === single.orderBy("id").collect().toSeq)
+    // incremental: watermark becomes pushed filter + stride lower bound
+    val inc = Lake.jdbcIncrementalRead(spark, opts, "id",
+      watermark = Some(900L), numPartitions = 3)
+    assert(inc.agg(min(col("id")), max(col("id")), count(lit(1))).head().toSeq ===
+      Seq(901L, 1000L, 100L))
+    // no watermark → the full partitioned read
+    assert(Lake.jdbcIncrementalRead(spark, opts, "id", None, 3).count() === 1000L)
+    // watermark at/above max: clamped stride, empty slice, no crash
+    assert(Lake.jdbcIncrementalRead(spark, opts, "id", Some(1000L), 3).count() === 0L)
+  }
+
+  test("jdbcPartitionOptions derives the stride spec; degenerate ranges collapse") {
+    val o = Lake.jdbcPartitionOptions("id", 10L, 5000L, 8, fetchSize = 500)
+    assert(o === Map("fetchsize" -> "500", "partitionColumn" -> "id",
+      "lowerBound" -> "10", "upperBound" -> "5000", "numPartitions" -> "8"))
+    // single distinct id (lo == hi) cannot stripe — clean single stream
+    assert(Lake.jdbcPartitionOptions("id", 7L, 7L, 8) === Map("fetchsize" -> "10000"))
+    assert(Lake.jdbcPartitionOptions("id", 1L, 9L, 1) === Map("fetchsize" -> "10000"))
+    intercept[IllegalArgumentException](Lake.jdbcPartitionOptions("id", 9L, 1L, 4))
+    intercept[IllegalArgumentException](Lake.jdbcPartitionOptions("id; DROP", 1L, 9L, 4))
+    intercept[IllegalArgumentException](Lake.jdbcPartitionOptions("id", 1L, 9L, 0))
+    intercept[IllegalArgumentException](Lake.jdbcPartitionOptions("id", 1L, 9L, 4, 0))
+    // bounds probe rejects an injectable column even before connecting
+    intercept[IllegalArgumentException](
+      Lake.jdbcBounds(spark, Map("dbtable" -> "t"), "id) FROM x; --"))
+  }
+
   test("compact collapses a many-small-file table; data survives byte-identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val path = s"$dir/t"
