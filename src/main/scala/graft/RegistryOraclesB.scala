@@ -166,6 +166,29 @@ private[graft] object RegistryOraclesB {
              FROM v)
            SELECT sign, bucket, CAST(count(*) AS BIGINT) AS cnt
            FROM idx GROUP BY 1, 2 ORDER BY 1, 2""",
+      "q_cms_heavy_hitters" -> // portable fp60 CMS: cell = fp60(row||':'||term) % 256,
+        // shards merge by summation, estimate = min over the 4 hash rows —
+        // identical IEEE-free integer arithmetic in both engines
+        """WITH tok AS (SELECT source,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+               FROM documents),
+             rows_ AS (SELECT unnest(range(0, 4)) AS row),
+             sk AS (SELECT source AS shard, rows_.row AS row,
+                 ('0x' || substr(md5(concat(rows_.row, ':', term)), 1, 15))::BIGINT
+                   % 256 AS cell,
+                 CAST(count(*) AS BIGINT) AS cnt
+               FROM tok, rows_ GROUP BY 1, 2, 3),
+             cells AS (SELECT row, cell, CAST(sum(cnt) AS BIGINT) AS cnt
+               FROM sk GROUP BY 1, 2),
+             probes AS (SELECT unnest(['join','hash','row','batch','scan','column'])
+               AS term),
+             pc AS (SELECT term, rows_.row AS row,
+                 ('0x' || substr(md5(concat(rows_.row, ':', term)), 1, 15))::BIGINT
+                   % 256 AS cell
+               FROM probes, rows_)
+           SELECT pc.term, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS cms_est
+           FROM pc LEFT JOIN cells USING (row, cell)
+           GROUP BY pc.term ORDER BY pc.term""",
       "q_heavy_hitters" -> // exact two-pass heavy hitters == plain GROUP BY/HAVING
         """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
                         FROM documents WHERE text IS NOT NULL),

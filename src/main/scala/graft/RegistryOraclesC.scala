@@ -578,6 +578,28 @@ private[graft] object RegistryOraclesC {
       "q_minhash_capped" ->
         s"""WITH ${minhashCtesFrom("documents", cap = 3)}
             SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""",
+      "q_drop_audit" -> // minhash hot buckets (cap 3) UNION fuzzy hot blocks (cap 30),
+        // one normalized (family, drop_key, n_members) audit surface
+        s"""WITH ${minhashCtesFrom("documents")},
+            bsz AS (SELECT band, band_hash, count(*) AS n
+                    FROM b GROUP BY band, band_hash),
+            bdrop AS (SELECT 'minhash_bucket' AS family,
+                        concat(band, ':', band_hash) AS drop_key,
+                        CAST(n AS BIGINT) AS n_members
+                      FROM bsz WHERE n > 3),
+            fsrc AS (SELECT p_name AS name FROM part WHERE p_name IS NOT NULL
+                     UNION ALL
+                     SELECT 'zzhot variant ' || p_partkey FROM part
+                     WHERE p_partkey <= 40),
+            fn AS (SELECT DISTINCT name FROM fsrc),
+            fb AS (SELECT split_part(name, ' ', 1) AS blk FROM fn
+                   WHERE split_part(name, ' ', 1) IS NOT NULL),
+            fdrop AS (SELECT 'fuzzy_block' AS family, blk AS drop_key,
+                        CAST(count(*) AS BIGINT) AS n_members
+                      FROM fb GROUP BY blk HAVING count(*) > 30)
+            SELECT family, drop_key, n_members
+            FROM (SELECT * FROM bdrop UNION ALL SELECT * FROM fdrop)
+            ORDER BY family, drop_key""",
       "q_near_dup_pairs" ->
         s"""WITH $minhashCtes,
             ${verifiedPairCtes("documents")}

@@ -773,12 +773,15 @@ private[graft] object RegistryQueriesA {
       ("orders.o_custkey->customer", t(s, d, "orders"), "o_custkey",
         t(s, d, "customer"), "c_custkey")))),
     // CMS heavy-hitter probe: per-source sketch shards, driver-merged
-    // (sketch bytes only); rows-only — Spark's CMS hash family isn't
-    // reproducible in SQL, accuracy laws live in ProfileSpec
+    // ORACLED since round 10: the portable fp60 CMS replays bit-exactly
+    // in DuckDB (the q_dd_buckets playbook), so the whole
+    // shard->merge->min-estimate lifecycle is hash-certified; the
+    // Spark-native binary-sketch twin (cmsShards/cmsEstimates) keeps
+    // its never-under + eps accuracy laws in ProfileSpec
     "q_cms_heavy_hitters" -> ((s, d) => {
       val toks = t(s, d, "documents").select(col("source"),
         explode(Text.tokens(lower(col("text")))).as("term"))
-      Profile.cmsEstimates(Profile.cmsShards(toks, "source", "term"),
+      Profile.cmsPortableEstimates(Profile.cmsPortableShards(toks, "source", "term"),
         Seq("join", "hash", "row", "batch", "scan", "column"))
     }),
     // DDSketch mergeable quantiles ([EXT]): relative-error p50/p90/p99

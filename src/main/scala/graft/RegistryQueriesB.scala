@@ -268,6 +268,16 @@ private[graft] object RegistryQueriesB {
     "q_dropped_blocks" -> ((s, d) =>
       Fuzzy.droppedBlocks(hotBlockNames(t(s, d, "part")), "p_name",
         maxBlock = 30)),
+    // unified cap-drop audit ([EXT]): ONE table over everything the
+    // pair-stage guards discarded — LSH hot buckets (cap 3 on the
+    // documents corpus, the q_minhash_capped constant) unioned with
+    // fuzzy hot blocks (cap 30 on the planted-bomb dictionary, the
+    // q_dropped_blocks constant) — so a production run reads a single
+    // quarantine surface instead of per-family reports
+    "q_drop_audit" -> ((s, d) =>
+      graft.operators.Audit.dropAudit(
+        t(s, d, "documents"), maxBucket = 3,
+        hotBlockNames(t(s, d, "part")), "p_name", maxBlock = 30)),
     // exact triangle count ([EXT]): degree-ordered orientation over
     // the co-purchase graph (parts sharing a high-quantity order) —
     // hub wedges charged to low-degree endpoints, O(m^1.5) bound

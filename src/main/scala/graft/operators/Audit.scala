@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cap-drop observability, unified. Every pair-stage guard in the
+  * dedup/linkage families trades recall for boundedness by discarding
+  * oversized groups BEFORE expansion ([[Dedup.minhashCandidates]]'
+  * `maxBucket`, [[Fuzzy]]'s `maxBlock`); each cap has its own
+  * monitoring twin ([[Dedup.droppedBuckets]],
+  * [[Fuzzy.droppedBlocks]]), but a production run needs ONE place to
+  * see everything the caps discarded — this is that surface. */
+object Audit {
+
+  /** Union of the dedup and fuzzy dropped-mass reports, normalized to
+    * (family, drop_key, n_members):
+    *  - `minhash_bucket` rows: LSH band buckets with more than
+    *    `maxBucket` docs (keyed "band:band_hash"), from the corpus the
+    *    near-dup pass runs on;
+    *  - `fuzzy_block` rows: blocking keys with more than `maxBlock`
+    *    distinct names, from the linkage dictionary.
+    * Both inputs are already-bounded aggregates (dropped groups only),
+    * so the union is audit-sized — a log line or a quarantine table,
+    * never a second fact. */
+  def dropAudit(minhashDocs: DataFrame, maxBucket: Int,
+                fuzzyNames: DataFrame, nameCol: String,
+                maxBlock: Int): DataFrame = {
+    val buckets = Dedup.droppedBuckets(minhashDocs, maxBucket = maxBucket)
+      .select(lit("minhash_bucket").as("family"),
+        concat(col("band").cast("string"), lit(":"),
+          col("band_hash").cast("string")).as("drop_key"),
+        col("n_docs").cast("long").as("n_members"))
+    val blocks = Fuzzy.droppedBlocks(fuzzyNames, nameCol, maxBlock)
+      .select(lit("fuzzy_block").as("family"),
+        col("block_key").as("drop_key"),
+        col("n_members").cast("long").as("n_members"))
+    buckets.unionByName(blocks)
+      .orderBy(col("family"), col("drop_key"))
+  }
+}

@@ -277,6 +277,67 @@ object Profile {
       .toDF("term", "cms_est").orderBy(col("term"))
   }
 
+  /** Engine-PORTABLE count-min sketch shards ([EXT]) — the certified
+    * twin of [[cmsShards]], built on the repo's fp60 md5 hash family
+    * instead of Spark's private CountMinSketch hashes, following the
+    * q_dd_buckets playbook: every cell index is
+    * `fp60(row || ':' || value) % width` — arithmetic any engine can
+    * replay bit-exactly, so the whole sketch (and every estimate read
+    * from it) is DuckDB-oracle-certifiable, not just law-tested.
+    *
+    * The sketch IS its (shard, row, cell, cnt) table — parquet-native
+    * (no binary blob), merged across shards by plain summation, at
+    * most `depth × width` rows per shard regardless of corpus size.
+    * Standard CMS guarantees hold per hash row: estimates only ever
+    * OVERcount (by ≈ 2N/width w.h.p. with `depth` independent rows) —
+    * the safe direction for flood alarms, same as [[cmsShards]].
+    *
+    * Scale shape: the depth-way fan-out happens map-side and collapses
+    * into a partially-aggregated groupBy whose shuffle carries at most
+    * shards × depth × width rows — flat in corpus size. */
+  def cmsPortableShards(df: DataFrame, shardCol: String, c: String,
+                        depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1: $depth")
+    require(width >= 2, s"width must be >= 2: $width")
+    df.select(col(shardCol).as("shard"), col(c).cast("string").as("__v"))
+      .where(col("__v").isNotNull)
+      .select(col("shard"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"), col("__v"))
+      .groupBy(col("shard"), col("row"),
+        (graft.functions.Portable.fp60(
+          concat(col("row").cast("string"), lit(":"), col("__v"))) % width)
+          .as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[cmsPortableShards]] table:
+    * shards merge by summation (a bounded aggregate over ≤ depth×width
+    * rows per shard — never a driver collect), each probe hashes
+    * through the identical fp60 path, and the estimate is the
+    * classic min over the depth rows. Fully distributed AND fully
+    * oracle-replayable — this closes the gap that kept the CMS family
+    * rows-only. */
+  def cmsPortableEstimates(shards: DataFrame, probes: Seq[String],
+                           depth: Int = 4, width: Int = 256): DataFrame = {
+    require(probes.nonEmpty, "cmsPortableEstimates needs at least one probe")
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val cells = shards.groupBy(col("row"), col("cell"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val probeCells = probes.toDF("term")
+      .select(col("term"), explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .select(col("term"), col("row"),
+        (graft.functions.Portable.fp60(
+          concat(col("row").cast("string"), lit(":"), col("term"))) % width)
+          .as("cell"))
+    // the probe side is a literal relation (|probes| × depth rows) —
+    // broadcast it so the merged-cell side keeps its partitioning
+    cells.join(broadcast(probeCells), Seq("row", "cell"), "right")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+      .orderBy(col("term"))
+  }
+
   /** EXACT distributed AUC (Mann-Whitney) ([EXT]) — the
     * ranking-quality metric for any scalar scorer (quality scores,
     * classifier margins, retrieval scores): the probability a random

@@ -12,14 +12,14 @@ class SparkEntrySpec extends SparkSuite {
     // HLL sketch estimates aren't cross-engine comparable (rsd-bounded
     // in ProfileSpec instead); the BPE training loop is iterative with
     // no SQL oracle (verified against an independent reference
-    // implementation in BpeSpec instead); CMS estimates use Spark's
-    // own hash family (never-under + eps-bound laws in ProfileSpec);
-    // the PCA eigensolve is iterative (alignment/orthonormality/
-    // variance laws in SimilaritySpec); DDSketch quantile estimates
-    // are engine-private (alpha-bound + merge laws in ProfileSpec)
+    // implementation in BpeSpec instead); the PCA eigensolve is
+    // iterative (alignment/orthonormality/variance laws in
+    // SimilaritySpec); DDSketch quantile estimates are engine-private
+    // (alpha-bound + merge laws in ProfileSpec). q_cms_heavy_hitters
+    // left this set in round 10: the portable fp60 CMS is
+    // oracle-replayable, so the CMS family is now hash-certified.
     assert(rowsOnly === Set("q_approx_dictionary", "q_sketch_dictionary",
-      "q_bpe_train", "q_cms_heavy_hitters", "q_pca", "q_dd_quantiles",
-      "q_quantile_monitor"),
+      "q_bpe_train", "q_pca", "q_dd_quantiles", "q_quantile_monitor"),
       "every other query must carry a DuckDB oracle")
   }
 

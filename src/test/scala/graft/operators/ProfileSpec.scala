@@ -265,6 +265,38 @@ class ProfileSpec extends SparkSuite {
     assert(sharded === global)
   }
 
+  test("portable CMS: never-under, width-bounded over, shard-merge == global, bounded size") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val toks = docs.select(col("source"),
+      explode(graft.functions.Text.tokens(lower(col("text")))).as("term"))
+    val probes = Seq("join", "hash", "scan", "definitely-absent-token")
+    val exact = toks.where(col("term").isin(probes: _*))
+      .groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    val total = toks.count()
+    val depth = 4
+    val width = 256
+    val shards = Profile.cmsPortableShards(toks, "source", "term", depth, width)
+    // the sketch is bounded by shards x depth x width, never the corpus
+    val nShards = toks.select("source").distinct().count()
+    assert(shards.count() <= nShards * depth * width)
+    val est = Profile.cmsPortableEstimates(shards, probes, depth, width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    probes.foreach { p =>
+      assert(est(p) >= exact(p), s"portable CMS must never under-count: $p")
+      // Markov bound per row: E[over] = (N - c_p)/width; 8x slack keeps
+      // the law tight enough to catch a broken hash without flaking
+      assert(est(p) <= exact(p) + 8L * (total / width + 1),
+        s"portable CMS over-count implausibly large: $p ${est(p)} vs ${exact(p)}")
+    }
+    // shard-merge equals a single global build (summation is exact)
+    val global = Profile.cmsPortableEstimates(
+      Profile.cmsPortableShards(toks.withColumn("one", lit(1)), "one", "term",
+        depth, width), probes, depth, width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === global)
+  }
+
   test("chi2Cells: full spine incl. zero cells; independent data has ~0 terms") {
     // perfectly independent 2x2: every term exactly 0
     val ind = (Seq.fill(20)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
