@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Targeted scale probe: replicate the sf0.1 documents/embeddings
+  * tables Nx (same replication scheme as [[ScaleProbe]]) and time ONE
+  * named operator — the fast-iteration companion to the full probe,
+  * for adjudicating a single operator's growth curve without paying
+  * the whole battery.
+  *
+  * Usage: sbt "runMain graft.ProbeOp <op> [factor] [reps]"
+  */
+object ProbeOp {
+  def main(args: Array[String]): Unit = {
+    val op = args.headOption.getOrElse(
+      sys.error("usage: ProbeOp <op> [factor] [reps]"))
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val reps = args.lift(2).map(_.toInt).getOrElse(1)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs0 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val emb0 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    def replicate(df: DataFrame, idCol: String, n: Long): DataFrame =
+      df.crossJoin(broadcast(spark.range(factor).withColumnRenamed("id", "__copy")))
+        .withColumn(idCol, col(idCol) + col("__copy") * n * 10)
+        .drop("__copy")
+    lazy val docs = replicate(docs0, "doc_id", docs0.count()).cache()
+    lazy val emb = replicate(emb0, "vec_id", emb0.count()).cache()
+
+    // each op forces a full computation via count() (or a measured agg
+    // where count alone would let Catalyst prune the pipeline)
+    val ops: Map[String, () => Long] = Map(
+      "contrastivePairs" -> (() =>
+        graft.operators.Dedup.contrastivePairs(docs).count()),
+      "contrastivePairsCapped" -> (() =>
+        graft.operators.Dedup.contrastivePairs(docs, maxBucket = 8).count()),
+      "nearDupPairs" -> (() =>
+        graft.operators.Dedup.nearDupPairs(docs, threshold = 0.5).count()),
+      "lshRecallAudit" -> (() =>
+        graft.operators.SetSimilarity.lshRecallAudit(docs).count()),
+      "distinctMonitor" -> (() =>
+        graft.streaming.Sessions.distinctMonitor(docs
+          .select(col("source").as("event_type"),
+            col("doc_id").cast("string").as("user_id"))).count()),
+      "semanticDedup" -> (() =>
+        graft.operators.Clustering.semanticDedup(emb, k = 8, threshold = 0.35)
+          .where(col("keep")).count()))
+    val f = ops.getOrElse(op, sys.error(s"unknown op $op; known: ${ops.keys.toSeq.sorted}"))
+    docs.count(); emb.count() // cache warm, untimed
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = f()
+      println(f"[probeop] $op x$factor rep$i ${(System.nanoTime() - t0) / 1e9}%8.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}

@@ -824,11 +824,24 @@ object Dedup {
   def contrastivePairs(docs: DataFrame, negativesPerAnchor: Int = 2,
                        threshold: Double = 0.5,
                        idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text",
+                       maxBucket: Int = 0): DataFrame = {
     require(negativesPerAnchor >= 1,
       s"contrastivePairs needs negativesPerAnchor >= 1: $negativesPerAnchor")
-    val pos = nearDupPairs(docs, idCol, textCol, threshold)
+    // The ×10 decade probe caught this operator at 126× wall growth:
+    // the positive subtree (shingle explode + LSH bands + exact
+    // Jaccard verify) fed THREE consumers (pos, posBoth, the negative
+    // anti-join) and Spark does not share subtrees across joins, so
+    // the most expensive stage ran three times — checkpoint once,
+    // reuse thrice (the semanticDedup/streamIngest discipline).
+    // `maxBucket` additionally plumbs the standard hot-bucket cap into
+    // the candidate stage for boilerplate-heavy corpora; the remaining
+    // growth under duplicate-dense input is OUTPUT (true positives),
+    // not plan fan-out.
+    val pos = nearDupPairs(docs, idCol, textCol, threshold,
+        maxBucket = maxBucket)
       .select(col("doc_a").as("anchor"), col("doc_b").as("other"))
+      .localCheckpoint()
     val posBoth = pos.unionAll(
       pos.select(col("other").as("anchor"), col("anchor").as("other")))
     val ord = Pack.globalOrdinals(
