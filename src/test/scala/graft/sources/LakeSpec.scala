@@ -335,6 +335,12 @@ class LakeSpec extends SparkSuite {
       watermark = Some(900L), numPartitions = 3)
     assert(inc.agg(min(col("id")), max(col("id")), count(lit(1))).head().toSeq ===
       Seq(901L, 1000L, 100L))
+    // the watermark predicate must reach the DATABASE (the whole point:
+    // the db skips the landed prefix via its id index), not run as a
+    // post-scan Spark filter
+    val incPlan = inc.queryExecution.executedPlan.toString
+    assert(incPlan.contains("PushedFilters") && incPlan.contains("GreaterThan"),
+      s"watermark filter not pushed into the JDBC source:\n$incPlan")
     // no watermark → the full partitioned read
     assert(Lake.jdbcIncrementalRead(spark, opts, "id", None, 3).count() === 1000L)
     // watermark at/above max: clamped stride, empty slice, no crash
