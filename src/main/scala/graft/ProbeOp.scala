@@ -45,6 +45,8 @@ object ProbeOp {
         graft.operators.Dedup.nearDupPairs(docs, threshold = 0.5).count()),
       "lshRecallAudit" -> (() =>
         graft.operators.SetSimilarity.lshRecallAudit(docs).count()),
+      "lshRecallAuditSampled" -> (() =>
+        graft.operators.SetSimilarity.lshRecallAuditSampled(docs, 2000).count()),
       "distinctMonitor" -> (() =>
         graft.streaming.Sessions.distinctMonitor(docs
           .select(col("source").as("event_type"),

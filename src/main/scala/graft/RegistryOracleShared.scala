@@ -86,9 +86,9 @@ private[graft] object OracleShared {
     // distinct (doc_id, 60-bit gram fingerprint) plus per-doc set
     // size, gram document frequency, and global-rarity rank — the
     // SetSimilarity.rankedGramSets algebra.
-    val wordGramSetCtes =
-      """tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-               FROM documents),
+    def wordGramSetCtesFrom(src: String) =
+      s"""tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+               FROM $src),
          ng AS (SELECT doc_id, unnest(list_distinct(
                   [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])) AS ng
                 FROM tk),
@@ -99,6 +99,56 @@ private[graft] object OracleShared {
                   count(*) OVER (PARTITION BY doc_id) AS n FROM tok),
          rk AS (SELECT doc_id, fp, n,
                   row_number() OVER (PARTITION BY doc_id ORDER BY df, fp) AS r FROM st)"""
+    val wordGramSetCtes = wordGramSetCtesFrom("documents")
+    // LSH recall audit, parameterized by the gram-set CTE prefix so the
+    // full-corpus and sampled flavors share ONE spelling: the
+    // jaccard-join chain gives exact pairs; minhash over the SAME fp
+    // rows (fp reduced mod P before the multiply — a 60-bit fp times a
+    // 30-bit coefficient would overflow), banded at 2/4/8; counts via
+    // subqueries stay BIGINT; recall is an unrounded IEEE divide.
+    def lshRecallOracle(gramCtes: String): String = {
+      val p = graft.operators.Dedup.MinhashP
+      val minCols = (0 until 16).map(i =>
+        s"min(((fp % $p) * ${graft.operators.Dedup.aCoef(i)} + ${graft.operators.Dedup.bCoef(i)}) % $p) AS m$i")
+        .mkString(", ")
+      def bandCte(b: Int) = {
+        val r = 16 / b
+        val rows = (0 until b).map { j =>
+          val cat = (j * r until (j + 1) * r).map(i => s"m$i::VARCHAR")
+            .mkString(" || ',' || ")
+          s"SELECT doc_id, $j AS band, md5($cat) AS band_hash FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""b$b AS ($rows),
+            cand$b AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                       FROM b$b x JOIN b$b y USING (band, band_hash)
+                       WHERE x.doc_id < y.doc_id)"""
+      }
+      val rows = Seq(2, 4, 8).map { b =>
+        s"""SELECT $b AS bands,
+             (SELECT count(*) FROM cand$b) AS n_candidates,
+             (SELECT count(*) FROM exact) AS n_true_pairs,
+             (SELECT count(*) FROM cand$b JOIN exact USING (doc_a, doc_b)) AS n_hit,
+             (SELECT count(*) FROM cand$b JOIN exact USING (doc_a, doc_b))::DOUBLE /
+               (SELECT count(*) FROM exact) AS recall"""
+      }.mkString(" UNION ALL ")
+      s"""WITH $gramCtes,
+          pfx AS (SELECT doc_id, fp, n FROM rk WHERE r <= n - ceil(0.5 * n) + 1),
+          cdx AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.n AS na, b.n AS nb
+                  FROM pfx a JOIN pfx b USING (fp)
+                  WHERE a.doc_id < b.doc_id
+                    AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)),
+          ivx AS (SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS inter
+                  FROM cdx c
+                  JOIN tok ta ON ta.doc_id = c.doc_a
+                  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.fp = ta.fp
+                  GROUP BY ALL),
+          exact AS (SELECT doc_a, doc_b FROM ivx
+                    WHERE inter >= 0.5 * (na + nb - inter)),
+          sig AS (SELECT doc_id, $minCols FROM tok GROUP BY doc_id),
+          ${bandCte(2)}, ${bandCte(4)}, ${bandCte(8)}
+          SELECT * FROM ($rows) ORDER BY bands"""
+    }
     val jaccardJoinOracle =
       s"""WITH $wordGramSetCtes,
           pf AS (SELECT doc_id, fp, n FROM rk WHERE r <= n - ceil(0.5 * n) + 1),

@@ -767,49 +767,17 @@ private[graft] object RegistryOraclesC {
       // multiply — 60-bit fp times a 30-bit coefficient would
       // overflow), banded at 2/4/8 bands; counts via subqueries stay
       // BIGINT; recall is an unrounded IEEE divide.
-      "q_lsh_recall" -> {
-        val p = Dedup.MinhashP
-        val minCols = (0 until 16).map(i =>
-          s"min(((fp % $p) * ${Dedup.aCoef(i)} + ${Dedup.bCoef(i)}) % $p) AS m$i")
-          .mkString(", ")
-        def bandCte(b: Int) = {
-          val r = 16 / b
-          val rows = (0 until b).map { j =>
-            val cat = (j * r until (j + 1) * r).map(i => s"m$i::VARCHAR")
-              .mkString(" || ',' || ")
-            s"SELECT doc_id, $j AS band, md5($cat) AS band_hash FROM sig"
-          }.mkString(" UNION ALL ")
-          s"""b$b AS ($rows),
-              cand$b AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-                         FROM b$b x JOIN b$b y USING (band, band_hash)
-                         WHERE x.doc_id < y.doc_id)"""
-        }
-        val rows = Seq(2, 4, 8).map { b =>
-          s"""SELECT $b AS bands,
-               (SELECT count(*) FROM cand$b) AS n_candidates,
-               (SELECT count(*) FROM exact) AS n_true_pairs,
-               (SELECT count(*) FROM cand$b JOIN exact USING (doc_a, doc_b)) AS n_hit,
-               (SELECT count(*) FROM cand$b JOIN exact USING (doc_a, doc_b))::DOUBLE /
-                 (SELECT count(*) FROM exact) AS recall"""
-        }.mkString(" UNION ALL ")
-        s"""WITH $wordGramSetCtes,
-            pfx AS (SELECT doc_id, fp, n FROM rk WHERE r <= n - ceil(0.5 * n) + 1),
-            cdx AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                      a.n AS na, b.n AS nb
-                    FROM pfx a JOIN pfx b USING (fp)
-                    WHERE a.doc_id < b.doc_id
-                      AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)),
-            ivx AS (SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS inter
-                    FROM cdx c
-                    JOIN tok ta ON ta.doc_id = c.doc_a
-                    JOIN tok tb ON tb.doc_id = c.doc_b AND tb.fp = ta.fp
-                    GROUP BY ALL),
-            exact AS (SELECT doc_a, doc_b FROM ivx
-                      WHERE inter >= 0.5 * (na + nb - inter)),
-            sig AS (SELECT doc_id, $minCols FROM tok GROUP BY doc_id),
-            ${bandCte(2)}, ${bandCte(4)}, ${bandCte(8)}
-            SELECT * FROM ($rows) ORDER BY bands"""
-      },
+      "q_lsh_recall" -> lshRecallOracle(wordGramSetCtes),
+      // the runbook form: the SAME audit over the deterministic
+      // fp60-smallest-2000 sample — absolutely bounded at any corpus
+      // size, and still fully oracle-replayable (the sample is an
+      // ORDER BY portable-hash LIMIT both engines compute identically)
+      "q_lsh_recall_sampled" -> lshRecallOracle(
+        s"""smp AS (SELECT doc_id, text FROM documents
+                    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                      doc_id
+                    LIMIT 2000),
+            ${wordGramSetCtesFrom("smp")}"""),
       // Asymmetric containment: one-sided prefix on the contained
       // side, full set rows on the container side.
       "q_containment" ->

@@ -681,6 +681,12 @@ private[graft] object RegistryQueriesB {
     // empirical recall/cost curve a pipeline checks before trusting
     // LSH dedup at scale
     "q_lsh_recall" -> ((s, d) => SetSimilarity.lshRecallAudit(t(s, d, "documents"))),
+    // the runbook form: same audit over the deterministic fp60-smallest
+    // 2000 docs — absolutely bounded at any corpus size (one scan + a
+    // TakeOrdered + the audit on 2000 docs), the way the audit actually
+    // runs at 100 TB
+    "q_lsh_recall_sampled" -> ((s, d) =>
+      SetSimilarity.lshRecallAuditSampled(t(s, d, "documents"), sampleSize = 2000)),
     "q_dedup_docs" -> ((s, d) => Dedup.dedupDocuments(t(s, d, "documents"), threshold = 0.5)),
     // quality-aware keeper re-election ([EXT]): same clusters, but the
     // representative is the longest doc (n_chars desc, id tiebreak) —

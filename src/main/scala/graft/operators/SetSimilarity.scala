@@ -230,16 +230,25 @@ object SetSimilarity {
   def lshRecallAudit(docs: DataFrame, threshold: Double = 0.5,
                      k: Int = 16, bandCounts: Seq[Int] = Seq(2, 4, 8),
                      idCol: String = "doc_id", textCol: String = "text",
-                     ngram: Int = 3): DataFrame = {
+                     ngram: Int = 3, pinGramSets: Boolean = false): DataFrame = {
     require(bandCounts.nonEmpty && bandCounts.forall(b => b > 0 && k % b == 0),
       s"every band count must divide k=$k: $bandCounts")
-    // NOT localCheckpointed: the shared subtrees (`exact`, `sig`,
-    // each band's `cand`) deduplicate through Spark's ReuseExchange
-    // in the single final plan — eager materialization was MEASURED
-    // slower (8.9s vs 7.7s at sf0.1) because it breaks whole-stage
-    // codegen spans and pays three materializations for reuse the
-    // optimizer already provides.
-    val ranked = rankedGramSets(docs, idCol, textCol, ngram)
+    // NOT localCheckpointed by default: the shared subtrees (`exact`,
+    // `sig`, each band's `cand`) deduplicate through Spark's
+    // ReuseExchange in the single final plan — eager materialization
+    // was MEASURED slower (8.9s vs 7.7s at sf0.1) because it breaks
+    // whole-stage codegen spans and pays three materializations for
+    // reuse the optimizer already provides. `pinGramSets` flips the
+    // trade for SMALL inputs (the sampled runbook flavor): a
+    // sample-sized gram table materializes in milliseconds and the
+    // ~15 consumer subtrees then read it instead of replaying the
+    // explode+windows per consumer.
+    val ranked0 = rankedGramSets(docs, idCol, textCol, ngram)
+    // (pinning MORE than `ranked` was measured counterproductive on
+    // the sampled path — 8.4 s ranked-only vs 9.5 s all-stages-pinned
+    // at sf0.1: the extra eager checkpoint jobs cost about what the
+    // replays of the already-tiny downstream tables save)
+    val ranked = if (pinGramSets) ranked0.localCheckpoint() else ranked0
     val exact = jaccardJoinOfSets(ranked, threshold)
       .select(col("doc_a"), col("doc_b"))
     val sig = minhashOfSets(ranked.select(col("doc_id"), col("fp")), k)
@@ -263,6 +272,47 @@ object SetSimilarity {
           (col("n_hit").cast("double") / col("n_true_pairs")).as("recall"))
     }
     perBand.reduce(_.unionByName(_)).orderBy(col("bands"))
+  }
+
+  /** The runbook form of [[lshRecallAudit]] — the audit over a
+    * DETERMINISTIC FIXED-SIZE sample, which is how it actually runs at
+    * corpus scale: the full audit's exact side tracks true-pair
+    * density (the ×10 decade probe measured it at 444 s on an
+    * adversarially duplicate-dense sf1-equivalent corpus — by design,
+    * but not a number to pay continuously), while a fixed `sampleSize`
+    * bounds the audit's cost ABSOLUTELY regardless of corpus growth:
+    * one scan + a TakeOrdered(k) + the audit on k docs.
+    *
+    * The sample is the `sampleSize` docs with the smallest portable
+    * fp60(id) — pseudo-random w.r.t. any corpus ordering, yet
+    * bit-reproducible across engines and runs (the [[Sampling]]
+    * convention), so the whole sampled audit remains oracle-
+    * replayable: recall measured here is an unbiased estimate of
+    * corpus recall under the banding theorem's uniform-hash premise,
+    * and the SAMPLE's exact ground truth is computed exactly. */
+  def lshRecallAuditSampled(docs: DataFrame, sampleSize: Int,
+                            threshold: Double = 0.5,
+                            k: Int = 16, bandCounts: Seq[Int] = Seq(2, 4, 8),
+                            idCol: String = "doc_id", textCol: String = "text",
+                            ngram: Int = 3): DataFrame = {
+    require(sampleSize > 0, s"sampleSize must be positive: $sampleSize")
+    // localCheckpoint the sample: the audit feeds its input into many
+    // subtrees (exact chain, signatures, per-band candidates) counting
+    // on ReuseExchange — which reuses the EXCHANGE, not this
+    // TakeOrdered-over-the-corpus subtree; unpinned, the full-corpus
+    // scan+sort replays per consumer (measured: 16.1 s -> 2.9 s at
+    // sf0.1, and the pin is what makes the fixed-size bound real —
+    // sampleSize rows materialize, the corpus is scanned ONCE;
+    // the residual ~8 s at sf0.1 is fixed Spark machinery — ~20 tiny
+    // 32-partition shuffles across the exact/sig/band stages — which
+    // is the FLAT term the fixed-size sample buys: measured 8.4 s at
+    // x1 and 8.2 s at x10, vs the full audit's 21.7 s -> 444.6 s).
+    val sample = docs
+      .orderBy(graft.functions.Portable.fp60(col(idCol)), col(idCol))
+      .limit(sampleSize)
+      .localCheckpoint()
+    lshRecallAudit(sample, threshold, k, bandCounts, idCol, textCol, ngram,
+      pinGramSets = true)
   }
 
   /** Exact intersection sizes for candidate pairs: join each side's
