@@ -53,7 +53,26 @@ object ProbeOp {
             col("doc_id").cast("string").as("user_id"))).count()),
       "semanticDedup" -> (() =>
         graft.operators.Clustering.semanticDedup(emb, k = 8, threshold = 0.35)
-          .where(col("keep")).count()))
+          .where(col("keep")).count()),
+      // the full streaming ingest loop (3 deterministic batches, one
+      // file per trigger, exact + near dedup vs the growing index) —
+      // the one heavy family the ScaleProbe battery doesn't cover
+      "streamIngest" -> (() => {
+        val root = java.nio.file.Files.createTempDirectory("graft_probe_ingest").toString
+        (0 until 3).foreach { b =>
+          docs.where(pmod(col("doc_id"), lit(3)) === b).coalesce(4)
+            .write.mode("overwrite").parquet(s"$root/in/f$b")
+          new java.io.File(s"$root/in/f$b").listFiles()
+            .foreach(f => { f.setLastModified(1600000000000L + b * 60000L); () })
+        }
+        val schema = spark.read.parquet(s"$root/in/f0").schema
+        val q = graft.streaming.Sessions.streamIngestDedup(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+            .parquet(s"$root/in/*"),
+          s"$root/corpus", s"$root/index", s"$root/bloom", s"$root/ckpt")
+        q.awaitTermination(600000)
+        spark.read.parquet(s"$root/corpus").count()
+      }))
     val f = ops.getOrElse(op, sys.error(s"unknown op $op; known: ${ops.keys.toSeq.sorted}"))
     docs.count(); emb.count() // cache warm, untimed
     (1 to reps).foreach { i =>
