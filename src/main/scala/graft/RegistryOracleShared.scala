@@ -100,6 +100,33 @@ private[graft] object OracleShared {
          rk AS (SELECT doc_id, fp, n,
                   row_number() OVER (PARTITION BY doc_id ORDER BY df, fp) AS r FROM st)"""
     val wordGramSetCtes = wordGramSetCtesFrom("documents")
+    // Two deterministic Lloyd iterations over the embeddings table
+    // (seeds = lowest ids; integer-micro centroid sums; left-fold
+    // distances) — ONE spelling feeding q_kmeans, q_semantic_dedup,
+    // and the q_drop_audit semantic-cell family. a2 carries (vec_id,
+    // v, cell, d); consumers project what they need.
+    val lloyd2Ctes =
+      """e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
+                FROM e ORDER BY vec_id LIMIT 8),
+         a1 AS (SELECT vec_id, v, cell,
+                  list_reduce([(v[i]-cvec[i])*(v[i]-cvec[i])
+                               for i in range(1, len(v)+1)], (x, y) -> x + y) AS d
+                FROM e, c0
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+         m1p AS (SELECT cell, pos, count(*) AS n, sum(vm) AS s FROM
+                   (SELECT cell,
+                      unnest([i for i in range(0, len(v))]) AS pos,
+                      unnest([round(x * 1000000, 0)::BIGINT for x in v]) AS vm
+                    FROM a1)
+                 GROUP BY cell, pos),
+         m1 AS (SELECT cell, list(s::DOUBLE / n / 1000000.0 ORDER BY pos) AS cvec
+                FROM m1p GROUP BY cell),
+         a2 AS (SELECT vec_id, v, cell,
+                  list_reduce([(v[i]-cvec[i])*(v[i]-cvec[i])
+                               for i in range(1, len(v)+1)], (x, y) -> x + y) AS d
+                FROM e, m1
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1)"""
     // LSH recall audit, parameterized by the gram-set CTE prefix so the
     // full-corpus and sampled flavors share ONE spelling: the
     // jaccard-join chain gives exact pairs; minhash over the SAME fp

@@ -578,8 +578,9 @@ private[graft] object RegistryOraclesC {
       "q_minhash_capped" ->
         s"""WITH ${minhashCtesFrom("documents", cap = 3)}
             SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""",
-      "q_drop_audit" -> // minhash hot buckets (cap 3) UNION fuzzy hot blocks (cap 30),
-        // one normalized (family, drop_key, n_members) audit surface
+      "q_drop_audit" -> // minhash hot buckets (cap 3) UNION fuzzy hot blocks (cap 30)
+        // UNION semantic k-means cells (cap 50) — one normalized
+        // (family, drop_key, n_members) audit surface
         s"""WITH ${minhashCtesFrom("documents")},
             bsz AS (SELECT band, band_hash, count(*) AS n
                     FROM b GROUP BY band, band_hash),
@@ -596,9 +597,15 @@ private[graft] object RegistryOraclesC {
                    WHERE split_part(name, ' ', 1) IS NOT NULL),
             fdrop AS (SELECT 'fuzzy_block' AS family, blk AS drop_key,
                         CAST(count(*) AS BIGINT) AS n_members
-                      FROM fb GROUP BY blk HAVING count(*) > 30)
+                      FROM fb GROUP BY blk HAVING count(*) > 30),
+            $lloyd2Ctes,
+            cdrop AS (SELECT 'semantic_cell' AS family,
+                        CAST(cell AS VARCHAR) AS drop_key,
+                        CAST(count(*) AS BIGINT) AS n_members
+                      FROM a2 GROUP BY cell HAVING count(*) > 50)
             SELECT family, drop_key, n_members
-            FROM (SELECT * FROM bdrop UNION ALL SELECT * FROM fdrop)
+            FROM (SELECT * FROM bdrop UNION ALL SELECT * FROM fdrop
+                  UNION ALL SELECT * FROM cdrop)
             ORDER BY family, drop_key""",
       "q_near_dup_pairs" ->
         s"""WITH $minhashCtes,
@@ -1049,51 +1056,11 @@ private[graft] object RegistryOraclesC {
              (SELECT count(*) FROM ex JOIN sel USING (vec_id))::DOUBLE /
                (SELECT count(*) FROM ex) AS recall""",
       "q_kmeans" -> // seeds=lowest ids; micro-sum updates; fold distances
-        """WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
-               c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
-                      FROM e ORDER BY vec_id LIMIT 8),
-               a1 AS (SELECT vec_id, v, cell,
-                        list_reduce([(v[i]-cvec[i])*(v[i]-cvec[i])
-                                     for i in range(1, len(v)+1)], (x, y) -> x + y) AS d
-                      FROM e, c0
-                      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
-               m1p AS (SELECT cell, pos, count(*) AS n, sum(vm) AS s FROM
-                         (SELECT cell,
-                            unnest([i for i in range(0, len(v))]) AS pos,
-                            unnest([round(x * 1000000, 0)::BIGINT for x in v]) AS vm
-                          FROM a1)
-                       GROUP BY cell, pos),
-               m1 AS (SELECT cell, list(s::DOUBLE / n / 1000000.0 ORDER BY pos) AS cvec
-                      FROM m1p GROUP BY cell),
-               a2 AS (SELECT vec_id, cell,
-                        list_reduce([(v[i]-cvec[i])*(v[i]-cvec[i])
-                                     for i in range(1, len(v)+1)], (x, y) -> x + y) AS d
-                      FROM e, m1
-                      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1)
+        s"""WITH $lloyd2Ctes
            SELECT vec_id, CAST(cell AS INTEGER) AS cell, round(d, 6) AS dist2
            FROM a2 ORDER BY vec_id""",
       "q_semantic_dedup" -> // q_kmeans cells + within-cell cosine, one-hop min-id keeper
-        """WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
-               c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
-                      FROM e ORDER BY vec_id LIMIT 8),
-               a1 AS (SELECT vec_id, v, cell,
-                        list_reduce([(v[i]-cvec[i])*(v[i]-cvec[i])
-                                     for i in range(1, len(v)+1)], (x, y) -> x + y) AS d
-                      FROM e, c0
-                      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
-               m1p AS (SELECT cell, pos, count(*) AS n, sum(vm) AS s FROM
-                         (SELECT cell,
-                            unnest([i for i in range(0, len(v))]) AS pos,
-                            unnest([round(x * 1000000, 0)::BIGINT for x in v]) AS vm
-                          FROM a1)
-                       GROUP BY cell, pos),
-               m1 AS (SELECT cell, list(s::DOUBLE / n / 1000000.0 ORDER BY pos) AS cvec
-                      FROM m1p GROUP BY cell),
-               a2 AS (SELECT vec_id, v, cell,
-                        list_reduce([(v[i]-cvec[i])*(v[i]-cvec[i])
-                                     for i in range(1, len(v)+1)], (x, y) -> x + y) AS d
-                      FROM e, m1
-                      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+        s"""WITH $lloyd2Ctes,
                nn AS (SELECT vec_id, cell, v,
                         sqrt(list_reduce([v[i]*v[i] for i in range(1, len(v)+1)],
                           (x, y) -> x + y)) AS nrm FROM a2),

@@ -12,19 +12,25 @@ import org.apache.spark.sql.functions._
   * see everything the caps discarded — this is that surface. */
 object Audit {
 
-  /** Union of the dedup and fuzzy dropped-mass reports, normalized to
-    * (family, drop_key, n_members):
+  /** Union of the dedup, fuzzy, and (optionally) embedding-space
+    * dropped-mass reports, normalized to (family, drop_key, n_members):
     *  - `minhash_bucket` rows: LSH band buckets with more than
     *    `maxBucket` docs (keyed "band:band_hash"), from the corpus the
     *    near-dup pass runs on;
     *  - `fuzzy_block` rows: blocking keys with more than `maxBlock`
-    *    distinct names, from the linkage dictionary.
-    * Both inputs are already-bounded aggregates (dropped groups only),
-    * so the union is audit-sized — a log line or a quarantine table,
-    * never a second fact. */
+    *    distinct names, from the linkage dictionary;
+    *  - `semantic_cell` rows (when `semanticEmb` is given): k-means
+    *    cells with more than `maxCell` vectors — the cells
+    *    [[Clustering.semanticDedup]]'s cap excludes from its pair
+    *    stage.
+    * Every input is an already-bounded aggregate (dropped groups
+    * only), so the union is audit-sized — a log line or a quarantine
+    * table, never a second fact. */
   def dropAudit(minhashDocs: DataFrame, maxBucket: Int,
                 fuzzyNames: DataFrame, nameCol: String,
-                maxBlock: Int): DataFrame = {
+                maxBlock: Int,
+                semanticEmb: Option[DataFrame] = None,
+                kCells: Int = 8, maxCell: Int = 0): DataFrame = {
     val buckets = Dedup.droppedBuckets(minhashDocs, maxBucket = maxBucket)
       .select(lit("minhash_bucket").as("family"),
         concat(col("band").cast("string"), lit(":"),
@@ -34,7 +40,13 @@ object Audit {
       .select(lit("fuzzy_block").as("family"),
         col("block_key").as("drop_key"),
         col("n_members").cast("long").as("n_members"))
-    buckets.unionByName(blocks)
+    val cells = semanticEmb.map { emb =>
+      Clustering.droppedCells(emb, kCells, maxCell)
+        .select(lit("semantic_cell").as("family"),
+          col("cell").cast("string").as("drop_key"),
+          col("n_members").cast("long").as("n_members"))
+    }
+    cells.foldLeft(buckets.unionByName(blocks))(_.unionByName(_))
       .orderBy(col("family"), col("drop_key"))
   }
 }

@@ -100,6 +100,24 @@ object Clustering {
     assigned
   }
 
+  /** The cells a [[semanticDedup]] `maxCell` cap discards, with their
+    * sizes — the monitoring twin of [[graft.operators.Dedup.droppedBuckets]]
+    * / [[graft.operators.Fuzzy.droppedBlocks]] for the embedding-space
+    * family: cells larger than the cap contribute NO pairs
+    * (conservative — their vectors all survive), and this report is
+    * where that discarded pair mass becomes visible. Bounded by k
+    * rows. */
+  def droppedCells(embeddings: DataFrame, k: Int, maxCell: Int,
+                   iters: Int = 2, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(maxCell > 0, "droppedCells needs a positive cap")
+    lloydAssign(embeddings, k, iters, idCol, vecCol)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxCell)
+      .select(col("cell"), col("n_members"))
+      .orderBy(col("cell"))
+  }
+
   /** `iters` full Lloyd iterations from the deterministic seeds.
     * Returns the final per-vector assignment: (id, cell, dist2). */
   def kmeans(embeddings: DataFrame, k: Int, iters: Int,

@@ -75,6 +75,7 @@ class SparkEntrySpec extends SparkSuite {
       "q_cramers_v" -> "same chi2 category spine",
       "q_psi_drift" -> "bin spine: nBins rows, a query parameter",
       "q_cumulative_users" -> "day table: calendar-bounded",
+      "q_drop_audit" -> "seedCentroids' window runs POST-limit(k): k rows, a query parameter (same as q_kmeans's exempt seed; the audit's other families are window-free)",
       "q_gains" -> "cumulative capture over the `buckets`-row tile table",
       "q_lorenz" -> "same: tile table bounded by `buckets`",
       "q_pq_adc" -> "rank over k centroids per subspace, k a query parameter",
