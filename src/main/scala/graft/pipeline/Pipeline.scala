@@ -60,6 +60,32 @@ final class Pipeline(spark: SparkSession, lake: Lake,
     }
   }
 
+  /** Incremental JDBC ingest — the reference's PRODUCTION path
+    * (reference: src/helpers/ingest_data.py:25-128 S3+S4: RDBMS fact,
+    * max-id watermark over the landed data, pull only the new slice),
+    * at scale: the watermark comes from the already-landed raw table
+    * (first run → full load), the slice reads over `numPartitions`
+    * striped connections with the watermark as BOTH pushed filter and
+    * stride lower bound ([[Lake.jdbcIncrementalRead]]), and the new
+    * rows land APPENDED under the ingest-date partition — earlier
+    * loads are never rewritten, so a daily incremental run touches
+    * only its own partition. Returns the number of rows landed. */
+  def ingestJdbcIncremental(table: String, opts: Map[String, String],
+                            idCol: String, year: Int, month: Int, day: Int,
+                            numPartitions: Int = 8): Long = {
+    val existing = scala.util.Try(lake.readRaw(spark, table)).toOption
+    val watermark = existing.flatMap(df => Lake.maxWatermark(df, idCol))
+    val slice = Lake.stampIngestDate(
+      Lake.jdbcIncrementalRead(spark, opts, idCol, watermark, numPartitions),
+      year, month, day)
+    val n = slice.count()
+    if (n > 0)
+      slice.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("year", "month", "day").parquet(s"${lake.raw}/$table")
+    auditLog += StageAudit("ingest", table, n, n, 0)
+    n
+  }
+
   /** Cleanse a raw table: full-row dedup + optional integer casts
     * (reference: src/helpers/preprocessing_data.py:76-130 D1/P5). */
   def cleanse(table: String, intCastCols: Seq[String] = Nil): DataFrame = {

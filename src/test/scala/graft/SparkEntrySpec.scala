@@ -155,6 +155,21 @@ class SparkEntrySpec extends SparkSuite {
     assert(psSchemas.nonEmpty && psSchemas.forall(s =>
         !s.contains("l_comment") && !s.contains("l_shipmode")),
       s"pricing summary reads unprojected columns:\n$ps")
+    // documents family: a text-stats query must not drag the unused
+    // corpus columns (lang/source/n_chars) through the scan — at
+    // 100 TB, `text` is the payload and the rest is free only if pruned
+    val ds = SparkEntry.queries("q_doc_stats")(spark, d)
+      .queryExecution.executedPlan.toString
+    val dsSchemas = "ReadSchema: [^\\n]+".r.findAllIn(ds).toList
+    assert(dsSchemas.nonEmpty && dsSchemas.forall(s =>
+        !s.contains("lang") && !s.contains("source") && !s.contains("n_chars")),
+      s"doc_stats reads unused corpus columns:\n$ds")
+    // embeddings family: the kNN scan must not read the label column
+    val knn = SparkEntry.queries("q_knn_small")(spark, d)
+      .queryExecution.executedPlan.toString
+    val knnSchemas = "ReadSchema: [^\\n]+".r.findAllIn(knn).toList
+    assert(knnSchemas.nonEmpty && knnSchemas.forall(s => !s.contains("label")),
+      s"knn reads the unused label column:\n$knn")
   }
 
   test("q_sql_topk (SQL text surface) matches q_topk_cosine (Column API)") {

@@ -107,6 +107,34 @@ class PipelineSpec extends SparkSuite {
     assert(audit.contains(""""stage":"cleanse","table":"prescriber","rows_before":3,"rows_after":2,"dups_removed":1"""))
   }
 
+  test("incremental JDBC ingest: full first load, watermark slice second, partitions append") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-jdbc-ingest").toString
+    System.setProperty("derby.system.home", root)
+    val (url, driver) = Lake.jdbcUrl("derby", "", 0, s"$root/sourcedb")
+    val opts = Lake.jdbcOptions(url, "fact", "app", "app", driver)
+    val lake = Lake(s"$root/raw", s"$root/cleansed", s"$root/curated")
+    val pipe = new Pipeline(spark, lake)
+    // day 1: source has 100 rows -> full load (no watermark yet)
+    Lake.jdbcWrite((1L to 100L).map(i => (i, s"v$i")).toDF("id", "payload"), opts)
+    assert(pipe.ingestJdbcIncremental("fact", opts, "id", 2026, 8, 14,
+      numPartitions = 3) === 100L)
+    // day 2: source grows to 120 -> only the 20 new rows land
+    Lake.jdbcWrite((1L to 120L).map(i => (i, s"v$i")).toDF("id", "payload"), opts)
+    assert(pipe.ingestJdbcIncremental("fact", opts, "id", 2026, 8, 15,
+      numPartitions = 3) === 20L)
+    // day 3: nothing new -> zero rows, no write
+    assert(pipe.ingestJdbcIncremental("fact", opts, "id", 2026, 8, 16) === 0L)
+    val raw = lake.readRaw(spark, "fact")
+    assert(raw.count() === 120L)
+    assert(raw.select("id").distinct().count() === 120L) // no stale re-pull
+    // earlier loads untouched: each slice sits in its own date partition
+    assert(raw.groupBy("day").count().orderBy("day").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toSeq === Seq(14 -> 100L, 15 -> 20L))
+    assert(new java.io.File(s"$root/raw/fact/year=2026/month=8/day=15").exists())
+  }
+
   test("SchemaResolver heuristics mirror the reference's conventions") {
     import spark.implicits._
     val fact = Seq((1, "x", 2, 3.0)).toDF("presc_id", "drug_brand_name",
