@@ -249,8 +249,9 @@ object SetSimilarity {
     // at sf0.1: the extra eager checkpoint jobs cost about what the
     // replays of the already-tiny downstream tables save)
     val ranked = if (pinGramSets) ranked0.localCheckpoint() else ranked0
-    val exact = jaccardJoinOfSets(ranked, threshold)
+    val exact0 = jaccardJoinOfSets(ranked, threshold)
       .select(col("doc_a"), col("doc_b"))
+    val exact = if (pinGramSets) exact0.localCheckpoint() else exact0
     val sig = minhashOfSets(ranked.select(col("doc_id"), col("fp")), k)
     val perBand = bandCounts.map { b =>
       val cand = Dedup.bandsOfSignatures(sig, k, b)
