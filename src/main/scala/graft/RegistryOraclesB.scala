@@ -166,6 +166,46 @@ private[graft] object RegistryOraclesB {
              FROM v)
            SELECT sign, bucket, CAST(count(*) AS BIGINT) AS cnt
            FROM idx GROUP BY 1, 2 ORDER BY 1, 2""",
+      "q_dd_quantiles" -> // the DDSketch quantile WALK is integer arithmetic over the
+        // certified bucket table: rebuild per-key (sign, bucket) counts with the
+        // q_dd_buckets index spelling, order by value (sign, sign*bucket), take a
+        // running sum, and the owning cell of rank floor(q*(n-1)) is the first with
+        // cum > rank; the exact anchor rides the certified quantile_cont bridge
+        """WITH vals AS (SELECT CAST(l_returnflag AS VARCHAR) AS key,
+                    CAST(l_extendedprice AS DOUBLE) AS v
+                  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+           b AS (SELECT key,
+               CAST(CASE WHEN v = 0 THEN 0 WHEN v > 0 THEN 1
+                    ELSE -1 END AS BIGINT) AS sign,
+               CASE WHEN v = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(ceil(ln(abs(v)) /
+                   ln((CAST(1.0 AS DOUBLE) + CAST(0.01 AS DOUBLE)) /
+                      (CAST(1.0 AS DOUBLE) - CAST(0.01 AS DOUBLE)))) AS BIGINT)
+               END AS bucket,
+               count(*) AS cnt
+             FROM vals GROUP BY 1, 2, 3),
+           w AS (SELECT key, sign, bucket, cnt,
+               sum(cnt) OVER (PARTITION BY key ORDER BY sign, sign * bucket
+                              ROWS UNBOUNDED PRECEDING) AS cum
+             FROM b),
+           tot AS (SELECT key, CAST(sum(cnt) AS BIGINT) AS n FROM b GROUP BY 1),
+           qv AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+           r AS (SELECT key, q, n,
+               CAST(floor(q * (n - 1)) AS BIGINT) AS rk FROM tot, qv),
+           sel AS (SELECT r.key, r.q, r.n, r.rk,
+               w.sign AS est_sign, w.bucket AS est_bucket
+             FROM r JOIN w ON w.key = r.key
+               AND w.cum > r.rk AND w.cum - w.cnt <= r.rk),
+           ex AS (SELECT key, CAST(0.5 AS DOUBLE) AS q,
+                    quantile_cont(v, 0.5) AS exact FROM vals GROUP BY key
+             UNION ALL SELECT key, CAST(0.9 AS DOUBLE),
+                    quantile_cont(v, 0.9) FROM vals GROUP BY key
+             UNION ALL SELECT key, CAST(0.99 AS DOUBLE),
+                    quantile_cont(v, 0.99) FROM vals GROUP BY key)
+           SELECT sel.key, sel.q, sel.n, sel.rk, sel.est_sign, sel.est_bucket,
+             ex.exact
+           FROM sel JOIN ex ON ex.key = sel.key AND ex.q = sel.q
+           ORDER BY sel.key, sel.q""",
       "q_cms_heavy_hitters" -> // portable fp60 CMS: cell = fp60(row||':'||term) % 256,
         // shards merge by summation, estimate = min over the 4 hash rows —
         // identical IEEE-free integer arithmetic in both engines

@@ -785,10 +785,13 @@ private[graft] object RegistryQueriesA {
         Seq("join", "hash", "row", "batch", "scan", "column"))
     }),
     // DDSketch mergeable quantiles ([EXT]): relative-error p50/p90/p99
-    // per group, self-priced against the exact percentile; rows-only —
-    // the sketch is engine-private, alpha-bound laws in ProfileSpec
+    // ORACLED since round 10 (late): the walk CERTIFICATE — per-key
+    // rank + owning (sign, bucket) cell, next to the exact percentile
+    // anchor — replays bit-exactly in DuckDB; only the 3-flop float
+    // representative stays law-tested (ddQuantiles keeps the
+    // self-priced estimate view as API, alpha laws in ProfileSpec)
     "q_dd_quantiles" -> ((s, d) =>
-      Profile.ddQuantiles(t(s, d, "lineitem"), "l_returnflag", "l_extendedprice")),
+      Profile.ddQuantileWalk(t(s, d, "lineitem"), "l_returnflag", "l_extendedprice")),
     // DDSketch bucket histogram ([EXT]): the sketch's data-touching
     // stage hash-certified — ceil(ln(x)/ln(gamma)) on exact integer
     // cents is replayable IEEE arithmetic (unlike the estimates);

@@ -114,15 +114,16 @@ class DDSketchAggregator[IN](f: IN => java.lang.Double, alpha: Double = 0.01,
 }
 
 object DDSketch {
-  /** Quantile estimate from a sketch built with the same alpha: walk
-    * the buckets in value order (most-negative → zero → most-positive)
-    * to the q·(n−1) rank; the answer is the owning bucket's midpoint
-    * representative 2·gamma^i/(gamma+1), within relative error alpha
-    * of the true order statistic (0 exactly for the zero bucket). */
-  def quantile(buf: DDBuf, q: Double, alpha: Double = 0.01): Double = {
+  /** The walk's integer certificate: the (sign, bucket) pair that owns
+    * the q·(n−1) rank, found by walking buckets in value order
+    * (most-negative → zero → most-positive). This is everything the
+    * quantile estimate is EXCEPT the final float representative —
+    * pure integer arithmetic over the bucket table, which is what
+    * makes it DuckDB-oracle-replayable where the estimate
+    * (2·gamma^i/(gamma+1), a `pow` whose last ulp is libm-private)
+    * is not. sign is −1/0/+1; bucket is 0 for the zero bucket. */
+  def quantileBucket(buf: DDBuf, q: Double): (Int, Int) = {
     require(q >= 0 && q <= 1, s"q must be in [0,1]: $q")
-    val gamma = (1 + alpha) / (1 - alpha)
-    def rep(i: Int): Double = 2.0 * math.pow(gamma, i) / (gamma + 1)
     val n = buf.n
     require(n > 0, "quantile of an empty sketch")
     val rank = (q * (n - 1)).toLong // 0-based lower rank
@@ -130,15 +131,25 @@ object DDSketch {
     // negatives: larger bucket index = larger magnitude = smaller value
     for (i <- buf.neg.keysIterator.toArray.sorted(Ordering[Int].reverse)) {
       seen += buf.neg(i)
-      if (seen > rank) return -rep(i)
+      if (seen > rank) return (-1, i)
     }
     seen += buf.zero
-    if (seen > rank) return 0.0
+    if (seen > rank) return (0, 0)
     for (i <- buf.pos.keysIterator.toArray.sorted) {
       seen += buf.pos(i)
-      if (seen > rank) return rep(i)
+      if (seen > rank) return (1, i)
     }
     // unreachable: ranks are < n by construction
     throw new IllegalStateException(s"rank $rank beyond sketch size $n")
+  }
+
+  /** Quantile estimate from a sketch built with the same alpha: the
+    * [[quantileBucket]] walk's owning bucket rendered as its midpoint
+    * representative 2·gamma^i/(gamma+1), within relative error alpha
+    * of the true order statistic (0 exactly for the zero bucket). */
+  def quantile(buf: DDBuf, q: Double, alpha: Double = 0.01): Double = {
+    val gamma = (1 + alpha) / (1 - alpha)
+    val (sign, i) = quantileBucket(buf, q)
+    sign * 2.0 * math.pow(gamma, i) / (gamma + 1)
   }
 }

@@ -198,6 +198,57 @@ object Profile {
     rows.toDF("sign", "bucket", "cnt").orderBy(col("sign"), col("bucket"))
   }
 
+  /** Certified DDSketch quantile walk ([EXT]) — the quantile query in
+    * its hash-certifiable form, completing the [[ddBucketCounts]]
+    * certification one stage further. [[ddQuantiles]] prices the float
+    * ESTIMATE against the exact percentile but stays rows-only because
+    * the representative 2·gamma^i/(gamma+1) is a `pow` whose last ulp
+    * is libm-private. Everything BEFORE that float render is integer
+    * arithmetic an oracle can replay: value → bucket (the certified
+    * ceil(ln x/ln gamma) stage), per-key bucket counts, the 0-based
+    * rank floor(q·(n−1)), and the value-ordered cumulative walk to the
+    * owning (sign, bucket) cell. This query emits exactly that
+    * certificate — key, q, n, rank, owning sign+bucket — next to the
+    * exact interpolated percentile (the certified quantile_cont
+    * bridge), so the sketch's entire data-touching AND rank-walking
+    * machinery is cross-engine hash-certified; only the 3-flop
+    * representative render stays law-tested (alpha bound in
+    * ProfileSpec via [[ddQuantiles]]). Built through the REAL
+    * aggregator (same reduce/merge path), not a parallel SQL spelling.
+    *
+    * Like [[ddBucketCounts]], the default cap is effectively "never
+    * collapse": this query exists to replay raw indices, and the
+    * walk must see the same buckets the oracle rebuilds. Callers
+    * wanting the bounded view pass an explicit maxBuckets (the
+    * collapse is deterministic, so the walk stays exact — the oracle
+    * would then need the same fold). */
+  def ddQuantileWalk(df: DataFrame, key: String, measure: String,
+                     qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                     alpha: Double = 0.01,
+                     maxBuckets: Int = Int.MaxValue - 1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(key).cast("string").as("k"),
+        col(measure).cast("double").as("v"))
+      .where(col("v").isNotNull)
+    val agg = new graft.expressions.DDSketchAggregator[(String, Double)](
+      t => Double.box(t._2), alpha, maxBuckets).toColumn
+    val walks = vals.as[(String, Double)].groupByKey(_._1).agg(agg)
+      .flatMap { case (k, buf) =>
+        qs.map { q =>
+          val (sign, bucket) = graft.expressions.DDSketch.quantileBucket(buf, q)
+          (k, q, buf.n, (q * (buf.n - 1)).toLong, sign.toLong, bucket.toLong)
+        }
+      }.toDF("key", "q", "n", "rk", "est_sign", "est_bucket")
+    val exact = qs.map(q =>
+        vals.groupBy(col("k").as("key"))
+          .agg(percentile(col("v"), lit(q)).as("exact"))
+          .withColumn("q", lit(q)))
+      .reduce(_ unionByName _)
+    walks.join(exact, Seq("key", "q"))
+      .orderBy(col("key"), col("q"))
+  }
+
   /** Persisted-shard twin of [[ddQuantiles]], completing the same
     * lifecycle the HLL/CMS shards have: one DDSketch row per shard
     * (plain parquet-writable maps — no binary blob, the sketch IS its

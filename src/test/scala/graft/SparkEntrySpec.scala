@@ -18,8 +18,11 @@ class SparkEntrySpec extends SparkSuite {
     // (alpha-bound + merge laws in ProfileSpec). q_cms_heavy_hitters
     // left this set in round 10: the portable fp60 CMS is
     // oracle-replayable, so the CMS family is now hash-certified.
+    // q_dd_quantiles left late in round 10: the walk CERTIFICATE
+    // (rank + owning sign/bucket + exact anchor) replays in DuckDB;
+    // only the float representative stays law-tested (ddQuantiles API).
     assert(rowsOnly === Set("q_approx_dictionary", "q_sketch_dictionary",
-      "q_bpe_train", "q_pca", "q_dd_quantiles", "q_quantile_monitor"),
+      "q_bpe_train", "q_pca", "q_quantile_monitor"),
       "every other query must carry a DuckDB oracle")
   }
 
