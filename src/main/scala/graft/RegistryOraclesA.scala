@@ -331,6 +331,41 @@ private[graft] object RegistryOraclesA {
                   ELSE 63.0 * 1152921504606846976::DOUBLE / max(h)::DOUBLE END
                AS distinct_est
            FROM s GROUP BY event_type ORDER BY event_type""",
+      "q_quantile_monitor" -> // the stateful DDSketch monitor's certificate form:
+        // per-key bucket counts with the certified index spelling, the value-ordered
+        // cumulative walk, and the owning (sign, bucket) cell at ranks
+        // floor(0.5*(n-1)) and floor(0.99*(n-1)) — all integer arithmetic
+        """WITH vals AS (SELECT CAST(event_type AS VARCHAR) AS event_type,
+                    CAST(value AS DOUBLE) AS v
+                  FROM events WHERE value IS NOT NULL),
+           b AS (SELECT event_type,
+               CAST(CASE WHEN v = 0 THEN 0 WHEN v > 0 THEN 1
+                    ELSE -1 END AS BIGINT) AS sign,
+               CASE WHEN v = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(ceil(ln(abs(v)) /
+                   ln((CAST(1.0 AS DOUBLE) + CAST(0.01 AS DOUBLE)) /
+                      (CAST(1.0 AS DOUBLE) - CAST(0.01 AS DOUBLE)))) AS BIGINT)
+               END AS bucket,
+               count(*) AS cnt
+             FROM vals GROUP BY 1, 2, 3),
+           w AS (SELECT event_type, sign, bucket, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY sign, sign * bucket
+                              ROWS UNBOUNDED PRECEDING) AS cum
+             FROM b),
+           r AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(floor(0.5 * (sum(cnt) - 1)) AS BIGINT) AS rk50,
+               CAST(floor(0.99 * (sum(cnt) - 1)) AS BIGINT) AS rk99
+             FROM b GROUP BY 1),
+           s50 AS (SELECT r.event_type, w.sign AS sign50, w.bucket AS bucket50
+             FROM r JOIN w ON w.event_type = r.event_type
+               AND w.cum > r.rk50 AND w.cum - w.cnt <= r.rk50),
+           s99 AS (SELECT r.event_type, w.sign AS sign99, w.bucket AS bucket99
+             FROM r JOIN w ON w.event_type = r.event_type
+               AND w.cum > r.rk99 AND w.cum - w.cnt <= r.rk99)
+           SELECT r.event_type, r.n, r.rk50, s50.sign50, s50.bucket50,
+             r.rk99, s99.sign99, s99.bucket99
+           FROM r JOIN s50 USING (event_type) JOIN s99 USING (event_type)
+           ORDER BY r.event_type""",
       "q_kmv_distinct" -> // same md5 60-bit fp, same (k-1)·2^60/h_k estimator
         """WITH h AS (SELECT DISTINCT event_type AS "group",
                  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h

@@ -308,10 +308,13 @@ private[graft] object RegistryQueriesB {
     // TPC-H Q5 shape: 6-table star join, region filter broadcast down,
     // cross-dimension c_nationkey = s_nationkey on the join keys
     // streaming quantile monitor ([EXT]) in its batch twin: DDSketch
-    // carried in keyed state, p50/p99 per type — rows-only (sketch
-    // estimates are engine-private; stream==batch law in SessionsSpec)
+    // ORACLED since round 10 (late): the stateful DDSketch monitor in
+    // its certificate form — rank + owning sign/bucket per key for
+    // p50/p99 replay bit-exactly in DuckDB (the q_distinct_monitor
+    // playbook); the float-estimate twin (quantileMonitor) keeps its
+    // stream==batch exactness law in SessionsSpec
     "q_quantile_monitor" -> ((s, d) =>
-      Sessions.quantileMonitor(graft.functions.TimeCol.instant(t(s, d, "events")))
+      Sessions.quantileMonitorCert(graft.functions.TimeCol.instant(t(s, d, "events")))
         .toDF().orderBy(col("event_type"))),
     // streaming distinct monitor ([EXT]) in its batch twin: KMV in
     // keyed state — portable fp60 + the kmvEstimate arithmetic make

@@ -15,6 +15,13 @@ final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 final case class QuantileUpdate(event_type: String, n: Long,
                                 p50: Double, p99: Double)
 
+/** The certified form of a quantile-monitor update: the walk's
+  * integer certificate (rank + owning sign/bucket cell) for p50 and
+  * p99 instead of the engine-private float representatives. */
+final case class QuantileCert(event_type: String, n: Long,
+                              rk50: Long, sign50: Long, bucket50: Long,
+                              rk99: Long, sign99: Long, bucket99: Long)
+
 /** KMV (k minimum values) distinct sketch carried in keyed state:
   * the k smallest 60-bit value fingerprints seen so far (sorted). */
 final case class KmvBuf(hashes: Seq[Long])
@@ -265,6 +272,47 @@ object Sessions {
             Iterator(QuantileUpdate(key, capped.n,
               DDSketch.quantile(capped, 0.5, alpha),
               DDSketch.quantile(capped, 0.99, alpha)))
+          }
+      }
+  }
+
+  /** [[quantileMonitor]] in its hash-certifiable form — the same
+    * DDSketch-in-keyed-state stateful op, emitting the quantile WALK
+    * certificate (rank floor(q·(n−1)) + owning sign/bucket cell, pure
+    * integers) instead of the float representatives, which makes the
+    * streaming monitor's entire data-touching and rank-walking
+    * machinery DuckDB-oracle-replayable (the q_distinct_monitor
+    * playbook: that one rode portable fp60 + replayable KMV
+    * arithmetic; this one rides the certified bucket spelling +
+    * integer walk — only the 3-flop float render is monitor-private,
+    * law-tested via [[quantileMonitor]] in SessionsSpec). Default cap
+    * is "never collapse" like the certified profile queries: this
+    * form exists to replay raw indices; the bounded-view twin is
+    * [[quantileMonitor]]'s maxBuckets. */
+  def quantileMonitorCert(events: DataFrame, alpha: Double = 0.01,
+                          maxBuckets: Int = Int.MaxValue - 1): Dataset[QuantileCert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.expressions.{DDBuf, DDSketch, DDSketchAggregator}
+    val agg = new DDSketchAggregator[Double](Double.box, alpha, maxBuckets)
+    events.select(col("event_type"), col("value").cast("double"))
+      .where(col("value").isNotNull)
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[DDBuf]) =>
+          val buf = rows.foldLeft(state.getOption.getOrElse(agg.zero)) {
+            (b, r) => agg.reduce(b, r._2)
+          }
+          state.update(buf)
+          if (buf.n == 0) Iterator.empty
+          else {
+            val capped = agg.finish(buf)
+            val (s50, b50) = DDSketch.quantileBucket(capped, 0.5)
+            val (s99, b99) = DDSketch.quantileBucket(capped, 0.99)
+            Iterator(QuantileCert(key, capped.n,
+              (0.5 * (capped.n - 1)).toLong, s50.toLong, b50.toLong,
+              (0.99 * (capped.n - 1)).toLong, s99.toLong, b99.toLong))
           }
       }
   }

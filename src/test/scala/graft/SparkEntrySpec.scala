@@ -18,11 +18,13 @@ class SparkEntrySpec extends SparkSuite {
     // (alpha-bound + merge laws in ProfileSpec). q_cms_heavy_hitters
     // left this set in round 10: the portable fp60 CMS is
     // oracle-replayable, so the CMS family is now hash-certified.
-    // q_dd_quantiles left late in round 10: the walk CERTIFICATE
-    // (rank + owning sign/bucket + exact anchor) replays in DuckDB;
-    // only the float representative stays law-tested (ddQuantiles API).
+    // q_dd_quantiles and q_quantile_monitor left late in round 10:
+    // the walk CERTIFICATE (rank + owning sign/bucket) replays in
+    // DuckDB for both the profile query and the stateful streaming
+    // monitor; only the float representative stays law-tested
+    // (ddQuantiles / quantileMonitor APIs).
     assert(rowsOnly === Set("q_approx_dictionary", "q_sketch_dictionary",
-      "q_bpe_train", "q_pca", "q_quantile_monitor"),
+      "q_bpe_train", "q_pca"),
       "every other query must carry a DuckDB oracle")
   }
 

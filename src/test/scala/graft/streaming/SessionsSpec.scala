@@ -99,6 +99,24 @@ class SessionsSpec extends SparkSuite {
       (b1 ++ b2).toDF("u", "ts", "event_type", "value")).collect()
     assert(batch.length === 1 && batch.head.n === 500L)
     assert(batch.head.p99 === fin.getDouble(2))
+    // the certificate form walks the SAME sketch: its (sign, bucket)
+    // cells must render to exactly the float estimates above, and the
+    // micro-batch split must be invisible to it too
+    val cert = Sessions.quantileMonitorCert(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*"))
+    val qc = cert.toDF().writeStream.format("memory").queryName("qcert")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    qc.awaitTermination(60000)
+    val cfin = spark.sql(
+      "SELECT rk50, sign50, bucket50, rk99, sign99, bucket99 FROM qcert " +
+        "ORDER BY n DESC LIMIT 1").head()
+    assert((cfin.getLong(0), cfin.getLong(3)) ===
+      ((0.5 * 499).toLong, (0.99 * 499).toLong))
+    assert((cfin.getLong(1).toInt, cfin.getLong(2).toInt) ===
+      DDSketch.quantileBucket(whole, 0.5))
+    assert((cfin.getLong(4).toInt, cfin.getLong(5).toInt) ===
+      DDSketch.quantileBucket(whole, 0.99))
   }
 
   test("heavyHittersMonitor: the MG guarantee survives batch splits") {
