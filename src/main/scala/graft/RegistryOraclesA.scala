@@ -319,6 +319,85 @@ private[graft] object RegistryOraclesA {
       "q_value_counts" ->
         """SELECT o_orderpriority, count(*) AS n FROM orders
            GROUP BY o_orderpriority ORDER BY n DESC, o_orderpriority""",
+      "q_approx_dictionary" -> {
+        // portable HLL: fp60 register table (idx = top 12 bits, rho =
+        // leading-zero run of the low 48 + 1 via length(bin(rest))) and
+        // the integer-exact estimator 7213000*m^3*2^49 // (10000*(1000m+1079)*S),
+        // S = 2^49-scaled harmonic sum (exact integer); LC fallback
+        // round(m*ln(m/V)) when raw <= 2.5m and V > 0
+        val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+          "o_orderpriority", "o_orderstatus", "o_totalprice")
+        val longSql = cols.map(c =>
+          s"SELECT '$c' AS c, CAST($c AS VARCHAR) AS s FROM orders")
+          .mkString(" UNION ALL ")
+        s"""WITH long AS ($longSql),
+           nulls AS (SELECT c, CAST(sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS null_count FROM long GROUP BY c),
+           h AS (SELECT c, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+             FROM long WHERE s IS NOT NULL),
+           rr AS (SELECT c, h // 281474976710656 AS idx,
+               h % 281474976710656 AS rest FROM h),
+           rho AS (SELECT c, idx,
+               CASE WHEN rest = 0 THEN 49 ELSE 49 - length(bin(rest)) END AS rho
+             FROM rr),
+           regs AS (SELECT c, idx, max(rho) AS mr FROM rho GROUP BY c, idx),
+           pc AS (SELECT c, CAST(count(*) AS BIGINT) AS nz,
+               CAST(sum(1::BIGINT << (49 - mr)) AS BIGINT) AS sp
+             FROM regs GROUP BY c),
+           je AS (SELECT nulls.c, nulls.null_count, coalesce(pc.nz, 0) AS nz,
+               coalesce(pc.sp, 0) AS sp FROM nulls LEFT JOIN pc ON pc.c = nulls.c),
+           sv AS (SELECT c, null_count, 4096 - nz AS V,
+               sp + (4096 - nz) * (1::BIGINT << 49) AS S FROM je),
+           fin AS (SELECT c, null_count, V,
+               CAST('279039421980170247588980719616000'::HUGEINT //
+                 (40970790000::HUGEINT * S::HUGEINT) AS BIGINT) AS raw
+             FROM sv)
+           SELECT c AS column_name, null_count,
+             CASE WHEN raw * 2 <= 20480 AND V > 0
+                  THEN CAST(floor(CAST(4096 AS DOUBLE) *
+                    ln(CAST(4096 AS DOUBLE) / CAST(V AS DOUBLE)) + 0.5) AS BIGINT)
+                  ELSE raw END AS approx_distinct_count
+           FROM fin ORDER BY column_name"""
+      },
+      "q_sketch_dictionary" -> {
+        // the incremental lifecycle replayed end-to-end: per-shard
+        // register sketches -> max-merge across shards -> the same
+        // integer-exact estimator as q_approx_dictionary
+        val cols = Seq("o_custkey", "o_orderdate", "o_orderstatus")
+        val longSql = cols.map(c =>
+          s"SELECT CAST(o_orderpriority AS VARCHAR) AS shard, '$c' AS c, CAST($c AS VARCHAR) AS s FROM orders")
+          .mkString(" UNION ALL ")
+        val spineSql = cols.map(c => s"SELECT '$c' AS c").mkString(" UNION ALL ")
+        s"""WITH long AS ($longSql),
+           h AS (SELECT shard, c, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+             FROM long WHERE s IS NOT NULL),
+           rr AS (SELECT shard, c, h // 281474976710656 AS idx,
+               h % 281474976710656 AS rest FROM h),
+           rho AS (SELECT shard, c, idx,
+               CASE WHEN rest = 0 THEN 49 ELSE 49 - length(bin(rest)) END AS rho
+             FROM rr),
+           shards AS (SELECT shard, c, idx, max(rho) AS mr
+             FROM rho GROUP BY shard, c, idx),
+           merged AS (SELECT c, idx, max(mr) AS mr FROM shards GROUP BY c, idx),
+           pc AS (SELECT c, CAST(count(*) AS BIGINT) AS nz,
+               CAST(sum(1::BIGINT << (49 - mr)) AS BIGINT) AS sp
+             FROM merged GROUP BY c),
+           spine AS ($spineSql),
+           je AS (SELECT spine.c, coalesce(pc.nz, 0) AS nz,
+               coalesce(pc.sp, 0) AS sp FROM spine LEFT JOIN pc ON pc.c = spine.c),
+           sv AS (SELECT c, 4096 - nz AS V,
+               sp + (4096 - nz) * (1::BIGINT << 49) AS S FROM je),
+           fin AS (SELECT c, V,
+               CAST('279039421980170247588980719616000'::HUGEINT //
+                 (40970790000::HUGEINT * S::HUGEINT) AS BIGINT) AS raw
+             FROM sv)
+           SELECT c AS column_name,
+             CASE WHEN raw * 2 <= 20480 AND V > 0
+                  THEN CAST(floor(CAST(4096 AS DOUBLE) *
+                    ln(CAST(4096 AS DOUBLE) / CAST(V AS DOUBLE)) + 0.5) AS BIGINT)
+                  ELSE raw END AS distinct_est
+           FROM fin ORDER BY column_name"""
+      },
       "q_distinct_monitor" -> // the stateful monitor's batch twin == the KMV chain
         """WITH h AS (SELECT DISTINCT event_type,
                  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h

@@ -256,11 +256,17 @@ private[graft] object RegistryQueriesA {
       Profile.columnModes(t(s, d, "lineitem"),
         Seq("l_returnflag", "l_linestatus", "l_linenumber"))),
     "q_value_counts" -> ((s, d) => Profile.valueCounts(t(s, d, "orders"), "o_orderpriority")),
-    "q_approx_dictionary" -> ((s, d) => Profile.approxDataDictionary(t(s, d, "orders"))),
-    // mergeable per-shard HLL sketches ([EXT]): incremental profiling —
-    // rows-only oracle (sketch estimates aren't cross-engine comparable)
+    // ORACLED since round 10 (late): the PORTABLE HLL build (fp60
+    // registers + integer-exact estimator) replays bit-exactly in
+    // DuckDB; the Spark-native approx_count_distinct twin
+    // (approxDataDictionary) keeps its rsd laws in ProfileSpec
+    "q_approx_dictionary" -> ((s, d) => Profile.portableHllDictionary(t(s, d, "orders"))),
+    // ORACLED since round 10 (late): portable per-shard register
+    // sketches -> max-merge -> integer-exact estimate, the whole
+    // incremental lifecycle hash-certified; the Datasketches binary
+    // twin (sketchDictionary) keeps its laws in ProfileSpec
     "q_sketch_dictionary" -> ((s, d) =>
-      Profile.sketchDictionary(t(s, d, "orders"), "o_orderpriority",
+      Profile.portableSketchDictionary(t(s, d, "orders"), "o_orderpriority",
         Seq("o_custkey", "o_orderdate", "o_orderstatus"))),
     // KMV distinct sketch ([EXT]): the ENGINE-PORTABLE sketch (md5
     // fingerprints) — unlike the HLL/CMS families its estimates are

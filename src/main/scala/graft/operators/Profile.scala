@@ -113,6 +113,133 @@ object Profile {
     sketches.agg(aggs.head, aggs.tail: _*)
   }
 
+  // ---- engine-portable HLL (fp60 registers) ----------------------------
+  //
+  // The portable-build twin of the Spark-native HLL paths, following
+  // the KMV/CMS/DDSketch playbook: the sketch is an INTEGER REGISTER
+  // TABLE over the shared fp60 fingerprint (p=12 → m=4096 registers,
+  // register = top 12 hash bits, rho = leading-zero run of the low 48
+  // bits + 1, kept as max per register), so every stage — hashing,
+  // register assignment, max-merge, and the estimator itself — replays
+  // bit-exactly in an independent engine. The estimator is made
+  // integer-exact by rationalizing Flajolet's alpha_m: est =
+  // 7213000·m³·2^49 div (10000·(1000m+1079)·S) where S is the
+  // 2^49-scaled harmonic sum (every term a power of two, so S is an
+  // exact integer — no float summation order to diverge), with the
+  // standard linear-counting fallback m·ln(m/V) (rounded to integer)
+  // when the raw estimate is ≤ 2.5m and empty registers remain. The
+  // only transcendental is that ln — measured zero half-boundary flips
+  // on the gate domains; everything else is integer arithmetic.
+  // Deviation from float HLL is < 1 ulp relative — irrelevant for a
+  // ±1.6%-rsd estimator, and the price of bit-exact cross-engine
+  // reproducibility (the same trade the portable CMS made).
+  //
+  // Caveat shared with every fp60 consumer: values fingerprint via
+  // their STRING render, which for DOUBLE columns is engine-identical
+  // only in the plain-decimal range (|x| < 1e7 — Spark switches to
+  // scientific notation above it, DuckDB much later); for wider float
+  // domains pass an explicit injective render.
+
+  private val HllP = 12
+  private val HllM = 1 << HllP // 4096 registers
+  private val HllRestBits = 60 - HllP // low bits feeding rho
+  private val HllRhoMax = HllRestBits + 1 // rho of an all-zero rest
+  // 7213000 * m^3 * 2^49, exact (33 digits)
+  private val HllRawNum = "279039421980170247588980719616000"
+  private val HllRawDen = 10000L * (1000L * HllM + 1079L) // 40970790000
+
+  /** (prefix..., s) → (prefix..., idx, rho): fp60 the string render,
+    * split into register index (top p bits) and rho (leading-zero run
+    * of the low 60−p bits, +1), all integer ops both engines share. */
+  private def hllIdxRho(long: DataFrame, prefix: Seq[String]): DataFrame = {
+    val pow2 = 1L << HllRestBits
+    val pre = prefix.map(col)
+    long.where(col("s").isNotNull)
+      .select(pre :+ graft.functions.Portable.fp60(col("s")).as("h"): _*)
+      .select(pre ++ Seq(expr(s"h div $pow2").as("idx"),
+        (col("h") % pow2).as("rest")): _*)
+      .select(pre ++ Seq(col("idx"),
+        when(col("rest") === 0, lit(HllRhoMax))
+          .otherwise(lit(HllRhoMax) - length(bin(col("rest")))).as("rho")): _*)
+  }
+
+  /** (c, nz, sp, null-safe) → + V, S, raw, est: the integer-exact
+    * estimator described above. Input rows carry nz = occupied
+    * registers and sp = Σ 2^(49−rho) over them. */
+  private def hllFinish(perCol: DataFrame): DataFrame = {
+    val m = HllM.toLong
+    perCol
+      .withColumn("V", lit(m) - col("nz"))
+      .withColumn("S", col("sp") + col("V") * lit(1L << HllRhoMax))
+      .withColumn("raw", expr(
+        s"CAST('$HllRawNum' AS DECIMAL(38,0)) div " +
+          s"(CAST($HllRawDen AS DECIMAL(12,0)) * CAST(S AS DECIMAL(20,0)))"))
+      .withColumn("est",
+        when(col("raw") * 2 <= lit(5 * m) && col("V") > 0,
+          floor(lit(m.toDouble) * log(lit(m.toDouble) / col("V").cast("double"))
+            + lit(0.5)).cast("long"))
+          .otherwise(col("raw")))
+  }
+
+  /** Portable-build approximate data dictionary ([EXT], the certified
+    * twin of [[approxDataDictionary]]): per-column null count +
+    * HLL distinct estimate in ONE exploded scan and one (column,
+    * register) shuffle of ≤ cols·4096 groups — the same 100 TB shape
+    * as the native path (no Expand-based multi-distinct), with every
+    * stage oracle-replayable. */
+  def portableHllDictionary(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val cs = if (cols.nonEmpty) cols else df.columns.toSeq
+    val entries = cs.map(c => struct(lit(c).as("c"), col(c).cast("string").as("s")))
+    val long = df.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.c").as("c"), col("e.s").as("s"))
+    val nulls = long.groupBy(col("c"))
+      .agg(sum(when(col("s").isNull, 1).otherwise(0)).cast("long").as("null_count"))
+    val perCol = hllIdxRho(long, Seq("c"))
+      .groupBy(col("c"), col("idx")).agg(max(col("rho")).as("mr"))
+      .groupBy(col("c")).agg(
+        count(lit(1)).as("nz"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoMax - mr)")).as("sp"))
+    hllFinish(nulls.join(perCol, Seq("c"), "left").na.fill(0L, Seq("nz", "sp")))
+      .select(col("c").as("column_name"), col("null_count"),
+        col("est").as("approx_distinct_count"))
+      .orderBy(col("column_name"))
+  }
+
+  /** Portable per-shard HLL register sketches ([EXT], the certified
+    * twin of [[sketchShards]]): one (shard, column, register, rho) row
+    * per occupied register — plain parquet-writable integers, no
+    * binary blob (the sketch IS its register table, like the portable
+    * CMS/DDSketch shards), merged downstream by max per register. */
+  def portableHllShards(df: DataFrame, shardCol: String,
+                        cols: Seq[String]): DataFrame = {
+    val entries = cols.map(c => struct(lit(c).as("c"), col(c).cast("string").as("s")))
+    val long = df.select(col(shardCol).cast("string").as("shard"),
+        explode(array(entries: _*)).as("e"))
+      .select(col("shard"), col("e.c").as("c"), col("e.s").as("s"))
+    hllIdxRho(long, Seq("shard", "c"))
+      .groupBy(col("shard"), col("c"), col("idx")).agg(max(col("rho")).as("mr"))
+  }
+
+  /** Portable-build incremental dictionary ([EXT], the certified twin
+    * of [[sketchDictionary]]): shard register sketches → max-merge →
+    * integer-exact estimate per column. Max is commutative/idempotent,
+    * so next month's shards merge with today's without rescanning —
+    * and unlike the native path the whole lifecycle hash-certifies. */
+  def portableSketchDictionary(df: DataFrame, shardCol: String,
+                               cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perCol = portableHllShards(df, shardCol, cols)
+      .groupBy(col("c"), col("idx")).agg(max(col("mr")).as("mr"))
+      .groupBy(col("c")).agg(
+        count(lit(1)).as("nz"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoMax - mr)")).as("sp"))
+    val spine = cols.toDF("c")
+    hllFinish(spine.join(perCol, Seq("c"), "left").na.fill(0L, Seq("nz", "sp")))
+      .select(col("c").as("column_name"), col("est").as("distinct_est"))
+      .orderBy(col("column_name"))
+  }
+
   /** Mergeable quantile sketches per group ([EXT]) — DDSketch
     * ([[graft.expressions.DDSketchAggregator]]) completes the
     * mergeable-sketch family: distinct (HLL shards), frequency (CMS /

@@ -162,6 +162,30 @@ class ProfileSpec extends SparkSuite {
     assert(math.abs(est("str") - 8117.0) / 8117.0 < tol, s"str est ${est("str")}")
   }
 
+  test("portable HLL: accuracy within 3x rsd, shard-merge invariance, LC exactness") {
+    val data = (1L to 20000L).map(i => (i % 4, i % 2913, s"v${i % 8117}"))
+      .toDF("shard", "num", "str")
+    val dict = Profile.portableHllDictionary(data, Seq("num", "str"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    val est = dict.map(t => t._1 -> t._3).toMap
+    val tol = 3 * 1.04 / math.sqrt(1 << 12) // p=12 -> rsd ~1.6%
+    assert(math.abs(est("num") - 2913.0) / 2913.0 < tol, s"num est ${est("num")}")
+    assert(math.abs(est("str") - 8117.0) / 8117.0 < tol, s"str est ${est("str")}")
+    assert(dict.forall(_._2 === 0L)) // null counts exact
+    // merging per-shard register sketches must equal the one-pass build
+    // (max is commutative/idempotent — the incremental-profiling law)
+    val viaShards = Profile.portableSketchDictionary(data, "shard", Seq("num", "str"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaShards("num") === est("num") && viaShards("str") === est("str"))
+    // linear counting: tiny cardinalities come back EXACT (V large,
+    // every distinct value its own register with overwhelming odds)
+    val tiny = (1 to 1000).map(i => (i % 3, Option.empty[String]))
+      .toDF("k", "allnull")
+    val tinyDict = Profile.portableHllDictionary(tiny)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(tinyDict === List(("allnull", 1000L, 0L), ("k", 0L, 3L)))
+  }
+
   test("keySkew: hand-computed ratio and salt on a hot-key distribution") {
     // 10 cold keys x 1 row + 1 hot key x 90 rows
     val rows = ((1 to 10).map(k => k.toLong) ++ Seq.fill(90)(99L)).zipWithIndex
