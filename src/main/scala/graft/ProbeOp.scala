@@ -51,6 +51,12 @@ object ProbeOp {
         graft.streaming.Sessions.distinctMonitor(docs
           .select(col("source").as("event_type"),
             col("doc_id").cast("string").as("user_id"))).count()),
+      "quantileMonitorCert" -> (() =>
+        graft.streaming.Sessions.quantileMonitorCert(docs
+          .select(col("source").as("event_type"),
+            length(col("text")).cast("double").as("value"))).count()),
+      "portableHll" -> (() =>
+        graft.operators.Profile.portableHllDictionary(docs).count()),
       "semanticDedup" -> (() =>
         graft.operators.Clustering.semanticDedup(emb, k = 8, threshold = 0.35)
           .where(col("keep")).count()),
