@@ -20,6 +20,7 @@ object ProbeOp {
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val reps = args.lift(2).map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -57,9 +58,27 @@ object ProbeOp {
             length(col("text")).cast("double").as("value"))).count()),
       "portableHll" -> (() =>
         graft.operators.Profile.portableHllDictionary(docs).count()),
+      "simhash" -> (() => graft.operators.Dedup.simhash32(docs).count()),
+      "minhashCandidatesCapped" -> (() =>
+        graft.operators.Dedup.minhashCandidates(docs, maxBucket = 8).count()),
+      "dedupDocsCC" -> (() =>
+        graft.operators.Dedup.dedupDocumentsCC(docs).count()),
+      // fixed 1k-doc batch probed against the GROWN index+bloom — the
+      // incremental-ingest steady state (index build timed separately)
+      "bloomNewDocs" -> (() => {
+        val batch = docs.where(col("doc_id") < 1000)
+        val index = graft.operators.Dedup.fingerprintIndex(docs).cache()
+        index.count()
+        val bloom = graft.operators.Dedup.fingerprintBloom(index,
+          expectedItems = docs.count())
+        graft.operators.Dedup.newDocs(batch, index, bloom).count()
+      }),
       "semanticDedup" -> (() =>
         graft.operators.Clustering.semanticDedup(emb, k = 8, threshold = 0.35)
           .where(col("keep")).count()),
+      "semanticDedupCapped" -> (() =>
+        graft.operators.Clustering.semanticDedup(emb, k = 8, threshold = 0.35,
+          maxCell = 2000).where(col("keep")).count()),
       // the full streaming ingest loop (3 deterministic batches, one
       // file per trigger, exact + near dedup vs the growing index) —
       // the one heavy family the ScaleProbe battery doesn't cover
