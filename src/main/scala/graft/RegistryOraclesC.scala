@@ -1070,6 +1070,21 @@ private[graft] object RegistryOraclesC {
                              (q, w) -> q + w) / (x.nrm * y.nrm) >= 0.35)
            SELECT a2.vec_id, CAST(a2.cell AS INTEGER) AS cell, (p.idb IS NULL) AS keep
            FROM a2 LEFT JOIN p ON a2.vec_id = p.idb ORDER BY a2.vec_id""",
+      "q_semantic_capped" -> // the maxCell cap replayed as a cell-size filter feeding
+        // the SAME pair logic (the fuzzy capBlocks playbook): over-cap cells
+        // contribute no pairs, so all their vectors keep
+        s"""WITH $lloyd2Ctes,
+               sz AS (SELECT cell, count(*) AS n FROM a2 GROUP BY cell),
+               nn AS (SELECT a2.vec_id, a2.cell, v,
+                        sqrt(list_reduce([v[i]*v[i] for i in range(1, len(v)+1)],
+                          (x, y) -> x + y)) AS nrm
+                      FROM a2 JOIN sz ON sz.cell = a2.cell AND sz.n <= 60),
+               p AS (SELECT DISTINCT y.vec_id AS idb
+                     FROM nn x JOIN nn y ON x.cell = y.cell AND x.vec_id < y.vec_id
+                     WHERE list_reduce([x.v[i]*y.v[i] for i in range(1, len(x.v)+1)],
+                             (q, w) -> q + w) / (x.nrm * y.nrm) >= 0.35)
+           SELECT a2.vec_id, CAST(a2.cell AS INTEGER) AS cell, (p.idb IS NULL) AS keep
+           FROM a2 LEFT JOIN p ON a2.vec_id = p.idb ORDER BY a2.vec_id""",
       "q_random_projection" -> { // JL planes as double literals (same trick as the LSH oracles)
         val comps = Similarity.projectionPlanes(64, 16, 7L).map { p =>
           val arr = p.map(_.toString).mkString("[", ", ", "]")

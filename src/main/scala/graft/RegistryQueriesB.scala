@@ -922,6 +922,16 @@ private[graft] object RegistryQueriesB {
     "q_semantic_dedup" -> ((s, d) =>
       graft.operators.Clustering.semanticDedup(t(s, d, "embeddings"),
         k = 8, threshold = 0.35)),
+    // the capped twin (fuzzy-family playbook): cells over maxCell
+    // contribute NO pairs — conservative keeps, drops visible in
+    // q_drop_audit. The ×100 decade probe measured uncapped SemDeDup
+    // at 52× growth per data decade (within-cell join is quadratic in
+    // cell size at fixed k); this is the 100 TB deployment form.
+    // maxCell=60 discriminates at the sf0.01 gate: two cells (52, 53
+    // members) keep pairing, six (61-74) drop
+    "q_semantic_capped" -> ((s, d) =>
+      graft.operators.Clustering.semanticDedup(t(s, d, "embeddings"),
+        k = 8, threshold = 0.35, maxCell = 60)),
     // Johnson-Lindenstrauss reduction: 64-dim floats -> 16 seeded-
     // Gaussian dot products, planes baked into the plan as literals.
     // Registered in posexploded scalar form (same reason as q_quantize).
