@@ -181,6 +181,27 @@ object Clustering {
       .orderBy(col(idCol))
   }
 
+  /** [[semanticDedup]] with k derived from the corpus — the ×100
+    * decade probe's runbook rule as CODE instead of prose: at fixed k
+    * cells grow linearly with the corpus and the within-cell pair
+    * join is quadratic in cell size (measured 52× per data decade
+    * uncapped), so k must track n. k = ceil(n / targetCell) keeps the
+    * EXPECTED cell at `targetCell` vectors; `maxCell` (default
+    * 4·targetCell) still backstops the skew tail with the usual
+    * conservative-drop + [[droppedCells]] observability. The count()
+    * is one bounded driver action (a long), the same class as the
+    * centroid-seed collect. */
+  def semanticDedupAuto(embeddings: DataFrame, targetCell: Int,
+                        threshold: Double, iters: Int = 2, maxCell: Int = 0,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(targetCell > 0, s"targetCell must be positive: $targetCell")
+    val n = embeddings.count()
+    val k = math.max(1L, (n + targetCell - 1) / targetCell).toInt
+    val cap = if (maxCell > 0) maxCell else 4 * targetCell
+    semanticDedup(embeddings, k, threshold, iters, cap, idCol, vecCol)
+  }
+
   /** IVF index built on the DETERMINISTIC quantizer: same (assigned,
     * centroids) contract as [[Similarity.ivfIndex]] — probe with
     * [[Similarity.ivfTopK]], persist with [[Similarity.ivfWriteIndex]]

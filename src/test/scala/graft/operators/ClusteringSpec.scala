@@ -85,6 +85,25 @@ class ClusteringSpec extends SparkSuite {
     assert(loose.collect().toSeq === uncapped.collect().toSeq)
   }
 
+  test("semanticDedupAuto: k tracks the corpus, result == manual k at that value") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = emb.count() // 100 at sf0.001
+    // targetCell 13 -> k = ceil(100/13) = 8, cap defaults to 4*13 = 52
+    val auto = Clustering.semanticDedupAuto(emb, targetCell = 13, threshold = 0.35)
+    val manual = Clustering.semanticDedup(emb, k = ((n + 12) / 13).toInt,
+      threshold = 0.35, maxCell = 52)
+    assert(auto.collect().toSeq === manual.collect().toSeq)
+    // a corpus 4x the size under the same targetCell gets 4x the cells
+    val emb4 = (0 until 4).map(i => emb.withColumn("vec_id",
+      col("vec_id") + lit(i.toLong * 1000000L))).reduce(_ unionByName _)
+    // k = ceil(400/13) = 31; Lloyd may leave a few seeds empty, but the
+    // occupied-cell count must clearly outgrow the 100-vector corpus's 8
+    val cells4 = Clustering.semanticDedupAuto(emb4, targetCell = 13,
+      threshold = 0.35).select("cell").distinct().count()
+    assert(cells4 > 8 && cells4 <= ((4 * n + 12) / 13),
+      s"k should scale with n, got $cells4 occupied cells")
+  }
+
   test("ivfIndexExact: same probe contract as ivfIndex, reproducible bit-exactly") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val (assigned, centers) = Clustering.ivfIndexExact(emb, nCells = 8, iters = 2)
