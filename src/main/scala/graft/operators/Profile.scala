@@ -192,14 +192,30 @@ object Profile {
     val entries = cs.map(c => struct(lit(c).as("c"), col(c).cast("string").as("s")))
     val long = df.select(explode(array(entries: _*)).as("e"))
       .select(col("e.c").as("c"), col("e.s").as("s"))
-    val nulls = long.groupBy(col("c"))
-      .agg(sum(when(col("s").isNull, 1).otherwise(0)).cast("long").as("null_count"))
-    val perCol = hllIdxRho(long, Seq("c"))
-      .groupBy(col("c"), col("idx")).agg(max(col("rho")).as("mr"))
+    // nulls ride the SAME (column, register) shuffle as a sentinel
+    // idx = −1 register, so the whole dictionary is ONE scan + one
+    // bounded shuffle (≤ cols·(4096+1) groups) — at 100 TB a second
+    // null-counting pass over the fact would double the query's IO
+    val pow2 = 1L << HllRestBits
+    val staged = long
+      .select(col("c"), graft.functions.Portable.fp60(col("s")).as("h"))
+      .select(col("c"),
+        when(col("h").isNull, lit(-1L)).otherwise(expr(s"h div $pow2")).as("idx"),
+        (col("h") % pow2).as("rest")) // null for null h
+      .select(col("c"), col("idx"),
+        when(col("rest").isNull, lit(0))
+          .when(col("rest") === 0, lit(HllRhoMax))
+          .otherwise(lit(HllRhoMax) - length(bin(col("rest")))).as("rho"))
+    val perCol = staged.groupBy(col("c"), col("idx"))
+      .agg(max(col("rho")).as("mr"), count(lit(1)).as("cnt"))
       .groupBy(col("c")).agg(
-        count(lit(1)).as("nz"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoMax - mr)")).as("sp"))
-    hllFinish(nulls.join(perCol, Seq("c"), "left").na.fill(0L, Seq("nz", "sp")))
+        coalesce(sum(when(col("idx") === -1, col("cnt"))), lit(0L))
+          .cast("long").as("null_count"),
+        count(when(col("idx") =!= -1, 1)).as("nz"),
+        coalesce(sum(when(col("idx") =!= -1,
+          expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoMax - mr)"))), lit(0L))
+          .as("sp"))
+    hllFinish(perCol)
       .select(col("c").as("column_name"), col("null_count"),
         col("est").as("approx_distinct_count"))
       .orderBy(col("column_name"))
