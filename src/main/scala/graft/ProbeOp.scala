@@ -79,6 +79,11 @@ object ProbeOp {
       "semanticDedupCapped" -> (() =>
         graft.operators.Clustering.semanticDedup(emb, k = 8, threshold = 0.35,
           maxCell = 2000).where(col("keep")).count()),
+      // the runbook rule as code: k tracks n, expected cell stays ~250
+      // -> the pair stage is n*targetCell/2, LINEAR in the corpus
+      "semanticDedupAuto" -> (() =>
+        graft.operators.Clustering.semanticDedupAuto(emb, targetCell = 250,
+          threshold = 0.35).where(col("keep")).count()),
       // the full streaming ingest loop (3 deterministic batches, one
       // file per trigger, exact + near dedup vs the growing index) —
       // the one heavy family the ScaleProbe battery doesn't cover

@@ -54,20 +54,49 @@ object Clustering {
     * lower cell id). `centroids` is a (cell, cvec array<double>)
     * frame — k rows, always broadcast. The argmin is a min-of-struct
     * hash aggregate (map-side combinable), NOT a window — a window
-    * would sort the full k×n candidate set. */
+    * would sort the full k×n candidate set.
+    *
+    * `kHint` picks the argmin arithmetic: the small-k form evaluates
+    * the exact left-fold [[dist2]] on every (vector, centroid) pair —
+    * the bit-reproducible, oracle-replayable spelling every REGISTERED
+    * query uses (k ≤ 32 throughout the registry). Past ~32 centroids
+    * the n·k HOF-lambda evaluations become the wall (at k=800, d=64
+    * that is ~10^10 interpreted lambda steps per assignment), so the
+    * wide form scores with the codegen'd [[GraftFunctions.dot]] via
+    * the norm trick — argmin_c (‖c‖² − 2·v·c), the ‖v‖² shift being
+    * constant per vector — then recomputes the TRUE exact dist2 only
+    * for the n winners. Same cells up to floating-point near-ties
+    * (different summation order can flip an exactly-equidistant pair);
+    * the large-k path is never oracled, and the emitted dist2 column
+    * is always the exact spelling. */
   def assignCells(embeddings: DataFrame, centroids: DataFrame,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    embeddings
-      .select(col(idCol), Similarity.asDouble(col(vecCol)).as("__v"))
-      .crossJoin(broadcast(centroids))
-      .select(col(idCol), col("__v"),
-        struct(dist2(col("__v"), col("cvec")).as("d"), col("cell").as("cell")).as("__dc"))
-      .groupBy(col(idCol))
-      // every row of the group carries the same __v (it's keyed by the
-      // vector id), so first() is deterministic here
-      .agg(min(col("__dc")).as("__m"), first(col("__v")).as("__v"))
-      .select(col(idCol), col("__v"),
-        col("__m.cell").as("cell"), col("__m.d").as("dist2"))
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  kHint: Int = 0): DataFrame = {
+    val v = embeddings.select(col(idCol), Similarity.asDouble(col(vecCol)).as("__v"))
+    if (kHint > 32) {
+      val cn = broadcast(centroids.select(col("cell"), col("cvec"),
+        GraftFunctions.dot(col("cvec"), col("cvec")).as("__cn2")))
+      val arg = v.crossJoin(cn)
+        .select(col(idCol), struct(
+          (col("__cn2") - lit(2.0) * GraftFunctions.dot(col("__v"), col("cvec"))).as("d"),
+          col("cell").as("cell")).as("__dc"))
+        .groupBy(col(idCol)).agg(min(col("__dc")).as("__m"))
+        .select(col(idCol), col("__m.cell").as("cell"))
+      v.join(arg, Seq(idCol))
+        .join(broadcast(centroids.select(col("cell"), col("cvec"))), Seq("cell"))
+        .select(col(idCol), col("__v"), col("cell"),
+          dist2(col("__v"), col("cvec")).as("dist2"))
+    } else
+      v.crossJoin(broadcast(centroids))
+        .select(col(idCol), col("__v"),
+          struct(dist2(col("__v"), col("cvec")).as("d"), col("cell").as("cell")).as("__dc"))
+        .groupBy(col(idCol))
+        // every row of the group carries the same __v (it's keyed by the
+        // vector id), so first() is deterministic here
+        .agg(min(col("__dc")).as("__m"), first(col("__v")).as("__v"))
+        .select(col(idCol), col("__v"),
+          col("__m.cell").as("cell"), col("__m.d").as("dist2"))
+  }
 
   /** One Lloyd update: per-(cell, dim) exact micro-sums, rendered as
     * double centroids. Empty cells drop out (their seed was a
@@ -92,10 +121,10 @@ object Clustering {
                                      idCol: String, vecCol: String): DataFrame = {
     require(k > 0 && iters > 0, s"k and iters must be positive: k=$k iters=$iters")
     var centroids = seedCentroids(embeddings, k, idCol, vecCol)
-    var assigned = assignCells(embeddings, centroids, idCol, vecCol)
+    var assigned = assignCells(embeddings, centroids, idCol, vecCol, kHint = k)
     for (_ <- 2 to iters) {
       centroids = updateCentroids(assigned)
-      assigned = assignCells(embeddings, centroids, idCol, vecCol)
+      assigned = assignCells(embeddings, centroids, idCol, vecCol, kHint = k)
     }
     assigned
   }
@@ -190,7 +219,17 @@ object Clustering {
     * 4·targetCell) still backstops the skew tail with the usual
     * conservative-drop + [[droppedCells]] observability. The count()
     * is one bounded driver action (a long), the same class as the
-    * centroid-seed collect. */
+    * centroid-seed collect.
+    *
+    * Honest cost accounting (measured, PLANS.md): bounding the cells
+    * moves the quadratic — flat-centroid assignment is O(n·k·d), and
+    * with k ∝ n that is itself quadratic in the corpus. This wrapper
+    * is therefore the MID-SCALE form (bounded cells, exact SemDeDup
+    * semantics, k up to a few thousand); at true 100 TB scale use
+    * [[Similarity.dedupByEmbedding]] — sign-LSH buckets cost O(n)
+    * with no centroid loop (measured 1.8× per data decade) — or a
+    * two-level quantizer. The quadratic lives in the assignment
+    * MATH either way k-means is used; no plan shape fixes it. */
   def semanticDedupAuto(embeddings: DataFrame, targetCell: Int,
                         threshold: Double, iters: Int = 2, maxCell: Int = 0,
                         idCol: String = "vec_id",
@@ -213,8 +252,8 @@ object Clustering {
       : (DataFrame, Array[Array[Double]]) = {
     var centroids = seedCentroids(embeddings, nCells, idCol, vecCol)
     for (_ <- 2 to iters)
-      centroids = updateCentroids(assignCells(embeddings, centroids, idCol, vecCol))
-    val assigned = assignCells(embeddings, centroids, idCol, vecCol)
+      centroids = updateCentroids(assignCells(embeddings, centroids, idCol, vecCol, kHint = nCells))
+    val assigned = assignCells(embeddings, centroids, idCol, vecCol, kHint = nCells)
       .select(col(idCol), col("cell").as("__cell"))
       .join(embeddings, Seq(idCol))
     val centers = centroids.collect()
