@@ -287,11 +287,13 @@ object Profile {
       .flatMap { case (k, buf) =>
         qs.map(q => (k, q, buf.n, graft.expressions.DDSketch.quantile(buf, q, alpha)))
       }.toDF("key", "q", "n", "dd_est")
-    val exact = qs.map(q =>
-        vals.groupBy(col("k").as("key"))
-          .agg(percentile(col("v"), lit(q)).as("exact"))
-          .withColumn("q", lit(q)))
-      .reduce(_ unionByName _)
+    // one aggregate pass for every anchor percentile (array form) —
+    // same single-scan discipline as ddQuantileWalk
+    val exact = vals.groupBy(col("k").as("key"))
+      .agg(percentile(col("v"), array(qs.map(lit): _*)).as("__ex"))
+      .select(col("key"), posexplode(col("__ex")).as(Seq("__i", "exact")))
+      .select(col("key"),
+        element_at(array(qs.map(lit): _*), col("__i") + 1).as("q"), col("exact"))
     est.join(exact, Seq("key", "q"))
       .withColumn("rel_err",
         when(col("exact") =!= 0.0,
@@ -383,11 +385,14 @@ object Profile {
           (k, q, buf.n, (q * (buf.n - 1)).toLong, sign.toLong, bucket.toLong)
         }
       }.toDF("key", "q", "n", "rk", "est_sign", "est_bucket")
-    val exact = qs.map(q =>
-        vals.groupBy(col("k").as("key"))
-          .agg(percentile(col("v"), lit(q)).as("exact"))
-          .withColumn("q", lit(q)))
-      .reduce(_ unionByName _)
+    // ALL the anchor percentiles in one aggregate pass (percentile
+    // takes an array) — a groupBy per q would re-scan the fact |qs|
+    // times at 100 TB for identical per-key buffers
+    val exact = vals.groupBy(col("k").as("key"))
+      .agg(percentile(col("v"), array(qs.map(lit): _*)).as("__ex"))
+      .select(col("key"), posexplode(col("__ex")).as(Seq("__i", "exact")))
+      .select(col("key"),
+        element_at(array(qs.map(lit): _*), col("__i") + 1).as("q"), col("exact"))
     walks.join(exact, Seq("key", "q"))
       .orderBy(col("key"), col("q"))
   }
