@@ -63,6 +63,8 @@ object ProbeOp {
         graft.operators.Dedup.minhashCandidates(docs, maxBucket = 8).count()),
       "dedupDocsCC" -> (() =>
         graft.operators.Dedup.dedupDocumentsCC(docs).count()),
+      "dedupDocsCCCapped" -> (() =>
+        graft.operators.Dedup.dedupDocumentsCC(docs, maxBucket = 64).count()),
       // fixed 1k-doc batch probed against the GROWN index+bloom — the
       // incremental-ingest steady state (index build timed separately)
       "bloomNewDocs" -> (() => {
