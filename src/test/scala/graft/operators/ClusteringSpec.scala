@@ -104,6 +104,23 @@ class ClusteringSpec extends SparkSuite {
       s"k should scale with n, got $cells4 occupied cells")
   }
 
+  test("assignCells: the large-k norm-trick argmin agrees with the exact spelling") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Clustering.seedCentroids(emb, 40)
+    def cells(kHint: Int) = Clustering.assignCells(emb, cents, kHint = kHint)
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    // argmin_c ||c||^2 - 2 v.c (codegen path) picks the same cell as the
+    // exact left-fold dist2 on real data (a flip needs an exact
+    // floating-point near-tie); the emitted dist2 is the exact spelling
+    // in both paths
+    assert(cells(40) === cells(0))
+    val d = Clustering.assignCells(emb, cents, kHint = 40)
+      .select("vec_id", "dist2").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dExact = Clustering.assignCells(emb, cents)
+      .select("vec_id", "dist2").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d === dExact)
+  }
+
   test("ivfIndexExact: same probe contract as ivfIndex, reproducible bit-exactly") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val (assigned, centers) = Clustering.ivfIndexExact(emb, nCells = 8, iters = 2)
