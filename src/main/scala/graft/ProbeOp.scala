@@ -75,9 +75,9 @@ object ProbeOp {
           expectedItems = docs.count())
         graft.operators.Dedup.newDocs(batch, index, bloom).count()
       }),
-      "semanticDedup" -> (() =>
-        graft.operators.Clustering.semanticDedup(emb, k = 8, threshold = 0.35)
-          .where(col("keep")).count()),
+      "semanticDedup" -> (() => // the uncapped form, kept probe-able on purpose
+        graft.operators.Clustering.semanticDedup(emb, k = 8, threshold = 0.35,
+          maxCell = 0).where(col("keep")).count()),
       "semanticDedupCapped" -> (() =>
         graft.operators.Clustering.semanticDedup(emb, k = 8, threshold = 0.35,
           maxCell = 2000).where(col("keep")).count()),

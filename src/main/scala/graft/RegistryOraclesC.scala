@@ -1059,11 +1059,16 @@ private[graft] object RegistryOraclesC {
         s"""WITH $lloyd2Ctes
            SELECT vec_id, CAST(cell AS INTEGER) AS cell, round(d, 6) AS dist2
            FROM a2 ORDER BY vec_id""",
-      "q_semantic_dedup" -> // q_kmeans cells + within-cell cosine, one-hop min-id keeper
+      "q_semantic_dedup" -> // q_kmeans cells + within-cell cosine, one-hop min-id
+        // keeper — replaying the DEFAULT deployment cap (maxCell=1024):
+        // cells over the cap contribute no pairs, exactly the
+        // q_semantic_capped spelling at the default cap value
         s"""WITH $lloyd2Ctes,
-               nn AS (SELECT vec_id, cell, v,
+               sz AS (SELECT cell, count(*) AS n FROM a2 GROUP BY cell),
+               nn AS (SELECT a2.vec_id, a2.cell, v,
                         sqrt(list_reduce([v[i]*v[i] for i in range(1, len(v)+1)],
-                          (x, y) -> x + y)) AS nrm FROM a2),
+                          (x, y) -> x + y)) AS nrm
+                      FROM a2 JOIN sz ON sz.cell = a2.cell AND sz.n <= 1024),
                p AS (SELECT DISTINCT y.vec_id AS idb
                      FROM nn x JOIN nn y ON x.cell = y.cell AND x.vec_id < y.vec_id
                      WHERE list_reduce([x.v[i]*y.v[i] for i in range(1, len(x.v)+1)],

@@ -918,7 +918,10 @@ private[graft] object RegistryQueriesB {
         .select(col("vec_id"), round(col("adc_dist2"), 6).as("adc_dist2"))
     }),
     // SemDeDup: within-cell cosine pairs on the same deterministic
-    // quantizer; one-hop min-id keeper flag
+    // quantizer; one-hop min-id keeper flag. The REGISTERED row is the
+    // deployment form — semanticDedup's default maxCell (1024) caps the
+    // within-cell pair join (uncapped measured 52×/decade, PLANS.md);
+    // uncapped is an explicit maxCell=0 API opt-in only
     "q_semantic_dedup" -> ((s, d) =>
       graft.operators.Clustering.semanticDedup(t(s, d, "embeddings"),
         k = 8, threshold = 0.35)),

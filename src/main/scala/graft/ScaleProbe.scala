@@ -103,7 +103,7 @@ object ScaleProbe {
     // flat (same safety property as the LSH caps); keeper counts are
     // the forced measure
     val semUncapped = time(s"semanticDedup k=8 x$factor")(
-      Clustering.semanticDedup(emb, k = 8, threshold = 0.35)
+      Clustering.semanticDedup(emb, k = 8, threshold = 0.35, maxCell = 0)
         .where(col("keep")).count())
     val semCapped = time(s"semanticDedup k=8 cap=256 x$factor")(
       Clustering.semanticDedup(emb, k = 8, threshold = 0.35, maxCell = 256)

@@ -175,22 +175,44 @@ object Clustering {
     * with the corpus (cells of ~10-100k vectors), and `maxCell`
     * guards the skew tail: cells larger than the cap contribute NO
     * pairs — conservative (their vectors all survive) and monitored,
-    * the same contract as the LSH hot-bucket caps. */
+    * the same contract as the LSH hot-bucket caps.
+    *
+    * `maxCell` DEFAULTS to a finite cap (1024 — ≤2^20 within-cell pair
+    * evaluations per cell): the ×100 decade probe measured the
+    * uncapped form at 52× wall growth per data decade (at fixed k,
+    * cells grow linearly with the corpus and the within-cell join is
+    * quadratic in cell size), so uncapped is the explicit opt-in
+    * (`maxCell = 0`), never the default a deployment inherits. */
   def semanticDedup(embeddings: DataFrame, k: Int, threshold: Double,
-                    iters: Int = 2, maxCell: Int = 0,
+                    iters: Int = 2, maxCell: Int = 1024,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // the assignment feeds BOTH self-join sides and the output frame;
     // left declarative, the whole iterative Lloyd subtree (2 shuffles
     // + a broadcast per iteration) replays three times — checkpoint
-    // once, reuse thrice (same discipline as connectedKeepers)
+    // once, reuse thrice (same discipline as connectedKeepers).
+    // eager = false: construction stays free, the pin lands on first
+    // action
     val assigned = lloydAssign(embeddings, k, iters, idCol, vecCol)
+      .select(col(idCol), col("__v"), col("cell"))
+      .localCheckpoint(eager = false)
+    cellPairKeep(assigned, threshold, maxCell, idCol)
+  }
+
+  /** The SemDeDup pair stage, shared by the flat ([[semanticDedup]])
+    * and two-level ([[semanticDedupTwoLevel]]) quantizers: within each
+    * `cell`, a vector drops when a SMALLER-id neighbor has cosine >=
+    * `threshold`; cells above `maxCell` contribute no pairs
+    * (conservative — their vectors all survive; [[droppedCells]] is
+    * the monitor). `assigned` must carry (idCol, __v, cell). */
+  private def cellPairKeep(assigned: DataFrame, threshold: Double,
+                           maxCell: Int, idCol: String): DataFrame = {
+    val normed = assigned
       .withColumn("__nrm", sqrt(GraftFunctions.dot(col("__v"), col("__v"))))
-      .localCheckpoint()
     val pruned =
       if (maxCell > 0) {
-        val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
-        assigned.join(sizes, Seq("cell")).where(col("__n") <= maxCell).drop("__n")
-      } else assigned
+        val sizes = normed.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+        normed.join(sizes, Seq("cell")).where(col("__n") <= maxCell).drop("__n")
+      } else normed
     val a = pruned.select(col("cell"), col(idCol).as("__ida"),
       col("__v").as("__va"), col("__nrm").as("__na"))
     val b = pruned.select(col("cell"), col(idCol).as("__idb"),
@@ -236,9 +258,15 @@ object Clustering {
                         vecCol: String = "embedding"): DataFrame = {
     require(targetCell > 0, s"targetCell must be positive: $targetCell")
     val n = embeddings.count()
-    val k = math.max(1L, (n + targetCell - 1) / targetCell).toInt
+    val kL = math.max(1L, (n + targetCell - 1) / targetCell)
+    // a silent .toInt wrap past Int.MaxValue would hand Lloyd a
+    // negative/garbage k; fail loud and name the at-scale alternatives
+    require(kL <= Int.MaxValue,
+      s"semanticDedupAuto: derived k=$kL exceeds Int.MaxValue (n=$n, " +
+        s"targetCell=$targetCell) — at this scale use " +
+        "Similarity.dedupByEmbedding or semanticDedupTwoLevel")
     val cap = if (maxCell > 0) maxCell else 4 * targetCell
-    semanticDedup(embeddings, k, threshold, iters, cap, idCol, vecCol)
+    semanticDedup(embeddings, kL.toInt, threshold, iters, cap, idCol, vecCol)
   }
 
   /** IVF index built on the DETERMINISTIC quantizer: same (assigned,

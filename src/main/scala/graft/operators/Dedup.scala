@@ -838,10 +838,14 @@ object Dedup {
     // the candidate stage for boilerplate-heavy corpora; the remaining
     // growth under duplicate-dense input is OUTPUT (true positives),
     // not plan fan-out.
+    // eager = false: the pin still severs the triple-consumer replay,
+    // but CONSTRUCTING the frame (registry plans-cleanly pass, callers
+    // that build and never run) stays free — the LSH+verify stage runs
+    // on first action, not at graph-build time
     val pos = nearDupPairs(docs, idCol, textCol, threshold,
         maxBucket = maxBucket)
       .select(col("doc_a").as("anchor"), col("doc_b").as("other"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val posBoth = pos.unionAll(
       pos.select(col("other").as("anchor"), col("anchor").as("other")))
     val ord = Pack.globalOrdinals(

@@ -73,17 +73,31 @@ final class Pipeline(spark: SparkSession, lake: Lake,
   def ingestJdbcIncremental(table: String, opts: Map[String, String],
                             idCol: String, year: Int, month: Int, day: Int,
                             numPartitions: Int = 8): Long = {
-    val existing = scala.util.Try(lake.readRaw(spark, table)).toOption
+    // 'no prior data' must mean the path is absent, not 'the read
+    // failed somehow' — a swallowed corrupt-file/permission error here
+    // would reset the watermark and APPEND a full re-pull next to the
+    // existing partitions (duplicate rows nothing later dedups)
+    val existing =
+      if (Lake.pathExists(spark, s"${lake.raw}/$table"))
+        Some(lake.readRaw(spark, table))
+      else None
     val watermark = existing.flatMap(df => Lake.maxWatermark(df, idCol))
+    // pin the slice so count and write come from ONE remote scan:
+    // unpinned, count() runs a full JDBC pull and the lazy write
+    // re-runs it — 2x the remote IO, and rows inserted between the two
+    // scans make the audited count diverge from the rows landed
     val slice = Lake.stampIngestDate(
       Lake.jdbcIncrementalRead(spark, opts, idCol, watermark, numPartitions),
       year, month, day)
-    val n = slice.count()
-    if (n > 0)
-      slice.write.mode(org.apache.spark.sql.SaveMode.Append)
-        .partitionBy("year", "month", "day").parquet(s"${lake.raw}/$table")
-    auditLog += StageAudit("ingest", table, n, n, 0)
-    n
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = slice.count()
+      if (n > 0)
+        slice.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .partitionBy("year", "month", "day").parquet(s"${lake.raw}/$table")
+      auditLog += StageAudit("ingest", table, n, n, 0)
+      n
+    } finally slice.unpersist(): Unit
   }
 
   /** Cleanse a raw table: full-row dedup + optional integer casts

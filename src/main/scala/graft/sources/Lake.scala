@@ -33,6 +33,16 @@ final case class Lake(raw: String, cleansed: String, curated: String) {
 
 object Lake {
 
+  /** Hadoop-FS existence probe — the "is this a first load?" test
+    * callers need BEFORE a read, so genuine read failures (corrupt
+    * footer, transient FS/permission error) can propagate instead of
+    * being swallowed as 'no prior data' (which would reset watermarks
+    * and re-append a full pull next to the existing rows). */
+  def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Snappy-parquet overwrite write, optionally hive-partitioned
     * (reference: src/common/s3.py:195-227). */
   def write(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {

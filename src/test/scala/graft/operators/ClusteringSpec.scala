@@ -78,11 +78,18 @@ class ClusteringSpec extends SparkSuite {
     // cap below every cell size -> no pairs anywhere -> everything kept
     val capped = Clustering.semanticDedup(emb, k = 8, threshold = 0.35, maxCell = 1)
     assert(capped.where(!col("keep")).count() === 0L)
-    // and a cap above every cell size is a no-op vs uncapped
+    // and a cap above every cell size is a no-op vs the explicit
+    // uncapped opt-in (maxCell = 0)
     val loose = Clustering.semanticDedup(emb, k = 8, threshold = 0.35,
       maxCell = emb.count().toInt)
-    val uncapped = Clustering.semanticDedup(emb, k = 8, threshold = 0.35)
+    val uncapped = Clustering.semanticDedup(emb, k = 8, threshold = 0.35,
+      maxCell = 0)
     assert(loose.collect().toSeq === uncapped.collect().toSeq)
+    // the DEFAULT is the deployment form: finite cap, uncapped only by
+    // explicit opt-in (the ×100 probe measured uncapped at 52×/decade)
+    val default = Clustering.semanticDedup(emb, k = 8, threshold = 0.35)
+    assert(default.collect().toSeq === uncapped.collect().toSeq,
+      "at toy scale (every cell under the default cap) default == uncapped")
   }
 
   test("semanticDedupAuto: k tracks the corpus, result == manual k at that value") {

@@ -72,7 +72,8 @@ class LoopStageGateSpec extends SparkSuite {
   }
 
   test("semantic-dedup join stage (q_semantic_dedup)") {
-    // semanticDedup checkpoints the Lloyd assignment eagerly, so the
+    // semanticDedup checkpoints the Lloyd assignment (lazily — the
+    // LogicalRDD boundary exists at plan time either way), so the
     // returned frame's plan IS the per-run pair-join stage — gate it
     PlanGates.assertCleanStage("semanticDedup pair stage",
       Clustering.semanticDedup(emb, k = 8, threshold = 0.35))

@@ -20,12 +20,18 @@ Usage:
   python3 tools/gen_isolated.py BENCH_cur.json [BENCH_prev.json] \
       [--out BENCH_ISOLATED.json] [--round N] [--reps 3] [--top 20]
 
+Run it against the DRIVER's official BENCH_r{N}.json (vs BENCH_r{N-1}.json),
+not a builder-local run — the round-10 verdict found a >2x driver-side mover
+that dodged adjudication because the list was generated from an earlier
+builder bench. The driver's wrapper format parses directly.
+
 The bench JSONs may be either graft.Bench's raw output line or the driver's
 wrapper ({"tail": "..."} with a truncated prefix) — the parser recovers the
 per-query map from the tail-heavy ordering in both cases.
 """
 import argparse
 import json
+import os
 import re
 import subprocess
 import sys
@@ -62,13 +68,14 @@ def select(cur, prev, top):
 
 
 def run_isolated(query, sf_dir, reps, cpus):
+    # inherit the caller's environment (java may live off /usr/bin) and
+    # overlay only the bench knobs
     env = dict(
+        os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_REPS=str(reps),
         SPARK_GRAFT_QUERIES=query,
-        PATH="/usr/bin:/bin",
-        HOME=str(Path.home()),
     )
     out = subprocess.run(
         [str(REPO / "tools" / "runbench.sh")],
@@ -103,7 +110,8 @@ def main():
     queries = {}
     for q in chosen:
         best = run_isolated(q, args.sf_dir, args.reps, args.cpus)
-        entry = {"isolated_best_of_3_sec": best, "full_suite_sec": cur.get(q)}
+        entry = {f"isolated_best_of_{args.reps}_sec": best,
+                 "full_suite_sec": cur.get(q)}
         if q in movers and prev.get(q):
             entry["prev_full_suite_sec"] = prev[q]
         queries[q] = entry
