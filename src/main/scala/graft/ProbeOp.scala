@@ -86,6 +86,17 @@ object ProbeOp {
       "semanticDedupAuto" -> (() =>
         graft.operators.Clustering.semanticDedupAuto(emb, targetCell = 250,
           threshold = 0.35).where(col("keep")).count()),
+      // the 100 TB form: same k∝n cell budget factored as k1=k2=ceil(√k)
+      // -> assignment O(n·√k·d) instead of auto-k's O(n·k·d); the pair
+      // stage stays n·targetCell/2 linear
+      "semanticTwoLevelAuto" -> (() =>
+        graft.operators.Clustering.semanticDedupTwoLevelAuto(emb,
+          targetCell = 250, threshold = 0.35).where(col("keep")).count()),
+      // the raw two-level quantizer at a fixed large k (32x32 = 1024
+      // effective cells) — isolates assignment growth from the pair stage
+      "twoLevelAssign1024" -> (() =>
+        graft.operators.Clustering.twoLevelAssign(emb, k1 = 32, k2 = 32)
+          .agg(sum(col("dist2"))).head().getDouble(0).toLong),
       // the full streaming ingest loop (3 deterministic batches, one
       // file per trigger, exact + near dedup vs the growing index) —
       // the one heavy family the ScaleProbe battery doesn't cover

@@ -1090,6 +1090,29 @@ private[graft] object RegistryOraclesC {
                              (q, w) -> q + w) / (x.nrm * y.nrm) >= 0.35)
            SELECT a2.vec_id, CAST(a2.cell AS INTEGER) AS cell, (p.idb IS NULL) AS keep
            FROM a2 LEFT JOIN p ON a2.vec_id = p.idb ORDER BY a2.vec_id""",
+      "q_two_level_cells" -> // coarse lloydCtes(4) + per-cell fine Lloyd, combined cell id
+        s"""WITH ${twoLevelCtes(4, 4)}
+           SELECT vec_id, CAST(cell1 AS INTEGER) AS cell1,
+             CAST(fine AS INTEGER) AS fine,
+             CAST(cell1 * 4 + fine AS BIGINT) AS cell, round(d, 6) AS dist2
+           FROM f2 ORDER BY vec_id""",
+      "q_semantic_twolevel" -> // two-level cells + the q_semantic_capped pair
+        // spelling keyed on (cell1, fine), cap 40
+        s"""WITH ${twoLevelCtes(4, 4)},
+               sz AS (SELECT cell1, fine, count(*) AS n FROM f2 GROUP BY cell1, fine),
+               nn AS (SELECT f2.vec_id, f2.cell1, f2.fine, v,
+                        sqrt(list_reduce([v[i]*v[i] for i in range(1, len(v)+1)],
+                          (x, y) -> x + y)) AS nrm
+                      FROM f2 JOIN sz ON sz.cell1 = f2.cell1 AND sz.fine = f2.fine
+                        AND sz.n <= 40),
+               p AS (SELECT DISTINCT y.vec_id AS idb
+                     FROM nn x JOIN nn y ON x.cell1 = y.cell1 AND x.fine = y.fine
+                       AND x.vec_id < y.vec_id
+                     WHERE list_reduce([x.v[i]*y.v[i] for i in range(1, len(x.v)+1)],
+                             (q, w) -> q + w) / (x.nrm * y.nrm) >= 0.35)
+           SELECT f2.vec_id, CAST(f2.cell1 * 4 + f2.fine AS BIGINT) AS cell,
+             (p.idb IS NULL) AS keep
+           FROM f2 LEFT JOIN p ON f2.vec_id = p.idb ORDER BY f2.vec_id""",
       "q_random_projection" -> { // JL planes as double literals (same trick as the LSH oracles)
         val comps = Similarity.projectionPlanes(64, 16, 7L).map { p =>
           val arr = p.map(_.toString).mkString("[", ", ", "]")

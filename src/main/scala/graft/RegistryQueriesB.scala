@@ -935,6 +935,23 @@ private[graft] object RegistryQueriesB {
     "q_semantic_capped" -> ((s, d) =>
       graft.operators.Clustering.semanticDedup(t(s, d, "embeddings"),
         k = 8, threshold = 0.35, maxCell = 60)),
+    // two-level quantizer (coarse Lloyd -> per-coarse-cell fine Lloyd):
+    // k1*k2 effective cells at O(n*(k1+k2)*d) assignment — the 100 TB
+    // SemDeDup path the flat quantizer's scaladoc names. Deterministic
+    // end to end, so the full (cell1, fine, combined cell, dist2)
+    // assignment is DuckDB-replayed and hash-certified
+    "q_two_level_cells" -> ((s, d) =>
+      graft.operators.Clustering.twoLevelAssign(t(s, d, "embeddings"),
+        k1 = 4, k2 = 4)
+        .select(col("vec_id"), col("cell1"), col("fine"), col("cell"),
+          round(col("dist2"), 6).as("dist2"))
+        .orderBy(col("vec_id"))),
+    // SemDeDup on the two-level cells: same one-hop min-id pair stage,
+    // 16 effective cells at sf gate scale; maxCell discriminates at
+    // sf0.01 (some fine cells pair, oversized ones conservatively keep)
+    "q_semantic_twolevel" -> ((s, d) =>
+      graft.operators.Clustering.semanticDedupTwoLevel(t(s, d, "embeddings"),
+        k1 = 4, k2 = 4, threshold = 0.35, maxCell = 40)),
     // Johnson-Lindenstrauss reduction: 64-dim floats -> 16 seeded-
     // Gaussian dot products, planes baked into the plan as literals.
     // Registered in posexploded scalar form (same reason as q_quantize).

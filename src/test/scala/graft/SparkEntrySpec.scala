@@ -49,7 +49,8 @@ class SparkEntrySpec extends SparkSuite {
     // own dedicated specs and skipped here for time.
     val d = "/root/testdata/sf0.001"
     val loopy = Set("q_stream_ingest_final", "q_bpe_train", "q_kmeans",
-      "q_semantic_dedup", "q_semantic_capped", "q_dedup_embeddings", "q_pca")
+      "q_semantic_dedup", "q_semantic_capped", "q_dedup_embeddings", "q_pca",
+      "q_two_level_cells", "q_semantic_twolevel")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (loopy(name)) None
       else scala.util.Try(fn(spark, d).count()).failed.toOption
@@ -76,7 +77,8 @@ class SparkEntrySpec extends SparkSuite {
     // stage plans get the SAME assertions in LoopStageGateSpec, so the
     // exemption covers only the unplannable wrappers
     val loopy = Set("q_stream_ingest_final", "q_bpe_train", "q_kmeans",
-      "q_semantic_dedup", "q_semantic_capped", "q_dedup_embeddings", "q_pca")
+      "q_semantic_dedup", "q_semantic_capped", "q_dedup_embeddings", "q_pca",
+      "q_two_level_cells", "q_semantic_twolevel")
     import org.apache.spark.sql.catalyst.expressions.NTile
     // every allowed empty-partition window runs over a table bounded
     // by a QUERY PARAMETER, never the fact — the justification is the
@@ -128,7 +130,8 @@ class SparkEntrySpec extends SparkSuite {
     // predicate lives in PlanGates so the loop-stage gates can't drift.
     val d = "/root/testdata/sf0.001"
     val loopy = Set("q_stream_ingest_final", "q_bpe_train", "q_kmeans",
-      "q_semantic_dedup", "q_semantic_capped", "q_dedup_embeddings", "q_pca")
+      "q_semantic_dedup", "q_semantic_capped", "q_dedup_embeddings", "q_pca",
+      "q_two_level_cells", "q_semantic_twolevel")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (loopy(name)) None
       else scala.util.Try {

@@ -128,6 +128,55 @@ class ClusteringSpec extends SparkSuite {
     assert(d === dExact)
   }
 
+  test("twoLevelAssign degenerate laws: either level at k=1 collapses to flat kmeans") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def flat(k: Int) = Clustering.kmeans(emb, k = k, iters = 2)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).sorted.toSeq
+    def twoLevel(k1: Int, k2: Int) = Clustering.twoLevelAssign(emb, k1, k2)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    // k2 = 1: every fine cell is 0, so cell == cell1 == flat kmeans(k1)
+    assert(twoLevel(6, 1) === flat(6))
+    // k1 = 1: one coarse cell holds the corpus, so the fine level IS a
+    // flat Lloyd over all vectors — cell == flat kmeans(k2)
+    assert(twoLevel(1, 6) === flat(6))
+  }
+
+  test("twoLevelAssign is identical under any input partitioning") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Clustering.twoLevelAssign(df, k1 = 4, k2 = 4)
+        .select("vec_id", "cell1", "fine", "cell", "dist2").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+        .sorted.toSeq
+    assert(run(emb) === run(emb.repartition(13)))
+  }
+
+  test("semanticDedupTwoLevel agrees with brute force over the two-level cells") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val tau = 0.35
+    val out = Clustering.semanticDedupTwoLevel(emb, k1 = 4, k2 = 4,
+      threshold = tau, maxCell = 0)
+    assert(out.count() === emb.count())
+    val cells = Clustering.twoLevelAssign(emb, k1 = 4, k2 = 4)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expectDrop = vecs.keySet.filter { id =>
+      vecs.keySet.exists(o => o < id && cells(o) == cells(id) &&
+        cos(vecs(o), vecs(id)) >= tau)
+    }
+    val gotDrop = out.where(!col("keep")).collect().map(_.getLong(0)).toSet
+    assert(gotDrop === expectDrop)
+    assert(gotDrop.nonEmpty, "threshold should drop something on real data")
+  }
+
   test("ivfIndexExact: same probe contract as ivfIndex, reproducible bit-exactly") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val (assigned, centers) = Clustering.ivfIndexExact(emb, nCells = 8, iters = 2)
@@ -165,6 +214,46 @@ class ClusteringSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq ===
       codes2.select("vec_id", "subspace", "code").collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq)
+  }
+
+  test("tlAssign: the large-k2 norm-trick argmin agrees with the exact spelling") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // 2 coarse cells, a 40-entry fine codebook per cell (lowest-id
+    // members), past the kHint threshold
+    val coarse = Clustering.assignCells(emb,
+        Clustering.seedCentroids(emb, 2, "vec_id", "embedding"),
+        "vec_id", "embedding")
+      .select(col("vec_id"), col("__v"), col("cell").as("cell1"))
+      .localCheckpoint()
+    val cbs = coarse.withColumn("cell",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cell1")).orderBy(col("vec_id"))) - 1)
+      .where(col("cell") < 40)
+      .select(col("cell1"), col("cell"), col("__v").as("cvec"))
+      .localCheckpoint()
+    def fine(kHint: Int) =
+      Clustering.tlAssign(coarse, cbs, "vec_id", broadcastCodebooks = true, kHint)
+        .select("vec_id", "cell1", "fine", "dist2").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).sorted.toSeq
+    assert(fine(40) === fine(0))
+  }
+
+  test("pqAssign: the large-k norm-trick argmin agrees with the exact spelling") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val slices = Clustering.pqSlices(emb, m = 4, dim = 64, "vec_id", "embedding")
+    // a 40-codeword codebook per subspace: the 40 lowest-id vectors'
+    // slices (seedCentroids' convention), past the kHint threshold
+    val seedIds = emb.orderBy(col("vec_id")).limit(40)
+      .select(col("vec_id"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("vec_id"))) - 1).as("cell"))
+    val cbs = slices.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("subspace"), col("cell"), col("sv").as("cvec"))
+    def codes(kHint: Int) = Clustering.pqAssign(slices, cbs, "vec_id", kHint)
+      .select("vec_id", "subspace", "code", "dist2").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).sorted.toSeq
+    // same codes AND the same exact-spelling dist2 from both paths
+    assert(codes(40) === codes(0))
   }
 
   test("pq reconstruction error shrinks with training; ADC finds the query's cluster") {

@@ -79,6 +79,24 @@ class LoopStageGateSpec extends SparkSuite {
       Clustering.semanticDedup(emb, k = 8, threshold = 0.35))
   }
 
+  test("two-level quantizer loop stages (q_two_level_cells, q_semantic_twolevel)") {
+    // the fine level's seed window is PARTITIONED by the coarse cell
+    // (bounded per-cell, never global); each fine iteration's assign +
+    // grouped micro-sum update must plan clean on its own dataflow
+    val coarse = Clustering.assignCells(emb,
+        Clustering.seedCentroids(emb, 4, "vec_id", "embedding"),
+        "vec_id", "embedding")
+      .select(col("vec_id"), col("__v"), col("cell").as("cell1"))
+      .localCheckpoint()
+    // full first-shot plan: seeds + assignment in one dataflow
+    PlanGates.assertCleanStage("two-level fine seed+assign",
+      Clustering.twoLevelAssign(emb, k1 = 4, k2 = 4))
+    // steady state: the pair stage over the combined cells
+    PlanGates.assertCleanStage("semanticDedupTwoLevel pair stage",
+      Clustering.semanticDedupTwoLevel(emb, k1 = 4, k2 = 4, threshold = 0.35))
+    assert(coarse.count() > 0)
+  }
+
   test("embedding-CC dedup stages: LSH candidate pairs, keeper join (q_dedup_embeddings)") {
     PlanGates.assertCleanStage("lshSimilarPairs",
       Similarity.lshSimilarPairs(emb, threshold = 0.3, dim = 64))
