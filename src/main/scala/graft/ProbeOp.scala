@@ -14,6 +14,13 @@ import graft.sources.Tables
   * Usage: sbt "runMain graft.ProbeOp <op> [factor] [reps]"
   */
 object ProbeOp {
+  /** factor-scalable pair graph for the CC probes: 10-node path
+    * components (nodes 10c..10c+9, edges (10c+j, 10c+j+1)). */
+  private def syntheticPairs(spark: SparkSession, nEdges: Long): DataFrame =
+    spark.range(nEdges).selectExpr(
+      "id div 9 * 10 + id % 9 AS doc_a",
+      "id div 9 * 10 + id % 9 + 1 AS doc_b")
+
   def main(args: Array[String]): Unit = {
     val op = args.headOption.getOrElse(
       sys.error("usage: ProbeOp <op> [factor] [reps]"))
@@ -65,6 +72,25 @@ object ProbeOp {
         graft.operators.Dedup.dedupDocumentsCC(docs).count()),
       "dedupDocsCCCapped" -> (() =>
         graft.operators.Dedup.dedupDocumentsCC(docs, maxBucket = 64).count()),
+      // the distributed min-label CC fallback, FORCED (driverMaxPairs=0)
+      // on a SYNTHETIC near-dup-shaped pair graph: factor·100k edges in
+      // 10-node path components (diameter 9 — deeper than real LSH
+      // components, which are star/clique-ish, so rounds-to-converge is
+      // measured against a pessimistic shape). Synthetic on purpose:
+      // replicating a duplicate-dense corpus makes the TRUE pair count
+      // quadratic (a ×100 run spilled >70 GB before dying), and that
+      // growth belongs to the candidate caps' ledger, not CC's — this
+      // probe isolates the label-propagation machinery itself.
+      // Per-round wall prints via [cc-fallback].
+      "ccDistributed" -> (() =>
+        graft.operators.Dedup.connectedKeepers(
+          syntheticPairs(spark, factor * 100000L), driverMaxPairs = 0).count()),
+      // the driver union-find on the SAME graph — the apples comparison
+      // (collect cost ~100-150 B/edge: probe-only above the 1M default)
+      "ccDriver" -> (() =>
+        graft.operators.Dedup.connectedKeepers(
+          syntheticPairs(spark, factor * 100000L),
+          driverMaxPairs = Long.MaxValue).count()),
       // fixed 1k-doc batch probed against the GROWN index+bloom — the
       // incremental-ingest steady state (index build timed separately)
       "bloomNewDocs" -> (() => {
@@ -117,7 +143,10 @@ object ProbeOp {
         spark.read.parquet(s"$root/corpus").count()
       }))
     val f = ops.getOrElse(op, sys.error(s"unknown op $op; known: ${ops.keys.toSeq.sorted}"))
-    docs.count(); emb.count() // cache warm, untimed
+    // cache warm, untimed — skipped for the synthetic-graph CC probes,
+    // which never read docs/emb (at ×1000 the replicated caches are
+    // gigabytes of dead weight against a 100 M-edge shuffle)
+    if (!op.startsWith("cc")) { docs.count(); emb.count() }
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = f()

@@ -755,6 +755,22 @@ private[graft] object RegistryOraclesA {
         """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
            WHERE o_orderkey > (SELECT max(o_orderkey) FROM orders WHERE o_custkey < 100)
            ORDER BY o_orderkey""",
+      "q_jdbc_strides" -> // JDBCRelation.columnPartition (SPARK-34843 form,
+        // pinned to live reads in LakeSpec): stride = span//n, lower
+        // aligned up by (span%n + 1)//2, ends open. Slice keeps k >= lo
+        // so k-lo-shift >= -shift: DuckDB floor-// and Spark truncating
+        // div agree after the greatest(...,0) clamp
+        """WITH b AS (SELECT max(o_orderkey) AS mx, max(o_orderkey) // 2 AS wm
+                      FROM orders),
+             s AS (SELECT o.o_orderkey AS k, b.wm + 1 AS lo,
+                     (b.mx - (b.wm + 1)) // 8 AS stride,
+                     (((b.mx - (b.wm + 1)) % 8) + 1) // 2 AS shift
+                   FROM orders o, b WHERE o.o_orderkey > b.wm)
+           SELECT CAST(least(greatest(CASE WHEN stride <= 0 THEN 0
+                    ELSE (k - lo - shift) // stride END, 0), 7) AS INTEGER) AS stride_id,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             min(k) AS min_key, max(k) AS max_key
+           FROM s GROUP BY 1 ORDER BY stride_id""",
       "q_corr" -> // same decimal sums, same double expression — bit-identical
         """WITH a AS (SELECT l_returnflag, count(*) AS n,
              sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,

@@ -362,6 +362,26 @@ private[graft] object RegistryQueriesA {
       Lake.incrementalSlice(orders, "o_orderkey", w)
         .select("o_orderkey", "o_custkey", "o_totalprice").orderBy(col("o_orderkey"))
     }),
+    // the PARTITIONED incremental-JDBC semantics replayed on a parquet
+    // mirror (S3/S4 at-scale form): watermark = max id of the landed
+    // prefix, slice = ids above it (the pushed filter), each slice row
+    // assigned the stride Spark's JDBC source would fetch it on
+    // (Lake.strideIndex == JDBCRelation.columnPartition, pinned to a
+    // live Derby read in LakeSpec) — per-stride row counts and id
+    // ranges are the oracle-checkable contract of the striped read
+    "q_jdbc_strides" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey").cast("long").as("k"))
+      val b = o.agg(max(col("k")).as("mx"))
+        .select(col("mx"), expr("mx div 2").as("wm"))
+      o.crossJoin(broadcast(b))
+        .where(col("k") > col("wm"))
+        .withColumn("__lo", col("wm") + 1)
+        .withColumn("stride_id", Lake.strideIndex("k", "__lo", "mx", 8))
+        .groupBy(col("stride_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+        .orderBy(col("stride_id"))
+    }),
     // deterministic hash-mod sampling ([EXT]): reproducible across
     // engines/runs/partitionings; nested subsets across rates
     "q_sample" -> ((s, d) =>

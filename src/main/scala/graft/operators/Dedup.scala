@@ -433,6 +433,7 @@ object Dedup {
         var prev = total(labels)
         var converged = false
         var i = 0
+        val t0 = System.nanoTime()
         while (!converged && i < maxIter) {
           val next = hop(hop(labels)).localCheckpoint()
           val cur = total(next)
@@ -440,6 +441,12 @@ object Dedup {
           prev = cur
           labels = next
           i += 1
+          // probe observability (this path only runs past driverMaxPairs
+          // — ProbeOp/ScaleProbe territory, never a gate-scale query):
+          // rounds-to-converge and per-round wall are the two numbers
+          // the 100 TB runbook needs
+          println(f"[cc-fallback] double-round $i%d done, " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s cumulative, converged=$converged")
         }
         if (!converged)
           throw new IllegalStateException(s"connectedKeepers: not converged after $maxIter rounds")

@@ -628,6 +628,41 @@ object Lake {
         "numPartitions" -> parts.toString))
   }
 
+  /** The stride index Spark's JDBC source assigns a row under
+    * [[jdbcPartitionOptions]] — JDBCRelation.columnPartition's
+    * arithmetic as a column expression, so the watermark-slice +
+    * stride semantics of [[jdbcIncrementalRead]] can be REPLAYED over
+    * a parquet mirror of the source table (and oracled cross-engine,
+    * which a live JDBC read can't be).
+    *
+    * Spark 4's arithmetic (SPARK-34843, derived here EMPIRICALLY from
+    * live reads — the naive upper/n − lower/n stride misassigns rows
+    * near every boundary): stride = (upper − lower) div n; the lower
+    * bound is then ALIGNED up by half the lost remainder, shift =
+    * ((upper − lower) mod n + 1) div 2 (so the first and last stripes
+    * split the slack instead of the last one absorbing it all);
+    * boundaries sit at lower + shift + i·stride with `>=`/`<`
+    * predicates and open-ended first/last stripes. Expects LONG
+    * columns named `idCol`/`lowerCol`/`upperCol` in scope; ids outside
+    * [lower, upper] clamp to the end stripes (bounds steer, never
+    * filter). Caveat: when upper − lower < n Spark REDUCES the
+    * partition count instead — pass the effective n. LakeSpec pins
+    * this formula to Spark's actual stripe assignment via
+    * spark_partition_id over live Derby reads. */
+  def strideIndex(idCol: String, lowerCol: String, upperCol: String,
+                  numPartitions: Int): org.apache.spark.sql.Column = {
+    Seq(idCol, lowerCol, upperCol).foreach(c =>
+      require(c.matches("""[A-Za-z_][A-Za-z0-9_$]*"""),
+        s"illegal column identifier: $c"))
+    require(numPartitions >= 1, s"numPartitions must be >= 1: $numPartitions")
+    val n = numPartitions.toLong
+    val span = s"($upperCol - $lowerCol)"
+    val stride = s"($span div $n)"
+    val shift = s"((($span % $n) + 1) div 2)"
+    expr(s"CAST(least(greatest(CASE WHEN $stride <= 0 THEN 0 " +
+      s"ELSE ($idCol - $lowerCol - $shift) div $stride END, 0), ${n - 1}) AS INT)")
+  }
+
   /** Probe MIN/MAX of `idCol` over one connection — a single-row
     * aggregate the database answers from the id index (primary key →
     * O(1) on every major RDBMS), NOT a table scan through Spark: the

@@ -347,6 +347,42 @@ class LakeSpec extends SparkSuite {
     assert(Lake.jdbcIncrementalRead(spark, opts, "id", Some(1000L), 3).count() === 0L)
   }
 
+  test("strideIndex replays Spark's actual JDBC stripe assignment (live Derby read)") {
+    val dir = tmp()
+    System.setProperty("derby.system.home", dir)
+    val (url, driver) = Lake.jdbcUrl("derby", "", 0, s"$dir/graftstride")
+    // non-aligned id ranges so the REAL boundary arithmetic (floor
+    // stride of the span + half-remainder lower alignment, SPARK-34843
+    // — the naive up/n - lo/n stride misassigns rows at every
+    // boundary) is actually exercised, at two partition counts
+    for (((lo, up, n), tag) <- Seq(((17L, 913L, 5), "a"), ((1L, 1000L, 7), "b"))) {
+      val opts = Lake.jdbcOptions(url, s"sfact$tag", "app", "app", driver)
+      val df = (lo to up).map(i => (i, i * 2.0)).toDF("id", "x")
+      Lake.jdbcWrite(df, opts, numPartitions = 2)
+      val par = Lake.jdbcReadPartitioned(spark, opts, "id", numPartitions = n)
+      assert(par.rdd.getNumPartitions === n)
+      // the physical partition a row arrives on IS the stripe Spark's
+      // JDBC source fetched it over (no shuffle in between); the column
+      // formula must agree for EVERY row — this pins q_jdbc_strides'
+      // parquet-mirror replay to the live-JDBC ground truth
+      val got = par.select(col("id"),
+          org.apache.spark.sql.functions.spark_partition_id().as("actual"))
+        .withColumn("__lo", lit(lo)).withColumn("__up", lit(up))
+        .withColumn("predicted", Lake.strideIndex("id", "__lo", "__up", n))
+      assert(got.where(col("actual") =!= col("predicted")).count() === 0L,
+        s"strideIndex drifted from Spark's live stripes for lo=$lo up=$up n=$n")
+    }
+    // ids outside [lo, up] clamp to the open-ended end stripes (the
+    // stale-watermark contract: bounds steer, never filter)
+    val clamp = spark.range(1).select(lit(3L).as("id"), lit(5000L).as("id2"),
+        lit(17L).as("__lo"), lit(913L).as("__up"))
+      .select(Lake.strideIndex("id", "__lo", "__up", 5).as("below"),
+        Lake.strideIndex("id2", "__lo", "__up", 5).as("above")).head()
+    assert(clamp.getInt(0) === 0 && clamp.getInt(1) === 4)
+    intercept[IllegalArgumentException](Lake.strideIndex("id; DROP", "a", "b", 4))
+    intercept[IllegalArgumentException](Lake.strideIndex("id", "a", "b", 0))
+  }
+
   test("jdbcPartitionOptions derives the stride spec; degenerate ranges collapse") {
     val o = Lake.jdbcPartitionOptions("id", 10L, 5000L, 8, fetchSize = 500)
     assert(o === Map("fetchsize" -> "500", "partitionColumn" -> "id",
