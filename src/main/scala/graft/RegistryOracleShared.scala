@@ -106,27 +106,27 @@ private[graft] object OracleShared {
     // and the q_drop_audit semantic-cell family. a2 carries (vec_id,
     // v, cell, d); consumers project what they need. Parameterized
     // over k so the two-level oracle's coarse pass shares the text.
-    def lloydCtes(k: Int): String =
-      s"""e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
-         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
-                FROM e ORDER BY vec_id LIMIT $k),
-         a1 AS (SELECT vec_id, v, cell,
+    def lloydCtes(k: Int, p: String = ""): String =
+      s"""${p}e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+         ${p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
+                FROM ${p}e ORDER BY vec_id LIMIT $k),
+         ${p}a1 AS (SELECT vec_id, v, cell,
                   list_reduce([(v[i]-cvec[i])*(v[i]-cvec[i])
                                for i in range(1, len(v)+1)], (x, y) -> x + y) AS d
-                FROM e, c0
+                FROM ${p}e, ${p}c0
                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
-         m1p AS (SELECT cell, pos, count(*) AS n, sum(vm) AS s FROM
+         ${p}m1p AS (SELECT cell, pos, count(*) AS n, sum(vm) AS s FROM
                    (SELECT cell,
                       unnest([i for i in range(0, len(v))]) AS pos,
                       unnest([round(x * 1000000, 0)::BIGINT for x in v]) AS vm
-                    FROM a1)
+                    FROM ${p}a1)
                  GROUP BY cell, pos),
-         m1 AS (SELECT cell, list(s::DOUBLE / n / 1000000.0 ORDER BY pos) AS cvec
-                FROM m1p GROUP BY cell),
-         a2 AS (SELECT vec_id, v, cell,
+         ${p}m1 AS (SELECT cell, list(s::DOUBLE / n / 1000000.0 ORDER BY pos) AS cvec
+                FROM ${p}m1p GROUP BY cell),
+         ${p}a2 AS (SELECT vec_id, v, cell,
                   list_reduce([(v[i]-cvec[i])*(v[i]-cvec[i])
                                for i in range(1, len(v)+1)], (x, y) -> x + y) AS d
-                FROM e, m1
+                FROM ${p}e, ${p}m1
                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1)"""
     val lloyd2Ctes = lloydCtes(8)
     // Two-level quantizer replay (Clustering.twoLevelAssign, iters=2
@@ -134,30 +134,30 @@ private[graft] object OracleShared {
     // the same seed/assign/micro-sum/assign chain PARTITIONED by the
     // coarse cell (seeds = k2 lowest ids per cell, updates grouped by
     // (cell1, cell)). f2 carries (vec_id, v, cell1, fine, d).
-    def twoLevelCtes(k1: Int, k2: Int): String = {
+    def twoLevelCtes(k1: Int, k2: Int, p: String = ""): String = {
       val dist = "list_reduce([(v[i]-cvec[i])*(v[i]-cvec[i]) " +
         "for i in range(1, len(v)+1)], (x, y) -> x + y)"
-      s"""${lloydCtes(k1)},
-         ca AS MATERIALIZED (SELECT vec_id, v, cell AS cell1 FROM a2),
-         f0 AS (SELECT cell1,
+      s"""${lloydCtes(k1, p)},
+         ${p}ca AS MATERIALIZED (SELECT vec_id, v, cell AS cell1 FROM ${p}a2),
+         ${p}f0 AS (SELECT cell1,
                   row_number() OVER (PARTITION BY cell1 ORDER BY vec_id) - 1 AS cell,
                   v AS cvec
-                FROM ca QUALIFY cell < $k2),
-         f1 AS (SELECT ca.vec_id, ca.cell1, ca.v, f0.cell, $dist AS d
-                FROM ca JOIN f0 ON f0.cell1 = ca.cell1
+                FROM ${p}ca QUALIFY cell < $k2),
+         ${p}f1 AS (SELECT ca.vec_id, ca.cell1, ca.v, f0.cell, $dist AS d
+                FROM ${p}ca ca JOIN ${p}f0 f0 ON f0.cell1 = ca.cell1
                 QUALIFY row_number() OVER (PARTITION BY ca.vec_id
                   ORDER BY d, f0.cell) = 1),
-         fm1p AS (SELECT cell1, cell, pos, count(*) AS n, sum(vm) AS s FROM
+         ${p}fm1p AS (SELECT cell1, cell, pos, count(*) AS n, sum(vm) AS s FROM
                     (SELECT cell1, cell,
                        unnest([i for i in range(0, len(v))]) AS pos,
                        unnest([round(x * 1000000, 0)::BIGINT for x in v]) AS vm
-                     FROM f1)
+                     FROM ${p}f1)
                   GROUP BY cell1, cell, pos),
-         fm1 AS (SELECT cell1, cell, list(s::DOUBLE / n / 1000000.0 ORDER BY pos) AS cvec
-                 FROM fm1p GROUP BY cell1, cell),
-         f2 AS MATERIALIZED (
+         ${p}fm1 AS (SELECT cell1, cell, list(s::DOUBLE / n / 1000000.0 ORDER BY pos) AS cvec
+                 FROM ${p}fm1p GROUP BY cell1, cell),
+         ${p}f2 AS MATERIALIZED (
              SELECT ca.vec_id, ca.cell1, ca.v, fm1.cell AS fine, $dist AS d
-             FROM ca JOIN fm1 ON fm1.cell1 = ca.cell1
+             FROM ${p}ca ca JOIN ${p}fm1 fm1 ON fm1.cell1 = ca.cell1
              QUALIFY row_number() OVER (PARTITION BY ca.vec_id
                ORDER BY d, fm1.cell) = 1)"""
     }

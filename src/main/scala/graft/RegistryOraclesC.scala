@@ -602,10 +602,15 @@ private[graft] object RegistryOraclesC {
             cdrop AS (SELECT 'semantic_cell' AS family,
                         CAST(cell AS VARCHAR) AS drop_key,
                         CAST(count(*) AS BIGINT) AS n_members
-                      FROM a2 GROUP BY cell HAVING count(*) > 50)
+                      FROM a2 GROUP BY cell HAVING count(*) > 50),
+            ${twoLevelCtes(4, 4, "t")},
+            tdrop AS (SELECT 'two_level_cell' AS family,
+                        CAST(cell1 * 4 + fine AS VARCHAR) AS drop_key,
+                        CAST(count(*) AS BIGINT) AS n_members
+                      FROM tf2 GROUP BY cell1, fine HAVING count(*) > 40)
             SELECT family, drop_key, n_members
             FROM (SELECT * FROM bdrop UNION ALL SELECT * FROM fdrop
-                  UNION ALL SELECT * FROM cdrop)
+                  UNION ALL SELECT * FROM cdrop UNION ALL SELECT * FROM tdrop)
             ORDER BY family, drop_key""",
       "q_near_dup_pairs" ->
         s"""WITH $minhashCtes,

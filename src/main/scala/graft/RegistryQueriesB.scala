@@ -278,7 +278,9 @@ private[graft] object RegistryQueriesB {
       graft.operators.Audit.dropAudit(
         t(s, d, "documents"), maxBucket = 3,
         hotBlockNames(t(s, d, "part")), "p_name", maxBlock = 30,
-        semanticEmb = Some(t(s, d, "embeddings")), kCells = 8, maxCell = 50)),
+        semanticEmb = Some(t(s, d, "embeddings")), kCells = 8, maxCell = 50,
+        twoLevelEmb = Some(t(s, d, "embeddings")),
+        k1 = 4, k2 = 4, maxCellTwoLevel = 40)),
     // exact triangle count ([EXT]): degree-ordered orientation over
     // the co-purchase graph (parts sharing a high-quantity order) —
     // hub wedges charged to low-degree endpoints, O(m^1.5) bound

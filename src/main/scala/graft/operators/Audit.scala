@@ -22,7 +22,10 @@ object Audit {
     *  - `semantic_cell` rows (when `semanticEmb` is given): k-means
     *    cells with more than `maxCell` vectors — the cells
     *    [[Clustering.semanticDedup]]'s cap excludes from its pair
-    *    stage.
+    *    stage;
+    *  - `two_level_cell` rows (when `twoLevelEmb` is given): combined
+    *    two-level-quantizer cells over `maxCellTwoLevel`, the cells
+    *    [[Clustering.semanticDedupTwoLevel]]'s cap excludes.
     * Every input is an already-bounded aggregate (dropped groups
     * only), so the union is audit-sized — a log line or a quarantine
     * table, never a second fact. */
@@ -30,7 +33,9 @@ object Audit {
                 fuzzyNames: DataFrame, nameCol: String,
                 maxBlock: Int,
                 semanticEmb: Option[DataFrame] = None,
-                kCells: Int = 8, maxCell: Int = 0): DataFrame = {
+                kCells: Int = 8, maxCell: Int = 0,
+                twoLevelEmb: Option[DataFrame] = None,
+                k1: Int = 4, k2: Int = 4, maxCellTwoLevel: Int = 0): DataFrame = {
     val buckets = Dedup.droppedBuckets(minhashDocs, maxBucket = maxBucket)
       .select(lit("minhash_bucket").as("family"),
         concat(col("band").cast("string"), lit(":"),
@@ -46,7 +51,13 @@ object Audit {
           col("cell").cast("string").as("drop_key"),
           col("n_members").cast("long").as("n_members"))
     }
-    cells.foldLeft(buckets.unionByName(blocks))(_.unionByName(_))
+    val tlCells = twoLevelEmb.map { emb =>
+      Clustering.droppedCellsTwoLevel(emb, k1, k2, maxCellTwoLevel)
+        .select(lit("two_level_cell").as("family"),
+          col("cell").cast("string").as("drop_key"),
+          col("n_members").cast("long").as("n_members"))
+    }
+    (cells ++ tlCells).foldLeft(buckets.unionByName(blocks))(_.unionByName(_))
       .orderBy(col("family"), col("drop_key"))
   }
 }

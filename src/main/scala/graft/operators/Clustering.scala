@@ -410,6 +410,23 @@ object Clustering {
     cellPairKeep(assigned, threshold, maxCell, idCol)
   }
 
+  /** The combined cells a [[semanticDedupTwoLevel]] `maxCell` cap
+    * discards, with their sizes — [[droppedCells]]' twin for the
+    * two-level quantizer, feeding the same unified
+    * [[graft.operators.Audit.dropAudit]] quarantine surface. Bounded
+    * by k1·k2 rows. */
+  def droppedCellsTwoLevel(embeddings: DataFrame, k1: Int, k2: Int,
+                           maxCell: Int, iters: Int = 2,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    require(maxCell > 0, "droppedCellsTwoLevel needs a positive cap")
+    twoLevelAssign(embeddings, k1, k2, iters, idCol, vecCol)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxCell)
+      .select(col("cell"), col("n_members"))
+      .orderBy(col("cell"))
+  }
+
   /** [[semanticDedupTwoLevel]] with both levels derived from the
     * corpus — the at-scale twin of [[semanticDedupAuto]]'s k∝n rule:
     * k = ceil(n / targetCell) effective cells, factored as

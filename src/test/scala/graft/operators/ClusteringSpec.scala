@@ -216,6 +216,19 @@ class ClusteringSpec extends SparkSuite {
         .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq)
   }
 
+  test("semanticDedupTwoLevelAuto: sides track sqrt(n/targetCell), result == manual") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = emb.count()
+    // targetCell 40 -> k = ceil(n/40), side = ceil(sqrt(k)), cap 4*40
+    val k = (n + 39) / 40
+    val side = math.ceil(math.sqrt(k.toDouble)).toInt
+    val auto = Clustering.semanticDedupTwoLevelAuto(emb, targetCell = 40,
+      threshold = 0.35)
+    val manual = Clustering.semanticDedupTwoLevel(emb, side, side,
+      threshold = 0.35, maxCell = 160)
+    assert(auto.collect().toSeq === manual.collect().toSeq)
+  }
+
   test("tlAssign: the large-k2 norm-trick argmin agrees with the exact spelling") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     // 2 coarse cells, a 40-entry fine codebook per cell (lowest-id
