@@ -1118,6 +1118,30 @@ private[graft] object RegistryOraclesC {
            SELECT f2.vec_id, CAST(f2.cell1 * 4 + f2.fine AS BIGINT) AS cell,
              (p.idb IS NULL) AS keep
            FROM f2 LEFT JOIN p ON f2.vec_id = p.idb ORDER BY f2.vec_id""",
+      "q_two_level_topk" -> // fine-centroid ranking (ties on combined cell id)
+        // -> nprobe-cell scan -> exact cosine; selection on RAW cosine,
+        // 6-dp render projected after
+        s"""WITH ${twoLevelCtes(4, 4)},
+             q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+             qn AS (SELECT qv,
+                      sqrt(${fold("[qv[i]*qv[i] for i in range(1, len(qv)+1)]")})
+                        AS qnrm FROM q),
+             cd AS (SELECT fm1.cell1 * 4 + fm1.cell AS cell,
+                      list_reduce([(fm1.cvec[i]-q.qv[i])*(fm1.cvec[i]-q.qv[i])
+                                   for i in range(1, len(fm1.cvec)+1)],
+                        (x, y) -> x + y) AS d
+                    FROM fm1, q),
+             pc AS (SELECT cell FROM cd ORDER BY d, cell LIMIT 4),
+             m AS (SELECT f2.vec_id, f2.v
+                   FROM f2 JOIN pc ON f2.cell1 * 4 + f2.fine = pc.cell),
+             sc AS (SELECT m.vec_id,
+                      ${fold("[m.v[i]*qn.qv[i] for i in range(1, len(m.v)+1)]")} /
+                        (sqrt(${fold("[m.v[i]*m.v[i] for i in range(1, len(m.v)+1)]")})
+                          * qn.qnrm) AS c
+                    FROM m, qn),
+             sel AS (SELECT vec_id, c FROM sc ORDER BY c DESC, vec_id LIMIT 10)
+           SELECT vec_id, round(c, 6) AS cosine_sim
+           FROM sel ORDER BY c DESC, vec_id""",
       "q_random_projection" -> { // JL planes as double literals (same trick as the LSH oracles)
         val comps = Similarity.projectionPlanes(64, 16, 7L).map { p =>
           val arr = p.map(_.toString).mkString("[", ", ", "]")

@@ -954,6 +954,19 @@ private[graft] object RegistryQueriesB {
     "q_semantic_twolevel" -> ((s, d) =>
       graft.operators.Clustering.semanticDedupTwoLevel(t(s, d, "embeddings"),
         k1 = 4, k2 = 4, threshold = 0.35, maxCell = 40)),
+    // ANN probe over the two-level index: rank the k1*k2 fine centroids
+    // by exact query distance (driver-side probe parameters), scan only
+    // nprobe combined cells, exact cosine rank — build-once/probe-many
+    // at O(n*(k1+k2)) training cost, and (unlike Spark-ML-trained IVF)
+    // deterministic end to end, so the probe itself is hash-certified
+    "q_two_level_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val (index, cbs) = graft.operators.Clustering.twoLevelIndex(emb,
+        k1 = 4, k2 = 4)
+      graft.operators.Clustering.twoLevelTopK(index, cbs,
+        Similarity.vectorOf(emb, 1L), k = 10, nprobe = 4)
+        .orderBy(col("cosine_sim").desc, col("vec_id"))
+    }),
     // Johnson-Lindenstrauss reduction: 64-dim floats -> 16 seeded-
     // Gaussian dot products, planes baked into the plan as literals.
     // Registered in posexploded scalar form (same reason as q_quantize).

@@ -369,7 +369,15 @@ object Clustering {
     * fine seeds, every fine iteration, and the final output). */
   def twoLevelAssign(embeddings: DataFrame, k1: Int, k2: Int, iters: Int = 2,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     broadcastCodebooks: Boolean = true): DataFrame = {
+                     broadcastCodebooks: Boolean = true): DataFrame =
+    twoLevelCore(embeddings, k1, k2, iters, idCol, vecCol, broadcastCodebooks)._1
+
+  /** The shared two-level training loop: returns the final assignment
+    * frame AND the trained fine codebooks (cell1, cell, cvec —
+    * k1·k2 rows, the probe parameters [[twoLevelTopK]] ranks). */
+  private def twoLevelCore(embeddings: DataFrame, k1: Int, k2: Int, iters: Int,
+                           idCol: String, vecCol: String,
+                           broadcastCodebooks: Boolean): (DataFrame, DataFrame) = {
     require(k1 > 0 && k2 > 0 && iters > 0,
       s"k1, k2 and iters must be positive: k1=$k1 k2=$k2 iters=$iters")
     var c1 = seedCentroids(embeddings, k1, idCol, vecCol)
@@ -384,9 +392,67 @@ object Clustering {
       cbs = tlUpdate(fine)
       fine = tlAssign(coarse, cbs, idCol, broadcastCodebooks, kHint = k2)
     }
-    fine.select(col(idCol), col("cell1"), col("fine"),
+    (fine.select(col(idCol), col("cell1"), col("fine"),
       (col("cell1").cast("long") * k2 + col("fine")).as("cell"),
-      col("__v"), col("dist2"))
+      col("__v"), col("dist2")),
+      cbs)
+  }
+
+  /** Two-level IVF index: the combined-cell assignment (joined back to
+    * the storage-typed vectors) plus the trained fine codebooks
+    * collected as PROBE PARAMETERS — (combined cell, centroid), k1·k2
+    * entries, a bounded driver action like [[ivfIndexExact]]'s
+    * centroid collect. Build once at the two-level training cost
+    * (O(n·(k1+k2)·d) — the point of the composition vs a flat k-cell
+    * IVF's O(n·k·d)), probe many times with [[twoLevelTopK]]; persist
+    * with [[Similarity.ivfWriteIndex]] semantics by bucketing on
+    * `cell`. */
+  def twoLevelIndex(embeddings: DataFrame, k1: Int, k2: Int, iters: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, Array[(Long, Array[Double])]) = {
+    val (assigned, cbs) = twoLevelCore(embeddings, k1, k2, iters, idCol, vecCol,
+      broadcastCodebooks = true)
+    val index = assigned.select(col(idCol), col("cell"))
+      .join(embeddings.select(col(idCol), col(vecCol)), Seq(idCol))
+    val centers = cbs.collect()
+      .map(r => (r.getInt(0).toLong * k2 + r.getInt(1),
+        r.getSeq[Double](2).toArray))
+      .sortBy(_._1)
+    (index, centers)
+  }
+
+  /** Top-k against one query via the two-level index: rank the k1·k2
+    * FINE centroids by exact query distance (driver-side over probe
+    * parameters — fine centroids localize their members far better
+    * than coarse ones, so nprobe combined cells beat nprobe coarse
+    * cells at equal scan budget), scan only those cells' vectors,
+    * exact-rank by cosine. Deterministic end to end (distances fold
+    * left-to-right, ties break on the combined cell id), so the whole
+    * probe is DuckDB-replayable — unlike [[Similarity.ivfTopK]], whose
+    * Spark-ML-trained centroids are partitioning-dependent.
+    *
+    * Cell ranking is L2 (the IVF convention); for a COSINE top-k on
+    * unnormalized embeddings that ranking is approximate — L2-normalize
+    * the corpus first (standard for cosine ANN) or raise nprobe. */
+  def twoLevelTopK(index: DataFrame, codebooks: Array[(Long, Array[Double])],
+                   queryVec: Seq[Double], k: Int, nprobe: Int = 4,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobe > 0 && k > 0, s"k and nprobe must be positive: k=$k nprobe=$nprobe")
+    def d2(c: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < c.length) { val d = c(i) - queryVec(i); s += d * d; i += 1 }
+      s
+    }
+    val probeCells = codebooks.map { case (cell, c) => (d2(c), cell) }
+      .sortBy(identity).take(nprobe).map(_._2)
+    val q = typedLit(queryVec)
+    index.where(col("cell").isin(probeCells.toSeq: _*))
+      .select(col(idCol), Similarity.nativeCosine(
+        Similarity.asDouble(col(vecCol)), q).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("cosine_sim"), 6).as("cosine_sim"))
   }
 
   /** SemDeDup over the two-level quantizer: [[twoLevelAssign]] cells

@@ -50,7 +50,7 @@ class SparkEntrySpec extends SparkSuite {
     val d = "/root/testdata/sf0.001"
     val loopy = Set("q_stream_ingest_final", "q_bpe_train", "q_kmeans",
       "q_semantic_dedup", "q_semantic_capped", "q_dedup_embeddings", "q_pca",
-      "q_two_level_cells", "q_semantic_twolevel")
+      "q_two_level_cells", "q_semantic_twolevel", "q_two_level_topk")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (loopy(name)) None
       else scala.util.Try(fn(spark, d).count()).failed.toOption
@@ -78,7 +78,7 @@ class SparkEntrySpec extends SparkSuite {
     // exemption covers only the unplannable wrappers
     val loopy = Set("q_stream_ingest_final", "q_bpe_train", "q_kmeans",
       "q_semantic_dedup", "q_semantic_capped", "q_dedup_embeddings", "q_pca",
-      "q_two_level_cells", "q_semantic_twolevel")
+      "q_two_level_cells", "q_semantic_twolevel", "q_two_level_topk")
     import org.apache.spark.sql.catalyst.expressions.NTile
     // every allowed empty-partition window runs over a table bounded
     // by a QUERY PARAMETER, never the fact — the justification is the
@@ -131,7 +131,7 @@ class SparkEntrySpec extends SparkSuite {
     val d = "/root/testdata/sf0.001"
     val loopy = Set("q_stream_ingest_final", "q_bpe_train", "q_kmeans",
       "q_semantic_dedup", "q_semantic_capped", "q_dedup_embeddings", "q_pca",
-      "q_two_level_cells", "q_semantic_twolevel")
+      "q_two_level_cells", "q_semantic_twolevel", "q_two_level_topk")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (loopy(name)) None
       else scala.util.Try {

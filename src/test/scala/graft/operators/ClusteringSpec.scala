@@ -195,6 +195,29 @@ class ClusteringSpec extends SparkSuite {
       s"IVF(nprobe=4 of 8) recall too low: ${exact.intersect(probed)}")
   }
 
+  test("twoLevelIndex/topK: reproducible codebooks, ANN recall, query self-hit") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (idx, cbs) = Clustering.twoLevelIndex(emb, k1 = 4, k2 = 4)
+    // bit-exact reproducibility across partitionings (the property
+    // Spark-ML-trained ivfIndex can't give)
+    val (_, cbs2) = Clustering.twoLevelIndex(emb.repartition(13), k1 = 4, k2 = 4)
+    assert(cbs.map { case (c, v) => (c, v.toSeq) }.toSeq ===
+      cbs2.map { case (c, v) => (c, v.toSeq) }.toSeq)
+    // probing recovers most of the brute-force top-10 (ANN recall) at
+    // the same 50% scan fraction the ivfIndexExact test uses (8 of 16
+    // cells — these embeddings are unnormalized, so the L2 cell
+    // ranking only approximates the cosine target; callers wanting
+    // tight cosine recall should L2-normalize, as with any IVF), and
+    // always finds the query's own vector
+    val q = Similarity.vectorOf(emb, 7L)
+    val exact = Similarity.topK(emb, q, 10).collect().map(_.getLong(0)).toSet
+    val probed = Clustering.twoLevelTopK(idx, cbs, q, 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(probed.contains(7L), "probe lost the query vector itself")
+    assert(exact.intersect(probed).size >= 6,
+      s"two-level(nprobe=8 of 16) recall too low: ${exact.intersect(probed)}")
+  }
+
   test("pqTrainEncode emits m codes per vector in [0, k), stable under partitioning") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val (codes, cbs) = Clustering.pqTrainEncode(emb, m = 4, k = 8, iters = 2, dim = 64)
