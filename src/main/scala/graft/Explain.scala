@@ -14,6 +14,10 @@ object Explain {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
+      // graft buckets tables DELIBERATELY (pruned index probes, co-located
+      // joins); the auto rule would silently drop SelectedBucketsCount
+      // pruning on probe-only plans (filter on the bucket key, no join/agg)
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

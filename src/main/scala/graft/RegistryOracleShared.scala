@@ -161,6 +161,74 @@ private[graft] object OracleShared {
              QUALIFY row_number() OVER (PARTITION BY ca.vec_id
                ORDER BY d, fm1.cell) = 1)"""
     }
+    // The kHint>32 NORM-TRICK argmin replayed verbatim (the branch
+    // Clustering.assignCells/tlAssign run at scale): candidates rank by
+    // dn = ||c||^2 - 2*v.c — BOTH dots strict left-to-right folds,
+    // bit-identical to the codegen'd graft_dot loop — ties on cell, and
+    // the emitted d is the EXACT left-fold dist2 recomputed for the
+    // winner only, exactly as the wide branch does. Certification is by
+    // construction (same arithmetic both engines), not near-tie luck.
+    private val wideDn =
+      "list_reduce([cvec[i]*cvec[i] for i in range(1, len(cvec)+1)], (x, y) -> x + y) " +
+        "- 2.0 * list_reduce([v[i]*cvec[i] for i in range(1, len(v)+1)], (x, y) -> x + y)"
+    // Two wide-k Lloyd iterations (lloydCtes' twin with the norm-trick
+    // argmin): a2 carries (vec_id, v, cell, d).
+    def lloydWideCtes(k: Int, p: String = ""): String = {
+      val dist = "list_reduce([(v[i]-cvec[i])*(v[i]-cvec[i]) " +
+        "for i in range(1, len(v)+1)], (x, y) -> x + y)"
+      s"""${p}e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+         ${p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
+                FROM ${p}e ORDER BY vec_id LIMIT $k),
+         ${p}w1 AS (SELECT vec_id, v, cell FROM ${p}e, ${p}c0
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY $wideDn, cell) = 1),
+         ${p}m1p AS (SELECT cell, pos, count(*) AS n, sum(vm) AS s FROM
+                   (SELECT cell,
+                      unnest([i for i in range(0, len(v))]) AS pos,
+                      unnest([round(x * 1000000, 0)::BIGINT for x in v]) AS vm
+                    FROM ${p}w1)
+                 GROUP BY cell, pos),
+         ${p}m1 AS (SELECT cell, list(s::DOUBLE / n / 1000000.0 ORDER BY pos) AS cvec
+                FROM ${p}m1p GROUP BY cell),
+         ${p}a2 AS (SELECT w.vec_id, w.v, w.cell, $dist AS d
+                FROM (SELECT vec_id, v, cell FROM ${p}e, ${p}m1
+                      QUALIFY row_number() OVER (PARTITION BY vec_id
+                        ORDER BY $wideDn, cell) = 1) w
+                JOIN ${p}m1 ON ${p}m1.cell = w.cell)"""
+    }
+    // Two-level replay with a WIDE fine level (k2 > 32): coarse pass is
+    // the exact lloydCtes (registered rows keep k1 <= 32 there), fine
+    // assigns rank by the norm trick — the tlAssign kHint>32 branch —
+    // with exact dist2 joined back for winners. f2 carries
+    // (vec_id, cell1, v, fine, d).
+    def twoLevelWideCtes(k1: Int, k2: Int, p: String = ""): String = {
+      val dist = "list_reduce([(v[i]-cvec[i])*(v[i]-cvec[i]) " +
+        "for i in range(1, len(v)+1)], (x, y) -> x + y)"
+      s"""${lloydCtes(k1, p)},
+         ${p}ca AS MATERIALIZED (SELECT vec_id, v, cell AS cell1 FROM ${p}a2),
+         ${p}f0 AS (SELECT cell1,
+                  row_number() OVER (PARTITION BY cell1 ORDER BY vec_id) - 1 AS cell,
+                  v AS cvec
+                FROM ${p}ca QUALIFY cell < $k2),
+         ${p}f1 AS (SELECT ca.vec_id, ca.cell1, ca.v, f0.cell
+                FROM ${p}ca ca JOIN ${p}f0 f0 ON f0.cell1 = ca.cell1
+                QUALIFY row_number() OVER (PARTITION BY ca.vec_id
+                  ORDER BY ($wideDn), f0.cell) = 1),
+         ${p}fm1p AS (SELECT cell1, cell, pos, count(*) AS n, sum(vm) AS s FROM
+                    (SELECT cell1, cell,
+                       unnest([i for i in range(0, len(v))]) AS pos,
+                       unnest([round(x * 1000000, 0)::BIGINT for x in v]) AS vm
+                     FROM ${p}f1)
+                  GROUP BY cell1, cell, pos),
+         ${p}fm1 AS (SELECT cell1, cell, list(s::DOUBLE / n / 1000000.0 ORDER BY pos) AS cvec
+                 FROM ${p}fm1p GROUP BY cell1, cell),
+         ${p}f2 AS MATERIALIZED (
+             SELECT w.vec_id, w.cell1, w.v, w.fine, $dist AS d
+             FROM (SELECT ca.vec_id, ca.cell1, ca.v, fm1.cell AS fine
+                   FROM ${p}ca ca JOIN ${p}fm1 fm1 ON fm1.cell1 = ca.cell1
+                   QUALIFY row_number() OVER (PARTITION BY ca.vec_id
+                     ORDER BY ($wideDn), fm1.cell) = 1) w
+             JOIN ${p}fm1 fm1 ON fm1.cell1 = w.cell1 AND fm1.cell = w.fine)"""
+    }
     // LSH recall audit, parameterized by the gram-set CTE prefix so the
     // full-corpus and sampled flavors share ONE spelling: the
     // jaccard-join chain gives exact pairs; minhash over the SAME fp
@@ -433,6 +501,33 @@ private[graft] object OracleShared {
     // ADC distances fold in subspace order on both engines; shared by
     // the in-memory (q_pq_adc) and persisted-index (q_pq_persisted)
     // probe paths.
+    // twoLevelTopK replay (training via twoLevelCtes, fine-centroid
+    // ranking ties on combined cell id, selection on RAW cosine with
+    // the 6-dp render projected after) — shared by q_two_level_topk
+    // and its persisted twin (identical results by construction: the
+    // bucketed on-disk path changes IO, not arithmetic).
+    val twoLevelTopkOracle =
+      s"""WITH ${twoLevelCtes(4, 4)},
+           q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+           qn AS (SELECT qv,
+                    sqrt(${fold("[qv[i]*qv[i] for i in range(1, len(qv)+1)]")})
+                      AS qnrm FROM q),
+           cd AS (SELECT fm1.cell1 * 4 + fm1.cell AS cell,
+                    list_reduce([(fm1.cvec[i]-q.qv[i])*(fm1.cvec[i]-q.qv[i])
+                                 for i in range(1, len(fm1.cvec)+1)],
+                      (x, y) -> x + y) AS d
+                  FROM fm1, q),
+           pc AS (SELECT cell FROM cd ORDER BY d, cell LIMIT 4),
+           m AS (SELECT f2.vec_id, f2.v
+                 FROM f2 JOIN pc ON f2.cell1 * 4 + f2.fine = pc.cell),
+           sc AS (SELECT m.vec_id,
+                    ${fold("[m.v[i]*qn.qv[i] for i in range(1, len(m.v)+1)]")} /
+                      (sqrt(${fold("[m.v[i]*m.v[i] for i in range(1, len(m.v)+1)]")})
+                        * qn.qnrm) AS c
+                  FROM m, qn),
+           sel AS (SELECT vec_id, c FROM sc ORDER BY c DESC, vec_id LIMIT 10)
+         SELECT vec_id, round(c, 6) AS cosine_sim
+         FROM sel ORDER BY c DESC, vec_id"""
     val pqAdcOracle =
       s"""WITH ${pqTrainCtes(4, 8)},
              q AS (SELECT v FROM e WHERE vec_id = 1),

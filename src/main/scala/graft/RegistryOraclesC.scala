@@ -1120,28 +1120,24 @@ private[graft] object RegistryOraclesC {
            FROM f2 LEFT JOIN p ON f2.vec_id = p.idb ORDER BY f2.vec_id""",
       "q_two_level_topk" -> // fine-centroid ranking (ties on combined cell id)
         // -> nprobe-cell scan -> exact cosine; selection on RAW cosine,
-        // 6-dp render projected after
-        s"""WITH ${twoLevelCtes(4, 4)},
-             q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
-             qn AS (SELECT qv,
-                      sqrt(${fold("[qv[i]*qv[i] for i in range(1, len(qv)+1)]")})
-                        AS qnrm FROM q),
-             cd AS (SELECT fm1.cell1 * 4 + fm1.cell AS cell,
-                      list_reduce([(fm1.cvec[i]-q.qv[i])*(fm1.cvec[i]-q.qv[i])
-                                   for i in range(1, len(fm1.cvec)+1)],
-                        (x, y) -> x + y) AS d
-                    FROM fm1, q),
-             pc AS (SELECT cell FROM cd ORDER BY d, cell LIMIT 4),
-             m AS (SELECT f2.vec_id, f2.v
-                   FROM f2 JOIN pc ON f2.cell1 * 4 + f2.fine = pc.cell),
-             sc AS (SELECT m.vec_id,
-                      ${fold("[m.v[i]*qn.qv[i] for i in range(1, len(m.v)+1)]")} /
-                        (sqrt(${fold("[m.v[i]*m.v[i] for i in range(1, len(m.v)+1)]")})
-                          * qn.qnrm) AS c
-                    FROM m, qn),
-             sel AS (SELECT vec_id, c FROM sc ORDER BY c DESC, vec_id LIMIT 10)
-           SELECT vec_id, round(c, 6) AS cosine_sim
-           FROM sel ORDER BY c DESC, vec_id""",
+        // 6-dp render projected after (shared text in OracleShared)
+        twoLevelTopkOracle,
+      // persisted bucketed-index twin: identical probe math, the index
+      // round-trips a cell-bucketed parquet table first — same oracle
+      // by construction (the q_pq_persisted discipline)
+      "q_two_level_persisted" -> twoLevelTopkOracle,
+      "q_kmeans_wide" -> // the norm-trick argmin replayed verbatim (see
+        // lloydWideCtes) — certifies the kHint>32 branch by construction
+        s"""WITH ${lloydWideCtes(40)}
+           SELECT vec_id, CAST(cell AS INTEGER) AS cell, round(d, 6) AS dist2
+           FROM a2 ORDER BY vec_id""",
+      "q_two_level_cells_wide" -> // wide FINE level (k2=40): coarse pass
+        // exact (k1=2), fine assigns replay the tlAssign norm trick
+        s"""WITH ${twoLevelWideCtes(2, 40)}
+           SELECT vec_id, CAST(cell1 AS INTEGER) AS cell1,
+             CAST(fine AS INTEGER) AS fine,
+             CAST(cell1 * 40 + fine AS BIGINT) AS cell, round(d, 6) AS dist2
+           FROM f2 ORDER BY vec_id""",
       "q_random_projection" -> { // JL planes as double literals (same trick as the LSH oracles)
         val comps = Similarity.projectionPlanes(64, 16, 7L).map { p =>
           val arr = p.map(_.toString).mkString("[", ", ", "]")

@@ -854,6 +854,14 @@ private[graft] object RegistryQueriesB {
     // distances, so the full 2-iteration training run is oracled
     "q_kmeans" -> ((s, d) =>
       graft.operators.Clustering.kmeans(t(s, d, "embeddings"), k = 8, iters = 2)),
+    // the kHint>32 NORM-TRICK path under oracle — the argmin arithmetic
+    // every at-scale assignment actually runs (previously law-tested
+    // only): k=40 flips assignCells to argmin_c(||c||^2 - 2 v.c) with
+    // the exact dist2 recomputed for winners only, and the DuckDB
+    // oracle replays THAT spelling (lloydWideCtes), so the hash
+    // certification is by construction, not near-tie luck
+    "q_kmeans_wide" -> ((s, d) =>
+      graft.operators.Clustering.kmeans(t(s, d, "embeddings"), k = 40, iters = 2)),
     // product quantization ([EXT], Jégou et al. 2011): per-subspace
     // deterministic Lloyd codebooks trained + corpus encoded in one
     // grouped pass — the full training run is oracled, like q_kmeans
@@ -963,9 +971,47 @@ private[graft] object RegistryQueriesB {
       val emb = t(s, d, "embeddings")
       val (index, cbs) = graft.operators.Clustering.twoLevelIndex(emb,
         k1 = 4, k2 = 4)
+      // no outer re-sort: twoLevelTopK already emits rows ordered by
+      // the RAW cosine (desc, vec_id) — re-sorting on the 6-dp ROUNDED
+      // column could permute near-ties vs the oracle's raw-order sel
       graft.operators.Clustering.twoLevelTopK(index, cbs,
         Similarity.vectorOf(emb, 1L), k = 10, nprobe = 4)
-        .orderBy(col("cosine_sim").desc, col("vec_id"))
+    }),
+    // the tlAssign kHint>32 norm-trick branch under oracle (the
+    // q_kmeans_wide discipline for the FINE level): k2=40 fine
+    // centroids per coarse cell, oracle replays the norm-trick argmin
+    // (twoLevelWideCtes) — together with q_kmeans_wide, both at-scale
+    // assignment spellings now carry per-round hash certificates
+    "q_two_level_cells_wide" -> ((s, d) =>
+      graft.operators.Clustering.twoLevelAssign(t(s, d, "embeddings"),
+        k1 = 2, k2 = 40)
+        .select(col("vec_id"), col("cell1"), col("fine"), col("cell"),
+          round(col("dist2"), 6).as("dist2"))
+        .orderBy(col("vec_id"))),
+    // the PRODUCTION probe shape (build-once/probe-many): the two-level
+    // index persisted BUCKETED+SORTED by the combined cell
+    // (ivfWriteIndex semantics), so the probe's `cell IN (nprobe
+    // cells)` prunes to the matching bucket files instead of
+    // full-scanning an in-memory index — and training happens once per
+    // scale dir (q_new_near_persisted discipline), never at probe
+    // time. Same oracle as q_two_level_topk by construction; the
+    // bucket-pruned-scan plan gate lives in ClusteringSpec.
+    "q_two_level_persisted" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_tl_idx_$sfx").toString
+      val table = s"tl_idx_$sfx"
+      if (!new java.io.File(s"$root/index/_SUCCESS").exists()) {
+        val (index, cbs) = graft.operators.Clustering.twoLevelIndex(emb,
+          k1 = 4, k2 = 4)
+        graft.operators.Clustering.twoLevelWriteIndex(index, cbs, table, root,
+          nBuckets = 16)
+      }
+      val (index2, cbs2) = graft.operators.Clustering.twoLevelOpenIndex(
+        s, table, root, nBuckets = 16)
+      graft.operators.Clustering.twoLevelTopK(index2, cbs2,
+        Similarity.vectorOf(emb, 1L), k = 10, nprobe = 4)
     }),
     // Johnson-Lindenstrauss reduction: 64-dim floats -> 16 seeded-
     // Gaussian dot products, planes baked into the plan as literals.

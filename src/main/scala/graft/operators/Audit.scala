@@ -36,6 +36,15 @@ object Audit {
                 kCells: Int = 8, maxCell: Int = 0,
                 twoLevelEmb: Option[DataFrame] = None,
                 k1: Int = 4, k2: Int = 4, maxCellTwoLevel: Int = 0): DataFrame = {
+    // the cap defaults (0) are only valid when the frame they gate is
+    // absent — fail at THIS boundary with the parameter named, not as
+    // a bare require deep inside droppedCells*
+    require(semanticEmb.isEmpty || maxCell > 0,
+      "dropAudit: semanticEmb given but maxCell is not positive — " +
+        "pass the semanticDedup cap being audited (e.g. maxCell = 1024)")
+    require(twoLevelEmb.isEmpty || maxCellTwoLevel > 0,
+      "dropAudit: twoLevelEmb given but maxCellTwoLevel is not positive — " +
+        "pass the semanticDedupTwoLevel cap being audited (e.g. maxCellTwoLevel = 40)")
     val buckets = Dedup.droppedBuckets(minhashDocs, maxBucket = maxBucket)
       .select(lit("minhash_bucket").as("family"),
         concat(col("band").cast("string"), lit(":"),

@@ -455,6 +455,49 @@ object Clustering {
       .select(col(idCol), round(col("cosine_sim"), 6).as("cosine_sim"))
   }
 
+  /** Persist a two-level index for build-once/probe-many — the form
+    * 100 TB actually runs (training once is O(n·(k1+k2)·d); the probe
+    * must then read nprobe buckets, not re-train or full-scan). The
+    * (id, cell, vector) assignment is written BUCKETED AND SORTED by
+    * the combined `cell` ([[Similarity.ivfWriteIndex]] semantics):
+    * a probe's `cell IN (nprobe cells)` prunes to the matching bucket
+    * files, and because each file is sorted by cell its parquet
+    * min/max stats cover few cells even when the bucketed scan is
+    * disabled — the IO win survives either way. The fine codebooks
+    * land as a k1·k2-row parquet table of probe parameters. */
+  def twoLevelWriteIndex(index: DataFrame, codebooks: Array[(Long, Array[Double])],
+                         table: String, root: String, nBuckets: Int): Unit = {
+    graft.sources.Bucketing.writeBucketed(index, table, "cell", nBuckets,
+      s"$root/index")
+    val spark = index.sparkSession
+    import spark.implicits._
+    codebooks.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "cvec")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/codebooks")
+  }
+
+  /** Open a persisted two-level index: re-registers the bucketed table
+    * when this session's catalog doesn't have it yet (external CREATE
+    * TABLE over the existing files — schema from the parquet footers,
+    * bucket spec re-declared so the probe keeps BUCKET PRUNING), and
+    * collects the k1·k2 codebook rows back as probe parameters (a
+    * bounded driver action — query parameters, not data). Feed the
+    * pair straight into [[twoLevelTopK]]. */
+  def twoLevelOpenIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                        root: String, nBuckets: Int)
+      : (DataFrame, Array[(Long, Array[Double])]) = {
+    if (!spark.catalog.tableExists(table)) {
+      val ddl = spark.read.parquet(s"$root/index").schema.toDDL
+      spark.sql(s"CREATE TABLE $table ($ddl) USING PARQUET " +
+        s"CLUSTERED BY (cell) SORTED BY (cell) INTO $nBuckets BUCKETS " +
+        s"LOCATION '$root/index'")
+    }
+    val cbs = spark.read.parquet(s"$root/codebooks").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    (spark.table(table), cbs)
+  }
+
   /** SemDeDup over the two-level quantizer: [[twoLevelAssign]] cells
     * feed the same within-cell cosine pair stage as [[semanticDedup]]
     * (one-hop min-id keeper, `maxCell` skew guard, conservative

@@ -50,7 +50,8 @@ class SparkEntrySpec extends SparkSuite {
     val d = "/root/testdata/sf0.001"
     val loopy = Set("q_stream_ingest_final", "q_bpe_train", "q_kmeans",
       "q_semantic_dedup", "q_semantic_capped", "q_dedup_embeddings", "q_pca",
-      "q_two_level_cells", "q_semantic_twolevel", "q_two_level_topk")
+      "q_two_level_cells", "q_semantic_twolevel", "q_two_level_topk",
+      "q_kmeans_wide", "q_two_level_cells_wide", "q_two_level_persisted")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (loopy(name)) None
       else scala.util.Try(fn(spark, d).count()).failed.toOption
@@ -78,7 +79,8 @@ class SparkEntrySpec extends SparkSuite {
     // exemption covers only the unplannable wrappers
     val loopy = Set("q_stream_ingest_final", "q_bpe_train", "q_kmeans",
       "q_semantic_dedup", "q_semantic_capped", "q_dedup_embeddings", "q_pca",
-      "q_two_level_cells", "q_semantic_twolevel", "q_two_level_topk")
+      "q_two_level_cells", "q_semantic_twolevel", "q_two_level_topk",
+      "q_kmeans_wide", "q_two_level_cells_wide", "q_two_level_persisted")
     import org.apache.spark.sql.catalyst.expressions.NTile
     // every allowed empty-partition window runs over a table bounded
     // by a QUERY PARAMETER, never the fact — the justification is the
@@ -131,7 +133,8 @@ class SparkEntrySpec extends SparkSuite {
     val d = "/root/testdata/sf0.001"
     val loopy = Set("q_stream_ingest_final", "q_bpe_train", "q_kmeans",
       "q_semantic_dedup", "q_semantic_capped", "q_dedup_embeddings", "q_pca",
-      "q_two_level_cells", "q_semantic_twolevel", "q_two_level_topk")
+      "q_two_level_cells", "q_semantic_twolevel", "q_two_level_topk",
+      "q_kmeans_wide", "q_two_level_cells_wide", "q_two_level_persisted")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (loopy(name)) None
       else scala.util.Try {

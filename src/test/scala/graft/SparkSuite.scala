@@ -29,6 +29,10 @@ object SparkSuite {
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // graft buckets tables DELIBERATELY (pruned index probes, co-located
+    // joins); the auto rule would silently drop SelectedBucketsCount
+    // pruning on probe-only plans (filter on the bucket key, no join/agg)
+    .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

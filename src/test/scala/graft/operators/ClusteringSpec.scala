@@ -218,6 +218,34 @@ class ClusteringSpec extends SparkSuite {
       s"two-level(nprobe=8 of 16) recall too low: ${exact.intersect(probed)}")
   }
 
+  test("twoLevelWriteIndex/OpenIndex: disk round-trip == in-memory; probe is bucket-pruned") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (idx, cbs) = Clustering.twoLevelIndex(emb, k1 = 4, k2 = 4)
+    val root = java.nio.file.Files.createTempDirectory("graft_tl_idx_spec").toString
+    val table = "tl_idx_spec_" + java.lang.Long.toHexString(System.nanoTime())
+    Clustering.twoLevelWriteIndex(idx, cbs, table, root, nBuckets = 16)
+    // drop the catalog entry so openIndex exercises the fresh-session
+    // re-registration path (external CREATE TABLE over existing files)
+    spark.sql(s"DROP TABLE $table")
+    val (idx2, cbs2) = Clustering.twoLevelOpenIndex(spark, table, root, nBuckets = 16)
+    assert(cbs2.map { case (c, v) => (c, v.toSeq) }.toSeq ===
+      cbs.map { case (c, v) => (c, v.toSeq) }.toSeq,
+      "codebooks changed across the parquet round-trip")
+    val q = Similarity.vectorOf(emb, 7L)
+    val mem = Clustering.twoLevelTopK(idx, cbs, q, 10, nprobe = 4).collect().toSeq
+    val disk = Clustering.twoLevelTopK(idx2, cbs2, q, 10, nprobe = 4)
+    // THE plan gate the persisted row exists for: the probe must read
+    // only the buckets its nprobe cells hash to — never the full index
+    val plan = disk.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"probe scan is not bucket-pruned:\n$plan")
+    assert(sel.get.group(2).toInt === 16 && sel.get.group(1).toInt <= 4,
+      s"probe read ${sel.get.group(1)} of ${sel.get.group(2)} buckets — expected <= nprobe (4)")
+    assert(disk.collect().toSeq === mem,
+      "bucketed on-disk probe diverged from the in-memory probe")
+    spark.sql(s"DROP TABLE $table")
+  }
+
   test("pqTrainEncode emits m codes per vector in [0, k), stable under partitioning") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val (codes, cbs) = Clustering.pqTrainEncode(emb, m = 4, k = 8, iters = 2, dim = 64)

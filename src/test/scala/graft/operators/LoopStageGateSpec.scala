@@ -97,6 +97,34 @@ class LoopStageGateSpec extends SparkSuite {
     assert(coarse.count() > 0)
   }
 
+  test("wide-k norm-trick loop stages (q_kmeans_wide, q_two_level_cells_wide)") {
+    // same gate battery as the small-k stages, PLUS the branch
+    // assertion: past kHint=32 the plan must carry the codegen'd
+    // graft_dot norm trick, not the interpreted HOF dist2 over all
+    // (vector, centroid) pairs — the at-scale arithmetic the
+    // registered wide rows now hash-certify per round
+    val seeds = Clustering.seedCentroids(emb, 40, "vec_id", "embedding")
+    val assigned = Clustering.assignCells(emb, seeds, "vec_id", "embedding",
+      kHint = 40)
+    PlanGates.assertCleanStage("assignCells wide (iter 1)", assigned,
+      allowGlobalWindow = true)
+    assert(assigned.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      "kHint>32 assignCells did not take the codegen'd norm-trick branch")
+    val cent2 = Clustering.updateCentroids(assigned.localCheckpoint())
+    val steady = Clustering.assignCells(emb, cent2, "vec_id", "embedding",
+      kHint = 40)
+    PlanGates.assertCleanStage("assignCells wide (steady state)", steady)
+    assert(steady.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    // wide FINE level: the coarse assignment is checkpointed inside
+    // twoLevelCore, so this plan IS the fine seed+assign dataflow —
+    // its seed window is partitioned by cell1, and the k2=40 assign
+    // must norm-trick
+    val tl = Clustering.twoLevelAssign(emb, k1 = 2, k2 = 40)
+    PlanGates.assertCleanStage("twoLevelAssign wide fine", tl)
+    assert(tl.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      "kHint>32 tlAssign did not take the codegen'd norm-trick branch")
+  }
+
   test("embedding-CC dedup stages: LSH candidate pairs, keeper join (q_dedup_embeddings)") {
     PlanGates.assertCleanStage("lshSimilarPairs",
       Similarity.lshSimilarPairs(emb, threshold = 0.3, dim = 64))

@@ -110,7 +110,10 @@ def main():
     queries = {}
     for q in chosen:
         best = run_isolated(q, args.sf_dir, args.reps, args.cpus)
-        entry = {f"isolated_best_of_{args.reps}_sec": best,
+        # stable key whatever --reps is (downstream consumers look up
+        # "isolated_best_sec"); reps recorded separately
+        entry = {"isolated_best_sec": best,
+                 "reps": args.reps,
                  "full_suite_sec": cur.get(q)}
         if q in movers and prev.get(q):
             entry["prev_full_suite_sec"] = prev[q]
