@@ -146,6 +146,32 @@ object ProbeOp {
         q.awaitTermination(600000)
         spark.read.parquet(s"$root/corpus").count()
       }))
+    // the kHint crossover sweep (round-12 verdict #3): time ONE
+    // assignment pass over the replicated embeddings at each k, under
+    // BOTH argmin spellings — exact left-fold HOF (kHint=0 forces the
+    // small-k branch) vs norm-trick graft_dot (kHint=1000 forces the
+    // wide branch) — to locate where the interpreted-lambda cost
+    // overtakes the norm trick's extra join. Centroids are the k seed
+    // vectors: same arithmetic shape as a trained codebook.
+    if (op == "kHintSweep") {
+      val emb2 = emb.cache(); emb2.count()
+      val ks = Seq(16, 24, 32, 40, 64)
+      for (k <- ks; (label, hint) <- Seq("exact" -> 0, "norm" -> 1000)) {
+        val cents = graft.operators.Clustering
+          .seedCentroids(emb2, k).cache()
+        cents.count()
+        (1 to reps).foreach { i =>
+          val t0 = System.nanoTime()
+          val s = graft.operators.Clustering
+            .assignCells(emb2, cents, kHint = hint)
+            .agg(sum(col("dist2"))).head().getDouble(0)
+          println(f"[khint] k=$k%3d $label%5s x$factor rep$i " +
+            f"${(System.nanoTime() - t0) / 1e9}%8.2f s (sum=$s%.4f)")
+        }
+        cents.unpersist()
+      }
+      spark.stop(); return
+    }
     val f = ops.getOrElse(op, sys.error(s"unknown op $op; known: ${ops.keys.toSeq.sorted}"))
     // cache warm, untimed — skipped for the synthetic-graph CC probes,
     // which never read docs/emb (at ×1000 the replicated caches are

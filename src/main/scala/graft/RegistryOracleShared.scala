@@ -105,11 +105,14 @@ private[graft] object OracleShared {
     // distances) — ONE spelling feeding q_kmeans, q_semantic_dedup,
     // and the q_drop_audit semantic-cell family. a2 carries (vec_id,
     // v, cell, d); consumers project what they need. Parameterized
-    // over k so the two-level oracle's coarse pass shares the text.
-    def lloydCtes(k: Int, p: String = ""): String =
+    // over k so the two-level oracle's coarse pass shares the text —
+    // as a STRING expression, so the auto rows can pass a scalar
+    // subquery (DuckDB accepts one in LIMIT) that derives k from
+    // count(*) exactly as the Scala auto wrappers do.
+    def lloydCtesE(kExpr: String, p: String): String =
       s"""${p}e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
          ${p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
-                FROM ${p}e ORDER BY vec_id LIMIT $k),
+                FROM ${p}e ORDER BY vec_id LIMIT $kExpr),
          ${p}a1 AS (SELECT vec_id, v, cell,
                   list_reduce([(v[i]-cvec[i])*(v[i]-cvec[i])
                                for i in range(1, len(v)+1)], (x, y) -> x + y) AS d
@@ -128,21 +131,22 @@ private[graft] object OracleShared {
                                for i in range(1, len(v)+1)], (x, y) -> x + y) AS d
                 FROM ${p}e, ${p}m1
                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1)"""
+    def lloydCtes(k: Int, p: String = ""): String = lloydCtesE(k.toString, p)
     val lloyd2Ctes = lloydCtes(8)
     // Two-level quantizer replay (Clustering.twoLevelAssign, iters=2
     // both levels): the coarse pass IS lloydCtes(k1); the fine pass is
     // the same seed/assign/micro-sum/assign chain PARTITIONED by the
     // coarse cell (seeds = k2 lowest ids per cell, updates grouped by
     // (cell1, cell)). f2 carries (vec_id, v, cell1, fine, d).
-    def twoLevelCtes(k1: Int, k2: Int, p: String = ""): String = {
+    def twoLevelCtesE(k1Expr: String, k2Expr: String, p: String): String = {
       val dist = "list_reduce([(v[i]-cvec[i])*(v[i]-cvec[i]) " +
         "for i in range(1, len(v)+1)], (x, y) -> x + y)"
-      s"""${lloydCtes(k1, p)},
+      s"""${lloydCtesE(k1Expr, p)},
          ${p}ca AS MATERIALIZED (SELECT vec_id, v, cell AS cell1 FROM ${p}a2),
          ${p}f0 AS (SELECT cell1,
                   row_number() OVER (PARTITION BY cell1 ORDER BY vec_id) - 1 AS cell,
                   v AS cvec
-                FROM ${p}ca QUALIFY cell < $k2),
+                FROM ${p}ca QUALIFY cell < $k2Expr),
          ${p}f1 AS (SELECT ca.vec_id, ca.cell1, ca.v, f0.cell, $dist AS d
                 FROM ${p}ca ca JOIN ${p}f0 f0 ON f0.cell1 = ca.cell1
                 QUALIFY row_number() OVER (PARTITION BY ca.vec_id
@@ -161,6 +165,8 @@ private[graft] object OracleShared {
              QUALIFY row_number() OVER (PARTITION BY ca.vec_id
                ORDER BY d, fm1.cell) = 1)"""
     }
+    def twoLevelCtes(k1: Int, k2: Int, p: String = ""): String =
+      twoLevelCtesE(k1.toString, k2.toString, p)
     // The kHint>32 NORM-TRICK argmin replayed verbatim (the branch
     // Clustering.assignCells/tlAssign run at scale): candidates rank by
     // dn = ||c||^2 - 2*v.c — BOTH dots strict left-to-right folds,

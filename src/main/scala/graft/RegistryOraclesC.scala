@@ -1118,6 +1118,29 @@ private[graft] object RegistryOraclesC {
            SELECT f2.vec_id, CAST(f2.cell1 * 4 + f2.fine AS BIGINT) AS cell,
              (p.idb IS NULL) AS keep
            FROM f2 LEFT JOIN p ON f2.vec_id = p.idb ORDER BY f2.vec_id""",
+      "q_semantic_twolevel_auto" -> { // the auto wrapper's √(n/targetCell) side
+        // derivation replayed: side = ceil(sqrt(ceil(n/25))) comes from
+        // count(*) (scalar subquery in LIMIT / QUALIFY), cap = 4·25
+        val side = "(SELECT side FROM prm)"
+        s"""WITH prm AS (SELECT CAST(ceil(sqrt(
+                 (((SELECT count(*) FROM embeddings) + 24) // 25)::DOUBLE))
+               AS BIGINT) AS side),
+               ${twoLevelCtesE(side, side, "")},
+               sz AS (SELECT cell1, fine, count(*) AS n FROM f2 GROUP BY cell1, fine),
+               nn AS (SELECT f2.vec_id, f2.cell1, f2.fine, v,
+                        sqrt(list_reduce([v[i]*v[i] for i in range(1, len(v)+1)],
+                          (x, y) -> x + y)) AS nrm
+                      FROM f2 JOIN sz ON sz.cell1 = f2.cell1 AND sz.fine = f2.fine
+                        AND sz.n <= 100),
+               p AS (SELECT DISTINCT y.vec_id AS idb
+                     FROM nn x JOIN nn y ON x.cell1 = y.cell1 AND x.fine = y.fine
+                       AND x.vec_id < y.vec_id
+                     WHERE list_reduce([x.v[i]*y.v[i] for i in range(1, len(x.v)+1)],
+                             (q, w) -> q + w) / (x.nrm * y.nrm) >= 0.35)
+           SELECT f2.vec_id, CAST(f2.cell1 * $side + f2.fine AS BIGINT) AS cell,
+             (p.idb IS NULL) AS keep
+           FROM f2 LEFT JOIN p ON f2.vec_id = p.idb ORDER BY f2.vec_id"""
+      },
       "q_two_level_topk" -> // fine-centroid ranking (ties on combined cell id)
         // -> nprobe-cell scan -> exact cosine; selection on RAW cosine,
         // 6-dp render projected after (shared text in OracleShared)

@@ -962,6 +962,15 @@ private[graft] object RegistryQueriesB {
     "q_semantic_twolevel" -> ((s, d) =>
       graft.operators.Clustering.semanticDedupTwoLevel(t(s, d, "embeddings"),
         k1 = 4, k2 = 4, threshold = 0.35, maxCell = 40)),
+    // the DEPLOYMENT rule-as-code form under oracle: both quantizer
+    // sides derived from the corpus (k = ceil(n/targetCell) effective
+    // cells factored as k1 = k2 = ceil(√k), cap = 4·targetCell) — the
+    // DuckDB oracle re-derives side from count(*) via a scalar-subquery
+    // LIMIT, so the √(n/t) derivation itself is hash-certified at every
+    // gate scale (side = 5 at sf0.01's 500 vectors, 9 at sf0.1's 2000)
+    "q_semantic_twolevel_auto" -> ((s, d) =>
+      graft.operators.Clustering.semanticDedupTwoLevelAuto(t(s, d, "embeddings"),
+        targetCell = 25, threshold = 0.35)),
     // ANN probe over the two-level index: rank the k1*k2 fine centroids
     // by exact query distance (driver-side probe parameters), scan only
     // nprobe combined cells, exact cosine rank — build-once/probe-many

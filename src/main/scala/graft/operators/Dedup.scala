@@ -430,6 +430,20 @@ object Dedup {
             .select(col("d").as("doc_id"), col("root"))
           l.union(prop).groupBy(col("doc_id")).agg(min(col("root")).as("root"))
         }
+        // free a SUPERSEDED label generation's executor blocks.
+        // localCheckpoint persists its RDD (memory-and-disk) and only
+        // the ContextCleaner reclaims it — lazily, at some later
+        // driver GC — so at ×1000 every ~111 M-row generation stayed
+        // resident and the per-round wall went spill-bound (16× at
+        // the third decade, PLANS.md). Unpersisting a locally
+        // checkpointed RDD destroys its data, so this is called ONLY
+        // on the previous generation, strictly after the next one was
+        // materialized eagerly (the old blocks feed no live plan).
+        def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false); ()
+          case _ => ()
+        }
         var prev = total(labels)
         var converged = false
         var i = 0
@@ -439,6 +453,7 @@ object Dedup {
           val cur = total(next)
           converged = cur.compareTo(prev) == 0
           prev = cur
+          release(labels)
           labels = next
           i += 1
           // probe observability (this path only runs past driverMaxPairs

@@ -421,6 +421,79 @@ object Sessions {
       }
       .start()
 
+  /** Micro-batch row budget for [[streamIngestDedup]] from a target
+    * per-batch latency — the measured batch-cost model as code, the
+    * [[graft.operators.Clustering.semanticDedupAuto]] discipline of
+    * keeping runbook arithmetic in the library instead of a doc.
+    *
+    * Model (fit on the round-11 three-decade probe, PLANS.md
+    * "streamIngest batch-size guidance"): batch wall ≈ `fixedSec` +
+    * rows / `rowsPerSec`, with ~3.5 s fixed per micro-batch (trigger +
+    * checkpoint + index/bloom probe PLANNING — cluster-side cost, does
+    * not shrink with executors) and ~66 k rows/s marginal on the
+    * measuring box (the content-keyed dedup + signature probe scan —
+    * scales with executor count; re-fit both terms from ONE measured
+    * batch per deployment). So a latency bound L buys at most
+    * (L − fixed) · rowsPerSec rows per batch: L=30 s → ~1.75 M rows
+    * (the measured ×1000 point ran 1.67 M-row batches at ~26 s),
+    * L=10 s → ~429 k.
+    *
+    * The knob this sizes is `maxFilesPerTrigger` × the ingest file's
+    * row count — see [[ingestMaxFilesPerTrigger]]. Budgets below
+    * [[ingestEfficiencyFloorRows]] (~231 k rows at the measured terms)
+    * spend more wall on fixed cost than on rows — legal when the
+    * latency demand is real, but named so nobody sizes 10 k-row
+    * batches by accident. */
+  def ingestBatchRows(targetLatencySec: Double, fixedSec: Double = 3.5,
+                      rowsPerSec: Double = 66000.0): Long = {
+    require(fixedSec >= 0 && rowsPerSec > 0,
+      s"fixedSec must be >= 0 and rowsPerSec positive: $fixedSec, $rowsPerSec")
+    require(targetLatencySec > fixedSec,
+      f"target latency $targetLatencySec%.1f s is inside the ~$fixedSec%.1f s " +
+        "fixed per-batch cost (trigger + checkpoint + probe planning) — " +
+        "no batch size reaches it; raise the target or shrink the fixed " +
+        "term (fewer probe stages, cheaper checkpoint store)")
+    ((targetLatencySec - fixedSec) * rowsPerSec).toLong
+  }
+
+  /** Rows per batch where the marginal cost equals the fixed cost —
+    * below this, a micro-batch spends most of its wall on trigger +
+    * checkpoint + probe planning rather than on data. ~231 k rows at
+    * the measured local[32] terms (the PLANS.md "~250 k efficiency
+    * floor"). */
+  def ingestEfficiencyFloorRows(fixedSec: Double = 3.5,
+                                rowsPerSec: Double = 66000.0): Long = {
+    require(fixedSec >= 0 && rowsPerSec > 0,
+      s"fixedSec must be >= 0 and rowsPerSec positive: $fixedSec, $rowsPerSec")
+    (fixedSec * rowsPerSec).toLong
+  }
+
+  /** The `maxFilesPerTrigger` value that realizes a latency target,
+    * given the ingest files' row count (the content-keyed ingest
+    * writes bounded files on purpose): floor(budget / rowsPerFile),
+    * at least 1 — one file per trigger is the smallest batch the
+    * source can form, so a sub-file budget degrades to the file's own
+    * latency rather than failing. */
+  def ingestMaxFilesPerTrigger(targetLatencySec: Double, rowsPerFile: Long,
+                               fixedSec: Double = 3.5,
+                               rowsPerSec: Double = 66000.0): Int = {
+    require(rowsPerFile > 0, s"rowsPerFile must be positive: $rowsPerFile")
+    val budget = ingestBatchRows(targetLatencySec, fixedSec, rowsPerSec)
+    math.max(1L, budget / rowsPerFile).min(Int.MaxValue).toInt
+  }
+
+  /** Forward form of the same model: predicted micro-batch wall for a
+    * given batch size — fixed + rows/rate. For capacity planning
+    * (does tonight's backlog drain before morning?) and for checking
+    * a re-fit: the two measured anchors were ~167 k rows → ~3.7 s and
+    * ~1.67 M rows → ~26.3 s. */
+  def ingestBatchWallSec(rows: Long, fixedSec: Double = 3.5,
+                         rowsPerSec: Double = 66000.0): Double = {
+    require(rows >= 0 && fixedSec >= 0 && rowsPerSec > 0,
+      s"rows/fixedSec must be >= 0 and rowsPerSec positive: $rows, $fixedSec, $rowsPerSec")
+    fixedSec + rows / rowsPerSec
+  }
+
   /** Streaming corpus ingestion with dedup — the continuous-crawl
     * loop: each micro-batch of documents is collapsed to one row per
     * distinct content (min-id keeper), filtered against the PERSISTED

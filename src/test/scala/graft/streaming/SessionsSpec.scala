@@ -614,6 +614,30 @@ class SessionsSpec extends SparkSuite {
     assert(sigs.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 11L))
   }
 
+  test("ingest batch-size rule reproduces the measured runbook points") {
+    // the two PLANS.md latency bounds at the measured terms
+    // (fixed 3.5 s, 66 k rows/s): L=30 s and L=10 s
+    assert(Sessions.ingestBatchRows(30.0) === 1749000L)
+    assert(Sessions.ingestBatchRows(10.0) === 429000L)
+    // efficiency floor: rows where marginal == fixed
+    assert(Sessions.ingestEfficiencyFloorRows() === 231000L)
+    // forward model at the measured ×1000 anchor: 1.67 M rows -> ~28.8 s
+    // predicted vs 26.3 s measured (the fit's residual, not a bug)
+    val w = Sessions.ingestBatchWallSec(1670000L)
+    assert(w > 28.0 && w < 30.0, s"forward model drifted: $w")
+    // knob derivation: 100 k-row ingest files under a 30 s bound -> 17
+    // files/trigger; a sub-file budget degrades to 1, never 0
+    assert(Sessions.ingestMaxFilesPerTrigger(30.0, 100000L) === 17)
+    assert(Sessions.ingestMaxFilesPerTrigger(4.0, 100000L) === 1)
+    // a target inside the fixed cost must fail loud, naming the term
+    val e = intercept[IllegalArgumentException] {
+      Sessions.ingestBatchRows(3.0)
+    }
+    assert(e.getMessage.contains("fixed per-batch cost"))
+    // re-fit terms flow through: double the rate, double the budget
+    assert(Sessions.ingestBatchRows(30.0, rowsPerSec = 132000.0) === 3498000L)
+  }
+
   test("enrichWithDim joins a stream against a static dim per micro-batch") {
     val dir = Files.createTempDirectory("graft-enrich").toString
     events.write.parquet(s"$dir/in")
