@@ -155,7 +155,9 @@ object ProbeOp {
     // vectors: same arithmetic shape as a trained codebook.
     if (op == "kHintSweep") {
       val emb2 = emb.cache(); emb2.count()
-      val ks = Seq(16, 24, 32, 40, 64)
+      val ks = sys.env.get("SPARK_GRAFT_KS")
+        .map(_.split(",").toSeq.map(_.trim.toInt))
+        .getOrElse(Seq(16, 24, 32, 40, 64))
       for (k <- ks; (label, hint) <- Seq("exact" -> 0, "norm" -> 1000)) {
         val cents = graft.operators.Clustering
           .seedCentroids(emb2, k).cache()

@@ -167,7 +167,7 @@ private[graft] object OracleShared {
     }
     def twoLevelCtes(k1: Int, k2: Int, p: String = ""): String =
       twoLevelCtesE(k1.toString, k2.toString, p)
-    // The kHint>32 NORM-TRICK argmin replayed verbatim (the branch
+    // The kHint>ExactArgminMaxK NORM-TRICK argmin replayed verbatim (the branch
     // Clustering.assignCells/tlAssign run at scale): candidates rank by
     // dn = ||c||^2 - 2*v.c — BOTH dots strict left-to-right folds,
     // bit-identical to the codegen'd graft_dot loop — ties on cell, and
@@ -203,7 +203,7 @@ private[graft] object OracleShared {
     }
     // Two-level replay with a WIDE fine level (k2 > 32): coarse pass is
     // the exact lloydCtes (registered rows keep k1 <= 32 there), fine
-    // assigns rank by the norm trick — the tlAssign kHint>32 branch —
+    // assigns rank by the norm trick — the tlAssign wide branch —
     // with exact dist2 joined back for winners. f2 carries
     // (vec_id, cell1, v, fine, d).
     def twoLevelWideCtes(k1: Int, k2: Int, p: String = ""): String = {

@@ -1150,7 +1150,7 @@ private[graft] object RegistryOraclesC {
       // by construction (the q_pq_persisted discipline)
       "q_two_level_persisted" -> twoLevelTopkOracle,
       "q_kmeans_wide" -> // the norm-trick argmin replayed verbatim (see
-        // lloydWideCtes) — certifies the kHint>32 branch by construction
+        // lloydWideCtes) — certifies the wide norm-trick branch by construction
         s"""WITH ${lloydWideCtes(40)}
            SELECT vec_id, CAST(cell AS INTEGER) AS cell, round(d, 6) AS dist2
            FROM a2 ORDER BY vec_id""",

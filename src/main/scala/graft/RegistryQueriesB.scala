@@ -854,7 +854,7 @@ private[graft] object RegistryQueriesB {
     // distances, so the full 2-iteration training run is oracled
     "q_kmeans" -> ((s, d) =>
       graft.operators.Clustering.kmeans(t(s, d, "embeddings"), k = 8, iters = 2)),
-    // the kHint>32 NORM-TRICK path under oracle — the argmin arithmetic
+    // the wide NORM-TRICK path under oracle — the argmin arithmetic
     // every at-scale assignment actually runs (previously law-tested
     // only): k=40 flips assignCells to argmin_c(||c||^2 - 2 v.c) with
     // the exact dist2 recomputed for winners only, and the DuckDB
@@ -986,7 +986,7 @@ private[graft] object RegistryQueriesB {
       graft.operators.Clustering.twoLevelTopK(index, cbs,
         Similarity.vectorOf(emb, 1L), k = 10, nprobe = 4)
     }),
-    // the tlAssign kHint>32 norm-trick branch under oracle (the
+    // the tlAssign wide norm-trick branch under oracle (the
     // q_kmeans_wide discipline for the FINE level): k2=40 fine
     // centroids per coarse cell, oracle replays the norm-trick argmin
     // (twoLevelWideCtes) — together with q_kmeans_wide, both at-scale

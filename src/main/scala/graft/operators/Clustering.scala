@@ -34,6 +34,26 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** Largest k for which [[assignCells]]/[[tlAssign]]/[[pqAssign]]
+    * use the exact left-fold argmin; past it they score with the
+    * codegen'd norm trick. This bound is an ORACLE boundary, not a
+    * performance crossover: the round-12 ProbeOp sweep (×100, 200 k
+    * vectors, d=64, k ∈ {2,4,8,16,24,32,40,64}) found NO crossover —
+    * the norm trick wins at every k, 2.6× at k=2 (1.30 vs 3.35 s)
+    * through 17× at k=32 (2.60 vs 44.3 s), because the left-fold HOF
+    * lambda is interpreted while graft_dot is codegen'd, and the
+    * trick's winner-join overhead is a constant ~1 s at this scale.
+    * The exact branch is kept ONLY as the bit-certifiable spelling
+    * whose DuckDB replay (lloydCtes left-fold argmin) matches by
+    * construction; the bound sits just above the largest k any
+    * REGISTERED row replays exactly (side = 9, the
+    * q_semantic_twolevel_auto derivation at the sf0.1 gate —
+    * ClusteringSpec pins that derivation under this bound). Every
+    * deployment-scale k takes the norm trick, which carries its own
+    * by-construction certificates (q_kmeans_wide,
+    * q_two_level_cells_wide). */
+  val ExactArgminMaxK: Int = 9
+
   /** Squared L2 distance with left-to-right fold order — the order
     * DuckDB's `list_reduce` uses, so oracle distances are
     * bit-identical. Products (x-y)² are never -0.0, so the 0.0 init
@@ -58,22 +78,22 @@ object Clustering {
     *
     * `kHint` picks the argmin arithmetic: the small-k form evaluates
     * the exact left-fold [[dist2]] on every (vector, centroid) pair —
-    * the bit-reproducible, oracle-replayable spelling every REGISTERED
-    * query uses (k ≤ 32 throughout the registry). Past ~32 centroids
-    * the n·k HOF-lambda evaluations become the wall (at k=800, d=64
-    * that is ~10^10 interpreted lambda steps per assignment), so the
+    * the bit-reproducible, oracle-replayable spelling the small-k
+    * REGISTERED queries use (k ≤ [[ExactArgminMaxK]]). Past that the
     * wide form scores with the codegen'd [[GraftFunctions.dot]] via
     * the norm trick — argmin_c (‖c‖² − 2·v·c), the ‖v‖² shift being
     * constant per vector — then recomputes the TRUE exact dist2 only
     * for the n winners. Same cells up to floating-point near-ties
     * (different summation order can flip an exactly-equidistant pair);
-    * the large-k path is never oracled, and the emitted dist2 column
-    * is always the exact spelling. */
+    * the wide path carries its own by-construction oracles
+    * (q_kmeans_wide / q_two_level_cells_wide replay the norm-trick
+    * spelling verbatim), and the emitted dist2 column is always the
+    * exact spelling. */
   def assignCells(embeddings: DataFrame, centroids: DataFrame,
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   kHint: Int = 0): DataFrame = {
     val v = embeddings.select(col(idCol), Similarity.asDouble(col(vecCol)).as("__v"))
-    if (kHint > 32) {
+    if (kHint > ExactArgminMaxK) {
       val cn = broadcast(centroids.select(col("cell"), col("cvec"),
         GraftFunctions.dot(col("cvec"), col("cvec")).as("__cn2")))
       val arg = v.crossJoin(cn)
@@ -301,16 +321,18 @@ object Clustering {
     * flip it off at extreme k1·k2 and the planner falls back to a
     * shuffle join on cell1, still linear in the corpus.
     *
-    * `kHint` mirrors [[assignCells]]/[[pqAssign]]: past ~32 fine
-    * centroids per cell the interpreted left-fold dist2 is the wall,
-    * so the wide form scores the argmin with the codegen'd norm trick
-    * and recomputes the exact dist2 only for the n winners. Every
-    * REGISTERED query uses k2 ≤ 32 (the oracle-replayable path). */
+    * `kHint` mirrors [[assignCells]]/[[pqAssign]]: past
+    * [[ExactArgminMaxK]] fine centroids per cell the wide form scores
+    * the argmin with the codegen'd norm trick (no measured crossover —
+    * the interpreted left-fold loses at every k) and recomputes the
+    * exact dist2 only for the n winners; the exact branch below the
+    * bound is the oracle-replayable spelling the small-k registered
+    * rows certify against. */
   private[operators] def tlAssign(vecs: DataFrame, codebooks: DataFrame,
                                   idCol: String, broadcastCodebooks: Boolean,
                                   kHint: Int = 0): DataFrame = {
     def maybeB(df: DataFrame) = if (broadcastCodebooks) broadcast(df) else df
-    if (kHint > 32) {
+    if (kHint > ExactArgminMaxK) {
       val cn = maybeB(codebooks.select(col("cell1"), col("cell"),
         GraftFunctions.dot(col("cvec"), col("cvec")).as("__cn2"), col("cvec")))
       vecs.join(cn, Seq("cell1"))
@@ -354,7 +376,7 @@ object Clustering {
         x => x.getField("c")).as("cvec"))
 
   /** Two-level assignment: `iters` coarse Lloyd iterations over the
-    * corpus (k1 cells — the norm-trick argmin kicks in past k1 > 32,
+    * corpus (k1 cells — the norm-trick argmin kicks in past k1 > ExactArgminMaxK,
     * so the coarse level is where large k goes), then `iters` fine
     * Lloyd iterations WITHIN each coarse cell (k2 cells per coarse
     * cell, trained for every cell in one grouped pass per iteration —
@@ -612,19 +634,18 @@ object Clustering {
     * slice: broadcast the m·k codebook rows, argmin as a min-of-struct
     * aggregate (map-side combinable, never a window).
     *
-    * `kHint` mirrors [[assignCells]]: past ~32 codewords per subspace
-    * the exact left-fold [[dist2]] on every (slice, codeword) pair is
-    * the wall (the HOF lambda is interpreted, measured 5× slower than
-    * codegen for the flat quantizer at large k), so the wide form
-    * scores the argmin with the codegen'd norm trick
-    * (‖c‖² − 2·sv·c — the ‖sv‖² shift is constant per slice) and
-    * recomputes the TRUE exact dist2 only for the m·n winners. Same
-    * codes up to exact floating-point near-ties; the emitted dist2 is
-    * always the exact spelling, and every REGISTERED PQ query uses
-    * k ≤ 32 (the bit-reproducible small-k path). */
+    * `kHint` mirrors [[assignCells]]: past [[ExactArgminMaxK]]
+    * codewords per subspace the wide form scores the argmin with the
+    * codegen'd norm trick (‖c‖² − 2·sv·c — the ‖sv‖² shift is
+    * constant per slice) and recomputes the TRUE exact dist2 only for
+    * the m·n winners — the interpreted left-fold HOF loses to it at
+    * every measured k, so the exact branch exists purely as the
+    * bit-reproducible spelling the registered PQ rows (k=8) certify
+    * against. Same codes up to exact floating-point near-ties; the
+    * emitted dist2 is always the exact spelling. */
   private[operators] def pqAssign(slices: DataFrame, codebooks: DataFrame,
                                   idCol: String, kHint: Int = 0): DataFrame =
-    if (kHint > 32) {
+    if (kHint > ExactArgminMaxK) {
       val cn = broadcast(codebooks.select(col("subspace"), col("cell"),
         GraftFunctions.dot(col("cvec"), col("cvec")).as("__cn2"), col("cvec")))
       slices

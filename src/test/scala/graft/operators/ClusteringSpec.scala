@@ -280,6 +280,24 @@ class ClusteringSpec extends SparkSuite {
     assert(auto.collect().toSeq === manual.collect().toSeq)
   }
 
+  test("the registered auto row's derived sides stay on the exact-argmin side of the bound") {
+    // q_semantic_twolevel_auto (targetCell=25) is oracled with the
+    // EXACT left-fold argmin spelling; its derivation must therefore
+    // stay at side <= ExactArgminMaxK at both gate scales, or the
+    // Scala side would silently switch to the norm-trick branch while
+    // the DuckDB side keeps folding — certification by construction
+    // would become certification by near-tie luck. 500 embeddings at
+    // sf0.001/sf0.01 and 2000 at sf0.1 are the driver's testdata
+    // contract (TESTDATA.md).
+    def side(n: Long) =
+      math.ceil(math.sqrt(((n + 24) / 25).toDouble)).toInt
+    assert(side(500) === 5)
+    assert(side(2000) === 9)
+    assert(side(2000) <= Clustering.ExactArgminMaxK,
+      "q_semantic_twolevel_auto's sf0.1 derivation crossed the norm-trick " +
+        "bound — re-oracle the row with the wide spelling or lower targetCell")
+  }
+
   test("tlAssign: the large-k2 norm-trick argmin agrees with the exact spelling") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     // 2 coarse cells, a 40-entry fine codebook per cell (lowest-id
