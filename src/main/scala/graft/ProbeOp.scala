@@ -146,6 +146,44 @@ object ProbeOp {
         q.awaitTermination(600000)
         spark.read.parquet(s"$root/corpus").count()
       }))
+    // probe-side decade measurement for the PERSISTED two-level index
+    // (build-once/probe-many): train with the auto rule's sides
+    // (side = ceil(sqrt(n/250)) — cells hold ~250 vectors at every
+    // factor), persist bucketed by the combined cell, then time 20
+    // probes through twoLevelOpenIndex + twoLevelTopK. The claim this
+    // measures: with k ∝ n the probe reads ~nprobe·targetCell rows no
+    // matter the corpus size, so per-probe wall should be FLAT across
+    // factors while the index under it grows 10× — the property that
+    // makes the index worth persisting at 100 TB. Build cost prints
+    // separately (paid once per factor, cached on disk across reps).
+    if (op == "twoLevelProbe") {
+      val n = emb.count()
+      val side = math.ceil(math.sqrt(((n + 249) / 250).toDouble)).toInt
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_probe_tlidx_x$factor").toString
+      val table = s"probe_tl_idx_x$factor"
+      if (!new java.io.File(s"$root/index/_SUCCESS").exists()) {
+        val t0 = System.nanoTime()
+        val (index, cbs) = graft.operators.Clustering.twoLevelIndex(emb, side, side)
+        graft.operators.Clustering.twoLevelWriteIndex(index, cbs, table, root,
+          nBuckets = 64)
+        println(f"[probeop] twoLevelProbe x$factor build+persist side=$side " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      val (idx, cbs) = graft.operators.Clustering.twoLevelOpenIndex(
+        spark, table, root, nBuckets = 64)
+      val queries = (0 until 20).map(i =>
+        graft.operators.Similarity.vectorOf(emb, (i * 37 + 1).toLong))
+      (1 to reps).foreach { r =>
+        val t0 = System.nanoTime()
+        val hits = queries.map(q => graft.operators.Clustering
+          .twoLevelTopK(idx, cbs, q, k = 10, nprobe = 8).count()).sum
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[probeop] twoLevelProbe x$factor rep$r side=$side " +
+          f"20 probes $dt%8.2f s (${dt / 20}%.3f s/probe, $hits hits)")
+      }
+      spark.stop(); return
+    }
     // the kHint crossover sweep (round-12 verdict #3): time ONE
     // assignment pass over the replicated embeddings at each k, under
     // BOTH argmin spellings — exact left-fold HOF (kHint=0 forces the
