@@ -146,6 +146,32 @@ object ProbeOp {
         q.awaitTermination(600000)
         spark.read.parquet(s"$root/corpus").count()
       }))
+    // stage split for the Lloyd build: time one ASSIGN pass and one
+    // UPDATE (micro-sum) pass separately at the auto rule's side, to
+    // see where the post-argmin-fix build wall actually lives — the
+    // update's posexplode shuffles n·d rows per pass, the candidate
+    // for the next optimization if it dominates.
+    if (op == "lloydStages") {
+      val emb2 = emb.cache(); emb2.count()
+      val n = emb2.count()
+      val side = math.ceil(math.sqrt(((n + 249) / 250).toDouble)).toInt
+      val cents = graft.operators.Clustering.seedCentroids(emb2, side).cache()
+      cents.count()
+      val assigned = graft.operators.Clustering
+        .assignCells(emb2, cents, kHint = side).cache()
+      (1 to reps).foreach { r =>
+        var t0 = System.nanoTime()
+        assigned.count()
+        val ta = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val u = graft.operators.Clustering.updateCentroids(assigned).count()
+        val tu = (System.nanoTime() - t0) / 1e9
+        println(f"[probeop] lloydStages x$factor rep$r side=$side " +
+          f"assign $ta%7.2f s, update $tu%7.2f s ($u cells)")
+        assigned.unpersist(); assigned.cache()
+      }
+      spark.stop(); return
+    }
     // probe-side decade measurement for the PERSISTED two-level index
     // (build-once/probe-many): train with the auto rule's sides
     // (side = ceil(sqrt(n/250)) — cells hold ~250 vectors at every
