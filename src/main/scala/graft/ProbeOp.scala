@@ -185,9 +185,14 @@ object ProbeOp {
     if (op == "twoLevelProbe") {
       val n = emb.count()
       val side = math.ceil(math.sqrt(((n + 249) / 250).toDouble)).toInt
+      // cache key carries the corpus fingerprint (n) and the derived
+      // side, not just the factor — a stale index left by an earlier
+      // run against different corpus data or a different side rule
+      // misses the key and rebuilds instead of silently skewing the
+      // probe measurement
       val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_probe_tlidx_x$factor").toString
-      val table = s"probe_tl_idx_x$factor"
+        s"graft_probe_tlidx_x${factor}_n${n}_s$side").toString
+      val table = s"probe_tl_idx_x${factor}_n${n}_s$side"
       if (!new java.io.File(s"$root/index/_SUCCESS").exists()) {
         val t0 = System.nanoTime()
         val (index, cbs) = graft.operators.Clustering.twoLevelIndex(emb, side, side)

@@ -109,8 +109,8 @@ private[graft] object OracleShared {
     // as a STRING expression, so the auto rows can pass a scalar
     // subquery (DuckDB accepts one in LIMIT) that derives k from
     // count(*) exactly as the Scala auto wrappers do.
-    def lloydCtesE(kExpr: String, p: String): String =
-      s"""${p}e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+    def lloydCtesE(kExpr: String, p: String, src: String = "embeddings"): String =
+      s"""${p}e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM $src),
          ${p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
                 FROM ${p}e ORDER BY vec_id LIMIT $kExpr),
          ${p}a1 AS (SELECT vec_id, v, cell,
@@ -138,10 +138,11 @@ private[graft] object OracleShared {
     // the same seed/assign/micro-sum/assign chain PARTITIONED by the
     // coarse cell (seeds = k2 lowest ids per cell, updates grouped by
     // (cell1, cell)). f2 carries (vec_id, v, cell1, fine, d).
-    def twoLevelCtesE(k1Expr: String, k2Expr: String, p: String): String = {
+    def twoLevelCtesE(k1Expr: String, k2Expr: String, p: String,
+                      src: String = "embeddings"): String = {
       val dist = "list_reduce([(v[i]-cvec[i])*(v[i]-cvec[i]) " +
         "for i in range(1, len(v)+1)], (x, y) -> x + y)"
-      s"""${lloydCtesE(k1Expr, p)},
+      s"""${lloydCtesE(k1Expr, p, src)},
          ${p}ca AS MATERIALIZED (SELECT vec_id, v, cell AS cell1 FROM ${p}a2),
          ${p}f0 AS (SELECT cell1,
                   row_number() OVER (PARTITION BY cell1 ORDER BY vec_id) - 1 AS cell,
@@ -165,8 +166,9 @@ private[graft] object OracleShared {
              QUALIFY row_number() OVER (PARTITION BY ca.vec_id
                ORDER BY d, fm1.cell) = 1)"""
     }
-    def twoLevelCtes(k1: Int, k2: Int, p: String = ""): String =
-      twoLevelCtesE(k1.toString, k2.toString, p)
+    def twoLevelCtes(k1: Int, k2: Int, p: String = "",
+                     src: String = "embeddings"): String =
+      twoLevelCtesE(k1.toString, k2.toString, p, src)
     // The kHint>ExactArgminMaxK NORM-TRICK argmin replayed verbatim (the branch
     // Clustering.assignCells/tlAssign run at scale): candidates rank by
     // dn = ||c||^2 - 2*v.c — BOTH dots strict left-to-right folds,
@@ -235,6 +237,24 @@ private[graft] object OracleShared {
                      ORDER BY ($wideDn), fm1.cell) = 1) w
              JOIN ${p}fm1 fm1 ON fm1.cell1 = w.cell1 AND fm1.cell = w.fine)"""
     }
+    // Incremental two-level maintenance replay, shared by
+    // q_two_level_append and q_two_level_drift: train on the EVEN half
+    // (twoLevelCtes over a filtered source), then frozen-assign the odd
+    // half against the COMBINED k1*k2 codebooks via the norm trick —
+    // the twoLevelAssignFrozen spelling verbatim (kHint = 16 >
+    // ExactArgminMaxK, ties on the combined cell id). fa carries
+    // (vec_id, v, cell) for the appended batch; cbs the combined
+    // codebooks; f2/fm1 the base training artifacts.
+    val tlAppendCtes: String =
+      s"""${twoLevelCtes(4, 4, "",
+            "(SELECT * FROM embeddings WHERE vec_id % 2 = 0) base_src")},
+         nv AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v
+                FROM embeddings WHERE vec_id % 2 = 1),
+         cbs AS (SELECT cell1 * 4 + cell AS cell, cvec FROM fm1),
+         fa AS (SELECT nv.vec_id, nv.v, cbs.cell
+                FROM nv, cbs
+                QUALIFY row_number() OVER (PARTITION BY nv.vec_id
+                  ORDER BY ($wideDn), cbs.cell) = 1)"""
     // LSH recall audit, parameterized by the gram-set CTE prefix so the
     // full-corpus and sampled flavors share ONE spelling: the
     // jaccard-join chain gives exact pairs; minhash over the SAME fp
@@ -503,6 +523,55 @@ private[graft] object OracleShared {
               FROM sl JOIN m1 ON m1.subspace = sl.subspace
               QUALIFY row_number() OVER (PARTITION BY sl.vec_id, sl.subspace
                 ORDER BY d, m1.cell) = 1)"""
+    }
+    // PQ training replay with the WIDE norm-trick argmin — the
+    // pqAssign branch every k > ExactArgminMaxK config actually runs
+    // (the lloydWideCtes discipline for the subspace level): candidates
+    // rank by dn = ||cvec||^2 - 2*sv.cvec (both dots strict left folds,
+    // bit-identical to the codegen'd graft_dot loop), ties on cell, and
+    // the final a2 recomputes the EXACT left-fold dist2 for winners
+    // only, exactly as the wide branch does. Emits the same CTE names
+    // as pqTrainCtes (e, sl, a2, m1) so downstream probe/recall SQL is
+    // spelling-agnostic.
+    def pqWideCtes(m: Int, k: Int) = {
+      val w = 64 / m
+      val subs = (0 until m).mkString(", ")
+      val dist = "list_reduce([(sv[i]-cvec[i])*(sv[i]-cvec[i]) " +
+        "for i in range(1, len(sv)+1)], (x, y) -> x + y)"
+      val dn =
+        "list_reduce([cvec[i]*cvec[i] for i in range(1, len(cvec)+1)], (x, y) -> x + y) " +
+          "- 2.0 * list_reduce([sv[i]*cvec[i] for i in range(1, len(sv)+1)], (x, y) -> x + y)"
+      s"""e AS MATERIALIZED (
+              SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+          sl AS MATERIALIZED (
+              SELECT vec_id, s.s AS subspace, v[s.s*$w+1 : (s.s+1)*$w] AS sv
+              FROM e, (SELECT unnest([$subs]) AS s) s),
+          sd AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+                 FROM e ORDER BY vec_id LIMIT $k),
+          c0 AS (SELECT sl.subspace, sd.cell, sl.sv AS cvec
+                 FROM sl JOIN sd USING (vec_id)),
+          w1 AS MATERIALIZED (
+              SELECT sl.vec_id, sl.subspace, sl.sv, c0.cell
+              FROM sl JOIN c0 ON c0.subspace = sl.subspace
+              QUALIFY row_number() OVER (PARTITION BY sl.vec_id, sl.subspace
+                ORDER BY ($dn), c0.cell) = 1),
+          m1p AS (SELECT subspace, cell, pos, count(*) AS n, sum(vm) AS s FROM
+                    (SELECT subspace, cell,
+                       unnest([i for i in range(0, len(sv))]) AS pos,
+                       unnest([round(x * 1000000, 0)::BIGINT for x in sv]) AS vm
+                     FROM w1)
+                  GROUP BY subspace, cell, pos),
+          m1 AS MATERIALIZED (
+              SELECT subspace, cell,
+                list(s::DOUBLE / n / 1000000.0 ORDER BY pos) AS cvec
+              FROM m1p GROUP BY subspace, cell),
+          a2 AS MATERIALIZED (
+              SELECT w.vec_id, w.subspace, w.sv AS sv, w.cell, $dist AS d
+              FROM (SELECT sl.vec_id, sl.subspace, sl.sv, m1.cell
+                    FROM sl JOIN m1 ON m1.subspace = sl.subspace
+                    QUALIFY row_number() OVER (PARTITION BY sl.vec_id, sl.subspace
+                      ORDER BY ($dn), m1.cell) = 1) w
+              JOIN m1 ON m1.subspace = w.subspace AND m1.cell = w.cell)"""
     }
     // ADC distances fold in subspace order on both engines; shared by
     // the in-memory (q_pq_adc) and persisted-index (q_pq_persisted)

@@ -1031,10 +1031,23 @@ private[graft] object RegistryOraclesC {
       // materialized codes/codebooks — same oracle by construction
       // (the q_jaccard_persisted discipline)
       "q_pq_persisted" -> pqAdcOracle,
+      "q_pq_encode_wide" -> // the pqAssign WIDE norm-trick branch under
+        // oracle (the q_kmeans_wide discipline for the subspace level):
+        // k=40 codewords per subspace flips pqAssign past
+        // ExactArgminMaxK, and the replay ranks by the SAME
+        // ||c||^2 - 2*sv.c spelling — certification by construction
+        s"""WITH ${pqWideCtes(4, 40)}
+           SELECT vec_id, subspace, CAST(cell AS INTEGER) AS code,
+             round(d, 6) AS dist2
+           FROM a2 ORDER BY vec_id, subspace""",
       "q_pq_recall" -> // ADC top-10 ∩ exact L2 top-10, one certified row;
         // m=16×k=16 (64-bit codes) — the production-shaped config, vs
-        // the compact-code extreme certified by q_pq_encode/q_pq_adc
-        s"""WITH ${pqTrainCtes(16, 16)},
+        // the compact-code extreme certified by q_pq_encode/q_pq_adc.
+        // k=16 > ExactArgminMaxK, so pqAssign runs the norm-trick
+        // branch — the training replay is pqWideCtes (that spelling
+        // verbatim), keeping the certification by construction rather
+        // than near-tie luck
+        s"""WITH ${pqWideCtes(16, 16)},
                q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
                qs AS (SELECT s.s AS subspace, q.qv[s.s*4+1 : (s.s+1)*4] AS qsv
                       FROM q, (SELECT unnest([${(0 until 16).mkString(", ")}]) AS s) s),
@@ -1149,6 +1162,90 @@ private[graft] object RegistryOraclesC {
       // round-trips a cell-bucketed parquet table first — same oracle
       // by construction (the q_pq_persisted discipline)
       "q_two_level_persisted" -> twoLevelTopkOracle,
+      "q_two_level_knn_multi" -> // the twoLevelTopkOracle probe replayed per
+        // query (vec_ids 1, 7, 13): per-query fine-centroid ranking
+        // (ties on combined cell), per-query nprobe cell scan, per-query
+        // (cosine desc, vec_id) rank — the batched Spark plan and Q
+        // sequential probes are the same arithmetic by construction
+        s"""WITH ${twoLevelCtes(4, 4)},
+             q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                   WHERE vec_id IN (1, 7, 13)),
+             qn AS (SELECT query_id, qv,
+                      sqrt(${fold("[qv[i]*qv[i] for i in range(1, len(qv)+1)]")})
+                        AS qnrm FROM q),
+             cd AS (SELECT q.query_id, fm1.cell1 * 4 + fm1.cell AS cell,
+                      list_reduce([(fm1.cvec[i]-q.qv[i])*(fm1.cvec[i]-q.qv[i])
+                                   for i in range(1, len(fm1.cvec)+1)],
+                        (x, y) -> x + y) AS d
+                    FROM fm1, q),
+             pc AS (SELECT query_id, cell FROM cd
+                    QUALIFY row_number() OVER (PARTITION BY query_id
+                      ORDER BY d, cell) <= 4),
+             m AS (SELECT pc.query_id, f2.vec_id, f2.v
+                   FROM f2 JOIN pc ON f2.cell1 * 4 + f2.fine = pc.cell),
+             sc AS (SELECT m.query_id, m.vec_id,
+                      ${fold("[m.v[i]*qn.qv[i] for i in range(1, len(m.v)+1)]")} /
+                        (sqrt(${fold("[m.v[i]*m.v[i] for i in range(1, len(m.v)+1)]")})
+                          * qn.qnrm) AS c
+                    FROM m JOIN qn USING (query_id)),
+             sel AS (SELECT query_id, vec_id, c,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY c DESC, vec_id) AS INTEGER) AS "rank"
+                     FROM sc QUALIFY "rank" <= 10)
+           SELECT query_id, vec_id, round(c, 6) AS cosine_sim, "rank"
+           FROM sel ORDER BY query_id, "rank"""",
+      "q_two_level_append" -> // incremental maintenance replayed FROM
+        // SCRATCH: train on the even half, frozen-assign the odd half
+        // to the combined codebooks (tlAppendCtes — the norm-trick
+        // spelling), union into one index, then the twoLevelTopkOracle
+        // probe over it (query vec_id=1 is an APPENDED vector)
+        s"""WITH $tlAppendCtes,
+             uni AS (SELECT vec_id, v, cell1 * 4 + fine AS cell FROM f2
+                     UNION ALL SELECT vec_id, v, cell FROM fa),
+             q AS (SELECT [x::DOUBLE for x in embedding] AS qv
+                   FROM embeddings WHERE vec_id = 1),
+             qn AS (SELECT qv,
+                      sqrt(${fold("[qv[i]*qv[i] for i in range(1, len(qv)+1)]")})
+                        AS qnrm FROM q),
+             cd AS (SELECT cbs.cell,
+                      list_reduce([(cbs.cvec[i]-q.qv[i])*(cbs.cvec[i]-q.qv[i])
+                                   for i in range(1, len(cbs.cvec)+1)],
+                        (x, y) -> x + y) AS d
+                    FROM cbs, q),
+             pc AS (SELECT cell FROM cd ORDER BY d, cell LIMIT 4),
+             m AS (SELECT uni.vec_id, uni.v FROM uni JOIN pc USING (cell)),
+             sc AS (SELECT m.vec_id,
+                      ${fold("[m.v[i]*qn.qv[i] for i in range(1, len(m.v)+1)]")} /
+                        (sqrt(${fold("[m.v[i]*m.v[i] for i in range(1, len(m.v)+1)]")})
+                          * qn.qnrm) AS c
+                    FROM m, qn),
+             sel AS (SELECT vec_id, c FROM sc ORDER BY c DESC, vec_id LIMIT 10)
+           SELECT vec_id, round(c, 6) AS cosine_sim
+           FROM sel ORDER BY c DESC, vec_id""",
+      "q_two_level_drift" -> // the retrain-trigger signal replayed: the
+        // base index's exact build-time dist2 vs the appended batch's
+        // frozen-assign dist2 (exact spelling recomputed for winners),
+        // pooled per cell under the decimal-sum discipline
+        s"""WITH $tlAppendCtes,
+             fad AS (SELECT fa.vec_id, fa.cell,
+                       list_reduce([(fa.v[i]-cbs.cvec[i])*(fa.v[i]-cbs.cvec[i])
+                                    for i in range(1, len(fa.v)+1)],
+                         (x, y) -> x + y) AS d
+                     FROM fa JOIN cbs USING (cell)),
+             b AS (SELECT cell1 * 4 + fine AS cell,
+                     CAST(count(*) AS BIGINT) AS n_base,
+                     sum(CAST(round(d, 6) AS DECIMAL(18,6))) AS bs
+                   FROM f2 GROUP BY 1),
+             a AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_new,
+                     sum(CAST(round(d, 6) AS DECIMAL(18,6))) AS ns
+                   FROM fad GROUP BY 1)
+           SELECT b.cell, b.n_base,
+             round(CAST(bs AS DOUBLE) / n_base, 6) AS base_mean_d2,
+             a.n_new,
+             round(CAST(ns AS DOUBLE) / n_new, 6) AS new_mean_d2,
+             round((CAST(ns AS DOUBLE) / n_new) /
+               (CAST(bs AS DOUBLE) / n_base), 6) AS drift_ratio
+           FROM b LEFT JOIN a USING (cell) ORDER BY b.cell""",
       "q_kmeans_wide" -> // the norm-trick argmin replayed verbatim (see
         // lloydWideCtes) — certifies the wide norm-trick branch by construction
         s"""WITH ${lloydWideCtes(40)}

@@ -26,6 +26,27 @@ private[graft] object RegistryQueriesB {
       .unionByName(part.where(col("p_partkey") <= 40)
         .select(concat(lit("zzhot variant "), col("p_partkey")).as("p_name")))
 
+  /** The persisted bucketed two-level index shared by
+    * q_two_level_persisted and q_two_level_knn_multi: trained once per
+    * scale dir (k1=4, k2=4, 16 buckets), stamped by the source row
+    * count so an in-place testdata regeneration rebuilds instead of
+    * silently probing a dead corpus, re-opened through the external
+    * CREATE TABLE path every invocation. */
+  private def tlPersistedIndex(s: SparkSession, d: String, emb: DataFrame)
+      : (DataFrame, Array[(Long, Array[Double])]) = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_tl_idx_$sfx").toString
+    val table = s"tl_idx_$sfx"
+    Lake.buildOnce(s"$root/index", s"embeddings:${emb.count()}") {
+      val (index, cbs) = graft.operators.Clustering.twoLevelIndex(emb,
+        k1 = 4, k2 = 4)
+      graft.operators.Clustering.twoLevelWriteIndex(index, cbs, table, root,
+        nBuckets = 16)
+    }
+    graft.operators.Clustering.twoLevelOpenIndex(s, table, root, nBuckets = 16)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis (SURVEY §2.2 [EXT]) ----
     // Flesch reading-ease ([EXT]): words/sentences/vowel-group
@@ -640,9 +661,12 @@ private[graft] object RegistryQueriesB {
       val docs = t(s, d, "documents")
       val sigDir = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_hist_sigs_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
-      if (!new java.io.File(sigDir, "_SUCCESS").exists())
+      // stamped by source row count: a testdata dir regenerated in
+      // place re-derives the signatures instead of probing a dead corpus
+      graft.sources.Lake.buildOnce(sigDir, s"documents:${docs.count()}") {
         Dedup.minhashSignatures(docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
           .write.mode("overwrite").parquet(sigDir)
+      }
       val batch = docs.where(col("doc_id") % 2 === 1)
         .unionByName(docs.where(col("doc_id") % 10 === 0)
           .withColumn("doc_id", col("doc_id") + 1000000)
@@ -677,9 +701,12 @@ private[graft] object RegistryQueriesB {
     "q_jaccard_persisted" -> ((s, d) => {
       val setsDir = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_gram_sets_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
-      if (!new java.io.File(setsDir, "_SUCCESS").exists())
-        SetSimilarity.rankedGramSets(t(s, d, "documents"))
+      val docs = t(s, d, "documents")
+      // stamped by source row count (the q_new_near_persisted discipline)
+      graft.sources.Lake.buildOnce(setsDir, s"documents:${docs.count()}") {
+        SetSimilarity.rankedGramSets(docs)
           .write.mode("overwrite").parquet(setsDir)
+      }
       SetSimilarity.jaccardJoinOfSets(s.read.parquet(setsDir), threshold = 0.5)
     }),
     // LSH recall audit ([EXT]): banded minhash candidates scored
@@ -872,6 +899,19 @@ private[graft] object RegistryQueriesB {
         round(col("dist2"), 6).as("dist2"))
         .orderBy(col("vec_id"), col("subspace"))
     }),
+    // the pqAssign WIDE norm-trick branch under oracle — completes the
+    // wide-certification trio (assignCells: q_kmeans_wide, tlAssign:
+    // q_two_level_cells_wide, pqAssign: this row): k=40 codewords per
+    // subspace flips pqAssign to argmin_c(||c||^2 - 2 sv.c) with the
+    // exact dist2 recomputed for winners only, and the DuckDB oracle
+    // (pqWideCtes) replays THAT spelling verbatim
+    "q_pq_encode_wide" -> ((s, d) => {
+      val (codes, _) = graft.operators.Clustering.pqTrainEncode(
+        t(s, d, "embeddings"), m = 4, k = 40, iters = 2, dim = 64)
+      codes.select(col("vec_id"), col("subspace"), col("code"),
+        round(col("dist2"), 6).as("dist2"))
+        .orderBy(col("vec_id"), col("subspace"))
+    }),
     // PQ recall audit ([EXT]): ADC top-10 vs the exact L2 top-10 in
     // one certified row — the q_lsh_recall discipline for the PQ
     // index (measured recall, not a hope)
@@ -1007,20 +1047,64 @@ private[graft] object RegistryQueriesB {
     // bucket-pruned-scan plan gate lives in ClusteringSpec.
     "q_two_level_persisted" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_tl_idx_$sfx").toString
-      val table = s"tl_idx_$sfx"
-      if (!new java.io.File(s"$root/index/_SUCCESS").exists()) {
-        val (index, cbs) = graft.operators.Clustering.twoLevelIndex(emb,
-          k1 = 4, k2 = 4)
-        graft.operators.Clustering.twoLevelWriteIndex(index, cbs, table, root,
-          nBuckets = 16)
-      }
-      val (index2, cbs2) = graft.operators.Clustering.twoLevelOpenIndex(
-        s, table, root, nBuckets = 16)
+      val (index2, cbs2) = tlPersistedIndex(s, d, emb)
       graft.operators.Clustering.twoLevelTopK(index2, cbs2,
         Similarity.vectorOf(emb, 1L), k = 10, nprobe = 4)
+    }),
+    // the ANN SERVING shape: Q query vectors batched into ONE
+    // bucket-pruned scan of the SAME persisted index (the
+    // q_lsh_knn_multi precedent for the two-level family) — per-query
+    // results match Q sequential twoLevelTopK probes by construction,
+    // but the index is read once, not Q times (plan-gated in
+    // ClusteringSpec: one scan, SelectedBucketsCount <= the union of
+    // the per-query nprobe cell sets)
+    "q_two_level_knn_multi" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val (index2, cbs2) = tlPersistedIndex(s, d, emb)
+      val qids = Seq(1L, 7L, 13L)
+      val qvecs = emb.where(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+        .sortBy(_._1).toSeq
+      graft.operators.Clustering.twoLevelTopKMulti(index2, cbs2, qvecs,
+        k = 10, nprobe = 4)
+    }),
+    // incremental maintenance of the persisted index: build at n (the
+    // even half), APPEND Δ (the odd half) against the FROZEN codebooks
+    // — no retraining, the bucketed insert keeps probes pruned — then
+    // probe through the re-opened table; the DuckDB oracle replays the
+    // whole build+append+probe chain from scratch, so the append path
+    // (not just the build path) is hash-certified. The query vector
+    // (vec_id=1) is itself an APPENDED vector — the probe must find
+    // rows the build never saw. Fresh temp dir per invocation (the
+    // q_pq_persisted discipline): an append is not idempotent, so this
+    // row never reuses an on-disk cache.
+    "q_two_level_append" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val base = emb.where(col("vec_id") % 2 === 0)
+      val delta = emb.where(col("vec_id") % 2 === 1)
+      val root = java.nio.file.Files.createTempDirectory("graft_tl_append").toString
+      val table = "tl_append_" + java.lang.Long.toHexString(System.nanoTime())
+      val (index, cbs) = Clustering.twoLevelIndex(base, k1 = 4, k2 = 4)
+      Clustering.twoLevelWriteIndex(index, cbs, table, root, nBuckets = 16)
+      Clustering.twoLevelAppend(s, table, root, nBuckets = 16, delta)
+      val (index2, cbs2) = Clustering.twoLevelOpenIndex(s, table, root,
+        nBuckets = 16)
+      Clustering.twoLevelTopK(index2, cbs2, Similarity.vectorOf(emb, 1L),
+        k = 10, nprobe = 4)
+    }),
+    // the retrain-trigger SIGNAL under oracle: build-time per-cell
+    // quantization error (the index's stored dist2) vs the appended
+    // batch's frozen-assign dist2, decimal-sum pooled — the report
+    // twoLevelRetrainNeeded decides over (rule + measured anchors in
+    // ClusteringSpec)
+    "q_two_level_drift" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val base = emb.where(col("vec_id") % 2 === 0)
+      val delta = emb.where(col("vec_id") % 2 === 1)
+      val (index, cbs) = Clustering.twoLevelIndex(base, k1 = 4, k2 = 4)
+      Clustering.twoLevelDrift(index,
+        Clustering.twoLevelAssignFrozen(delta, cbs))
     }),
     // Johnson-Lindenstrauss reduction: 64-dim floats -> 16 seeded-
     // Gaussian dot products, planes baked into the plan as literals.

@@ -48,10 +48,14 @@ object Clustering {
     * construction; the bound sits just above the largest k any
     * REGISTERED row replays exactly (side = 9, the
     * q_semantic_twolevel_auto derivation at the sf0.1 gate —
-    * ClusteringSpec pins that derivation under this bound). Every
-    * deployment-scale k takes the norm trick, which carries its own
-    * by-construction certificates (q_kmeans_wide,
-    * q_two_level_cells_wide). */
+    * ClusteringSpec pins that derivation AND every other exact-oracled
+    * registry k under this bound). Every deployment-scale k takes the
+    * norm trick, which carries its own by-construction certificates
+    * for all three assignment spellings (q_kmeans_wide,
+    * q_two_level_cells_wide, q_pq_encode_wide) — and q_pq_recall's
+    * k=16 training replay is the wide spelling too (pqWideCtes), so
+    * no registered row pairs a norm-trick run with an exact-fold
+    * oracle. */
   val ExactArgminMaxK: Int = 9
 
   /** Squared L2 distance with left-to-right fold order — the order
@@ -434,13 +438,123 @@ object Clustering {
       : (DataFrame, Array[(Long, Array[Double])]) = {
     val (assigned, cbs) = twoLevelCore(embeddings, k1, k2, iters, idCol, vecCol,
       broadcastCodebooks = true)
-    val index = assigned.select(col(idCol), col("cell"))
+    // dist2 (exact left-fold, to the winning fine centroid) rides along
+    // in the index payload: it is the BUILD-TIME quantization-error
+    // baseline [[twoLevelDrift]] compares appended batches against —
+    // one double per row, and parquet column pruning keeps probes
+    // ([[twoLevelTopK]]) from ever reading it
+    val index = assigned.select(col(idCol), col("cell"), col("dist2"))
       .join(embeddings.select(col(idCol), col(vecCol)), Seq(idCol))
     val centers = cbs.collect()
       .map(r => (r.getInt(0).toLong * k2 + r.getInt(1),
         r.getSeq[Double](2).toArray))
       .sortBy(_._1)
     (index, centers)
+  }
+
+  /** Assign NEW vectors against a FROZEN two-level codebook — the
+    * incremental-maintenance primitive: no retraining, one argmin over
+    * the k1·k2 combined fine centroids per vector (the same metric
+    * [[twoLevelTopK]] ranks probe cells by, so an appended vector lands
+    * exactly where the probe will look for it). k1·k2 is
+    * deployment-scale, so the argmin takes the codegen'd norm-trick
+    * branch (kHint = the codebook size); the emitted dist2 is the
+    * exact left-fold spelling — the drift signal's input. Returns
+    * (idCol, __v, cell, dist2). */
+  def twoLevelAssignFrozen(newVecs: DataFrame, codebooks: Array[(Long, Array[Double])],
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    require(codebooks.nonEmpty, "twoLevelAssignFrozen needs a trained codebook")
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val cents = codebooks.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "cvec")
+    assignCells(newVecs, cents, idCol, vecCol, kHint = codebooks.length)
+  }
+
+  /** Append a batch to a PERSISTED two-level index without retraining:
+    * frozen-assign against the stored codebooks, then insert the
+    * (id, cell, dist2, vector) rows into the bucketed table — the
+    * catalog's bucket spec applies to the insert, so the new files
+    * land in their cells' buckets and probes stay bucket-pruned. The
+    * 100 TB contract this completes: the 904 s-class full rebuild is
+    * paid at build time (or at a drift-triggered retrain), never per
+    * ingest batch — an append costs one assignment pass over Δ rows
+    * plus a bucketed write of Δ rows ([[Dedup]]'s q_new_near_persisted
+    * discipline for the ANN family). Returns the batch assignment
+    * (id, cell, dist2) — feed it to [[twoLevelDrift]] /
+    * [[twoLevelRetrainNeeded]] for the retrain signal. */
+  def twoLevelAppend(spark: org.apache.spark.sql.SparkSession, table: String,
+                     root: String, nBuckets: Int, newVecs: DataFrame,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val (index, cbs) = twoLevelOpenIndex(spark, table, root, nBuckets)
+    // the assignment feeds BOTH the insert and the returned drift
+    // frame — pin it so the argmin runs once (lazily: first action)
+    val assigned = twoLevelAssignFrozen(newVecs, cbs, idCol, vecCol)
+      .localCheckpoint(eager = false)
+    assigned.select(col(idCol), col("cell"), col("dist2"))
+      .join(newVecs.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(index.columns.map(col).toSeq: _*)
+      .write.insertInto(table)
+    assigned.select(col(idCol), col("cell"), col("dist2"))
+  }
+
+  /** Per-cell drift report: the build-time quantization-error baseline
+    * (the index's stored dist2) vs an appended batch's frozen-assign
+    * dist2 — the retrain-trigger signal for the persisted index.
+    * Sums ride the decimal discipline (6-dp rounded, DECIMAL(18,6) —
+    * order-independent, engine-portable), so the report is
+    * hash-certifiable; means and the ratio are IEEE divides of those
+    * exact sums. Cells the batch never touched carry NULL new/ratio
+    * columns. Bounded by k1·k2 rows. */
+  def twoLevelDrift(index: DataFrame, appended: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d6(c: Column) = round(c, 6).cast(DecimalType(18, 6))
+    val b = index.groupBy(col("cell")).agg(count(lit(1)).as("n_base"),
+      sum(d6(col("dist2"))).as("__bs"))
+    val a = appended.groupBy(col("cell")).agg(count(lit(1)).as("n_new"),
+      sum(d6(col("dist2"))).as("__ns"))
+    b.join(a, Seq("cell"), "left")
+      .select(col("cell"), col("n_base"),
+        round(col("__bs").cast("double") / col("n_base"), 6).as("base_mean_d2"),
+        col("n_new"),
+        round(col("__ns").cast("double") / col("n_new"), 6).as("new_mean_d2"),
+        round((col("__ns").cast("double") / col("n_new")) /
+          (col("__bs").cast("double") / col("n_base")), 6).as("drift_ratio"))
+      .orderBy(col("cell"))
+  }
+
+  /** Default [[twoLevelRetrainNeeded]] tolerance: retrain when the
+    * appended batch's overall mean quantization error exceeds the
+    * build-time baseline by 2× (dist2 is squared distance, so 2× ≈
+    * vectors landing 1.4× further from their codebook than the corpus
+    * the codebook was trained on). Measured anchors (ClusteringSpec,
+    * real sf0.001 embeddings): a same-distribution append holds the
+    * ratio near 1 (measured ≈1.0), a 3×-scaled batch (the codebook
+    * trained on the unscaled corpus) lands ≈9× — the rule separates
+    * the two with a wide margin on both sides. */
+  val TwoLevelDriftTolerance: Double = 2.0
+
+  /** The retrain trigger as CODE (the semanticDedupAuto /
+    * ingestBatchRows discipline, third instance): over a
+    * [[twoLevelDrift]] report, pool the exact per-cell sums back to
+    * corpus level (append-weighted — a big drifted cell should trigger
+    * even if many tiny cells stayed put) and retrain when the mean
+    * ratio crosses `tolerance`. An empty appended batch never
+    * triggers. */
+  def twoLevelRetrainNeeded(drift: DataFrame,
+                            tolerance: Double = TwoLevelDriftTolerance): Boolean = {
+    require(tolerance > 0, s"tolerance must be positive: $tolerance")
+    // pool over the cells the batch touched, weighting each cell's
+    // rendered mean by its count — the 6-dp render granularity is
+    // orders of magnitude below the trigger's 2x threshold
+    val pooled = drift.where(col("n_new").isNotNull)
+      .agg((sum(col("new_mean_d2") * col("n_new")) / sum(col("n_new"))).as("nm"),
+        (sum(col("base_mean_d2") * col("n_base")) / sum(col("n_base"))).as("bm"))
+      .head()
+    if (pooled.isNullAt(0) || pooled.isNullAt(1)) false
+    else pooled.getDouble(0) > tolerance * pooled.getDouble(1)
   }
 
   /** Top-k against one query via the two-level index: rank the k1·k2
@@ -475,6 +589,58 @@ object Clustering {
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
       .select(col(idCol), round(col("cosine_sim"), 6).as("cosine_sim"))
+  }
+
+  /** Batched multi-query top-k via the two-level index — the ANN
+    * SERVING form [[twoLevelTopK]]'s scaladoc implies but a per-query
+    * loop can't deliver: Q sequential probes pay Q scan set-ups (the
+    * ×1000 probe measured 0.22 s/probe — a serving anti-pattern at any
+    * real QPS), while this form ranks each query's fine centroids
+    * driver-side (over the SAME k1·k2 probe parameters), unions the
+    * per-query nprobe cell sets into ONE bucket-pruned scan of the
+    * index, and ranks per query with a window PARTITIONED by query id
+    * (bounded per partition by the probed cells' members — never
+    * global). Per query, the candidate set and the (cosine desc, id)
+    * ranking are exactly [[twoLevelTopK]]'s, so each query's k rows
+    * match the single-query contract bit-for-bit; ties in the
+    * driver-side cell ranking break on the combined cell id, and all
+    * distances fold left-to-right, so the whole batch is
+    * DuckDB-replayable.
+    *
+    * Returns (query_id, idCol, cosine_sim, rank) ordered by
+    * (query_id, rank). `queries` is a bounded driver-side parameter
+    * list (Q query vectors), not data. */
+  def twoLevelTopKMulti(index: DataFrame, codebooks: Array[(Long, Array[Double])],
+                        queries: Seq[(Long, Seq[Double])], k: Int, nprobe: Int = 4,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(queries.nonEmpty && nprobe > 0 && k > 0,
+      s"queries, k and nprobe must be non-empty/positive: q=${queries.size} k=$k nprobe=$nprobe")
+    def d2(c: Array[Double], q: Seq[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < c.length) { val d = c(i) - q(i); s += d * d; i += 1 }
+      s
+    }
+    // per-query probe cells, ranked exactly as twoLevelTopK ranks them
+    val probe: Seq[(Long, Long, Seq[Double])] = queries.flatMap { case (qid, qv) =>
+      codebooks.map { case (cell, c) => (d2(c, qv), cell) }
+        .sortBy(identity).take(nprobe).map { case (_, cell) => (qid, cell, qv) }
+    }
+    val unionCells = probe.map(_._2).distinct
+    val spark = index.sparkSession
+    import spark.implicits._
+    // Q·nprobe rows of query parameters — broadcast by construction
+    val probeDf = broadcast(probe.toDF("query_id", "cell", "__qv"))
+    index.where(col("cell").isin(unionCells: _*))
+      .join(probeDf, Seq("cell"))
+      .select(col("query_id"), col(idCol),
+        Similarity.nativeCosine(Similarity.asDouble(col(vecCol)), col("__qv")).as("__c"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__c").desc, col(idCol))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol),
+        round(col("__c"), 6).as("cosine_sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Persist a two-level index for build-once/probe-many — the form
@@ -566,15 +732,22 @@ object Clustering {
     * instead of the flat form's O(n·(n/targetCell)·d). The two
     * bounded driver actions (count, and the k1-row seed collect
     * inside Lloyd) are query parameters, not data collects. */
+  /** The √(n/targetCell) side derivation [[semanticDedupTwoLevelAuto]]
+    * deploys — exposed so the spec that pins the derivation under
+    * [[ExactArgminMaxK]] asserts against THIS arithmetic, not a local
+    * re-spelling that could silently diverge from it. */
+  private[graft] def autoSide(n: Long, targetCell: Int): Int = {
+    require(targetCell > 0, s"targetCell must be positive: $targetCell")
+    val k = math.max(1L, (n + targetCell - 1) / targetCell)
+    math.ceil(math.sqrt(k.toDouble)).toInt
+  }
+
   def semanticDedupTwoLevelAuto(embeddings: DataFrame, targetCell: Int,
                                 threshold: Double, iters: Int = 2,
                                 maxCell: Int = 0,
                                 idCol: String = "vec_id",
                                 vecCol: String = "embedding"): DataFrame = {
-    require(targetCell > 0, s"targetCell must be positive: $targetCell")
-    val n = embeddings.count()
-    val k = math.max(1L, (n + targetCell - 1) / targetCell)
-    val side = math.ceil(math.sqrt(k.toDouble)).toInt
+    val side = autoSide(embeddings.count(), targetCell)
     val cap = if (maxCell > 0) maxCell else 4 * targetCell
     semanticDedupTwoLevel(embeddings, side, side, threshold, iters, cap,
       idCol, vecCol)

@@ -43,6 +43,28 @@ object Lake {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Build-once cache with a SOURCE-FINGERPRINT stamp (local-FS
+    * caches: derived signature/set/index tables the registry's
+    * persisted rows reuse across invocations). A bare `_SUCCESS` check
+    * has a stale-cache trap: if the source table is regenerated IN
+    * PLACE, the old cache keeps serving rows from the dead corpus and
+    * downstream results go wrong silently. This helper stamps the
+    * caller's cheap source fingerprint (row count, or min/max id)
+    * beside `_SUCCESS` and re-runs `build` whenever `_SUCCESS` or the
+    * stamp is missing or the fingerprint changed. `build` must leave
+    * `_SUCCESS` under `dir` (every Spark parquet write does). */
+  def buildOnce(dir: String, fingerprint: String)(build: => Unit): Unit = {
+    val stampPath = new java.io.File(dir, "_GRAFT_SOURCE_STAMP").toPath
+    val fresh = new java.io.File(dir, "_SUCCESS").exists() &&
+      java.nio.file.Files.exists(stampPath) &&
+      java.nio.file.Files.readString(stampPath) == fingerprint
+    if (!fresh) {
+      build
+      java.nio.file.Files.writeString(stampPath, fingerprint)
+      ()
+    }
+  }
+
   /** Snappy-parquet overwrite write, optionally hive-partitioned
     * (reference: src/common/s3.py:195-227). */
   def write(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {

@@ -51,7 +51,8 @@ class SparkEntrySpec extends SparkSuite {
     val loopy = Set("q_stream_ingest_final", "q_bpe_train", "q_kmeans",
       "q_semantic_dedup", "q_semantic_capped", "q_dedup_embeddings", "q_pca",
       "q_two_level_cells", "q_semantic_twolevel", "q_two_level_topk",
-      "q_kmeans_wide", "q_two_level_cells_wide", "q_two_level_persisted")
+      "q_kmeans_wide", "q_two_level_cells_wide", "q_two_level_persisted",
+      "q_two_level_knn_multi", "q_two_level_append", "q_two_level_drift")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (loopy(name)) None
       else scala.util.Try(fn(spark, d).count()).failed.toOption
@@ -80,7 +81,8 @@ class SparkEntrySpec extends SparkSuite {
     val loopy = Set("q_stream_ingest_final", "q_bpe_train", "q_kmeans",
       "q_semantic_dedup", "q_semantic_capped", "q_dedup_embeddings", "q_pca",
       "q_two_level_cells", "q_semantic_twolevel", "q_two_level_topk",
-      "q_kmeans_wide", "q_two_level_cells_wide", "q_two_level_persisted")
+      "q_kmeans_wide", "q_two_level_cells_wide", "q_two_level_persisted",
+      "q_two_level_knn_multi", "q_two_level_append", "q_two_level_drift")
     import org.apache.spark.sql.catalyst.expressions.NTile
     // every allowed empty-partition window runs over a table bounded
     // by a QUERY PARAMETER, never the fact — the justification is the
@@ -95,6 +97,7 @@ class SparkEntrySpec extends SparkSuite {
       "q_lorenz" -> "same: tile table bounded by `buckets`",
       "q_pq_adc" -> "rank over k centroids per subspace, k a query parameter",
       "q_pq_encode" -> "same k-bounded codebook ranking",
+      "q_pq_encode_wide" -> "same k-bounded codebook ranking (k=40 seed window, post-limit)",
       "q_share_hierarchy" -> "grand-total window over the 25-row nation aggregate",
       "q_temperature_mix" -> "domain-count table: one row per domain")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -134,7 +137,8 @@ class SparkEntrySpec extends SparkSuite {
     val loopy = Set("q_stream_ingest_final", "q_bpe_train", "q_kmeans",
       "q_semantic_dedup", "q_semantic_capped", "q_dedup_embeddings", "q_pca",
       "q_two_level_cells", "q_semantic_twolevel", "q_two_level_topk",
-      "q_kmeans_wide", "q_two_level_cells_wide", "q_two_level_persisted")
+      "q_kmeans_wide", "q_two_level_cells_wide", "q_two_level_persisted",
+      "q_two_level_knn_multi", "q_two_level_append", "q_two_level_drift")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (loopy(name)) None
       else scala.util.Try {

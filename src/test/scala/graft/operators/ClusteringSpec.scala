@@ -246,6 +246,107 @@ class ClusteringSpec extends SparkSuite {
     spark.sql(s"DROP TABLE $table")
   }
 
+  test("twoLevelTopKMulti == Q sequential probes, through ONE bucket-pruned scan") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (idx, cbs) = Clustering.twoLevelIndex(emb, k1 = 4, k2 = 4)
+    val root = java.nio.file.Files.createTempDirectory("graft_tl_multi_spec").toString
+    val table = "tl_multi_spec_" + java.lang.Long.toHexString(System.nanoTime())
+    Clustering.twoLevelWriteIndex(idx, cbs, table, root, nBuckets = 16)
+    val (disk, cbs2) = Clustering.twoLevelOpenIndex(spark, table, root, nBuckets = 16)
+    val qids = Seq(1L, 7L, 13L)
+    val qvecs = qids.map(id => id -> Similarity.vectorOf(emb, id))
+    val multi = Clustering.twoLevelTopKMulti(disk, cbs2, qvecs, k = 10, nprobe = 4)
+    // equivalence: each query's slice == its sequential twoLevelTopK
+    val got = multi.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = qvecs.flatMap { case (qid, qv) =>
+      Clustering.twoLevelTopK(disk, cbs2, qv, k = 10, nprobe = 4).collect()
+        .map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }
+    assert(got === want, "batched probe diverged from sequential probes")
+    // THE plan gate the batched form exists for: ONE scan of the index
+    // (never Q), and that scan bucket-pruned to the UNION of the
+    // per-query nprobe cell sets. AQE's toString repeats the tree under
+    // "== Initial Plan ==" — gate the FINAL plan section only.
+    val plan = multi.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(plan).toSeq
+    assert(scans.size === 1,
+      s"expected exactly ONE bucket-pruned index scan, found ${scans.size}:\n$plan")
+    assert(scans.head.group(2).toInt === 16 &&
+      scans.head.group(1).toInt <= 3 * 4,
+      s"probe read ${scans.head.group(1)} of 16 buckets — expected <= Q*nprobe (12)")
+    spark.sql(s"DROP TABLE $table")
+  }
+
+  test("twoLevelAppend: no retrain, probes stay bucket-pruned and find appended rows") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = emb.where(col("vec_id") % 2 === 0)
+    val delta = emb.where(col("vec_id") % 2 === 1)
+    val root = java.nio.file.Files.createTempDirectory("graft_tl_append_spec").toString
+    val table = "tl_append_spec_" + java.lang.Long.toHexString(System.nanoTime())
+    val (idx, cbs) = Clustering.twoLevelIndex(base, k1 = 4, k2 = 4)
+    Clustering.twoLevelWriteIndex(idx, cbs, table, root, nBuckets = 16)
+    val cbsBefore = Clustering.twoLevelOpenIndex(spark, table, root, 16)._2
+    Clustering.twoLevelAppend(spark, table, root, nBuckets = 16, delta)
+    val (disk, cbs2) = Clustering.twoLevelOpenIndex(spark, table, root, nBuckets = 16)
+    // every base AND appended row is in the table; codebooks FROZEN
+    assert(disk.count() === emb.count())
+    assert(cbs2.map { case (c, v) => (c, v.toSeq) }.toSeq ===
+      cbsBefore.map { case (c, v) => (c, v.toSeq) }.toSeq,
+      "append must not touch the trained codebooks")
+    // probe for an APPENDED vector: its frozen-assign cell is the
+    // argmin combined centroid — the same metric the probe ranks cells
+    // by — so rank-1 always scans it and the self-hit must appear
+    val q = Similarity.vectorOf(emb, 7L)
+    val res = Clustering.twoLevelTopK(disk, cbs2, q, 10, nprobe = 4)
+    val plan = res.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined && sel.get.group(1).toInt <= 4,
+      s"post-append probe lost bucket pruning:\n$plan")
+    assert(res.collect().map(_.getLong(0)).contains(7L),
+      "probe lost an appended vector")
+    spark.sql(s"DROP TABLE $table")
+  }
+
+  test("twoLevelDrift anchors: same-distribution append ~1x (no retrain), 3x-scaled ~9x (retrain)") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = emb.where(col("vec_id") % 2 === 0)
+    val delta = emb.where(col("vec_id") % 2 === 1)
+    val (idx, cbs) = Clustering.twoLevelIndex(base, k1 = 4, k2 = 4)
+    val idxPinned = idx.localCheckpoint()
+    def pooledRatio(drift: org.apache.spark.sql.DataFrame): Double = {
+      val r = drift.where(col("n_new").isNotNull)
+        .agg((sum(col("new_mean_d2") * col("n_new")) / sum(col("n_new"))) /
+          (sum(col("base_mean_d2") * col("n_base")) / sum(col("n_base"))))
+        .head()
+      r.getDouble(0)
+    }
+    // same-distribution batch: quantization error matches the build
+    // baseline (measured anchor: ratio ~= 1 on the real sf0.001 halves)
+    val same = Clustering.twoLevelDrift(idxPinned,
+      Clustering.twoLevelAssignFrozen(delta, cbs))
+    val rSame = pooledRatio(same)
+    assert(rSame > 0.5 && rSame < 1.5, s"same-distribution ratio drifted: $rSame")
+    assert(!Clustering.twoLevelRetrainNeeded(same),
+      s"rule fired on a same-distribution append (ratio $rSame)")
+    // distribution shift: 3x-scaled vectors against the unscaled
+    // codebook — dist2 is squared, so the ratio lands near 9x
+    val shifted = delta.withColumn("embedding",
+      transform(col("embedding"), x => x * lit(3.0f)))
+    val shift = Clustering.twoLevelDrift(idxPinned,
+      Clustering.twoLevelAssignFrozen(shifted, cbs))
+    val rShift = pooledRatio(shift)
+    assert(rShift > 4.0, s"shifted-batch ratio too small to anchor the rule: $rShift")
+    assert(Clustering.twoLevelRetrainNeeded(shift),
+      s"rule missed a distribution shift (ratio $rShift)")
+    // the tolerance sits between the two measured anchors with margin
+    assert(rSame < Clustering.TwoLevelDriftTolerance * 0.75 &&
+      rShift > Clustering.TwoLevelDriftTolerance * 2,
+      s"anchors too close to the tolerance: $rSame / $rShift vs ${Clustering.TwoLevelDriftTolerance}")
+  }
+
   test("pqTrainEncode emits m codes per vector in [0, k), stable under partitioning") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val (codes, cbs) = Clustering.pqTrainEncode(emb, m = 4, k = 8, iters = 2, dim = 64)
@@ -289,13 +390,34 @@ class ClusteringSpec extends SparkSuite {
     // would become certification by near-tie luck. 500 embeddings at
     // sf0.001/sf0.01 and 2000 at sf0.1 are the driver's testdata
     // contract (TESTDATA.md).
-    def side(n: Long) =
-      math.ceil(math.sqrt(((n + 24) / 25).toDouble)).toInt
+    // asserts against the wrapper's OWN derivation (Clustering.autoSide),
+    // not a local re-spelling that could silently diverge from it
+    def side(n: Long) = Clustering.autoSide(n, targetCell = 25)
     assert(side(500) === 5)
     assert(side(2000) === 9)
     assert(side(2000) <= Clustering.ExactArgminMaxK,
       "q_semantic_twolevel_auto's sf0.1 derivation crossed the norm-trick " +
         "bound — re-oracle the row with the wide spelling or lower targetCell")
+    // EVERY registry k whose oracle replays the EXACT left-fold argmin
+    // (lloydCtes / twoLevelCtes / pqTrainCtes) must sit at or under the
+    // bound, or the Scala side silently switches to the norm-trick
+    // branch while the DuckDB side keeps folding — certification by
+    // construction degrades to near-tie luck (the round-12 q_pq_recall
+    // lesson: its k=16 config crossed the bound and had to be
+    // re-oracled with pqWideCtes). Update this list when registering a
+    // new exact-oracled row or re-oracling one wide.
+    val exactOracledKs = Map(
+      "q_kmeans/q_semantic_dedup/q_semantic_capped/q_drop_audit (lloydCtes)" -> 8,
+      "q_two_level_* coarse+fine (twoLevelCtes(4,4))" -> 4,
+      "q_two_level_cells_wide coarse level (twoLevelWideCtes(2,40))" -> 2,
+      "q_pq_encode/q_pq_adc/q_pq_persisted (pqTrainCtes(4,8))" -> 8,
+      "q_semantic_twolevel_auto sf0.1 side (lloydCtesE auto)" -> side(2000))
+    exactOracledKs.foreach { case (row, k) =>
+      assert(k <= Clustering.ExactArgminMaxK,
+        s"$row replays the exact argmin at k=$k > ExactArgminMaxK=" +
+          s"${Clustering.ExactArgminMaxK} — the Scala side would take the " +
+          "norm-trick branch; re-oracle wide or raise the bound")
+    }
   }
 
   test("tlAssign: the large-k2 norm-trick argmin agrees with the exact spelling") {

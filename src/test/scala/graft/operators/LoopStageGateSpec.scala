@@ -99,9 +99,9 @@ class LoopStageGateSpec extends SparkSuite {
 
   test("wide-k norm-trick loop stages (q_kmeans_wide, q_two_level_cells_wide)") {
     // same gate battery as the small-k stages, PLUS the branch
-    // assertion: past kHint=32 the plan must carry the codegen'd
-    // graft_dot norm trick, not the interpreted HOF dist2 over all
-    // (vector, centroid) pairs — the at-scale arithmetic the
+    // assertion: past kHint=ExactArgminMaxK the plan must carry the
+    // codegen'd graft_dot norm trick, not the interpreted HOF dist2
+    // over all (vector, centroid) pairs — the at-scale arithmetic the
     // registered wide rows now hash-certify per round
     val seeds = Clustering.seedCentroids(emb, 40, "vec_id", "embedding")
     val assigned = Clustering.assignCells(emb, seeds, "vec_id", "embedding",
@@ -109,7 +109,7 @@ class LoopStageGateSpec extends SparkSuite {
     PlanGates.assertCleanStage("assignCells wide (iter 1)", assigned,
       allowGlobalWindow = true)
     assert(assigned.queryExecution.optimizedPlan.toString.contains("graft_dot"),
-      "kHint>32 assignCells did not take the codegen'd norm-trick branch")
+      "kHint>ExactArgminMaxK assignCells did not take the codegen'd norm-trick branch")
     val cent2 = Clustering.updateCentroids(assigned.localCheckpoint())
     val steady = Clustering.assignCells(emb, cent2, "vec_id", "embedding",
       kHint = 40)
@@ -122,7 +122,22 @@ class LoopStageGateSpec extends SparkSuite {
     val tl = Clustering.twoLevelAssign(emb, k1 = 2, k2 = 40)
     PlanGates.assertCleanStage("twoLevelAssign wide fine", tl)
     assert(tl.queryExecution.optimizedPlan.toString.contains("graft_dot"),
-      "kHint>32 tlAssign did not take the codegen'd norm-trick branch")
+      "kHint>ExactArgminMaxK tlAssign did not take the codegen'd norm-trick branch")
+    // wide PQ level: q_pq_encode_wide's m=4, k=40 config — the third
+    // at-scale argmin spelling, same branch gate as the other two
+    val slices = Clustering.pqSlices(emb, m = 4, dim = 64, "vec_id", "embedding")
+      .localCheckpoint()
+    val seedIds = emb.orderBy(col("vec_id")).limit(40)
+      .select(col("vec_id"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("vec_id"))) - 1).as("cell"))
+    val pqCbs = slices.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("subspace"), col("cell"), col("sv").as("cvec"))
+      .localCheckpoint()
+    val pq = Clustering.pqAssign(slices, pqCbs, "vec_id", kHint = 40)
+    PlanGates.assertCleanStage("pqAssign wide", pq)
+    assert(pq.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      "kHint>ExactArgminMaxK pqAssign did not take the codegen'd norm-trick branch")
   }
 
   test("embedding-CC dedup stages: LSH candidate pairs, keeper join (q_dedup_embeddings)") {

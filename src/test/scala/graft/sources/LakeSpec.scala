@@ -553,6 +553,33 @@ class LakeSpec extends SparkSuite {
       === Set((2L, "real")), "the ghost content must be gone")
   }
 
+  test("buildOnce: skips on a matching stamp, rebuilds when the source fingerprint changes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-build-once").toString
+    var builds = 0
+    def build(payload: Long): Unit = {
+      builds += 1
+      Seq(payload).toDF("v").write.mode("overwrite").parquet(dir)
+    }
+    // first call: no cache -> builds and stamps
+    Lake.buildOnce(dir, "src:100") { build(1L) }
+    assert(builds === 1)
+    // same fingerprint: cache hit, no rebuild
+    Lake.buildOnce(dir, "src:100") { build(2L) }
+    assert(builds === 1)
+    assert(spark.read.parquet(dir).as[Long].head() === 1L)
+    // the SOURCE MUTATES (regenerated in place -> row count changes):
+    // the stale-cache trap the stamp exists for — must rebuild
+    Lake.buildOnce(dir, "src:250") { build(3L) }
+    assert(builds === 2, "a changed source fingerprint must force a rebuild")
+    assert(spark.read.parquet(dir).as[Long].head() === 3L,
+      "readers must see the rebuilt cache, not the dead corpus's rows")
+    // a cache directory missing _SUCCESS (crashed build) also rebuilds
+    new java.io.File(dir, "_SUCCESS").delete()
+    Lake.buildOnce(dir, "src:250") { build(4L) }
+    assert(builds === 3, "a _SUCCESS-less cache must rebuild even with a matching stamp")
+  }
+
   test("pruneVersions keeps the newest k and never the published target") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-versions-prune").toString
