@@ -215,6 +215,113 @@ object ProbeOp {
       }
       spark.stop(); return
     }
+    // batched-vs-sequential probe measurement for twoLevelTopKMulti:
+    // the SAME 20 queries as twoLevelProbe, one twoLevelTopKMulti call
+    // per rep — the claim this measures: Q queries union their nprobe
+    // cells into ONE scan, so the batch should cost ~one probe's wall,
+    // not 20 (sequential measured 0.138/0.186/0.222 s/probe across
+    // ×10/×100/×1000). Reuses twoLevelProbe's stamped on-disk index
+    // (same cache key), so run twoLevelProbe first or pay the build.
+    if (op == "twoLevelProbeMulti") {
+      val n = emb.count()
+      val side = math.ceil(math.sqrt(((n + 249) / 250).toDouble)).toInt
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_probe_tlidx_x${factor}_n${n}_s$side").toString
+      val table = s"probe_tl_idx_x${factor}_n${n}_s$side"
+      if (!new java.io.File(s"$root/index/_SUCCESS").exists()) {
+        val t0 = System.nanoTime()
+        val (index, cbs) = graft.operators.Clustering.twoLevelIndex(emb, side, side)
+        graft.operators.Clustering.twoLevelWriteIndex(index, cbs, table, root,
+          nBuckets = 64)
+        println(f"[probeop] twoLevelProbeMulti x$factor build+persist side=$side " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      val (idx, cbs) = graft.operators.Clustering.twoLevelOpenIndex(
+        spark, table, root, nBuckets = 64)
+      val queries = (0 until 20).map(i => (i.toLong,
+        graft.operators.Similarity.vectorOf(emb, (i * 37 + 1).toLong)))
+      (1 to reps).foreach { r =>
+        val t0 = System.nanoTime()
+        val hits = graft.operators.Clustering
+          .twoLevelTopKMulti(idx, cbs, queries, k = 10, nprobe = 8).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[probeop] twoLevelProbeMulti x$factor rep$r side=$side " +
+          f"20 queries ONE plan $dt%8.2f s (${dt / 20}%.3f s/query, $hits rows)")
+      }
+      spark.stop(); return
+    }
+    // incremental-append cost at scale: open (or build) the stamped
+    // index, frozen-assign + bucket-insert a FIXED 2000-vector batch,
+    // and report the append wall — the number that replaces the
+    // full-rebuild cost per ingest batch. Appends mutate the table, so
+    // each rep uses a FRESH COPY of nothing: reps re-append (the table
+    // grows by 2k rows/rep — negligible against factor·2000 base rows).
+    if (op == "twoLevelAppendProbe") {
+      val n = emb.count()
+      val side = math.ceil(math.sqrt(((n + 249) / 250).toDouble)).toInt
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_probe_tlidx_x${factor}_n${n}_s$side").toString
+      val table = s"probe_tl_idx_x${factor}_n${n}_s$side"
+      if (!new java.io.File(s"$root/index/_SUCCESS").exists()) {
+        val t0 = System.nanoTime()
+        val (index, cbs) = graft.operators.Clustering.twoLevelIndex(emb, side, side)
+        graft.operators.Clustering.twoLevelWriteIndex(index, cbs, table, root,
+          nBuckets = 64)
+        println(f"[probeop] twoLevelAppendProbe x$factor build+persist side=$side " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      val batch = emb0.withColumn("vec_id", col("vec_id") + lit(factor * n * 100L))
+        .cache()
+      val bn = batch.count()
+      (1 to reps).foreach { r =>
+        val t0 = System.nanoTime()
+        val appended = graft.operators.Clustering.twoLevelAppend(
+          spark, table, root, nBuckets = 64,
+          batch.withColumn("vec_id", col("vec_id") + lit(r.toLong)))
+        val dt = (System.nanoTime() - t0) / 1e9
+        val drift = graft.operators.Clustering.twoLevelDrift(
+          spark.table(table), appended)
+        val retrain = graft.operators.Clustering.twoLevelRetrainNeeded(drift)
+        println(f"[probeop] twoLevelAppendProbe x$factor rep$r side=$side " +
+          f"append($bn rows) $dt%8.2f s (retrainNeeded=$retrain)")
+      }
+      spark.stop(); return
+    }
+    // the build-cost split (round-12 verdict stretch #7): where do the
+    // 904 − 576 = 328 s go at ×1000 — the bucketed sort+write, or the
+    // training? Time twoLevelIndex (train + assign + join back to
+    // storage vectors) and twoLevelWriteIndex (bucketBy sort + write)
+    // SEPARATELY, at a bucket count from SPARK_GRAFT_BUCKETS (default
+    // 64) and the session's shuffle partitions (SPARK_GRAFT_SHUFFLE
+    // overrides for the write stage).
+    if (op == "twoLevelBuildSplit") {
+      val n = emb.count()
+      val side = math.ceil(math.sqrt(((n + 249) / 250).toDouble)).toInt
+      val buckets = sys.env.get("SPARK_GRAFT_BUCKETS").map(_.toInt).getOrElse(64)
+      sys.env.get("SPARK_GRAFT_SHUFFLE").foreach(s =>
+        spark.conf.set("spark.sql.shuffle.partitions", s))
+      (1 to reps).foreach { r =>
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_buildsplit_x$factor").toString
+        val table = s"buildsplit_x${factor}_r${r}_" +
+          java.lang.Long.toHexString(System.nanoTime())
+        var t0 = System.nanoTime()
+        val (index, cbs) = graft.operators.Clustering.twoLevelIndex(emb, side, side)
+        // force the training+assignment: count the index frame (the
+        // write below re-reads it, but the split wants train vs write)
+        val pinned = index.localCheckpoint()
+        val rows = pinned.count()
+        val tTrain = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        graft.operators.Clustering.twoLevelWriteIndex(pinned, cbs, table, root, buckets)
+        val tWrite = (System.nanoTime() - t0) / 1e9
+        println(f"[probeop] twoLevelBuildSplit x$factor rep$r side=$side " +
+          f"buckets=$buckets shuffle=${spark.conf.get("spark.sql.shuffle.partitions")} " +
+          f"train+assign $tTrain%8.2f s, bucketed write $tWrite%8.2f s ($rows rows)")
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+      }
+      spark.stop(); return
+    }
     // the kHint crossover sweep (round-12 verdict #3): time ONE
     // assignment pass over the replicated embeddings at each k, under
     // BOTH argmin spellings — exact left-fold HOF (kHint=0 forces the

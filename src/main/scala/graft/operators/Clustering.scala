@@ -415,7 +415,14 @@ object Clustering {
     var cbs = tlSeed(coarse, k2, idCol)
     var fine = tlAssign(coarse, cbs, idCol, broadcastCodebooks, kHint = k2)
     for (_ <- 2 to iters) {
-      cbs = tlUpdate(fine)
+      // pin each iteration's codebooks (k1·k2 rows — bytes, not data):
+      // the returned cbs AND the final fine assignment both hang off
+      // this frame, and without the pin every downstream action
+      // (codebook collect, index write, drift report) re-runs the
+      // whole fine-training chain — the ×1000 build-split probe
+      // measured the duplicated recompute at ~2× the build wall
+      // (904 s unpinned vs 480 s train-once + 5 s write)
+      cbs = tlUpdate(fine).localCheckpoint(eager = false)
       fine = tlAssign(coarse, cbs, idCol, broadcastCodebooks, kHint = k2)
     }
     (fine.select(col(idCol), col("cell1"), col("fine"),
@@ -443,8 +450,13 @@ object Clustering {
     // baseline [[twoLevelDrift]] compares appended batches against —
     // one double per row, and parquet column pruning keeps probes
     // ([[twoLevelTopK]]) from ever reading it
+    // pin the assembled index: the codebook collect below is the first
+    // action, and the caller's write/probe/drift actions must reuse
+    // the one training run instead of replaying the final assignment
+    // scan per action (the other half of the ×1000 build-split win)
     val index = assigned.select(col(idCol), col("cell"), col("dist2"))
       .join(embeddings.select(col(idCol), col(vecCol)), Seq(idCol))
+      .localCheckpoint(eager = false)
     val centers = cbs.collect()
       .map(r => (r.getInt(0).toLong * k2 + r.getInt(1),
         r.getSeq[Double](2).toArray))
