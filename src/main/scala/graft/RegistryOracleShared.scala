@@ -489,13 +489,13 @@ private[graft] object OracleShared {
     // lowest-id seeds, one micro-sum Lloyd update, final assignment —
     // the q_kmeans oracle with a subspace dimension. MATERIALIZED pins
     // each stage to one evaluation.
-    def pqTrainCtes(m: Int, k: Int) = {
+    def pqTrainCtes(m: Int, k: Int, src: String = "embeddings") = {
       val w = 64 / m
       val subs = (0 until m).mkString(", ")
       val dist = "list_reduce([(sv[i]-cvec[i])*(sv[i]-cvec[i]) " +
         "for i in range(1, len(sv)+1)], (x, y) -> x + y)"
       s"""e AS MATERIALIZED (
-              SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+              SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM $src),
           sl AS MATERIALIZED (
               SELECT vec_id, s.s AS subspace, v[s.s*$w+1 : (s.s+1)*$w] AS sv
               FROM e, (SELECT unnest([$subs]) AS s) s),

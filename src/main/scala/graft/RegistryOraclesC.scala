@@ -1027,6 +1027,45 @@ private[graft] object RegistryOraclesC {
              round(d, 6) AS dist2
            FROM a2 ORDER BY vec_id, subspace""",
       "q_pq_adc" -> pqAdcOracle,
+      "q_pq_append" -> { // PQ incremental maintenance replayed from scratch:
+        // train on the even half (pqTrainCtes over a filtered source),
+        // frozen-encode the odd half against m1 (the pqEncodeFrozen
+        // spelling — exact argmin, k=8 under the bound), union the
+        // codes, ADC probe for the APPENDED query vec_id=1
+        val dist = "list_reduce([(sv[i]-cvec[i])*(sv[i]-cvec[i]) " +
+          "for i in range(1, len(sv)+1)], (x, y) -> x + y)"
+        s"""WITH ${pqTrainCtes(4, 8,
+              "(SELECT * FROM embeddings WHERE vec_id % 2 = 0) pq_base")},
+             ne AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v
+                    FROM embeddings WHERE vec_id % 2 = 1),
+             nsl AS (SELECT vec_id, s.s AS subspace, v[s.s*16+1 : (s.s+1)*16] AS sv
+                     FROM ne, (SELECT unnest([0, 1, 2, 3]) AS s) s),
+             na AS (SELECT nsl.vec_id, nsl.subspace, m1.cell, $dist AS d
+                    FROM nsl JOIN m1 ON m1.subspace = nsl.subspace
+                    QUALIFY row_number() OVER (PARTITION BY nsl.vec_id, nsl.subspace
+                      ORDER BY d, m1.cell) = 1),
+             allc AS (SELECT vec_id, subspace, cell FROM a2
+                      UNION ALL SELECT vec_id, subspace, cell FROM na),
+             q AS (SELECT [x::DOUBLE for x in embedding] AS v
+                   FROM embeddings WHERE vec_id = 1),
+             qs AS (SELECT s.s AS subspace, q.v[s.s*16+1 : (s.s+1)*16] AS qsv
+                    FROM q, (SELECT unnest([0, 1, 2, 3]) AS s) s),
+             pd AS (SELECT allc.vec_id, allc.subspace,
+                      list_reduce([(qs.qsv[i] - m1.cvec[i]) * (qs.qsv[i] - m1.cvec[i])
+                                   for i in range(1, len(qs.qsv)+1)],
+                        (x, y) -> x + y) AS d
+                    FROM allc
+                    JOIN m1 ON m1.subspace = allc.subspace AND m1.cell = allc.cell
+                    JOIN qs ON qs.subspace = allc.subspace),
+             adc AS (SELECT vec_id,
+                       list_reduce(list(d ORDER BY subspace), (x, y) -> x + y)
+                         AS adc_raw
+                     FROM pd GROUP BY vec_id),
+             sel AS (SELECT vec_id, adc_raw FROM adc
+                     ORDER BY adc_raw, vec_id LIMIT 10)
+           SELECT vec_id, round(adc_raw, 6) AS adc_dist2
+           FROM sel ORDER BY adc_raw, vec_id"""
+      },
       // persisted-index twin: identical ADC math, probe side reads the
       // materialized codes/codebooks — same oracle by construction
       // (the q_jaccard_persisted discipline)

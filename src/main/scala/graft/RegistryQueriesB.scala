@@ -967,6 +967,26 @@ private[graft] object RegistryQueriesB {
         .orderBy(col("adc_dist2"), col("vec_id"))
         .select(col("vec_id"), round(col("adc_dist2"), 6).as("adc_dist2"))
     }),
+    // incremental maintenance for the PQ family (the q_two_level_append
+    // discipline): train+persist on the even half, frozen-encode and
+    // APPEND the odd half's codes — codebooks never touched — then ADC
+    // probe the full codes table for an APPENDED query vector; the
+    // oracle replays train+encode-delta+probe from scratch. Fresh temp
+    // dir per invocation (appends are not idempotent).
+    "q_pq_append" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val base = emb.where(col("vec_id") % 2 === 0)
+      val delta = emb.where(col("vec_id") % 2 === 1)
+      val (codes, cbs) = Clustering.pqTrainEncode(base, m = 4, k = 8,
+        iters = 2, dim = 64)
+      val root = java.nio.file.Files.createTempDirectory("graft_pq_append").toString
+      Clustering.pqWriteIndex(codes, cbs, root)
+      Clustering.pqAppend(s, root, delta, m = 4, k = 8, dim = 64)
+      val (codes2, cbs2) = Clustering.pqReadIndex(s, root)
+      Clustering.pqTopK(codes2, cbs2, Similarity.vectorOf(emb, 1L), m = 4, k = 10)
+        .orderBy(col("adc_dist2"), col("vec_id"))
+        .select(col("vec_id"), round(col("adc_dist2"), 6).as("adc_dist2"))
+    }),
     // SemDeDup: within-cell cosine pairs on the same deterministic
     // quantizer; one-hop min-id keeper flag. The REGISTERED row is the
     // deployment form — semanticDedup's default maxCell (1024) caps the

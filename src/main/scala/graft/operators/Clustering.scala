@@ -627,6 +627,10 @@ object Clustering {
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(queries.nonEmpty && nprobe > 0 && k > 0,
       s"queries, k and nprobe must be non-empty/positive: q=${queries.size} k=$k nprobe=$nprobe")
+    // a duplicated query id would double its candidate rows through the
+    // (query_id, cell) join and corrupt that query's rank — fail loud
+    require(queries.map(_._1).distinct.size == queries.size,
+      "twoLevelTopKMulti: query ids must be distinct")
     def d2(c: Array[Double], q: Seq[Double]): Double = {
       var s = 0.0
       var i = 0
@@ -918,6 +922,41 @@ object Clustering {
   def pqReadIndex(spark: org.apache.spark.sql.SparkSession,
                   root: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$root/codes"), spark.read.parquet(s"$root/codebooks"))
+
+  /** Encode NEW vectors against FROZEN per-subspace codebooks — the PQ
+    * twin of [[twoLevelAssignFrozen]]: no retraining, one pass of
+    * [[pqAssign]] (slices join the broadcast m·k codebook, argmin per
+    * slice), the exact same arithmetic a build-time encode runs, so a
+    * from-scratch replay of train-on-base + encode-delta certifies the
+    * path. Returns the [[pqTrainEncode]] codes contract:
+    * (idCol, subspace, code, dist2). */
+  def pqEncodeFrozen(newVecs: DataFrame, codebooks: DataFrame, m: Int, k: Int,
+                     dim: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame =
+    pqAssign(pqSlices(newVecs, m, dim, idCol, vecCol), codebooks, idCol,
+      kHint = k)
+      .select(col(idCol), col("subspace"), col("code"), col("dist2"))
+
+  /** Append a batch to a persisted PQ index without retraining:
+    * frozen-encode against the stored codebooks, append the m codes per
+    * vector to the codes table — the codebooks table is never touched.
+    * Per ingest batch this costs one encode pass over Δ rows plus an
+    * m·Δ-row parquet append, vs a full corpus re-encode; ADC probes
+    * ([[pqTopK]]) see base and appended codes transparently. The
+    * returned encoding (with its exact dist2) is the drift signal —
+    * the same quantization-error ratio discipline as
+    * [[twoLevelDrift]], with codes keyed by (subspace, code). */
+  def pqAppend(spark: org.apache.spark.sql.SparkSession, root: String,
+               newVecs: DataFrame, m: Int, k: Int, dim: Int,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val (_, codebooks) = pqReadIndex(spark, root)
+    val encoded = pqEncodeFrozen(newVecs, codebooks, m, k, dim, idCol, vecCol)
+      .localCheckpoint(eager = false)
+    encoded.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$root/codes")
+    encoded
+  }
 
   /** Asymmetric-distance (ADC) top-k: approximate squared L2 from the
     * query's RAW slices to each base vector's RECONSTRUCTION — the

@@ -411,6 +411,7 @@ class ClusteringSpec extends SparkSuite {
       "q_two_level_* coarse+fine (twoLevelCtes(4,4))" -> 4,
       "q_two_level_cells_wide coarse level (twoLevelWideCtes(2,40))" -> 2,
       "q_pq_encode/q_pq_adc/q_pq_persisted (pqTrainCtes(4,8))" -> 8,
+      "q_pq_append train + frozen encode (pqTrainCtes(4,8,src) + exact argmin)" -> 8,
       "q_semantic_twolevel_auto sf0.1 side (lloydCtesE auto)" -> side(2000))
     exactOracledKs.foreach { case (row, k) =>
       assert(k <= Clustering.ExactArgminMaxK,
@@ -458,6 +459,33 @@ class ClusteringSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).sorted.toSeq
     // same codes AND the same exact-spelling dist2 from both paths
     assert(codes(40) === codes(0))
+  }
+
+  test("pqAppend: frozen encode is the build encode; appended codes are ADC-searchable") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = emb.where(col("vec_id") % 2 === 0)
+    val delta = emb.where(col("vec_id") % 2 === 1)
+    val (codes, cbs) = Clustering.pqTrainEncode(base, m = 4, k = 8, iters = 2, dim = 64)
+    // law: re-encoding the TRAINING vectors against the frozen final
+    // codebooks reproduces the build-time codes exactly (the build's
+    // last step IS this assignment)
+    val reEnc = Clustering.pqEncodeFrozen(base, cbs, m = 4, k = 8, dim = 64)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "subspace", "code").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    assert(key(reEnc) === key(codes))
+    // disk round-trip + append: codes table grows by m rows per new
+    // vector, codebooks untouched, ADC finds the appended query itself
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_append_spec").toString
+    Clustering.pqWriteIndex(codes, cbs, root)
+    Clustering.pqAppend(spark, root, delta, m = 4, k = 8, dim = 64)
+    val (codes2, cbs2) = Clustering.pqReadIndex(spark, root)
+    assert(codes2.count() === 4L * emb.count())
+    assert(cbs2.collect().length === cbs.collect().length)
+    val adcTop = Clustering.pqTopK(codes2, cbs2,
+      Similarity.vectorOf(emb, 7L), m = 4, k = 25)
+      .collect().map(_.getLong(0)).toSet
+    assert(adcTop.contains(7L), "ADC lost the appended query vector")
   }
 
   test("pq reconstruction error shrinks with training; ADC finds the query's cluster") {
