@@ -182,7 +182,12 @@ object ProbeOp {
     // factors while the index under it grows 10× — the property that
     // makes the index worth persisting at 100 TB. Build cost prints
     // separately (paid once per factor, cached on disk across reps).
-    if (op == "twoLevelProbe") {
+    // shared by the twoLevel* probe ops: ensure the stamped probe index
+    // exists on disk (build once per (factor, n, side) key) and return
+    // its location. READ-ONLY contract for the shared cache — mutating
+    // ops (the append probe) must copy it first, or every later probe
+    // run would silently measure a grown corpus.
+    def ensureProbeIndex(opName: String): (String, String, Int, Long) = {
       val n = emb.count()
       val side = math.ceil(math.sqrt(((n + 249) / 250).toDouble)).toInt
       // cache key carries the corpus fingerprint (n) and the derived
@@ -198,9 +203,30 @@ object ProbeOp {
         val (index, cbs) = graft.operators.Clustering.twoLevelIndex(emb, side, side)
         graft.operators.Clustering.twoLevelWriteIndex(index, cbs, table, root,
           nBuckets = 64)
-        println(f"[probeop] twoLevelProbe x$factor build+persist side=$side " +
+        println(f"[probeop] $opName x$factor build+persist side=$side " +
           f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
+      (root, table, side, n)
+    }
+    def deleteRecursively(dir: String): Unit = {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val p = Paths.get(dir)
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    def copyDir(src: String, dst: String): Unit = {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val (sp, dp) = (Paths.get(src), Paths.get(dst))
+      Files.walk(sp).iterator().asScala.foreach { f =>
+        val t = dp.resolve(sp.relativize(f))
+        if (Files.isDirectory(f)) Files.createDirectories(t)
+        else Files.copy(f, t)
+      }
+    }
+    if (op == "twoLevelProbe") {
+      val (root, table, side, _) = ensureProbeIndex("twoLevelProbe")
       val (idx, cbs) = graft.operators.Clustering.twoLevelOpenIndex(
         spark, table, root, nBuckets = 64)
       val queries = (0 until 20).map(i =>
@@ -223,19 +249,7 @@ object ProbeOp {
     // ×10/×100/×1000). Reuses twoLevelProbe's stamped on-disk index
     // (same cache key), so run twoLevelProbe first or pay the build.
     if (op == "twoLevelProbeMulti") {
-      val n = emb.count()
-      val side = math.ceil(math.sqrt(((n + 249) / 250).toDouble)).toInt
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_probe_tlidx_x${factor}_n${n}_s$side").toString
-      val table = s"probe_tl_idx_x${factor}_n${n}_s$side"
-      if (!new java.io.File(s"$root/index/_SUCCESS").exists()) {
-        val t0 = System.nanoTime()
-        val (index, cbs) = graft.operators.Clustering.twoLevelIndex(emb, side, side)
-        graft.operators.Clustering.twoLevelWriteIndex(index, cbs, table, root,
-          nBuckets = 64)
-        println(f"[probeop] twoLevelProbeMulti x$factor build+persist side=$side " +
-          f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      }
+      val (root, table, side, _) = ensureProbeIndex("twoLevelProbeMulti")
       val (idx, cbs) = graft.operators.Clustering.twoLevelOpenIndex(
         spark, table, root, nBuckets = 64)
       val queries = (0 until 20).map(i => (i.toLong,
@@ -250,41 +264,43 @@ object ProbeOp {
       }
       spark.stop(); return
     }
-    // incremental-append cost at scale: open (or build) the stamped
-    // index, frozen-assign + bucket-insert a FIXED 2000-vector batch,
-    // and report the append wall — the number that replaces the
-    // full-rebuild cost per ingest batch. Appends mutate the table, so
-    // each rep uses a FRESH COPY of nothing: reps re-append (the table
-    // grows by 2k rows/rep — negligible against factor·2000 base rows).
+    // incremental-append cost at scale: frozen-assign + bucket-insert a
+    // FIXED 2000-vector batch and report the append wall — the number
+    // that replaces the full-rebuild cost per ingest batch. Appends
+    // MUTATE the table, so the probe works on a throwaway FILE COPY of
+    // the stamped cache (the shared cache stays read-only — a
+    // contaminated cache would silently skew every later probe run),
+    // deleted afterwards. Reps use disjoint id ranges; within one
+    // invocation the copy grows 2k rows/rep — negligible against the
+    // factor·2000 base.
     if (op == "twoLevelAppendProbe") {
-      val n = emb.count()
-      val side = math.ceil(math.sqrt(((n + 249) / 250).toDouble)).toInt
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_probe_tlidx_x${factor}_n${n}_s$side").toString
-      val table = s"probe_tl_idx_x${factor}_n${n}_s$side"
-      if (!new java.io.File(s"$root/index/_SUCCESS").exists()) {
-        val t0 = System.nanoTime()
-        val (index, cbs) = graft.operators.Clustering.twoLevelIndex(emb, side, side)
-        graft.operators.Clustering.twoLevelWriteIndex(index, cbs, table, root,
-          nBuckets = 64)
-        println(f"[probeop] twoLevelAppendProbe x$factor build+persist side=$side " +
-          f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      }
+      val (root, _, side, n) = ensureProbeIndex("twoLevelAppendProbe")
+      val copyRoot = java.nio.file.Files
+        .createTempDirectory(s"graft_probe_tlappend_x$factor").toString
+      copyDir(s"$root/index", s"$copyRoot/index")
+      copyDir(s"$root/codebooks", s"$copyRoot/codebooks")
+      val copyTable = "probe_tl_append_" +
+        java.lang.Long.toHexString(System.nanoTime())
+      // registers the external table over the copied files
+      graft.operators.Clustering.twoLevelOpenIndex(spark, copyTable, copyRoot,
+        nBuckets = 64)
       val batch = emb0.withColumn("vec_id", col("vec_id") + lit(factor * n * 100L))
         .cache()
       val bn = batch.count()
       (1 to reps).foreach { r =>
         val t0 = System.nanoTime()
         val appended = graft.operators.Clustering.twoLevelAppend(
-          spark, table, root, nBuckets = 64,
-          batch.withColumn("vec_id", col("vec_id") + lit(r.toLong)))
+          spark, copyTable, copyRoot, nBuckets = 64,
+          batch.withColumn("vec_id", col("vec_id") + lit(r * 10000000L)))
         val dt = (System.nanoTime() - t0) / 1e9
         val drift = graft.operators.Clustering.twoLevelDrift(
-          spark.table(table), appended)
+          spark.table(copyTable), appended)
         val retrain = graft.operators.Clustering.twoLevelRetrainNeeded(drift)
         println(f"[probeop] twoLevelAppendProbe x$factor rep$r side=$side " +
           f"append($bn rows) $dt%8.2f s (retrainNeeded=$retrain)")
       }
+      spark.sql(s"DROP TABLE IF EXISTS $copyTable")
+      deleteRecursively(copyRoot)
       spark.stop(); return
     }
     // the build-cost split (round-12 verdict stretch #7): where do the
@@ -307,18 +323,22 @@ object ProbeOp {
           java.lang.Long.toHexString(System.nanoTime())
         var t0 = System.nanoTime()
         val (index, cbs) = graft.operators.Clustering.twoLevelIndex(emb, side, side)
-        // force the training+assignment: count the index frame (the
-        // write below re-reads it, but the split wants train vs write)
-        val pinned = index.localCheckpoint()
-        val rows = pinned.count()
+        // force the training+assignment: twoLevelIndex already pins the
+        // index frame lazily, so one count materializes the pin and the
+        // write below reads the pinned blocks (the split's whole point)
+        val rows = index.count()
         val tTrain = (System.nanoTime() - t0) / 1e9
         t0 = System.nanoTime()
-        graft.operators.Clustering.twoLevelWriteIndex(pinned, cbs, table, root, buckets)
+        graft.operators.Clustering.twoLevelWriteIndex(index, cbs, table, root, buckets)
         val tWrite = (System.nanoTime() - t0) / 1e9
         println(f"[probeop] twoLevelBuildSplit x$factor rep$r side=$side " +
           f"buckets=$buckets shuffle=${spark.conf.get("spark.sql.shuffle.partitions")} " +
           f"train+assign $tTrain%8.2f s, bucketed write $tWrite%8.2f s ($rows rows)")
+        // writeBucketed makes an EXTERNAL table — dropping the catalog
+        // entry leaves the parquet behind; delete the dir too or a
+        // 3-rep x1000 run strands gigabytes in /tmp
         spark.sql(s"DROP TABLE IF EXISTS $table")
+        deleteRecursively(root)
       }
       spark.stop(); return
     }

@@ -1278,13 +1278,13 @@ private[graft] object RegistryOraclesC {
              a AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_new,
                      sum(CAST(round(d, 6) AS DECIMAL(18,6))) AS ns
                    FROM fad GROUP BY 1)
-           SELECT b.cell, b.n_base,
+           SELECT cell, n_base,
              round(CAST(bs AS DOUBLE) / n_base, 6) AS base_mean_d2,
-             a.n_new,
+             n_new,
              round(CAST(ns AS DOUBLE) / n_new, 6) AS new_mean_d2,
              round((CAST(ns AS DOUBLE) / n_new) /
                (CAST(bs AS DOUBLE) / n_base), 6) AS drift_ratio
-           FROM b LEFT JOIN a USING (cell) ORDER BY b.cell""",
+           FROM b FULL JOIN a USING (cell) ORDER BY cell""",
       "q_kmeans_wide" -> // the norm-trick argmin replayed verbatim (see
         // lloydWideCtes) — certifies the wide norm-trick branch by construction
         s"""WITH ${lloydWideCtes(40)}

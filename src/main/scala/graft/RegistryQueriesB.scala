@@ -38,7 +38,7 @@ private[graft] object RegistryQueriesB {
     val root = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_tl_idx_$sfx").toString
     val table = s"tl_idx_$sfx"
-    Lake.buildOnce(s"$root/index", s"embeddings:${emb.count()}") {
+    Lake.buildOnce(s"$root/index", "embeddings:" + Lake.fingerprint(emb)) {
       val (index, cbs) = graft.operators.Clustering.twoLevelIndex(emb,
         k1 = 4, k2 = 4)
       graft.operators.Clustering.twoLevelWriteIndex(index, cbs, table, root,
@@ -663,7 +663,8 @@ private[graft] object RegistryQueriesB {
         "graft_hist_sigs_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
       // stamped by source row count: a testdata dir regenerated in
       // place re-derives the signatures instead of probing a dead corpus
-      graft.sources.Lake.buildOnce(sigDir, s"documents:${docs.count()}") {
+      graft.sources.Lake.buildOnce(sigDir,
+        "documents:" + graft.sources.Lake.fingerprint(docs)) {
         Dedup.minhashSignatures(docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
           .write.mode("overwrite").parquet(sigDir)
       }
@@ -703,7 +704,8 @@ private[graft] object RegistryQueriesB {
         "graft_gram_sets_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
       val docs = t(s, d, "documents")
       // stamped by source row count (the q_new_near_persisted discipline)
-      graft.sources.Lake.buildOnce(setsDir, s"documents:${docs.count()}") {
+      graft.sources.Lake.buildOnce(setsDir,
+        "documents:" + graft.sources.Lake.fingerprint(docs)) {
         SetSimilarity.rankedGramSets(docs)
           .write.mode("overwrite").parquet(setsDir)
       }

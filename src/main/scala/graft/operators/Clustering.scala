@@ -481,7 +481,13 @@ object Clustering {
     import spark.implicits._
     val cents = codebooks.toSeq.map { case (c, v) => (c, v.toSeq) }
       .toDF("cell", "cvec")
-    assignCells(newVecs, cents, idCol, vecCol, kHint = codebooks.length)
+    // the norm-trick branch UNCONDITIONALLY — not kHint = codebooks.length:
+    // tlUpdate emits only populated cells, so a sparse training could
+    // leave ≤ ExactArgminMaxK codebook rows and silently flip this to
+    // the exact fold while the oracle (tlAppendCtes) always replays the
+    // wide spelling — the q_pq_recall near-tie-luck class. Deployment
+    // k1·k2 is always wide; the oracle matches by construction.
+    assignCells(newVecs, cents, idCol, vecCol, kHint = ExactArgminMaxK + 1)
   }
 
   /** Append a batch to a PERSISTED two-level index without retraining:
@@ -518,8 +524,13 @@ object Clustering {
     * Sums ride the decimal discipline (6-dp rounded, DECIMAL(18,6) —
     * order-independent, engine-portable), so the report is
     * hash-certifiable; means and the ratio are IEEE divides of those
-    * exact sums. Cells the batch never touched carry NULL new/ratio
-    * columns. Bounded by k1·k2 rows. */
+    * exact sums. The join is FULL OUTER: cells the batch never touched
+    * carry NULL new columns, and — the case a left join would silently
+    * drop — appended rows landing in codebook cells the base left
+    * EMPTY (the final assignment can leave a trained cell unchosen)
+    * carry NULL base columns instead of vanishing from the report; an
+    * out-of-distribution batch lands in exactly those sparse cells.
+    * Bounded by k1·k2 rows. */
   def twoLevelDrift(index: DataFrame, appended: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     def d6(c: Column) = round(c, 6).cast(DecimalType(18, 6))
@@ -527,7 +538,7 @@ object Clustering {
       sum(d6(col("dist2"))).as("__bs"))
     val a = appended.groupBy(col("cell")).agg(count(lit(1)).as("n_new"),
       sum(d6(col("dist2"))).as("__ns"))
-    b.join(a, Seq("cell"), "left")
+    b.join(a, Seq("cell"), "full")
       .select(col("cell"), col("n_base"),
         round(col("__bs").cast("double") / col("n_base"), 6).as("base_mean_d2"),
         col("n_new"),
@@ -550,18 +561,20 @@ object Clustering {
 
   /** The retrain trigger as CODE (the semanticDedupAuto /
     * ingestBatchRows discipline, third instance): over a
-    * [[twoLevelDrift]] report, pool the exact per-cell sums back to
-    * corpus level (append-weighted — a big drifted cell should trigger
-    * even if many tiny cells stayed put) and retrain when the mean
-    * ratio crosses `tolerance`. An empty appended batch never
-    * triggers. */
+    * [[twoLevelDrift]] report, pool each side back to corpus level
+    * INDEPENDENTLY (append-weighted new mean over every cell the batch
+    * touched — including cells the base left empty, where the batch's
+    * error is highest — vs the build-weighted baseline over every base
+    * cell) and retrain when the mean ratio crosses `tolerance`. An
+    * empty appended batch never triggers. */
   def twoLevelRetrainNeeded(drift: DataFrame,
                             tolerance: Double = TwoLevelDriftTolerance): Boolean = {
     require(tolerance > 0, s"tolerance must be positive: $tolerance")
-    // pool over the cells the batch touched, weighting each cell's
-    // rendered mean by its count — the 6-dp render granularity is
-    // orders of magnitude below the trigger's 2x threshold
-    val pooled = drift.where(col("n_new").isNotNull)
+    // each side null-skips independently (SQL sum semantics), so a
+    // batch concentrated in base-empty cells still counts in full; the
+    // 6-dp render granularity is orders of magnitude below the 2x
+    // threshold
+    val pooled = drift
       .agg((sum(col("new_mean_d2") * col("n_new")) / sum(col("n_new"))).as("nm"),
         (sum(col("base_mean_d2") * col("n_base")) / sum(col("n_base"))).as("bm"))
       .head()

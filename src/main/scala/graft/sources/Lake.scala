@@ -53,6 +53,24 @@ object Lake {
     * beside `_SUCCESS` and re-runs `build` whenever `_SUCCESS` or the
     * stamp is missing or the fingerprint changed. `build` must leave
     * `_SUCCESS` under `dir` (every Spark parquet write does). */
+  /** Cheap CONTENT-SENSITIVE source fingerprint for [[buildOnce]]: row
+    * count plus the exact sum of per-row xxhash64 over every column
+    * (order-independent; DECIMAL(38,0) so the sum never overflows at
+    * any corpus size, and never trips ANSI arithmetic). A count-only
+    * stamp misses the common in-place regeneration that KEEPS the row
+    * count — same scale factor, new generator seed, ids 0..n-1 either
+    * way — which is exactly the trap buildOnce exists to close. One
+    * full scan of the source per invocation; the caches this guards
+    * cost a training run or a signature build to rebuild, so the scan
+    * is the cheap side of the trade. */
+  def fingerprint(df: DataFrame): String = {
+    val r = df.agg(count(lit(1)),
+      sum(xxhash64(struct(df.columns.map(col).toSeq: _*))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+    val h = if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString
+    s"${r.getLong(0)}:$h"
+  }
+
   def buildOnce(dir: String, fingerprint: String)(build: => Unit): Unit = {
     val stampPath = new java.io.File(dir, "_GRAFT_SOURCE_STAMP").toPath
     val fresh = new java.io.File(dir, "_SUCCESS").exists() &&

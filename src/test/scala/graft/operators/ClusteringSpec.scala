@@ -317,7 +317,9 @@ class ClusteringSpec extends SparkSuite {
     val (idx, cbs) = Clustering.twoLevelIndex(base, k1 = 4, k2 = 4)
     val idxPinned = idx.localCheckpoint()
     def pooledRatio(drift: org.apache.spark.sql.DataFrame): Double = {
-      val r = drift.where(col("n_new").isNotNull)
+      // mirrors twoLevelRetrainNeeded's pooling: each side null-skips
+      // independently over the FULL-join report
+      val r = drift
         .agg((sum(col("new_mean_d2") * col("n_new")) / sum(col("n_new"))) /
           (sum(col("base_mean_d2") * col("n_base")) / sum(col("n_base"))))
         .head()
