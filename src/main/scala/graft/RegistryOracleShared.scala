@@ -245,16 +245,47 @@ private[graft] object OracleShared {
     // ExactArgminMaxK, ties on the combined cell id). fa carries
     // (vec_id, v, cell) for the appended batch; cbs the combined
     // codebooks; f2/fm1 the base training artifacts.
-    val tlAppendCtes: String =
+    def tlAppendCtesP(basePred: String, deltaPred: String): String =
       s"""${twoLevelCtes(4, 4, "",
-            "(SELECT * FROM embeddings WHERE vec_id % 2 = 0) base_src")},
+            s"(SELECT * FROM embeddings WHERE $basePred) base_src")},
          nv AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v
-                FROM embeddings WHERE vec_id % 2 = 1),
+                FROM embeddings WHERE $deltaPred),
          cbs AS (SELECT cell1 * 4 + cell AS cell, cvec FROM fm1),
          fa AS (SELECT nv.vec_id, nv.v, cbs.cell
                 FROM nv, cbs
                 QUALIFY row_number() OVER (PARTITION BY nv.vec_id
                   ORDER BY ($wideDn), cbs.cell) = 1)"""
+    val tlAppendCtes: String = tlAppendCtesP("vec_id % 2 = 0", "vec_id % 2 = 1")
+    // build+append+probe replay over any base/delta split: union the
+    // base assignment (f2) with the frozen-appended rows (fa), rank the
+    // combined codebook cells for the query, scan nprobe cells, exact
+    // cosine top-10 — shared by q_two_level_append (the %2 split) and
+    // q_stream_index_final (the streaming %3 split: bootstrap batch
+    // trains, later batches append)
+    def tlAppendProbeSql(ctes: String): String =
+      s"""WITH $ctes,
+           uni AS (SELECT vec_id, v, cell1 * 4 + fine AS cell FROM f2
+                   UNION ALL SELECT vec_id, v, cell FROM fa),
+           q AS (SELECT [x::DOUBLE for x in embedding] AS qv
+                 FROM embeddings WHERE vec_id = 1),
+           qn AS (SELECT qv,
+                    sqrt(${fold("[qv[i]*qv[i] for i in range(1, len(qv)+1)]")})
+                      AS qnrm FROM q),
+           cd AS (SELECT cbs.cell,
+                    list_reduce([(cbs.cvec[i]-q.qv[i])*(cbs.cvec[i]-q.qv[i])
+                                 for i in range(1, len(cbs.cvec)+1)],
+                      (x, y) -> x + y) AS d
+                  FROM cbs, q),
+           pc AS (SELECT cell FROM cd ORDER BY d, cell LIMIT 4),
+           m AS (SELECT uni.vec_id, uni.v FROM uni JOIN pc USING (cell)),
+           sc AS (SELECT m.vec_id,
+                    ${fold("[m.v[i]*qn.qv[i] for i in range(1, len(m.v)+1)]")} /
+                      (sqrt(${fold("[m.v[i]*m.v[i] for i in range(1, len(m.v)+1)]")})
+                        * qn.qnrm) AS c
+                  FROM m, qn),
+           sel AS (SELECT vec_id, c FROM sc ORDER BY c DESC, vec_id LIMIT 10)
+         SELECT vec_id, round(c, 6) AS cosine_sim
+         FROM sel ORDER BY c DESC, vec_id"""
     // LSH recall audit, parameterized by the gram-set CTE prefix so the
     // full-corpus and sampled flavors share ONE spelling: the
     // jaccard-join chain gives exact pairs; minhash over the SAME fp

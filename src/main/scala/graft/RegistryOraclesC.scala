@@ -1236,31 +1236,16 @@ private[graft] object RegistryOraclesC {
       "q_two_level_append" -> // incremental maintenance replayed FROM
         // SCRATCH: train on the even half, frozen-assign the odd half
         // to the combined codebooks (tlAppendCtes — the norm-trick
-        // spelling), union into one index, then the twoLevelTopkOracle
-        // probe over it (query vec_id=1 is an APPENDED vector)
-        s"""WITH $tlAppendCtes,
-             uni AS (SELECT vec_id, v, cell1 * 4 + fine AS cell FROM f2
-                     UNION ALL SELECT vec_id, v, cell FROM fa),
-             q AS (SELECT [x::DOUBLE for x in embedding] AS qv
-                   FROM embeddings WHERE vec_id = 1),
-             qn AS (SELECT qv,
-                      sqrt(${fold("[qv[i]*qv[i] for i in range(1, len(qv)+1)]")})
-                        AS qnrm FROM q),
-             cd AS (SELECT cbs.cell,
-                      list_reduce([(cbs.cvec[i]-q.qv[i])*(cbs.cvec[i]-q.qv[i])
-                                   for i in range(1, len(cbs.cvec)+1)],
-                        (x, y) -> x + y) AS d
-                    FROM cbs, q),
-             pc AS (SELECT cell FROM cd ORDER BY d, cell LIMIT 4),
-             m AS (SELECT uni.vec_id, uni.v FROM uni JOIN pc USING (cell)),
-             sc AS (SELECT m.vec_id,
-                      ${fold("[m.v[i]*qn.qv[i] for i in range(1, len(m.v)+1)]")} /
-                        (sqrt(${fold("[m.v[i]*m.v[i] for i in range(1, len(m.v)+1)]")})
-                          * qn.qnrm) AS c
-                    FROM m, qn),
-             sel AS (SELECT vec_id, c FROM sc ORDER BY c DESC, vec_id LIMIT 10)
-           SELECT vec_id, round(c, 6) AS cosine_sim
-           FROM sel ORDER BY c DESC, vec_id""",
+        // spelling), union into one index, probe (query vec_id=1 is an
+        // APPENDED vector)
+        tlAppendProbeSql(tlAppendCtes),
+      "q_stream_index_final" -> // the STREAMING maintenance loop's end
+        // state replayed: the bootstrap micro-batch (vec_id % 3 = 0 —
+        // first file by modification time) trains the index, the two
+        // later batches frozen-append; batch order can't matter because
+        // frozen assignment is row-independent, so the replay is one
+        // train + one combined frozen-assign + the probe
+        tlAppendProbeSql(tlAppendCtesP("vec_id % 3 = 0", "vec_id % 3 <> 0")),
       "q_two_level_drift" -> // the retrain-trigger signal replayed: the
         // base index's exact build-time dist2 vs the appended batch's
         // frozen-assign dist2 (exact spelling recomputed for winners),

@@ -1115,6 +1115,34 @@ private[graft] object RegistryQueriesB {
       Clustering.twoLevelTopK(index2, cbs2, Similarity.vectorOf(emb, 1L),
         k = 10, nprobe = 4)
     }),
+    // the STREAMING maintenance loop end-to-end (the
+    // q_stream_ingest_final discipline for the ANN family): three
+    // deterministic file-batches — the first BOOTSTRAPS the index
+    // (train + bucketed write + stats baseline), the later two
+    // frozen-append through the real foreachBatch path — then the
+    // probe reads the final table; the oracle replays
+    // train-on-batch0 + frozen-assign-the-rest + probe from scratch
+    "q_stream_index_final" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft_idx_stream").toString
+      (0 until 3).foreach { b =>
+        emb.where(pmod(col("vec_id"), lit(3)) === b).coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/in/f$b")
+        new java.io.File(s"$root/in/f$b").listFiles()
+          .foreach(f => { f.setLastModified(1600000000000L + b * 60000L); () })
+      }
+      val schema = s.read.parquet(s"$root/in/f0").schema
+      val table = "idx_stream_" + java.lang.Long.toHexString(System.nanoTime())
+      val q = graft.streaming.Sessions.streamIndexAppend(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/in/*"),
+        table, s"$root/idx", s"$root/ckpt")
+      q.awaitTermination(300000)
+      val (index2, cbs2) = Clustering.twoLevelOpenIndex(s, table, s"$root/idx",
+        nBuckets = 16)
+      Clustering.twoLevelTopK(index2, cbs2, Similarity.vectorOf(emb, 1L),
+        k = 10, nprobe = 4)
+    }),
     // the retrain-trigger SIGNAL under oracle: build-time per-cell
     // quantization error (the index's stored dist2) vs the appended
     // batch's frozen-assign dist2, decimal-sum pooled — the report

@@ -531,14 +531,17 @@ object Clustering {
     * carry NULL base columns instead of vanishing from the report; an
     * out-of-distribution batch lands in exactly those sparse cells.
     * Bounded by k1·k2 rows. */
-  def twoLevelDrift(index: DataFrame, appended: DataFrame): DataFrame = {
+  def twoLevelDrift(index: DataFrame, appended: DataFrame): DataFrame =
+    twoLevelDriftFromStats(twoLevelStats(index), appended)
+
+  /** [[twoLevelDrift]] against a PREBUILT baseline ([[twoLevelStats]],
+    * usually read back via [[twoLevelReadStats]]) — the per-append form:
+    * O(batch) work plus a k1·k2-row join, the index itself untouched. */
+  def twoLevelDriftFromStats(stats: DataFrame, appended: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    def d6(c: Column) = round(c, 6).cast(DecimalType(18, 6))
-    val b = index.groupBy(col("cell")).agg(count(lit(1)).as("n_base"),
-      sum(d6(col("dist2"))).as("__bs"))
     val a = appended.groupBy(col("cell")).agg(count(lit(1)).as("n_new"),
-      sum(d6(col("dist2"))).as("__ns"))
-    b.join(a, Seq("cell"), "full")
+      sum(round(col("dist2"), 6).cast(DecimalType(18, 6))).as("__ns"))
+    stats.join(a, Seq("cell"), "full")
       .select(col("cell"), col("n_base"),
         round(col("__bs").cast("double") / col("n_base"), 6).as("base_mean_d2"),
         col("n_new"),
@@ -692,7 +695,29 @@ object Clustering {
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$root/codebooks")
+    // the build-time per-cell error baseline as a k1·k2-row artifact:
+    // an append-time drift check then reads THESE rows instead of
+    // re-scanning the (100 TB-class) index's dist2 column per batch —
+    // and the baseline stays the codebook's own training distribution
+    // no matter how many batches have been appended since
+    twoLevelStats(index).coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/stats")
   }
+
+  /** The per-cell build baseline [[twoLevelDriftFromStats]] consumes:
+    * (cell, n_base, __bs) with the sum under the decimal discipline.
+    * One scan of the index's (cell, dist2) columns — paid at build
+    * time by [[twoLevelWriteIndex]], never per append. */
+  def twoLevelStats(index: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    index.groupBy(col("cell")).agg(count(lit(1)).as("n_base"),
+      sum(round(col("dist2"), 6).cast(DecimalType(18, 6))).as("__bs"))
+  }
+
+  def twoLevelReadStats(spark: org.apache.spark.sql.SparkSession,
+                        root: String): DataFrame =
+    spark.read.parquet(s"$root/stats")
 
   /** Open a persisted two-level index: re-registers the bucketed table
     * when this session's catalog doesn't have it yet (external CREATE

@@ -645,6 +645,58 @@ object Sessions {
       }
       .start()
 
+  /** Streaming maintenance of the persisted two-level ANN index — the
+    * [[streamIngestDedup]] discipline for the embedding family, and the
+    * loop a 100 TB crawl actually runs: the FIRST micro-batch
+    * bootstraps the index (train k1×k2 deterministic Lloyd + bucketed
+    * write + the per-cell error baseline), every later batch
+    * frozen-assigns against the stored codebooks and bucket-inserts —
+    * one assignment pass over Δ rows per batch, never a retrain — and
+    * the batch's drift ratio vs the BUILD-TIME baseline (read from the
+    * k1·k2-row stats artifact, the index itself untouched) decides
+    * retraining via [[graft.operators.Clustering.twoLevelRetrainNeeded]].
+    * This loop only APPENDS; when a batch trips the trigger it logs
+    * `RETRAIN NEEDED` and keeps appending — rebuilding the index is a
+    * batch job the operator schedules (the 507 s-class cost the append
+    * path exists to amortize), not something a micro-batch should
+    * absorb.
+    *
+    * Restart-safe the same way the ingest loop is: the checkpoint
+    * replays unprocessed files, the bootstrap branch keys on the
+    * index's `_SUCCESS`, and a re-delivered append batch re-inserts —
+    * exactly-once for the probe path needs the upstream's file-grain
+    * idempotence (AvailableNow + the checkpoint give it). */
+  def streamIndexAppend(vecs: DataFrame, table: String, root: String,
+                        checkpoint: String, nBuckets: Int = 16,
+                        k1: Int = 4, k2: Int = 4,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        trigger: org.apache.spark.sql.streaming.Trigger =
+                          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val C = graft.operators.Clustering
+        if (!graft.sources.Lake.pathExists(spark, s"$root/index/_SUCCESS")) {
+          val (index, cbs) = C.twoLevelIndex(batch, k1, k2,
+            idCol = idCol, vecCol = vecCol)
+          C.twoLevelWriteIndex(index, cbs, table, root, nBuckets)
+          println(s"[index-append] batch=$batchId bootstrap: trained ${k1}x$k2 index")
+        } else {
+          val appended = C.twoLevelAppend(spark, table, root, nBuckets,
+            batch, idCol, vecCol)
+          val drift = C.twoLevelDriftFromStats(
+            C.twoLevelReadStats(spark, root), appended)
+          val retrain = C.twoLevelRetrainNeeded(drift)
+          println(s"[index-append] batch=$batchId appended" +
+            (if (retrain) " — RETRAIN NEEDED (drift over tolerance)" else ""))
+        }
+        ()
+      }
+      .start()
+
   /** Streaming flavor of `windowedCounts`: file stream + watermark,
     * append mode. Driven synchronously in tests via a memory sink. */
   def streamingWindowedCounts(spark: SparkSession, path: String, schema: StructType,

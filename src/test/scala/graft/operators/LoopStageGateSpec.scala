@@ -138,6 +138,15 @@ class LoopStageGateSpec extends SparkSuite {
     PlanGates.assertCleanStage("pqAssign wide", pq)
     assert(pq.queryExecution.optimizedPlan.toString.contains("graft_dot"),
       "kHint>ExactArgminMaxK pqAssign did not take the codegen'd norm-trick branch")
+    // the streaming maintenance loop's per-batch append stage: the
+    // frozen assign is the norm trick UNCONDITIONALLY (not a
+    // codebook-count branch), and its plan must be clean
+    val frozenCbs = (0 until 16).map(i =>
+      (i.toLong, Array.fill(64)(i.toDouble / 16))).toArray
+    val frozen = Clustering.twoLevelAssignFrozen(emb, frozenCbs)
+    PlanGates.assertCleanStage("twoLevelAssignFrozen (append stage)", frozen)
+    assert(frozen.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      "twoLevelAssignFrozen did not take the codegen'd norm-trick branch")
   }
 
   test("embedding-CC dedup stages: LSH candidate pairs, keeper join (q_dedup_embeddings)") {
