@@ -463,6 +463,35 @@ class ClusteringSpec extends SparkSuite {
     assert(codes(40) === codes(0))
   }
 
+  test("twoLevelDrift: a batch landing in base-EMPTY cells still reaches the trigger") {
+    import spark.implicits._
+    // the failure the full-outer join exists for: the final assignment
+    // can leave a trained codebook cell with zero members, yet a frozen
+    // assign can still route new vectors there — an out-of-distribution
+    // batch lands in exactly those sparse cells, and a left join from
+    // the base side would silently drop every such row
+    val index = Seq((1L, 0L, 0.01), (2L, 0L, 0.03), (3L, 1L, 0.02))
+      .toDF("vec_id", "cell", "dist2")
+    // entire batch in cell 5 — which the base never populated — with
+    // huge quantization error
+    val appended = Seq((10L, 5L, 9.0), (11L, 5L, 11.0))
+      .toDF("vec_id", "cell", "dist2")
+    val drift = Clustering.twoLevelDrift(index, appended)
+    val rows = drift.collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 5L),
+      "base-empty cell 5 must appear in the report")
+    val cell5 = rows.find(_.getLong(0) == 5L).get
+    assert(cell5.isNullAt(1) && cell5.getLong(3) === 2L,
+      "cell 5 carries the batch counts with NULL base columns")
+    // the trigger pools each side independently, so the batch's 10.0
+    // mean error vs the base's 0.02 baseline must fire
+    assert(Clustering.twoLevelRetrainNeeded(drift),
+      "an OOD batch concentrated in base-empty cells must trigger a retrain")
+    // and an empty batch never does
+    assert(!Clustering.twoLevelRetrainNeeded(
+      Clustering.twoLevelDrift(index, appended.limit(0))))
+  }
+
   test("pqAppend: frozen encode is the build encode; appended codes are ADC-searchable") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val base = emb.where(col("vec_id") % 2 === 0)
