@@ -208,22 +208,27 @@ object ProbeOp {
       }
       (root, table, side, n)
     }
+    // Files.walk streams hold directory handles — close them (Using)
+    // or a long probe run leaks fds; copies REPLACE_EXISTING so a
+    // re-copy into a half-populated target can't throw
     def deleteRecursively(dir: String): Unit = {
       import java.nio.file.{Files, Paths}
       import scala.jdk.CollectionConverters._
       val p = Paths.get(dir)
       if (Files.exists(p))
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        scala.util.Using.resource(Files.walk(p))(
+          _.iterator().asScala.toSeq.reverse.foreach(Files.delete))
     }
     def copyDir(src: String, dst: String): Unit = {
-      import java.nio.file.{Files, Paths}
+      import java.nio.file.{Files, Paths, StandardCopyOption}
       import scala.jdk.CollectionConverters._
       val (sp, dp) = (Paths.get(src), Paths.get(dst))
-      Files.walk(sp).iterator().asScala.foreach { f =>
+      scala.util.Using.resource(Files.walk(sp))(_.iterator().asScala.foreach { f =>
         val t = dp.resolve(sp.relativize(f))
         if (Files.isDirectory(f)) Files.createDirectories(t)
-        else Files.copy(f, t)
-      }
+        else Files.copy(f, t, StandardCopyOption.REPLACE_EXISTING)
+        ()
+      })
     }
     if (op == "twoLevelProbe") {
       val (root, table, side, _) = ensureProbeIndex("twoLevelProbe")
@@ -279,6 +284,11 @@ object ProbeOp {
         .createTempDirectory(s"graft_probe_tlappend_x$factor").toString
       copyDir(s"$root/index", s"$copyRoot/index")
       copyDir(s"$root/codebooks", s"$copyRoot/codebooks")
+      // the build-time baseline rides along: drift below compares each
+      // batch against the TRAINING distribution (twoLevelReadStats),
+      // not a post-insert rescan that would count the batch (and all
+      // earlier reps) as part of its own baseline
+      copyDir(s"$root/stats", s"$copyRoot/stats")
       val copyTable = "probe_tl_append_" +
         java.lang.Long.toHexString(System.nanoTime())
       // registers the external table over the copied files
@@ -293,14 +303,97 @@ object ProbeOp {
           spark, copyTable, copyRoot, nBuckets = 64,
           batch.withColumn("vec_id", col("vec_id") + lit(r * 10000000L)))
         val dt = (System.nanoTime() - t0) / 1e9
-        val drift = graft.operators.Clustering.twoLevelDrift(
-          spark.table(copyTable), appended)
+        val drift = graft.operators.Clustering.twoLevelDriftFromStats(
+          graft.operators.Clustering.twoLevelReadStats(spark, copyRoot), appended)
         val retrain = graft.operators.Clustering.twoLevelRetrainNeeded(drift)
         println(f"[probeop] twoLevelAppendProbe x$factor rep$r side=$side " +
           f"append($bn rows) $dt%8.2f s (retrainNeeded=$retrain)")
       }
       spark.sql(s"DROP TABLE IF EXISTS $copyTable")
       deleteRecursively(copyRoot)
+      spark.stop(); return
+    }
+    // the FULL maintenance lifecycle in one measured table (round-14):
+    // versioned build v1 → 20 same-distribution appends (drift checked
+    // per batch against the persisted build-time stats artifact) →
+    // batched 20-query probe on the fragmented index → file telemetry →
+    // compaction → the same probe again (results asserted identical) →
+    // one 3×-scaled batch trips the trigger → twoLevelRetrain publishes
+    // v2 while v1 keeps serving → probe through v2. Per-stage walls
+    // print as [lifecycle] rows — the numbers PLANS.md's round-14 table
+    // records.
+    if (op == "indexLifecycle") {
+      val C = graft.operators.Clustering
+      val n = emb.count()
+      val side = math.ceil(math.sqrt(((n + 249) / 250).toDouble)).toInt
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_lifecycle_x$factor").toString
+      val pfx = "probe_lc_" + java.lang.Long.toHexString(System.nanoTime())
+      def timed[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val a = f
+        println(f"[lifecycle] x$factor $label%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        a
+      }
+      timed("build+publish v1") {
+        val (index, cbs) = C.twoLevelIndex(emb, side, side)
+        C.twoLevelPublishVersion(spark, index, cbs, pfx, root, nBuckets = 64)
+      }
+      val v1 = C.twoLevelOpenVersion(spark, pfx, root, 64)
+      val batch = emb0.cache(); batch.count()
+      val appends = 20
+      var walls = List.empty[Double]
+      (1 to appends).foreach { r =>
+        val t0 = System.nanoTime()
+        val appended = C.twoLevelAppend(spark, v1.table, v1.dir, 64,
+          batch.withColumn("vec_id",
+            col("vec_id") + lit(factor * n * 100L + r * 10000000L)))
+        val drift = C.twoLevelDriftFromStats(
+          C.twoLevelReadStats(spark, v1.dir), appended)
+        if (C.twoLevelRetrainNeeded(drift))
+          println(s"[lifecycle] UNEXPECTED retrain signal on same-distribution batch $r")
+        walls ::= (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[lifecycle] x$factor $appends appends+drift checks     " +
+        f"mean ${walls.sum / appends}%.2f s/batch")
+      val fstats = C.indexFileStats(spark, s"${v1.dir}/index")
+        .agg(sum(col("n_files")).cast("long"), max(col("n_files")).cast("long")).head()
+      println(s"[lifecycle] x$factor files pre-compact: total=${fstats.getLong(0)} " +
+        s"maxPerBucket=${fstats.getLong(1)} " +
+        s"compactNeeded=${C.indexCompactionNeeded(spark, s"${v1.dir}/index")}")
+      val queries = (0 until 20).map(i => (i.toLong,
+        graft.operators.Similarity.vectorOf(emb, (i * 37 + 1).toLong)))
+      val preRows = timed("probe 20q fragmented") {
+        C.twoLevelTopKMulti(v1.index, v1.codebooks, queries, k = 10, nprobe = 8)
+          .collect().toSeq
+      }
+      val (fb, fa) = timed("compactTwoLevelIndex")(
+        C.compactTwoLevelIndex(spark, v1.table, v1.dir, 64))
+      println(s"[lifecycle] x$factor compaction files $fb -> $fa")
+      val postRows = timed("probe 20q compacted") {
+        C.twoLevelTopKMulti(spark.table(v1.table), v1.codebooks, queries,
+          k = 10, nprobe = 8).collect().toSeq
+      }
+      require(preRows == postRows,
+        "compaction changed probe results — must be bit-for-bit identical")
+      val scaled = batch
+        .withColumn("vec_id",
+          col("vec_id") + lit(factor * n * 100L + 999L * 10000000L))
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(3.0f)))
+      val appended = C.twoLevelAppend(spark, v1.table, v1.dir, 64, scaled)
+      val fired = C.twoLevelRetrainNeeded(C.twoLevelDriftFromStats(
+        C.twoLevelReadStats(spark, v1.dir), appended))
+      println(s"[lifecycle] x$factor drifted batch retrainNeeded=$fired")
+      timed("twoLevelRetrain -> v2") {
+        C.twoLevelRetrain(spark, pfx, root, 64, side, side)
+      }
+      val v2 = C.twoLevelOpenVersion(spark, pfx, root, 64)
+      timed("probe 20q v2") {
+        C.twoLevelTopKMulti(v2.index, v2.codebooks, queries, k = 10, nprobe = 8)
+          .count()
+      }
+      spark.sql(s"DROP TABLE IF EXISTS ${v1.table}")
+      spark.sql(s"DROP TABLE IF EXISTS ${v2.table}")
+      deleteRecursively(root)
       spark.stop(); return
     }
     // the build-cost split (round-12 verdict stretch #7): where do the

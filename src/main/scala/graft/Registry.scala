@@ -19,6 +19,32 @@ private[graft] object Reg {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Temp dir for a NON-IDEMPOTENT registry row (append rows, the
+    * streaming loops): fresh per invocation — an append replayed into
+    * a reused dir would double its rows — but registered for
+    * end-of-JVM cleanup, so repeated verify/bench runs stop stranding
+    * parquet under /tmp. Deletion happens at JVM exit because the
+    * returned lazy frame still reads the dir for the row's lifetime. */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempDirs.forEach { d =>
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(p)) {
+          scala.util.Try(scala.util.Using.resource(java.nio.file.Files.walk(p))(
+            _.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.delete)))
+          ()
+        }
+      }))
+  def tempDir(prefix: String): String = {
+    cleanupHook
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    tempDirs.add(d)
+    d
+  }
+
   /** Co-purchase graph behind q_triangles / q_clustering_coef /
     * q_khop — the shared [[Graph.copurchaseEdges]] definition. */
   def copurchaseEdges(s: SparkSession, d: String): DataFrame =

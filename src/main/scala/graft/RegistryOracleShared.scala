@@ -612,9 +612,9 @@ private[graft] object OracleShared {
     // the 6-dp render projected after) — shared by q_two_level_topk
     // and its persisted twin (identical results by construction: the
     // bucketed on-disk path changes IO, not arithmetic).
-    val twoLevelTopkOracle =
-      s"""WITH ${twoLevelCtes(4, 4)},
-           q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+    def twoLevelProbeSqlOn(ctes: String, qSelect: String): String =
+      s"""WITH $ctes,
+           q AS ($qSelect),
            qn AS (SELECT qv,
                     sqrt(${fold("[qv[i]*qv[i] for i in range(1, len(qv)+1)]")})
                       AS qnrm FROM q),
@@ -634,6 +634,24 @@ private[graft] object OracleShared {
            sel AS (SELECT vec_id, c FROM sc ORDER BY c DESC, vec_id LIMIT 10)
          SELECT vec_id, round(c, 6) AS cosine_sim
          FROM sel ORDER BY c DESC, vec_id"""
+    val twoLevelTopkOracle =
+      twoLevelProbeSqlOn(twoLevelCtes(4, 4), "SELECT v AS qv FROM e WHERE vec_id = 1")
+    // the retrain arc replayed FROM SCRATCH: generation 2's training
+    // corpus is the even half UNION the 3x-scaled odd half — the scale
+    // rides double arithmetic cast back to REAL, matching the float
+    // column the Spark index table stores the appended batch in — and
+    // the probe's query is the scaled vec_id=1 (an appended,
+    // re-assigned vector). Training + probe are the standard two-level
+    // spellings over that corpus.
+    val tlRetrainSrc: String =
+      """(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+          UNION ALL
+          SELECT vec_id, [CAST(x::DOUBLE * 3.0 AS REAL) for x in embedding] AS embedding
+          FROM embeddings WHERE vec_id % 2 = 1) rt_src"""
+    val tlRetrainOracle: String = twoLevelProbeSqlOn(
+      twoLevelCtes(4, 4, "", tlRetrainSrc),
+      """SELECT [CAST(x::DOUBLE * 3.0 AS REAL)::DOUBLE for x in embedding] AS qv
+         FROM embeddings WHERE vec_id = 1""")
     val pqAdcOracle =
       s"""WITH ${pqTrainCtes(4, 8)},
              q AS (SELECT v FROM e WHERE vec_id = 1),

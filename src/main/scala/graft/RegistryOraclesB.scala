@@ -830,6 +830,35 @@ private[graft] object RegistryOraclesB {
                      FROM w WHERE len(word) >= 2)
            SELECT pair, CAST(sum(cnt) AS BIGINT) AS n_occurrences
            FROM p GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 50""",
+      "q_bpe_segment" -> { // the greedy mergeFold apply path replayed as
+        // a separator-wrapped replace chain: each symbol is wrapped
+        // chr(1)·sym·chr(1) (symbols never contain the control char),
+        // so one merge (a, b) is ONE non-overlapping left-to-right
+        // replace of wrap(a)||wrap(b) with wrap(ab) — matches share no
+        // characters (each symbol carries its own separators), which is
+        // exactly the fold's greedy semantics, fresh merges never
+        // re-merging within a pass. The 12-merge list is
+        // Bpe.fixtureMerges — the SAME pure-JVM derivation the
+        // registered query calls. Token count = separator count / 2.
+        val sep = "chr(1)"
+        def wrap(sym: String): String =
+          s"$sep || '${sym.replace("'", "''")}' || $sep"
+        val seeded = s"$sep || array_to_string(" +
+          s"[word[i] for i in range(1, len(word)+1)], $sep || $sep) || $sep"
+        val chain = graft.operators.Bpe.fixtureMerges(12)
+          .foldLeft(seeded) { case (acc, (a, b)) =>
+            s"replace($acc, ${wrap(a)} || ${wrap(b)}, ${wrap(a + b)})"
+          }
+        s"""WITH w AS (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+               FROM documents),
+             seg AS (SELECT doc_id, $chain AS s FROM w WHERE len(word) > 0),
+             pd AS (SELECT doc_id,
+                      CAST(sum((len(s) - len(replace(s, chr(1), ''))) // 2) AS BIGINT) AS n
+                    FROM seg GROUP BY doc_id)
+           SELECT d.doc_id, coalesce(pd.n, 0) AS n_bpe_tokens
+           FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"""
+      },
       "q_fuzzy_match" -> // same blocking (first token) + exact edit-distance verify
         """WITH q AS (SELECT DISTINCT substr(p_name, 1, length(p_name) - 1) AS q_text
                       FROM part WHERE p_name IS NOT NULL),

@@ -1070,6 +1070,66 @@ private[graft] object RegistryOraclesC {
       // materialized codes/codebooks — same oracle by construction
       // (the q_jaccard_persisted discipline)
       "q_pq_persisted" -> pqAdcOracle,
+      "q_pq_knn_multi" -> // the pqAdcOracle probe replayed PER QUERY
+        // (vec_ids 1, 7, 13): per-query slice table, per-query ADC fold
+        // in subspace order, per-query (adc asc, vec_id) rank — the
+        // batched Spark plan (ONE pass over the codes, broadcast LUT)
+        // and Q sequential pqTopK probes are the same arithmetic by
+        // construction
+        s"""WITH ${pqTrainCtes(4, 8)},
+             q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id IN (1, 7, 13)),
+             qs AS (SELECT q.query_id, s.s AS subspace,
+                      q.v[s.s*16+1 : (s.s+1)*16] AS qsv
+                    FROM q, (SELECT unnest([0, 1, 2, 3]) AS s) s),
+             pd AS (SELECT qs.query_id, a2.vec_id, a2.subspace,
+                      list_reduce([(qs.qsv[i] - m1.cvec[i]) * (qs.qsv[i] - m1.cvec[i])
+                                   for i in range(1, len(qs.qsv)+1)],
+                        (x, y) -> x + y) AS d
+                    FROM a2
+                    JOIN m1 ON m1.subspace = a2.subspace AND m1.cell = a2.cell
+                    JOIN qs ON qs.subspace = a2.subspace),
+             adc AS (SELECT query_id, vec_id,
+                       list_reduce(list(d ORDER BY subspace), (x, y) -> x + y)
+                         AS adc_raw
+                     FROM pd GROUP BY query_id, vec_id),
+             sel AS (SELECT query_id, vec_id, adc_raw,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc_raw, vec_id) AS INTEGER) AS "rank"
+                     FROM adc QUALIFY "rank" <= 10)
+           SELECT query_id, vec_id, round(adc_raw, 6) AS adc_dist2, "rank"
+           FROM sel ORDER BY query_id, "rank"""",
+      "q_pq_drift" -> { // the PQ retrain-trigger signal replayed: the
+        // even-half training's exact per-(subspace, codeword) dist2
+        // baseline vs the odd half frozen-encoded against m1 (the
+        // q_pq_append na spelling), pooled under the decimal-sum
+        // discipline, FULL joined so codewords only one side uses
+        // still reach the trigger
+        val dist = "list_reduce([(sv[i]-cvec[i])*(sv[i]-cvec[i]) " +
+          "for i in range(1, len(sv)+1)], (x, y) -> x + y)"
+        s"""WITH ${pqTrainCtes(4, 8,
+              "(SELECT * FROM embeddings WHERE vec_id % 2 = 0) pq_base")},
+             ne AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v
+                    FROM embeddings WHERE vec_id % 2 = 1),
+             nsl AS (SELECT vec_id, s.s AS subspace, v[s.s*16+1 : (s.s+1)*16] AS sv
+                     FROM ne, (SELECT unnest([0, 1, 2, 3]) AS s) s),
+             na AS (SELECT nsl.vec_id, nsl.subspace, m1.cell, $dist AS d
+                    FROM nsl JOIN m1 ON m1.subspace = nsl.subspace
+                    QUALIFY row_number() OVER (PARTITION BY nsl.vec_id, nsl.subspace
+                      ORDER BY d, m1.cell) = 1),
+             b AS (SELECT subspace, cell AS code, CAST(count(*) AS BIGINT) AS n_base,
+                     sum(CAST(round(d, 6) AS DECIMAL(18,6))) AS bs
+                   FROM a2 GROUP BY 1, 2),
+             a AS (SELECT subspace, cell AS code, CAST(count(*) AS BIGINT) AS n_new,
+                     sum(CAST(round(d, 6) AS DECIMAL(18,6))) AS ns
+                   FROM na GROUP BY 1, 2)
+           SELECT subspace, CAST(code AS INTEGER) AS code, n_base,
+             round(CAST(bs AS DOUBLE) / n_base, 6) AS base_mean_d2,
+             n_new,
+             round(CAST(ns AS DOUBLE) / n_new, 6) AS new_mean_d2,
+             round((CAST(ns AS DOUBLE) / n_new) /
+               (CAST(bs AS DOUBLE) / n_base), 6) AS drift_ratio
+           FROM b FULL JOIN a USING (subspace, code) ORDER BY subspace, code"""
+      },
       "q_pq_encode_wide" -> // the pqAssign WIDE norm-trick branch under
         // oracle (the q_kmeans_wide discipline for the subspace level):
         // k=40 codewords per subspace flips pqAssign past
@@ -1246,6 +1306,12 @@ private[graft] object RegistryOraclesC {
         // frozen assignment is row-independent, so the replay is one
         // train + one combined frozen-assign + the probe
         tlAppendProbeSql(tlAppendCtesP("vec_id % 3 = 0", "vec_id % 3 <> 0")),
+      "q_two_level_retrain" -> // the retrain ARC replayed from scratch
+        // (OracleShared.tlRetrainOracle): generation 2 = train on
+        // even ∪ 3x-scaled-odd (the corpus the Spark side reads back
+        // from generation 1's own table after the drifted append), then
+        // the standard probe for the scaled, re-assigned vec_id=1
+        tlRetrainOracle,
       "q_two_level_drift" -> // the retrain-trigger signal replayed: the
         // base index's exact build-time dist2 vs the appended batch's
         // frozen-assign dist2 (exact spelling recomputed for winners),
@@ -1291,6 +1357,23 @@ private[graft] object RegistryOraclesC {
             SELECT vec_id,
               unnest([i for i in range(0, len(rvec))])::BIGINT AS pos,
               unnest(rvec) AS component
+            FROM r ORDER BY vec_id, pos"""
+      },
+      "q_pca_apply" -> { // the PCA serving half replayed with LEARNED
+        // literal planes: Similarity.fixturePcaPlanes (pure-JVM exact
+        // covariance + the real power-iteration eigensolve over a
+        // seed-fixed sample) feeds BOTH this string and the registered
+        // query, so the k dot-minus-shift projections replay verbatim
+        // (the q_random_projection discipline with a mean shift)
+        val (comps, mean) = Similarity.fixturePcaPlanes()
+        val compExprs = comps.map { comp =>
+          val arr = comp.map(_.toString).mkString("[", ", ", "]")
+          s"round(${fold(s"[embedding[i]::DOUBLE * ($arr)[i] for i in range(1, len(embedding)+1)]")} - (${Similarity.planeShift(comp, mean)}), 6)"
+        }.mkString("[", ",\n             ", "]")
+        s"""WITH r AS (SELECT vec_id, $compExprs AS pvec FROM embeddings)
+            SELECT vec_id,
+              unnest([i for i in range(0, len(pvec))])::BIGINT AS pos,
+              unnest(pvec) AS component
             FROM r ORDER BY vec_id, pos"""
       },
       "q_cosine_histogram" -> // same dot spelling as q_topk_cosine; 6-dp then bin

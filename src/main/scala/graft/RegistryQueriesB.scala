@@ -38,13 +38,33 @@ private[graft] object RegistryQueriesB {
     val root = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_tl_idx_$sfx").toString
     val table = s"tl_idx_$sfx"
-    Lake.buildOnce(s"$root/index", "embeddings:" + Lake.fingerprint(emb)) {
+    Lake.buildOnce(s"$root/index",
+      "embeddings:" + Lake.fingerprintCached(emb, s"$d/embeddings")) {
       val (index, cbs) = graft.operators.Clustering.twoLevelIndex(emb,
         k1 = 4, k2 = 4)
       graft.operators.Clustering.twoLevelWriteIndex(index, cbs, table, root,
         nBuckets = 16)
     }
     graft.operators.Clustering.twoLevelOpenIndex(s, table, root, nBuckets = 16)
+  }
+
+  /** The persisted PQ index shared by q_pq_persisted and
+    * q_pq_knn_multi — the [[tlPersistedIndex]] discipline for the PQ
+    * family: trained once per scale dir (m=4, k=8), source-fingerprint
+    * stamped, codes/codebooks (and the build-time stats baseline) read
+    * back from parquet every invocation. */
+  private def pqPersistedIndex(s: SparkSession, d: String, emb: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_pq_idx_$sfx").toString
+    Lake.buildOnce(s"$root/codes",
+      "embeddings:" + Lake.fingerprintCached(emb, s"$d/embeddings")) {
+      val (codes, cbs) = graft.operators.Clustering.pqTrainEncode(
+        emb, m = 4, k = 8, iters = 2, dim = 64)
+      graft.operators.Clustering.pqWriteIndex(codes, cbs, root)
+    }
+    graft.operators.Clustering.pqReadIndex(s, root)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -258,6 +278,17 @@ private[graft] object RegistryQueriesB {
     // BpeSpec verifies against an independent reference implementation
     "q_bpe_train" -> ((s, d) =>
       graft.operators.Bpe.trainAsDataFrame(s, t(s, d, "documents"), nMerges = 12)),
+    // the APPLY half of the BPE family under oracle: segmentCounts over
+    // the real corpus with a LEARNED 12-merge list derived by the
+    // pure-JVM reference trainer from a literal fixture vocabulary
+    // (Bpe.fixtureMerges — the q_random_projection seeded-literal
+    // discipline), so the greedy mergeFold serving arithmetic gets a
+    // hash certificate (DuckDB replays it as a separator-wrapped
+    // replace chain — a genuinely independent spelling) while training
+    // on live data stays the rows-only q_bpe_train
+    "q_bpe_segment" -> ((s, d) =>
+      graft.operators.Bpe.segmentCounts(t(s, d, "documents"),
+        graft.operators.Bpe.fixtureMerges(12))),
     // per-source dataset card ([EXT]): the release summary table —
     // volumes, length spread, language mix, quality-gate share
     "q_corpus_card" -> ((s, d) => CorpusStats.corpusCard(t(s, d, "documents"))),
@@ -960,14 +991,39 @@ private[graft] object RegistryQueriesB {
     // discipline, so the q_pq_adc oracle certifies this path too)
     "q_pq_persisted" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val (codes, cbs) = graft.operators.Clustering.pqTrainEncode(
-        emb, m = 4, k = 8, iters = 2, dim = 64)
-      val root = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
-      Clustering.pqWriteIndex(codes, cbs, root)
-      val (codes2, cbs2) = Clustering.pqReadIndex(s, root)
+      // build-once per scale dir (the tlPersistedIndex discipline —
+      // previously this row retrained per invocation AND stranded a
+      // fresh temp dir each time); probe side reads parquet only
+      val (codes2, cbs2) = pqPersistedIndex(s, d, emb)
       Clustering.pqTopK(codes2, cbs2, Similarity.vectorOf(emb, 1L), m = 4, k = 10)
         .orderBy(col("adc_dist2"), col("vec_id"))
         .select(col("vec_id"), round(col("adc_dist2"), 6).as("adc_dist2"))
+    }),
+    // the ANN SERVING shape for the PQ index (q_two_level_knn_multi's
+    // twin): Q=3 query vectors batched into ONE pass over the persisted
+    // codes table — per-query rows match Q sequential pqTopK probes by
+    // construction (spec-asserted), ranked per query by a
+    // query-partitioned window, never a global sort
+    "q_pq_knn_multi" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val (codes2, cbs2) = pqPersistedIndex(s, d, emb)
+      val qids = Seq(1L, 7L, 13L)
+      val qvecs = qids.map(id => id -> Similarity.vectorOf(emb, id))
+      Clustering.pqTopKMulti(codes2, cbs2, qvecs, m = 4, k = 10)
+    }),
+    // the PQ retrain-trigger SIGNAL under oracle (q_two_level_drift's
+    // twin): per-(subspace, codeword) build-time reconstruction error
+    // vs the odd half frozen-encoded against codebooks trained on the
+    // even half — decimal-sum pooled, full-outer joined; the report
+    // pqRetrainNeeded decides over
+    "q_pq_drift" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val base = emb.where(col("vec_id") % 2 === 0)
+      val delta = emb.where(col("vec_id") % 2 === 1)
+      val (codes, cbs) = Clustering.pqTrainEncode(base, m = 4, k = 8,
+        iters = 2, dim = 64)
+      Clustering.pqDrift(codes,
+        Clustering.pqEncodeFrozen(delta, cbs, m = 4, k = 8, dim = 64))
     }),
     // incremental maintenance for the PQ family (the q_two_level_append
     // discipline): train+persist on the even half, frozen-encode and
@@ -981,7 +1037,9 @@ private[graft] object RegistryQueriesB {
       val delta = emb.where(col("vec_id") % 2 === 1)
       val (codes, cbs) = Clustering.pqTrainEncode(base, m = 4, k = 8,
         iters = 2, dim = 64)
-      val root = java.nio.file.Files.createTempDirectory("graft_pq_append").toString
+      // fresh per invocation (appends are not idempotent) but swept at
+      // JVM exit — Reg.tempDir, not a stranded createTempDirectory
+      val root = tempDir("graft_pq_append")
       Clustering.pqWriteIndex(codes, cbs, root)
       Clustering.pqAppend(s, root, delta, m = 4, k = 8, dim = 64)
       val (codes2, cbs2) = Clustering.pqReadIndex(s, root)
@@ -1105,7 +1163,7 @@ private[graft] object RegistryQueriesB {
       val emb = t(s, d, "embeddings")
       val base = emb.where(col("vec_id") % 2 === 0)
       val delta = emb.where(col("vec_id") % 2 === 1)
-      val root = java.nio.file.Files.createTempDirectory("graft_tl_append").toString
+      val root = tempDir("graft_tl_append")
       val table = "tl_append_" + java.lang.Long.toHexString(System.nanoTime())
       val (index, cbs) = Clustering.twoLevelIndex(base, k1 = 4, k2 = 4)
       Clustering.twoLevelWriteIndex(index, cbs, table, root, nBuckets = 16)
@@ -1124,7 +1182,7 @@ private[graft] object RegistryQueriesB {
     // train-on-batch0 + frozen-assign-the-rest + probe from scratch
     "q_stream_index_final" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val root = java.nio.file.Files.createTempDirectory("graft_idx_stream").toString
+      val root = tempDir("graft_idx_stream")
       (0 until 3).foreach { b =>
         emb.where(pmod(col("vec_id"), lit(3)) === b).coalesce(1)
           .write.mode("overwrite").parquet(s"$root/in/f$b")
@@ -1156,6 +1214,39 @@ private[graft] object RegistryQueriesB {
       Clustering.twoLevelDrift(index,
         Clustering.twoLevelAssignFrozen(delta, cbs))
     }),
+    // the RETRAIN ARC end-to-end (the execution path the drift trigger
+    // schedules, previously un-wired): publish v1 trained on the even
+    // half, append the odd half 3×-SCALED (out-of-distribution — the
+    // measured ≈9× anchor), REQUIRE the trigger fires, then
+    // twoLevelRetrain rebuilds on the corpus read back from v1's own
+    // table and atomically publishes v2 (v1 serves throughout; the
+    // _latest flip is last); the probe runs through the re-opened v2
+    // for an APPENDED scaled vector. The oracle replays
+    // train-on-base ∪ scaled-delta + probe from scratch — the scale
+    // factor rides double arithmetic cast back to REAL on both engines,
+    // matching the float column the index stores.
+    "q_two_level_retrain" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val base = emb.where(col("vec_id") % 2 === 0)
+      val delta = emb.where(col("vec_id") % 2 === 1)
+        .withColumn("embedding", transform(col("embedding"),
+          x => (x.cast("double") * lit(3.0)).cast("float")))
+      val root = tempDir("graft_tl_retrain")
+      val pfx = "tl_retrain_" + java.lang.Long.toHexString(System.nanoTime())
+      val (index, cbs) = Clustering.twoLevelIndex(base, k1 = 4, k2 = 4)
+      Clustering.twoLevelPublishVersion(s, index, cbs, pfx, root, nBuckets = 16)
+      val v1 = Clustering.twoLevelOpenVersion(s, pfx, root, nBuckets = 16)
+      val appended = Clustering.twoLevelAppend(s, v1.table, v1.dir,
+        nBuckets = 16, delta)
+      val drift = Clustering.twoLevelDriftFromStats(
+        Clustering.twoLevelReadStats(s, v1.dir), appended)
+      require(Clustering.twoLevelRetrainNeeded(drift),
+        "q_two_level_retrain: the 3x-scaled batch must trip the trigger")
+      Clustering.twoLevelRetrain(s, pfx, root, nBuckets = 16, k1 = 4, k2 = 4)
+      val v2 = Clustering.twoLevelOpenVersion(s, pfx, root, nBuckets = 16)
+      Clustering.twoLevelTopK(v2.index, v2.codebooks,
+        Similarity.vectorOf(delta, 1L), k = 10, nprobe = 4)
+    }),
     // Johnson-Lindenstrauss reduction: 64-dim floats -> 16 seeded-
     // Gaussian dot products, planes baked into the plan as literals.
     // Registered in posexploded scalar form (same reason as q_quantize).
@@ -1174,6 +1265,19 @@ private[graft] object RegistryQueriesB {
         .select(col("vec_id"), posexplode(col("pvec")).as(Seq("pos", "component")))
         .select(col("vec_id"), col("pos").cast("long").as("pos"), col("component"))
         .orderBy(col("vec_id"), col("pos"))),
+    // the APPLY half of the PCA family under oracle: projectOnPlanes
+    // (pcaProject's exact serving spelling — k codegen'd dots minus a
+    // literal mean shift) with planes LEARNED by the real eigensolve
+    // over a seed-fixed pure-JVM sample (Similarity.fixturePcaPlanes),
+    // replayed in DuckDB as double literals like q_random_projection —
+    // so the rows-only exemption stays confined to the training loop
+    "q_pca_apply" -> ((s, d) => {
+      val (comps, mean) = Similarity.fixturePcaPlanes()
+      Similarity.projectOnPlanes(t(s, d, "embeddings"), comps, mean)
+        .select(col("vec_id"), posexplode(col("pvec")).as(Seq("pos", "component")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("component"))
+        .orderBy(col("vec_id"), col("pos"))
+    }),
     // ---- multimodal plumbing (SURVEY [EXT]) ----
     "q_payload_meta" -> ((s, d) =>
       Multimodal.payloadMeta(Multimodal.attachPayload(t(s, d, "documents")))),

@@ -114,6 +114,67 @@ object Bpe {
       .orderBy(col("merge_rank"))
   }
 
+  /** Pure-JVM reference trainer with the same contract as [[train]]
+    * (merge pick = count desc then pair asc, greedy left-to-right
+    * re-segmentation, stop when no pair repeats) — an INDEPENDENT
+    * implementation (plain Scala maps and loops, no Spark), kept as
+    * the cross-check BpeSpec pins [[train]] against and as the
+    * deterministic trainer behind [[fixtureMerges]]. */
+  def referenceTrain(words: Map[String, Long], nMerges: Int): Seq[(String, String)] = {
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, c) => w.map(_.toString).toVector -> c }
+    val merges = Seq.newBuilder[(String, String)]
+    var learned = 0
+    var go = true
+    while (go && learned < nMerges) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      val best = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+      best match {
+        case Some(((a, b), n)) if n >= 2 =>
+          merges += ((a, b))
+          learned += 1
+          vocab = vocab.groupMapReduce { case (syms, _) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += (a + b); i += 2 // greedy left-to-right: consume both
+              } else { out += syms(i); i += 1 }
+            }
+            out.result()
+          }(_._2)(_ + _)
+        case _ => go = false
+      }
+    }
+    merges.result()
+  }
+
+  /** Fixture word-frequency table behind [[fixtureMerges]] — a literal
+    * mini-corpus whose trained merges exercise every apply-path branch:
+    * multi-char left operands ("th"+"e"), merged-symbol chaining, and
+    * the greedy-overlap case (banana's a·n·a·n·a run). A LITERAL so
+    * both the registered q_bpe_segment query and its DuckDB oracle
+    * derive the identical merge list from the same trainer arithmetic —
+    * the q_random_projection seeded-literal discipline for the BPE
+    * family: the apply half (mergeFold) gets a hash certificate while
+    * training on live data stays the rows-only q_bpe_train. */
+  val FixtureWords: Map[String, Long] = Map(
+    "the" -> 12L, "then" -> 5L, "these" -> 4L, "there" -> 6L,
+    "low" -> 9L, "lower" -> 7L, "lowest" -> 3L,
+    "newest" -> 8L, "widest" -> 6L, "winner" -> 5L, "inner" -> 4L,
+    "banana" -> 7L, "and" -> 11L, "sand" -> 3L, "onion" -> 5L, "notion" -> 4L)
+
+  /** The first `n` merges [[referenceTrain]] learns on
+    * [[FixtureWords]] — deterministic pure-JVM arithmetic, so the
+    * Scala query and the DuckDB oracle string share one derivation. */
+  def fixtureMerges(n: Int): Seq[(String, String)] = referenceTrain(FixtureWords, n)
+
   /** Apply a learned merge list to a corpus: per-document token count
     * under the trained tokenizer (the cost estimate that decides
     * whether the vocab ships). Segmentation folds each merge in

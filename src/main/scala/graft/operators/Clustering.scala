@@ -740,6 +740,193 @@ object Clustering {
     (spark.table(table), cbs)
   }
 
+  // ---- versioned serving + retrain execution (the arc the drift
+  // trigger schedules): index generations live in immutable-LAYOUT
+  // version dirs $root/v=%06d/{index,codebooks,stats} with Lake's
+  // `_latest` staged-marker protocol deciding which generation serves.
+  // Within a generation the bucketed index table is APPEND-ONLY
+  // ([[twoLevelAppend]] bucket-inserts new files; codebooks/stats never
+  // change after publish); a retrain publishes generation N+1 from
+  // scratch while every probe keeps answering from generation N — the
+  // marker flip is the last step, so there is never a torn read. ----
+
+  /** A served index generation: the catalog table + version dir behind
+    * the (index, codebooks) pair the probe/append/drift APIs consume. */
+  final case class TwoLevelVersion(version: Long, table: String, dir: String,
+                                   index: DataFrame,
+                                   codebooks: Array[(Long, Array[Double])])
+
+  /** Publish a trained index as the NEXT generation under a versioned
+    * root: stage the full index/codebooks/stats triple into
+    * `v=N.__staging`, rename the dir (atomic), then advance `_latest`
+    * ([[graft.sources.Lake.advanceLatest]]) — the marker commit is
+    * last, so readers racing the publish resolve either generation
+    * N-1 or N, never a mix, and a crash anywhere before the marker
+    * flip leaves an unpublished dir the next publish reclaims.
+    * Returns the new version number. */
+  def twoLevelPublishVersion(spark: org.apache.spark.sql.SparkSession,
+                             index: DataFrame, codebooks: Array[(Long, Array[Double])],
+                             tablePrefix: String, root: String, nBuckets: Int): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = graft.sources.Lake.latestVersion(spark, root).getOrElse(0L) + 1
+    val targetDir = graft.sources.Lake.versionPath(root, next)
+    val (target, staging) = (new Path(targetDir), new Path(targetDir + ".__staging"))
+    // a crashed prior attempt at THIS version is unpublished by
+    // definition (the marker never advanced) — reclaim it
+    if (fs.exists(target)) fs.delete(target, true)
+    if (fs.exists(staging)) fs.delete(staging, true)
+    // bucketBy needs a catalog entry; stage under a throwaway name and
+    // drop it after the write (external table: the files stay put)
+    val stagingTable = s"${tablePrefix}_v${next}_staging"
+    spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+    twoLevelWriteIndex(index, codebooks, stagingTable, targetDir + ".__staging",
+      nBuckets)
+    spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"failed to publish $staging as $target")
+    graft.sources.Lake.advanceLatest(spark, root, next)
+    next
+  }
+
+  /** Open a generation of a versioned index: the `_latest` marker's
+    * target by default, or a pinned `version` (published dirs are
+    * never rewritten, so a pinned open is reproducible — probes
+    * in-flight during a retrain keep answering from their pinned
+    * generation). */
+  def twoLevelOpenVersion(spark: org.apache.spark.sql.SparkSession,
+                          tablePrefix: String, root: String, nBuckets: Int,
+                          version: Long = -1L): TwoLevelVersion = {
+    val v =
+      if (version >= 0) version
+      else graft.sources.Lake.latestVersion(spark, root).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"no published index version under $root"))
+    val dir = graft.sources.Lake.versionPath(root, v)
+    val (index, cbs) = twoLevelOpenIndex(spark, s"${tablePrefix}_v$v", dir, nBuckets)
+    TwoLevelVersion(v, s"${tablePrefix}_v$v", dir, index, cbs)
+  }
+
+  /** Execute the retrain the drift trigger schedules: rebuild the
+    * index on the CURRENT corpus — every base and appended vector,
+    * read back from the serving generation's own table (the vectors
+    * are index payload, so no upstream re-scan) — and publish it as
+    * generation N+1 with fresh codebooks and a fresh stats baseline.
+    * The serving generation is never touched: its table keeps
+    * answering bucket-pruned probes throughout the rebuild, and the
+    * `_latest` flip at the very end is what moves new opens to N+1.
+    * This is the 507 s-class batch job [[twoLevelAppend]] exists to
+    * amortize — scheduled (by [[twoLevelRetrainNeeded]] /
+    * the streaming loop's RETRAIN NEEDED log), never absorbed into an
+    * ingest batch. Returns the new version number. */
+  def twoLevelRetrain(spark: org.apache.spark.sql.SparkSession,
+                      tablePrefix: String, root: String, nBuckets: Int,
+                      k1: Int, k2: Int, iters: Int = 2,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+    val cur = twoLevelOpenVersion(spark, tablePrefix, root, nBuckets)
+    val corpus = cur.index.select(col(idCol), col(vecCol))
+    val (index, cbs) = twoLevelIndex(corpus, k1, k2, iters, idCol, vecCol)
+    twoLevelPublishVersion(spark, index, cbs, tablePrefix, root, nBuckets)
+  }
+
+  // ---- append-path hygiene: file telemetry + bucket compaction.
+  // Every [[twoLevelAppend]] batch lands O(1) new files per touched
+  // bucket; after B batches a probe pays O(B) file opens per probed
+  // bucket. The rule-as-code below decides when to pay the rewrite
+  // (the semanticDedupAuto / ingestBatchRows discipline, fourth
+  // instance), and the compactor rewrites bucket-aligned so results
+  // and bucket pruning are preserved bit-for-bit. ----
+
+  /** Per-bucket (fileCount, bytes) from ONE directory listing of a
+    * bucketed index dir — no data read. Bucket ids parse from Spark's
+    * bucketed-file naming (`..._NNNNN.c000...`); -1 collects files the
+    * pattern doesn't cover. */
+  private def bucketFileCounts(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): Seq[(Int, Int, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketRe = "_(\\d{5})\\.".r
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (bucketRe.findFirstMatchIn(s.getPath.getName)
+        .map(_.group(1).toInt).getOrElse(-1), s.getLen))
+      .groupBy(_._1).toSeq
+      .map { case (b, fsz) => (b, fsz.size, fsz.map(_._2).sum) }
+      .sortBy(_._1)
+  }
+
+  /** Files-per-bucket telemetry for a persisted index dir (the
+    * `$root/index` of [[twoLevelWriteIndex]]): (bucket, n_files,
+    * bytes), one row per bucket that has files. The number an ingest
+    * loop watches to schedule [[compactTwoLevelIndex]]. */
+  def indexFileStats(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    import spark.implicits._
+    bucketFileCounts(spark, dir).toDF("bucket", "n_files", "bytes")
+  }
+
+  /** Default [[indexCompactionNeeded]] threshold: compact a bucket's
+    * worth of probe IO once any bucket fragments past 8 files — at one
+    * file per touched bucket per append batch that is ~8 ingest
+    * batches of headroom, while the rewrite it schedules is bounded by
+    * the index (not corpus) size. */
+  val IndexCompactFilesPerBucket: Int = 8
+
+  /** The compaction trigger as CODE: true when any bucket of the index
+    * dir holds more than `maxFilesPerBucket` files. One directory
+    * listing; pair with [[compactTwoLevelIndex]] (the streaming loop
+    * logs COMPACT NEEDED on this rule and leaves the rewrite to a
+    * scheduled batch job, like the retrain). */
+  def indexCompactionNeeded(spark: org.apache.spark.sql.SparkSession, dir: String,
+                            maxFilesPerBucket: Int = IndexCompactFilesPerBucket): Boolean = {
+    require(maxFilesPerBucket > 0,
+      s"maxFilesPerBucket must be positive: $maxFilesPerBucket")
+    bucketFileCounts(spark, dir).exists(_._2 > maxFilesPerBucket)
+  }
+
+  /** Bucket-preserving compaction of a persisted two-level index:
+    * rewrite `$root/index` so each bucket holds ONE file again. The
+    * rewrite repartitions by the bucket key into `nBuckets` tasks —
+    * HashPartitioning and the table's bucket spec share the same
+    * murmur3-pmod arithmetic, so each task holds exactly one bucket's
+    * rows — then re-writes through the same bucketed+sorted writer the
+    * build used (results and SelectedBucketsCount pruning preserved
+    * bit-for-bit; only the file layout changes). The swap is the
+    * [[graft.sources.Lake.overwriteSelf]] move-aside ordering (stage,
+    * park live, promote, delete parked — crash anywhere heals via
+    * [[graft.sources.Lake.healCrashedOverwrite]] on next entry), and
+    * the staged write EXECUTES the read of the live files before any
+    * rename. Returns (filesBefore, filesAfter). */
+  def compactTwoLevelIndex(spark: org.apache.spark.sql.SparkSession,
+                           table: String, root: String, nBuckets: Int): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val dir = s"$root/index"
+    graft.sources.Lake.healCrashedOverwrite(spark, dir)
+    val before = bucketFileCounts(spark, dir).map(_._2).sum
+    val stagingTable = table + "__compact"
+    spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+    graft.sources.Bucketing.writeBucketed(
+      spark.table(table).repartition(nBuckets, col("cell")),
+      stagingTable, "cell", nBuckets, dir + ".__staging")
+    spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (target, staging, old) =
+      (new Path(dir), new Path(dir + ".__staging"), new Path(dir + ".__old"))
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"failed to move $target aside to $old")
+    if (!fs.rename(staging, target)) {
+      val restored = fs.exists(old) && fs.rename(old, target)
+      throw new java.io.IOException(s"failed to promote $staging into $target" +
+        (if (restored) " (original restored)" else s" (original left at $old)"))
+    }
+    if (fs.exists(target)) fs.delete(old, true): Unit
+    // the catalog caches file listings; the files under LOCATION changed
+    spark.sql(s"REFRESH TABLE $table")
+    (before, bucketFileCounts(spark, dir).map(_._2).sum)
+  }
+
   /** SemDeDup over the two-level quantizer: [[twoLevelAssign]] cells
     * feed the same within-cell cosine pair stage as [[semanticDedup]]
     * (one-hop min-id keeper, `maxCell` skew guard, conservative
@@ -955,7 +1142,69 @@ object Clustering {
       .parquet(s"$root/codes")
     codebooks.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$root/codebooks")
+    // build-time per-(subspace, codeword) reconstruction-error baseline
+    // — the twoLevelWriteIndex stats discipline for the PQ family, so
+    // an append-time drift check reads these m·k rows instead of
+    // re-scanning the codes table, and the baseline stays the
+    // codebook's own training distribution however many batches have
+    // been appended since
+    pqStats(codes).coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/stats")
   }
+
+  /** The per-(subspace, codeword) build baseline [[pqDriftFromStats]]
+    * consumes: (subspace, code, n_base, __bs) with the quantization-
+    * error sum under the decimal discipline — [[twoLevelStats]] keyed
+    * by the PQ index's natural cell, the codeword. One scan of the
+    * codes table's (subspace, code, dist2) columns, paid at build time
+    * by [[pqWriteIndex]], never per append. */
+  def pqStats(codes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    codes.groupBy(col("subspace"), col("code")).agg(count(lit(1)).as("n_base"),
+      sum(round(col("dist2"), 6).cast(DecimalType(18, 6))).as("__bs"))
+  }
+
+  def pqReadStats(spark: org.apache.spark.sql.SparkSession,
+                  root: String): DataFrame =
+    spark.read.parquet(s"$root/stats")
+
+  /** Per-(subspace, codeword) drift report for the PQ index: the
+    * build-time reconstruction-error baseline vs a frozen-encoded
+    * batch's dist2 ([[pqEncodeFrozen]]/[[pqAppend]]'s return) — the
+    * [[twoLevelDriftFromStats]] contract with (subspace, code) playing
+    * the cell role, same decimal-sum discipline, same FULL OUTER join
+    * (a batch landing on codewords the base never used still reaches
+    * the trigger). Bounded by m·k rows. */
+  def pqDriftFromStats(stats: DataFrame, encoded: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val a = encoded.groupBy(col("subspace"), col("code"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(round(col("dist2"), 6).cast(DecimalType(18, 6))).as("__ns"))
+    stats.join(a, Seq("subspace", "code"), "full")
+      .select(col("subspace"), col("code"), col("n_base"),
+        round(col("__bs").cast("double") / col("n_base"), 6).as("base_mean_d2"),
+        col("n_new"),
+        round(col("__ns").cast("double") / col("n_new"), 6).as("new_mean_d2"),
+        round((col("__ns").cast("double") / col("n_new")) /
+          (col("__bs").cast("double") / col("n_base")), 6).as("drift_ratio"))
+      .orderBy(col("subspace"), col("code"))
+  }
+
+  /** [[pqDriftFromStats]] with the baseline computed in-line — the
+    * in-memory form; persisted callers read the build-time artifact
+    * ([[pqReadStats]]) instead of rescanning codes. */
+  def pqDrift(codes: DataFrame, encoded: DataFrame): DataFrame =
+    pqDriftFromStats(pqStats(codes), encoded)
+
+  /** The PQ retrain trigger: [[twoLevelRetrainNeeded]]'s pooled rule
+    * verbatim — the report carries the same measure columns
+    * (n_base/base_mean_d2/n_new/new_mean_d2), so the rule and its
+    * measured anchors (same-distribution ≈1×, 3×-scaled ≈9×, tolerance
+    * 2.0 between them) transfer unchanged. */
+  def pqRetrainNeeded(drift: DataFrame,
+                      tolerance: Double = TwoLevelDriftTolerance): Boolean =
+    twoLevelRetrainNeeded(drift, tolerance)
 
   def pqReadIndex(spark: org.apache.spark.sql.SparkSession,
                   root: String): (DataFrame, DataFrame) =
@@ -1026,5 +1275,52 @@ object Clustering {
         lit(0.0), _ + _).as("adc_dist2"))
       .orderBy(col("adc_dist2").asc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Batched multi-query ADC top-k — [[twoLevelTopKMulti]]'s serving
+    * parity for the PQ index: Q sequential [[pqTopK]] calls pay Q scans
+    * of the codes table, while this form joins ONE pass over the codes
+    * against a broadcast per-query distance table (the Q·m query-slice
+    * rows crossed with the m·k codebook — the PQ paper's in-memory LUT,
+    * spelled as two broadcast joins) and ranks per query with a window
+    * PARTITIONED by query id. Per query, the candidate scores and the
+    * (adc asc, id) ranking are exactly [[pqTopK]]'s — per-subspace
+    * partials fold in subspace order — so each query's k rows match the
+    * single-query contract bit-for-bit and the whole batch replays in
+    * DuckDB. Returns (query_id, idCol, adc_dist2 6-dp, rank) ordered by
+    * (query_id, rank); `queries` is a bounded driver-side parameter
+    * list. */
+  def pqTopKMulti(codes: DataFrame, codebooks: DataFrame,
+                  queries: Seq[(Long, Seq[Double])], m: Int, k: Int,
+                  idCol: String = "vec_id"): DataFrame = {
+    require(queries.nonEmpty && k > 0,
+      s"queries and k must be non-empty/positive: q=${queries.size} k=$k")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "pqTopKMulti: query ids must be distinct")
+    require(queries.forall(q => q._2.nonEmpty && q._2.size % m == 0),
+      s"every query dim must be divisible by m=$m")
+    val w = queries.head._2.size / m
+    val spark = codes.sparkSession
+    import spark.implicits._
+    // Q·m rows of query-slice parameters — broadcast by construction
+    val qSlices = queries.flatMap { case (qid, qv) =>
+      qv.grouped(w).zipWithIndex.map { case (s, i) => (qid, i, s) }
+    }.toDF("query_id", "subspace", "qs")
+    codes
+      .join(broadcast(codebooks.withColumnRenamed("cell", "code")),
+        Seq("subspace", "code"))
+      .join(broadcast(qSlices), Seq("subspace"))
+      .select(col("query_id"), col(idCol),
+        struct(col("subspace"), dist2(col("qs"), col("cvec")).as("d")).as("__sd"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(aggregate(
+        transform(array_sort(collect_list(col("__sd"))), x => x.getField("d")),
+        lit(0.0), _ + _).as("__adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__adc").asc, col(idCol).asc)))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol),
+        round(col("__adc"), 6).as("adc_dist2"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
   }
 }

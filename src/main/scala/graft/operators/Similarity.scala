@@ -547,6 +547,17 @@ object Similarity {
       cov(i)(j) = c; cov(j)(i) = c
       if (i == j) mean(i) = r.getLong(4).toDouble / n / 1.0e6
     }
+    val (comps, eigs) = powerIterate(cov, k, iters)
+    (comps, eigs, mean)
+  }
+
+  /** The deterministic power-iteration-with-deflation eigensolve
+    * behind [[pcaComponents]] — factored so [[pcaComponentsLocal]]
+    * (the pure-JVM fixture derivation) runs the IDENTICAL arithmetic
+    * on its in-memory covariance. */
+  private def powerIterate(cov: Array[Array[Double]], k: Int, iters: Int)
+      : (Array[Array[Double]], Array[Double]) = {
+    val d = cov.length
     def matVec(m: Array[Array[Double]], v: Array[Double]) =
       m.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
     def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
@@ -567,8 +578,90 @@ object Similarity {
       for (i <- 0 until d; j <- 0 until d) // deflate
         work(i)(j) -= lambda * v(i) * v(j)
     }
+    (comps, eigs)
+  }
+
+  /** Pure-JVM twin of [[embeddingCovariance]]+[[pcaComponents]] over an
+    * in-memory sample: the same integer micro-sum moments
+    * (round(x·10⁶) longs, exact sums) and the same eigensolve (shared
+    * [[powerIterate]]) with no Spark in the loop — the derivation the
+    * q_pca_apply fixture row and its DuckDB oracle both call, so their
+    * plane literals cannot drift. */
+  def pcaComponentsLocal(vecs: Seq[Array[Double]], k: Int, iters: Int = 50)
+      : (Array[Array[Double]], Array[Double], Array[Double]) = {
+    require(vecs.nonEmpty, "pcaComponentsLocal needs at least one vector")
+    val d = vecs.head.length
+    require(k > 0 && k <= d, s"k=$k out of range for dim $d")
+    require(vecs.forall(_.length == d), "ragged input vectors")
+    def micro(x: Double): Long = java.math.BigDecimal.valueOf(x * 1000000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val vm = vecs.map(_.map(micro))
+    val n = vecs.size.toDouble
+    val si = new Array[Long](d)
+    val s2 = Array.ofDim[Long](d, d)
+    vm.foreach { v =>
+      var i = 0
+      while (i < d) {
+        si(i) += v(i)
+        var j = i
+        while (j < d) { s2(i)(j) += v(i) * v(j); j += 1 }
+        i += 1
+      }
+    }
+    val cov = Array.ofDim[Double](d, d)
+    val mean = Array.tabulate(d)(i => si(i).toDouble / n / 1.0e6)
+    for (i <- 0 until d; j <- i until d) {
+      val c = (s2(i)(j).toDouble / n -
+        (si(i).toDouble / n) * (si(j).toDouble / n)) / 1.0e12
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (comps, eigs) = powerIterate(cov, k, iters)
     (comps, eigs, mean)
   }
+
+  /** Deterministic fixture planes for the PCA APPLY certificate: a
+    * seed-fixed synthetic sample (java.util.Random Gaussians — the
+    * [[hyperplanes]] discipline — with a per-dimension variance ramp
+    * and alternating offsets so the principal directions and the mean
+    * shift are both non-trivial), solved by the REAL eigensolve
+    * ([[pcaComponentsLocal]]). Pure JVM, so the registered query and
+    * the DuckDB oracle string derive identical (comps, mean) literals
+    * — q_random_projection's seeded-literal discipline with LEARNED
+    * planes, closing the serving half of the rows-only q_pca. */
+  def fixturePcaPlanes(k: Int = 8, dim: Int = 64, n: Int = 256, seed: Long = 11L)
+      : (Array[Array[Double]], Array[Double]) = {
+    val rnd = new java.util.Random(seed)
+    val sample = Seq.fill(n)(Array.tabulate(dim)(j =>
+      rnd.nextGaussian() * (1.0 + (dim - j).toDouble / 8.0) +
+        (if (j % 2 == 0) 0.5 else -0.25)))
+    // 500 iterations (vs the distributed trainer's 50): pure-JVM, so
+    // the extra convergence is free, and the tighter orthonormality
+    // makes the fixture planes a cleaner serving parameter set
+    val (comps, _, mean) = pcaComponentsLocal(sample, k, iters = 500)
+    (comps, mean)
+  }
+
+  /** The literal scalar shift `μ·v_c` of one projection plane — shared
+    * by [[projectOnPlanes]] and the oracle builder so the two sides'
+    * shift literals come from one arithmetic. */
+  def planeShift(comp: Array[Double], mean: Array[Double]): Double =
+    comp.zip(mean).map { case (a, b) => a * b }.sum
+
+  /** Project embeddings onto explicit (components, mean) planes — the
+    * SERVING half of [[pcaProject]], factored so the trained row and
+    * the fixture-certified row (q_pca_apply) share one spelling: k
+    * codegen'd [[graft.expressions.DotProduct]]s against literal
+    * arrays plus a literal scalar shift, riding the scan — zero
+    * Exchange, zero broadcast. */
+  def projectOnPlanes(embeddings: DataFrame, comps: Array[Array[Double]],
+                      mean: Array[Double], idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame =
+    embeddings.select(col(idCol),
+      array(comps.map { comp =>
+        round(GraftFunctions.dot(col(vecCol), typedLit(comp.toSeq)) -
+          lit(planeShift(comp, mean)), 6)
+      }.toIndexedSeq: _*).as("pvec"))
+      .orderBy(col(idCol))
 
   /** PCA projection ([EXT]) — each vector's coordinates on the top-k
     * principal components of the corpus, mean-centered:
@@ -584,11 +677,6 @@ object Similarity {
   def pcaProject(embeddings: DataFrame, k: Int, dim: Int, iters: Int = 50,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val (comps, _, mean) = pcaComponents(embeddings, k, dim, iters, vecCol)
-    embeddings.select(col(idCol),
-      array(comps.map { comp =>
-        val shift = comp.zip(mean).map { case (a, b) => a * b }.sum
-        round(GraftFunctions.dot(col(vecCol), typedLit(comp.toSeq)) - lit(shift), 6)
-      }.toIndexedSeq: _*).as("pvec"))
-      .orderBy(col(idCol))
+    projectOnPlanes(embeddings, comps, mean, idCol, vecCol)
   }
 }

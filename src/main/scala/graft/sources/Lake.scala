@@ -71,6 +71,21 @@ object Lake {
     s"${r.getLong(0)}:$h"
   }
 
+  /** [[fingerprint]] memoized per (session, caller key): the scan is
+    * paid once per source per session instead of on every invocation
+    * of every persisted registry row (at bench time the same
+    * embeddings table was being re-fingerprinted per query). The key
+    * must name the SOURCE (e.g. its path) — two different tables must
+    * never share a key. Within one session an in-place regeneration of
+    * the source goes unseen (the cross-session protection is the trap
+    * [[buildOnce]] exists to close; a live session regenerating its own
+    * inputs mid-flight is not a supported shape). */
+  private val fpCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def fingerprintCached(df: DataFrame, key: String): String =
+    fpCache.computeIfAbsent(
+      System.identityHashCode(df.sparkSession).toString + "|" + key,
+      _ => fingerprint(df))
+
   def buildOnce(dir: String, fingerprint: String)(build: => Unit): Unit = {
     val stampPath = new java.io.File(dir, "_GRAFT_SOURCE_STAMP").toPath
     val fresh = new java.io.File(dir, "_SUCCESS").exists() &&
@@ -445,6 +460,30 @@ object Lake {
 
   private def versionDir(root: String, v: Long) = f"$root/v=$v%06d"
 
+  /** The `v=N` directory path of the marker protocol — public so the
+    * versioned ANN-index family ([[graft.operators.Clustering]]'s
+    * retrain arc) can stage its multi-artifact version dirs under the
+    * SAME layout and marker this table protocol uses. */
+  def versionPath(root: String, v: Long): String = versionDir(root, v)
+
+  /** Advance the `_latest` marker to `v` — the LAST step of every
+    * publish (stage-and-rename; readers racing the writer see the old
+    * or the new version, never a mix). Factored out of [[writeVersion]]
+    * so non-DataFrame version dirs (the ANN index's index/codebooks/
+    * stats triple) commit through the identical protocol. */
+  def advanceLatest(spark: SparkSession, root: String, v: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_latest")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/_latest.__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(marker)) fs.delete(marker, false)
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(s"failed to advance $marker to $v")
+  }
+
   /** The published version number, if any (crash-orphaned version
     * dirs beyond the marker do NOT count). */
   def latestVersion(spark: SparkSession, root: String): Option[Long] = {
@@ -475,14 +514,7 @@ object Lake {
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     if (!fs.rename(staging, target))
       throw new java.io.IOException(s"failed to publish $staging as $target")
-    val marker = new org.apache.hadoop.fs.Path(s"$root/_latest")
-    val tmp = new org.apache.hadoop.fs.Path(s"$root/_latest.__tmp")
-    val out = fs.create(tmp, true)
-    try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (fs.exists(marker)) fs.delete(marker, false)
-    if (!fs.rename(tmp, marker))
-      throw new java.io.IOException(s"failed to advance $marker to $next")
+    advanceLatest(spark, root, next)
     next
   }
 

@@ -690,7 +690,55 @@ object Sessions {
           val drift = C.twoLevelDriftFromStats(
             C.twoLevelReadStats(spark, root), appended)
           val retrain = C.twoLevelRetrainNeeded(drift)
+          // same schedule-don't-absorb contract as the retrain: the
+          // rewrite ([[graft.operators.Clustering.compactTwoLevelIndex]])
+          // is bounded by the index size — a batch job, not micro-batch
+          // work; the rule here is one directory listing
+          val compact = C.indexCompactionNeeded(spark, s"$root/index")
           println(s"[index-append] batch=$batchId appended" +
+            (if (retrain) " — RETRAIN NEEDED (drift over tolerance)" else "") +
+            (if (compact) " — COMPACT NEEDED (bucket fragmentation over threshold)"
+             else ""))
+        }
+        ()
+      }
+      .start()
+
+  /** [[streamIndexAppend]]'s sibling for the PQ index — maintenance
+    * parity for the memory-tier artifact a billion-vector service
+    * ships: the first micro-batch bootstraps (train per-subspace
+    * codebooks + persist codes/codebooks/stats via
+    * [[graft.operators.Clustering.pqWriteIndex]]), every later batch
+    * frozen-encodes against the stored codebooks and appends m codes
+    * per vector ([[graft.operators.Clustering.pqAppend]] — the
+    * codebooks table never touched), and the batch's reconstruction-
+    * error drift vs the BUILD-TIME stats artifact decides retraining
+    * via [[graft.operators.Clustering.pqRetrainNeeded]] (logged and
+    * scheduled, never absorbed — the same contract as the two-level
+    * loop). Restart-safe the same way: checkpoint replay + the
+    * bootstrap branch keyed on the codes table's `_SUCCESS`. */
+  def streamPqIndexAppend(vecs: DataFrame, root: String, checkpoint: String,
+                          m: Int = 4, k: Int = 8, dim: Int = 64,
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          trigger: org.apache.spark.sql.streaming.Trigger =
+                            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val C = graft.operators.Clustering
+        if (!graft.sources.Lake.pathExists(spark, s"$root/codes/_SUCCESS")) {
+          val (codes, cbs) = C.pqTrainEncode(batch, m, k, iters = 2, dim,
+            idCol, vecCol)
+          C.pqWriteIndex(codes, cbs, root)
+          println(s"[pq-append] batch=$batchId bootstrap: trained ${m}x$k codebooks")
+        } else {
+          val encoded = C.pqAppend(spark, root, batch, m, k, dim, idCol, vecCol)
+          val drift = C.pqDriftFromStats(C.pqReadStats(spark, root), encoded)
+          val retrain = C.pqRetrainNeeded(drift)
+          println(s"[pq-append] batch=$batchId appended" +
             (if (retrain) " — RETRAIN NEEDED (drift over tolerance)" else ""))
         }
         ()

@@ -53,7 +53,7 @@ class SparkEntrySpec extends SparkSuite {
       "q_two_level_cells", "q_semantic_twolevel", "q_two_level_topk",
       "q_kmeans_wide", "q_two_level_cells_wide", "q_two_level_persisted",
       "q_two_level_knn_multi", "q_two_level_append", "q_two_level_drift",
-      "q_pq_append", "q_stream_index_final")
+      "q_two_level_retrain", "q_pq_append", "q_stream_index_final")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (loopy(name)) None
       else scala.util.Try(fn(spark, d).count()).failed.toOption
@@ -84,7 +84,7 @@ class SparkEntrySpec extends SparkSuite {
       "q_two_level_cells", "q_semantic_twolevel", "q_two_level_topk",
       "q_kmeans_wide", "q_two_level_cells_wide", "q_two_level_persisted",
       "q_two_level_knn_multi", "q_two_level_append", "q_two_level_drift",
-      "q_pq_append", "q_stream_index_final")
+      "q_two_level_retrain", "q_pq_append", "q_stream_index_final")
     import org.apache.spark.sql.catalyst.expressions.NTile
     // every allowed empty-partition window runs over a table bounded
     // by a QUERY PARAMETER, never the fact — the justification is the
@@ -100,6 +100,7 @@ class SparkEntrySpec extends SparkSuite {
       "q_pq_adc" -> "rank over k centroids per subspace, k a query parameter",
       "q_pq_encode" -> "same k-bounded codebook ranking",
       "q_pq_encode_wide" -> "same k-bounded codebook ranking (k=40 seed window, post-limit)",
+      "q_pq_drift" -> "same k-bounded codebook seed ranking (the even-half training windows ride the drift report's lineage)",
       "q_share_hierarchy" -> "grand-total window over the 25-row nation aggregate",
       "q_temperature_mix" -> "domain-count table: one row per domain")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -141,7 +142,7 @@ class SparkEntrySpec extends SparkSuite {
       "q_two_level_cells", "q_semantic_twolevel", "q_two_level_topk",
       "q_kmeans_wide", "q_two_level_cells_wide", "q_two_level_persisted",
       "q_two_level_knn_multi", "q_two_level_append", "q_two_level_drift",
-      "q_pq_append", "q_stream_index_final")
+      "q_two_level_retrain", "q_pq_append", "q_stream_index_final")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (loopy(name)) None
       else scala.util.Try {

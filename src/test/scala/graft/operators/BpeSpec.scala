@@ -7,44 +7,12 @@ import graft.SparkSuite
 class BpeSpec extends SparkSuite {
   import spark.implicits._
 
-  /** Independent reference BPE trainer (plain Scala, no Spark) with
-    * the same contract: merge pick = (count desc, pair asc), greedy
-    * left-to-right re-segmentation, stop when no pair repeats. */
+  // the independent reference trainer lives in main since round 14
+  // (it derives the q_bpe_segment fixture merges); it stays a SEPARATE
+  // implementation from Bpe.train — plain Scala loops vs the Spark
+  // dataflow — so the cross-check below keeps its teeth
   private def referenceTrain(words: Map[String, Long], nMerges: Int)
-      : Seq[(String, String)] = {
-    var vocab: Map[Vector[String], Long] =
-      words.map { case (w, c) => w.map(_.toString).toVector -> c }
-    val merges = Seq.newBuilder[(String, String)]
-    var learned = 0
-    var go = true
-    while (go && learned < nMerges) {
-      val counts = collection.mutable.Map.empty[(String, String), Long]
-      vocab.foreach { case (syms, c) =>
-        syms.sliding(2).foreach {
-          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
-          case _ =>
-        }
-      }
-      val best = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.headOption
-      best match {
-        case Some(((a, b), n)) if n >= 2 =>
-          merges += ((a, b))
-          learned += 1
-          vocab = vocab.groupMapReduce { case (syms, _) =>
-            val out = Vector.newBuilder[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-                out += (a + b); i += 2  // greedy left-to-right: consume both
-              } else { out += syms(i); i += 1 }
-            }
-            out.result()
-          }(_._2)(_ + _)
-        case _ => go = false
-      }
-    }
-    merges.result()
-  }
+      : Seq[(String, String)] = Bpe.referenceTrain(words, nMerges)
 
   test("train matches the independent reference on the classic corpus") {
     // the Sennrich-style example: es/est dominate via newest+widest
@@ -89,6 +57,54 @@ class BpeSpec extends SparkSuite {
     assert(out(2) === Seq("x", "aa"))
     assert(out(3) === Seq("a"))
     assert(out(4) === Seq.empty)
+  }
+
+  test("fixtureMerges: the distributed trainer reproduces them; the list exercises multi-char chains") {
+    // the q_bpe_segment fixture list is derived by the pure-JVM
+    // reference trainer; the Spark trainer on the same literal
+    // vocabulary must learn the identical list — so the certified
+    // apply row's parameters are exactly what training would produce
+    val merges = Bpe.fixtureMerges(12)
+    assert(merges.size === 12)
+    val docs = Bpe.FixtureWords.toSeq.sortBy(_._1).flatMap { case (w, c) =>
+      Seq.fill(c.toInt)(w)
+    }.grouped(5).map(_.mkString(" ")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+    val (trained, _) = Bpe.train(docs, nMerges = 12)
+    assert(trained === merges, s"spark=$trained fixture=$merges")
+    // the list must exercise the apply path's hard branches: a merge
+    // whose LEFT operand is itself a merged (multi-char) symbol
+    val symbols = merges.map { case (a, b) => a + b }.toSet
+    assert(merges.exists { case (a, _) => a.length > 1 && symbols.contains(a) },
+      s"fixture merges too flat to certify chained merging: $merges")
+  }
+
+  test("segmentCounts with fixture merges matches a hand-run greedy segmentation") {
+    // independent apply-path check on words hitting every branch:
+    // chained multi-char merges and the greedy-overlap run (banana)
+    val merges = Bpe.fixtureMerges(12)
+    def segment(word: String): Int = {
+      var syms = word.map(_.toString).toVector
+      merges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length
+    }
+    val docs = Seq((1L, "the banana thesis"), (2L, "Lowest Notions"),
+      (3L, "  spaced   out  "), (4L, null: String)).toDF("doc_id", "text")
+    val got = Bpe.segmentCounts(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === Seq("the", "banana", "thesis").map(segment).sum.toLong)
+    assert(got(2L) === Seq("lowest", "notions").map(segment).sum.toLong)
+    assert(got(3L) === Seq("spaced", "out").map(segment).sum.toLong)
+    assert(got(4L) === 0L)
   }
 
   test("segmentCounts: trained merges shrink token counts, never below word count") {

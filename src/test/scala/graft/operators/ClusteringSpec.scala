@@ -519,6 +519,171 @@ class ClusteringSpec extends SparkSuite {
     assert(adcTop.contains(7L), "ADC lost the appended query vector")
   }
 
+  test("versioned retrain arc: trigger fires, v2 publishes, v1 serves untouched throughout") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = emb.where(col("vec_id") % 2 === 0)
+    // 3x-scaled odd half: the out-of-distribution append (the measured
+    // ~9x anchor) that must trip the trigger and justify the retrain
+    val delta = emb.where(col("vec_id") % 2 === 1)
+      .withColumn("embedding", transform(col("embedding"),
+        x => (x.cast("double") * lit(3.0)).cast("float")))
+    val root = java.nio.file.Files.createTempDirectory("graft_tl_retrain_spec").toString
+    val pfx = "tl_retrain_spec_" + java.lang.Long.toHexString(System.nanoTime())
+    val (idx, cbs) = Clustering.twoLevelIndex(base, k1 = 4, k2 = 4)
+    assert(Clustering.twoLevelPublishVersion(spark, idx, cbs, pfx, root, 16) === 1L)
+    val v1 = Clustering.twoLevelOpenVersion(spark, pfx, root, 16)
+    assert(v1.version === 1L)
+    val appended = Clustering.twoLevelAppend(spark, v1.table, v1.dir, 16, delta)
+    val drift = Clustering.twoLevelDriftFromStats(
+      Clustering.twoLevelReadStats(spark, v1.dir), appended)
+    assert(Clustering.twoLevelRetrainNeeded(drift),
+      "the scaled batch must trip the retrain trigger")
+    // pin generation 1's serving state: probe answer + exact file
+    // inventory of its index dir
+    val qBase = Similarity.vectorOf(emb, 6L)
+    val p1 = Clustering.twoLevelTopK(v1.index, v1.codebooks, qBase, 10, nprobe = 4)
+      .collect().toSeq
+    def inventory(dir: String): Seq[(String, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/index")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).toSeq.map(s => (s.getPath.getName, s.getLen)).sorted
+    }
+    val inv1 = inventory(v1.dir)
+    // the retrain: rebuilds on the corpus read back from v1's own
+    // table, publishes v2, flips the marker LAST
+    assert(Clustering.twoLevelRetrain(spark, pfx, root, 16, k1 = 4, k2 = 4) === 2L)
+    assert(graft.sources.Lake.latestVersion(spark, root) === Some(2L))
+    // NEVER A TORN READ: generation 1's files are byte-identical after
+    // the rebuild, and a pinned open reproduces the pre-retrain answer
+    assert(inventory(v1.dir) === inv1, "retrain touched the serving generation's files")
+    val v1again = Clustering.twoLevelOpenVersion(spark, pfx, root, 16, version = 1L)
+    assert(Clustering.twoLevelTopK(v1again.index, v1again.codebooks, qBase, 10,
+      nprobe = 4).collect().toSeq === p1,
+      "pinned generation-1 probe diverged after the retrain")
+    // generation 2: full corpus, RETRAINED codebooks, and the probe
+    // finds the re-assigned scaled vector
+    val v2 = Clustering.twoLevelOpenVersion(spark, pfx, root, 16)
+    assert(v2.version === 2L)
+    assert(v2.index.count() === emb.count())
+    assert(v2.codebooks.map { case (c, v) => (c, v.toSeq) }.toSeq !==
+      v1.codebooks.map { case (c, v) => (c, v.toSeq) }.toSeq,
+      "retrain must produce fresh codebooks on the shifted corpus")
+    val qScaled = Similarity.vectorOf(delta, 1L)
+    val res = Clustering.twoLevelTopK(v2.index, v2.codebooks, qScaled, 10, nprobe = 4)
+    val plan = res.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined && sel.get.group(1).toInt <= 4,
+      s"generation-2 probe lost bucket pruning:\n$plan")
+    assert(res.collect().map(_.getLong(0)).contains(1L),
+      "generation-2 probe lost the re-assigned scaled vector")
+    spark.sql(s"DROP TABLE IF EXISTS ${v1.table}")
+    spark.sql(s"DROP TABLE IF EXISTS ${v2.table}")
+  }
+
+  test("compactTwoLevelIndex: telemetry sees fragmentation; rewrite is bit-identical and stays pruned") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = emb.where(col("vec_id") % 4 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_tl_compact_spec").toString
+    val table = "tl_compact_spec_" + java.lang.Long.toHexString(System.nanoTime())
+    val (idx, cbs) = Clustering.twoLevelIndex(base, k1 = 4, k2 = 4)
+    Clustering.twoLevelWriteIndex(idx, cbs, table, root, nBuckets = 16)
+    // three append batches -> O(batches) files per touched bucket
+    (1 to 3).foreach(r => Clustering.twoLevelAppend(spark, table, root, 16,
+      emb.where(col("vec_id") % 4 === r)))
+    val statsBefore = Clustering.indexFileStats(spark, s"$root/index")
+      .agg(sum(col("n_files")).cast("long"), max(col("n_files")).cast("long")).head()
+    assert(statsBefore.getLong(1) >= 3,
+      s"appends should fragment buckets, saw max ${statsBefore.getLong(1)} files/bucket")
+    // the rule-as-code: fragmented at a tight threshold, clean after
+    assert(Clustering.indexCompactionNeeded(spark, s"$root/index",
+      maxFilesPerBucket = 2))
+    val (disk, cbs2) = Clustering.twoLevelOpenIndex(spark, table, root, 16)
+    val q = Similarity.vectorOf(emb, 7L)
+    val before = Clustering.twoLevelTopK(disk, cbs2, q, 10, nprobe = 4)
+      .collect().toSeq
+    val fullBefore = disk.orderBy(col("vec_id")).collect().toSeq
+    val (fb, fa) = Clustering.compactTwoLevelIndex(spark, table, root, 16)
+    assert(fb.toLong === statsBefore.getLong(0) && fa < fb && fa <= 16,
+      s"compaction should shrink $fb files to <= 16, got $fa")
+    assert(!Clustering.indexCompactionNeeded(spark, s"$root/index",
+      maxFilesPerBucket = 2))
+    // bit-identical content AND probe answer; bucket pruning preserved
+    val disk2 = spark.table(table)
+    assert(disk2.orderBy(col("vec_id")).collect().toSeq === fullBefore,
+      "compaction changed the table contents")
+    val after = Clustering.twoLevelTopK(disk2, cbs2, q, 10, nprobe = 4)
+    val plan = after.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined && sel.get.group(1).toInt <= 4,
+      s"post-compaction probe lost bucket pruning:\n$plan")
+    assert(after.collect().toSeq === before,
+      "compaction changed the probe answer")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("pqTopKMulti == Q sequential pqTopK probes, through ONE scan of the codes") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (codes, cbs) = Clustering.pqTrainEncode(emb, m = 4, k = 8, iters = 2, dim = 64)
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_multi_spec").toString
+    Clustering.pqWriteIndex(codes, cbs, root)
+    val (codes2, cbs2) = Clustering.pqReadIndex(spark, root)
+    val qids = Seq(1L, 7L, 13L)
+    val qvecs = qids.map(id => id -> Similarity.vectorOf(emb, id))
+    val multi = Clustering.pqTopKMulti(codes2, cbs2, qvecs, m = 4, k = 10)
+    val got = multi.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = qvecs.flatMap { case (qid, qv) =>
+      Clustering.pqTopK(codes2, cbs2, qv, m = 4, k = 10)
+        .orderBy(col("adc_dist2"), col("vec_id"))
+        .select(col("vec_id"), round(col("adc_dist2"), 6).as("adc_dist2"))
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }
+    assert(got === want, "batched ADC diverged from sequential probes")
+    // THE plan gate: the codes table is scanned ONCE for all Q queries
+    // (the codebook side is a second, m·k-row broadcast scan). AQE's
+    // toString repeats the tree under "== Initial Plan ==" — gate the
+    // FINAL plan section only (the twoLevelTopKMulti gate's convention).
+    val plan = multi.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "(?m)^.*Scan parquet.*$".r.findAllIn(plan).toSeq
+    assert(scans.count(_.contains("codes")) === 1,
+      s"expected exactly ONE scan of the codes table:\n${scans.mkString("\n")}\n$plan")
+  }
+
+  test("pq drift anchors: same-distribution ~1x (no retrain), 3x-scaled trips pqRetrainNeeded") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = emb.where(col("vec_id") % 2 === 0)
+    val delta = emb.where(col("vec_id") % 2 === 1)
+    val (codes, cbs) = Clustering.pqTrainEncode(base, m = 4, k = 8, iters = 2, dim = 64)
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_drift_spec").toString
+    Clustering.pqWriteIndex(codes, cbs, root)
+    // the persisted baseline equals the in-line one (one artifact, one
+    // arithmetic), and the drift report is identical through either
+    val enc = Clustering.pqEncodeFrozen(delta, cbs, m = 4, k = 8, dim = 64)
+      .localCheckpoint()
+    val viaStats = Clustering.pqDriftFromStats(
+      Clustering.pqReadStats(spark, root), enc).collect().toSeq
+    assert(Clustering.pqDrift(codes, enc).collect().toSeq === viaStats)
+    def pooledRatio(drift: org.apache.spark.sql.DataFrame): Double =
+      drift.agg((sum(col("new_mean_d2") * col("n_new")) / sum(col("n_new"))) /
+        (sum(col("base_mean_d2") * col("n_base")) / sum(col("n_base"))))
+        .head().getDouble(0)
+    val rSame = pooledRatio(Clustering.pqDriftFromStats(
+      Clustering.pqReadStats(spark, root), enc))
+    assert(rSame > 0.5 && rSame < 1.5, s"same-distribution PQ ratio drifted: $rSame")
+    assert(!Clustering.pqRetrainNeeded(Clustering.pqDrift(codes, enc)),
+      s"PQ rule fired on a same-distribution batch (ratio $rSame)")
+    val shifted = delta.withColumn("embedding",
+      transform(col("embedding"), x => x * lit(3.0f)))
+    val enc2 = Clustering.pqEncodeFrozen(shifted, cbs, m = 4, k = 8, dim = 64)
+      .localCheckpoint()
+    val d2 = Clustering.pqDriftFromStats(Clustering.pqReadStats(spark, root), enc2)
+    val rShift = pooledRatio(d2)
+    assert(rShift > 4.0, s"shifted-batch PQ ratio too small to anchor the rule: $rShift")
+    assert(Clustering.pqRetrainNeeded(d2),
+      s"PQ rule missed a distribution shift (ratio $rShift)")
+  }
+
   test("pq reconstruction error shrinks with training; ADC finds the query's cluster") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     def sse(iters: Int): Double = {

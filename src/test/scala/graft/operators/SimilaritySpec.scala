@@ -363,4 +363,53 @@ class SimilaritySpec extends SparkSuite {
     assert(pcaVar >= topDiag - 1e-6,
       s"PCA-8 variance $pcaVar must dominate best axis subspace $topDiag")
   }
+
+  test("pcaComponentsLocal == pcaComponents on the same sample (pure-JVM twin law)") {
+    import spark.implicits._
+    // the fixture derivation's own sample, fed to BOTH solvers: the
+    // pure-JVM moments + shared eigensolve must reproduce the Spark
+    // covariance path bit-for-bit — this is what lets q_pca_apply's
+    // literal planes stand in for the distributed trainer's arithmetic
+    val rnd = new java.util.Random(99L)
+    val sample = Seq.fill(60)(Array.tabulate(6)(j =>
+      rnd.nextGaussian() * (1.0 + j / 3.0) + 0.25 * j))
+    val (lc, le, lm) = Similarity.pcaComponentsLocal(sample, k = 3)
+    val df = sample.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val (sc, se, sm) = Similarity.pcaComponents(df, k = 3, dim = 6)
+    assert(lc.map(_.toSeq).toSeq === sc.map(_.toSeq).toSeq,
+      "pure-JVM components diverged from the Spark covariance path")
+    assert(le.toSeq === se.toSeq && lm.toSeq === sm.toSeq)
+  }
+
+  test("fixturePcaPlanes: orthonormal learned planes; projectOnPlanes is pcaProject's spelling") {
+    val (comps, mean) = Similarity.fixturePcaPlanes()
+    assert(comps.length === 8 && comps.forall(_.length === 64) && mean.length === 64)
+    for (i <- comps.indices; j <- i until comps.length) {
+      val dot = comps(i).zip(comps(j)).map { case (a, b) => a * b }.sum
+      // power iteration converges geometrically in the eigen-gap; at
+      // 500 iterations on the ramp spectrum residual cross-talk sits
+      // well under 1e-4 (exact orthogonality would need a direct solve)
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-4,
+        s"fixture planes must be orthonormal: ($i,$j)=$dot")
+    }
+    // the variance ramp makes the sample mean shift real — the oracle's
+    // literal shift term must be load-bearing, not ~0
+    assert(mean.exists(m => math.abs(m) > 0.1), "fixture mean shift degenerate")
+    // projectOnPlanes == the inline dot-minus-shift spelling pcaProject
+    // used before the refactor (pin: the factoring changed nothing)
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val got = Similarity.projectOnPlanes(emb, comps, mean).collect()
+    val manual = emb.select(org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.array(comps.map { comp =>
+        val shift = comp.zip(mean).map { case (a, b) => a * b }.sum
+        org.apache.spark.sql.functions.round(
+          graft.expressions.GraftFunctions.dot(
+            org.apache.spark.sql.functions.col("embedding"),
+            org.apache.spark.sql.functions.typedLit(comp.toSeq)) -
+            org.apache.spark.sql.functions.lit(shift), 6)
+      }.toIndexedSeq: _*).as("pvec"))
+      .orderBy(org.apache.spark.sql.functions.col("vec_id")).collect()
+    assert(got.map(_.toString).toSeq === manual.map(_.toString).toSeq)
+  }
 }

@@ -584,6 +584,60 @@ class SessionsSpec extends SparkSuite {
       "no duplicate content may enter the index under re-batching")
   }
 
+  test("streamPqIndexAppend: bootstrap trains, later batches frozen-append, drift vs build stats") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val root = Files.createTempDirectory("graft-pq-stream").toString
+    (0 until 3).foreach { b =>
+      emb.where(org.apache.spark.sql.functions.pmod($"vec_id",
+        org.apache.spark.sql.functions.lit(3)) === b).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/in/f$b")
+      new java.io.File(s"$root/in/f$b").listFiles()
+        .foreach(f => { f.setLastModified(1600000000000L + b * 60000L); () })
+    }
+    val schema = spark.read.parquet(s"$root/in/f0").schema
+    val q = Sessions.streamPqIndexAppend(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/in/*"),
+      s"$root/idx", s"$root/ckpt", m = 4, k = 8, dim = 64)
+    q.awaitTermination(120000)
+    val (codes, cbs) = graft.operators.Clustering.pqReadIndex(spark, s"$root/idx")
+    // every vector of every batch carries m codes
+    assert(codes.count() === 4L * emb.count())
+    // codebooks == a direct train on the bootstrap batch alone (frozen
+    // through both appends), and the appended codes == frozen encodes
+    val boot = emb.where($"vec_id" % 3 === 0)
+    val (bootCodes, bootCbs) = graft.operators.Clustering.pqTrainEncode(
+      boot, m = 4, k = 8, iters = 2, dim = 64)
+    def cbKey(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getInt(0), r.getInt(1)),
+        r.getSeq[Double](2).toSeq)).sortBy(_._1).toSeq
+    assert(cbKey(cbs) === cbKey(bootCbs), "streaming bootstrap retrained the codebooks")
+    val expect = bootCodes.unionByName(graft.operators.Clustering.pqEncodeFrozen(
+      emb.where($"vec_id" % 3 =!= 0), bootCbs, m = 4, k = 8, dim = 64))
+    def codeKey(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "subspace", "code").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    assert(codeKey(codes) === codeKey(expect),
+      "streamed codes diverged from bootstrap-train + frozen-append")
+    // the build-time stats artifact exists and drives the trigger: a
+    // same-distribution batch stays under tolerance, a 3x-scaled one
+    // trips it (the ClusteringSpec anchors through the PERSISTED path)
+    val stats = graft.operators.Clustering.pqReadStats(spark, s"$root/idx")
+    assert(stats.count() > 0)
+    val same = graft.operators.Clustering.pqEncodeFrozen(
+      emb.where($"vec_id" % 3 === 1), cbs, m = 4, k = 8, dim = 64)
+    assert(!graft.operators.Clustering.pqRetrainNeeded(
+      graft.operators.Clustering.pqDriftFromStats(stats, same)))
+    val shifted = emb.where($"vec_id" % 3 === 1).withColumn("embedding",
+      org.apache.spark.sql.functions.transform($"embedding",
+        x => x * org.apache.spark.sql.functions.lit(3.0f)))
+    val drifted = graft.operators.Clustering.pqEncodeFrozen(
+      shifted, cbs, m = 4, k = 8, dim = 64)
+    assert(graft.operators.Clustering.pqRetrainNeeded(
+      graft.operators.Clustering.pqDriftFromStats(stats, drifted)),
+      "the streaming loop's persisted stats must still anchor the trigger")
+  }
+
   test("streamIngestDedup with sigPath also drops near-duplicate re-crawls") {
     val dir = Files.createTempDirectory("graft-ingest-near").toString
     Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
