@@ -198,7 +198,11 @@ object ProbeOp {
       val root = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_probe_tlidx_x${factor}_n${n}_s$side").toString
       val table = s"probe_tl_idx_x${factor}_n${n}_s$side"
-      if (!new java.io.File(s"$root/index/_SUCCESS").exists()) {
+      // the stats check guards against a cache laid down by a binary
+      // predating the stats artifact: index/_SUCCESS alone would skip
+      // the rebuild and the append probe's stats copy would then crash
+      if (!new java.io.File(s"$root/index/_SUCCESS").exists() ||
+          !new java.io.File(s"$root/stats/_SUCCESS").exists()) {
         val t0 = System.nanoTime()
         val (index, cbs) = graft.operators.Clustering.twoLevelIndex(emb, side, side)
         graft.operators.Clustering.twoLevelWriteIndex(index, cbs, table, root,
@@ -208,17 +212,11 @@ object ProbeOp {
       }
       (root, table, side, n)
     }
-    // Files.walk streams hold directory handles — close them (Using)
-    // or a long probe run leaks fds; copies REPLACE_EXISTING so a
-    // re-copy into a half-populated target can't throw
-    def deleteRecursively(dir: String): Unit = {
-      import java.nio.file.{Files, Paths}
-      import scala.jdk.CollectionConverters._
-      val p = Paths.get(dir)
-      if (Files.exists(p))
-        scala.util.Using.resource(Files.walk(p))(
-          _.iterator().asScala.toSeq.reverse.foreach(Files.delete))
-    }
+    // one shared recursive-delete spelling (Lake owns it — closes the
+    // walk stream); copies REPLACE_EXISTING so a re-copy into a
+    // half-populated target can't throw
+    def deleteRecursively(dir: String): Unit =
+      graft.sources.Lake.deleteRecursivelyLocal(dir)
     def copyDir(src: String, dst: String): Unit = {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       import scala.jdk.CollectionConverters._

@@ -29,14 +29,7 @@ private[graft] object Reg {
   private lazy val cleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       tempDirs.forEach { d =>
-        import scala.jdk.CollectionConverters._
-        val p = java.nio.file.Paths.get(d)
-        if (java.nio.file.Files.exists(p)) {
-          scala.util.Try(scala.util.Using.resource(java.nio.file.Files.walk(p))(
-            _.iterator().asScala.toSeq.reverse
-              .foreach(java.nio.file.Files.delete)))
-          ()
-        }
+        scala.util.Try(Lake.deleteRecursivelyLocal(d)); ()
       }))
   def tempDir(prefix: String): String = {
     cleanupHook

@@ -326,7 +326,7 @@ private[graft] object RegistryQueriesA {
     // overwritten with corrected values; every other partition must
     // survive untouched (partitionOverwriteMode=dynamic)
     "q_backfill" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_backfill").toString
+      val dir = tempDir("graft_backfill")
       val ev = graft.functions.TimeCol.instant(t(s, d, "events"))
         .withColumn("day", to_date(col("ts")))
       ev.repartition(col("day")) // day-clustered write (see q_partition_prune)
@@ -466,7 +466,7 @@ private[graft] object RegistryQueriesA {
     // not the computation.
     "q_csv_quarantine" -> ((s, d) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("graft_csvq").toString
+      val dir = tempDir("graft_csvq")
       val lines = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
         .collect().map { r =>
@@ -495,7 +495,7 @@ private[graft] object RegistryQueriesA {
     // different columns read as ONE table via mergeSchema — old files
     // surface the new column as NULL
     "q_schema_evolution" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      val dir = tempDir("graft_evo")
       val cust = t(s, d, "customer")
       cust.where(col("c_custkey") % 2 === 0).select(col("c_custkey"), col("c_name"))
         .write.mode("overwrite").parquet(s"$dir/gen=1")
@@ -510,7 +510,7 @@ private[graft] object RegistryQueriesA {
     // through a partition filter — results certified through the
     // partitioned path (the reference's dropped-partitionBy fix, S6)
     "q_partition_prune" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val dir = tempDir("graft_part")
       graft.functions.TimeCol.instant(t(s, d, "events"))
         .withColumn("day", to_date(col("ts")))
         // cluster by the partition column before the partitioned write:
@@ -529,7 +529,7 @@ private[graft] object RegistryQueriesA {
     // third file format end-to-end (escaping, nulls, type inference);
     // the oracle is the untouched source table
     "q_jsonl_roundtrip" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      val dir = tempDir("graft_jsonl")
       t(s, d, "documents").select("doc_id", "lang", "source", "n_chars", "text")
         .write.mode("overwrite").json(dir)
       s.read.json(dir)
@@ -543,7 +543,7 @@ private[graft] object RegistryQueriesA {
     // certifies type fidelity (micros timestamps, IEEE doubles) across
     // the format boundary.
     "q_orc_roundtrip" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val dir = tempDir("graft_orc")
       Lake.writeOrc(t(s, d, "events"), dir)
       Lake.readOrc(s, dir)
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
@@ -551,7 +551,7 @@ private[graft] object RegistryQueriesA {
         .orderBy(col("event_id"))
     }),
     "q_time_travel" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_versions").toString
+      val root = tempDir("graft_versions")
       val v1 = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
       Lake.writeVersion(v1, root)
       Lake.writeVersion(v1.withColumn("c_acctbal", col("c_acctbal") + 100), root)
@@ -567,7 +567,7 @@ private[graft] object RegistryQueriesA {
       val orders = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
       val updates = orders.where(col("o_orderkey") % 5 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 1)
-      val path = java.nio.file.Files.createTempDirectory("graft_upsert_kb")
+      val path = java.nio.file.Paths.get(tempDir("graft_upsert_kb"))
         .resolve("orders").toString
       Lake.writeKeyBucketed(orders, path, Seq("o_orderkey"), numBuckets = 16)
       Lake.upsertByKeyPartitioned(s, path, updates, Seq("o_orderkey"), numBuckets = 16)
@@ -776,7 +776,7 @@ private[graft] object RegistryQueriesA {
     // exchange-free (BucketingSpec asserts the no-Exchange plan; this
     // row certifies the RESULTS through the same path)
     "q_bucket_join" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_bjoin").toString
+      val root = tempDir("graft_bjoin")
       val sfx = java.lang.Long.toHexString(System.nanoTime())
       Bucketing.writeBucketed(
         t(s, d, "lineitem").select(col("l_orderkey").as("orderkey"),
@@ -873,7 +873,7 @@ private[graft] object RegistryQueriesA {
     // earliest batch containing it — so plain SQL can replay it.
     "q_stream_ingest_final" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_ingest_e2e").toString
+      val root = tempDir("graft_ingest_e2e")
       (0 until 3).foreach { b =>
         docs.where(pmod(col("doc_id"), lit(3)) === b).coalesce(1)
           .write.mode("overwrite").parquet(s"$root/in/f$b")

@@ -185,6 +185,10 @@ object Bpe {
     val seeded = docs
       .select(col(idCol).as("doc_id"),
         explode(Text.tokens(lower(col(textCol)))).as("word"))
+      // empty tokens (empty text, or a leading \t/\n that survives
+      // trim's space-only strip and splits to a "" head) are not words
+      // — zero symbols, not one; the DuckDB replay filters identically
+      .where(col("word") =!= "")
       .select(col("doc_id"), split(col("word"), "").as("syms"))
     val segmented = merges.foldLeft(seeded) { case (df, (a, b)) =>
       df.select(col("doc_id"), mergeFold(col("syms"), a, b).as("syms"))

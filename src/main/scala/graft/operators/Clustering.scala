@@ -1147,8 +1147,12 @@ object Clustering {
     // an append-time drift check reads these m·k rows instead of
     // re-scanning the codes table, and the baseline stays the
     // codebook's own training distribution however many batches have
-    // been appended since
-    pqStats(codes).coalesce(1)
+    // been appended since. Aggregated from the JUST-WRITTEN parquet,
+    // not the incoming plan: the codes frame usually still carries the
+    // whole training lineage (only its slices are checkpointed), and
+    // aggregating the plan would re-run the full assignment pass a
+    // third time per build — a whole extra corpus scan at 100 TB.
+    pqStats(codes.sparkSession.read.parquet(s"$root/codes")).coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$root/stats")
   }
@@ -1299,6 +1303,11 @@ object Clustering {
       "pqTopKMulti: query ids must be distinct")
     require(queries.forall(q => q._2.nonEmpty && q._2.size % m == 0),
       s"every query dim must be divisible by m=$m")
+    // one slice width serves the whole batch — a shorter query would
+    // silently lose its tail subspaces from the LUT join and rank on a
+    // partial distance; fail loud instead
+    require(queries.forall(_._2.size == queries.head._2.size),
+      s"pqTopKMulti: all query dims must match, got ${queries.map(_._2.size).distinct}")
     val w = queries.head._2.size / m
     val spark = codes.sparkSession
     import spark.implicits._

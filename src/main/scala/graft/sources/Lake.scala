@@ -98,6 +98,19 @@ object Lake {
     }
   }
 
+  /** Recursive LOCAL-filesystem delete (java.nio) for probe/registry
+    * temp dirs — not for lake paths (those go through the Hadoop FS).
+    * Closes the walk stream (a leaked stream holds a directory fd) and
+    * tolerates a missing dir. One spelling shared by ProbeOp and the
+    * registry's temp-dir sweep so fd/symlink fixes land once. */
+  def deleteRecursivelyLocal(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      scala.util.Using.resource(java.nio.file.Files.walk(p))(
+        _.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete))
+  }
+
   /** Snappy-parquet overwrite write, optionally hive-partitioned
     * (reference: src/common/s3.py:195-227). */
   def write(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
@@ -480,22 +493,45 @@ object Lake {
     try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (fs.exists(marker)) fs.delete(marker, false)
-    if (!fs.rename(tmp, marker))
-      throw new java.io.IOException(s"failed to advance $marker to $v")
+    if (!fs.rename(tmp, marker)) {
+      // a concurrent reader may have healed our own tmp into place
+      // between the delete and the rename ([[latestVersion]]); if the
+      // marker now carries v, the flip is complete — not a failure
+      val healed = fs.exists(marker) && {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim == v.toString
+        finally in.close()
+      }
+      if (!healed)
+        throw new java.io.IOException(s"failed to advance $marker to $v")
+    }
   }
 
   /** The published version number, if any (crash-orphaned version
-    * dirs beyond the marker do NOT count). */
+    * dirs beyond the marker do NOT count).
+    *
+    * Self-healing: [[advanceLatest]]'s flip is write-tmp → delete-old →
+    * rename-tmp; a crash between the last two leaves NO marker with the
+    * fully-written `.__tmp` beside it. Treating that as "no versions"
+    * would be catastrophic — every open fails, and the NEXT publish
+    * would compute version 1 and reclaim-DELETE the real published
+    * v=000001. The tmp is only ever created complete (written and
+    * closed before the old marker is touched), so promote it here. */
   def latestVersion(spark: SparkSession, root: String): Option[Long] = {
     val marker = new org.apache.hadoop.fs.Path(s"$root/_latest")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) None
-    else {
-      val in = fs.open(marker)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
+    if (!fs.exists(marker)) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$root/_latest.__tmp")
+      if (!fs.exists(tmp)) return None
+      if (!fs.rename(tmp, marker) && !fs.exists(marker))
+        throw new java.io.IOException(
+          s"failed to heal crashed marker flip: $tmp exists but could not move to $marker")
     }
+    val in = fs.open(marker)
+    try Some(new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    finally in.close()
   }
 
   /** Publish `df` as the next version; returns the new version

@@ -666,6 +666,41 @@ object Sessions {
     * index's `_SUCCESS`, and a re-delivered append batch re-inserts —
     * exactly-once for the probe path needs the upstream's file-grain
     * idempotence (AvailableNow + the checkpoint give it). */
+  /** Content identity of a vector micro-batch — the
+    * [[streamIngestDedup]] digest discipline for the index loops: row
+    * count + order-independent bit-XOR of per-row xxhash64(id, vec).
+    * The foreachBatch frame is a materialized LogicalRDD, so the
+    * aggregate never re-reads the source. */
+  private def vecBatchDigest(batch: DataFrame, idCol: String,
+                             vecCol: String): String = {
+    val r = batch.agg(count(lit(1)).cast("long").as("n"),
+      bit_xor(xxhash64(col(idCol), col(vecCol))).as("x")).head()
+    val x = if (r.isNullAt(1)) 0L else r.getLong(1)
+    f"n${r.getLong(0)}-x$x%016x"
+  }
+
+  /** Applied-batch markers for the index-append loops: an append is
+    * NOT naturally idempotent (a replayed batch re-inserts its rows —
+    * duplicated probe candidates for the two-level index, DOUBLED ADC
+    * partial sums for PQ), so each applied batch leaves a marker named
+    * by its content digest and a replay — checkpoint-crash re-delivery
+    * OR a fresh-checkpoint re-run over the same files — skips. Content
+    * keys, not batch numbers: a fresh checkpoint renumbers batches from
+    * 0 (the streamIngestDedup lesson). The residual window is a crash
+    * BETWEEN the insert and the marker touch — that one batch
+    * re-inserts on replay, the bounded exposure the scaladocs name. */
+  private def batchApplied(spark: SparkSession, root: String,
+                           digest: String): Boolean =
+    graft.sources.Lake.pathExists(spark, s"$root/_applied/$digest")
+
+  private def markBatchApplied(spark: SparkSession, root: String,
+                               digest: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_applied/$digest")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    fs.create(p, true).close()
+  }
+
   def streamIndexAppend(vecs: DataFrame, table: String, root: String,
                         checkpoint: String, nBuckets: Int = 16,
                         k1: Int = 4, k2: Int = 4,
@@ -679,11 +714,19 @@ object Sessions {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val C = graft.operators.Clustering
+        val digest = vecBatchDigest(batch, idCol, vecCol)
         if (!graft.sources.Lake.pathExists(spark, s"$root/index/_SUCCESS")) {
           val (index, cbs) = C.twoLevelIndex(batch, k1, k2,
             idCol = idCol, vecCol = vecCol)
           C.twoLevelWriteIndex(index, cbs, table, root, nBuckets)
+          // the bootstrap batch's digest too: a checkpoint crash after
+          // this write replays batch 0 down the APPEND path (the index
+          // exists now) — the marker turns that into a skip, not a
+          // duplicate insert of the entire bootstrap corpus
+          markBatchApplied(spark, root, digest)
           println(s"[index-append] batch=$batchId bootstrap: trained ${k1}x$k2 index")
+        } else if (batchApplied(spark, root, digest)) {
+          println(s"[index-append] batch=$batchId already applied ($digest) — skipped")
         } else {
           val appended = C.twoLevelAppend(spark, table, root, nBuckets,
             batch, idCol, vecCol)
@@ -695,6 +738,7 @@ object Sessions {
           // is bounded by the index size — a batch job, not micro-batch
           // work; the rule here is one directory listing
           val compact = C.indexCompactionNeeded(spark, s"$root/index")
+          markBatchApplied(spark, root, digest)
           println(s"[index-append] batch=$batchId appended" +
             (if (retrain) " — RETRAIN NEEDED (drift over tolerance)" else "") +
             (if (compact) " — COMPACT NEEDED (bucket fragmentation over threshold)"
@@ -729,15 +773,29 @@ object Sessions {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val C = graft.operators.Clustering
-        if (!graft.sources.Lake.pathExists(spark, s"$root/codes/_SUCCESS")) {
+        val digest = vecBatchDigest(batch, idCol, vecCol)
+        // bootstrap keys on the LAST artifact pqWriteIndex lands
+        // (stats): a crash mid-bootstrap leaves codes without
+        // stats/codebooks, and keying on the first artifact would send
+        // every replay down an append path that can't read the missing
+        // baseline — wedged forever; keying on the last re-runs the
+        // bootstrap, whose Overwrite writes make it idempotent
+        if (!graft.sources.Lake.pathExists(spark, s"$root/stats/_SUCCESS")) {
           val (codes, cbs) = C.pqTrainEncode(batch, m, k, iters = 2, dim,
             idCol, vecCol)
           C.pqWriteIndex(codes, cbs, root)
+          markBatchApplied(spark, root, digest)
           println(s"[pq-append] batch=$batchId bootstrap: trained ${m}x$k codebooks")
+        } else if (batchApplied(spark, root, digest)) {
+          // a replayed append would land every code row twice and
+          // DOUBLE those vectors' ADC partial sums — the digest marker
+          // makes re-delivery a skip
+          println(s"[pq-append] batch=$batchId already applied ($digest) — skipped")
         } else {
           val encoded = C.pqAppend(spark, root, batch, m, k, dim, idCol, vecCol)
           val drift = C.pqDriftFromStats(C.pqReadStats(spark, root), encoded)
           val retrain = C.pqRetrainNeeded(drift)
+          markBatchApplied(spark, root, digest)
           println(s"[pq-append] batch=$batchId appended" +
             (if (retrain) " — RETRAIN NEEDED (drift over tolerance)" else ""))
         }

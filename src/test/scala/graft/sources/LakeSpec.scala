@@ -580,6 +580,49 @@ class LakeSpec extends SparkSuite {
     assert(builds === 3, "a _SUCCESS-less cache must rebuild even with a matching stamp")
   }
 
+  test("latestVersion heals a crashed marker flip from the surviving tmp") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-versions-flip").toString
+    Lake.writeVersion(Seq((1L, "a")).toDF("k", "v"), root)
+    Lake.writeVersion(Seq((2L, "b")).toDF("k", "v"), root)
+    // simulate advanceLatest crashing between delete-old and rename-tmp:
+    // no _latest, but the fully-written _latest.__tmp survives
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_latest")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/_latest.__tmp")
+    val out = fs.create(tmp, true)
+    out.write("2".getBytes(java.nio.charset.StandardCharsets.UTF_8)); out.close()
+    fs.delete(marker, false)
+    // WITHOUT the heal this reads None — and the next publish would
+    // compute version 1 and DELETE the real published v=000001
+    assert(Lake.latestVersion(spark, root) === Some(2L),
+      "a crashed marker flip must heal from the tmp, not orphan every version")
+    assert(Lake.readVersion(spark, root).as[(Long, String)].collect().toSet
+      === Set((2L, "b")))
+    // and the next publish lands v3 — v1/v2 untouched
+    assert(Lake.writeVersion(Seq((3L, "c")).toDF("k", "v"), root) === 3L)
+    assert(Lake.readVersion(spark, root, 1).as[(Long, String)].collect().toSet
+      === Set((1L, "a")), "published generations must survive the healed flip")
+  }
+
+  test("fingerprintCached memoizes per (session, key); distinct keys stay distinct") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fp-cache").toString
+    Seq(1L, 2L, 3L).toDF("v").write.parquet(s"$dir/t")
+    val key = s"$dir/t" // the caller's contract: the key names the source
+    val fp1 = Lake.fingerprintCached(spark.read.parquet(s"$dir/t"), key)
+    assert(fp1 === Lake.fingerprint(spark.read.parquet(s"$dir/t")))
+    // in-place regeneration WITHIN the session: the memo serves the old
+    // stamp (documented trade — the scan is paid once per session); a
+    // different key still scans fresh
+    Seq(7L, 8L).toDF("v").write.mode("overwrite").parquet(s"$dir/t")
+    assert(Lake.fingerprintCached(spark.read.parquet(s"$dir/t"), key) === fp1)
+    val fp2 = Lake.fingerprintCached(spark.read.parquet(s"$dir/t"), key + "#2")
+    assert(fp2 !== fp1)
+    assert(fp2 === Lake.fingerprint(spark.read.parquet(s"$dir/t")))
+  }
+
   test("pruneVersions keeps the newest k and never the published target") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-versions-prune").toString

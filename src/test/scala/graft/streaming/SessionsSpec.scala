@@ -636,6 +636,57 @@ class SessionsSpec extends SparkSuite {
     assert(graft.operators.Clustering.pqRetrainNeeded(
       graft.operators.Clustering.pqDriftFromStats(stats, drifted)),
       "the streaming loop's persisted stats must still anchor the trigger")
+    // replay idempotence: a FRESH checkpoint re-delivers all three
+    // batches (renumbered from 0); the content-digest applied markers
+    // must turn every one into a skip — a re-appended batch would
+    // DOUBLE its vectors' ADC partial sums
+    val q2 = Sessions.streamPqIndexAppend(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/in/*"),
+      s"$root/idx", s"$root/ckpt2", m = 4, k = 8, dim = 64)
+    q2.awaitTermination(120000)
+    val (codesReplay, cbsReplay) = graft.operators.Clustering.pqReadIndex(
+      spark, s"$root/idx")
+    assert(codesReplay.count() === 4L * emb.count(),
+      "fresh-checkpoint replay must not duplicate code rows")
+    assert(cbKey(cbsReplay) === cbKey(cbs),
+      "fresh-checkpoint replay must not retrain the codebooks")
+  }
+
+  test("streamIndexAppend: fresh-checkpoint replay of applied batches is a no-op") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val root = Files.createTempDirectory("graft-tl-stream-replay").toString
+    (0 until 2).foreach { b =>
+      emb.where(org.apache.spark.sql.functions.pmod($"vec_id",
+        org.apache.spark.sql.functions.lit(2)) === b).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/in/f$b")
+      new java.io.File(s"$root/in/f$b").listFiles()
+        .foreach(f => { f.setLastModified(1600000000000L + b * 60000L); () })
+    }
+    val schema = spark.read.parquet(s"$root/in/f0").schema
+    val table = "tl_replay_" + java.lang.Long.toHexString(System.nanoTime())
+    def run(ckpt: String): Unit = {
+      val q = Sessions.streamIndexAppend(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/in/*"),
+        table, s"$root/idx", ckpt)
+      q.awaitTermination(120000)
+    }
+    run(s"$root/ckpt")
+    val (idx, cbs) = graft.operators.Clustering.twoLevelOpenIndex(
+      spark, table, s"$root/idx", 16)
+    assert(idx.count() === emb.count())
+    // fresh checkpoint = full re-delivery; the digest markers (incl.
+    // the bootstrap batch's, which would otherwise replay down the
+    // APPEND path once the index exists) must skip every batch
+    run(s"$root/ckpt2")
+    assert(spark.table(table).count() === emb.count(),
+      "replayed batches re-inserted index rows")
+    val cbs2 = graft.operators.Clustering.twoLevelOpenIndex(
+      spark, table, s"$root/idx", 16)._2
+    assert(cbs2.map { case (c, v) => (c, v.toSeq) }.toSeq ===
+      cbs.map { case (c, v) => (c, v.toSeq) }.toSeq)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
   test("streamIngestDedup with sigPath also drops near-duplicate re-crawls") {
