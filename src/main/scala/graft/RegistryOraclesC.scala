@@ -1299,6 +1299,11 @@ private[graft] object RegistryOraclesC {
         // spelling), union into one index, probe (query vec_id=1 is an
         // APPENDED vector)
         tlAppendProbeSql(tlAppendCtes),
+      "q_two_level_compact" -> // compaction certified by IDENTITY: the
+        // Spark side compacts the appended index before probing, and
+        // the replay is q_two_level_append's oracle verbatim — file
+        // layout must never reach the answer
+        tlAppendProbeSql(tlAppendCtes),
       "q_stream_index_final" -> // the STREAMING maintenance loop's end
         // state replayed: the bootstrap micro-batch (vec_id % 3 = 0 —
         // first file by modification time) trains the index, the two

@@ -1173,6 +1173,27 @@ private[graft] object RegistryQueriesB {
       Clustering.twoLevelTopK(index2, cbs2, Similarity.vectorOf(emb, 1L),
         k = 10, nprobe = 4)
     }),
+    // COMPACTION under oracle: the q_two_level_append chain with a
+    // compactTwoLevelIndex pass between the append and the probe — the
+    // oracle is IDENTICAL to q_two_level_append's by construction
+    // (compaction rewrites file layout, never content), so a compactor
+    // that dropped, duplicated, or re-bucketed anything fails the hash
+    // gate cross-engine, not just the in-JVM spec
+    "q_two_level_compact" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val base = emb.where(col("vec_id") % 2 === 0)
+      val delta = emb.where(col("vec_id") % 2 === 1)
+      val root = tempDir("graft_tl_compactq")
+      val table = "tl_compactq_" + java.lang.Long.toHexString(System.nanoTime())
+      val (index, cbs) = Clustering.twoLevelIndex(base, k1 = 4, k2 = 4)
+      Clustering.twoLevelWriteIndex(index, cbs, table, root, nBuckets = 16)
+      Clustering.twoLevelAppend(s, table, root, nBuckets = 16, delta)
+      Clustering.compactTwoLevelIndex(s, table, root, nBuckets = 16)
+      val (index2, cbs2) = Clustering.twoLevelOpenIndex(s, table, root,
+        nBuckets = 16)
+      Clustering.twoLevelTopK(index2, cbs2, Similarity.vectorOf(emb, 1L),
+        k = 10, nprobe = 4)
+    }),
     // the STREAMING maintenance loop end-to-end (the
     // q_stream_ingest_final discipline for the ANN family): three
     // deterministic file-batches — the first BOOTSTRAPS the index

@@ -1267,19 +1267,35 @@ object Clustering {
     import spark.implicits._
     val qSlices = query.grouped(w).zipWithIndex
       .map { case (s, i) => (i, s) }.toSeq.toDF("subspace", "qs")
+    // the LUT MATERIALIZED before touching the codes: the per-entry
+    // distance has only m·k distinct values, so the interpreted dist2
+    // fold runs m·k times here instead of once per code row (n·m
+    // interpreted folds — the kHint lesson, measured 0.9 s/query at a
+    // mere 200 k vectors before this). The codes-side plan is then one
+    // broadcast-hash join plus [[adcTotal]]'s codegen'd fixed-order sum.
+    val lut = broadcast(
+      codebooks.withColumnRenamed("cell", "code")
+        .join(broadcast(qSlices), Seq("subspace"))
+        .select(col("subspace"), col("code"), dist2(col("qs"), col("cvec")).as("d")))
     codes
-      .join(broadcast(codebooks.withColumnRenamed("cell", "code")),
-        Seq("subspace", "code"))
-      .join(broadcast(qSlices), Seq("subspace"))
-      .select(col(idCol),
-        struct(col("subspace"), dist2(col("qs"), col("cvec")).as("d")).as("__sd"))
+      .join(lut, Seq("subspace", "code"))
       .groupBy(col(idCol))
-      .agg(aggregate(
-        transform(array_sort(collect_list(col("__sd"))), x => x.getField("d")),
-        lit(0.0), _ + _).as("adc_dist2"))
+      .agg(adcTotal(m).as("adc_dist2"))
       .orderBy(col("adc_dist2").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** The per-vector ADC total as a codegen-friendly aggregate: one
+    * conditional sum per subspace (each (vector, subspace) carries
+    * exactly one LUT distance by construction) added LEFT-TO-RIGHT in
+    * subspace order from a 0.0 seed — bit-identical to the previous
+    * collect_list → array_sort → interpreted-fold spelling (and to the
+    * oracle's `list_reduce(list(d ORDER BY subspace))`: the 0.0 seed is
+    * exact, partial distances are never -0.0), but whole-stage
+    * codegen'd instead of per-row interpreted. */
+  private def adcTotal(m: Int): Column =
+    (0 until m).map(ss => sum(when(col("subspace") === ss, col("d"))))
+      .foldLeft(lit(0.0))(_ + _)
 
   /** Batched multi-query ADC top-k — [[twoLevelTopKMulti]]'s serving
     * parity for the PQ index: Q sequential [[pqTopK]] calls pay Q scans
@@ -1315,16 +1331,19 @@ object Clustering {
     val qSlices = queries.flatMap { case (qid, qv) =>
       qv.grouped(w).zipWithIndex.map { case (s, i) => (qid, i, s) }
     }.toDF("query_id", "subspace", "qs")
+    // the PQ paper's distance table, literally: m·k·Q entries computed
+    // ONCE (the only interpreted dist2 folds in the plan), then one
+    // broadcast join against the single codes pass — without this the
+    // fold ran per (code row × query), n·m·Q interpreted evaluations
+    val lut = broadcast(
+      codebooks.withColumnRenamed("cell", "code")
+        .join(broadcast(qSlices), Seq("subspace"))
+        .select(col("query_id"), col("subspace"), col("code"),
+          dist2(col("qs"), col("cvec")).as("d")))
     codes
-      .join(broadcast(codebooks.withColumnRenamed("cell", "code")),
-        Seq("subspace", "code"))
-      .join(broadcast(qSlices), Seq("subspace"))
-      .select(col("query_id"), col(idCol),
-        struct(col("subspace"), dist2(col("qs"), col("cvec")).as("d")).as("__sd"))
+      .join(lut, Seq("subspace", "code"))
       .groupBy(col("query_id"), col(idCol))
-      .agg(aggregate(
-        transform(array_sort(collect_list(col("__sd"))), x => x.getField("d")),
-        lit(0.0), _ + _).as("__adc"))
+      .agg(adcTotal(m).as("__adc"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("__adc").asc, col(idCol).asc)))
       .where(col("rank") <= k)
