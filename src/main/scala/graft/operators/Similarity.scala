@@ -629,17 +629,25 @@ object Similarity {
     * — q_random_projection's seeded-literal discipline with LEARNED
     * planes, closing the serving half of the rows-only q_pca. */
   def fixturePcaPlanes(k: Int = 8, dim: Int = 64, n: Int = 256, seed: Long = 11L)
-      : (Array[Array[Double]], Array[Double]) = {
-    val rnd = new java.util.Random(seed)
-    val sample = Seq.fill(n)(Array.tabulate(dim)(j =>
-      rnd.nextGaussian() * (1.0 + (dim - j).toDouble / 8.0) +
-        (if (j % 2 == 0) 0.5 else -0.25)))
-    // 500 iterations (vs the distributed trainer's 50): pure-JVM, so
-    // the extra convergence is free, and the tighter orthonormality
-    // makes the fixture planes a cleaner serving parameter set
-    val (comps, _, mean) = pcaComponentsLocal(sample, k, iters = 500)
-    (comps, mean)
-  }
+      : (Array[Array[Double]], Array[Double]) =
+    // deterministic in its arguments — memoize per JVM (the registered
+    // row AND its oracle builder call this; the 500-iteration solve was
+    // otherwise re-run per invocation, ~1 s/call of pure driver work)
+    fixturePlanesCache.computeIfAbsent((k, dim, n, seed), _ => {
+      val rnd = new java.util.Random(seed)
+      val sample = Seq.fill(n)(Array.tabulate(dim)(j =>
+        rnd.nextGaussian() * (1.0 + (dim - j).toDouble / 8.0) +
+          (if (j % 2 == 0) 0.5 else -0.25)))
+      // 500 iterations (vs the distributed trainer's 50): pure-JVM, so
+      // the extra convergence is free, and the tighter orthonormality
+      // makes the fixture planes a cleaner serving parameter set
+      val (comps, _, mean) = pcaComponentsLocal(sample, k, iters = 500)
+      (comps, mean)
+    })
+
+  private val fixturePlanesCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Long),
+      (Array[Array[Double]], Array[Double])]()
 
   /** The literal scalar shift `μ·v_c` of one projection plane — shared
     * by [[projectOnPlanes]] and the oracle builder so the two sides'
