@@ -1172,6 +1172,37 @@ private[graft] object RegistryOraclesC {
              (SELECT count(*) FROM ex JOIN sel USING (vec_id)) AS n_hit,
              (SELECT count(*) FROM ex JOIN sel USING (vec_id))::DOUBLE /
                (SELECT count(*) FROM ex) AS recall""",
+      "q_pq_retrain" -> { // the PQ retrain replayed from scratch:
+        // generation 2's codebooks train on even ∪ 3×-scaled-odd (the
+        // corpus the caller hands pqRetrain — scale rides double
+        // arithmetic cast back to REAL like the index stores it), then
+        // the standard ADC probe for the scaled appended vec_id=1
+        val pqRtSrc =
+          """(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+              UNION ALL
+              SELECT vec_id, [CAST(x::DOUBLE * 3.0 AS REAL) for x in embedding] AS embedding
+              FROM embeddings WHERE vec_id % 2 = 1) pq_rt"""
+        s"""WITH ${pqTrainCtes(4, 8, pqRtSrc)},
+               q AS (SELECT [CAST(x::DOUBLE * 3.0 AS REAL)::DOUBLE for x in embedding] AS v
+                     FROM embeddings WHERE vec_id = 1),
+               qs AS (SELECT s.s AS subspace, q.v[s.s*16+1 : (s.s+1)*16] AS qsv
+                      FROM q, (SELECT unnest([0, 1, 2, 3]) AS s) s),
+               pd AS (SELECT a2.vec_id, a2.subspace,
+                        list_reduce([(qs.qsv[i] - m1.cvec[i]) * (qs.qsv[i] - m1.cvec[i])
+                                     for i in range(1, len(qs.qsv)+1)],
+                          (x, y) -> x + y) AS d
+                      FROM a2
+                      JOIN m1 ON m1.subspace = a2.subspace AND m1.cell = a2.cell
+                      JOIN qs ON qs.subspace = a2.subspace),
+               adc AS (SELECT vec_id,
+                         list_reduce(list(d ORDER BY subspace), (x, y) -> x + y)
+                           AS adc_raw
+                       FROM pd GROUP BY vec_id),
+               sel AS (SELECT vec_id, adc_raw FROM adc
+                       ORDER BY adc_raw, vec_id LIMIT 10)
+           SELECT vec_id, round(adc_raw, 6) AS adc_dist2
+           FROM sel ORDER BY adc_raw, vec_id"""
+      },
       "q_kmeans" -> // seeds=lowest ids; micro-sum updates; fold distances
         s"""WITH $lloyd2Ctes
            SELECT vec_id, CAST(cell AS INTEGER) AS cell, round(d, 6) AS dist2

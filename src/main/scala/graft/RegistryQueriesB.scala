@@ -1025,6 +1025,35 @@ private[graft] object RegistryQueriesB {
       Clustering.pqDrift(codes,
         Clustering.pqEncodeFrozen(delta, cbs, m = 4, k = 8, dim = 64))
     }),
+    // the PQ retrain arc end-to-end (q_two_level_retrain's twin, with
+    // the family's one structural difference under test: codes are
+    // lossy, so the rebuild trains on the CALLER'S current corpus, not
+    // rows read back from the index): publish v1 on the even half,
+    // append the odd half 3×-scaled, REQUIRE the trigger fires, retrain
+    // on base ∪ scaled-delta, ADC-probe the re-opened v2 for the
+    // appended scaled query; the oracle replays train-on-union + probe
+    "q_pq_retrain" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val base = emb.where(col("vec_id") % 2 === 0)
+      val delta = emb.where(col("vec_id") % 2 === 1)
+        .withColumn("embedding", transform(col("embedding"),
+          x => (x.cast("double") * lit(3.0)).cast("float")))
+      val root = tempDir("graft_pq_retrain")
+      val (codes, cbs) = Clustering.pqTrainEncode(base, m = 4, k = 8,
+        iters = 2, dim = 64)
+      Clustering.pqPublishVersion(s, codes, cbs, root)
+      val v1 = Clustering.pqOpenVersion(s, root)
+      val encoded = Clustering.pqAppend(s, v1.dir, delta, m = 4, k = 8, dim = 64)
+      require(Clustering.pqRetrainNeeded(Clustering.pqDriftFromStats(
+        Clustering.pqReadStats(s, v1.dir), encoded)),
+        "q_pq_retrain: the 3x-scaled batch must trip the trigger")
+      Clustering.pqRetrain(s, root, base.unionByName(delta), m = 4, k = 8, dim = 64)
+      val v2 = Clustering.pqOpenVersion(s, root)
+      Clustering.pqTopK(v2.codes, v2.codebooks, Similarity.vectorOf(delta, 1L),
+        m = 4, k = 10)
+        .orderBy(col("adc_dist2"), col("vec_id"))
+        .select(col("vec_id"), round(col("adc_dist2"), 6).as("adc_dist2"))
+    }),
     // incremental maintenance for the PQ family (the q_two_level_append
     // discipline): train+persist on the even half, frozen-encode and
     // APPEND the odd half's codes — codebooks never touched — then ADC

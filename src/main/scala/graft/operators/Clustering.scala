@@ -1249,6 +1249,71 @@ object Clustering {
     encoded
   }
 
+  // ---- PQ versioned serving + retrain — the twoLevelRetrain arc for
+  // the PQ family, with ONE structural difference the scaladocs make
+  // explicit: PQ codes are LOSSY (m bytes per vector), so a rebuild
+  // cannot read the corpus back out of the index the way
+  // twoLevelRetrain does — the caller passes the CURRENT corpus (its
+  // upstream table). Generations live under $root/v=%06d/{codes,
+  // codebooks,stats} committed by the same staged `_latest`-marker
+  // protocol; probes keep answering from generation N throughout a
+  // rebuild, and the marker flip is last. ----
+
+  /** A served PQ generation: version + dir + the (codes, codebooks)
+    * pair the ADC probes consume. */
+  final case class PqVersion(version: Long, dir: String,
+                             codes: DataFrame, codebooks: DataFrame)
+
+  /** Publish a trained PQ index as the NEXT generation (stage the
+    * codes/codebooks/stats triple into `v=N.__staging`, rename, advance
+    * `_latest` last). Returns the new version number. */
+  def pqPublishVersion(spark: org.apache.spark.sql.SparkSession,
+                       codes: DataFrame, codebooks: DataFrame,
+                       root: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = graft.sources.Lake.latestVersion(spark, root).getOrElse(0L) + 1
+    val targetDir = graft.sources.Lake.versionPath(root, next)
+    val (target, staging) = (new Path(targetDir), new Path(targetDir + ".__staging"))
+    if (fs.exists(target)) fs.delete(target, true)
+    if (fs.exists(staging)) fs.delete(staging, true)
+    pqWriteIndex(codes, codebooks, targetDir + ".__staging")
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"failed to publish $staging as $target")
+    graft.sources.Lake.advanceLatest(spark, root, next)
+    next
+  }
+
+  /** Open a PQ generation: the `_latest` target by default, or a pinned
+    * `version` (published dirs are append-only within a generation —
+    * [[pqAppend]] into `gen.dir` — and never rewritten, so pinned opens
+    * stay reproducible across later retrains). */
+  def pqOpenVersion(spark: org.apache.spark.sql.SparkSession, root: String,
+                    version: Long = -1L): PqVersion = {
+    val v =
+      if (version >= 0) version
+      else graft.sources.Lake.latestVersion(spark, root).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"no published PQ index version under $root"))
+    val dir = graft.sources.Lake.versionPath(root, v)
+    val (codes, cbs) = pqReadIndex(spark, dir)
+    PqVersion(v, dir, codes, cbs)
+  }
+
+  /** Execute the retrain [[pqRetrainNeeded]] schedules: train fresh
+    * per-subspace codebooks on `corpus` — the caller's CURRENT upstream
+    * (base + every appended batch; the codes table cannot reconstruct
+    * it, unlike the two-level index's stored vectors) — and publish
+    * generation N+1 with a fresh stats baseline while generation N
+    * keeps serving ADC probes. Returns the new version number. */
+  def pqRetrain(spark: org.apache.spark.sql.SparkSession, root: String,
+                corpus: DataFrame, m: Int, k: Int, dim: Int, iters: Int = 2,
+                idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+    val (codes, cbs) = pqTrainEncode(corpus, m, k, iters, dim, idCol, vecCol)
+    pqPublishVersion(spark, codes, cbs, root)
+  }
+
   /** Asymmetric-distance (ADC) top-k: approximate squared L2 from the
     * query's RAW slices to each base vector's RECONSTRUCTION — the
     * codes table joins its codebook entries (a broadcast of m·k rows;

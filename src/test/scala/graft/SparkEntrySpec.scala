@@ -54,7 +54,7 @@ class SparkEntrySpec extends SparkSuite {
       "q_kmeans_wide", "q_two_level_cells_wide", "q_two_level_persisted",
       "q_two_level_knn_multi", "q_two_level_append", "q_two_level_drift",
       "q_two_level_retrain", "q_two_level_compact", "q_pq_append",
-      "q_stream_index_final")
+      "q_pq_retrain", "q_stream_index_final")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (loopy(name)) None
       else scala.util.Try(fn(spark, d).count()).failed.toOption
@@ -86,7 +86,7 @@ class SparkEntrySpec extends SparkSuite {
       "q_kmeans_wide", "q_two_level_cells_wide", "q_two_level_persisted",
       "q_two_level_knn_multi", "q_two_level_append", "q_two_level_drift",
       "q_two_level_retrain", "q_two_level_compact", "q_pq_append",
-      "q_stream_index_final")
+      "q_pq_retrain", "q_stream_index_final")
     import org.apache.spark.sql.catalyst.expressions.NTile
     // every allowed empty-partition window runs over a table bounded
     // by a QUERY PARAMETER, never the fact — the justification is the
@@ -145,7 +145,7 @@ class SparkEntrySpec extends SparkSuite {
       "q_kmeans_wide", "q_two_level_cells_wide", "q_two_level_persisted",
       "q_two_level_knn_multi", "q_two_level_append", "q_two_level_drift",
       "q_two_level_retrain", "q_two_level_compact", "q_pq_append",
-      "q_stream_index_final")
+      "q_pq_retrain", "q_stream_index_final")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (loopy(name)) None
       else scala.util.Try {

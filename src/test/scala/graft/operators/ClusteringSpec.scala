@@ -684,6 +684,59 @@ class ClusteringSpec extends SparkSuite {
       s"PQ rule missed a distribution shift (ratio $rShift)")
   }
 
+  test("pq versioned retrain arc: trigger fires, v2 publishes, v1 serves untouched") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = emb.where(col("vec_id") % 2 === 0)
+    val delta = emb.where(col("vec_id") % 2 === 1)
+      .withColumn("embedding", transform(col("embedding"),
+        x => (x.cast("double") * lit(3.0)).cast("float")))
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_retrain_spec").toString
+    val (codes, cbs) = Clustering.pqTrainEncode(base, m = 4, k = 8, iters = 2, dim = 64)
+    assert(Clustering.pqPublishVersion(spark, codes, cbs, root) === 1L)
+    val v1 = Clustering.pqOpenVersion(spark, root)
+    val encoded = Clustering.pqAppend(spark, v1.dir, delta, m = 4, k = 8, dim = 64)
+    assert(Clustering.pqRetrainNeeded(Clustering.pqDriftFromStats(
+      Clustering.pqReadStats(spark, v1.dir), encoded)),
+      "the scaled batch must trip the PQ trigger")
+    val q = Similarity.vectorOf(emb, 6L) // a base vector
+    // re-open AFTER the append: a generation dir is append-only, so the
+    // pinned-probe contract covers its POST-append content (the frame
+    // opened pre-append carries that older file listing — comparing
+    // against it would conflate append visibility with retrain safety)
+    val v1Post = Clustering.pqOpenVersion(spark, root)
+    val p1 = Clustering.pqTopK(v1Post.codes, v1Post.codebooks, q, m = 4, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    def inventory(dir: String): Seq[(String, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/codebooks")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).toSeq.map(s => (s.getPath.getName, s.getLen)).sorted
+    }
+    val inv1 = inventory(v1.dir)
+    // the retrain trains on the caller's CURRENT corpus (codes are
+    // lossy — the one structural difference from twoLevelRetrain)
+    assert(Clustering.pqRetrain(spark, root,
+      base.unionByName(delta), m = 4, k = 8, dim = 64) === 2L)
+    assert(graft.sources.Lake.latestVersion(spark, root) === Some(2L))
+    assert(inventory(v1.dir) === inv1,
+      "retrain touched the serving generation's codebooks")
+    val v1again = Clustering.pqOpenVersion(spark, root, version = 1L)
+    assert(Clustering.pqTopK(v1again.codes, v1again.codebooks, q, m = 4, k = 10)
+      .collect().map(_.getLong(0)).toSeq === p1,
+      "pinned generation-1 ADC probe diverged after the retrain")
+    val v2 = Clustering.pqOpenVersion(spark, root)
+    assert(v2.version === 2L)
+    assert(v2.codes.select("vec_id").distinct().count() === emb.count())
+    def cbKey(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getInt(0), r.getInt(1)),
+        r.getSeq[Double](2).toSeq)).sortBy(_._1).toSeq
+    assert(cbKey(v2.codebooks) !== cbKey(v1.codebooks),
+      "retrain must produce fresh codebooks on the shifted corpus")
+    val qScaled = Similarity.vectorOf(delta, 1L)
+    assert(Clustering.pqTopK(v2.codes, v2.codebooks, qScaled, m = 4, k = 25)
+      .collect().map(_.getLong(0)).contains(1L),
+      "generation-2 ADC lost the re-encoded scaled vector")
+  }
+
   test("pq reconstruction error shrinks with training; ADC finds the query's cluster") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     def sse(iters: Int): Double = {
