@@ -852,7 +852,8 @@ private[graft] object RegistryOraclesB {
         s"""WITH w AS (SELECT doc_id,
                  unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
                FROM documents),
-             seg AS (SELECT doc_id, $chain AS s FROM w WHERE len(word) > 0),
+             seg AS (SELECT doc_id, $chain AS s FROM w
+                     WHERE len(word) > 0 AND NOT contains(word, chr(1))),
              pd AS (SELECT doc_id,
                       CAST(sum((len(s) - len(replace(s, chr(1), ''))) // 2) AS BIGINT) AS n
                     FROM seg GROUP BY doc_id)

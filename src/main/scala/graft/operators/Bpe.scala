@@ -187,8 +187,14 @@ object Bpe {
         explode(Text.tokens(lower(col(textCol)))).as("word"))
       // empty tokens (empty text, or a leading \t/\n that survives
       // trim's space-only strip and splits to a "" head) are not words
-      // — zero symbols, not one; the DuckDB replay filters identically
-      .where(col("word") =!= "")
+      // — zero symbols, not one; the DuckDB replay filters identically.
+      // U+0001 is the cross-engine replay's separator sentinel (the
+      // oracle counts tokens by chr(1) arithmetic): a word carrying a
+      // literal 0x01 would inflate the oracle's separator-derived count
+      // while this side counts array symbols — so control-char words
+      // are excluded from the token count on BOTH engines (they are
+      // not tokens any trained vocab would ship anyway)
+      .where(col("word") =!= "" && !col("word").contains("\u0001"))
       .select(col("doc_id"), split(col("word"), "").as("syms"))
     val segmented = merges.foldLeft(seeded) { case (df, (a, b)) =>
       df.select(col("doc_id"), mergeFold(col("syms"), a, b).as("syms"))

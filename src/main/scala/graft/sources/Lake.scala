@@ -80,11 +80,19 @@ object Lake {
     * the source goes unseen (the cross-session protection is the trap
     * [[buildOnce]] exists to close; a live session regenerating its own
     * inputs mid-flight is not a supported shape). */
-  private val fpCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // keyed WEAKLY on the live session object, not identityHashCode:
+  // identity hashes are reused after a session is GC'd, and a collision
+  // would serve a stale fingerprint for a NEW session over regenerated
+  // data — silently reviving the stale-cache trap buildOnce exists to
+  // close. A weak key's memo dies with its session by construction.
+  private val fpCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
   def fingerprintCached(df: DataFrame, key: String): String =
-    fpCache.computeIfAbsent(
-      System.identityHashCode(df.sparkSession).toString + "|" + key,
-      _ => fingerprint(df))
+    fpCache
+      .computeIfAbsent(df.sparkSession,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+      .computeIfAbsent(key, _ => fingerprint(df))
 
   def buildOnce(dir: String, fingerprint: String)(build: => Unit): Unit = {
     val stampPath = new java.io.File(dir, "_GRAFT_SOURCE_STAMP").toPath
@@ -523,8 +531,15 @@ object Lake {
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
       val tmp = new org.apache.hadoop.fs.Path(s"$root/_latest.__tmp")
-      if (!fs.exists(tmp)) return None
-      if (!fs.rename(tmp, marker) && !fs.exists(marker))
+      if (!fs.exists(tmp)) {
+        // TOCTOU window: a racing advanceLatest can complete its
+        // delete→rename between our two checks — no marker seen, then
+        // no tmp either. Returning None here is the catastrophic state
+        // the scaladoc names (a publisher acting on it computes v=1 and
+        // reclaim-deletes the real generation); re-check the marker,
+        // which the racing flip has by now renamed into place.
+        if (!fs.exists(marker)) return None
+      } else if (!fs.rename(tmp, marker) && !fs.exists(marker))
         throw new java.io.IOException(
           s"failed to heal crashed marker flip: $tmp exists but could not move to $marker")
     }
