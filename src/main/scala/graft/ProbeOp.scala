@@ -394,6 +394,86 @@ object ProbeOp {
       deleteRecursively(root)
       spark.stop(); return
     }
+    // the PQ maintenance lifecycle in one measured table (round-15 —
+    // indexLifecycle's sibling for the memory-tier index): versioned
+    // build+publish v1 → 20 same-distribution appends with per-batch
+    // drift checks against the persisted build-time stats → codes-dir
+    // file telemetry → batched 20-query ADC probe on the fragmented
+    // codes → compactPqIndex → the same probe (results asserted
+    // bit-identical) → one 3×-scaled batch trips the trigger →
+    // pqRetrain (corpus = the caller's CURRENT upstream; codes are
+    // lossy) publishes v2 while v1 serves → probe through v2. The
+    // structural difference from the two-level table: ADC scans EVERY
+    // codes file per probe, so fragmentation taxes the whole serving
+    // path, not probed buckets.
+    if (op == "pqLifecycle") {
+      val C = graft.operators.Clustering
+      val n = emb.count()
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_pq_lifecycle_x$factor").toString
+      def timed[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val a = f
+        println(f"[pq-lifecycle] x$factor $label%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        a
+      }
+      timed("build+publish v1") {
+        val (codes, cbs) = C.pqTrainEncode(emb, m = 4, k = 8, iters = 2, dim = 64)
+        C.pqPublishVersion(spark, codes, cbs, root)
+      }
+      val v1 = C.pqOpenVersion(spark, root)
+      val batch = emb0.cache(); batch.count()
+      def shifted(r: Long): DataFrame = batch.withColumn("vec_id",
+        col("vec_id") + lit(factor * n * 100L + r * 10000000L))
+      val appends = 20
+      var walls = List.empty[Double]
+      (1 to appends).foreach { r =>
+        val t0 = System.nanoTime()
+        val encoded = C.pqAppend(spark, v1.dir, shifted(r.toLong),
+          m = 4, k = 8, dim = 64)
+        val drift = C.pqDriftFromStats(C.pqReadStats(spark, v1.dir), encoded)
+        if (C.pqRetrainNeeded(drift))
+          println(s"[pq-lifecycle] UNEXPECTED retrain signal on same-distribution batch $r")
+        walls ::= (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[pq-lifecycle] x$factor $appends appends+drift checks  " +
+        f"mean ${walls.sum / appends}%.2f s/batch")
+      val preFiles = C.pqCodesFileCount(spark, v1.dir)
+      println(s"[pq-lifecycle] x$factor codes files pre-compact: $preFiles " +
+        s"compactNeeded=${C.pqCompactionNeeded(spark, v1.dir)}")
+      val queries = (0 until 20).map(i => (i.toLong,
+        graft.operators.Similarity.vectorOf(emb, (i * 37 + 1).toLong)))
+      def probe(): Seq[org.apache.spark.sql.Row] = {
+        val (codes, cbs) = C.pqReadIndex(spark, v1.dir)
+        C.pqTopKMulti(codes, cbs, queries, m = 4, k = 10).collect().toSeq
+      }
+      val preRows = timed("probe 20q fragmented")(probe())
+      val (fb, fa) = timed("compactPqIndex")(
+        C.compactPqIndex(spark, v1.dir, targetFiles = 4))
+      println(s"[pq-lifecycle] x$factor compaction files $fb -> $fa")
+      val postRows = timed("probe 20q compacted")(probe())
+      require(preRows == postRows,
+        "PQ compaction changed probe results — must be bit-for-bit identical")
+      val scaledBatch = shifted(999L)
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(3.0f)))
+      val encoded = C.pqAppend(spark, v1.dir, scaledBatch, m = 4, k = 8, dim = 64)
+      val fired = C.pqRetrainNeeded(C.pqDriftFromStats(
+        C.pqReadStats(spark, v1.dir), encoded))
+      println(s"[pq-lifecycle] x$factor drifted batch retrainNeeded=$fired")
+      // the caller's CURRENT upstream: base + the 20 appended batches +
+      // the drifted one (codes can't reconstruct it — the structural
+      // difference from twoLevelRetrain)
+      val corpus = (1 to appends).map(r => shifted(r.toLong))
+        .foldLeft(emb)(_.unionByName(_)).unionByName(scaledBatch)
+      timed("pqRetrain -> v2") {
+        C.pqRetrain(spark, root, corpus, m = 4, k = 8, dim = 64)
+      }
+      val v2 = C.pqOpenVersion(spark, root)
+      timed("probe 20q v2") {
+        C.pqTopKMulti(v2.codes, v2.codebooks, queries, m = 4, k = 10).count()
+      }
+      deleteRecursively(root)
+      spark.stop(); return
+    }
     // batched-vs-sequential ADC serving (pqTopKMulti vs Q pqTopK): ADC
     // reads the WHOLE codes table by design (m small ints per vector —
     // no pruning to measure, unlike the two-level probe), so the claim

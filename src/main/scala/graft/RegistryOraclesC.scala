@@ -17,6 +17,65 @@ private[graft] object RegistryOraclesC {
   import Reg._
   import OracleShared._
 
+  // the COMPOSED versioned-streaming corpus, shared by
+  // q_stream_index_versioned and q_stream_pq_versioned: what the
+  // retrained generation 2 actually trains on — the bootstrap third ∪
+  // the clean appended third unscaled, the drifted third scaled 3×
+  // (scale rides double arithmetic cast back to REAL, matching the
+  // float column the index stores appended batches in)
+  private val svStreamSrc: String =
+    """(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 < 2
+        UNION ALL
+        SELECT vec_id, [CAST(x::DOUBLE * 3.0 AS REAL) for x in embedding] AS embedding
+        FROM embeddings WHERE vec_id % 3 = 2) sv_src"""
+
+  // the scaled probe vector of the composed rows: vec_id=2 is a member
+  // of the drifted third (2 % 3 = 2) — rows the bootstrap never saw
+  private val svQuerySelect: String =
+    """SELECT [CAST(x::DOUBLE * 3.0 AS REAL)::DOUBLE for x in embedding] AS qv
+       FROM embeddings WHERE vec_id = 2"""
+
+  // PQ incremental maintenance replayed from scratch, shared by
+  // q_pq_append and q_pq_compact: train on the even half (pqTrainCtes
+  // over a filtered source), frozen-encode the odd half against m1
+  // (the pqEncodeFrozen spelling — exact argmin, k=8 under the bound),
+  // union the codes, ADC probe for the APPENDED query vec_id=1
+  private val pqAppendProbeOracle: String = {
+    val dist = "list_reduce([(sv[i]-cvec[i])*(sv[i]-cvec[i]) " +
+      "for i in range(1, len(sv)+1)], (x, y) -> x + y)"
+    s"""WITH ${pqTrainCtes(4, 8,
+          "(SELECT * FROM embeddings WHERE vec_id % 2 = 0) pq_base")},
+         ne AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v
+                FROM embeddings WHERE vec_id % 2 = 1),
+         nsl AS (SELECT vec_id, s.s AS subspace, v[s.s*16+1 : (s.s+1)*16] AS sv
+                 FROM ne, (SELECT unnest([0, 1, 2, 3]) AS s) s),
+         na AS (SELECT nsl.vec_id, nsl.subspace, m1.cell, $dist AS d
+                FROM nsl JOIN m1 ON m1.subspace = nsl.subspace
+                QUALIFY row_number() OVER (PARTITION BY nsl.vec_id, nsl.subspace
+                  ORDER BY d, m1.cell) = 1),
+         allc AS (SELECT vec_id, subspace, cell FROM a2
+                  UNION ALL SELECT vec_id, subspace, cell FROM na),
+         q AS (SELECT [x::DOUBLE for x in embedding] AS v
+               FROM embeddings WHERE vec_id = 1),
+         qs AS (SELECT s.s AS subspace, q.v[s.s*16+1 : (s.s+1)*16] AS qsv
+                FROM q, (SELECT unnest([0, 1, 2, 3]) AS s) s),
+         pd AS (SELECT allc.vec_id, allc.subspace,
+                  list_reduce([(qs.qsv[i] - m1.cvec[i]) * (qs.qsv[i] - m1.cvec[i])
+                               for i in range(1, len(qs.qsv)+1)],
+                    (x, y) -> x + y) AS d
+                FROM allc
+                JOIN m1 ON m1.subspace = allc.subspace AND m1.cell = allc.cell
+                JOIN qs ON qs.subspace = allc.subspace),
+         adc AS (SELECT vec_id,
+                   list_reduce(list(d ORDER BY subspace), (x, y) -> x + y)
+                     AS adc_raw
+                 FROM pd GROUP BY vec_id),
+         sel AS (SELECT vec_id, adc_raw FROM adc
+                 ORDER BY adc_raw, vec_id LIMIT 10)
+       SELECT vec_id, round(adc_raw, 6) AS adc_dist2
+       FROM sel ORDER BY adc_raw, vec_id"""
+  }
+
   def sql: Map[String, String] = Map(
       "q_nb_confusion" -> // the full train->predict chain replayed; decimal scores
         (nbCm + "\nSELECT actual, predicted, n FROM cm ORDER BY 1, 2"),
@@ -1027,45 +1086,43 @@ private[graft] object RegistryOraclesC {
              round(d, 6) AS dist2
            FROM a2 ORDER BY vec_id, subspace""",
       "q_pq_adc" -> pqAdcOracle,
-      "q_pq_append" -> { // PQ incremental maintenance replayed from scratch:
-        // train on the even half (pqTrainCtes over a filtered source),
-        // frozen-encode the odd half against m1 (the pqEncodeFrozen
-        // spelling — exact argmin, k=8 under the bound), union the
-        // codes, ADC probe for the APPENDED query vec_id=1
-        val dist = "list_reduce([(sv[i]-cvec[i])*(sv[i]-cvec[i]) " +
-          "for i in range(1, len(sv)+1)], (x, y) -> x + y)"
-        s"""WITH ${pqTrainCtes(4, 8,
-              "(SELECT * FROM embeddings WHERE vec_id % 2 = 0) pq_base")},
-             ne AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v
-                    FROM embeddings WHERE vec_id % 2 = 1),
-             nsl AS (SELECT vec_id, s.s AS subspace, v[s.s*16+1 : (s.s+1)*16] AS sv
-                     FROM ne, (SELECT unnest([0, 1, 2, 3]) AS s) s),
-             na AS (SELECT nsl.vec_id, nsl.subspace, m1.cell, $dist AS d
-                    FROM nsl JOIN m1 ON m1.subspace = nsl.subspace
-                    QUALIFY row_number() OVER (PARTITION BY nsl.vec_id, nsl.subspace
-                      ORDER BY d, m1.cell) = 1),
-             allc AS (SELECT vec_id, subspace, cell FROM a2
-                      UNION ALL SELECT vec_id, subspace, cell FROM na),
-             q AS (SELECT [x::DOUBLE for x in embedding] AS v
-                   FROM embeddings WHERE vec_id = 1),
-             qs AS (SELECT s.s AS subspace, q.v[s.s*16+1 : (s.s+1)*16] AS qsv
-                    FROM q, (SELECT unnest([0, 1, 2, 3]) AS s) s),
-             pd AS (SELECT allc.vec_id, allc.subspace,
-                      list_reduce([(qs.qsv[i] - m1.cvec[i]) * (qs.qsv[i] - m1.cvec[i])
-                                   for i in range(1, len(qs.qsv)+1)],
-                        (x, y) -> x + y) AS d
-                    FROM allc
-                    JOIN m1 ON m1.subspace = allc.subspace AND m1.cell = allc.cell
-                    JOIN qs ON qs.subspace = allc.subspace),
-             adc AS (SELECT vec_id,
-                       list_reduce(list(d ORDER BY subspace), (x, y) -> x + y)
-                         AS adc_raw
-                     FROM pd GROUP BY vec_id),
-             sel AS (SELECT vec_id, adc_raw FROM adc
-                     ORDER BY adc_raw, vec_id LIMIT 10)
+      "q_pq_append" -> pqAppendProbeOracle,
+      "q_pq_compact" -> // PQ compaction certified by IDENTITY (the
+        // q_two_level_compact discipline): the Spark side rewrites the
+        // fragmented codes dir before probing, and the replay is
+        // q_pq_append's oracle verbatim — file layout must never reach
+        // the answer
+        pqAppendProbeOracle,
+      "q_stream_index_versioned" -> // the COMPOSED arc replayed from
+        // scratch: generation 2 trains on the FULL streamed corpus
+        // (exactly what twoLevelRetrain reads back from v1's own table
+        // after bootstrap + both appends), then the standard two-level
+        // probe for the scaled, drifted-batch vec_id=2
+        twoLevelProbeSqlOn(twoLevelCtes(4, 4, "", svStreamSrc), svQuerySelect),
+      "q_stream_pq_versioned" -> // the PQ composed arc replayed from
+        // scratch: generation 2's codebooks train on the full streamed
+        // corpus (the caller's CURRENT upstream — PQ codes are lossy),
+        // then the standard ADC probe for the scaled vec_id=2
+        s"""WITH ${pqTrainCtes(4, 8, svStreamSrc)},
+               q AS ($svQuerySelect),
+               qq AS (SELECT qv AS v FROM q),
+               qs AS (SELECT s.s AS subspace, qq.v[s.s*16+1 : (s.s+1)*16] AS qsv
+                      FROM qq, (SELECT unnest([0, 1, 2, 3]) AS s) s),
+               pd AS (SELECT a2.vec_id, a2.subspace,
+                        list_reduce([(qs.qsv[i] - m1.cvec[i]) * (qs.qsv[i] - m1.cvec[i])
+                                     for i in range(1, len(qs.qsv)+1)],
+                          (x, y) -> x + y) AS d
+                      FROM a2
+                      JOIN m1 ON m1.subspace = a2.subspace AND m1.cell = a2.cell
+                      JOIN qs ON qs.subspace = a2.subspace),
+               adc AS (SELECT vec_id,
+                         list_reduce(list(d ORDER BY subspace), (x, y) -> x + y)
+                           AS adc_raw
+                       FROM pd GROUP BY vec_id),
+               sel AS (SELECT vec_id, adc_raw FROM adc
+                       ORDER BY adc_raw, vec_id LIMIT 10)
            SELECT vec_id, round(adc_raw, 6) AS adc_dist2
-           FROM sel ORDER BY adc_raw, vec_id"""
-      },
+           FROM sel ORDER BY adc_raw, vec_id""",
       // persisted-index twin: identical ADC math, probe side reads the
       // materialized codes/codebooks — same oracle by construction
       // (the q_jaccard_persisted discipline)

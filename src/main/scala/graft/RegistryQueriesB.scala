@@ -67,6 +67,38 @@ private[graft] object RegistryQueriesB {
     graft.operators.Clustering.pqReadIndex(s, root)
   }
 
+  /** Input files for the COMPOSED versioned-streaming rows
+    * (q_stream_index_versioned / q_stream_pq_versioned): three
+    * deterministic micro-batches (pinned modification times order the
+    * delivery) — bootstrap b0 and same-distribution b1 unscaled, b2
+    * scaled 3× out-of-distribution so the drift trigger MUST fire
+    * (the measured ≈9× anchor; scale rides double arithmetic cast
+    * back to REAL, matching the float column and the oracle replay).
+    * Returns the input schema for the readStream. */
+  private def writeVersionedStreamBatches(s: SparkSession, emb: DataFrame,
+                                          root: String)
+      : org.apache.spark.sql.types.StructType = {
+    (0 until 3).foreach { b =>
+      val part = emb.where(pmod(col("vec_id"), lit(3)) === b)
+      val batch =
+        if (b == 2) part.withColumn("embedding", transform(col("embedding"),
+          x => (x.cast("double") * lit(3.0)).cast("float")))
+        else part
+      batch.coalesce(1).write.mode("overwrite").parquet(s"$root/in/f$b")
+      new java.io.File(s"$root/in/f$b").listFiles()
+        .foreach(f => { f.setLastModified(1600000000000L + b * 60000L); () })
+    }
+    s.read.parquet(s"$root/in/f0").schema
+  }
+
+  /** The 3×-scaled query vector for the composed rows — a member of
+    * the drifted third (vec_id % 3 = 2), so the probe must find rows
+    * the bootstrap never saw through the RETRAINED generation. */
+  private def scaledQueryVec(emb: DataFrame, id: Long): Seq[Double] =
+    Similarity.vectorOf(emb.where(col("vec_id") === id)
+      .withColumn("embedding", transform(col("embedding"),
+        x => (x.cast("double") * lit(3.0)).cast("float"))), id)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis (SURVEY §2.2 [EXT]) ----
     // Flesch reading-ease ([EXT]): words/sentences/vowel-group
@@ -1296,6 +1328,94 @@ private[graft] object RegistryQueriesB {
       val v2 = Clustering.twoLevelOpenVersion(s, pfx, root, nBuckets = 16)
       Clustering.twoLevelTopK(v2.index, v2.codebooks,
         Similarity.vectorOf(delta, 1L), k = 10, nprobe = 4)
+    }),
+    // the COMPOSED lifecycle (round 15): streaming maintenance ON a
+    // VERSIONED root — previously parallel tracks (the loop wrote an
+    // unversioned layout twoLevelRetrain couldn't see, so its RETRAIN
+    // NEEDED log was un-executable). Three deterministic micro-batches:
+    // the bootstrap PUBLISHES v1 through the staged marker-flip-last
+    // protocol, two appends insert into the serving generation (the
+    // second scaled 3× — out-of-distribution), every decision lands in
+    // the _signals TABLE (the scheduler contract — the require reads
+    // the decision from DATA, not stdout), the retrain the signal
+    // schedules is EXECUTED against the same root (v2 published from
+    // v1's own table while v1 serves), and the probe reads v2 through
+    // `_latest`. The oracle replays train-on-the-full-streamed-corpus
+    // + probe from scratch.
+    "q_stream_index_versioned" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val root = tempDir("graft_idx_stream_v")
+      val schema = writeVersionedStreamBatches(s, emb, root)
+      val pfx = "idx_streamv_" + java.lang.Long.toHexString(System.nanoTime())
+      val q = graft.streaming.Sessions.streamIndexAppendVersioned(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/in/*"),
+        pfx, s"$root/idx", s"$root/ckpt")
+      q.awaitTermination(300000)
+      val sig = graft.streaming.Sessions.readIndexSignals(s, s"$root/idx")
+        .orderBy(col("seq")).collect()
+      require(sig.length == 3 && sig(0).getString(1) == "bootstrap" &&
+        !sig(1).getBoolean(5) && sig(2).getBoolean(5),
+        "q_stream_index_versioned: the signals table must record " +
+          "bootstrap, clean append, drifted append (retrain_needed)")
+      Clustering.twoLevelRetrain(s, pfx, s"$root/idx", nBuckets = 16,
+        k1 = 4, k2 = 4)
+      val v2 = Clustering.twoLevelOpenVersion(s, pfx, s"$root/idx", nBuckets = 16)
+      require(v2.version == 2L,
+        "q_stream_index_versioned: the retrain must publish generation 2")
+      Clustering.twoLevelTopK(v2.index, v2.codebooks, scaledQueryVec(emb, 2L),
+        k = 10, nprobe = 4)
+    }),
+    // the PQ twin of the composed lifecycle — one structural
+    // difference: PQ codes are LOSSY, so the executed retrain takes the
+    // caller's CURRENT upstream (exactly what the stream delivered)
+    // rather than reading the corpus back out of the index
+    "q_stream_pq_versioned" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val root = tempDir("graft_pq_stream_v")
+      val schema = writeVersionedStreamBatches(s, emb, root)
+      val q = graft.streaming.Sessions.streamPqIndexAppendVersioned(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/in/*"),
+        s"$root/idx", s"$root/ckpt")
+      q.awaitTermination(300000)
+      val sig = graft.streaming.Sessions.readIndexSignals(s, s"$root/idx")
+        .orderBy(col("seq")).collect()
+      require(sig.length == 3 && sig(0).getString(1) == "bootstrap" &&
+        !sig(1).getBoolean(5) && sig(2).getBoolean(5),
+        "q_stream_pq_versioned: the signals table must record " +
+          "bootstrap, clean append, drifted append (retrain_needed)")
+      Clustering.pqRetrain(s, s"$root/idx",
+        s.read.schema(schema).parquet(s"$root/in/*"), m = 4, k = 8, dim = 64)
+      val v2 = Clustering.pqOpenVersion(s, s"$root/idx")
+      require(v2.version == 2L,
+        "q_stream_pq_versioned: the retrain must publish generation 2")
+      Clustering.pqTopK(v2.codes, v2.codebooks, scaledQueryVec(emb, 2L),
+        m = 4, k = 10)
+        .orderBy(col("adc_dist2"), col("vec_id"))
+        .select(col("vec_id"), round(col("adc_dist2"), 6).as("adc_dist2"))
+    }),
+    // PQ COMPACTION under oracle (round 15 — compactTwoLevelIndex's
+    // sibling for the codes dir ADC scans in FULL per probe): the
+    // q_pq_append chain with a compactPqIndex rewrite between append
+    // and probe; the oracle is q_pq_append's verbatim — file layout
+    // must never reach the answer
+    "q_pq_compact" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val base = emb.where(col("vec_id") % 2 === 0)
+      val delta = emb.where(col("vec_id") % 2 === 1)
+      val (codes, cbs) = Clustering.pqTrainEncode(base, m = 4, k = 8,
+        iters = 2, dim = 64)
+      val root = tempDir("graft_pq_compact")
+      Clustering.pqWriteIndex(codes, cbs, root)
+      Clustering.pqAppend(s, root, delta, m = 4, k = 8, dim = 64)
+      val (before, after) = Clustering.compactPqIndex(s, root, targetFiles = 1)
+      require(before >= 2 && after == 1,
+        s"q_pq_compact: the rewrite must collapse the codes dir ($before -> $after)")
+      val (codes2, cbs2) = Clustering.pqReadIndex(s, root)
+      Clustering.pqTopK(codes2, cbs2, Similarity.vectorOf(emb, 1L), m = 4, k = 10)
+        .orderBy(col("adc_dist2"), col("vec_id"))
+        .select(col("vec_id"), round(col("adc_dist2"), 6).as("adc_dist2"))
     }),
     // Johnson-Lindenstrauss reduction: 64-dim floats -> 16 seeded-
     // Gaussian dot products, planes baked into the plan as literals.

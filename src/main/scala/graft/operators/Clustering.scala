@@ -573,6 +573,19 @@ object Clustering {
   def twoLevelRetrainNeeded(drift: DataFrame,
                             tolerance: Double = TwoLevelDriftTolerance): Boolean = {
     require(tolerance > 0, s"tolerance must be positive: $tolerance")
+    pooledDriftMeans(drift) match {
+      case Some((nm, bm)) => nm > tolerance * bm
+      case None => false
+    }
+  }
+
+  /** The (new_mean, base_mean) pair the retrain rule compares, pooled
+    * from a drift report back to corpus level — public so the
+    * streaming maintenance loops can persist the SIGNAL (the ratio a
+    * scheduler reads) with the same arithmetic the decision used,
+    * instead of re-running the aggregate. None when either side is
+    * empty (an empty appended batch never triggers). */
+  def pooledDriftMeans(drift: DataFrame): Option[(Double, Double)] = {
     // each side null-skips independently (SQL sum semantics), so a
     // batch concentrated in base-empty cells still counts in full; the
     // 6-dp render granularity is orders of magnitude below the 2x
@@ -581,8 +594,8 @@ object Clustering {
       .agg((sum(col("new_mean_d2") * col("n_new")) / sum(col("n_new"))).as("nm"),
         (sum(col("base_mean_d2") * col("n_base")) / sum(col("n_base"))).as("bm"))
       .head()
-    if (pooled.isNullAt(0) || pooled.isNullAt(1)) false
-    else pooled.getDouble(0) > tolerance * pooled.getDouble(1)
+    if (pooled.isNullAt(0) || pooled.isNullAt(1)) None
+    else Some((pooled.getDouble(0), pooled.getDouble(1)))
   }
 
   /** Top-k against one query via the two-level index: rank the k1·k2
@@ -1247,6 +1260,67 @@ object Clustering {
     encoded.write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$root/codes")
     encoded
+  }
+
+  // ---- PQ append-path hygiene: codes-dir telemetry + compaction —
+  // the two-level family's fragmentation discipline for the PQ index.
+  // ADC has no pruning tier (it scans EVERY codes file per probe by
+  // design — m small ints per vector), so after B ingest batches the
+  // HOT SERVING PATH pays O(B) file opens per probe; the two-level
+  // index only paid per probed bucket. The rewrite is one pass over
+  // the m·n-row codes table — bounded by index (not corpus) size. ----
+
+  /** Parquet file count of a PQ codes dir — one directory listing, no
+    * data read. The number an ingest loop watches to schedule
+    * [[compactPqIndex]]. */
+  def pqCodesFileCount(spark: org.apache.spark.sql.SparkSession,
+                       root: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/codes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Default [[pqCompactionNeeded]] threshold — the two-level rule's
+    * rationale transferred: each [[pqAppend]] batch lands O(1) new
+    * files, so 16 files ≈ 16 ingest batches of headroom before the
+    * rewrite; unlike the bucketed index the probe pays EVERY file
+    * here, so the budget is per-dir, not per-bucket. */
+  val PqCompactMaxFiles: Int = 16
+
+  /** The PQ compaction trigger as CODE: true when the codes dir holds
+    * more than `maxFiles` parquet files. One directory listing; pair
+    * with [[compactPqIndex]] (the streaming loop logs COMPACT NEEDED
+    * on this rule and leaves the rewrite to a scheduled batch job,
+    * like the retrain). */
+  def pqCompactionNeeded(spark: org.apache.spark.sql.SparkSession, root: String,
+                         maxFiles: Int = PqCompactMaxFiles): Boolean = {
+    require(maxFiles > 0, s"maxFiles must be positive: $maxFiles")
+    pqCodesFileCount(spark, root) > maxFiles
+  }
+
+  /** Compact a PQ index's codes table back to `targetFiles` files —
+    * [[compactTwoLevelIndex]]'s sibling for the unbucketed codes dir.
+    * Row CONTENT is copied verbatim (one read → repartition → staged
+    * write through [[graft.sources.Lake.overwriteSelf]], whose
+    * move-aside ordering never leaves the live dir as the only copy
+    * and heals a crash on next entry); results are bit-identical by
+    * construction because ADC never depends on file layout — each
+    * (vector, subspace) row contributes exactly one LUT distance to
+    * [[pqTopK]]'s per-subspace conditional sums, so the fold order the
+    * layout could perturb has exactly one operand. Certified by
+    * identity oracle (q_pq_compact replays q_pq_append's oracle
+    * verbatim). Codebooks and stats are never touched. Returns
+    * (filesBefore, filesAfter). */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+                     targetFiles: Int = 4): (Int, Int) = {
+    require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
+    val before = pqCodesFileCount(spark, root)
+    graft.sources.Lake.overwriteSelf(
+      spark.read.parquet(s"$root/codes").repartition(targetFiles),
+      s"$root/codes")
+    (before, pqCodesFileCount(spark, root))
   }
 
   // ---- PQ versioned serving + retrain — the twoLevelRetrain arc for

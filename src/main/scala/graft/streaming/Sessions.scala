@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.{DecimalType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DecimalType, DoubleType, LongType, StringType, StructField, StructType}
 
 /** Mutable per-user accumulator carried across micro-batches. */
 final case class UserState(nEvents: Long, sumValue: Double)
@@ -701,6 +701,233 @@ object Sessions {
     fs.create(p, true).close()
   }
 
+  // ---- maintenance signals as DATA — the scheduler contract. The
+  // loops' RETRAIN/COMPACT decisions were stdout-only (`println`),
+  // which nothing can schedule on; each applied batch now also appends
+  // ONE tiny row to `$root/_signals` (parquet, append-only) carrying
+  // the decision AND the drift ratio it was made on — the same pooled
+  // arithmetic the rule used, via
+  // [[graft.operators.Clustering.pooledDriftMeans]]. println stays as
+  // a courtesy. The signal lands BEFORE the applied marker: a crash
+  // between the two duplicates one signal row on replay (consumers
+  // dedup by digest), which beats the alternative — an applied batch
+  // whose RETRAIN NEEDED signal was lost. ----
+
+  private val signalsSchema = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("drift_ratio", DoubleType, nullable = true),
+    StructField("retrain_needed", BooleanType, nullable = false),
+    StructField("compact_needed", BooleanType, nullable = false),
+    StructField("digest", StringType, nullable = false)))
+
+  /** Row count parsed back out of a [[vecBatchDigest]] (format
+    * `n<count>-x<hex>`) — the digest already paid the count. */
+  private def digestRows(digest: String): Long =
+    digest.drop(1).takeWhile(_ != '-').toLong
+
+  private def appendIndexSignal(spark: SparkSession, root: String,
+                                kind: String, version: Long, digest: String,
+                                driftRatio: Option[Double],
+                                retrain: Boolean, compact: Boolean): Unit = {
+    val dir = s"$root/_signals"
+    // seq = rows already signalled: the loops run their batches
+    // serially (foreachBatch is single-threaded per query), so the
+    // count is a stable per-root sequence; a crash-replayed batch can
+    // duplicate one row (see above) — consumers key on digest
+    val seq =
+      if (graft.sources.Lake.pathExists(spark, dir))
+        spark.read.schema(signalsSchema).parquet(dir).count()
+      else 0L
+    val row = org.apache.spark.sql.Row(seq, kind, version, digestRows(digest),
+      driftRatio.map(java.lang.Double.valueOf).orNull, retrain, compact, digest)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), signalsSchema)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+  }
+
+  /** The maintenance-signals table of a versioned streaming index root
+    * — one row per applied batch: (seq, kind bootstrap|append, version
+    * served, n_rows, drift_ratio vs the serving generation's build-time
+    * baseline (null for bootstrap), retrain_needed, compact_needed,
+    * digest). This is what a scheduler consumes to EXECUTE
+    * [[graft.operators.Clustering.twoLevelRetrain]] /
+    * [[graft.operators.Clustering.compactTwoLevelIndex]] /
+    * [[graft.operators.Clustering.pqRetrain]] /
+    * [[graft.operators.Clustering.compactPqIndex]] — and the
+    * after-the-fact audit trail of every decision the loop made. */
+  def readIndexSignals(spark: SparkSession, root: String): DataFrame =
+    spark.read.schema(signalsSchema).parquet(s"$root/_signals")
+
+  /** Prune the `_applied` marker dir to the newest `keep` markers (by
+    * FS modification time) — the dir otherwise grows one empty file
+    * per applied batch FOREVER, and at micro-batch cadence its listing
+    * cost eventually rivals the data fragmentation the compactor
+    * fixes. A `_watermark` file (never a digest name: digests start
+    * with 'n') records how many markers each prune dropped.
+    *
+    * The replay-window tradeoff, explicitly: a replayed batch whose
+    * marker was pruned RE-INSERTS. Checkpoint crash-recovery only ever
+    * replays the last uncommitted micro-batch, so any keep >= 1 covers
+    * it; what pruning deliberately gives up is fresh-checkpoint
+    * re-runs over input older than the retained window — size `keep`
+    * to the replay horizon you actually operate (markers are empty
+    * files, so thousands are cheap; the enemy is millions). Returns
+    * the number of markers deleted. */
+  def pruneAppliedMarkers(spark: SparkSession, root: String, keep: Int): Int = {
+    require(keep >= 1, s"keep must cover at least the crash-replay window: $keep")
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_applied")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0
+    // skip `_`-prefixed (the watermark) AND `.`-prefixed names: the
+    // local ChecksumFileSystem shadows every marker with a `.name.crc`
+    // sibling, which is bookkeeping, not a marker (fs.delete of the
+    // marker removes its crc with it)
+    val markers = fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .sortBy(-_.getModificationTime)
+    val drop = markers.drop(keep)
+    drop.foreach(s => fs.delete(s.getPath, false))
+    if (drop.nonEmpty) {
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_watermark"), true)
+      try out.write(s"pruned=${drop.size} kept=${math.min(keep, markers.size)}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    drop.size
+  }
+
+  /** [[streamIndexAppend]] COMPOSED with versioned serving — the
+    * deployment shape the two arcs were built for separately: the
+    * bootstrap micro-batch trains and PUBLISHES generation 1 through
+    * the full staged marker-flip-last protocol
+    * ([[graft.operators.Clustering.twoLevelPublishVersion]]), every
+    * later batch opens the SERVING generation (`_latest`) and
+    * bucket-inserts into its table, drift rides the generation's own
+    * build-time stats artifact, and the RETRAIN the signal schedules
+    * is actually EXECUTABLE against this root —
+    * [[graft.operators.Clustering.twoLevelRetrain]] publishes v2 from
+    * v1's own table while v1 keeps serving, and the loop's next batch
+    * follows `_latest` to v2 automatically. Decisions land in the
+    * `_signals` table ([[readIndexSignals]]), not just stdout.
+    *
+    * Restart-safety needs no `_SUCCESS` keying here: a crash anywhere
+    * mid-bootstrap leaves the `_latest` marker unwritten, so the
+    * replay re-runs the bootstrap and the publish reclaims its own
+    * staging — idempotent by the version protocol itself. Appends keep
+    * the content-digest applied markers (a replayed batch is a skip,
+    * not a double insert). */
+  def streamIndexAppendVersioned(vecs: DataFrame, tablePrefix: String,
+                                 root: String, checkpoint: String,
+                                 nBuckets: Int = 16, k1: Int = 4, k2: Int = 4,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding",
+                                 trigger: org.apache.spark.sql.streaming.Trigger =
+                                   org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val C = graft.operators.Clustering
+        val digest = vecBatchDigest(batch, idCol, vecCol)
+        graft.sources.Lake.latestVersion(spark, root) match {
+          case None =>
+            val (index, cbs) = C.twoLevelIndex(batch, k1, k2,
+              idCol = idCol, vecCol = vecCol)
+            val v = C.twoLevelPublishVersion(spark, index, cbs, tablePrefix,
+              root, nBuckets)
+            appendIndexSignal(spark, root, "bootstrap", v, digest,
+              driftRatio = None, retrain = false, compact = false)
+            markBatchApplied(spark, root, digest)
+            println(s"[index-append-v] batch=$batchId bootstrap: published v$v")
+          case Some(_) if batchApplied(spark, root, digest) =>
+            println(s"[index-append-v] batch=$batchId already applied ($digest) — skipped")
+          case Some(_) =>
+            val gen = C.twoLevelOpenVersion(spark, tablePrefix, root, nBuckets)
+            val appended = C.twoLevelAppend(spark, gen.table, gen.dir, nBuckets,
+              batch, idCol, vecCol)
+            val drift = C.twoLevelDriftFromStats(
+              C.twoLevelReadStats(spark, gen.dir), appended)
+            val pooled = C.pooledDriftMeans(drift)
+            val retrain = pooled.exists { case (nm, bm) =>
+              nm > C.TwoLevelDriftTolerance * bm }
+            val compact = C.indexCompactionNeeded(spark, s"${gen.dir}/index")
+            appendIndexSignal(spark, root, "append", gen.version, digest,
+              pooled.map { case (nm, bm) => nm / bm }, retrain, compact)
+            markBatchApplied(spark, root, digest)
+            println(s"[index-append-v] batch=$batchId appended to v${gen.version}" +
+              (if (retrain) " — RETRAIN NEEDED (drift over tolerance)" else "") +
+              (if (compact) " — COMPACT NEEDED (bucket fragmentation over threshold)"
+               else ""))
+        }
+        ()
+      }
+      .start()
+
+  /** [[streamPqIndexAppend]] composed with versioned serving — the PQ
+    * twin of [[streamIndexAppendVersioned]]: bootstrap publishes v1
+    * via [[graft.operators.Clustering.pqPublishVersion]], appends
+    * frozen-encode into the serving generation's codes table, drift
+    * rides its build-time stats, decisions land in `_signals`, and the
+    * trigger's retrain is executable via
+    * [[graft.operators.Clustering.pqRetrain]] against this root (with
+    * the caller's CURRENT corpus — PQ codes are lossy, the one
+    * structural difference from the two-level arc). The compact signal
+    * is [[graft.operators.Clustering.pqCompactionNeeded]] — ADC scans
+    * every codes file per probe, so fragmentation here taxes the hot
+    * serving path, not just probed buckets. */
+  def streamPqIndexAppendVersioned(vecs: DataFrame, root: String,
+                                   checkpoint: String,
+                                   m: Int = 4, k: Int = 8, dim: Int = 64,
+                                   idCol: String = "vec_id",
+                                   vecCol: String = "embedding",
+                                   trigger: org.apache.spark.sql.streaming.Trigger =
+                                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val C = graft.operators.Clustering
+        val digest = vecBatchDigest(batch, idCol, vecCol)
+        graft.sources.Lake.latestVersion(spark, root) match {
+          case None =>
+            val (codes, cbs) = C.pqTrainEncode(batch, m, k, iters = 2, dim,
+              idCol, vecCol)
+            val v = C.pqPublishVersion(spark, codes, cbs, root)
+            appendIndexSignal(spark, root, "bootstrap", v, digest,
+              driftRatio = None, retrain = false, compact = false)
+            markBatchApplied(spark, root, digest)
+            println(s"[pq-append-v] batch=$batchId bootstrap: published v$v")
+          case Some(_) if batchApplied(spark, root, digest) =>
+            println(s"[pq-append-v] batch=$batchId already applied ($digest) — skipped")
+          case Some(_) =>
+            val gen = C.pqOpenVersion(spark, root)
+            val encoded = C.pqAppend(spark, gen.dir, batch, m, k, dim,
+              idCol, vecCol)
+            val drift = C.pqDriftFromStats(C.pqReadStats(spark, gen.dir), encoded)
+            val pooled = C.pooledDriftMeans(drift)
+            val retrain = pooled.exists { case (nm, bm) =>
+              nm > C.TwoLevelDriftTolerance * bm }
+            val compact = C.pqCompactionNeeded(spark, gen.dir)
+            appendIndexSignal(spark, root, "append", gen.version, digest,
+              pooled.map { case (nm, bm) => nm / bm }, retrain, compact)
+            markBatchApplied(spark, root, digest)
+            println(s"[pq-append-v] batch=$batchId appended to v${gen.version}" +
+              (if (retrain) " — RETRAIN NEEDED (drift over tolerance)" else "") +
+              (if (compact) " — COMPACT NEEDED (codes fragmentation over threshold)"
+               else ""))
+        }
+        ()
+      }
+      .start()
+
   def streamIndexAppend(vecs: DataFrame, table: String, root: String,
                         checkpoint: String, nBuckets: Int = 16,
                         k1: Int = 4, k2: Int = 4,
@@ -715,7 +942,14 @@ object Sessions {
         val spark = batch.sparkSession
         val C = graft.operators.Clustering
         val digest = vecBatchDigest(batch, idCol, vecCol)
-        if (!graft.sources.Lake.pathExists(spark, s"$root/index/_SUCCESS")) {
+        // bootstrap keys on the LAST artifact twoLevelWriteIndex lands
+        // (index, then codebooks, then STATS): a crash mid-bootstrap
+        // leaves index/_SUCCESS without codebooks/stats, and keying on
+        // the first artifact would send every replay down an append
+        // path that throws reading the missing baseline — wedged
+        // forever; keying on the last re-runs the bootstrap, whose
+        // Overwrite writes make it idempotent (the PQ loop's rule)
+        if (!graft.sources.Lake.pathExists(spark, s"$root/stats/_SUCCESS")) {
           val (index, cbs) = C.twoLevelIndex(batch, k1, k2,
             idCol = idCol, vecCol = vecCol)
           C.twoLevelWriteIndex(index, cbs, table, root, nBuckets)
@@ -723,6 +957,8 @@ object Sessions {
           // this write replays batch 0 down the APPEND path (the index
           // exists now) — the marker turns that into a skip, not a
           // duplicate insert of the entire bootstrap corpus
+          appendIndexSignal(spark, root, "bootstrap", 0L, digest,
+            driftRatio = None, retrain = false, compact = false)
           markBatchApplied(spark, root, digest)
           println(s"[index-append] batch=$batchId bootstrap: trained ${k1}x$k2 index")
         } else if (batchApplied(spark, root, digest)) {
@@ -732,12 +968,19 @@ object Sessions {
             batch, idCol, vecCol)
           val drift = C.twoLevelDriftFromStats(
             C.twoLevelReadStats(spark, root), appended)
-          val retrain = C.twoLevelRetrainNeeded(drift)
+          val pooled = C.pooledDriftMeans(drift)
+          val retrain = pooled.exists { case (nm, bm) =>
+            nm > C.TwoLevelDriftTolerance * bm }
           // same schedule-don't-absorb contract as the retrain: the
           // rewrite ([[graft.operators.Clustering.compactTwoLevelIndex]])
           // is bounded by the index size — a batch job, not micro-batch
           // work; the rule here is one directory listing
           val compact = C.indexCompactionNeeded(spark, s"$root/index")
+          // the unversioned layout signals too (version 0 = no
+          // generation protocol) — a scheduler reads the same table
+          // either way
+          appendIndexSignal(spark, root, "append", 0L, digest,
+            pooled.map { case (nm, bm) => nm / bm }, retrain, compact)
           markBatchApplied(spark, root, digest)
           println(s"[index-append] batch=$batchId appended" +
             (if (retrain) " — RETRAIN NEEDED (drift over tolerance)" else "") +
@@ -784,6 +1027,8 @@ object Sessions {
           val (codes, cbs) = C.pqTrainEncode(batch, m, k, iters = 2, dim,
             idCol, vecCol)
           C.pqWriteIndex(codes, cbs, root)
+          appendIndexSignal(spark, root, "bootstrap", 0L, digest,
+            driftRatio = None, retrain = false, compact = false)
           markBatchApplied(spark, root, digest)
           println(s"[pq-append] batch=$batchId bootstrap: trained ${m}x$k codebooks")
         } else if (batchApplied(spark, root, digest)) {
@@ -794,10 +1039,17 @@ object Sessions {
         } else {
           val encoded = C.pqAppend(spark, root, batch, m, k, dim, idCol, vecCol)
           val drift = C.pqDriftFromStats(C.pqReadStats(spark, root), encoded)
-          val retrain = C.pqRetrainNeeded(drift)
+          val pooled = C.pooledDriftMeans(drift)
+          val retrain = pooled.exists { case (nm, bm) =>
+            nm > C.TwoLevelDriftTolerance * bm }
+          val compact = C.pqCompactionNeeded(spark, root)
+          appendIndexSignal(spark, root, "append", 0L, digest,
+            pooled.map { case (nm, bm) => nm / bm }, retrain, compact)
           markBatchApplied(spark, root, digest)
           println(s"[pq-append] batch=$batchId appended" +
-            (if (retrain) " — RETRAIN NEEDED (drift over tolerance)" else ""))
+            (if (retrain) " — RETRAIN NEEDED (drift over tolerance)" else "") +
+            (if (compact) " — COMPACT NEEDED (codes fragmentation over threshold)"
+             else ""))
         }
         ()
       }

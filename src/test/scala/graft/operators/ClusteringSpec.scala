@@ -519,6 +519,52 @@ class ClusteringSpec extends SparkSuite {
     assert(adcTop.contains(7L), "ADC lost the appended query vector")
   }
 
+  test("compactPqIndex: threshold rule, file collapse, bit-identical ADC, codebooks/stats untouched") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = emb.where(col("vec_id") % 4 === 0)
+    val (codes, cbs) = Clustering.pqTrainEncode(base, m = 4, k = 8, iters = 2, dim = 64)
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_compact_spec").toString
+    Clustering.pqWriteIndex(codes, cbs, root)
+    // three append batches fragment the codes dir — each lands its own
+    // file(s); ADC pays every one of them per probe (no pruning tier)
+    (1 to 3).foreach { r =>
+      Clustering.pqAppend(spark, root,
+        emb.where(col("vec_id") % 4 === r).coalesce(1), m = 4, k = 8, dim = 64)
+    }
+    val frag = Clustering.pqCodesFileCount(spark, root)
+    assert(frag >= 4, s"appends must fragment the codes dir: $frag files")
+    assert(Clustering.pqCompactionNeeded(spark, root, maxFiles = 3),
+      "the threshold rule must fire on the fragmented dir")
+    // probe results + row content before the rewrite
+    val qv = Similarity.vectorOf(emb, 7L)
+    def probe() = Clustering.pqTopK(
+      spark.read.parquet(s"$root/codes"), spark.read.parquet(s"$root/codebooks"),
+      qv, m = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def rows() =
+      spark.read.parquet(s"$root/codes")
+        .select("vec_id", "subspace", "code", "dist2").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val (probeBefore, rowsBefore) = (probe(), rows())
+    val cbsBefore = spark.read.parquet(s"$root/codebooks").collect()
+      .map(_.toString).sorted.toSeq
+    val statsBefore = spark.read.parquet(s"$root/stats").collect()
+      .map(_.toString).sorted.toSeq
+    val (b, a) = Clustering.compactPqIndex(spark, root, targetFiles = 2)
+    assert(b === frag && a === 2, s"rewrite must collapse $frag -> 2, got $b -> $a")
+    assert(!Clustering.pqCompactionNeeded(spark, root, maxFiles = 3),
+      "the rule must clear after the rewrite")
+    // bit-identical: row content, probe answer, and the artifacts the
+    // rewrite must never touch
+    assert(rows() === rowsBefore, "compaction changed code row content")
+    assert(probe() === probeBefore, "compaction changed an ADC answer")
+    assert(spark.read.parquet(s"$root/codebooks").collect()
+      .map(_.toString).sorted.toSeq === cbsBefore)
+    assert(spark.read.parquet(s"$root/stats").collect()
+      .map(_.toString).sorted.toSeq === statsBefore)
+  }
+
   test("versioned retrain arc: trigger fires, v2 publishes, v1 serves untouched throughout") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val base = emb.where(col("vec_id") % 2 === 0)

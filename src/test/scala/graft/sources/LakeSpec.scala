@@ -606,6 +606,79 @@ class LakeSpec extends SparkSuite {
       === Set((1L, "a")), "published generations must survive the healed flip")
   }
 
+  test("marker-flip crash law: no crash point x next action ever deletes a published generation") {
+    // the commit-class hazard pinned as a LAW instead of a single fix:
+    // advanceLatest's flip is write-tmp -> delete-old-marker ->
+    // rename-tmp. Enumerate every crash point of a v1 -> v2 flip (the
+    // v2 dir itself is already fully renamed when the flip starts),
+    // then every next actor (a reader; a racing next publish), and
+    // assert the invariants: latestVersion never returns None, the
+    // reader resolves a PUBLISHED generation (1 or 2, never a mix),
+    // and after the next publish every generation the marker ever
+    // covered is still readable — the catastrophic interleaving is the
+    // one where a publisher computes v=1 and reclaim-deletes real data.
+    import spark.implicits._
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    // crash states: what's on disk after advanceLatest(2) stops at each
+    // point (marker content, tmp content)
+    val crashStates = Seq(
+      "after-tmp-write" -> (Some("1"), Some("2")),
+      "after-delete-old" -> (None, Some("2")),
+      "after-rename" -> (Some("2"), None))
+    for ((label, (markerV, tmpV)) <- crashStates; readerFirst <- Seq(true, false)) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-flip-law-$label").toString
+      Lake.writeVersion(Seq((1L, "a")).toDF("k", "v"), root)
+      // v2's data dir is fully published-but-unmarked (the flip is the
+      // last step of writeVersion); build that state by hand
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(fsConf)
+      Seq((2L, "b")).toDF("k", "v").write.parquet(s"$root/v=000002")
+      val marker = new org.apache.hadoop.fs.Path(s"$root/_latest")
+      val tmp = new org.apache.hadoop.fs.Path(s"$root/_latest.__tmp")
+      def put(p: org.apache.hadoop.fs.Path, v: Option[String]): Unit = {
+        fs.delete(p, false)
+        v.foreach { s =>
+          val out = fs.create(p, true)
+          try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
+      }
+      put(marker, markerV)
+      put(tmp, tmpV)
+      def readerInvariant(allowed: Long => Boolean, what: String): Unit = {
+        val seen = Lake.latestVersion(spark, root)
+        assert(seen.exists(allowed),
+          s"$label: a reader must resolve $what, got $seen")
+        assert(Lake.readVersion(spark, root).count() === 1L,
+          s"$label: the resolved generation must be readable")
+      }
+      // a reader racing the crashed flip resolves generation 1 or 2 —
+      // never None, never a mix
+      if (readerFirst)
+        readerInvariant(v => v == 1L || v == 2L, "a published generation (1|2)")
+      // the racing next publish: whatever generation it lands on, it
+      // must never delete data a marker ever covered
+      val next = Lake.writeVersion(Seq((9L, "c")).toDF("k", "v"), root)
+      assert(next >= 2L,
+        s"$label: the next publish must never compute v=1 over published data")
+      // a reader AFTER the racing publish sees exactly that publish
+      if (!readerFirst)
+        readerInvariant(_ == next, s"the racing publish's generation $next")
+      assert(Lake.readVersion(spark, root, 1).as[(Long, String)].collect().toSet
+        === Set((1L, "a")),
+        s"$label: generation 1 must survive every interleaving")
+      // after-rename means v2 was PUBLISHED (marker said 2): it must
+      // survive the next publish; in the two earlier states v2 was
+      // never committed, so reclaiming it is correct behavior
+      if (markerV.contains("2"))
+        assert(Lake.readVersion(spark, root, 2).as[(Long, String)].collect().toSet
+          === Set((2L, "b")),
+          s"$label: the committed generation 2 must survive the next publish")
+      assert(Lake.readVersion(spark, root, next).as[(Long, String)]
+        .collect().toSet === Set((9L, "c")))
+    }
+  }
+
   test("fingerprintCached memoizes per (session, key); distinct keys stay distinct") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-fp-cache").toString

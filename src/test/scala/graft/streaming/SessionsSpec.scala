@@ -799,4 +799,199 @@ class SessionsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed === batch)
   }
+
+  // ---- the composed arc: streaming maintenance ON a versioned root ----
+
+  /** Three deterministic micro-batches for the versioned loops: b0
+    * bootstrap, b1 same-distribution, b2 scaled 3x (must trip the
+    * drift trigger — the measured ~9x anchor). */
+  private def writeVersionedBatches(root: String) = {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    (0 until 3).foreach { b =>
+      val part = emb.where(org.apache.spark.sql.functions.pmod($"vec_id",
+        org.apache.spark.sql.functions.lit(3)) === b)
+      val batch =
+        if (b == 2) part.withColumn("embedding",
+          org.apache.spark.sql.functions.transform($"embedding",
+            x => (x.cast("double") * org.apache.spark.sql.functions.lit(3.0))
+              .cast("float")))
+        else part
+      batch.coalesce(1).write.mode("overwrite").parquet(s"$root/in/f$b")
+      new java.io.File(s"$root/in/f$b").listFiles()
+        .foreach(f => { f.setLastModified(1600000000000L + b * 60000L); () })
+    }
+    (emb, spark.read.parquet(s"$root/in/f0").schema)
+  }
+
+  /** Recursive (path-relative name -> length) snapshot of a published
+    * generation dir — the byte-identity witness for "v1 is never
+    * touched". */
+  private def dirSnapshot(dir: String): Map[String, Long] = {
+    val base = java.nio.file.Paths.get(dir)
+    scala.util.Using.resource(java.nio.file.Files.walk(base)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => base.relativize(p).toString -> java.nio.file.Files.size(p))
+        .toMap
+    }
+  }
+
+  test("streamIndexAppendVersioned: bootstrap publishes v1, signals carry the decisions, retrain executes against the loop's root") {
+    val root0 = Files.createTempDirectory("graft-tl-stream-v").toString
+    val (emb, schema) = writeVersionedBatches(root0)
+    val root = s"$root0/idx"
+    val pfx = "tlsv_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = Sessions.streamIndexAppendVersioned(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root0/in/*"),
+      pfx, root, s"$root0/ckpt")
+    q.awaitTermination(120000)
+    // the loop published generation 1 and appended both later batches
+    assert(graft.sources.Lake.latestVersion(spark, root) === Some(1L))
+    val v1 = graft.operators.Clustering.twoLevelOpenVersion(spark, pfx, root, 16)
+    assert(v1.index.count() === emb.count(),
+      "bootstrap + both appends must land in the serving generation")
+    // signals are DATA reproducing exactly the decisions the loop made:
+    // bootstrap (no drift), clean append (ratio ~1, no retrain),
+    // drifted append (ratio over tolerance, retrain) — and the flag is
+    // derivable from the persisted ratio by the rule itself
+    val sig = Sessions.readIndexSignals(spark, root).orderBy($"seq").collect()
+    assert(sig.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    assert(sig.map(_.getString(1)).toSeq === Seq("bootstrap", "append", "append"))
+    assert(sig.map(_.getLong(2)).toSeq === Seq(1L, 1L, 1L),
+      "all three batches were served by generation 1")
+    assert(sig(0).isNullAt(4) && !sig(1).isNullAt(4) && !sig(2).isNullAt(4))
+    assert(sig.map(_.getBoolean(5)).toSeq === Seq(false, false, true),
+      "only the 3x-scaled batch may trip the retrain trigger")
+    sig.filter(_.getString(1) == "append").foreach { r =>
+      assert(r.getBoolean(5) ===
+        (r.getDouble(4) > graft.operators.Clustering.TwoLevelDriftTolerance),
+        "the persisted ratio must reproduce the persisted decision")
+    }
+    val batchCounts = (0 until 3).map(b => emb.where($"vec_id" % 3 === b).count())
+    assert(sig.map(_.getLong(3)).toSeq === batchCounts,
+      "n_rows must be the digest's own batch count")
+    // the retrain the signal schedules is EXECUTABLE against this root:
+    // v2 publishes from v1's own table while v1's files stay
+    // byte-identical, and a pinned v1 open still answers probes
+    val v1Files = dirSnapshot(v1.dir)
+    val v2v = graft.operators.Clustering.twoLevelRetrain(spark, pfx, root,
+      nBuckets = 16, k1 = 4, k2 = 4)
+    assert(v2v === 2L)
+    assert(dirSnapshot(v1.dir) === v1Files,
+      "the retrain must never touch the serving generation's files")
+    val pinned = graft.operators.Clustering.twoLevelOpenVersion(spark, pfx, root,
+      16, version = 1L)
+    val qv = graft.operators.Similarity.vectorOf(emb, 1L)
+    assert(graft.operators.Clustering.twoLevelTopK(pinned.index, pinned.codebooks,
+      qv, k = 5).count() === 5L, "a pinned v1 open must keep answering")
+    // the loop FOLLOWS _latest: a fourth batch appends into v2, and the
+    // signal row records the new serving generation
+    val extra = emb.where($"vec_id" % 3 === 0).limit(50)
+      .withColumn("vec_id", $"vec_id" + org.apache.spark.sql.functions.lit(100000L))
+    extra.coalesce(1).write.mode("overwrite").parquet(s"$root0/in/f3")
+    new java.io.File(s"$root0/in/f3").listFiles()
+      .foreach(f => { f.setLastModified(1600000000000L + 3 * 60000L); () })
+    val q2 = Sessions.streamIndexAppendVersioned(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root0/in/*"),
+      pfx, root, s"$root0/ckpt")
+    q2.awaitTermination(120000)
+    val sig2 = Sessions.readIndexSignals(spark, root).orderBy($"seq").collect()
+    assert(sig2.length === 4, "replayed batches must be skips, the new one a row")
+    assert(sig2(3).getString(1) === "append" && sig2(3).getLong(2) === 2L,
+      "post-retrain appends must land in the new serving generation")
+    val v2 = graft.operators.Clustering.twoLevelOpenVersion(spark, pfx, root, 16)
+    assert(v2.index.count() === emb.count() + extra.count())
+    spark.sql(s"DROP TABLE IF EXISTS ${pfx}_v1")
+    spark.sql(s"DROP TABLE IF EXISTS ${pfx}_v2")
+  }
+
+  test("streamPqIndexAppendVersioned: v1 publishes and serves, drifted batch signals the executable pqRetrain") {
+    val root0 = Files.createTempDirectory("graft-pq-stream-v").toString
+    val (emb, schema) = writeVersionedBatches(root0)
+    val root = s"$root0/idx"
+    val q = Sessions.streamPqIndexAppendVersioned(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root0/in/*"),
+      root, s"$root0/ckpt")
+    q.awaitTermination(120000)
+    assert(graft.sources.Lake.latestVersion(spark, root) === Some(1L))
+    val v1 = graft.operators.Clustering.pqOpenVersion(spark, root)
+    assert(v1.codes.count() === 4L * emb.count(),
+      "every vector of every batch carries m codes in the serving generation")
+    val sig = Sessions.readIndexSignals(spark, root).orderBy($"seq").collect()
+    assert(sig.map(_.getString(1)).toSeq === Seq("bootstrap", "append", "append"))
+    assert(sig.map(_.getBoolean(5)).toSeq === Seq(false, false, true),
+      "only the 3x-scaled batch may trip the PQ retrain trigger")
+    // the executable retrain: PQ codes are lossy, so the corpus is the
+    // caller's upstream (what the stream delivered); v1 untouched
+    val v1Files = dirSnapshot(v1.dir)
+    val corpus = spark.read.schema(schema).parquet(s"$root0/in/*")
+    val v2v = graft.operators.Clustering.pqRetrain(spark, root, corpus,
+      m = 4, k = 8, dim = 64)
+    assert(v2v === 2L)
+    assert(dirSnapshot(v1.dir) === v1Files,
+      "the PQ retrain must never touch the serving generation's files")
+    val v2 = graft.operators.Clustering.pqOpenVersion(spark, root)
+    assert(v2.version === 2L)
+    assert(graft.operators.Clustering.pqTopK(v2.codes, v2.codebooks,
+      graft.operators.Similarity.vectorOf(emb, 1L), m = 4, k = 5).count() === 5L)
+    // fresh-checkpoint replay: every batch already applied — no new
+    // signals, no duplicated codes in the generation the loop serves
+    val q2 = Sessions.streamPqIndexAppendVersioned(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root0/in/*"),
+      root, s"$root0/ckpt2")
+    q2.awaitTermination(120000)
+    assert(Sessions.readIndexSignals(spark, root).count() === 3L,
+      "replayed batches must not re-signal")
+    assert(graft.operators.Clustering.pqOpenVersion(spark, root, version = 1L)
+      .codes.count() === 4L * emb.count(),
+      "replayed batches must not re-insert codes")
+  }
+
+  test("pruneAppliedMarkers: retained window still skips, watermark records the prune") {
+    val root0 = Files.createTempDirectory("graft-prune-markers").toString
+    val (emb, schema) = writeVersionedBatches(root0)
+    val root = s"$root0/idx"
+    val q = Sessions.streamPqIndexAppendVersioned(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root0/in/*"),
+      root, s"$root0/ckpt")
+    q.awaitTermination(120000)
+    val dir = new java.io.File(s"$root/_applied")
+    assert(dir.listFiles().count(f => !f.getName.startsWith("_") && !f.getName.startsWith(".")) === 3)
+    // markers share a coarse FS mtime; order the prune deterministically
+    dir.listFiles().filter(f => !f.getName.startsWith("_") && !f.getName.startsWith(".")).zipWithIndex
+      .foreach { case (f, i) => f.setLastModified(1700000000000L + i * 1000L); () }
+    val dropped = Sessions.pruneAppliedMarkers(spark, root, keep = 2)
+    assert(dropped === 1)
+    assert(dir.listFiles().count(f => !f.getName.startsWith("_") && !f.getName.startsWith(".")) === 2)
+    assert(new java.io.File(dir, "_watermark").exists(),
+      "the prune must leave its watermark")
+    // a replay restricted to the RETAINED window is still a pure skip
+    val before = graft.operators.Clustering.pqOpenVersion(spark, root)
+      .codes.count()
+    val q2 = Sessions.streamPqIndexAppendVersioned(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root0/in/*"),
+      root, s"$root0/ckpt2")
+    q2.awaitTermination(120000)
+    val sigAfter = Sessions.readIndexSignals(spark, root).orderBy($"seq").collect()
+    // the two retained batches skipped; the PRUNED batch re-applied —
+    // the documented replay-window tradeoff, visible as one new append
+    // signal rather than silent corruption
+    assert(sigAfter.length === 4,
+      s"expected exactly the pruned batch to re-apply, got ${sigAfter.length} signals")
+    val after = graft.operators.Clustering.pqOpenVersion(spark, root)
+      .codes.count()
+    assert(after - before === 4L * sigAfter(3).getLong(3),
+      "the re-applied batch must re-append exactly its own m codes/vector")
+    // idempotent prune: nothing further to drop at keep=2... the
+    // re-applied batch added one marker back (3 again), prune once more
+    dir.listFiles().filter(f => !f.getName.startsWith("_") && !f.getName.startsWith(".")).zipWithIndex
+      .foreach { case (f, i) => f.setLastModified(1700000100000L + i * 1000L); () }
+    assert(Sessions.pruneAppliedMarkers(spark, root, keep = 3) === 0)
+  }
 }
