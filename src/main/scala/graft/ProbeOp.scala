@@ -448,7 +448,7 @@ object ProbeOp {
       }
       val preRows = timed("probe 20q fragmented")(probe())
       val (fb, fa) = timed("compactPqIndex")(
-        C.compactPqIndex(spark, v1.dir, targetFiles = 4))
+        C.compactPqIndex(spark, v1.dir))
       println(s"[pq-lifecycle] x$factor compaction files $fb -> $fa")
       val postRows = timed("probe 20q compacted")(probe())
       require(preRows == postRows,

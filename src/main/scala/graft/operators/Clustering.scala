@@ -571,13 +571,8 @@ object Clustering {
     * cell) and retrain when the mean ratio crosses `tolerance`. An
     * empty appended batch never triggers. */
   def twoLevelRetrainNeeded(drift: DataFrame,
-                            tolerance: Double = TwoLevelDriftTolerance): Boolean = {
-    require(tolerance > 0, s"tolerance must be positive: $tolerance")
-    pooledDriftMeans(drift) match {
-      case Some((nm, bm)) => nm > tolerance * bm
-      case None => false
-    }
-  }
+                            tolerance: Double = TwoLevelDriftTolerance): Boolean =
+    retrainNeededFromPooled(pooledDriftMeans(drift), tolerance)
 
   /** The (new_mean, base_mean) pair the retrain rule compares, pooled
     * from a drift report back to corpus level — public so the
@@ -585,6 +580,19 @@ object Clustering {
     * scheduler reads) with the same arithmetic the decision used,
     * instead of re-running the aggregate. None when either side is
     * empty (an empty appended batch never triggers). */
+  /** The retrain rule applied to an already-pooled (new_mean,
+    * base_mean) pair — the ONE spelling of the comparison, shared by
+    * [[twoLevelRetrainNeeded]]/[[pqRetrainNeeded]] and the streaming
+    * loops (which pool once via [[pooledDriftMeans]] to feed BOTH the
+    * persisted signal and the decision; re-spelling the rule at those
+    * call sites would let signal and decision diverge if the rule ever
+    * changes). */
+  def retrainNeededFromPooled(pooled: Option[(Double, Double)],
+                              tolerance: Double = TwoLevelDriftTolerance): Boolean = {
+    require(tolerance > 0, s"tolerance must be positive: $tolerance")
+    pooled.exists { case (nm, bm) => nm > tolerance * bm }
+  }
+
   def pooledDriftMeans(drift: DataFrame): Option[(Double, Double)] = {
     // each side null-skips independently (SQL sum semantics), so a
     // batch concentrated in base-empty cells still counts in full; the
@@ -779,7 +787,8 @@ object Clustering {
     * Returns the new version number. */
   def twoLevelPublishVersion(spark: org.apache.spark.sql.SparkSession,
                              index: DataFrame, codebooks: Array[(Long, Array[Double])],
-                             tablePrefix: String, root: String, nBuckets: Int): Long = {
+                             tablePrefix: String, root: String, nBuckets: Int,
+                             bootstrapDigest: Option[String] = None): Long = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -797,10 +806,45 @@ object Clustering {
     twoLevelWriteIndex(index, codebooks, stagingTable, targetDir + ".__staging",
       nBuckets)
     spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+    bootstrapDigest.foreach(d =>
+      writeBootstrapDigest(spark, targetDir + ".__staging", d))
     if (!fs.rename(staging, target))
       throw new java.io.IOException(s"failed to publish $staging as $target")
     graft.sources.Lake.advanceLatest(spark, root, next)
     next
+  }
+
+  /** The content digest of the batch a generation was BOOTSTRAPPED
+    * from, staged INSIDE the version dir so it commits atomically with
+    * the generation itself. This closes the versioned streaming loops'
+    * one non-idempotent crash window: a crash between the publish's
+    * marker flip and the loop's applied-marker touch replays the
+    * bootstrap batch down the APPEND path (the marker now exists) —
+    * without this artifact that replay would silently re-insert the
+    * ENTIRE bootstrap corpus (doubled probe candidates; for PQ, doubled
+    * ADC partial sums). The append path compares digests and turns the
+    * replay into a heal-and-skip instead. */
+  private def writeBootstrapDigest(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, digest: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_bootstrap_digest")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(digest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a generation dir's bootstrap digest, if it carries one. */
+  def bootstrapDigestOf(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_bootstrap_digest")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
   }
 
   /** Open a generation of a versioned index: the `_latest` marker's
@@ -1314,11 +1358,26 @@ object Clustering {
     * verbatim). Codebooks and stats are never touched. Returns
     * (filesBefore, filesAfter). */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession, root: String,
-                     targetFiles: Int = 4): (Int, Int) = {
-    require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
+                     targetFiles: Int = 0): (Int, Int) = {
+    require(targetFiles >= 0, s"targetFiles must be >= 0 (0 = auto): $targetFiles")
+    // default sizes to the box, not a tiny constant: ADC probes SCAN
+    // the whole codes table, so task parallelism tracks file count for
+    // a table this small-per-row — the ×1000 soak measured a 4-file
+    // compacted probe at 115 s vs 21 s for the same rows in 32 files
+    // (PLANS.md round 15). Compaction's job here is bounding the
+    // O(batches) file-open tail, not minimizing file count.
+    val n =
+      if (targetFiles > 0) targetFiles
+      else math.max(4, spark.sparkContext.defaultParallelism)
+    // heal BEFORE the eager schema read below: a prior compaction
+    // crashed between move-aside and promote leaves codes parked at
+    // .__old, and spark.read.parquet would throw PATH_NOT_FOUND before
+    // overwriteSelf's own entry heal ever ran (the compactTwoLevelIndex
+    // ordering)
+    graft.sources.Lake.healCrashedOverwrite(spark, s"$root/codes")
     val before = pqCodesFileCount(spark, root)
     graft.sources.Lake.overwriteSelf(
-      spark.read.parquet(s"$root/codes").repartition(targetFiles),
+      spark.read.parquet(s"$root/codes").repartition(n),
       s"$root/codes")
     (before, pqCodesFileCount(spark, root))
   }
@@ -1343,7 +1402,8 @@ object Clustering {
     * `_latest` last). Returns the new version number. */
   def pqPublishVersion(spark: org.apache.spark.sql.SparkSession,
                        codes: DataFrame, codebooks: DataFrame,
-                       root: String): Long = {
+                       root: String,
+                       bootstrapDigest: Option[String] = None): Long = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1353,6 +1413,8 @@ object Clustering {
     if (fs.exists(target)) fs.delete(target, true)
     if (fs.exists(staging)) fs.delete(staging, true)
     pqWriteIndex(codes, codebooks, targetDir + ".__staging")
+    bootstrapDigest.foreach(d =>
+      writeBootstrapDigest(spark, targetDir + ".__staging", d))
     if (!fs.rename(staging, target))
       throw new java.io.IOException(s"failed to publish $staging as $target")
     graft.sources.Lake.advanceLatest(spark, root, next)

@@ -497,9 +497,21 @@ object Lake {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$root/_latest")
     val tmp = new org.apache.hadoop.fs.Path(s"$root/_latest.__tmp")
-    val out = fs.create(tmp, true)
+    // the tmp must NEVER be visible mid-write: [[latestVersion]]'s heal
+    // promotes a tmp it finds beside a missing marker, and on a FIRST
+    // publish (no old marker gating the window) a reader racing this
+    // create could promote a still-empty file — crashing itself on the
+    // unparseable content and leaving the writer's recovery to delete
+    // the healed marker. Write to a `.__part` name and RENAME into
+    // place (atomic), so `_latest.__tmp` only ever exists complete —
+    // the invariant the heal's scaladoc relies on.
+    val part = new org.apache.hadoop.fs.Path(s"$root/_latest.__tmp.__part")
+    val out = fs.create(part, true)
     try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    if (!fs.rename(part, tmp))
+      throw new java.io.IOException(s"failed to stage marker tmp $part -> $tmp")
     if (fs.exists(marker)) fs.delete(marker, false)
     if (!fs.rename(tmp, marker)) {
       // a concurrent reader may have healed our own tmp into place

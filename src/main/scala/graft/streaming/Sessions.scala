@@ -733,14 +733,18 @@ object Sessions {
                                 driftRatio: Option[Double],
                                 retrain: Boolean, compact: Boolean): Unit = {
     val dir = s"$root/_signals"
-    // seq = rows already signalled: the loops run their batches
-    // serially (foreachBatch is single-threaded per query), so the
-    // count is a stable per-root sequence; a crash-replayed batch can
-    // duplicate one row (see above) — consumers key on digest
+    // seq = max existing seq + 1: the loops run their batches serially
+    // (foreachBatch is single-threaded per query), so this is a stable
+    // per-root sequence; a crash-replayed batch can duplicate one row
+    // (see above) — consumers key on digest. max(seq), not count():
+    // the read prunes to one column and the sequence survives both
+    // duplicates and a [[compactIndexSignals]] rewrite
     val seq =
-      if (graft.sources.Lake.pathExists(spark, dir))
-        spark.read.schema(signalsSchema).parquet(dir).count()
-      else 0L
+      if (graft.sources.Lake.pathExists(spark, dir)) {
+        val r = spark.read.schema(signalsSchema).parquet(dir)
+          .agg(max(col("seq"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+      } else 0L
     val row = org.apache.spark.sql.Row(seq, kind, version, digestRows(digest),
       driftRatio.map(java.lang.Double.valueOf).orNull, retrain, compact, digest)
     spark.createDataFrame(
@@ -760,6 +764,26 @@ object Sessions {
     * after-the-fact audit trail of every decision the loop made. */
   def readIndexSignals(spark: SparkSession, root: String): DataFrame =
     spark.read.schema(signalsSchema).parquet(s"$root/_signals")
+
+  /** Compact the `_signals` table back to `targetFiles` files — the
+    * table grows ONE tiny parquet file per applied batch (the same
+    * unbounded-growth pathology [[pruneAppliedMarkers]] and
+    * [[graft.operators.Clustering.compactPqIndex]] close for their
+    * dirs), and every [[appendIndexSignal]] seq derivation pays the
+    * footer listing. Signals are the AUDIT TRAIL, so the treatment is
+    * compaction (rows preserved verbatim, seq continues — it derives
+    * from max(seq), not file count), never pruning. Same staged
+    * crash-healing swap as every rewrite here. */
+  def compactIndexSignals(spark: SparkSession, root: String,
+                          targetFiles: Int = 1): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
+    val dir = s"$root/_signals"
+    graft.sources.Lake.healCrashedOverwrite(spark, dir)
+    if (graft.sources.Lake.pathExists(spark, dir))
+      graft.sources.Lake.overwriteSelf(
+        spark.read.schema(signalsSchema).parquet(dir).repartition(targetFiles),
+        dir)
+  }
 
   /** Prune the `_applied` marker dir to the newest `keep` markers (by
     * FS modification time) — the dir otherwise grows one empty file
@@ -789,7 +813,16 @@ object Sessions {
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       .sortBy(-_.getModificationTime)
-    val drop = markers.drop(keep)
+    if (markers.size <= keep) return 0
+    // prune only STRICTLY older than the keep-th newest marker's
+    // mtime: under coarse mtime granularity (1 s object-store
+    // semantics) several markers tie, and a position-based drop could
+    // delete the NEWEST batch's marker while retaining an older tied
+    // one — breaking the "any keep >= 1 covers the crash-replay
+    // window" guarantee. keep is thereby a lower bound, not an exact
+    // count, which is the safe direction for a retention rule.
+    val cutoff = markers(keep - 1).getModificationTime
+    val drop = markers.drop(keep).filter(_.getModificationTime < cutoff)
     drop.foreach(s => fs.delete(s.getPath, false))
     if (drop.nonEmpty) {
       val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_watermark"), true)
@@ -815,11 +848,17 @@ object Sessions {
     * `_signals` table ([[readIndexSignals]]), not just stdout.
     *
     * Restart-safety needs no `_SUCCESS` keying here: a crash anywhere
-    * mid-bootstrap leaves the `_latest` marker unwritten, so the
-    * replay re-runs the bootstrap and the publish reclaims its own
-    * staging — idempotent by the version protocol itself. Appends keep
-    * the content-digest applied markers (a replayed batch is a skip,
-    * not a double insert). */
+    * BEFORE the publish's marker flip leaves `_latest` unwritten, so
+    * the replay re-runs the bootstrap and the publish reclaims its own
+    * staging; a crash in the one remaining window — AFTER the flip but
+    * before the applied-marker touch — replays the bootstrap batch
+    * down the append path, where the generation's own
+    * `_bootstrap_digest` artifact (staged atomically WITH the
+    * generation) turns it into a heal-and-skip instead of a silent
+    * re-insert of the whole bootstrap corpus. Appends keep the
+    * content-digest applied markers (a replayed batch is a skip, not a
+    * double insert; the bounded exposure is one APPEND batch between
+    * its insert and its marker touch). */
   def streamIndexAppendVersioned(vecs: DataFrame, tablePrefix: String,
                                  root: String, checkpoint: String,
                                  nBuckets: Int = 16, k1: Int = 4, k2: Int = 4,
@@ -840,7 +879,7 @@ object Sessions {
             val (index, cbs) = C.twoLevelIndex(batch, k1, k2,
               idCol = idCol, vecCol = vecCol)
             val v = C.twoLevelPublishVersion(spark, index, cbs, tablePrefix,
-              root, nBuckets)
+              root, nBuckets, bootstrapDigest = Some(digest))
             appendIndexSignal(spark, root, "bootstrap", v, digest,
               driftRatio = None, retrain = false, compact = false)
             markBatchApplied(spark, root, digest)
@@ -849,13 +888,21 @@ object Sessions {
             println(s"[index-append-v] batch=$batchId already applied ($digest) — skipped")
           case Some(_) =>
             val gen = C.twoLevelOpenVersion(spark, tablePrefix, root, nBuckets)
+            if (C.bootstrapDigestOf(spark, gen.dir).contains(digest)) {
+              // the publish-flip-then-crash window: this batch IS the
+              // generation's own bootstrap corpus, replayed after its
+              // applied marker was lost — heal the marker, never
+              // re-insert
+              markBatchApplied(spark, root, digest)
+              println(s"[index-append-v] batch=$batchId is v${gen.version}'s " +
+                "bootstrap corpus — marker healed, skipped")
+            } else {
             val appended = C.twoLevelAppend(spark, gen.table, gen.dir, nBuckets,
               batch, idCol, vecCol)
             val drift = C.twoLevelDriftFromStats(
               C.twoLevelReadStats(spark, gen.dir), appended)
             val pooled = C.pooledDriftMeans(drift)
-            val retrain = pooled.exists { case (nm, bm) =>
-              nm > C.TwoLevelDriftTolerance * bm }
+            val retrain = C.retrainNeededFromPooled(pooled)
             val compact = C.indexCompactionNeeded(spark, s"${gen.dir}/index")
             appendIndexSignal(spark, root, "append", gen.version, digest,
               pooled.map { case (nm, bm) => nm / bm }, retrain, compact)
@@ -864,6 +911,7 @@ object Sessions {
               (if (retrain) " — RETRAIN NEEDED (drift over tolerance)" else "") +
               (if (compact) " — COMPACT NEEDED (bucket fragmentation over threshold)"
                else ""))
+            }
         }
         ()
       }
@@ -900,7 +948,8 @@ object Sessions {
           case None =>
             val (codes, cbs) = C.pqTrainEncode(batch, m, k, iters = 2, dim,
               idCol, vecCol)
-            val v = C.pqPublishVersion(spark, codes, cbs, root)
+            val v = C.pqPublishVersion(spark, codes, cbs, root,
+              bootstrapDigest = Some(digest))
             appendIndexSignal(spark, root, "bootstrap", v, digest,
               driftRatio = None, retrain = false, compact = false)
             markBatchApplied(spark, root, digest)
@@ -909,12 +958,19 @@ object Sessions {
             println(s"[pq-append-v] batch=$batchId already applied ($digest) — skipped")
           case Some(_) =>
             val gen = C.pqOpenVersion(spark, root)
+            if (C.bootstrapDigestOf(spark, gen.dir).contains(digest)) {
+              // the publish-flip-then-crash window: a re-encoded replay
+              // of the bootstrap corpus would DOUBLE every vector's ADC
+              // partial sums — heal the marker instead
+              markBatchApplied(spark, root, digest)
+              println(s"[pq-append-v] batch=$batchId is v${gen.version}'s " +
+                "bootstrap corpus — marker healed, skipped")
+            } else {
             val encoded = C.pqAppend(spark, gen.dir, batch, m, k, dim,
               idCol, vecCol)
             val drift = C.pqDriftFromStats(C.pqReadStats(spark, gen.dir), encoded)
             val pooled = C.pooledDriftMeans(drift)
-            val retrain = pooled.exists { case (nm, bm) =>
-              nm > C.TwoLevelDriftTolerance * bm }
+            val retrain = C.retrainNeededFromPooled(pooled)
             val compact = C.pqCompactionNeeded(spark, gen.dir)
             appendIndexSignal(spark, root, "append", gen.version, digest,
               pooled.map { case (nm, bm) => nm / bm }, retrain, compact)
@@ -923,6 +979,7 @@ object Sessions {
               (if (retrain) " — RETRAIN NEEDED (drift over tolerance)" else "") +
               (if (compact) " — COMPACT NEEDED (codes fragmentation over threshold)"
                else ""))
+            }
         }
         ()
       }
@@ -969,8 +1026,7 @@ object Sessions {
           val drift = C.twoLevelDriftFromStats(
             C.twoLevelReadStats(spark, root), appended)
           val pooled = C.pooledDriftMeans(drift)
-          val retrain = pooled.exists { case (nm, bm) =>
-            nm > C.TwoLevelDriftTolerance * bm }
+          val retrain = C.retrainNeededFromPooled(pooled)
           // same schedule-don't-absorb contract as the retrain: the
           // rewrite ([[graft.operators.Clustering.compactTwoLevelIndex]])
           // is bounded by the index size — a batch job, not micro-batch
@@ -1040,8 +1096,7 @@ object Sessions {
           val encoded = C.pqAppend(spark, root, batch, m, k, dim, idCol, vecCol)
           val drift = C.pqDriftFromStats(C.pqReadStats(spark, root), encoded)
           val pooled = C.pooledDriftMeans(drift)
-          val retrain = pooled.exists { case (nm, bm) =>
-            nm > C.TwoLevelDriftTolerance * bm }
+          val retrain = C.retrainNeededFromPooled(pooled)
           val compact = C.pqCompactionNeeded(spark, root)
           appendIndexSignal(spark, root, "append", 0L, digest,
             pooled.map { case (nm, bm) => nm / bm }, retrain, compact)

@@ -949,6 +949,15 @@ class SessionsSpec extends SparkSuite {
     assert(graft.operators.Clustering.pqOpenVersion(spark, root, version = 1L)
       .codes.count() === 4L * emb.count(),
       "replayed batches must not re-insert codes")
+    // the audit trail compacts without loss: one file, identical rows
+    val sigBefore = Sessions.readIndexSignals(spark, root).collect()
+      .map(_.toString).sorted.toSeq
+    Sessions.compactIndexSignals(spark, root)
+    assert(Sessions.readIndexSignals(spark, root).collect()
+      .map(_.toString).sorted.toSeq === sigBefore,
+      "signal compaction changed the audit trail")
+    assert(new java.io.File(s"$root/_signals").listFiles()
+      .count(_.getName.endsWith(".parquet")) === 1)
   }
 
   test("pruneAppliedMarkers: retained window still skips, watermark records the prune") {
@@ -962,11 +971,20 @@ class SessionsSpec extends SparkSuite {
     q.awaitTermination(120000)
     val dir = new java.io.File(s"$root/_applied")
     assert(dir.listFiles().count(f => !f.getName.startsWith("_") && !f.getName.startsWith(".")) === 3)
-    // markers share a coarse FS mtime; order the prune deterministically
-    dir.listFiles().filter(f => !f.getName.startsWith("_") && !f.getName.startsWith(".")).zipWithIndex
-      .foreach { case (f, i) => f.setLastModified(1700000000000L + i * 1000L); () }
+    // markers share a coarse FS mtime; order the prune DETERMINISTICALLY
+    // so the dropped marker is an APPEND batch's (a pruned BOOTSTRAP
+    // marker would be healed by the generation's _bootstrap_digest, not
+    // re-applied — a different, stronger behavior tested separately)
+    val sigRows = Sessions.readIndexSignals(spark, root).orderBy($"seq").collect()
+    val bootDigest = sigRows.find(_.getString(1) == "bootstrap").get.getString(7)
+    val appendDigests = sigRows.filter(_.getString(1) == "append").map(_.getString(7))
+    new java.io.File(dir, bootDigest).setLastModified(1700000002000L)
+    new java.io.File(dir, appendDigests(1)).setLastModified(1700000001000L)
+    new java.io.File(dir, appendDigests(0)).setLastModified(1700000000000L)
     val dropped = Sessions.pruneAppliedMarkers(spark, root, keep = 2)
     assert(dropped === 1)
+    assert(!new java.io.File(dir, appendDigests(0)).exists(),
+      "the strictly-oldest marker (an append batch's) must be the pruned one")
     assert(dir.listFiles().count(f => !f.getName.startsWith("_") && !f.getName.startsWith(".")) === 2)
     assert(new java.io.File(dir, "_watermark").exists(),
       "the prune must leave its watermark")
@@ -993,5 +1011,48 @@ class SessionsSpec extends SparkSuite {
     dir.listFiles().filter(f => !f.getName.startsWith("_") && !f.getName.startsWith(".")).zipWithIndex
       .foreach { case (f, i) => f.setLastModified(1700000100000L + i * 1000L); () }
     assert(Sessions.pruneAppliedMarkers(spark, root, keep = 3) === 0)
+    // mtime TIES never prune: under coarse-granularity timestamps a
+    // position-based drop could delete the newest batch's marker —
+    // with every marker tied at one mtime, keep=1 must drop nothing
+    dir.listFiles().filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .foreach { f => f.setLastModified(1700000200000L); () }
+    assert(Sessions.pruneAppliedMarkers(spark, root, keep = 1) === 0,
+      "tied mtimes must never be pruned (keep is a lower bound)")
+  }
+
+  test("versioned bootstrap replay after a LOST applied marker heals via the generation's digest") {
+    // the publish-flip-then-crash window: the generation published (so
+    // the replay goes down the APPEND path) but the applied marker was
+    // never touched — without the _bootstrap_digest artifact this
+    // replay would re-encode the whole bootstrap corpus and DOUBLE its
+    // ADC partial sums
+    val root0 = Files.createTempDirectory("graft-boot-heal").toString
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val b0 = emb.where($"vec_id" % 3 === 0)
+    b0.coalesce(1).write.mode("overwrite").parquet(s"$root0/in/f0")
+    val schema = spark.read.parquet(s"$root0/in/f0").schema
+    val root = s"$root0/idx"
+    val q = Sessions.streamPqIndexAppendVersioned(
+      spark.readStream.schema(schema).parquet(s"$root0/in/*"),
+      root, s"$root0/ckpt")
+    q.awaitTermination(120000)
+    val v1 = graft.operators.Clustering.pqOpenVersion(spark, root)
+    assert(v1.codes.count() === 4L * b0.count())
+    // simulate the crash: the marker vanishes, the generation stays
+    val dir = new java.io.File(s"$root/_applied")
+    dir.listFiles().filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .foreach { f => f.delete(); () }
+    val q2 = Sessions.streamPqIndexAppendVersioned(
+      spark.readStream.schema(schema).parquet(s"$root0/in/*"),
+      root, s"$root0/ckpt2")
+    q2.awaitTermination(120000)
+    assert(graft.operators.Clustering.pqOpenVersion(spark, root)
+      .codes.count() === 4L * b0.count(),
+      "the bootstrap replay must heal, never re-insert")
+    assert(dir.listFiles().count(f =>
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")) === 1,
+      "the heal must restore the applied marker")
+    assert(Sessions.readIndexSignals(spark, root).count() === 1L,
+      "a healed replay is not a new decision — no new signal row")
   }
 }
