@@ -765,6 +765,27 @@ object Sessions {
   def readIndexSignals(spark: SparkSession, root: String): DataFrame =
     spark.read.schema(signalsSchema).parquet(s"$root/_signals")
 
+  /** The scheduler's poll, closed over the staleness rule: the LATEST
+    * signal row's (retrain_needed, compact_needed) pair — but only if
+    * that decision was made against the CURRENTLY serving generation.
+    * A signal whose version predates `_latest` is already answered
+    * (the retrain it asked for published a newer generation), so an
+    * executed [[graft.operators.Clustering.twoLevelRetrain]] /
+    * [[graft.operators.Clustering.pqRetrain]] clears the pending state
+    * with no writeback — the version protocol IS the acknowledgement.
+    * One tiny read + one marker read; (false, false) when nothing has
+    * been applied yet. Unversioned roots (signal version 0, no marker)
+    * compare 0 == 0 and pass their flags through. */
+  def pendingMaintenance(spark: SparkSession, root: String): (Boolean, Boolean) = {
+    if (!graft.sources.Lake.pathExists(spark, s"$root/_signals")) return (false, false)
+    val last = readIndexSignals(spark, root)
+      .orderBy(col("seq").desc).limit(1).collect()
+    if (last.isEmpty) return (false, false)
+    val serving = graft.sources.Lake.latestVersion(spark, root).getOrElse(0L)
+    if (last.head.getLong(2) != serving) (false, false)
+    else (last.head.getBoolean(5), last.head.getBoolean(6))
+  }
+
   /** Compact the `_signals` table back to `targetFiles` files — the
     * table grows ONE tiny parquet file per applied batch (the same
     * unbounded-growth pathology [[pruneAppliedMarkers]] and

@@ -924,6 +924,10 @@ class SessionsSpec extends SparkSuite {
     assert(sig.map(_.getString(1)).toSeq === Seq("bootstrap", "append", "append"))
     assert(sig.map(_.getBoolean(5)).toSeq === Seq(false, false, true),
       "only the 3x-scaled batch may trip the PQ retrain trigger")
+    // the scheduler poll reads the pending decision straight off the
+    // signals table: the drifted batch's retrain is PENDING now...
+    assert(Sessions.pendingMaintenance(spark, root)._1 === true,
+      "the drifted batch's retrain must be pending before execution")
     // the executable retrain: PQ codes are lossy, so the corpus is the
     // caller's upstream (what the stream delivered); v1 untouched
     val v1Files = dirSnapshot(v1.dir)
@@ -931,6 +935,11 @@ class SessionsSpec extends SparkSuite {
     val v2v = graft.operators.Clustering.pqRetrain(spark, root, corpus,
       m = 4, k = 8, dim = 64)
     assert(v2v === 2L)
+    // ...and the EXECUTED retrain clears it with no writeback: the
+    // pending signal's version (1) now predates the serving generation
+    // (2) — the version protocol is the acknowledgement
+    assert(Sessions.pendingMaintenance(spark, root) === ((false, false)),
+      "an executed retrain must clear the pending decision")
     assert(dirSnapshot(v1.dir) === v1Files,
       "the PQ retrain must never touch the serving generation's files")
     val v2 = graft.operators.Clustering.pqOpenVersion(spark, root)
