@@ -267,6 +267,62 @@ object ProbeOp {
       }
       spark.stop(); return
     }
+    // IVF-PQ vs both parents at scale (round 16): the same 20 queries
+    // probed three ways over the same replicated corpus — the two-level
+    // index (bucket-pruned, raw 64-float vectors), the flat PQ index
+    // (m-byte codes, but ADC scans EVERY code row per probe), and the
+    // IVF-PQ composition (bucket-pruned AND m-byte codes). The claim
+    // the composition exists for: probes strictly cheaper than both
+    // parents once the corpus outgrows the box's scan bandwidth. All
+    // three indices are built once per (factor, n) into stamped caches;
+    // probe walls print per family.
+    if (op == "ivfPqProbe") {
+      val C = graft.operators.Clustering
+      val (tlRoot, tlTable, side, n) = ensureProbeIndex("ivfPqProbe")
+      val pqRoot = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_probe_pqidx_x${factor}_n$n").toString
+      if (!new java.io.File(s"$pqRoot/stats/_SUCCESS").exists()) {
+        val t0 = System.nanoTime()
+        val (codes, cbs) = C.pqTrainEncode(emb, m = 4, k = 16, iters = 2, dim = 64)
+        C.pqWriteIndex(codes, cbs, pqRoot)
+        println(f"[probeop] ivfPqProbe x$factor pq build+persist " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      val ipRoot = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_probe_ivfpq_x${factor}_n${n}_s$side").toString
+      val ipTable = s"probe_ivfpq_x${factor}_n${n}_s$side"
+      if (!new java.io.File(s"$ipRoot/pq_codebooks/_SUCCESS").exists()) {
+        val t0 = System.nanoTime()
+        val (codes, coarse, pqCbs) = C.ivfPqTrainEncode(emb, side, side,
+          m = 4, k = 16, dim = 64)
+        C.ivfPqWriteIndex(codes, coarse, pqCbs, ipTable, ipRoot, nBuckets = 64)
+        println(f"[probeop] ivfPqProbe x$factor ivfpq build+persist side=$side " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      val (tlIdx, tlCbs) = C.twoLevelOpenIndex(spark, tlTable, tlRoot, nBuckets = 64)
+      val (pqCodes, pqCbs0) = C.pqReadIndex(spark, pqRoot)
+      val (ipCodes, ipCoarse, ipPqCbs) = C.ivfPqOpenIndex(spark, ipTable, ipRoot,
+        nBuckets = 64)
+      val queries = (0 until 20).map(i =>
+        graft.operators.Similarity.vectorOf(emb, (i * 37 + 1).toLong))
+      (1 to reps).foreach { r =>
+        def timeProbes(label: String)(probe: Seq[Double] => Long): Unit = {
+          val t0 = System.nanoTime()
+          val hits = queries.map(probe).sum
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"[probeop] ivfPqProbe x$factor rep$r $label%-9s 20 probes " +
+            f"$dt%8.2f s (${dt / 20}%.3f s/probe, $hits hits)")
+        }
+        timeProbes("twoLevel")(q =>
+          C.twoLevelTopK(tlIdx, tlCbs, q, k = 10, nprobe = 8).count())
+        timeProbes("pqFlat")(q =>
+          C.pqTopK(pqCodes, pqCbs0, q, m = 4, k = 10).count())
+        timeProbes("ivfPq")(q =>
+          C.ivfPqTopK(ipCodes, ipCoarse, ipPqCbs, q, m = 4, k = 10, nprobe = 8)
+            .count())
+      }
+      spark.stop(); return
+    }
     // incremental-append cost at scale: frozen-assign + bucket-insert a
     // FIXED 2000-vector batch and report the append wall — the number
     // that replaces the full-rebuild cost per ingest batch. Appends

@@ -173,9 +173,14 @@ private[graft] object RegistryOraclesA {
         """SELECT c_custkey, c_name FROM customer
            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
            ORDER BY c_custkey""",
-      "q_customers_without_orders" ->
+      "q_customers_without_orders" -> // the since-cutoff keeps the
+        // certified set NON-EMPTY at every gate scale (1 row at sf0.01,
+        // 17 at sf0.1) — an anti-join certifying the empty set
+        // certifies nothing
         """SELECT c_custkey, c_name FROM customer
-           WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           WHERE NOT EXISTS (SELECT 1 FROM orders
+                             WHERE o_custkey = c_custkey
+                               AND o_orderdate >= DATE '1997-01-01')
            ORDER BY c_custkey""",
       "q_count_per_key" ->
         """SELECT o_custkey, count(*) AS num_prescriptions FROM orders

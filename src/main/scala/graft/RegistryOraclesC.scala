@@ -76,7 +76,66 @@ private[graft] object RegistryOraclesC {
        FROM sel ORDER BY adc_raw, vec_id"""
   }
 
+  // IVF-PQ replayed from scratch, shared by q_ivfpq_topk and
+  // q_ivfpq_persisted (identical by construction — the bucketed
+  // on-disk layout changes IO, never arithmetic): two-level training
+  // (prefix "t" — the q_two_level_topk spelling), per-vector residuals
+  // v − fine-centroid (exact double subtraction on both engines), ONE
+  // shared PQ codebook set trained on all residuals (pqTrainCtes over
+  // the residual relation — seeds by lowest vec_id, grouped micro-sum
+  // Lloyd, exact argmin at k=8), then the IVFADC probe: rank the
+  // k1·k2 fine centroids for the query (ties on combined cell id),
+  // take nprobe=4 cells, per-cell residual query → per-cell m·k LUT,
+  // ADC partials fold in subspace order, top-10 on (adc, vec_id).
+  private val ivfPqOracle: String = {
+    val residSrc =
+      """(SELECT f2.vec_id,
+            [f2.v[i] - fm.cvec[i] for i in range(1, len(f2.v)+1)] AS embedding
+          FROM tf2 f2 JOIN tfm1 fm
+            ON fm.cell1 = f2.cell1 AND fm.cell = f2.fine) resid_src"""
+    s"""WITH ${twoLevelCtes(4, 4, "t")},
+           ${pqTrainCtes(4, 8, residSrc)},
+           cbl AS (SELECT cell1 * 4 + cell AS cell, cvec FROM tfm1),
+           q AS (SELECT [x::DOUBLE for x in embedding] AS qv
+                 FROM embeddings WHERE vec_id = 1),
+           cd AS (SELECT cbl.cell,
+                    list_reduce([(cbl.cvec[i]-q.qv[i])*(cbl.cvec[i]-q.qv[i])
+                                 for i in range(1, len(cbl.cvec)+1)],
+                      (x, y) -> x + y) AS d
+                  FROM cbl, q),
+           pc AS (SELECT cell FROM cd ORDER BY d, cell LIMIT 4),
+           qr AS (SELECT cbl.cell,
+                    [q.qv[i] - cbl.cvec[i] for i in range(1, len(cbl.cvec)+1)] AS rv
+                  FROM cbl JOIN pc USING (cell) CROSS JOIN q),
+           qs AS (SELECT qr.cell, s.s AS subspace,
+                    qr.rv[s.s*16+1 : (s.s+1)*16] AS qsv
+                  FROM qr, (SELECT unnest([0, 1, 2, 3]) AS s) s),
+           vc AS (SELECT vec_id, cell1 * 4 + fine AS cell FROM tf2),
+           pd AS (SELECT a2.vec_id, a2.subspace,
+                    list_reduce([(qs.qsv[i] - m1.cvec[i]) * (qs.qsv[i] - m1.cvec[i])
+                                 for i in range(1, len(qs.qsv)+1)],
+                      (x, y) -> x + y) AS d
+                  FROM a2
+                  JOIN vc ON vc.vec_id = a2.vec_id
+                  JOIN qs ON qs.subspace = a2.subspace AND qs.cell = vc.cell
+                  JOIN m1 ON m1.subspace = a2.subspace AND m1.cell = a2.cell),
+           adc AS (SELECT vec_id,
+                     list_reduce(list(d ORDER BY subspace), (x, y) -> x + y)
+                       AS adc_raw
+                   FROM pd GROUP BY vec_id),
+           sel AS (SELECT vec_id, adc_raw FROM adc
+                   ORDER BY adc_raw, vec_id LIMIT 10)
+       SELECT vec_id, round(adc_raw, 6) AS adc_dist2
+       FROM sel ORDER BY adc_raw, vec_id"""
+  }
+
   def sql: Map[String, String] = Map(
+      "q_ivfpq_topk" -> ivfPqOracle,
+      "q_ivfpq_persisted" -> ivfPqOracle,
+      "q_maintenance_cycle" -> // the poll-driven cycle gates the SAME
+        // final state the composed row certifies: v2 trained on the
+        // full streamed corpus, probed for the scaled drifted vector
+        twoLevelProbeSqlOn(twoLevelCtes(4, 4, "", svStreamSrc), svQuerySelect),
       "q_nb_confusion" -> // the full train->predict chain replayed; decimal scores
         (nbCm + "\nSELECT actual, predicted, n FROM cm ORDER BY 1, 2"),
       "q_gains" -> // positional deciles; rates/lifts as rounded IEEE chains

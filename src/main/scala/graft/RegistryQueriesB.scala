@@ -67,6 +67,27 @@ private[graft] object RegistryQueriesB {
     graft.operators.Clustering.pqReadIndex(s, root)
   }
 
+  /** The persisted IVF-PQ index shared by q_ivfpq_persisted — the
+    * [[tlPersistedIndex]] discipline for the composed family: trained
+    * once per scale dir (k1=4, k2=4, m=4, k=8), source-fingerprint
+    * stamped, codes bucketed+sorted by cell, both codebook parameter
+    * tables read back from parquet every invocation. */
+  private def ivfPqPersistedIndex(s: SparkSession, d: String, emb: DataFrame)
+      : (DataFrame, Array[(Long, Array[Double])], DataFrame) = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivfpq_idx_$sfx").toString
+    val table = s"ivfpq_idx_$sfx"
+    Lake.buildOnce(s"$root/codes",
+      "embeddings:" + Lake.fingerprintCached(emb, s"$d/embeddings")) {
+      val (codes, coarse, pqCbs) = graft.operators.Clustering.ivfPqTrainEncode(
+        emb, k1 = 4, k2 = 4, m = 4, k = 8, dim = 64)
+      graft.operators.Clustering.ivfPqWriteIndex(codes, coarse, pqCbs, table,
+        root, nBuckets = 16)
+    }
+    graft.operators.Clustering.ivfPqOpenIndex(s, table, root, nBuckets = 16)
+  }
+
   /** Input files for the COMPOSED versioned-streaming rows
     * (q_stream_index_versioned / q_stream_pq_versioned): three
     * deterministic micro-batches (pinned modification times order the
@@ -1253,6 +1274,68 @@ private[graft] object RegistryQueriesB {
       val (index2, cbs2) = Clustering.twoLevelOpenIndex(s, table, root,
         nBuckets = 16)
       Clustering.twoLevelTopK(index2, cbs2, Similarity.vectorOf(emb, 1L),
+        k = 10, nprobe = 4)
+    }),
+    // IVF-PQ (round 16 — the COMPOSITION of the repo's two ANN
+    // families, Jégou et al.'s IVFADC): two-level cells give the probe
+    // bucket pruning, residual PQ codes give it m bytes/vector; the
+    // oracle replays the ENTIRE arc from scratch — two-level training,
+    // per-vector residuals against the winning fine centroid, shared
+    // residual-codebook PQ training, then the per-cell-residual ADC
+    // probe over only the nprobe probed cells
+    "q_ivfpq_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val (codes, coarse, pqCbs) = Clustering.ivfPqTrainEncode(emb,
+        k1 = 4, k2 = 4, m = 4, k = 8, dim = 64)
+      Clustering.ivfPqTopK(codes, coarse, pqCbs, Similarity.vectorOf(emb, 1L),
+        m = 4, k = 10, nprobe = 4)
+    }),
+    // the PRODUCTION IVF-PQ shape: codes persisted BUCKETED+SORTED by
+    // cell (built once per scale dir, fingerprint-stamped), so the
+    // probe's `cell IN (nprobe cells)` prunes to matching bucket files
+    // of an m-bytes-per-vector table — the artifact neither parent
+    // ships alone. Same oracle as q_ivfpq_topk by construction (the
+    // on-disk layout changes IO, never arithmetic).
+    "q_ivfpq_persisted" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val (codes2, coarse2, pqCbs2) = ivfPqPersistedIndex(s, d, emb)
+      Clustering.ivfPqTopK(codes2, coarse2, pqCbs2,
+        Similarity.vectorOf(emb, 1L), m = 4, k = 10, nprobe = 4)
+    }),
+    // the SCHEDULER CYCLE end-to-end (round 16): the composed
+    // versioned-streaming arc DRIVEN BY THE POLL rather than by the
+    // test reading raw signal rows — pendingMaintenance must report
+    // the drifted batch's retrain as pending (the round-15 fold fix:
+    // the decision survives until ANSWERED), the retrain executes
+    // against the loop's own root only because the poll said so, and
+    // the re-poll must come back clear through the version protocol
+    // with no writeback. Output and oracle are the composed row's by
+    // construction — the cycle gates the SAME certified final state.
+    "q_maintenance_cycle" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val root = tempDir("graft_maint_cycle")
+      val schema = writeVersionedStreamBatches(s, emb, root)
+      val pfx = "maintc_" + java.lang.Long.toHexString(System.nanoTime())
+      val q = graft.streaming.Sessions.streamIndexAppendVersioned(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/in/*"),
+        pfx, s"$root/idx", s"$root/ckpt")
+      q.awaitTermination(300000)
+      val (needRetrain, _) = graft.streaming.Sessions.pendingMaintenance(
+        s, s"$root/idx")
+      require(needRetrain,
+        "q_maintenance_cycle: the drifted batch must leave retrain PENDING")
+      Clustering.twoLevelRetrain(s, pfx, s"$root/idx", nBuckets = 16,
+        k1 = 4, k2 = 4)
+      val (stillPending, _) = graft.streaming.Sessions.pendingMaintenance(
+        s, s"$root/idx")
+      require(!stillPending,
+        "q_maintenance_cycle: the executed retrain must CLEAR the poll " +
+          "(the version protocol is the acknowledgement)")
+      val v2 = Clustering.twoLevelOpenVersion(s, pfx, s"$root/idx", nBuckets = 16)
+      require(v2.version == 2L,
+        "q_maintenance_cycle: the retrain must publish generation 2")
+      Clustering.twoLevelTopK(v2.index, v2.codebooks, scaledQueryVec(emb, 2L),
         k = 10, nprobe = 4)
     }),
     // the STREAMING maintenance loop end-to-end (the

@@ -574,12 +574,6 @@ object Clustering {
                             tolerance: Double = TwoLevelDriftTolerance): Boolean =
     retrainNeededFromPooled(pooledDriftMeans(drift), tolerance)
 
-  /** The (new_mean, base_mean) pair the retrain rule compares, pooled
-    * from a drift report back to corpus level — public so the
-    * streaming maintenance loops can persist the SIGNAL (the ratio a
-    * scheduler reads) with the same arithmetic the decision used,
-    * instead of re-running the aggregate. None when either side is
-    * empty (an empty appended batch never triggers). */
   /** The retrain rule applied to an already-pooled (new_mean,
     * base_mean) pair — the ONE spelling of the comparison, shared by
     * [[twoLevelRetrainNeeded]]/[[pqRetrainNeeded]] and the streaming
@@ -593,6 +587,12 @@ object Clustering {
     pooled.exists { case (nm, bm) => nm > tolerance * bm }
   }
 
+  /** The (new_mean, base_mean) pair the retrain rule compares, pooled
+    * from a drift report back to corpus level — public so the
+    * streaming maintenance loops can persist the SIGNAL (the ratio a
+    * scheduler reads) with the same arithmetic the decision used,
+    * instead of re-running the aggregate. None when either side is
+    * empty (an empty appended batch never triggers). */
   def pooledDriftMeans(drift: DataFrame): Option[(Double, Double)] = {
     // each side null-skips independently (SQL sum semantics), so a
     // batch concentrated in base-empty cells still counts in full; the
@@ -1551,5 +1551,156 @@ object Clustering {
       .select(col("query_id"), col(idCol),
         round(col("__adc"), 6).as("adc_dist2"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- IVF-PQ ([EXT]; Jégou et al. TPAMI 2011 §IVFADC) — the
+  // COMPOSITION of the repo's two ANN families, and the standard
+  // 100 TB shape: the two-level index contributes bucket pruning (a
+  // probe scans nprobe cells, not the corpus), PQ contributes m bytes
+  // per vector (codes, not raw floats). The codes quantize RESIDUALS
+  // (vector − its fine centroid): residuals concentrate near zero, so
+  // one SHARED per-subspace codebook (trained over all cells' residuals
+  // — the paper's memory/accuracy compromise vs per-cell codebooks)
+  // quantizes them far better than it would raw vectors. Every stage
+  // reuses the deterministic pieces the parents certified: two-level
+  // Lloyd for the cells, grouped PQ Lloyd for the residual codebooks,
+  // the exact left-fold dist2, and ADC's fixed-subspace-order sum —
+  // so the whole arc (assign → residual → encode → probe) replays in
+  // DuckDB from scratch. ----
+
+  /** Train an IVF-PQ index: two-level cells ([[twoLevelIndex]]'s
+    * training), per-vector residuals against the winning fine
+    * centroid, then ONE shared PQ codebook set over all residuals
+    * ([[pqTrainEncode]] verbatim — same seeds-by-lowest-id, grouped
+    * micro-sum Lloyd). Returns (codes, coarse codebooks, pq codebooks):
+    * codes = (idCol, cell, subspace, code, dist2) — m rows per vector,
+    * each carrying its combined cell so probes bucket-prune; coarse
+    * codebooks = the k1·k2 (cell, centroid) probe parameters; pq
+    * codebooks = (subspace, cell, cvec) over residual space.
+    *
+    * Scale shape: the two-level training is O(n·(k1+k2)·d), the
+    * residual join is a broadcast of k1·k2 centroid rows, and PQ
+    * training rides the same flat-per-iteration grouped aggregates as
+    * [[pqTrainEncode]] — nothing here is quadratic or per-cell-looped. */
+  def ivfPqTrainEncode(embeddings: DataFrame, k1: Int, k2: Int,
+                       m: Int, k: Int, dim: Int, iters: Int = 2,
+                       idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, Array[(Long, Array[Double])], DataFrame) = {
+    val (assigned, cbs) = twoLevelCore(embeddings, k1, k2, iters, idCol, vecCol,
+      broadcastCodebooks = true)
+    // residual = vector − its fine centroid, element-wise exact (both
+    // sides double; the centroid is the micro-sum rational rendered
+    // once — the same value the oracle's fm1 CTE computes). Pinned:
+    // it feeds PQ training (via the slices checkpoint) AND the final
+    // cell join, and without the pin each action would re-run the
+    // whole two-level training chain.
+    val resid = assigned
+      .join(broadcast(cbs.select(col("cell1"), col("cell").as("fine"),
+        col("cvec"))), Seq("cell1", "fine"))
+      .select(col(idCol), col("cell"),
+        zip_with(col("__v"), col("cvec"), (a, b) => a - b).as("__rv"))
+      .localCheckpoint(eager = false)
+    val (codes, pqCbs) = pqTrainEncode(resid.select(col(idCol), col("__rv")),
+      m, k, iters, dim, idCol, "__rv")
+    val withCell = codes.join(resid.select(col(idCol), col("cell")), Seq(idCol))
+      .select(col(idCol), col("cell"), col("subspace"), col("code"), col("dist2"))
+    val centers = cbs.collect()
+      .map(r => (r.getInt(0).toLong * k2 + r.getInt(1),
+        r.getSeq[Double](2).toArray))
+      .sortBy(_._1)
+    (withCell, centers, pqCbs)
+  }
+
+  /** IVF-PQ top-k — the probe that beats both parents at scale: rank
+    * the k1·k2 fine centroids by exact query distance (driver-side,
+    * [[twoLevelTopK]]'s ranking verbatim — ties on cell id), then scan
+    * ONLY the nprobe probed cells' code rows (bucket-pruned when the
+    * codes table is persisted via [[ivfPqWriteIndex]]) and score by
+    * ADC over the PER-CELL residual query: qr(cell) = query − that
+    * cell's centroid, one m·k LUT per probed cell (nprobe·m·k rows —
+    * broadcast by construction), per-subspace partials folding in
+    * subspace order. vs [[twoLevelTopK]] the probed rows are m bytes,
+    * not d floats; vs [[pqTopK]] only nprobe cells are read, not every
+    * code file. Returns (idCol, adc_dist2 6-dp) ordered (adc asc, id). */
+  def ivfPqTopK(codes: DataFrame, coarseCbs: Array[(Long, Array[Double])],
+                pqCbs: DataFrame, query: Seq[Double], m: Int, k: Int,
+                nprobe: Int = 4, idCol: String = "vec_id"): DataFrame = {
+    require(nprobe > 0 && k > 0, s"k and nprobe must be positive: k=$k nprobe=$nprobe")
+    require(coarseCbs.nonEmpty, "ivfPqTopK needs trained coarse codebooks")
+    require(query.nonEmpty && query.size % m == 0,
+      s"query dim ${query.size} not divisible by m $m")
+    val w = query.size / m
+    def d2c(c: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < c.length) { val d = c(i) - query(i); s += d * d; i += 1 }
+      s
+    }
+    val probe = coarseCbs.map { case (cell, c) => (d2c(c), cell) }
+      .sortBy(identity).take(nprobe).map(_._2)
+    val cmap = coarseCbs.toMap
+    val spark = codes.sparkSession
+    import spark.implicits._
+    // nprobe·m rows of residual-query slices — parameters, not data
+    val qrSlices = probe.toSeq.flatMap { cell =>
+      val cent = cmap(cell)
+      val r = query.indices.map(i => query(i) - cent(i))
+      r.grouped(w).zipWithIndex.map { case (s, i) => (cell, i, s) }
+    }.toDF("cell", "subspace", "qs")
+    // the PQ distance table per probed cell, materialized ONCE (the
+    // pqTopK LUT lesson): all interpreted dist2 folds happen on
+    // nprobe·m·k rows, never per code row
+    val lut = broadcast(
+      pqCbs.withColumnRenamed("cell", "code")
+        .join(broadcast(qrSlices), Seq("subspace"))
+        .select(col("cell"), col("subspace"), col("code"),
+          dist2(col("qs"), col("cvec")).as("d")))
+    codes.where(col("cell").isin(probe.toSeq: _*))
+      .join(lut, Seq("cell", "subspace", "code"))
+      .groupBy(col(idCol))
+      .agg(adcTotal(m).as("__adc"))
+      .orderBy(col("__adc").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), round(col("__adc"), 6).as("adc_dist2"))
+  }
+
+  /** Persist an IVF-PQ index for build-once/probe-many: the codes land
+    * BUCKETED AND SORTED by `cell` ([[twoLevelWriteIndex]] semantics —
+    * a probe's `cell IN (nprobe cells)` prunes to matching bucket
+    * files), coarse and PQ codebooks as small parquet parameter
+    * tables. At 100 TB the codes table is ~m bytes/vector AND
+    * bucket-pruned — the artifact neither parent ships alone. */
+  def ivfPqWriteIndex(codes: DataFrame, coarseCbs: Array[(Long, Array[Double])],
+                      pqCbs: DataFrame, table: String, root: String,
+                      nBuckets: Int): Unit = {
+    graft.sources.Bucketing.writeBucketed(codes, table, "cell", nBuckets,
+      s"$root/codes")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    coarseCbs.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "cvec")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/coarse_codebooks")
+    pqCbs.coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/pq_codebooks")
+  }
+
+  /** Open a persisted IVF-PQ index: re-register the bucketed codes
+    * table if this session's catalog lacks it (bucket spec re-declared
+    * so probes keep SelectedBucketsCount pruning), read both codebook
+    * parameter tables back. Feed the triple straight to [[ivfPqTopK]]. */
+  def ivfPqOpenIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                     root: String, nBuckets: Int)
+      : (DataFrame, Array[(Long, Array[Double])], DataFrame) = {
+    if (!spark.catalog.tableExists(table)) {
+      val ddl = spark.read.parquet(s"$root/codes").schema.toDDL
+      spark.sql(s"CREATE TABLE $table ($ddl) USING PARQUET " +
+        s"CLUSTERED BY (cell) SORTED BY (cell) INTO $nBuckets BUCKETS " +
+        s"LOCATION '$root/codes'")
+    }
+    val coarse = spark.read.parquet(s"$root/coarse_codebooks").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    (spark.table(table), coarse, spark.read.parquet(s"$root/pq_codebooks"))
   }
 }

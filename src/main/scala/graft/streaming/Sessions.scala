@@ -728,19 +728,44 @@ object Sessions {
   private def digestRows(digest: String): Long =
     digest.drop(1).takeWhile(_ != '-').toLong
 
+  /** Files budget for the `_signals` dir before [[appendIndexSignal]]
+    * compacts it opportunistically from the loop — the audit trail
+    * gained its own growth rule in round 15 ([[compactIndexSignals]])
+    * but the trigger was caller-driven, so a long-lived loop still
+    * grew one tiny file per batch forever. 64 files ≈ 64 batches of
+    * headroom; the rewrite is a few-KB read, safe inside a micro-batch
+    * (unlike the index compactions, which stay schedule-don't-absorb). */
+  val SignalsCompactMaxFiles: Int = 64
+
+  private def signalsFileCount(spark: SparkSession, root: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_signals")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
   private def appendIndexSignal(spark: SparkSession, root: String,
                                 kind: String, version: Long, digest: String,
                                 driftRatio: Option[Double],
-                                retrain: Boolean, compact: Boolean): Unit = {
+                                retrain: Boolean, compact: Boolean,
+                                seqCache: java.util.concurrent.atomic.AtomicLong,
+                                signalsCompactMaxFiles: Int = SignalsCompactMaxFiles): Unit = {
     val dir = s"$root/_signals"
     // seq = max existing seq + 1: the loops run their batches serially
     // (foreachBatch is single-threaded per query), so this is a stable
     // per-root sequence; a crash-replayed batch can duplicate one row
-    // (see above) — consumers key on digest. max(seq), not count():
-    // the read prunes to one column and the sequence survives both
-    // duplicates and a [[compactIndexSignals]] rewrite
+    // (see above) — consumers key on digest. The loop caches its last
+    // seq in the foreachBatch closure (seqCache, -1 = not yet read), so
+    // the max(seq) read — one column, but still a per-file footer
+    // listing, O(B²) over a stream's life without the cache — is paid
+    // once per loop, not once per batch. max(seq), not count(): the
+    // sequence survives duplicates, a [[compactIndexSignals]] rewrite,
+    // and interleaved [[acknowledgeMaintenance]] rows (which reuse the
+    // current max, never allocating the cache's next value).
     val seq =
-      if (graft.sources.Lake.pathExists(spark, dir)) {
+      if (seqCache.get() >= 0L) seqCache.get() + 1L
+      else if (graft.sources.Lake.pathExists(spark, dir)) {
         val r = spark.read.schema(signalsSchema).parquet(dir)
           .agg(max(col("seq"))).head()
         if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
@@ -750,6 +775,16 @@ object Sessions {
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(row), 1), signalsSchema)
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    seqCache.set(seq)
+    // opportunistic audit-trail compaction: rows preserved verbatim,
+    // seq derivation unaffected (it reads max(seq), and this loop holds
+    // it cached anyway). One name listing per batch, bounded by the
+    // budget itself once the rewrite keeps the dir small. External
+    // writers ([[acknowledgeMaintenance]]) racing this rewrite is the
+    // one coordination gap — run acks from the scheduler that also owns
+    // the rewrites, or accept a re-ack (acks are idempotent).
+    if (signalsFileCount(spark, root) > signalsCompactMaxFiles)
+      compactIndexSignals(spark, root)
   }
 
   /** The maintenance-signals table of a versioned streaming index root
@@ -765,25 +800,104 @@ object Sessions {
   def readIndexSignals(spark: SparkSession, root: String): DataFrame =
     spark.read.schema(signalsSchema).parquet(s"$root/_signals")
 
-  /** The scheduler's poll, closed over the staleness rule: the LATEST
-    * signal row's (retrain_needed, compact_needed) pair — but only if
-    * that decision was made against the CURRENTLY serving generation.
-    * A signal whose version predates `_latest` is already answered
-    * (the retrain it asked for published a newer generation), so an
-    * executed [[graft.operators.Clustering.twoLevelRetrain]] /
-    * [[graft.operators.Clustering.pqRetrain]] clears the pending state
-    * with no writeback — the version protocol IS the acknowledgement.
-    * One tiny read + one marker read; (false, false) when nothing has
-    * been applied yet. Unversioned roots (signal version 0, no marker)
-    * compare 0 == 0 and pass their flags through. */
+  /** The scheduler's poll, closed over the staleness rule: FOLD over
+    * every signal row made against the CURRENTLY serving generation —
+    * pending = some row still needs the action AND no acknowledgement
+    * has landed since. Reading only the latest row (the round-15
+    * spelling) masked an unanswered retrain: drift is computed
+    * per-batch against the build-time baseline, so a drifted batch's
+    * retrain_needed=true followed by one in-distribution batch cleared
+    * the poll while the drifted rows stayed served under stale
+    * codebooks. The fold keeps the decision until it is ANSWERED, by
+    * either of two acknowledgements:
+    *   - the version protocol: a signal whose version predates
+    *     `_latest` is already answered (the retrain it asked for
+    *     published a newer generation) — an executed
+    *     [[graft.operators.Clustering.twoLevelRetrain]] /
+    *     [[graft.operators.Clustering.pqRetrain]] clears with no
+    *     writeback;
+    *   - an explicit ack row ([[acknowledgeMaintenance]], kinds
+    *     `retrained`/`compacted`) at a seq >= the need — the only
+    *     protocol compaction has (an executed
+    *     [[graft.operators.Clustering.compactPqIndex]] never moves
+    *     `_latest`, so without the ack a scheduler acting on this poll
+    *     would re-compact in a loop), and the one unversioned in-place
+    *     rebuilds have.
+    * One aggregate read + one marker read; (false, false) when nothing
+    * has been applied yet. Unversioned roots (signal version 0, no
+    * marker) fold over all their rows. */
   def pendingMaintenance(spark: SparkSession, root: String): (Boolean, Boolean) = {
     if (!graft.sources.Lake.pathExists(spark, s"$root/_signals")) return (false, false)
-    val last = readIndexSignals(spark, root)
-      .orderBy(col("seq").desc).limit(1).collect()
-    if (last.isEmpty) return (false, false)
     val serving = graft.sources.Lake.latestVersion(spark, root).getOrElse(0L)
-    if (last.head.getLong(2) != serving) (false, false)
-    else (last.head.getBoolean(5), last.head.getBoolean(6))
+    val r = readIndexSignals(spark, root)
+      .where(col("version") === serving)
+      .agg(max(when(col("retrain_needed"), col("seq"))).as("need_retrain"),
+        max(when(col("compact_needed"), col("seq"))).as("need_compact"),
+        max(when(col("kind") === "retrained", col("seq"))).as("ack_retrain"),
+        max(when(col("kind") === "compacted", col("seq"))).as("ack_compact"))
+      .head()
+    // pending = the newest need postdates the newest ack (ack rows take
+    // seq = the max they answer, so "since the ack" is strict >)
+    def pending(need: Int, ack: Int): Boolean =
+      !r.isNullAt(need) && (r.isNullAt(ack) || r.getLong(need) > r.getLong(ack))
+    (pending(0, 2), pending(1, 3))
+  }
+
+  /** Acknowledge an EXECUTED maintenance action in the signals table —
+    * the writeback half of [[pendingMaintenance]]'s contract for the
+    * actions the version protocol can't answer: `compacted` (a codes/
+    * index rewrite never moves `_latest`) and `retrained` on an
+    * UNVERSIONED root (an in-place rebuild has no generation to bump).
+    * The ack row reuses the CURRENT max seq — "everything decided up
+    * to here is answered" — rather than allocating the next one, so it
+    * can never collide with the loop's cached sequence; a batch
+    * appended after the ack takes max+1 and re-opens the pending state
+    * exactly as it should. Idempotent; a no-op on an empty table. */
+  def acknowledgeMaintenance(spark: SparkSession, root: String,
+                             action: String): Unit = {
+    require(action == "retrained" || action == "compacted",
+      s"ack kind must be retrained|compacted: $action")
+    if (!graft.sources.Lake.pathExists(spark, s"$root/_signals")) return
+    val m = readIndexSignals(spark, root).agg(max(col("seq"))).head()
+    if (m.isNullAt(0)) return
+    val seq = m.getLong(0)
+    val serving = graft.sources.Lake.latestVersion(spark, root).getOrElse(0L)
+    val row = org.apache.spark.sql.Row(seq, action, serving, 0L, null,
+      false, false, s"ack-$action-seq$seq")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), signalsSchema)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$root/_signals")
+  }
+
+  /** Execute the compaction [[pendingMaintenance]] schedules for a PQ
+    * root — versioned (rewrites the SERVING generation's codes dir) or
+    * unversioned — and acknowledge it, so the poll clears without
+    * waiting for the next append. Returns (filesBefore, filesAfter). */
+  def compactServingPqIndex(spark: SparkSession, root: String,
+                            targetFiles: Int = 0): (Int, Int) = {
+    val dir = graft.sources.Lake.latestVersion(spark, root)
+      .map(v => graft.sources.Lake.versionPath(root, v)).getOrElse(root)
+    val r = graft.operators.Clustering.compactPqIndex(spark, dir, targetFiles)
+    acknowledgeMaintenance(spark, root, "compacted")
+    r
+  }
+
+  /** [[compactServingPqIndex]]'s two-level twin: compact the serving
+    * generation's bucketed index dir (or the unversioned root's) and
+    * acknowledge. Opens the index first so the catalog entry the
+    * compactor rewrites through exists in this session. */
+  def compactServingTwoLevelIndex(spark: SparkSession, tablePrefix: String,
+                                  root: String, nBuckets: Int): (Int, Int) = {
+    val (table, dir) = graft.sources.Lake.latestVersion(spark, root) match {
+      case Some(v) => (s"${tablePrefix}_v$v", graft.sources.Lake.versionPath(root, v))
+      case None => (tablePrefix, root)
+    }
+    graft.operators.Clustering.twoLevelOpenIndex(spark, table, dir, nBuckets)
+    val r = graft.operators.Clustering.compactTwoLevelIndex(spark, table, dir,
+      nBuckets)
+    acknowledgeMaintenance(spark, root, "compacted")
+    r
   }
 
   /** Compact the `_signals` table back to `targetFiles` files — the
@@ -811,7 +925,10 @@ object Sessions {
     * per applied batch FOREVER, and at micro-batch cadence its listing
     * cost eventually rivals the data fragmentation the compactor
     * fixes. A `_watermark` file (never a digest name: digests start
-    * with 'n') records how many markers each prune dropped.
+    * with 'n') records how many markers pruning has dropped — a
+    * CUMULATIVE total carried read-modify-write across prunes (each
+    * overwrite folds the previous total in), plus the latest prune's
+    * own count.
     *
     * The replay-window tradeoff, explicitly: a replayed batch whose
     * marker was pruned RE-INSERTS. Checkpoint crash-recovery only ever
@@ -846,8 +963,25 @@ object Sessions {
     val drop = markers.drop(keep).filter(_.getModificationTime < cutoff)
     drop.foreach(s => fs.delete(s.getPath, false))
     if (drop.nonEmpty) {
-      val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_watermark"), true)
-      try out.write(s"pruned=${drop.size} kept=${math.min(keep, markers.size)}"
+      // cumulative total survives the overwrite: fold the previous
+      // watermark's pruned_total in before rewriting (single-writer
+      // read-modify-write — prunes run from the maintenance job, not
+      // concurrently)
+      val wm = new org.apache.hadoop.fs.Path(dir, "_watermark")
+      val prior =
+        if (!fs.exists(wm)) 0L
+        else {
+          val in = fs.open(wm)
+          val txt =
+            try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+            finally in.close()
+          "pruned_total=(\\d+)".r.findFirstMatchIn(txt)
+            .map(_.group(1).toLong).getOrElse(0L)
+        }
+      val out = fs.create(wm, true)
+      try out.write((s"pruned_total=${prior + drop.size} " +
+        s"last_pruned=${drop.size} kept=${math.min(keep, markers.size)}")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
@@ -886,8 +1020,15 @@ object Sessions {
                                  idCol: String = "vec_id",
                                  vecCol: String = "embedding",
                                  trigger: org.apache.spark.sql.streaming.Trigger =
-                                   org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                                   org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                                 compactMaxFiles: Int =
+                                   graft.operators.Clustering.IndexCompactFilesPerBucket,
+                                 signalsCompactMaxFiles: Int = SignalsCompactMaxFiles)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // per-loop signal-sequence cache (foreachBatch is single-threaded
+    // per query): max(seq) is read from the table once, then advanced
+    // in memory — see appendIndexSignal
+    val seqCache = new java.util.concurrent.atomic.AtomicLong(-1L)
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -902,7 +1043,7 @@ object Sessions {
             val v = C.twoLevelPublishVersion(spark, index, cbs, tablePrefix,
               root, nBuckets, bootstrapDigest = Some(digest))
             appendIndexSignal(spark, root, "bootstrap", v, digest,
-              driftRatio = None, retrain = false, compact = false)
+              driftRatio = None, retrain = false, compact = false, seqCache)
             markBatchApplied(spark, root, digest)
             println(s"[index-append-v] batch=$batchId bootstrap: published v$v")
           case Some(_) if batchApplied(spark, root, digest) =>
@@ -913,7 +1054,12 @@ object Sessions {
               // the publish-flip-then-crash window: this batch IS the
               // generation's own bootstrap corpus, replayed after its
               // applied marker was lost — heal the marker, never
-              // re-insert
+              // re-insert. The signal-before-marker ordering protects
+              // append rows but not this window (the signal lands AFTER
+              // the flip), so heal the audit row too, idempotently:
+              // without it the trail's first row would be an append
+              // against an undocumented generation
+              healBootstrapSignal(spark, root, gen.version, digest, seqCache)
               markBatchApplied(spark, root, digest)
               println(s"[index-append-v] batch=$batchId is v${gen.version}'s " +
                 "bootstrap corpus — marker healed, skipped")
@@ -924,9 +1070,11 @@ object Sessions {
               C.twoLevelReadStats(spark, gen.dir), appended)
             val pooled = C.pooledDriftMeans(drift)
             val retrain = C.retrainNeededFromPooled(pooled)
-            val compact = C.indexCompactionNeeded(spark, s"${gen.dir}/index")
+            val compact = C.indexCompactionNeeded(spark, s"${gen.dir}/index",
+              compactMaxFiles)
             appendIndexSignal(spark, root, "append", gen.version, digest,
-              pooled.map { case (nm, bm) => nm / bm }, retrain, compact)
+              pooled.map { case (nm, bm) => nm / bm }, retrain, compact, seqCache,
+              signalsCompactMaxFiles)
             markBatchApplied(spark, root, digest)
             println(s"[index-append-v] batch=$batchId appended to v${gen.version}" +
               (if (retrain) " — RETRAIN NEEDED (drift over tolerance)" else "") +
@@ -937,6 +1085,25 @@ object Sessions {
         ()
       }
       .start()
+  }
+
+  /** Idempotently (re)write a generation's bootstrap signal row from
+    * the heal-and-skip branch: a crash between the publish's marker
+    * flip and the bootstrap's appendIndexSignal loses that one audit
+    * row permanently without this (the replay heals the APPLIED marker
+    * but previously wrote no signal). Keyed on (kind, digest) — a
+    * second heal of the same window is a no-op. */
+  private def healBootstrapSignal(spark: SparkSession, root: String,
+                                  version: Long, digest: String,
+                                  seqCache: java.util.concurrent.atomic.AtomicLong): Unit = {
+    val have = graft.sources.Lake.pathExists(spark, s"$root/_signals") &&
+      !readIndexSignals(spark, root)
+        .where(col("kind") === "bootstrap" && col("digest") === digest)
+        .isEmpty
+    if (!have)
+      appendIndexSignal(spark, root, "bootstrap", version, digest,
+        driftRatio = None, retrain = false, compact = false, seqCache)
+  }
 
   /** [[streamPqIndexAppend]] composed with versioned serving — the PQ
     * twin of [[streamIndexAppendVersioned]]: bootstrap publishes v1
@@ -956,8 +1123,12 @@ object Sessions {
                                    idCol: String = "vec_id",
                                    vecCol: String = "embedding",
                                    trigger: org.apache.spark.sql.streaming.Trigger =
-                                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                                     org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                                   compactMaxFiles: Int =
+                                     graft.operators.Clustering.PqCompactMaxFiles,
+                                   signalsCompactMaxFiles: Int = SignalsCompactMaxFiles)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val seqCache = new java.util.concurrent.atomic.AtomicLong(-1L)
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -972,7 +1143,7 @@ object Sessions {
             val v = C.pqPublishVersion(spark, codes, cbs, root,
               bootstrapDigest = Some(digest))
             appendIndexSignal(spark, root, "bootstrap", v, digest,
-              driftRatio = None, retrain = false, compact = false)
+              driftRatio = None, retrain = false, compact = false, seqCache)
             markBatchApplied(spark, root, digest)
             println(s"[pq-append-v] batch=$batchId bootstrap: published v$v")
           case Some(_) if batchApplied(spark, root, digest) =>
@@ -982,7 +1153,9 @@ object Sessions {
             if (C.bootstrapDigestOf(spark, gen.dir).contains(digest)) {
               // the publish-flip-then-crash window: a re-encoded replay
               // of the bootstrap corpus would DOUBLE every vector's ADC
-              // partial sums — heal the marker instead
+              // partial sums — heal the marker instead (and the lost
+              // bootstrap audit row, idempotently)
+              healBootstrapSignal(spark, root, gen.version, digest, seqCache)
               markBatchApplied(spark, root, digest)
               println(s"[pq-append-v] batch=$batchId is v${gen.version}'s " +
                 "bootstrap corpus — marker healed, skipped")
@@ -992,9 +1165,10 @@ object Sessions {
             val drift = C.pqDriftFromStats(C.pqReadStats(spark, gen.dir), encoded)
             val pooled = C.pooledDriftMeans(drift)
             val retrain = C.retrainNeededFromPooled(pooled)
-            val compact = C.pqCompactionNeeded(spark, gen.dir)
+            val compact = C.pqCompactionNeeded(spark, gen.dir, compactMaxFiles)
             appendIndexSignal(spark, root, "append", gen.version, digest,
-              pooled.map { case (nm, bm) => nm / bm }, retrain, compact)
+              pooled.map { case (nm, bm) => nm / bm }, retrain, compact, seqCache,
+              signalsCompactMaxFiles)
             markBatchApplied(spark, root, digest)
             println(s"[pq-append-v] batch=$batchId appended to v${gen.version}" +
               (if (retrain) " — RETRAIN NEEDED (drift over tolerance)" else "") +
@@ -1005,6 +1179,7 @@ object Sessions {
         ()
       }
       .start()
+  }
 
   def streamIndexAppend(vecs: DataFrame, table: String, root: String,
                         checkpoint: String, nBuckets: Int = 16,
@@ -1012,7 +1187,8 @@ object Sessions {
                         idCol: String = "vec_id", vecCol: String = "embedding",
                         trigger: org.apache.spark.sql.streaming.Trigger =
                           org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val seqCache = new java.util.concurrent.atomic.AtomicLong(-1L)
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -1036,7 +1212,7 @@ object Sessions {
           // exists now) — the marker turns that into a skip, not a
           // duplicate insert of the entire bootstrap corpus
           appendIndexSignal(spark, root, "bootstrap", 0L, digest,
-            driftRatio = None, retrain = false, compact = false)
+            driftRatio = None, retrain = false, compact = false, seqCache)
           markBatchApplied(spark, root, digest)
           println(s"[index-append] batch=$batchId bootstrap: trained ${k1}x$k2 index")
         } else if (batchApplied(spark, root, digest)) {
@@ -1057,7 +1233,7 @@ object Sessions {
           // generation protocol) — a scheduler reads the same table
           // either way
           appendIndexSignal(spark, root, "append", 0L, digest,
-            pooled.map { case (nm, bm) => nm / bm }, retrain, compact)
+            pooled.map { case (nm, bm) => nm / bm }, retrain, compact, seqCache)
           markBatchApplied(spark, root, digest)
           println(s"[index-append] batch=$batchId appended" +
             (if (retrain) " — RETRAIN NEEDED (drift over tolerance)" else "") +
@@ -1067,6 +1243,7 @@ object Sessions {
         ()
       }
       .start()
+  }
 
   /** [[streamIndexAppend]]'s sibling for the PQ index — maintenance
     * parity for the memory-tier artifact a billion-vector service
@@ -1086,7 +1263,8 @@ object Sessions {
                           idCol: String = "vec_id", vecCol: String = "embedding",
                           trigger: org.apache.spark.sql.streaming.Trigger =
                             org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val seqCache = new java.util.concurrent.atomic.AtomicLong(-1L)
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -1105,7 +1283,7 @@ object Sessions {
             idCol, vecCol)
           C.pqWriteIndex(codes, cbs, root)
           appendIndexSignal(spark, root, "bootstrap", 0L, digest,
-            driftRatio = None, retrain = false, compact = false)
+            driftRatio = None, retrain = false, compact = false, seqCache)
           markBatchApplied(spark, root, digest)
           println(s"[pq-append] batch=$batchId bootstrap: trained ${m}x$k codebooks")
         } else if (batchApplied(spark, root, digest)) {
@@ -1120,7 +1298,7 @@ object Sessions {
           val retrain = C.retrainNeededFromPooled(pooled)
           val compact = C.pqCompactionNeeded(spark, root)
           appendIndexSignal(spark, root, "append", 0L, digest,
-            pooled.map { case (nm, bm) => nm / bm }, retrain, compact)
+            pooled.map { case (nm, bm) => nm / bm }, retrain, compact, seqCache)
           markBatchApplied(spark, root, digest)
           println(s"[pq-append] batch=$batchId appended" +
             (if (retrain) " — RETRAIN NEEDED (drift over tolerance)" else "") +
@@ -1130,6 +1308,7 @@ object Sessions {
         ()
       }
       .start()
+  }
 
   /** Streaming flavor of `windowedCounts`: file stream + watermark,
     * append mode. Driven synchronously in tests via a memory sink. */

@@ -800,4 +800,69 @@ class ClusteringSpec extends SparkSuite {
     // the query itself must be among its own nearest reconstructions
     assert(adcTop.contains(7L), "ADC lost the query vector itself")
   }
+
+  test("ivfPq: m codes/vector tagged by cell, bit-stable under partitioning, residuals beat flat PQ") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (codes, coarse, pqCbs) = Clustering.ivfPqTrainEncode(emb,
+      k1 = 4, k2 = 4, m = 4, k = 8, dim = 64)
+    val n = emb.count()
+    assert(codes.count() === 4L * n, "IVF-PQ must carry m codes per vector")
+    assert(codes.agg(min(col("code")), max(col("code"))).head().toSeq
+      .map(_.asInstanceOf[Int]).forall(c => c >= 0 && c < 8))
+    val cellIds = coarse.map(_._1).toSet
+    assert(codes.select("cell").distinct().collect().map(_.getLong(0))
+      .forall(cellIds), "every code row's cell must be a trained combined cell")
+    // bit-exact reproducibility across partitionings (both trainings)
+    val (codes2, coarse2, _) = Clustering.ivfPqTrainEncode(emb.repartition(13),
+      k1 = 4, k2 = 4, m = 4, k = 8, dim = 64)
+    assert(coarse.map { case (c, v) => (c, v.toSeq) }.toSeq ===
+      coarse2.map { case (c, v) => (c, v.toSeq) }.toSeq)
+    assert(codes.collect().map(_.toString).sorted.toSeq ===
+      codes2.collect().map(_.toString).sorted.toSeq)
+    // THE reason residuals exist: quantizing (v − centroid) with the
+    // same m×k code budget reconstructs strictly better than
+    // quantizing raw vectors — residuals concentrate near zero
+    val (flat, _) = Clustering.pqTrainEncode(emb, m = 4, k = 8, iters = 2, dim = 64)
+    val sseIvfPq = codes.agg(sum(col("dist2"))).head().getDouble(0)
+    val sseFlat = flat.agg(sum(col("dist2"))).head().getDouble(0)
+    assert(sseIvfPq < sseFlat,
+      s"residual PQ must beat flat PQ at equal code budget: $sseIvfPq !< $sseFlat")
+    // probe sanity at a full-candidate budget (nprobe = all 16 cells):
+    // ADC over residual codes must rank the query's own vector into its
+    // top reconstructions (the pq spec's self-hit law)
+    val q = Similarity.vectorOf(emb, 7L)
+    val allTop = Clustering.ivfPqTopK(codes, coarse, pqCbs, q,
+      m = 4, k = 25, nprobe = 16).collect().map(_.getLong(0)).toSet
+    assert(allTop.contains(7L), "IVF-PQ ADC lost the query vector itself")
+  }
+
+  test("ivfPqWriteIndex/OpenIndex: disk round-trip == in-memory; probes bucket-pruned to nprobe cells") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (codes, coarse, pqCbs) = Clustering.ivfPqTrainEncode(emb,
+      k1 = 4, k2 = 4, m = 4, k = 8, dim = 64)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec").toString
+    val table = "ivfpq_spec_" + java.lang.Long.toHexString(System.nanoTime())
+    Clustering.ivfPqWriteIndex(codes, coarse, pqCbs, table, root, nBuckets = 16)
+    spark.sql(s"DROP TABLE $table") // exercise fresh-session re-registration
+    val (codesD, coarseD, pqCbsD) = Clustering.ivfPqOpenIndex(spark, table, root,
+      nBuckets = 16)
+    assert(coarseD.map { case (c, v) => (c, v.toSeq) }.toSeq ===
+      coarse.map { case (c, v) => (c, v.toSeq) }.toSeq)
+    val q = Similarity.vectorOf(emb, 7L)
+    val mem = Clustering.ivfPqTopK(codes, coarse, pqCbs, q,
+      m = 4, k = 10, nprobe = 4).collect().toSeq
+    val disk = Clustering.ivfPqTopK(codesD, coarseD, pqCbsD, q,
+      m = 4, k = 10, nprobe = 4)
+    // the plan gate the composition exists for: the probe reads only
+    // the buckets its nprobe cells hash to — of a table that is m
+    // BYTES per vector, not d floats (the two-parent win in one scan)
+    val plan = disk.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"IVF-PQ probe scan is not bucket-pruned:\n$plan")
+    assert(sel.get.group(2).toInt === 16 && sel.get.group(1).toInt <= 4,
+      s"probe read ${sel.get.group(1)} of 16 buckets — expected <= nprobe (4)")
+    assert(disk.collect().toSeq === mem,
+      "bucketed on-disk IVF-PQ probe diverged from the in-memory probe")
+    spark.sql(s"DROP TABLE $table")
+  }
 }

@@ -1027,6 +1027,19 @@ class SessionsSpec extends SparkSuite {
       .foreach { f => f.setLastModified(1700000200000L); () }
     assert(Sessions.pruneAppliedMarkers(spark, root, keep = 1) === 0,
       "tied mtimes must never be pruned (keep is a lower bound)")
+    // the watermark's pruned total is CUMULATIVE across prunes (each
+    // overwrite folds the previous total in), not just the last prune's
+    def watermark(): String = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "_watermark").toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(watermark().contains("pruned_total=1"),
+      s"first prune must record total 1: ${watermark()}")
+    dir.listFiles().filter(f => !f.getName.startsWith("_") && !f.getName.startsWith(".")).zipWithIndex
+      .foreach { case (f, i) => f.setLastModified(1700000300000L + i * 1000L); () }
+    assert(Sessions.pruneAppliedMarkers(spark, root, keep = 2) === 1)
+    assert(watermark().contains("pruned_total=2") &&
+      watermark().contains("last_pruned=1"),
+      s"second prune must accumulate the total: ${watermark()}")
   }
 
   test("versioned bootstrap replay after a LOST applied marker heals via the generation's digest") {
@@ -1063,5 +1076,155 @@ class SessionsSpec extends SparkSuite {
       "the heal must restore the applied marker")
     assert(Sessions.readIndexSignals(spark, root).count() === 1L,
       "a healed replay is not a new decision — no new signal row")
+  }
+
+  test("pendingMaintenance: a clean batch after a drifted batch must NOT mask the pending retrain") {
+    import org.apache.spark.sql.functions.{lit, pmod, transform}
+    val root0 = Files.createTempDirectory("graft-mask-poll").toString
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // the drifted batch in the MIDDLE: bootstrap, 3x-scaled, then clean
+    // — the masking sequence the round-15 latest-row poll lost
+    (0 until 3).foreach { b =>
+      val part = emb.where(pmod($"vec_id", lit(3)) === b)
+      val batch =
+        if (b == 1) part.withColumn("embedding",
+          transform($"embedding", x => (x.cast("double") * lit(3.0)).cast("float")))
+        else part
+      batch.coalesce(1).write.mode("overwrite").parquet(s"$root0/in/f$b")
+      new java.io.File(s"$root0/in/f$b").listFiles()
+        .foreach(f => { f.setLastModified(1600000000000L + b * 60000L); () })
+    }
+    val schema = spark.read.parquet(s"$root0/in/f0").schema
+    val root = s"$root0/idx"
+    val q = Sessions.streamPqIndexAppendVersioned(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root0/in/*"),
+      root, s"$root0/ckpt")
+    q.awaitTermination(120000)
+    val sig = Sessions.readIndexSignals(spark, root).orderBy($"seq").collect()
+    assert(sig.map(_.getBoolean(5)).toSeq === Seq(false, true, false),
+      "only the scaled middle batch may trip the trigger")
+    // latest row says retrain_needed=false — the fold must still report
+    // the drifted batch's unanswered decision
+    assert(Sessions.pendingMaintenance(spark, root)._1 === true,
+      "a clean batch must not mask the drifted batch's pending retrain")
+    graft.operators.Clustering.pqRetrain(spark, root,
+      spark.read.schema(schema).parquet(s"$root0/in/*"), m = 4, k = 8, dim = 64)
+    assert(Sessions.pendingMaintenance(spark, root)._1 === false,
+      "the executed retrain answers via the version protocol")
+  }
+
+  test("compact acknowledgement: an executed compaction clears the poll with no new batch") {
+    val root0 = Files.createTempDirectory("graft-compact-ack").toString
+    val (emb, schema) = writeVersionedBatches(root0)
+    val root = s"$root0/idx"
+    // a 1-file budget makes every append signal compact_needed — the
+    // poll mechanics under test, not the (separately tested) rule
+    val q = Sessions.streamPqIndexAppendVersioned(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root0/in/*"),
+      root, s"$root0/ckpt", compactMaxFiles = 1)
+    q.awaitTermination(120000)
+    val sig = Sessions.readIndexSignals(spark, root).orderBy($"seq").collect()
+    assert(sig.filter(_.getString(1) == "append").forall(_.getBoolean(6)),
+      "every append must signal compaction at a 1-file budget")
+    val (retrainP, compactP) = Sessions.pendingMaintenance(spark, root)
+    assert(compactP === true, "the fragmentation decision must be pending")
+    assert(retrainP === true, "the scaled last batch's retrain is pending too")
+    // round-15 gap: compactPqIndex never moves _latest, so without an
+    // ack the poll stayed pending forever and a scheduler re-compacted
+    // in a loop. The executor wrapper rewrites the SERVING generation's
+    // codes and appends the kind=compacted ack row.
+    val (before, after) = Sessions.compactServingPqIndex(spark, root,
+      targetFiles = 1)
+    assert(before >= 3 && after === 1,
+      s"the rewrite must collapse the serving codes dir ($before -> $after)")
+    val (retrainP2, compactP2) = Sessions.pendingMaintenance(spark, root)
+    assert(compactP2 === false,
+      "the ack row must clear the compact pending with no new batch")
+    assert(retrainP2 === true,
+      "the compacted ack must not answer the RETRAIN decision")
+    // a batch appended AFTER the ack re-opens the pending state: its
+    // signal takes seq = max+1, strictly past the ack's reused max
+    val extra = emb.where($"vec_id" % 3 === 0).limit(40)
+      .withColumn("vec_id", $"vec_id" + org.apache.spark.sql.functions.lit(200000L))
+    extra.coalesce(1).write.mode("overwrite").parquet(s"$root0/in/f3")
+    new java.io.File(s"$root0/in/f3").listFiles()
+      .foreach(f => { f.setLastModified(1600000000000L + 3 * 60000L); () })
+    val q2 = Sessions.streamPqIndexAppendVersioned(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root0/in/*"),
+      root, s"$root0/ckpt2", compactMaxFiles = 1)
+    q2.awaitTermination(120000)
+    assert(Sessions.pendingMaintenance(spark, root)._2 === true,
+      "a post-ack fragmented append must re-open the compact pending")
+    // the unversioned-retrain ack kind: answered the same way
+    Sessions.acknowledgeMaintenance(spark, root, "retrained")
+    assert(Sessions.pendingMaintenance(spark, root)._1 === false,
+      "an explicit retrained ack must answer retrain (the unversioned-root protocol)")
+  }
+
+  test("the loops compact _signals opportunistically under the file budget") {
+    val root0 = Files.createTempDirectory("graft-sig-budget").toString
+    val (_, schema) = writeVersionedBatches(root0)
+    val root = s"$root0/idx"
+    val q = Sessions.streamPqIndexAppendVersioned(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root0/in/*"),
+      root, s"$root0/ckpt", signalsCompactMaxFiles = 1)
+    q.awaitTermination(120000)
+    assert(new java.io.File(s"$root/_signals").listFiles()
+      .count(_.getName.endsWith(".parquet")) === 1,
+      "a 1-file budget must hold the audit dir at one file after every batch")
+    // compaction preserved the audit trail and the cached sequence
+    val sig = Sessions.readIndexSignals(spark, root).orderBy($"seq").collect()
+    assert(sig.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    assert(sig.map(_.getString(1)).toSeq === Seq("bootstrap", "append", "append"))
+  }
+
+  test("bootstrap heal restores the LOST bootstrap signal row idempotently") {
+    // the narrower crash window inside the heal path: the marker flip
+    // landed, appendIndexSignal did NOT — the replay must restore the
+    // audit row, or the trail's first row is an append against an
+    // undocumented generation
+    val root0 = Files.createTempDirectory("graft-boot-sig-heal").toString
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val b0 = emb.where($"vec_id" % 3 === 0)
+    b0.coalesce(1).write.mode("overwrite").parquet(s"$root0/in/f0")
+    val schema = spark.read.parquet(s"$root0/in/f0").schema
+    val root = s"$root0/idx"
+    val q = Sessions.streamPqIndexAppendVersioned(
+      spark.readStream.schema(schema).parquet(s"$root0/in/*"),
+      root, s"$root0/ckpt")
+    q.awaitTermination(120000)
+    val v1 = graft.operators.Clustering.pqOpenVersion(spark, root)
+    val bootDigest = graft.operators.Clustering.bootstrapDigestOf(spark, v1.dir)
+    // simulate the crash: marker AND signal row both lost, generation kept
+    new java.io.File(s"$root/_applied").listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .foreach { f => f.delete(); () }
+    val sigDir = new java.io.File(s"$root/_signals")
+    sigDir.listFiles().foreach { f => f.delete(); () }
+    sigDir.delete()
+    val q2 = Sessions.streamPqIndexAppendVersioned(
+      spark.readStream.schema(schema).parquet(s"$root0/in/*"),
+      root, s"$root0/ckpt2")
+    q2.awaitTermination(120000)
+    assert(graft.operators.Clustering.pqOpenVersion(spark, root)
+      .codes.count() === 4L * b0.count(), "the heal must never re-insert")
+    val sig = Sessions.readIndexSignals(spark, root).collect()
+    assert(sig.length === 1 && sig.head.getString(1) === "bootstrap" &&
+      sig.head.getLong(2) === 1L && Some(sig.head.getString(7)) === bootDigest,
+      "the heal must restore the generation's own bootstrap signal row")
+    // idempotent: a THIRD replay with the marker lost again writes nothing
+    new java.io.File(s"$root/_applied").listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .foreach { f => f.delete(); () }
+    val q3 = Sessions.streamPqIndexAppendVersioned(
+      spark.readStream.schema(schema).parquet(s"$root0/in/*"),
+      root, s"$root0/ckpt3")
+    q3.awaitTermination(120000)
+    assert(Sessions.readIndexSignals(spark, root).count() === 1L,
+      "a second heal of the same window must be a no-op")
   }
 }
