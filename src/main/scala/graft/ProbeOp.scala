@@ -283,7 +283,7 @@ object ProbeOp {
         s"graft_probe_pqidx_x${factor}_n$n").toString
       if (!new java.io.File(s"$pqRoot/stats/_SUCCESS").exists()) {
         val t0 = System.nanoTime()
-        val (codes, cbs) = C.pqTrainEncode(emb, m = 4, k = 16, iters = 2, dim = 64)
+        val (codes, cbs) = C.pqTrainEncode(emb, m = 4, k = 8, iters = 2, dim = 64)
         C.pqWriteIndex(codes, cbs, pqRoot)
         println(f"[probeop] ivfPqProbe x$factor pq build+persist " +
           f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
@@ -294,7 +294,7 @@ object ProbeOp {
       if (!new java.io.File(s"$ipRoot/pq_codebooks/_SUCCESS").exists()) {
         val t0 = System.nanoTime()
         val (codes, coarse, pqCbs) = C.ivfPqTrainEncode(emb, side, side,
-          m = 4, k = 16, dim = 64)
+          m = 4, k = 8, dim = 64)
         C.ivfPqWriteIndex(codes, coarse, pqCbs, ipTable, ipRoot, nBuckets = 64)
         println(f"[probeop] ivfPqProbe x$factor ivfpq build+persist side=$side " +
           f"${(System.nanoTime() - t0) / 1e9}%8.2f s")

@@ -1494,8 +1494,8 @@ object Clustering {
     * oracle's `list_reduce(list(d ORDER BY subspace))`: the 0.0 seed is
     * exact, partial distances are never -0.0), but whole-stage
     * codegen'd instead of per-row interpreted. */
-  private def adcTotal(m: Int): Column =
-    (0 until m).map(ss => sum(when(col("subspace") === ss, col("d"))))
+  private def adcTotal(m: Int, dCol: String = "d"): Column =
+    (0 until m).map(ss => sum(when(col("subspace") === ss, col(dCol))))
       .foldLeft(lit(0.0))(_ + _)
 
   /** Batched multi-query ADC top-k — [[twoLevelTopKMulti]]'s serving
@@ -1573,10 +1573,17 @@ object Clustering {
     * centroid, then ONE shared PQ codebook set over all residuals
     * ([[pqTrainEncode]] verbatim — same seeds-by-lowest-id, grouped
     * micro-sum Lloyd). Returns (codes, coarse codebooks, pq codebooks):
-    * codes = (idCol, cell, subspace, code, dist2) — m rows per vector,
-    * each carrying its combined cell so probes bucket-prune; coarse
-    * codebooks = the k1·k2 (cell, centroid) probe parameters; pq
-    * codebooks = (subspace, cell, cvec) over residual space.
+    * codes = ONE row per vector in the PQ paper's contiguous-code
+    * layout — (idCol, cell, dist2, c0..c{m-1}) with the combined cell
+    * for bucket pruning, the exact total reconstruction error (the
+    * per-subspace dist2 folded in subspace order), and the m codes as
+    * int columns. The packed layout is a PROBE-PLAN decision, not just
+    * compression: [[ivfPqTopK]] scores a packed row with one literal
+    * lookup per subspace — a shuffle-free single-stage plan — where an
+    * m-rows-per-vector layout forced a per-probe groupBy (measured
+    * ~0.2 s/probe of pure plan overhead at ×100). Coarse codebooks =
+    * the k1·k2 (cell, centroid) probe parameters; pq codebooks =
+    * (subspace, cell, cvec) over residual space.
     *
     * Scale shape: the two-level training is O(n·(k1+k2)·d), the
     * residual join is a broadcast of k1·k2 centroid rows, and PQ
@@ -1602,8 +1609,17 @@ object Clustering {
       .localCheckpoint(eager = false)
     val (codes, pqCbs) = pqTrainEncode(resid.select(col(idCol), col("__rv")),
       m, k, iters, dim, idCol, "__rv")
-    val withCell = codes.join(resid.select(col(idCol), col("cell")), Seq(idCol))
-      .select(col(idCol), col("cell"), col("subspace"), col("code"), col("dist2"))
+    // pack m (subspace, code) rows into one row per vector: exactly one
+    // row per (vector, subspace) exists, so the conditional max IS that
+    // row's code; dist2 folds in subspace order from a 0.0 seed
+    // ([[adcTotal]]'s spelling — exact, partials are never -0.0)
+    val codeCols = (0 until m).map(ss =>
+      max(when(col("subspace") === ss, col("code"))).cast("int").as(s"c$ss"))
+    val packed = codes.groupBy(col(idCol))
+      .agg(codeCols.head, (codeCols.tail :+ adcTotal(m, "dist2").as("dist2")): _*)
+    val withCell = packed.join(resid.select(col(idCol), col("cell")), Seq(idCol))
+      .select(Seq(col(idCol), col("cell"), col("dist2")) ++
+        (0 until m).map(ss => col(s"c$ss")): _*)
     val centers = cbs.collect()
       .map(r => (r.getInt(0).toLong * k2 + r.getInt(1),
         r.getSeq[Double](2).toArray))
@@ -1611,17 +1627,22 @@ object Clustering {
     (withCell, centers, pqCbs)
   }
 
-  /** IVF-PQ top-k — the probe that beats both parents at scale: rank
-    * the k1·k2 fine centroids by exact query distance (driver-side,
-    * [[twoLevelTopK]]'s ranking verbatim — ties on cell id), then scan
-    * ONLY the nprobe probed cells' code rows (bucket-pruned when the
-    * codes table is persisted via [[ivfPqWriteIndex]]) and score by
-    * ADC over the PER-CELL residual query: qr(cell) = query − that
-    * cell's centroid, one m·k LUT per probed cell (nprobe·m·k rows —
-    * broadcast by construction), per-subspace partials folding in
-    * subspace order. vs [[twoLevelTopK]] the probed rows are m bytes,
-    * not d floats; vs [[pqTopK]] only nprobe cells are read, not every
-    * code file. Returns (idCol, adc_dist2 6-dp) ordered (adc asc, id). */
+  /** IVF-PQ top-k: rank the k1·k2 fine centroids by exact query
+    * distance (driver-side, [[twoLevelTopK]]'s ranking verbatim — ties
+    * on cell id), then scan ONLY the nprobe probed cells' packed code
+    * rows (bucket-pruned when persisted via [[ivfPqWriteIndex]]) and
+    * score by ADC over the PER-CELL residual query: qr(cell) = query −
+    * that cell's centroid. The whole distance table (nprobe·m·k
+    * doubles) is computed DRIVER-SIDE with the exact left-fold dist2
+    * and baked into the plan as literal arrays, so the scan is ONE
+    * codegen'd projection — per row, a CASE over the nprobe cells
+    * selecting m element_at lookups summed in subspace order — into
+    * TakeOrderedAndProject: no broadcast job, no shuffle, no join (the
+    * m-rows-per-vector spelling paid a groupBy per probe — measured
+    * ~0.2 s/probe of plan overhead at ×100). vs [[twoLevelTopK]] the
+    * probed rows are m bytes, not d floats; vs [[pqTopK]] only nprobe
+    * cells are read, not every code file. Returns (idCol, adc_dist2
+    * 6-dp) ordered (adc asc, id). */
   def ivfPqTopK(codes: DataFrame, coarseCbs: Array[(Long, Array[Double])],
                 pqCbs: DataFrame, query: Seq[Double], m: Int, k: Int,
                 nprobe: Int = 4, idCol: String = "vec_id"): DataFrame = {
@@ -1639,26 +1660,48 @@ object Clustering {
     val probe = coarseCbs.map { case (cell, c) => (d2c(c), cell) }
       .sortBy(identity).take(nprobe).map(_._2)
     val cmap = coarseCbs.toMap
-    val spark = codes.sparkSession
-    import spark.implicits._
-    // nprobe·m rows of residual-query slices — parameters, not data
-    val qrSlices = probe.toSeq.flatMap { cell =>
+    // the PQ paper's distance table, literally and driver-side:
+    // lut(cell)(subspace)(code) = exact left-fold dist2 between the
+    // cell's residual-query slice and the codeword — m·k bounded
+    // PARAMETERS per probed cell (the pqTopK LUT lesson taken to its
+    // end: zero interpreted folds anywhere in the executed plan)
+    val cwords: Map[Int, Array[(Int, Array[Double])]] = pqCbs.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1)
+      .map { case (ss, rows) => ss -> rows.map(t => (t._2, t._3)).sortBy(_._1) }
+    def lutFor(cell: Long): Array[Array[Double]] = {
       val cent = cmap(cell)
-      val r = query.indices.map(i => query(i) - cent(i))
-      r.grouped(w).zipWithIndex.map { case (s, i) => (cell, i, s) }
-    }.toDF("cell", "subspace", "qs")
-    // the PQ distance table per probed cell, materialized ONCE (the
-    // pqTopK LUT lesson): all interpreted dist2 folds happen on
-    // nprobe·m·k rows, never per code row
-    val lut = broadcast(
-      pqCbs.withColumnRenamed("cell", "code")
-        .join(broadcast(qrSlices), Seq("subspace"))
-        .select(col("cell"), col("subspace"), col("code"),
-          dist2(col("qs"), col("cvec")).as("d")))
+      val qr = Array.tabulate(query.size)(i => query(i) - cent(i))
+      Array.tabulate(m) { ss =>
+        val slice = qr.slice(ss * w, (ss + 1) * w)
+        // array POSITION = codeword id + 1 (element_at is 1-based); the
+        // final codebook only carries POPULATED codewords, so ids can
+        // be sparse — unreferenced gaps stay NaN (codes always point at
+        // codewords the final assignment ranked, which all exist)
+        val arr = Array.fill(cwords(ss).map(_._1).max + 1)(Double.NaN)
+        cwords(ss).foreach { case (code, cw) =>
+          var s = 0.0
+          var i = 0
+          while (i < w) { val d = slice(i) - cw(i); s += d * d; i += 1 }
+          arr(code) = s
+        }
+        arr
+      }
+    }
+    // per probed cell: sum of m literal-array lookups, added in
+    // subspace order (left-to-right — the oracle's list_reduce order)
+    def cellScore(cell: Long): Column = {
+      val lut = lutFor(cell)
+      (0 until m).map(ss =>
+        element_at(array(lut(ss).map(lit).toIndexedSeq: _*), col(s"c$ss") + 1))
+        .reduceLeft(_ + _)
+    }
+    val scored = probe.tail.foldLeft(
+      when(col("cell") === probe.head, cellScore(probe.head))) {
+      (acc, cell) => acc.when(col("cell") === cell, cellScore(cell))
+    }
     codes.where(col("cell").isin(probe.toSeq: _*))
-      .join(lut, Seq("cell", "subspace", "code"))
-      .groupBy(col(idCol))
-      .agg(adcTotal(m).as("__adc"))
+      .select(col(idCol), scored.as("__adc"))
       .orderBy(col("__adc").asc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), round(col("__adc"), 6).as("adc_dist2"))

@@ -806,9 +806,13 @@ class ClusteringSpec extends SparkSuite {
     val (codes, coarse, pqCbs) = Clustering.ivfPqTrainEncode(emb,
       k1 = 4, k2 = 4, m = 4, k = 8, dim = 64)
     val n = emb.count()
-    assert(codes.count() === 4L * n, "IVF-PQ must carry m codes per vector")
-    assert(codes.agg(min(col("code")), max(col("code"))).head().toSeq
-      .map(_.asInstanceOf[Int]).forall(c => c >= 0 && c < 8))
+    assert(codes.count() === n,
+      "packed IVF-PQ codes must carry ONE row per vector (m code columns)")
+    (0 until 4).foreach { ss =>
+      assert(codes.agg(min(col(s"c$ss")), max(col(s"c$ss"))).head().toSeq
+        .map(_.asInstanceOf[Int]).forall(c => c >= 0 && c < 8),
+        s"c$ss out of the codeword range")
+    }
     val cellIds = coarse.map(_._1).toSet
     assert(codes.select("cell").distinct().collect().map(_.getLong(0))
       .forall(cellIds), "every code row's cell must be a trained combined cell")
