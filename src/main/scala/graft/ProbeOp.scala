@@ -320,6 +320,23 @@ object ProbeOp {
         timeProbes("ivfPq")(q =>
           C.ivfPqTopK(ipCodes, ipCoarse, ipPqCbs, q, m = 4, k = 10, nprobe = 8)
             .count())
+        // the batched serving forms: the same 20 queries in ONE
+        // bucket-pruned scan — amortizes the fixed per-probe setup the
+        // sequential walls above are dominated by; both families timed
+        // in the SAME run so the batched comparison is apples-to-apples
+        val batchQ = queries.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+        def timeBatch(label: String)(probe: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val rows = probe
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"[probeop] ivfPqProbe x$factor rep$r $label%-11s 20 queries " +
+            f"ONE plan $dt%8.2f s (${dt / 20}%.3f s/query, $rows rows)")
+        }
+        timeBatch("tlMulti")(
+          C.twoLevelTopKMulti(tlIdx, tlCbs, batchQ, k = 10, nprobe = 8).count())
+        timeBatch("ivfPqMulti")(
+          C.ivfPqTopKMulti(ipCodes, ipCoarse, ipPqCbs, batchQ,
+            m = 4, k = 10, nprobe = 8).count())
       }
       spark.stop(); return
     }

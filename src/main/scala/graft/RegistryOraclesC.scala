@@ -87,12 +87,17 @@ private[graft] object RegistryOraclesC {
   // k1·k2 fine centroids for the query (ties on combined cell id),
   // take nprobe=4 cells, per-cell residual query → per-cell m·k LUT,
   // ADC partials fold in subspace order, top-10 on (adc, vec_id).
+  // the residual relation both IVF-PQ oracles train PQ codebooks on:
+  // every vector minus its winning fine centroid (exact double
+  // subtraction on both engines)
+  private val ivfPqResidSrc: String =
+    """(SELECT f2.vec_id,
+          [f2.v[i] - fm.cvec[i] for i in range(1, len(f2.v)+1)] AS embedding
+        FROM tf2 f2 JOIN tfm1 fm
+          ON fm.cell1 = f2.cell1 AND fm.cell = f2.fine) resid_src"""
+
   private val ivfPqOracle: String = {
-    val residSrc =
-      """(SELECT f2.vec_id,
-            [f2.v[i] - fm.cvec[i] for i in range(1, len(f2.v)+1)] AS embedding
-          FROM tf2 f2 JOIN tfm1 fm
-            ON fm.cell1 = f2.cell1 AND fm.cell = f2.fine) resid_src"""
+    val residSrc = ivfPqResidSrc
     s"""WITH ${twoLevelCtes(4, 4, "t")},
            ${pqTrainCtes(4, 8, residSrc)},
            cbl AS (SELECT cell1 * 4 + cell AS cell, cvec FROM tfm1),
@@ -132,6 +137,53 @@ private[graft] object RegistryOraclesC {
   def sql: Map[String, String] = Map(
       "q_ivfpq_topk" -> ivfPqOracle,
       "q_ivfpq_persisted" -> ivfPqOracle,
+      "q_ivfpq_knn_multi" -> // ivfPqOracle's probe replayed PER QUERY
+        // (vec_ids 1, 7, 13): per-query coarse ranking (ties on
+        // combined cell id), per-query residual-query slices over its
+        // nprobe cells, per-query ADC fold in subspace order,
+        // per-query (adc asc, vec_id) rank — the batched Spark plan
+        // (ONE bucket-pruned pass, broadcast per-(query, cell) LUTs)
+        // and Q sequential ivfPqTopK probes are the same arithmetic by
+        // construction
+        s"""WITH ${twoLevelCtes(4, 4, "t")},
+             ${pqTrainCtes(4, 8, ivfPqResidSrc)},
+             cbl AS (SELECT cell1 * 4 + cell AS cell, cvec FROM tfm1),
+             q AS (SELECT vec_id AS query_id, [x::DOUBLE for x in embedding] AS qv
+                   FROM embeddings WHERE vec_id IN (1, 7, 13)),
+             cd AS (SELECT q.query_id, cbl.cell,
+                      list_reduce([(cbl.cvec[i]-q.qv[i])*(cbl.cvec[i]-q.qv[i])
+                                   for i in range(1, len(cbl.cvec)+1)],
+                        (x, y) -> x + y) AS d
+                    FROM cbl, q),
+             pc AS (SELECT query_id, cell FROM cd
+                    QUALIFY row_number() OVER (PARTITION BY query_id
+                      ORDER BY d, cell) <= 4),
+             qr AS (SELECT pc.query_id, pc.cell,
+                      [q.qv[i] - cbl.cvec[i] for i in range(1, len(cbl.cvec)+1)] AS rv
+                    FROM pc JOIN cbl ON cbl.cell = pc.cell
+                    JOIN q ON q.query_id = pc.query_id),
+             qs AS (SELECT qr.query_id, qr.cell, s.s AS subspace,
+                      qr.rv[s.s*16+1 : (s.s+1)*16] AS qsv
+                    FROM qr, (SELECT unnest([0, 1, 2, 3]) AS s) s),
+             vc AS (SELECT vec_id, cell1 * 4 + fine AS cell FROM tf2),
+             pd AS (SELECT qs.query_id, a2.vec_id, a2.subspace,
+                      list_reduce([(qs.qsv[i] - m1.cvec[i]) * (qs.qsv[i] - m1.cvec[i])
+                                   for i in range(1, len(qs.qsv)+1)],
+                        (x, y) -> x + y) AS d
+                    FROM a2
+                    JOIN vc ON vc.vec_id = a2.vec_id
+                    JOIN qs ON qs.subspace = a2.subspace AND qs.cell = vc.cell
+                    JOIN m1 ON m1.subspace = a2.subspace AND m1.cell = a2.cell),
+             adc AS (SELECT query_id, vec_id,
+                       list_reduce(list(d ORDER BY subspace), (x, y) -> x + y)
+                         AS adc_raw
+                     FROM pd GROUP BY query_id, vec_id),
+             sel AS (SELECT query_id, vec_id, adc_raw,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc_raw, vec_id) AS INTEGER) AS "rank"
+                     FROM adc QUALIFY "rank" <= 10)
+           SELECT query_id, vec_id, round(adc_raw, 6) AS adc_dist2, "rank"
+           FROM sel ORDER BY query_id, "rank"""",
       "q_maintenance_cycle" -> // the poll-driven cycle gates the SAME
         // final state the composed row certifies: v2 trained on the
         // full streamed corpus, probed for the scaled drifted vector

@@ -1302,6 +1302,23 @@ private[graft] object RegistryQueriesB {
       Clustering.ivfPqTopK(codes2, coarse2, pqCbs2,
         Similarity.vectorOf(emb, 1L), m = 4, k = 10, nprobe = 4)
     }),
+    // the ANN SERVING shape for the composed family
+    // (q_two_level_knn_multi / q_pq_knn_multi's twin): Q=3 query
+    // vectors batched into ONE bucket-pruned pass over the persisted
+    // packed codes — per-query rows match Q sequential ivfPqTopK
+    // probes by construction (spec-asserted bit-match), ranked per
+    // query by a query-partitioned window, never a global sort. The
+    // form matters MOST for this family: the ×100 probe measured a
+    // single probe's wall as ~all fixed setup, so batching is where
+    // the m-bytes/vector scan advantage actually cashes out.
+    "q_ivfpq_knn_multi" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val (codes2, coarse2, pqCbs2) = ivfPqPersistedIndex(s, d, emb)
+      val qids = Seq(1L, 7L, 13L)
+      val qvecs = qids.map(id => id -> Similarity.vectorOf(emb, id))
+      Clustering.ivfPqTopKMulti(codes2, coarse2, pqCbs2, qvecs,
+        m = 4, k = 10, nprobe = 4)
+    }),
     // the SCHEDULER CYCLE end-to-end (round 16): the composed
     // versioned-streaming arc DRIVEN BY THE POLL rather than by the
     // test reading raw signal rows — pendingMaintenance must report

@@ -1643,6 +1643,42 @@ object Clustering {
     * probed rows are m bytes, not d floats; vs [[pqTopK]] only nprobe
     * cells are read, not every code file. Returns (idCol, adc_dist2
     * 6-dp) ordered (adc asc, id). */
+  /** The residual-codebook parameter table collected once per probe
+    * call: subspace → populated (codeword id, centroid) rows sorted by
+    * id. Bounded (m·k rows), shared by the single- and multi-query
+    * probes. */
+  private def pqCodewords(pqCbs: DataFrame): Map[Int, Array[(Int, Array[Double])]] =
+    pqCbs.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1)
+      .map { case (ss, rows) => ss -> rows.map(t => (t._2, t._3)).sortBy(_._1) }
+
+  /** The PQ paper's distance table for ONE (query, probed cell) pair,
+    * computed driver-side: lut(subspace)(code) = exact left-fold dist2
+    * between the cell's residual-query slice (query − cell centroid)
+    * and the codeword — m·k bounded PARAMETERS (the pqTopK LUT lesson
+    * taken to its end: zero interpreted folds anywhere in the executed
+    * plan). Array POSITION = codeword id + 1 (element_at is 1-based);
+    * the final codebook only carries POPULATED codewords, so ids can
+    * be sparse — unreferenced gaps stay NaN (codes always point at
+    * codewords the final assignment ranked, which all exist). */
+  private def residualLut(cwords: Map[Int, Array[(Int, Array[Double])]],
+                          cent: Array[Double], query: Seq[Double],
+                          m: Int, w: Int): Array[Array[Double]] = {
+    val qr = Array.tabulate(query.size)(i => query(i) - cent(i))
+    Array.tabulate(m) { ss =>
+      val slice = qr.slice(ss * w, (ss + 1) * w)
+      val arr = Array.fill(cwords(ss).map(_._1).max + 1)(Double.NaN)
+      cwords(ss).foreach { case (code, cw) =>
+        var s = 0.0
+        var i = 0
+        while (i < w) { val d = slice(i) - cw(i); s += d * d; i += 1 }
+        arr(code) = s
+      }
+      arr
+    }
+  }
+
   def ivfPqTopK(codes: DataFrame, coarseCbs: Array[(Long, Array[Double])],
                 pqCbs: DataFrame, query: Seq[Double], m: Int, k: Int,
                 nprobe: Int = 4, idCol: String = "vec_id"): DataFrame = {
@@ -1660,38 +1696,11 @@ object Clustering {
     val probe = coarseCbs.map { case (cell, c) => (d2c(c), cell) }
       .sortBy(identity).take(nprobe).map(_._2)
     val cmap = coarseCbs.toMap
-    // the PQ paper's distance table, literally and driver-side:
-    // lut(cell)(subspace)(code) = exact left-fold dist2 between the
-    // cell's residual-query slice and the codeword — m·k bounded
-    // PARAMETERS per probed cell (the pqTopK LUT lesson taken to its
-    // end: zero interpreted folds anywhere in the executed plan)
-    val cwords: Map[Int, Array[(Int, Array[Double])]] = pqCbs.collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      .groupBy(_._1)
-      .map { case (ss, rows) => ss -> rows.map(t => (t._2, t._3)).sortBy(_._1) }
-    def lutFor(cell: Long): Array[Array[Double]] = {
-      val cent = cmap(cell)
-      val qr = Array.tabulate(query.size)(i => query(i) - cent(i))
-      Array.tabulate(m) { ss =>
-        val slice = qr.slice(ss * w, (ss + 1) * w)
-        // array POSITION = codeword id + 1 (element_at is 1-based); the
-        // final codebook only carries POPULATED codewords, so ids can
-        // be sparse — unreferenced gaps stay NaN (codes always point at
-        // codewords the final assignment ranked, which all exist)
-        val arr = Array.fill(cwords(ss).map(_._1).max + 1)(Double.NaN)
-        cwords(ss).foreach { case (code, cw) =>
-          var s = 0.0
-          var i = 0
-          while (i < w) { val d = slice(i) - cw(i); s += d * d; i += 1 }
-          arr(code) = s
-        }
-        arr
-      }
-    }
+    val cwords = pqCodewords(pqCbs)
     // per probed cell: sum of m literal-array lookups, added in
     // subspace order (left-to-right — the oracle's list_reduce order)
     def cellScore(cell: Long): Column = {
-      val lut = lutFor(cell)
+      val lut = residualLut(cwords, cmap(cell), query, m, w)
       (0 until m).map(ss =>
         element_at(array(lut(ss).map(lit).toIndexedSeq: _*), col(s"c$ss") + 1))
         .reduceLeft(_ + _)
@@ -1745,5 +1754,79 @@ object Clustering {
     val coarse = spark.read.parquet(s"$root/coarse_codebooks").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     (spark.table(table), coarse, spark.read.parquet(s"$root/pq_codebooks"))
+  }
+
+  /** Batched multi-query IVF-PQ top-k — the ANN SERVING form for the
+    * composed family ([[twoLevelTopKMulti]] / [[pqTopKMulti]]'s twin),
+    * and the form the ×100 probe measurement argues for: a single
+    * probe's wall is almost all fixed plan/scan setup (~0.3 s/probe
+    * against milliseconds of actual ADC arithmetic), so Q sequential
+    * probes pay Q setups. This form ranks each query's probe cells
+    * driver-side (exactly [[ivfPqTopK]]'s ranking — ties on combined
+    * cell id), unions the per-query nprobe cell sets into ONE
+    * bucket-pruned scan of the packed codes, joins a broadcast
+    * (query_id, cell, lut) parameter table — Q·nprobe rows, each
+    * carrying its m·k distance table computed driver-side with the
+    * exact left-fold ([[residualLut]], the same doubles the
+    * single-query probe bakes in as literals) — scores each
+    * (code row × probing query) with m nested element_at lookups
+    * summed in subspace order, and ranks per query with a window
+    * PARTITIONED by query id (bounded by the probed cells' members —
+    * never global). Per query, candidates and the (adc, id) ranking
+    * are exactly [[ivfPqTopK]]'s — spec-asserted bit-match.
+    *
+    * Returns (query_id, idCol, adc_dist2 6-dp, rank) ordered by
+    * (query_id, rank). `queries` is a bounded driver-side parameter
+    * list, not data. */
+  def ivfPqTopKMulti(codes: DataFrame, coarseCbs: Array[(Long, Array[Double])],
+                     pqCbs: DataFrame, queries: Seq[(Long, Seq[Double])],
+                     m: Int, k: Int, nprobe: Int = 4,
+                     idCol: String = "vec_id"): DataFrame = {
+    require(queries.nonEmpty && nprobe > 0 && k > 0,
+      s"queries, k and nprobe must be non-empty/positive: q=${queries.size} k=$k nprobe=$nprobe")
+    // a duplicated query id would double its candidate rows through the
+    // (query_id, cell) join and corrupt that query's rank — fail loud
+    require(queries.map(_._1).distinct.size == queries.size,
+      "ivfPqTopKMulti: query ids must be distinct")
+    require(queries.forall(q => q._2.nonEmpty && q._2.size % m == 0),
+      s"every query dim must be divisible by m=$m")
+    require(queries.forall(_._2.size == queries.head._2.size),
+      s"ivfPqTopKMulti: all query dims must match, got ${queries.map(_._2.size).distinct}")
+    require(coarseCbs.nonEmpty, "ivfPqTopKMulti needs trained coarse codebooks")
+    val w = queries.head._2.size / m
+    val cmap = coarseCbs.toMap
+    val cwords = pqCodewords(pqCbs)
+    def d2(c: Array[Double], q: Seq[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < c.length) { val d = c(i) - q(i); s += d * d; i += 1 }
+      s
+    }
+    // per (query, probed cell): the cell id and that pair's LUT —
+    // Q·nprobe rows of probe parameters, broadcast by construction
+    val probes: Seq[(Long, Long, Seq[Seq[Double]])] =
+      queries.flatMap { case (qid, qv) =>
+        coarseCbs.map { case (cell, c) => (d2(c, qv), cell) }
+          .sortBy(identity).take(nprobe).map { case (_, cell) =>
+            (qid, cell,
+              residualLut(cwords, cmap(cell), qv, m, w).map(_.toSeq).toSeq)
+          }
+      }
+    val unionCells = probes.map(_._2).distinct
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val probeDf = broadcast(probes.toDF("query_id", "cell", "__lut"))
+    codes.where(col("cell").isin(unionCells: _*))
+      .join(probeDf, Seq("cell"))
+      .select(col("query_id"), col(idCol),
+        (0 until m).map(ss =>
+          element_at(element_at(col("__lut"), ss + 1), col(s"c$ss") + 1))
+          .reduceLeft(_ + _).as("__adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__adc").asc, col(idCol).asc)))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol),
+        round(col("__adc"), 6).as("adc_dist2"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
   }
 }

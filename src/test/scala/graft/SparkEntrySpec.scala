@@ -103,6 +103,7 @@ class SparkEntrySpec extends SparkSuite {
       "q_pq_encode" -> "same k-bounded codebook ranking",
       "q_pq_encode_wide" -> "same k-bounded codebook ranking (k=40 seed window, post-limit)",
       "q_pq_drift" -> "same k-bounded codebook seed ranking (the even-half training windows ride the drift report's lineage)",
+      "q_ivfpq_topk" -> "same k-bounded codebook seed ranking (ivfPqTrainEncode trains fresh per invocation, so pqTrainEncode's seed windows ride its lineage; the persisted/multi twins read the built index and never plan the training)",
       "q_share_hierarchy" -> "grand-total window over the 25-row nation aggregate",
       "q_temperature_mix" -> "domain-count table: one row per domain")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

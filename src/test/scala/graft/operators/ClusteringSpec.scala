@@ -869,4 +869,45 @@ class ClusteringSpec extends SparkSuite {
       "bucketed on-disk IVF-PQ probe diverged from the in-memory probe")
     spark.sql(s"DROP TABLE $table")
   }
+
+  test("ivfPqTopKMulti == Q sequential probes, through ONE bucket-pruned scan") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (codes, coarse, pqCbs) = Clustering.ivfPqTrainEncode(emb,
+      k1 = 4, k2 = 4, m = 4, k = 8, dim = 64)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfpq_multi_spec").toString
+    val table = "ivfpq_multi_spec_" + java.lang.Long.toHexString(System.nanoTime())
+    Clustering.ivfPqWriteIndex(codes, coarse, pqCbs, table, root, nBuckets = 16)
+    val (codesD, coarseD, pqCbsD) = Clustering.ivfPqOpenIndex(spark, table, root,
+      nBuckets = 16)
+    val qids = Seq(1L, 7L, 13L)
+    val qvecs = qids.map(id => id -> Similarity.vectorOf(emb, id))
+    val multi = Clustering.ivfPqTopKMulti(codesD, coarseD, pqCbsD, qvecs,
+      m = 4, k = 10, nprobe = 4)
+    // equivalence: each query's slice bit-matches its sequential
+    // ivfPqTopK — same candidates, same ADC doubles, same rank order
+    // (the broadcast LUT carries the very doubles the single-query
+    // probe bakes in as literals, summed in the same subspace order)
+    val got = multi.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = qvecs.flatMap { case (qid, qv) =>
+      Clustering.ivfPqTopK(codesD, coarseD, pqCbsD, qv,
+        m = 4, k = 10, nprobe = 4).collect()
+        .map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }
+    assert(got === want, "batched IVF-PQ probe diverged from sequential probes")
+    // the plan gate the batched form exists for: ONE scan of the codes
+    // (never Q), bucket-pruned to the union of per-query cell sets
+    // (AQE repeats the tree under "== Initial Plan ==" — gate the
+    // FINAL section only, the twoLevelTopKMulti convention)
+    val plan = multi.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(plan).toSeq
+    assert(scans.size === 1,
+      s"expected exactly ONE bucket-pruned codes scan, found ${scans.size}:\n$plan")
+    assert(scans.head.group(2).toInt === 16 &&
+      scans.head.group(1).toInt <= 3 * 4,
+      s"probe read ${scans.head.group(1)} of 16 buckets — expected <= Q*nprobe (12)")
+    spark.sql(s"DROP TABLE $table")
+  }
 }
