@@ -35,6 +35,9 @@ object GraftExtensions {
       (FunctionIdentifier(GraftFunctions.DotName),
         info(classOf[DotProduct], GraftFunctions.DotName),
         (e: Seq[Expression]) => DotProduct(e(0), e(1))),
+      (FunctionIdentifier(GraftFunctions.Dist2Name),
+        info(classOf[Dist2], GraftFunctions.Dist2Name),
+        (e: Seq[Expression]) => Dist2(e(0), e(1))),
       (FunctionIdentifier(GraftFunctions.ShinglesName),
         info(classOf[DistinctShingles], GraftFunctions.ShinglesName),
         (e: Seq[Expression]) => DistinctShingles(e(0),

@@ -131,6 +131,7 @@ case class DotProduct(left: Expression, right: Expression)
   * function registry + `call_function`). */
 object GraftFunctions {
   val DotName = "graft_dot"
+  val Dist2Name = "graft_dist2"
   val ShinglesName = "graft_shingles"
   val JaccardName = "graft_jaccard"
   val RollingHashName = "graft_rolling_hash"
@@ -156,6 +157,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName, exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Dist2Name, exprs => Dist2(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       ShinglesName, exprs => DistinctShingles(exprs(0),
         literalArg(exprs, 1, ShinglesName, "n").asInstanceOf[Int]), "scala_udf")
@@ -185,6 +188,10 @@ object GraftFunctions {
   }
 
   def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
+
+  /** Squared L2 distance, bit-identical to the HOF left-fold spelling
+    * (see [[Dist2]]). */
+  def dist2(a: Column, b: Column): Column = call_function(Dist2Name, a, b)
 
   def distinctShingles(c: Column, n: Int): Column =
     call_function(ShinglesName, c, org.apache.spark.sql.functions.lit(n))

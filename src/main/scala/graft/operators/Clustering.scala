@@ -61,9 +61,16 @@ object Clustering {
   /** Squared L2 distance with left-to-right fold order — the order
     * DuckDB's `list_reduce` uses, so oracle distances are
     * bit-identical. Products (x-y)² are never -0.0, so the 0.0 init
-    * is exact. */
-  def dist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    * is exact.
+    *
+    * Round 16: the spelling moved from the `aggregate(zip_with(...))`
+    * higher-order functions (interpreted lambda per element, an
+    * intermediate array per row) to the codegen'd
+    * [[graft.expressions.Dist2]] native loop — SAME arithmetic, SAME
+    * fold order, bit-identical results (Dist2Spec pins HOF == native
+    * on real embeddings); event-log profiling showed the interpreted
+    * fold as the dominant task time of every small-k training row. */
+  def dist2(a: Column, b: Column): Column = GraftFunctions.dist2(a, b)
 
   /** Deterministic seeds: the k lowest-id vectors, cell ids 0..k-1 in
     * id order. The window runs on k rows post-limit (TakeOrdered picks
@@ -74,11 +81,52 @@ object Clustering {
       .select((row_number().over(Window.orderBy(col(idCol))) - 1).as("cell"),
         Similarity.asDouble(col(vecCol)).as("cvec"))
 
+  /** Largest candidate count the single-pass row-wise argmin
+    * ([[argminOverSlots]]) unrolls statically. The unrolled spelling
+    * removes the per-assignment corpus shuffle (see [[assignCells]]),
+    * but its plan grows linearly with the slot count — deployment-
+    * scale FROZEN assigns can carry 10^5 candidates, where the
+    * join+aggregate spelling remains the right shape. Every registered
+    * training/append row sits well under this bound (largest: k=40,
+    * the q_kmeans_wide / q_two_level_cells_wide norm-trick rows). */
+  val ArgminUnrollMaxK: Int = 64
+
+  /** Row-wise argmin over the first `n` slots of a per-row candidate
+    * array `cands` (array<struct<cell, cvec[, __cn2]>>, sorted by
+    * cell): evaluates the same per-candidate distance the aggregate
+    * spelling evaluates — exact left-fold [[dist2]], or the norm-trick
+    * score ‖c‖²−2·v·c when `wide` — and takes `least` over the
+    * (d, cell) structs, which is the SAME lexicographic ordering
+    * min-of-struct used, so winners and tie-breaks (lower cell id) are
+    * bit-identical. Slots past the array's end are null and least
+    * skips them; a candidate array longer than `n` raises rather than
+    * silently dropping candidates. The wide struct carries the slot
+    * position so the caller can fetch the winner's centroid without a
+    * join (ordering never reaches it: cell is unique per array). */
+  private def argminOverSlots(cands: Column, n: Int, v: Column,
+                              wide: Boolean): Column = {
+    val slots = (1 to n).map { i =>
+      val c = element_at(cands, i)
+      val d =
+        if (wide) c.getField("__cn2") -
+          lit(2.0) * GraftFunctions.dot(v, c.getField("cvec"))
+        else dist2(v, c.getField("cvec"))
+      val s =
+        if (wide) struct(d.as("d"), c.getField("cell").as("cell"),
+          lit(i).as("__pos"))
+        else struct(d.as("d"), c.getField("cell").as("cell"))
+      when(size(cands) >= i, s)
+    }
+    val best = if (slots.size == 1) slots.head else least(slots: _*)
+    when(size(cands) <= n, best)
+      .otherwise(raise_error(concat(
+        lit(s"argminOverSlots: candidate count exceeds unroll bound $n: "),
+        size(cands).cast("string"))))
+  }
+
   /** Assign every vector to its nearest centroid (ties broken by the
     * lower cell id). `centroids` is a (cell, cvec array<double>)
-    * frame — k rows, always broadcast. The argmin is a min-of-struct
-    * hash aggregate (map-side combinable), NOT a window — a window
-    * would sort the full k×n candidate set.
+    * frame — k rows, always broadcast.
     *
     * `kHint` picks the argmin arithmetic: the small-k form evaluates
     * the exact left-fold [[dist2]] on every (vector, centroid) pair —
@@ -92,12 +140,52 @@ object Clustering {
     * the wide path carries its own by-construction oracles
     * (q_kmeans_wide / q_two_level_cells_wide replay the norm-trick
     * spelling verbatim), and the emitted dist2 column is always the
-    * exact spelling. */
+    * exact spelling.
+    *
+    * `nCands` (round 16) is the TRUE upper bound on centroid rows when
+    * the caller knows it: 0 < nCands ≤ [[ArgminUnrollMaxK]] selects the
+    * single-pass row-wise argmin — all k centroids ride ONE broadcast
+    * row as a sorted candidate array and [[argminOverSlots]] unrolls
+    * the same per-candidate arithmetic into a codegen'd projection.
+    * That removes the crossJoin→groupBy(id) exchange, which shuffled
+    * the whole corpus WITH its vector payload once per Lloyd iteration
+    * (at 100 TB, the dominant training cost; locally, most of every
+    * training row's fixed overhead — event-log profiled round 16).
+    * Identical output values and tie-breaks by construction
+    * (ArgminUnrollSpec pins both branch pairs bit-for-bit); with
+    * nCands = 0 (unknown) or above the bound, the aggregate spellings
+    * below remain. One behavioral note: the aggregate spelling
+    * collapsed duplicate ids to one row (nondeterministically via
+    * first(__v)); the unrolled spelling keeps one row per input row —
+    * every graft caller feeds unique ids, where the two agree. */
   def assignCells(embeddings: DataFrame, centroids: DataFrame,
                   idCol: String = "vec_id", vecCol: String = "embedding",
-                  kHint: Int = 0): DataFrame = {
+                  kHint: Int = 0, nCands: Int = 0): DataFrame = {
     val v = embeddings.select(col(idCol), Similarity.asDouble(col(vecCol)).as("__v"))
-    if (kHint > ExactArgminMaxK) {
+    val wide = kHint > ExactArgminMaxK
+    if (nCands > 0 && nCands <= ArgminUnrollMaxK) {
+      val candStruct =
+        if (wide) struct(col("cell"), col("cvec"),
+          GraftFunctions.dot(col("cvec"), col("cvec")).as("__cn2"))
+        else struct(col("cell"), col("cvec"))
+      val cands = broadcast(centroids
+        .agg(array_sort(collect_list(candStruct)).as("__cands"))
+        .withColumn("__j", lit(1)))
+      val joined = v.withColumn("__j", lit(1)).join(cands, Seq("__j"))
+        // the aggregate spelling's inner join drops every row when the
+        // centroid side is empty; the global agg instead emits one
+        // empty-array row — filter it for exact equivalence
+        .where(size(col("__cands")) > 0)
+      val best = argminOverSlots(col("__cands"), nCands, col("__v"), wide)
+      if (wide)
+        joined.select(col(idCol), col("__v"),
+          best.getField("cell").as("cell"),
+          dist2(col("__v"), element_at(col("__cands"), best.getField("__pos"))
+            .getField("cvec")).as("dist2"))
+      else
+        joined.select(col(idCol), col("__v"),
+          best.getField("cell").as("cell"), best.getField("d").as("dist2"))
+    } else if (wide) {
       val cn = broadcast(centroids.select(col("cell"), col("cvec"),
         GraftFunctions.dot(col("cvec"), col("cvec")).as("__cn2")))
       val arg = v.crossJoin(cn)
@@ -145,10 +233,10 @@ object Clustering {
                                      idCol: String, vecCol: String): DataFrame = {
     require(k > 0 && iters > 0, s"k and iters must be positive: k=$k iters=$iters")
     var centroids = seedCentroids(embeddings, k, idCol, vecCol)
-    var assigned = assignCells(embeddings, centroids, idCol, vecCol, kHint = k)
+    var assigned = assignCells(embeddings, centroids, idCol, vecCol, kHint = k, nCands = k)
     for (_ <- 2 to iters) {
       centroids = updateCentroids(assigned)
-      assigned = assignCells(embeddings, centroids, idCol, vecCol, kHint = k)
+      assigned = assignCells(embeddings, centroids, idCol, vecCol, kHint = k, nCands = k)
     }
     assigned
   }
@@ -334,9 +422,31 @@ object Clustering {
     * rows certify against. */
   private[operators] def tlAssign(vecs: DataFrame, codebooks: DataFrame,
                                   idCol: String, broadcastCodebooks: Boolean,
-                                  kHint: Int = 0): DataFrame = {
+                                  kHint: Int = 0, nCands: Int = 0): DataFrame = {
     def maybeB(df: DataFrame) = if (broadcastCodebooks) broadcast(df) else df
-    if (kHint > ExactArgminMaxK) {
+    val wide = kHint > ExactArgminMaxK
+    if (nCands > 0 && nCands <= ArgminUnrollMaxK) {
+      // round 16: single-pass row-wise argmin (the assignCells unroll,
+      // keyed form) — each coarse cell's ≤ nCands fine candidates ride
+      // ONE grouped broadcast row; removes the groupBy(id, cell1)
+      // exchange that shuffled the corpus + payload per fine iteration
+      val candStruct =
+        if (wide) struct(col("cell"), col("cvec"),
+          GraftFunctions.dot(col("cvec"), col("cvec")).as("__cn2"))
+        else struct(col("cell"), col("cvec"))
+      val cands = maybeB(codebooks.groupBy(col("cell1"))
+        .agg(array_sort(collect_list(candStruct)).as("__cands")))
+      val joined = vecs.join(cands, Seq("cell1"))
+      val best = argminOverSlots(col("__cands"), nCands, col("__v"), wide)
+      if (wide)
+        joined.select(col(idCol), col("cell1"), col("__v"),
+          best.getField("cell").as("fine"),
+          dist2(col("__v"), element_at(col("__cands"), best.getField("__pos"))
+            .getField("cvec")).as("dist2"))
+      else
+        joined.select(col(idCol), col("cell1"), col("__v"),
+          best.getField("cell").as("fine"), best.getField("d").as("dist2"))
+    } else if (wide) {
       val cn = maybeB(codebooks.select(col("cell1"), col("cell"),
         GraftFunctions.dot(col("cvec"), col("cvec")).as("__cn2"), col("cvec")))
       vecs.join(cn, Seq("cell1"))
@@ -408,12 +518,12 @@ object Clustering {
       s"k1, k2 and iters must be positive: k1=$k1 k2=$k2 iters=$iters")
     var c1 = seedCentroids(embeddings, k1, idCol, vecCol)
     for (_ <- 2 to iters)
-      c1 = updateCentroids(assignCells(embeddings, c1, idCol, vecCol, kHint = k1))
-    val coarse = assignCells(embeddings, c1, idCol, vecCol, kHint = k1)
+      c1 = updateCentroids(assignCells(embeddings, c1, idCol, vecCol, kHint = k1, nCands = k1))
+    val coarse = assignCells(embeddings, c1, idCol, vecCol, kHint = k1, nCands = k1)
       .select(col(idCol), col("__v"), col("cell").as("cell1"))
       .localCheckpoint(eager = false)
     var cbs = tlSeed(coarse, k2, idCol)
-    var fine = tlAssign(coarse, cbs, idCol, broadcastCodebooks, kHint = k2)
+    var fine = tlAssign(coarse, cbs, idCol, broadcastCodebooks, kHint = k2, nCands = k2)
     for (_ <- 2 to iters) {
       // pin each iteration's codebooks (k1·k2 rows — bytes, not data):
       // the returned cbs AND the final fine assignment both hang off
@@ -423,7 +533,7 @@ object Clustering {
       // measured the duplicated recompute at ~2× the build wall
       // (904 s unpinned vs 480 s train-once + 5 s write)
       cbs = tlUpdate(fine).localCheckpoint(eager = false)
-      fine = tlAssign(coarse, cbs, idCol, broadcastCodebooks, kHint = k2)
+      fine = tlAssign(coarse, cbs, idCol, broadcastCodebooks, kHint = k2, nCands = k2)
     }
     (fine.select(col(idCol), col("cell1"), col("fine"),
       (col("cell1").cast("long") * k2 + col("fine")).as("cell"),
@@ -487,7 +597,8 @@ object Clustering {
     // the exact fold while the oracle (tlAppendCtes) always replays the
     // wide spelling — the q_pq_recall near-tie-luck class. Deployment
     // k1·k2 is always wide; the oracle matches by construction.
-    assignCells(newVecs, cents, idCol, vecCol, kHint = ExactArgminMaxK + 1)
+    assignCells(newVecs, cents, idCol, vecCol, kHint = ExactArgminMaxK + 1,
+      nCands = codebooks.length)
   }
 
   /** Append a batch to a PERSISTED two-level index without retraining:
@@ -1062,8 +1173,8 @@ object Clustering {
       : (DataFrame, Array[Array[Double]]) = {
     var centroids = seedCentroids(embeddings, nCells, idCol, vecCol)
     for (_ <- 2 to iters)
-      centroids = updateCentroids(assignCells(embeddings, centroids, idCol, vecCol, kHint = nCells))
-    val assigned = assignCells(embeddings, centroids, idCol, vecCol, kHint = nCells)
+      centroids = updateCentroids(assignCells(embeddings, centroids, idCol, vecCol, kHint = nCells, nCands = nCells))
+    val assigned = assignCells(embeddings, centroids, idCol, vecCol, kHint = nCells, nCands = nCells)
       .select(col(idCol), col("cell").as("__cell"))
       .join(embeddings, Seq(idCol))
     val centers = centroids.collect()
@@ -1115,8 +1226,30 @@ object Clustering {
     * against. Same codes up to exact floating-point near-ties; the
     * emitted dist2 is always the exact spelling. */
   private[operators] def pqAssign(slices: DataFrame, codebooks: DataFrame,
-                                  idCol: String, kHint: Int = 0): DataFrame =
-    if (kHint > ExactArgminMaxK) {
+                                  idCol: String, kHint: Int = 0,
+                                  nCands: Int = 0): DataFrame = {
+    val wide = kHint > ExactArgminMaxK
+    if (nCands > 0 && nCands <= ArgminUnrollMaxK) {
+      // round 16: single-pass row-wise argmin (the assignCells unroll,
+      // subspace-keyed form) — removes the groupBy(id, subspace)
+      // exchange that shuffled every slice row per Lloyd iteration
+      val candStruct =
+        if (wide) struct(col("cell"), col("cvec"),
+          GraftFunctions.dot(col("cvec"), col("cvec")).as("__cn2"))
+        else struct(col("cell"), col("cvec"))
+      val cands = broadcast(codebooks.groupBy(col("subspace"))
+        .agg(array_sort(collect_list(candStruct)).as("__cands")))
+      val joined = slices.join(cands, Seq("subspace"))
+      val best = argminOverSlots(col("__cands"), nCands, col("sv"), wide)
+      if (wide)
+        joined.select(col(idCol), col("subspace"), col("sv"),
+          best.getField("cell").as("code"),
+          dist2(col("sv"), element_at(col("__cands"), best.getField("__pos"))
+            .getField("cvec")).as("dist2"))
+      else
+        joined.select(col(idCol), col("subspace"), col("sv"),
+          best.getField("cell").as("code"), best.getField("d").as("dist2"))
+    } else if (wide) {
       val cn = broadcast(codebooks.select(col("subspace"), col("cell"),
         GraftFunctions.dot(col("cvec"), col("cvec")).as("__cn2"), col("cvec")))
       slices
@@ -1140,6 +1273,7 @@ object Clustering {
       .agg(min(col("__dc")).as("__m"), first(col("sv")).as("sv"))
       .select(col(idCol), col("subspace"), col("sv"),
         col("__m.cell").as("code"), col("__m.d").as("dist2"))
+  }
 
   /** One grouped Lloyd update across all subspaces: exact per-
     * (subspace, cell, dim) micro-sums, k·m·(dim/m) = k·dim rows out
@@ -1179,10 +1313,10 @@ object Clustering {
         (row_number().over(Window.orderBy(col(idCol))) - 1).as("cell"))
     var codebooks = slices.join(broadcast(seedIds), Seq(idCol))
       .select(col("subspace"), col("cell"), col("sv").as("cvec"))
-    var assigned = pqAssign(slices, codebooks, idCol, kHint = k)
+    var assigned = pqAssign(slices, codebooks, idCol, kHint = k, nCands = k)
     for (_ <- 2 to iters) {
       codebooks = pqUpdate(assigned)
-      assigned = pqAssign(slices, codebooks, idCol, kHint = k)
+      assigned = pqAssign(slices, codebooks, idCol, kHint = k, nCands = k)
     }
     (assigned.select(col(idCol), col("subspace"), col("code"), col("dist2")),
       codebooks)
@@ -1282,7 +1416,7 @@ object Clustering {
                      dim: Int, idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame =
     pqAssign(pqSlices(newVecs, m, dim, idCol, vecCol), codebooks, idCol,
-      kHint = k)
+      kHint = k, nCands = k)
       .select(col(idCol), col("subspace"), col("code"), col("dist2"))
 
   /** Append a batch to a persisted PQ index without retraining:

@@ -1,0 +1,16 @@
+#!/bin/bash
+# Direct-java runner for any graft main — no sbt overhead, same JVM flags
+# as build.sbt. Usage: tools/runmain.sh graft.Explain [args...]
+cd "$(dirname "$0")/.." || exit 1
+OPENS=""
+for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
+         java.base/java.io java.base/java.net java.base/java.nio java.base/java.util \
+         java.base/java.util.concurrent java.base/java.util.concurrent.atomic \
+         java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action \
+         java.base/sun.util.calendar; do
+  OPENS="$OPENS --add-opens $p=ALL-UNNAMED"
+done
+MAIN="$1"; shift
+exec java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-32g}" \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$MAIN" "$@"
